@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Local runs use local[N]; on a real cluster the same confs apply minus
+  * the master. AQE is on for runtime re-planning (skew joins, coalesced
+  * shuffle partitions); the broadcast threshold covers all dimension
+  * tables in the star schema so fact-side joins never shuffle the fact.
+  */
+object GraftSession {
+  def builder(appName: String, cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
