@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over Array[Float]/Array[Double] columns, as pure
+  * Column expressions (zip_with / aggregate — codegen'd, no UDFs).
+  *
+  * Folds run left-to-right in DOUBLE, so results are bit-reproducible
+  * across engines and partitionings (the fold order is the array order,
+  * never the partition order).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products
+    * against pseudo-random hyperplanes derived deterministically from
+    * (planeIdx, dim) via xxhash64 — no RNG state to ship to executors,
+    * any engine can re-derive the planes.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      // plane component in [-0.5, 0.5): hash to a bucket then scale
+      val comps = (0 until dim).map { j =>
+        val h = (xxhash64(lit(p.toLong * 131071L + j)) % 1000L + 1000L) % 1000L
+        (h.cast("double") / 1000.0 - 0.5) *
+          element_at(vec, j + 1).cast("double")
+      }
+      val d = comps.reduce(_ + _)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus: one pass over the corpus, no corpus shuffle, then
+  * a per-query top-k. This is the exact-recall reference.
+  *
+  * Scale path: IVF (inverted-file) — assign every corpus vector to its
+  * nearest of `nCells` centroids ONCE (linear scan over centroids,
+  * map-side), then probe only `nProbe` cells per query. Centroids are
+  * taken deterministically from the corpus itself (hash-sampled rows),
+  * avoiding an RNG and keeping the index reproducible. At 100 TB the
+  * cell assignment is the partition key — queries touch 1/nCells of the
+  * data per probe.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query row, the k nearest corpus rows.
+    * Query side must be broadcast-small (the typical ANN-serving shape).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, // (id, vec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .where(col("q.qid") =!= col("c.id"))
+      .select(
+        col("q.qid").as("qid"),
+        col("c.id").as("id"),
+        round(cosine(col("q.qvec"), col("c.vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF index: deterministic centroids = the `nCells` corpus vectors
+    * with smallest xxhash64(id) (a reproducible pseudo-random sample).
+    * Returns (id, vec, cell).
+    */
+  def ivfAssign(
+      corpus: DataFrame, // (id, vec)
+      nCells: Int): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"))
+      .limit(nCells)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+    val assigned = corpus.as("c")
+      .crossJoin(broadcast(centroids.as("k")))
+      .select(col("c.id").as("id"), col("c.vec").as("vec"),
+        col("k.cid").as("cid"),
+        l2Distance(col("c.vec"), col("k.cvec")).as("__d"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    val cells = assigned
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+    (cells, centroids)
+  }
+
+  /** IVF probe: route each query to its `nProbe` nearest centroids and
+    * score only vectors in those cells.
+    */
+  def ivfTopK(
+      cells: DataFrame, // (id, vec, cell) from ivfAssign
+      centroids: DataFrame, // (cid, cvec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val routed = queries.as("q")
+      .crossJoin(broadcast(centroids.as("k")))
+      .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"),
+        col("k.cid").as("cid"),
+        l2Distance(col("q.qvec"), col("k.cvec")).as("__d"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__d").asc, col("cid").asc)
+    val probes = routed
+      .withColumn("__r", row_number().over(wq))
+      .where(col("__r") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+
+    val scored = cells.as("c")
+      .join(broadcast(probes.as("p")), col("c.cell") === col("p.cell"))
+      .where(col("p.qid") =!= col("c.id"))
+      .select(col("p.qid").as("qid"), col("c.id").as("id"),
+        round(cosine(col("p.qvec"), col("c.vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * bucketed by hyperplane-LSH signature so only same-bucket vectors
+    * pair up (plus multi-probe via `bands` rotations for recall).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val perBand = bits / bands
+    val signed = corpus.select(col("id"), col("vec"),
+      hyperplaneSignature(col("vec"), dim, bits).as("__sig"))
+    val banded = signed.select(
+      col("id"), col("vec"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * perBand)
+            .bitwiseAND(lit((1L << perBand) - 1)).as("chunk"))): _*))
+        .as("bb"))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
+}

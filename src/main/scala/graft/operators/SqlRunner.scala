@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parameterized multi-statement SQL executor (SURVEY §2.1 S13;
+  * reference: commons/utilities.py:54-86 — read .sql file, substitute
+  * `{project}`/`{env}`/`{batch_id}`, submit per statement).
+  *
+  * Reproduces the reference's env → dataset-prefix mapping
+  * (utilities.py:72-73: "dp" if env=="prod" else "dd") as a derived
+  * parameter, and splits on `;` like the reference's per-statement loop.
+  */
+object SqlRunner {
+
+  def substitute(sql: String, params: Map[String, String]): String = {
+    val derived =
+      params.get("env") match {
+        case Some(env) =>
+          params + ("env_prefix" -> (if (env == "prod") "dp" else "dd"))
+        case None => params
+      }
+    derived.foldLeft(sql) { case (s, (k, v)) => s.replace(s"{$k}", v) }
+  }
+
+  /** Runs each non-empty `;`-separated statement; returns the result of
+    * the last one (the reference discarded results — ours is usable as a
+    * query operator too).
+    */
+  def run(
+      spark: SparkSession,
+      sqlText: String,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val statements = substitute(sqlText, params)
+      .split(";")
+      .map(_.trim)
+      .filter(_.nonEmpty)
+    require(statements.nonEmpty, "no SQL statements to run")
+    statements.map(spark.sql).last
+  }
+
+  def runFile(
+      spark: SparkSession,
+      path: String,
+      params: Map[String, String] = Map.empty): DataFrame =
+    run(spark, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))), params)
+}

@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink descriptors (SURVEY §2.1 S6-S12). Declarative: mode + layout;
+  * partitioning comes from metadata (`TableDef.partitionKeys`) — the
+  * reference reserved `partition_on` fields but never wired them
+  * (reference: commons/dictionary_check.py:11,15; SURVEY §4).
+  */
+sealed trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** Parquet sink. `dynamicOverwrite` reproduces the reference's
+  * partitionOverwriteMode=dynamic conf (reference:
+  * .../dl_ct_gosales_sales_fact_01.py:107). At 100 TB the partition
+  * columns are what makes incremental rebuilds and partition pruning
+  * possible — always partition large facts by a low-cardinality key
+  * (e.g. date).
+  */
+final case class ParquetSink(
+    path: String,
+    mode: String = "overwrite", // overwrite | append
+    partitionBy: Seq[String] = Nil,
+    dynamicOverwrite: Boolean = true)
+    extends Sink {
+  def write(df: DataFrame): Unit = {
+    if (dynamicOverwrite)
+      df.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+}
+
+/** Header CSV sink (reference: jobs/raw/source-to-gcs.py:102-110 wrote
+  * rows as comma-joined strings by hand; Spark's writer replaces it).
+  */
+final case class CsvSink(path: String, mode: String = "overwrite")
+    extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+}
+
+/** JDBC sink for control-plane records (reference:
+  * commons/utilities.py:285-327 runMySQLQuery / operational-log INSERT).
+  */
+final case class JdbcSink(
+    url: String,
+    table: String,
+    properties: Map[String, String] = Map.empty,
+    mode: String = "append")
+    extends Sink {
+  def write(df: DataFrame): Unit = {
+    var w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    properties.foreach { case (k, v) => w = w.option(k, v) }
+    w.mode(mode).save()
+  }
+}
