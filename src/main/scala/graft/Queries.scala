@@ -4,20 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The operator-inventory queries (SURVEY.md §2) expressed Spark-first on
-  * the driver's test tables, with matching DuckDB oracle SQL.
+/** The operator-inventory queries (SURVEY.md §2 + training-data ops)
+  * expressed Spark-first on the driver's test tables, with matching
+  * DuckDB oracle SQL.
   *
   * Determinism rules used throughout (so the DuckDB hash-compare is
   * stable): (1) sums over doubles go through an exact DECIMAL cast in
-  * BOTH engines, then back to double — decimal addition is associative so
-  * partial-aggregation order cannot change the result; (2) every query
-  * ends in an ORDER BY over a unique key set; (3) aggregate / computed
-  * columns are aliased identically in Spark and SQL.
+  * BOTH engines, then back to double — decimal addition is associative
+  * so partial-aggregation order cannot change the result; (2) doubles
+  * that feed order-dependent arithmetic travel as integer micro-units
+  * (`floor(x*1e6)`); (3) every query ends in an ORDER BY over a unique
+  * key set; (4) aggregate / computed columns are aliased identically in
+  * Spark and SQL; (5) Spark's double→int cast truncates while DuckDB's
+  * rounds — oracles use `trunc()` explicitly.
   */
 object Queries {
 
   /** l_quantity etc. are doubles; sum via decimal for associativity. */
-  private def dsum(c: Column): Column =
+  def dsum(c: Column): Column =
     sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
 
   // ---------------------------------------------------------------------
@@ -47,11 +51,12 @@ object Queries {
 
   // ---------------------------------------------------------------------
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a2_thin_layer_agg" -> (a2ThinLayerAgg _)
-  )
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    Map("a2_thin_layer_agg" ->
+      ((s: SparkSession, d: String) => a2ThinLayerAgg(s, d))) ++
+      QueriesCore.all ++ QueriesText.all ++ QueriesVector.all
 
-  def oracles: Map[String, String] = Map(
-    "a2_thin_layer_agg" -> a2ThinLayerAggSql
-  )
+  def oracles: Map[String, String] =
+    Map("a2_thin_layer_agg" -> a2ThinLayerAggSql) ++
+      QueriesCore.oracles ++ QueriesText.oracles ++ QueriesVector.oracles
 }

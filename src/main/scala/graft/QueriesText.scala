@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FingerprintExpr, TextFunctions}
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication queries over the `documents` table —
+  * the training-data-pipeline operator surface. The testdata plants 25
+  * near-duplicate pairs (Jaccard ≈ 0.99; every other pair < 0.1), so
+  * dedup queries have a crisp expected answer.
+  *
+  * MinHash/SimHash queries have no DuckDB oracle (xxhash64 is not
+  * replayable there) → driver records rows-only checks; their recall
+  * against the exact-Jaccard oracle is asserted in DedupSpec instead.
+  */
+object QueriesText {
+
+  // -------------------------------------------------------------------
+  // Token counting, quality scoring, fingerprinting — all map-side
+  // Column expressions inside the parquet scan stage.
+  // -------------------------------------------------------------------
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val text = col("text")
+    docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(text).as("n_tokens"),
+      TextFunctions.bpeishTokenCount(text).as("n_bpeish"),
+      TextFunctions.charCount(text).as("n_chars_m"),
+      floor(TextFunctions.punctRatio(text) * 1e6).cast("long").as("punct_u"),
+      floor(TextFunctions.stopwordRatio(text) * 1e6).cast("long").as("stop_u"),
+      floor(TextFunctions.meanWordLength(text) * 1e6).cast("long").as("mwl_u"),
+      floor(TextFunctions.qualityScore(text) * 1e6).cast("long").as("quality_u"),
+      FingerprintExpr.fingerprint(text).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica. Spark `\\w` == RE2 `\\w` (ASCII word chars);
+    * `\\p{Punct}` == POSIX [[:punct:]] on ASCII text. Ratios flow
+    * through floor(x*1e6) so engine-identical doubles compare exactly.
+    */
+  val textQualitySql: String = {
+    val toks = "str_split_regex(trim(text), '\\s+')"
+    val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
+    val nTok = s"CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END"
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
+      .mkString(" + ")
+    val punct =
+      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END"
+    val mwl =
+      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / $nTok END"
+    val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE ($stops) * 1.0 / $nTok END"
+    val quality =
+      s"""least(length(text) / 200.0, 1.0) * 0.3
+         | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
+         | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+    s"""SELECT doc_id,
+       | $nTok AS n_tokens,
+       | len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+       | length(text) AS n_chars_m,
+       | CAST(floor(($punct) * 1e6) AS BIGINT) AS punct_u,
+       | CAST(floor(($stopRatio) * 1e6) AS BIGINT) AS stop_u,
+       | CAST(floor(($mwl) * 1e6) AS BIGINT) AS mwl_u,
+       | CAST(floor(round($quality, 6) * 1e6) AS BIGINT) AS quality_u,
+       | list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |   (acc, cp) -> (acc * 31 + cp) % 2147483647) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Language-ID by stopword evidence (argmax over marker scores, ties →
+  // alphabetical-first).
+  // -------------------------------------------------------------------
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    def score(lang: String): String =
+      TextFunctions.langMarkers(lang)
+        .map(w =>
+          s"len(list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t = '$w'))")
+        .mkString(" + ")
+    val langs = TextFunctions.langMarkers.keys.toSeq.sorted // de, en, es, fr
+    val scores = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pick = langs
+      .map(l => s"WHEN s_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, $pick AS lang_pred
+       |FROM (SELECT doc_id, $scores FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Exact n-gram Jaccard near-dup pairs (shingle-inverted-index join;
+  // shuffle key = shingle). Expected: the 25 planted pairs.
+  // -------------------------------------------------------------------
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      Tables.load(spark, dir, "documents"),
+      idCol = "doc_id", textCol = "text", shingleSize = 8, threshold = 0.5)
+      .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
+      .drop("jaccard")
+      .orderBy("id_a", "id_b")
+
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      | SELECT doc_id, unnest(list_distinct(
+      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+      | FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      | GROUP BY 1, 2),
+      |j AS (
+      | SELECT id_a, id_b,
+      |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      | FROM common
+      | JOIN sz sa ON sa.doc_id = id_a
+      | JOIN sz sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, CAST(floor(jaccard * 1e4) AS BIGINT) AS jaccard_u
+      |FROM j WHERE jaccard >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MinHash+LSH near-dup pairs — the scale path (signature map-side,
+  // shuffle only on (band, bucket)). Rows-only check; recall vs the
+  // exact 25 pairs is asserted in DedupSpec.
+  // -------------------------------------------------------------------
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(
+      Tables.load(spark, dir, "documents"),
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.5)
+      .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
+      .drop("jaccard")
+      .orderBy("id_a", "id_b")
+
+  // -------------------------------------------------------------------
+  // SimHash near-dup pairs (64-bit signature, 4×16-bit bands). Rows-only.
+  // -------------------------------------------------------------------
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Tables.load(spark, dir, "documents"),
+      idCol = "doc_id", textCol = "text", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" -> textQualitySql,
+    "lang_id" -> langIdSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

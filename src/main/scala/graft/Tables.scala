@@ -12,8 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as a
+    // nanosecond epoch long. Integer-divide (ns epoch > 2^53, so float
+    // division would lose precision) down to micros = Spark's native
+    // timestamp resolution. The generated values are micro-aligned, so
+    // this matches DuckDB's epoch_us() exactly.
+    if (name == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
 
   /** Register every table as a temp view (the reference's curated-layer
     * idiom: createOrReplaceTempView per input, then spark.sql — see
