@@ -55,13 +55,15 @@ object Similarity {
       .limit(nCells)
       .select(col("id").as("cid"), col("vec").as("cvec"))
 
+    // angular assignment: nearest centroid by cosine — the index metric
+    // must match the query metric (cosine top-k), not L2.
     val assigned = corpus.as("c")
       .crossJoin(broadcast(centroids.as("k")))
       .select(col("c.id").as("id"), col("c.vec").as("vec"),
         col("k.cid").as("cid"),
-        l2Distance(col("c.vec"), col("k.cvec")).as("__d"))
+        cosine(col("c.vec"), col("k.cvec")).as("__d"))
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("__d").asc, col("cid").asc)
+      .orderBy(col("__d").desc, col("cid").asc)
     val cells = assigned
       .withColumn("__r", row_number().over(w))
       .where(col("__r") === 1)
@@ -82,9 +84,9 @@ object Similarity {
       .crossJoin(broadcast(centroids.as("k")))
       .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"),
         col("k.cid").as("cid"),
-        l2Distance(col("q.qvec"), col("k.cvec")).as("__d"))
+        cosine(col("q.qvec"), col("k.cvec")).as("__d"))
     val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("__d").asc, col("cid").asc)
+      .orderBy(col("__d").desc, col("cid").asc)
     val probes = routed
       .withColumn("__r", row_number().over(wq))
       .where(col("__r") <= nProbe)

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+
+  /** The testdata's planted ground truth: pairs with exact char-8-shingle
+    * Jaccard ≥ 0.5 (25 pairs at every sf).
+    */
+  private lazy val truth: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("exact dedup keeps exactly the min-id row per key") {
+    val df = Seq((1L, 10L, "x"), (1L, 11L, "y"), (2L, 5L, "z"))
+      .toDF("k", "id", "v")
+    val out = Dedup.exact(df, col("k"), "id")
+      .select("k", "id", "v").as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 10L, "x"), (2L, 5L, "z")))
+  }
+
+  test("planted near-dup ground truth is non-trivial") {
+    // 25 planted pairs at sf0.01; sf0.001 has 28 (one dup clique)
+    assert(truth.size >= 20 && truth.size <= 40)
+  }
+
+  test("minhash-LSH recovers the planted pairs with exact-verify precision") {
+    val got = Dedup
+      .minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification stage enforces precision = 1.0
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // near-identical docs (J≈0.99) collide in ≥1 of 4 bands w.h.p.
+    assert(got.size >= (truth.size * 0.8).toInt,
+      s"recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("simhash finds near-identical pairs with tight hamming distance") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((got intersect truth).size >= (truth.size * 0.6).toInt,
+      s"simhash recall: ${(got intersect truth).size}/${truth.size}")
+  }
+
+  test("minhash signatures: identical text → identical signature") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 4, 8)
+      .orderBy("doc_id").drop("doc_id").collect()
+    assert(sigs(0) == sigs(1))
+  }
+}

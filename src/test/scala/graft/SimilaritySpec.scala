@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+  private lazy val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = emb.where(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("brute-force top-1 matches a driver-side exact computation") {
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expectTop = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(q, v.map(_.toDouble)) }
+      .maxBy(_._2)._1
+    val got = Similarity.bruteForceTopK(corpus, queries, 5)
+      .where(col("qid") === 0 && col("rank") === 1)
+      .select("id").as[Long].head()
+    assert(got == expectTop)
+  }
+
+  test("IVF recall beats the probed-fraction baseline and grows with nProbe") {
+    // the test embeddings are near-uniform random (max pairwise cosine
+    // ≈ 0.51), the worst case for IVF — so the contract asserted here is
+    // relative: recall > probed fraction, and monotone in nProbe.
+    val bf = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val (cells, centroids) = Similarity.ivfAssign(corpus, nCells = 16)
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(cells, centroids, queries, k = 5, nProbe = nProbe)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      (ivf intersect bf).size.toDouble / bf.size
+    }
+    val r4 = recallAt(4)
+    val r12 = recallAt(12)
+    assert(r4 > 4.0 / 16, s"recall@nProbe=4 ($r4) below probed fraction")
+    assert(r12 >= r4, s"recall not monotone: $r4 -> $r12")
+    assert(r12 >= 0.6, s"recall@nProbe=12 = $r12")
+  }
+
+  test("IVF assigns every corpus vector to exactly one cell") {
+    val (cells, _) = Similarity.ivfAssign(corpus, nCells = 8)
+    assert(cells.count() == corpus.count())
+    assert(cells.groupBy("id").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("vector math: dot/norm/cosine agree with hand computation") {
+    val df = Seq((Array(1f, 2f, 2f), Array(2f, 0f, 1f))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.norm(col("a")).as("n"),
+      VectorFunctions.l2Distance(col("a"), col("b")).as("l2"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c")).head()
+    assert(row.getDouble(0) == 4.0)
+    assert(row.getDouble(1) == 3.0)
+    assert(math.abs(row.getDouble(2) - math.sqrt(1 + 4 + 1)) < 1e-12)
+    assert(math.abs(row.getDouble(3) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+  }
+
+  test("hamming64 counts differing bits") {
+    val df = Seq((0L, 7L)).toDF("a", "b")
+    assert(df.select(VectorFunctions.hamming64(col("a"), col("b")))
+      .head().get(0).toString.toLong == 3L)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{CsvSource, ParquetSource, TargetTable}
+import graft.sinks.ParquetSink
+import graft.operators.{Mask, SqlRunner}
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("TargetTable.readOrEmpty: missing path → empty frame with schema") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val df = TargetTable.readOrEmpty(spark, "/tmp/graft-does-not-exist", schema)
+    assert(df.count() == 0 && df.schema == schema)
+  }
+
+  test("parquet sink append + overwrite modes round-trip") {
+    val dir = tmp() + "/t"
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    ParquetSink(dir, mode = "overwrite").write(df)
+    ParquetSink(dir, mode = "append").write(df)
+    assert(ParquetSource(dir).read(spark).count() == 4)
+    ParquetSink(dir, mode = "overwrite").write(df)
+    assert(ParquetSource(dir).read(spark).count() == 2)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp() + "/p"
+    val df = Seq(("x", "2024-01-01", 1L), ("y", "2024-01-02", 2L))
+      .toDF("k", "dt", "v")
+    ParquetSink(dir, mode = "overwrite", partitionBy = Seq("dt")).write(df)
+    val scanned = ParquetSource(dir).read(spark).where(col("dt") === "2024-01-01")
+    assert(scanned.count() == 1)
+    // partition pruning visible in the physical plan
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || scanned.inputFiles.length == 1)
+  }
+
+  test("csv source round-trips header files (all-string like the reference)") {
+    val dir = tmp() + "/c"
+    Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+      .write.option("header", "true").csv(dir)
+    val back = CsvSource(dir).read(spark)
+    assert(back.schema.fields.forall(_.dataType == StringType))
+    assert(back.count() == 2)
+  }
+
+  test("SqlRunner substitutes params incl. the env→prefix rule") {
+    assert(SqlRunner.substitute("{env_prefix}_raw.{t}/{batch_id}",
+      Map("env" -> "prod", "t" -> "x", "batch_id" -> "7")) == "dp_raw.x/7")
+    assert(SqlRunner.substitute("{env_prefix}", Map("env" -> "dev")) == "dd")
+  }
+
+  test("SqlRunner executes multiple statements, returns the last") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("sqlrunner_t")
+    val out = SqlRunner.run(spark,
+      "SELECT 1; SELECT v FROM sqlrunner_t WHERE id = {id}",
+      Map("id" -> "1"))
+    assert(out.as[String].head() == "a")
+  }
+
+  test("Mask: AES round-trip and deterministic join-safe hashing") {
+    val key = "0123456789abcdef" // 16-byte AES key
+    val df = Seq("secret-1", "secret-2").toDF("v")
+    val enc = df.select(Mask.encryptColumn(col("v"), key).as("e"),
+      col("v"))
+    val dec = enc.select(Mask.decryptColumn(col("e"), key).as("d"), col("v"))
+    assert(dec.where(col("d") =!= col("v")).count() == 0)
+    // ECB determinism: same plaintext → same ciphertext (joinable)
+    val two = Seq("x", "x").toDF("v")
+      .select(Mask.encryptColumn(col("v"), key).as("e"))
+      .distinct()
+    assert(two.count() == 1)
+    // sha2 masking stable
+    val h = Seq("a").toDF("v")
+      .select(Mask.hashColumn(col("v"))).head().getString(0)
+    assert(h.length == 64)
+  }
+
+  test("TableDef generates extraction SQL with temporal casts + watermark") {
+    import graft.meta.{ColumnDef, TableDef}
+    val td = TableDef("db", "s", "t",
+      Seq(ColumnDef("id", "bigint"), ColumnDef("ts", "datetime")),
+      extractionType = "incremental",
+      watermarkColumn = Some("ts"), latestWatermark = Some("2024-01-01"))
+    assert(td.extractionSql(castTemporalsToChar = true) ==
+      "SELECT id, CAST(ts AS CHAR) AS ts FROM s.t WHERE ts > '2024-01-01'")
+  }
+}
