@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline.{DagRunner, Medallion, Task}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("medallion DAG runs end-to-end with full audit trail") {
+    val root = Files.createTempDirectory("graft-medallion").toString
+    val runs = Medallion.run(spark, sfDir, root, batchId = "b1")
+
+    assert(runs.length == 6)
+    assert(runs.forall(_.jobStatus == "Success"),
+      runs.filter(_.jobStatus != "Success").map(_.exception).mkString("; "))
+
+    // outputs exist with expected cardinalities
+    val li = Tables.load(spark, sfDir, "lineitem").count()
+    assert(spark.read.parquet(s"$root/curated/sales_fact").count() == li)
+    assert(spark.read.parquet(s"$root/curated/event_type_map").count() == 5)
+    assert(spark.read.parquet(s"$root/semantic/thin_layer").count() > 0)
+
+    // audit log landed (operational_metadata analog)
+    val audit = spark.read.parquet(s"$root/audit/operational_metadata")
+    assert(audit.count() == 6)
+    assert(audit.where(col("batchId") === "b1").count() == 6)
+
+    // idempotence: a second batch inserts zero new keys into the key map
+    val runs2 = Medallion.run(spark, sfDir, root, batchId = "b2")
+    assert(runs2.forall(_.jobStatus == "Success"))
+    assert(runs2.find(_.tblName == "event_type_map").get.rowsIngested == 0)
+    assert(spark.read.parquet(s"$root/curated/event_type_map").count() == 5)
+  }
+
+  test("a failing task halts the chain and logs a sanitized failure") {
+    val root = Files.createTempDirectory("graft-dag").toString
+    val runs = DagRunner(spark, "bX", s"$root/audit").run(Seq(
+      Task("ok", "RAW")(_ => 1L),
+      Task("boom", "RAW")(_ => throw new RuntimeException("bad 'quote' é")),
+      Task("never", "RAW")(_ => 1L)))
+    assert(runs.map(_.jobStatus) == Seq("Success", "Failure"))
+    val err = runs(1).exception
+    assert(!err.contains("'") && !err.contains("é"))
+    // downstream task never ran
+    assert(!runs.exists(_.tblName == "never"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate a MemoryStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, lateness = "5 minutes", window_ = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      in.addData((ts(1), "click", 1.5), (ts(4), "click", 2.0), (ts(12), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+        .select("event_type", "n", "sum_value_u")
+        .as[(String, Long, Long)].collect().toSet
+      assert(out == Set(("click", 2L, 3500000L), ("view", 1L, 1000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val q = StreamOps.streamingDedup(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dd").select("event_id").as[Long].collect().sorted
+        .toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap (batch-bound plan)") {
+    val df = Seq(
+      (ts(0), 1L, 1.0), (ts(10), 1L, 1.0), // session A (gap 15m holds)
+      (ts(40), 1L, 1.0), // session B
+      (ts(5), 2L, 1.0)) // other user
+      .toDF("ts", "user_id", "value")
+    val out = StreamOps.sessionAgg(df, gap = "15 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("mapGroupsWithState accumulates running user stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.UserEvent]
+    val q = StreamOps.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("us").outputMode("update").start()
+    try {
+      in.addData(StreamOps.UserEvent(1L, 10L), StreamOps.UserEvent(1L, 5L))
+      q.processAllAvailable()
+      in.addData(StreamOps.UserEvent(1L, 3L)) // state carries across batches
+      q.processAllAvailable()
+      val last = spark.table("us").as[StreamOps.UserStats].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      assert(last == StreamOps.UserStats(1L, 3L, 18L))
+    } finally q.stop()
+  }
+
+  test("streaming raw ingest: file source → trim → checkpointed parquet") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = Tables.load(spark, sfDir, "documents").limit(50)
+    src.write.parquet(s"$dir/in")
+    val q = StreamOps.rawIngestStream(spark, s"$dir/in", src.schema,
+      s"$dir/out", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 50)
+  }
+}
