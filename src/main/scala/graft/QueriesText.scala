@@ -105,7 +105,7 @@ object QueriesText {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
       Tables.load(spark, dir, "documents"),
-      idCol = "doc_id", textCol = "text", shingleSize = 8, threshold = 0.5)
+      idCol = "doc_id", textCol = "text", shingleSize = 8, threshold = 0.9)
       .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
       .drop("jaccard")
       .orderBy("id_a", "id_b")
@@ -128,7 +128,7 @@ object QueriesText {
       | JOIN sz sa ON sa.doc_id = id_a
       | JOIN sz sb ON sb.doc_id = id_b)
       |SELECT id_a, id_b, CAST(floor(jaccard * 1e4) AS BIGINT) AS jaccard_u
-      |FROM j WHERE jaccard >= 0.5
+      |FROM j WHERE jaccard >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------

