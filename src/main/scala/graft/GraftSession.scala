@@ -23,6 +23,8 @@ object GraftSession {
       // reader rejects; read as long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {
