@@ -50,14 +50,21 @@ object KeyMapUpsert {
       scalable: Boolean = false): DataFrame = {
     val spark = source.sparkSession
 
+    // Dedupe on the NORMALIZED key within the batch (min natural key as
+    // the deterministic representative). The reference dedupes raw keys
+    // but matches case-insensitively — so "A" and "a" in one batch would
+    // both get surrogate keys and every later lower()-join would
+    // double-match; a deliberate fix, per SURVEY §3.2.6's hazard list.
     val distinctNew = source
       .select(col(naturalKey))
       .where(col(naturalKey).isNotNull)
-      .distinct()
+      .groupBy(normalize(col(naturalKey)).as("__nk"))
+      .agg(min(col(naturalKey)).as(naturalKey))
       .join(
         target.select(normalize(col(naturalKey)).as("__tk")).distinct(),
-        normalize(col(naturalKey)) === col("__tk"),
+        col("__nk") === col("__tk"),
         "left_anti")
+      .select(col(naturalKey))
 
     val maxKey = target
       .agg(coalesce(max(col(surrogateKey)), lit(0L)).as("__max_key"))
