@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — turns near-dup PAIRS (from
+  * MinHash/SimHash/Jaccard joins) into dup CLUSTERS so a dedup pipeline
+  * can keep one canonical document per cluster.
+  *
+  * Algorithm: iterative min-label propagation. Each node starts labeled
+  * with itself; every round each node takes the min label in its
+  * neighborhood (including itself); converges in O(diameter) rounds.
+  * Each round is two shuffles (join + agg) — no driver-side graph, so
+  * it scales to billions of edges. Near-dup graphs are unions of small
+  * cliques (diameter ≤ 2-3), so `maxIter` default 10 is generous; the
+  * loop exits early via an AGGREGATE convergence check, not a per-round
+  * collect of labels.
+  */
+object ConnectedComponents {
+
+  /** @param pairs  undirected edges: columns (id_a, id_b)
+    * @return (id, component) — component = min node id reachable
+    */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetrize once; self-edges make "keep own label" part of the agg
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
+      .distinct()
+      .cache()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("label2"))
+        .cache()
+      next.count() // materialize before dropping the parent
+      val changed = labels
+        .join(next, labels("id") === next("id2"))
+        .where(col("label") =!= col("label2"))
+        .limit(1).count() // aggregate convergence probe, not a collect
+      labels.unpersist()
+      labels = next.select(col("id2").as("id"), col("label2").as("label")).cache()
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Dedup driver: given docs and near-dup pairs, keep one canonical row
+    * (min id) per duplicate cluster; rows in no pair survive untouched.
+    */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = components(pairs)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .where(col("component").isNull || col("component") === docs(idCol))
+      .drop("id", "component")
+  }
+}

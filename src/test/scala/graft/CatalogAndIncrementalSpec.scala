@@ -24,6 +24,36 @@ class CatalogAndIncrementalSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_tbl")
   }
 
+  test("bucketed tables join without an exchange on the join key") {
+    // bucketing co-locates both sides on the key at WRITE time — the
+    // 100 TB recipe for repeated large-fact joins with no per-query
+    // shuffle.
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    try {
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("li_bucketed")
+          .join(spark.table("o_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+        assert(joined.count() == li.count())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("CsvSink writes header CSV that round-trips") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/out"
     CsvSink(dir).write(Seq(("x", 1L)).toDF("k", "v"))

@@ -67,6 +67,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
   }
 
+  test("cosine near-dup pairs finds planted neighbors via hyperplane LSH") {
+    // plant near-dups: clone vectors with a tiny deterministic nudge
+    val base = emb.where(col("vec_id") < 30)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val clones = base.where(col("id") < 10)
+      .select((col("id") + 1000).as("id"),
+        transform(col("vec"), x => x * lit(1.0001f)).cast("array<float>").as("vec"))
+    val corpus2 = base.unionByName(clones)
+    val got = Similarity
+      .cosineNearDupPairs(corpus2, dim = 64, threshold = 0.99, bits = 16, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 10L).map(i => (i, i + 1000)).toSet
+    // banding with 8×2-bit chunks ⇒ scaled clones always collide
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, 7L)).toDF("a", "b")
     assert(df.select(VectorFunctions.hamming64(col("a"), col("b")))
