@@ -138,20 +138,23 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("__id"),
-      explode(array_distinct(transform(
-        TextFunctions.charShingles(col(textCol), shingleSize),
-        s => xxhash64(s)))).as("__shingle"))
+    // set size rides along from the array (no count-over-partition pass)
+    val sh = docs
+      .select(col(idCol).as("__id"),
+        array_distinct(transform(
+          TextFunctions.charShingles(col(textCol), shingleSize),
+          s => xxhash64(s))).as("__set"))
+      .select(col("__id"), size(col("__set")).as("__n"),
+        explode(col("__set")).as("__shingle"))
 
-    // global rarest-first total order on shingles (freq, shingle)
+    // global rarest-first total order on shingles (freq, shingle);
+    // freq output is tiny after aggregation → AQE broadcasts the join
     val freq = sh.groupBy(col("__shingle")).agg(count(lit(1)).as("__f"))
 
     val wDoc = Window.partitionBy(col("__id"))
       .orderBy(col("__f").asc, col("__shingle").asc)
     val ranked = sh.join(freq, "__shingle")
       .withColumn("__r", row_number().over(wDoc))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
 
     // index only the prefix: r ≤ n - ceil(t*n) + 1
     val prefix = ranked

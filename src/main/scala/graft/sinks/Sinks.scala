@@ -22,13 +22,23 @@ final case class ParquetSink(
     path: String,
     mode: String = "overwrite", // overwrite | append
     partitionBy: Seq[String] = Nil,
-    dynamicOverwrite: Boolean = true)
+    dynamicOverwrite: Boolean = true,
+    sortBy: Seq[String] = Nil)
     extends Sink {
   def write(df: DataFrame): Unit = {
     if (dynamicOverwrite)
       df.sparkSession.conf
         .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val w = df.write.mode(mode)
+    // sorted layout: range-partition + sort within files so parquet
+    // row-group min/max stats give real data skipping on sortBy columns
+    // (the poor man's clustering — at 100 TB this is what makes
+    // point/range predicates on non-partition columns cheap).
+    val laid =
+      if (sortBy.nonEmpty) {
+        val cols = sortBy.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      } else df
+    val w = laid.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

@@ -42,6 +42,22 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scanned.inputFiles.length == 1)
   }
 
+  test("sorted-layout sink clusters rows for row-group skipping") {
+    val dir = tmp() + "/s"
+    val df = spark.range(10000).toDF("id")
+      .withColumn("k", col("id") * 37 % 10000) // scrambled
+    ParquetSink(dir, sortBy = Seq("k")).write(df)
+    // each output file covers a disjoint k range (range partitioning)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
+
   test("csv source round-trips header files (all-string like the reference)") {
     val dir = tmp() + "/c"
     Seq(("a", "1"), ("b", "2")).toDF("k", "v")
