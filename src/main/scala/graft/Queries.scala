@@ -54,9 +54,11 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     Map("a2_thin_layer_agg" ->
       ((s: SparkSession, d: String) => a2ThinLayerAgg(s, d))) ++
-      QueriesCore.all ++ QueriesText.all ++ QueriesVector.all
+      QueriesCore.all ++ QueriesText.all ++ QueriesVector.all ++
+      QueriesExtra.all
 
   def oracles: Map[String, String] =
     Map("a2_thin_layer_agg" -> a2ThinLayerAggSql) ++
-      QueriesCore.oracles ++ QueriesText.oracles ++ QueriesVector.oracles
+      QueriesCore.oracles ++ QueriesText.oracles ++ QueriesVector.oracles ++
+      QueriesExtra.oracles
 }

@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave operator coverage: multi-join analytics, cube, exact
+  * percentiles, RANGE window frames, the scalar string-function surface,
+  * array aggregation, batch sessionization, correlated subqueries.
+  */
+object QueriesExtra {
+  import Queries.dsum
+
+  // -------------------------------------------------------------------
+  // TPC-H-Q5-like star join: revenue per nation (joins across 5 tables,
+  // dims broadcast, single agg shuffle).
+  // -------------------------------------------------------------------
+  def tpchRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val tpchRevenueSql: String =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // CUBE aggregation (all 4 grouping combinations in one Expand pass).
+  // -------------------------------------------------------------------
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val aggCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      | GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact percentiles / median over integer cents (sort-based exact
+  // percentile; interpolation on identical ints is engine-identical).
+  // -------------------------------------------------------------------
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderstatus")
+      .agg(
+        floor(expr("percentile(cents, 0.5)")).cast("long").as("p50_floor"),
+        floor(expr("percentile(cents, 0.9)")).cast("long").as("p90_floor"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val aggPercentileSql: String =
+    """SELECT o_orderstatus,
+      | CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS p50_floor,
+      | CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS p90_floor,
+      | count(*) AS n
+      |FROM (SELECT o_orderstatus, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // RANGE window frame (value-based, not row-based): per status, count
+  // of orders whose key falls within 1000 before the current key.
+  // -------------------------------------------------------------------
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+      .rangeBetween(-1000L, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .withColumn("sum_near_cents", sum(col("cents")).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_orderstatus, cents,
+      | count(*) OVER w AS n_near,
+      | sum(cents) OVER w AS sum_near_cents
+      |FROM (SELECT o_orderkey, o_orderstatus,
+      |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Scalar string-function surface (§2.7 parity breadth).
+  // -------------------------------------------------------------------
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      substring(col("p_name"), 1, 10).as("name_prefix"),
+      regexp_extract(col("p_type"), "^([a-zA-Z]+)", 1).as("type_head"),
+      regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+      length(col("p_name")).as("name_len"),
+      reverse(col("p_brand")).as("brand_rev"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      | upper(p_brand) AS brand_upper,
+      | lpad(p_brand, 12, '*') AS brand_pad,
+      | substr(p_name, 1, 10) AS name_prefix,
+      | coalesce(regexp_extract(p_type, '^([a-zA-Z]+)', 1), '') AS type_head,
+      | replace(p_type, ' ', '_') AS type_snake,
+      | length(p_name) AS name_len,
+      | reverse(p_brand) AS brand_rev,
+      | concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Array aggregation: collect + dedupe + sort + join (deterministic
+  // string output so the comparison is order-stable).
+  // -------------------------------------------------------------------
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+
+  val arrayAggSql: String =
+    """SELECT c_nationkey,
+      | array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+      | count(*) AS n_cust
+      |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Batch sessionization via lag + cumulative sum (30-minute gap) — the
+  // batch twin of streaming/StreamOps.sessionAgg.
+  // -------------------------------------------------------------------
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sessions = ev
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |tagged AS (
+      | SELECT user_id, event_id, ts_us,
+      |  CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      | SELECT user_id, ts_us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM tagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | max(ts_us) - min(ts_us) AS dur_us
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Correlated scalar subquery + IN subquery (Catalyst decorrelation).
+  // -------------------------------------------------------------------
+  def subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderkey FROM o a
+        |WHERE a.cents * 1.0 >
+        |   1.5 * (SELECT sum(b.cents) * 1.0 / count(*) FROM o b
+        |          WHERE b.o_custkey = a.o_custkey)
+        |  AND a.o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_mktsegment <> 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subqueriesSql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders)
+      |SELECT o_orderkey FROM o a
+      |WHERE a.cents * 1.0 >
+      |   1.5 * (SELECT sum(b.cents) * 1.0 / count(*) FROM o b
+      |          WHERE b.o_custkey = a.o_custkey)
+      |  AND a.o_custkey IN (SELECT c_custkey FROM customer
+      |                      WHERE c_mktsegment <> 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_revenue" -> (tpchRevenue _),
+    "agg_cube" -> (aggCube _),
+    "agg_percentile" -> (aggPercentile _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "string_funcs" -> (stringFuncs _),
+    "array_agg" -> (arrayAgg _),
+    "sessionize_batch" -> (sessionizeBatch _),
+    "subqueries" -> (subqueries _))
+
+  val oracles: Map[String, String] = Map(
+    "tpch_revenue" -> tpchRevenueSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_percentile" -> aggPercentileSql,
+    "window_range_frame" -> windowRangeFrameSql,
+    "string_funcs" -> stringFuncsSql,
+    "array_agg" -> arrayAggSql,
+    "sessionize_batch" -> sessionizeBatchSql,
+    "subqueries" -> subqueriesSql)
+}
