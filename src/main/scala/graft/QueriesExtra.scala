@@ -228,7 +228,31 @@ object QueriesExtra {
       |                      WHERE c_mktsegment <> 'BUILDING')
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Salted skew join — result must be IDENTICAL to the plain join (the
+  // oracle is the unsalted join), while spreading the hottest key over
+  // `factor` reducers.
+  // -------------------------------------------------------------------
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.Skew
+      .saltedJoin(o, c.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", factor = 8)
+      .groupBy(col("o_orderstatus"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "c_mktsegment")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT o_orderstatus, c_mktsegment, count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY o_orderstatus, c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_join" -> (skewSaltedJoin _),
     "tpch_revenue" -> (tpchRevenue _),
     "agg_cube" -> (aggCube _),
     "agg_percentile" -> (aggPercentile _),
@@ -239,6 +263,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "skew_salted_join" -> skewSaltedJoinSql,
     "tpch_revenue" -> tpchRevenueSql,
     "agg_cube" -> aggCubeSql,
     "agg_percentile" -> aggPercentileSql,

@@ -154,15 +154,60 @@ object QueriesText {
       idCol = "doc_id", textCol = "text", maxHamming = 6)
       .orderBy("id_a", "id_b")
 
+  // -------------------------------------------------------------------
+  // End-to-end dedup: exact near-dup pairs → connected components →
+  // one canonical doc per cluster. The oracle replays min-label
+  // propagation with a recursive CTE (components = min reachable id).
+  // -------------------------------------------------------------------
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8, 0.9)
+      .select("id_a", "id_b")
+    graft.operators.ConnectedComponents.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupCanonicalSql: String =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id, unnest(list_distinct(
+      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+      | FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      | GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b FROM common
+      | JOIN sz sa ON sa.doc_id = id_a
+      | JOIN sz sb ON sb.doc_id = id_b
+      | WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)
+      |SELECT d.doc_id FROM documents d
+      |LEFT JOIN comp ON d.doc_id = comp.id
+      |WHERE comp.component IS NULL OR comp.component = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_canonical" -> dedupCanonicalSql)
 }
