@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product in double precision — a native
+    * codegen'd Expression (see [[DotProductExpr]]); the accumulation
+    * order matches the zip_with+aggregate formulation bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column = DotProductExpr.dot(a, b)
+
+  /** Interpreted higher-order-function formulation (kept as the
+    * reference implementation; `dot` must agree with it exactly).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

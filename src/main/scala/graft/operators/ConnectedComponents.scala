@@ -23,11 +23,16 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
+    // materialize the (possibly expensive) pair pipeline ONCE — the
+    // 4-way symmetrizing union below would otherwise recompute it per
+    // branch
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    p.count()
     // symmetrize once; self-edges make "keep own label" part of the agg
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
-      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
       .distinct()
       .cache()
 
@@ -35,7 +40,11 @@ object ConnectedComponents {
       .withColumn("label", col("id"))
       .cache()
 
+    // convergence via a label-sum checksum: labels are monotonically
+    // non-increasing per node, so the total sum strictly decreases iff
+    // any label changed — one aggregate job per round, no join probe.
     var converged = false
+    var prevSum = Long.MinValue
     var i = 0
     while (!converged && i < maxIter) {
       val next = edges
@@ -43,17 +52,16 @@ object ConnectedComponents {
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("label2"))
         .cache()
-      next.count() // materialize before dropping the parent
-      val changed = labels
-        .join(next, labels("id") === next("id2"))
-        .where(col("label") =!= col("label2"))
-        .limit(1).count() // aggregate convergence probe, not a collect
+      val sumNow = next.agg(coalesce(sum(col("label2")), lit(0L)))
+        .head().getLong(0)
       labels.unpersist()
       labels = next.select(col("id2").as("id"), col("label2").as("label")).cache()
-      converged = changed == 0
+      converged = sumNow == prevSum
+      prevSum = sumNow
       i += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.withColumnRenamed("label", "component")
   }
 

@@ -83,6 +83,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("native dot Expression agrees bit-for-bit with the HOF fold") {
+    val mismatches = emb.as("x").crossJoin(emb.as("y"))
+      .where(col("x.vec_id") < 20 && col("y.vec_id") < 20)
+      .select(
+        VectorFunctions.dot(col("x.embedding"), col("y.embedding")).as("fast"),
+        VectorFunctions.dotHof(col("x.embedding"), col("y.embedding")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(mismatches.count() == 0)
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, 7L)).toDF("a", "b")
     assert(df.select(VectorFunctions.hamming64(col("a"), col("b")))
