@@ -38,6 +38,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(incl.count() == 1 && strict.count() == 1)
   }
 
+  test("FactEnrich non-broadcast path falls back to a shuffle join") {
+    import graft.operators.FactEnrich
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val out = FactEnrich.enrich(li, Seq(
+        FactEnrich.Dim(Tables.load(spark, sfDir, "part"),
+          keys = Seq("l_partkey" -> "p_partkey"),
+          select = Seq("p_brand" -> "p_brand"),
+          broadcastDim = false)))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(500))
+      assert(out.count() == li.count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("matches the oracle-checked asof query shape on events") {
     // sanity on real data: every purchase row appears exactly once
     val out = QueriesCore.asofJoin(spark, sfDir)
