@@ -133,14 +133,16 @@ object QueriesText {
 
   // -------------------------------------------------------------------
   // MinHash+LSH near-dup pairs — the scale path (signature map-side,
-  // shuffle only on (band, bucket)). Rows-only check; recall vs the
-  // exact 25 pairs is asserted in DedupSpec.
+  // shuffle only on (band, bucket)). Oracle = the exact-Jaccard pairs:
+  // the verification stage gives precision 1.0, and at the planted
+  // J≈0.99 a pair misses all 4 bands with P≈(1-0.99⁴)⁴≈3e-6, so the
+  // exact answer is also the expected LSH answer.
   // -------------------------------------------------------------------
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       Tables.load(spark, dir, "documents"),
       idCol = "doc_id", textCol = "text",
-      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.5)
+      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.9)
       .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
       .drop("jaccard")
       .orderBy("id_a", "id_b")
@@ -209,5 +211,6 @@ object QueriesText {
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_lsh" -> dedupNgramJaccardSql, // same exact answer — see scaladoc
     "dedup_canonical" -> dedupCanonicalSql)
 }

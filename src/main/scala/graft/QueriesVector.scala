@@ -56,6 +56,21 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // IVF with nProbe = nCells: probes every cell, so the result must
+  // EQUAL exact brute force — an oracle-checked end-to-end test of the
+  // IVF machinery (centroid routing, per-cell scoring, global top-k).
+  // -------------------------------------------------------------------
+  def simIvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (cells, centroids) = Similarity.ivfAssign(corpus, nCells = 16)
+    Similarity.ivfTopK(cells, centroids, queries, k = 5, nProbe = 16)
+      .orderBy("qid", "rank")
+  }
+
+  // -------------------------------------------------------------------
   // Per-label embedding statistics (vector math exercised under
   // aggregation; norms flow as integer micro-units).
   // -------------------------------------------------------------------
@@ -111,11 +126,13 @@ object QueriesVector {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
     "multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
+    "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "embed_label_stats" -> embedLabelStatsSql,
     "multimodal_decode" -> multimodalDecodeSql)
 }
