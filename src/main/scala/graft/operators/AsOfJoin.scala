@@ -42,21 +42,29 @@ object AsOfJoin {
     val rightOrd = if (strict) 1 else 0
     val leftOrd = if (strict) 0 else 1
 
+    // Right payloads travel inside ONE struct: `last(struct,
+    // ignoreNulls)` then picks the latest right ROW — including rows
+    // whose individual value columns are NULL. Carrying bare columns
+    // with ignoreNulls would skip a matched-but-NULL value and leak a
+    // stale older value (DuckDB ASOF / pandas merge_asof return NULL
+    // there).
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(leftOrd))
       .select(
         Seq(col(keyCol).as("__k"), col("__t"), col("__side")) ++
-          leftCols.map(c => col(c).as(s"__l_$c")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+          leftCols.map(c => col(c).as(s"__l_$c")) :+
+          lit(null).cast(org.apache.spark.sql.types.StructType(
+            valueCols.map(c => org.apache.spark.sql.types.StructField(
+              c, right.schema(c).dataType)))).as("__r"): _*)
 
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(rightOrd))
       .select(
         Seq(col(keyCol).as("__k"), col("__t"), col("__side")) ++
-          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-          valueCols.map(c => col(c).as(s"__r_$c")): _*)
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+          struct(valueCols.map(c => col(c).as(c)): _*).as("__r"): _*)
 
     val w = Window
       .partitionBy(col("__k"))
@@ -64,16 +72,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .select(
-        (Seq(col("__side")) ++
-          leftCols.map(c => col(s"__l_$c")) ++
-          valueCols.map(c =>
-            last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c"))): _*)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
     carried
       .where(col("__side") === leftOrd)
       .select(
         leftCols.map(c => col(s"__l_$c").as(c)) ++
-          valueCols.map(c => col(s"__c_$c").as(c)): _*)
+          valueCols.map(c => col("__c")(c).as(c)): _*)
   }
 }

@@ -69,9 +69,12 @@ object ConnectedComponents {
     * (min id) per duplicate cluster; rows in no pair survive untouched.
     */
   def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    // unique internal names: docs may itself have "id"/"component"
+    // columns (drop("id") would otherwise delete the caller's column)
     val comp = components(pairs)
-    docs.join(comp, docs(idCol) === comp("id"), "left")
-      .where(col("component").isNull || col("component") === docs(idCol))
-      .drop("id", "component")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    docs.join(comp, docs(idCol) === col("__cc_id"), "left")
+      .where(col("__cc_comp").isNull || col("__cc_comp") === docs(idCol))
+      .drop("__cc_id", "__cc_comp")
   }
 }

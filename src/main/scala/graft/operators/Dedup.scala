@@ -26,10 +26,15 @@ object Dedup {
     val keyed = df.withColumn("__dk", key)
     val winners = keyed
       .groupBy(col("__dk"))
-      .agg(min(col(idCol)).as(idCol))
+      .agg(min(col(idCol)).as("__wid"))
+    // null-safe equality: a NULL dedup key still forms a group and must
+    // keep its representative, not silently vanish in the join
     keyed
-      .join(winners, Seq("__dk", idCol))
-      .drop("__dk")
+      .join(winners,
+        keyed("__dk") <=> winners("__dk") &&
+          keyed(idCol) <=> winners("__wid"))
+      .drop(winners("__dk"))
+      .drop("__dk", "__wid")
   }
 
   /** MinHash signature: for each of `numHashes` hash functions, the min

@@ -36,7 +36,12 @@ object IncrementalIngest {
       source: DataFrame,
       watermark: String,
       lastValue: Option[String]): Result = {
-    val fresh = selectNew(source, watermark, lastValue)
+    // Pin the slice before taking the bookmark: without the cache the
+    // max-aggregate and the caller's later write are two separate scans
+    // — rows arriving in between would be written now AND re-read next
+    // batch (bookmark below their watermark). Caller unpersists
+    // `fresh` after writing.
+    val fresh = selectNew(source, watermark, lastValue).cache()
     val next = fresh.agg(max(col(watermark)).cast("string")).head().getString(0)
     Result(fresh, Option(next).orElse(lastValue))
   }

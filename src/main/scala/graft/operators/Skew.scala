@@ -24,6 +24,12 @@ object Skew {
       key: String,
       factor: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `factor` phantom null-extended rows
+    // per unmatched build row (every salted replica misses)
+    require(
+      Set("inner", "left", "left_outer", "leftouter", "cross")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins, got $joinType")
     val salted = probe.withColumn("__salt",
       (rand(seed = 42) * factor).cast("int"))
     val replicated = build.withColumn("__salt",

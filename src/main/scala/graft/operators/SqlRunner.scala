@@ -22,6 +22,37 @@ object SqlRunner {
     derived.foldLeft(sql) { case (s, (k, v)) => s.replace(s"{$k}", v) }
   }
 
+  /** Statement splitter that respects single/double-quoted literals
+    * (with '' escaping) and `--` line comments — a naive split(";")
+    * breaks any statement containing a semicolon in a string.
+    */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) {
+          // doubled quote = escaped quote inside the literal
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote) {
+            cur += quote; i += 1
+          } else quote = 0
+        }
+      } else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        cur += '\n'
+      } else if (c == ';') { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Runs each non-empty `;`-separated statement; returns the result of
     * the last one (the reference discarded results — ours is usable as a
     * query operator too).
@@ -30,10 +61,7 @@ object SqlRunner {
       spark: SparkSession,
       sqlText: String,
       params: Map[String, String] = Map.empty): DataFrame = {
-    val statements = substitute(sqlText, params)
-      .split(";")
-      .map(_.trim)
-      .filter(_.nonEmpty)
+    val statements = splitStatements(substitute(sqlText, params))
     require(statements.nonEmpty, "no SQL statements to run")
     statements.map(spark.sql).last
   }

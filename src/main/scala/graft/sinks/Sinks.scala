@@ -26,9 +26,6 @@ final case class ParquetSink(
     sortBy: Seq[String] = Nil)
     extends Sink {
   def write(df: DataFrame): Unit = {
-    if (dynamicOverwrite)
-      df.sparkSession.conf
-        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // sorted layout: range-partition + sort within files so parquet
     // row-group min/max stats give real data skipping on sortBy columns
     // (the poor man's clustering — at 100 TB this is what makes
@@ -38,7 +35,12 @@ final case class ParquetSink(
         val cols = sortBy.map(org.apache.spark.sql.functions.col)
         df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
       } else df
+    // per-write option (not session conf): mutating the session-wide
+    // partitionOverwriteMode would leak dynamic mode into later writes
+    // that expect a full static overwrite
     val w = laid.write.mode(mode)
+      .option("partitionOverwriteMode",
+        if (dynamicOverwrite) "dynamic" else "static")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }

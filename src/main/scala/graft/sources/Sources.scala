@@ -83,14 +83,16 @@ final case class JdbcSource(
   * empty-target fallback; SURVEY §3.2.6).
   */
 object TargetTable {
-  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val exists =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-      } catch { case _: Exception => false }
-    if (exists) spark.read.parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    // Attempt the read and fall back on failure (missing path, empty
+    // dir). A file-listing probe at the top level would misread a
+    // PARTITIONED target (files live under key=value subdirs) as empty
+    // — and a key-map upsert fed an empty target reissues duplicate
+    // surrogate keys.
+    try spark.read.parquet(path)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 }

@@ -37,7 +37,14 @@ object SqlTypeMapper {
       case "smallint" | "tinyint" | "year"           => IntegerType
       case "decimal" | "numeric" =>
         if (legacy) DoubleType
-        else DecimalType(precision.getOrElse(38), scale.getOrElse(18))
+        else {
+          // SQL: DECIMAL(p) means scale 0; bare DECIMAL gets Spark's
+          // default (38,18). A scale default of 18 with declared p<18
+          // would throw (scale > precision) and misplace the point.
+          val p = precision.getOrElse(38)
+          val s = scale.getOrElse(if (precision.isDefined) 0 else 18)
+          DecimalType(p, s)
+        }
       case "real" | "float"                          => FloatType
       case "double" | "double precision"             => DoubleType
       case "char" | "varchar" | "text" | "string"    => StringType
