@@ -42,9 +42,12 @@ object QueriesText {
     * through floor(x*1e6) so engine-identical doubles compare exactly.
     */
   val textQualitySql: String = {
-    val toks = "str_split_regex(trim(text), '\\s+')"
+    // regex trim (NOT duckdb trim(), which strips spaces only) —
+    // mirrors TextFunctions.tokenCount exactly
+    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val toks = s"str_split_regex($rt, '\\s+')"
     val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
-    val nTok = s"CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END"
+    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len($toks) END"
     val stops = Seq("the", "a", "and", "of", "to", "in", "is")
       .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
       .mkString(" + ")

@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count. Empty/blank strings count 0. */
-  def tokenCount(text: Column): Column =
-    when(trim(text) === "", lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace token count. Empty/blank strings count 0. Trims with a
+    * regex: `trim()` strips spaces only, so text padded with \n or \t
+    * would otherwise produce phantom empty tokens that skew every
+    * ratio dividing by tokenCount.
+    */
+  def tokenCount(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(t === "", lit(0)).otherwise(size(split(t, "\\s+")))
+  }
 
   /** BPE-ish token count: word pieces + standalone punctuation — a cheap
     * proxy for subword tokenizers (`\w+` runs + single non-word marks).
@@ -99,7 +104,7 @@ object TextFunctions {
 
   /** Word shingles (n-grams of whitespace tokens), space-joined. */
   def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
+    val words = split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
     when(size(words) < n, array().cast("array<string>"))
       .otherwise(
         transform(sequence(lit(0), size(words) - n),

@@ -50,8 +50,12 @@ final case class TableDef(
       else c.name
     }
     val where = (extractionType, watermarkColumn, latestWatermark) match {
-      case ("incremental", Some(wm), Some(last)) => s" WHERE $wm > '$last'"
-      case _                                     => ""
+      case ("incremental", Some(wm), Some(last)) =>
+        // the bookmark value originates from DATA (max of the watermark
+        // column) — escape quotes so it can't break or inject into the
+        // query sent to the source database
+        s" WHERE $wm > '${last.replace("'", "''")}'"
+      case _ => ""
     }
     s"SELECT ${cols.mkString(", ")} FROM $schema.$table$where"
   }

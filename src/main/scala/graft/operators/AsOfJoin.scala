@@ -66,9 +66,13 @@ object AsOfJoin {
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
           struct(valueCols.map(c => col(c).as(c)): _*).as("__r"): _*)
 
+    // deterministic tiebreak among right rows sharing (key, timestamp):
+    // order ties by a content hash of the payload so reruns and
+    // repartitionings carry the same row (left rows hash the null
+    // struct to a constant)
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)

@@ -39,6 +39,9 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
+    // exactly one cached label table is live at any time: materialize
+    // the new round, then release the previous round's cache
+    var prevCached = labels
 
     // convergence via a label-sum checksum: labels are monotonically
     // non-increasing per node, so the total sum strictly decreases iff
@@ -53,9 +56,11 @@ object ConnectedComponents {
         .agg(min(col("label")).as("label2"))
         .cache()
       val sumNow = next.agg(coalesce(sum(col("label2")), lit(0L)))
-        .head().getLong(0)
-      labels.unpersist()
-      labels = next.select(col("id2").as("id"), col("label2").as("label")).cache()
+        .head().getLong(0) // materializes next's cache
+      prevCached.unpersist()
+      prevCached = next
+      // plain projection over the cached `next` — no second cache
+      labels = next.select(col("id2").as("id"), col("label2").as("label"))
       converged = sumNow == prevSum
       prevSum = sumNow
       i += 1

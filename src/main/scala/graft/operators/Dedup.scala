@@ -21,6 +21,12 @@ object Dedup {
   /** Exact dedup on a (possibly normalized) key: keeps the row with the
     * smallest tie-break id per key. Aggregates instead of
     * window-sort — one shuffle, no per-group sort of full rows.
+    *
+    * Contract: `idCol` is the tie-breaker and should be unique per row;
+    * rows TYING on (key, min id) are ALL kept (deterministic — no
+    * arbitrary pick). For byte-identical replayed rows, apply
+    * `df.distinct()` before/after: collapsing ties here would pick an
+    * arbitrary survivor among non-identical rows.
     */
   def exact(df: DataFrame, key: Column, idCol: String): DataFrame = {
     val keyed = df.withColumn("__dk", key)

@@ -24,13 +24,19 @@ object Similarity {
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.
     * Query side must be broadcast-small (the typical ANN-serving shape).
     */
+  /** @param excludeSelf drop the corpus row whose id equals the query's
+    *   qid — ONLY valid when queries come from the corpus itself; with
+    *   an external query table a numeric qid/id coincidence would
+    *   silently hide a legitimate neighbor.
+    */
   def bruteForceTopK(
       corpus: DataFrame, // (id, vec)
       queries: DataFrame, // (qid, qvec)
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val scored = corpus.as("c")
       .crossJoin(broadcast(queries.as("q")))
-      .where(col("q.qid") =!= col("c.id"))
+      .where(if (excludeSelf) !(col("q.qid") <=> col("c.id")) else lit(true))
       .select(
         col("q.qid").as("qid"),
         col("c.id").as("id"),
@@ -79,7 +85,8 @@ object Similarity {
       centroids: DataFrame, // (cid, cvec)
       queries: DataFrame, // (qid, qvec)
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val routed = queries.as("q")
       .crossJoin(broadcast(centroids.as("k")))
       .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"),
@@ -94,7 +101,7 @@ object Similarity {
 
     val scored = cells.as("c")
       .join(broadcast(probes.as("p")), col("c.cell") === col("p.cell"))
-      .where(col("p.qid") =!= col("c.id"))
+      .where(if (excludeSelf) !(col("p.qid") <=> col("c.id")) else lit(true))
       .select(col("p.qid").as("qid"), col("c.id").as("id"),
         round(cosine(col("p.qvec"), col("c.vec")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid"))

@@ -45,6 +45,13 @@ object SqlRunner {
       else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1
         cur += '\n'
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // block comment (non-nested): skip to the closing */
+        i += 2
+        while (i + 1 < sql.length &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i += 1 // lands on '/'; loop increment steps past it
+        cur += ' '
       } else if (c == ';') { out += cur.toString; cur.clear() }
       else cur += c
       i += 1

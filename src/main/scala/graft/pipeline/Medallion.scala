@@ -27,13 +27,15 @@ object Medallion {
     Task("events", "RAW", 1L) { spark =>
       val df = Normalize.trimAll(Tables.load(spark, sfDir, "events"))
       ParquetSink(s"$root/raw/events").write(df)
-      df.count()
+      // count the WRITTEN parquet (footer metadata) — re-counting the
+      // plan would execute the whole lineage a second time
+      spark.read.parquet(s"$root/raw/events").count()
     },
     Task("documents", "RAW", 2L) { spark =>
       val df = Normalize.trimAll(Tables.load(spark, sfDir, "documents"))
         .withColumn("source", Mask.hashColumn(col("source")))
       ParquetSink(s"$root/raw/documents").write(df)
-      df.count()
+      spark.read.parquet(s"$root/raw/documents").count()
     },
 
     // CURATED: key-map upsert (method_hlp analog — self-read target
@@ -46,9 +48,12 @@ object Medallion {
       val fresh = KeyMapUpsert.newKeys(
         spark.read.parquet(s"$root/raw/events"),
         target, "event_type", "event_type_key")
-      val out = AuditColumns.withAudit(fresh, batchId, "graft", 3L)
+      // pin the plan so the count and the conditional write execute
+      // the same rows exactly once
+      val out = AuditColumns.withAudit(fresh, batchId, "graft", 3L).cache()
       val n = out.count()
       if (n > 0) ParquetSink(s"$root/curated/event_type_map", mode = "append").write(out)
+      out.unpersist()
       n
     },
 
@@ -62,7 +67,7 @@ object Medallion {
             c("c_mktsegment"), n("n_name").as("nation")),
         batchId, "graft", 4L)
       ParquetSink(s"$root/curated/customer_dim").write(dim)
-      dim.count()
+      spark.read.parquet(s"$root/curated/customer_dim").count()
     },
 
     // CURATED: fact enrichment (sales_fact analog — broadcast left
@@ -80,7 +85,7 @@ object Medallion {
         batchId, "graft", 5L)
       ParquetSink(s"$root/curated/sales_fact",
         partitionBy = Seq("l_returnflag")).write(fact)
-      fact.count()
+      spark.read.parquet(s"$root/curated/sales_fact").count()
     },
 
     // SEMANTIC: thin-layer aggregation via the parameterized SqlRunner
@@ -95,7 +100,7 @@ object Medallion {
           |FROM sales_fact GROUP BY l_returnflag, l_linestatus""".stripMargin,
         Map("batch_id" -> batchId))
       ParquetSink(s"$root/semantic/thin_layer").write(out)
-      out.count()
+      spark.read.parquet(s"$root/semantic/thin_layer").count()
     })
 
   /** Runs the whole medallion DAG; returns the audit records. */

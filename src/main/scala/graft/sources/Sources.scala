@@ -83,16 +83,35 @@ final case class JdbcSource(
   * empty-target fallback; SURVEY §3.2.6).
   */
 object TargetTable {
-  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    // Attempt the read and fall back on failure (missing path, empty
-    // dir). A file-listing probe at the top level would misread a
-    // PARTITIONED target (files live under key=value subdirs) as empty
-    // — and a key-map upsert fed an empty target reissues duplicate
-    // surrogate keys.
+  /** True if the directory tree under `p` contains any data file
+    * (ignoring _temporary/_SUCCESS and other underscore/dot metadata).
+    */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val name = p.getName
+    if (name.startsWith("_") || name.startsWith(".")) false
+    else if (fs.getFileStatus(p).isFile) true
+    else fs.listStatus(p).exists(s => hasDataFiles(fs, s.getPath))
+  }
+
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // Attempt the read; fall back to an empty frame ONLY for genuine
+    // first-run states (missing path, or a directory with no data files
+    // anywhere — partitioned targets keep files under key=value
+    // subdirs). An existing-but-unreadable target (corrupt files,
+    // leftover _temporary garbage next to real data) must FAIL, not
+    // bootstrap: a key-map upsert fed a silently-empty target would
+    // reissue duplicate surrogate keys.
     try spark.read.parquet(path)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case e: org.apache.spark.sql.AnalysisException =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p) || !hasDataFiles(fs, p))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else throw e
     }
+  }
 }

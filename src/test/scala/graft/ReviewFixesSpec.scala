@@ -76,6 +76,51 @@ class ReviewFixesSpec extends SparkSpec {
     assert(out.as[String].head() == "a;b")
   }
 
+  test("exact dedup keeps all (key, min-id) ties; replays collapse via distinct") {
+    val df = Seq(("k", 1L), ("k", 1L), ("k", 2L)).toDF("key", "id")
+    // ties on the winner pair are deliberately all kept (no arbitrary
+    // pick among potentially non-identical rows)
+    assert(Dedup.exact(df, col("key"), "id").count() == 2)
+    // byte-identical replays: distinct() upstream gives exactly one
+    assert(Dedup.exact(df.distinct(), col("key"), "id").count() == 1)
+  }
+
+  test("tokenCount regex-trims: newline/tab padding adds no phantom tokens") {
+    import graft.functions.TextFunctions
+    val df = Seq("\n", "\t", "a\n", " a\tb \n").toDF("t")
+      .select(TextFunctions.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 0, 1, 2))
+  }
+
+  test("readOrEmpty fails loudly on corrupt-but-nonempty targets") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.parquet"), "not parquet at all")
+    val schema = StructType(Seq(StructField("k", StringType)))
+    // a data file exists → must not silently bootstrap as empty
+    intercept[Exception] {
+      TargetTable.readOrEmpty(spark, dir, schema).count()
+    }
+    // but a dir holding only _temporary garbage is a first-run state
+    val dir2 = Files.createTempDirectory("graft-tmponly").toString + "/t"
+    new java.io.File(s"$dir2/_temporary").mkdirs()
+    assert(TargetTable.readOrEmpty(spark, dir2, schema).count() == 0)
+  }
+
+  test("SqlRunner skips semicolons inside block comments") {
+    assert(SqlRunner.splitStatements("SELECT 1 /* a;b */ FROM t; SELECT 2")
+      .size == 2)
+  }
+
+  test("extractionSql escapes quotes in the watermark bookmark") {
+    import graft.meta.{ColumnDef, TableDef}
+    val td = TableDef("db", "s", "t", Seq(ColumnDef("n", "varchar")),
+      extractionType = "incremental",
+      watermarkColumn = Some("n"), latestWatermark = Some("O'Brien"))
+    assert(td.extractionSql().endsWith("WHERE n > 'O''Brien'"))
+  }
+
   test("saltedJoin rejects outer join types") {
     val df = Seq(("a", 1L)).toDF("k", "v")
     intercept[IllegalArgumentException] {
