@@ -251,7 +251,72 @@ object QueriesExtra {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY o_orderstatus, c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Column-level data profiling (single-pass agg; long-form output).
+  // -------------------------------------------------------------------
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile
+      .profileExact(Tables.load(spark, dir, "orders"))
+      .orderBy("col_name")
+
+  val profileOrdersSql: String = {
+    def one(c: String, numeric: Boolean) = {
+      val mn = if (numeric) s"CAST(floor(min($c) * 1e6) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      val mx = if (numeric) s"CAST(floor(max($c) * 1e6) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count(*) FILTER ($c IS NULL) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | $mn AS min_num_u, $mx AS max_num_u FROM orders""".stripMargin
+    }
+    Seq(
+      one("o_orderkey", true), one("o_custkey", true),
+      one("o_orderstatus", false), one("o_totalprice", true),
+      one("o_orderdate", false), one("o_orderpriority", false))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction: plant synthetic emails/phones/ids, scrub, fingerprint
+  // the scrubbed text (training-data hygiene pass; pure regexp chain).
+  // -------------------------------------------------------------------
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      substring(col("text"), 1, 40),
+      lit(" mail me: u"), col("doc_id").cast("string"), lit("@ex.org call +1 555 010 "),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" acct 123456789012 done"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.redactPii(planted).as("clean"))
+      .select(col("doc_id"),
+        graft.functions.FingerprintExpr.fingerprint(col("clean")).as("clean_fp"),
+        (size(split(col("clean"), "<EMAIL>", -1)) - 1).as("n_emails"),
+        (size(split(col("clean"), "<PHONE>", -1)) - 1).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  val redactPiiSql: String = {
+    import graft.functions.TextFunctions.{emailRe, longDigitsRe, phoneRe}
+    val planted =
+      "substr(text, 1, 40) || ' mail me: u' || CAST(doc_id AS VARCHAR) || " +
+        "'@ex.org call +1 555 010 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || " +
+        "' acct 123456789012 done'"
+    // NB: DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    // matches by default)
+    val clean =
+      s"regexp_replace(regexp_replace(regexp_replace($planted, '$emailRe', '<EMAIL>', 'g'), '$longDigitsRe', '<NUM>', 'g'), '$phoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+       | list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |   list_transform(str_split($clean, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |   (acc, cp) -> (acc * 31 + cp) % 2147483647) AS clean_fp,
+       | len(str_split($clean, '<EMAIL>')) - 1 AS n_emails,
+       | len(str_split($clean, '<PHONE>')) - 1 AS n_phones
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> (profileOrders _),
+    "redact_pii" -> (redactPii _),
     "skew_salted_join" -> (skewSaltedJoin _),
     "tpch_revenue" -> (tpchRevenue _),
     "agg_cube" -> (aggCube _),
@@ -263,6 +328,8 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "profile_orders" -> profileOrdersSql,
+    "redact_pii" -> redactPiiSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "tpch_revenue" -> tpchRevenueSql,
     "agg_cube" -> aggCubeSql,

@@ -95,6 +95,25 @@ object TextFunctions {
         + stopScore * 0.3, 6)
   }
 
+  /** PII scrubbing: redacts emails, international-ish phone numbers and
+    * long digit runs (ids/cards) — the standard pre-training text
+    * hygiene pass. Pure regexp_replace chain (RE2-compatible patterns,
+    * replayable by the DuckDB oracle).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val longDigitsRe = "[0-9]{9,}"
+
+  /** Order matters: long digit runs (cards/ids) are scrubbed BEFORE the
+    * phone pattern, which would otherwise claim any ≥9-digit run.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        longDigitsRe, "<NUM>"),
+      phoneRe, "<PHONE>")
+
   /** Character shingles (n-grams): substrings at positions 1..len-n+1. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))
