@@ -83,6 +83,44 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: clicks enriched with the purchase that
+    * follows within `horizon` — both sides watermarked so join state is
+    * evicted once the interval can no longer match (bounded memory at
+    * any throughput).
+    */
+  def clickToPurchaseJoin(
+      clicks: DataFrame, // user_id, ts, click_value
+      purchases: DataFrame, // user_id, ts, purchase_value
+      lateness: String = "10 minutes",
+      horizonSeconds: Long = 3600): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness).as("c")
+    val p = purchases.withWatermark("ts", lateness).as("p")
+    c.join(p,
+      expr(
+        s"""c.user_id = p.user_id AND
+           |p.ts >= c.ts AND
+           |p.ts <= c.ts + INTERVAL $horizonSeconds seconds""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"),
+        col("c.click_value").as("click_value"),
+        col("p.purchase_value").as("purchase_value"))
+  }
+
+  /** foreachBatch bridge: applies an arbitrary BATCH writer (e.g. a
+    * key-map upsert or JDBC merge) to each micro-batch — the standard
+    * escape hatch for sinks/logic Structured Streaming lacks natively.
+    */
+  def foreachBatchSink(
+      df: DataFrame,
+      checkpoint: String)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatch(batch, id))
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Streaming raw-layer ingest: file-source stream → trim → parquet
     * sink with checkpointed exactly-once progress (the readStream
     * version of the reference's raw job).

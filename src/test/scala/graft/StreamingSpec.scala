@@ -69,6 +69,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamOps.clickToPurchaseJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_value"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_value"),
+      horizonSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 1.0), (2L, ts(0), 2.0))
+      purchases.addData((1L, ts(5), 10.0), (2L, ts(30), 20.0)) // 2L outside 10m
+      // advance both watermarks far enough to emit results
+      clicks.addData((9L, ts(59), 0.0))
+      purchases.addData((9L, ts(59), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj")
+        .select("user_id", "purchase_value").as[(Long, Double)].collect().toSet
+      assert(out.contains((1L, 10.0)))
+      assert(!out.exists(_._1 == 2L)) // outside horizon never joins
+    } finally q.stop()
+  }
+
+  test("foreachBatch applies a batch writer per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-feb").toString
+    val in = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.foreachBatchSink(
+      in.toDF().toDF("v"), s"$dir/ckpt") { (batch, id) =>
+      seen.synchronized { seen += batch.count() }
+      batch.write.mode("append").parquet(s"$dir/out")
+    }
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L)
+      q.processAllAvailable()
+      assert(seen.sum == 4)
+      assert(spark.read.parquet(s"$dir/out").count() == 4)
+    } finally q.stop()
+  }
+
   test("streaming raw ingest: file source → trim → checkpointed parquet") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val src = Tables.load(spark, sfDir, "documents").limit(50)
