@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, NumericType}
 
@@ -8,76 +8,65 @@ import org.apache.spark.sql.types.{DoubleType, NumericType}
   * pipeline runs before ingesting a new drop: per-column null rates,
   * distinct counts, numeric ranges. One pass over the data (a single
   * aggregate with map-side partials), output pivoted long-form.
+  *
+  * Robustness: helper aliases are POSITIONAL (`__n_0`, `__n_1`, …), so
+  * dotted/backticked/duplicate column names — routine in profiled-
+  * before-cleaning data — can't break resolution. Numeric bounds are
+  * NULL (not garbage) for NaN/±Inf and for magnitudes beyond micro-unit
+  * range (|x| > 9e12, where floor(x*1e6) would saturate or lose
+  * precision through the double cast).
   */
 object Profile {
 
-  /** One row per column: (column, n_rows, n_nulls, n_distinct,
-    * min_num_u, max_num_u) — numeric bounds as floor-micros (null for
-    * non-numeric columns).
-    */
-  def profile(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
+  private def microsOrNull(v: Column): Column =
+    when(isnan(v) || abs(v) > lit(9.0e12), lit(null))
+      .otherwise(floor(v * 1e6)).cast("long")
+
+  private def build(
+      df: DataFrame,
+      distinctAgg: Column => Column,
+      distinctName: String): DataFrame = {
+    val cols = df.schema.fields.toSeq
+    require(cols.nonEmpty, "cannot profile a zero-column DataFrame")
+    // positional rename sidesteps dotted/duplicate source names entirely
+    val positional = df.toDF(cols.indices.map(i => s"__c_$i"): _*)
+    val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"__c_$i")
       Seq(
-        count(lit(1)).as(s"__n_${f.name}"),
-        count(when(c.isNull, 1)).as(s"__nulls_${f.name}"),
-        approx_count_distinct(c).as(s"__dist_${f.name}")) ++
+        count(lit(1)).as(s"__n_$i"),
+        count(when(c.isNull, 1)).as(s"__nulls_$i"),
+        distinctAgg(c).as(s"__dist_$i")) ++
         (f.dataType match {
           case _: NumericType => Seq(
-            floor(min(c).cast(DoubleType) * 1e6).cast("long").as(s"__min_${f.name}"),
-            floor(max(c).cast(DoubleType) * 1e6).cast("long").as(s"__max_${f.name}"))
+            microsOrNull(min(c).cast(DoubleType)).as(s"__min_$i"),
+            microsOrNull(max(c).cast(DoubleType)).as(s"__max_$i"))
           case _ => Seq(
-            lit(null).cast("long").as(s"__min_${f.name}"),
-            lit(null).cast("long").as(s"__max_${f.name}"))
+            lit(null).cast("long").as(s"__min_$i"),
+            lit(null).cast("long").as(s"__max_$i"))
         })
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { f =>
+    val wide = positional.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("col_name"),
-        col(s"__n_${f.name}").as("n_rows"),
-        col(s"__nulls_${f.name}").as("n_nulls"),
-        col(s"__dist_${f.name}").as("n_distinct_approx"),
-        col(s"__min_${f.name}").as("min_num_u"),
-        col(s"__max_${f.name}").as("max_num_u"))
+        col(s"__n_$i").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__dist_$i").as(distinctName),
+        col(s"__min_$i").as("min_num_u"),
+        col(s"__max_$i").as("max_num_u"))
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
-  /** Exact-distinct variant (one extra pass per column is avoided by
-    * count(distinct) in a single agg — Spark expands to Expand+2-phase).
+  /** Approximate-distinct profile (HLL — constant memory per column;
+    * the 100 TB default).
     */
-  def profileExact(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
-      val c = col(f.name)
-      Seq(
-        count(lit(1)).as(s"__n_${f.name}"),
-        count(when(c.isNull, 1)).as(s"__nulls_${f.name}"),
-        countDistinct(c).as(s"__dist_${f.name}")) ++
-        (f.dataType match {
-          case _: NumericType => Seq(
-            floor(min(c).cast(DoubleType) * 1e6).cast("long").as(s"__min_${f.name}"),
-            floor(max(c).cast(DoubleType) * 1e6).cast("long").as(s"__max_${f.name}"))
-          case _ => Seq(
-            lit(null).cast("long").as(s"__min_${f.name}"),
-            lit(null).cast("long").as(s"__max_${f.name}"))
-        })
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { f =>
-      struct(
-        lit(f.name).as("col_name"),
-        col(s"__n_${f.name}").as("n_rows"),
-        col(s"__nulls_${f.name}").as("n_nulls"),
-        col(s"__dist_${f.name}").as("n_distinct"),
-        col(s"__min_${f.name}").as("min_num_u"),
-        col(s"__max_${f.name}").as("max_num_u"))
-    }
-    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
-  }
+  def profile(df: DataFrame): DataFrame =
+    build(df, approx_count_distinct(_), "n_distinct_approx")
+
+  /** Exact-distinct profile (Expand-based multi-distinct — one logical
+    * pass, heavier shuffle).
+    */
+  def profileExact(df: DataFrame): DataFrame =
+    build(df, countDistinct(_), "n_distinct")
 }

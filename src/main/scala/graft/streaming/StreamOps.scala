@@ -15,20 +15,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Guarded micro-units: NaN/±Inf/overflow-range values become NULL
+    * (excluded from SUM) instead of 0-ish garbage — and, under Spark
+    * 4's default ANSI mode, instead of a saturated Long.MaxValue that
+    * overflows the running SUM and turns one bad event into a
+    * checkpoint-replaying poison pill.
+    */
+  private def microsOrNull(v: org.apache.spark.sql.Column) =
+    when(isnan(v) || abs(v) > 9.0e12, lit(null))
+      .otherwise(floor(v * 1e6)).cast("long")
+
   /** Tumbling-window event counts with a lateness watermark. */
   def windowedCounts(
       events: DataFrame,
       tsCol: String = "ts",
+      keyCol: String = "event_type",
+      valueCol: String = "value",
       lateness: String = "10 minutes",
       window_ : String = "1 hour"): DataFrame =
     events
       .withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * 1e6).cast("long")).as("sum_value_u"))
+        sum(microsOrNull(col(valueCol))).as("sum_value_u"))
       .select(
         col("window.start").as("win_start"),
-        col("event_type"), col("n"), col("sum_value_u"))
+        col("window.end").as("win_end"),
+        col(keyCol), col("n"), col("sum_value_u"))
 
   /** Gap-based sessionization via the native session_window — merges
     * events separated by < gap into one session per user.
@@ -36,17 +49,19 @@ object StreamOps {
   def sessionAgg(
       events: DataFrame,
       tsCol: String = "ts",
+      keyCol: String = "user_id",
+      valueCol: String = "value",
       gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, lateness)
-      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 1e6).cast("long")).as("sum_value_u"))
+        sum(microsOrNull(col(valueCol))).as("sum_value_u"))
       .select(
         col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
-        col("user_id"), col("n_events"), col("sum_value_u"))
+        col(keyCol), col("n_events"), col("sum_value_u"))
 
   /** Streaming exact dedup bounded by the watermark — state is evicted
     * once keys age past the delay, so memory stays bounded at scale.
@@ -67,24 +82,44 @@ object StreamOps {
   final case class UserEvent(user_id: Long, value_u: Long)
   final case class UserStats(user_id: Long, n: Long, sum_value_u: Long)
 
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+  /** @param idleTimeout when set (e.g. "1 hour"), per-user state is
+    *   EVICTED after that much processing-time inactivity — required
+    *   for unbounded key cardinality, where NoTimeout state grows until
+    *   the state store OOMs. None keeps state forever (bounded key
+    *   spaces / tests).
+    */
+  def runningUserStats(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserStats, UserStats](timeoutConf) {
         case (uid, it, state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
-          var n = prev.n
-          var s = prev.sum_value_u
-          it.foreach { e => n += 1; s += e.value_u }
-          val next = UserStats(uid, n, s)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // evict idle user
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L))
+            var n = prev.n
+            var s = prev.sum_value_u
+            it.foreach { e => n += 1; s += e.value_u }
+            val next = UserStats(uid, n, s)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 
-  /** Stream-stream interval join: clicks enriched with the purchase that
-    * follows within `horizon` — both sides watermarked so join state is
+  /** Stream-stream interval join: one output row per (click, purchase)
+    * PAIR where the purchase follows the click within `horizon` — a
+    * click with k matching purchases emits k rows; an unmatched click
+    * emits none (inner join). Both sides watermarked so join state is
     * evicted once the interval can no longer match (bounded memory at
     * any throughput).
     */
@@ -112,13 +147,14 @@ object StreamOps {
     */
   def foreachBatchSink(
       df: DataFrame,
-      checkpoint: String)(
+      checkpoint: String,
+      mode: OutputMode = OutputMode.Append)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         writeBatch(batch, id))
-      .outputMode(OutputMode.Append)
+      .outputMode(mode) // Update for stateful upserts, Append for facts
       .start()
 
   /** Streaming raw-layer ingest: file-source stream → trim → parquet
