@@ -127,9 +127,9 @@ object QueriesCore {
 
   val w1RunningSumSql: String =
     """SELECT event_id, user_id,
-      | sum(CAST(floor(value * 1e6) AS BIGINT)) OVER
+      | CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER
       |   (PARTITION BY user_id ORDER BY event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value_u
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_value_u
       |FROM events ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -263,7 +263,7 @@ object QueriesCore {
     """SELECT strftime(CAST(strftime(ts, '%Y-%m-%d') AS DATE), '%Y-%m') AS month,
       | count(*) AS n_events,
       | count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
-      | sum(CAST(floor(value * 1e6) AS BIGINT)) AS sum_value_u
+      | CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_u
       |FROM events GROUP BY 1 ORDER BY month""".stripMargin
 
   // -------------------------------------------------------------------
@@ -358,7 +358,7 @@ object QueriesCore {
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 

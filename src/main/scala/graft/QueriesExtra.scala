@@ -106,7 +106,7 @@ object QueriesExtra {
   val windowRangeFrameSql: String =
     """SELECT o_orderkey, o_orderstatus, cents,
       | count(*) OVER w AS n_near,
-      | sum(cents) OVER w AS sum_near_cents
+      | CAST(sum(cents) OVER w AS BIGINT) AS sum_near_cents
       |FROM (SELECT o_orderkey, o_orderstatus,
       |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
@@ -190,8 +190,8 @@ object QueriesExtra {
       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sess AS (
       | SELECT user_id, ts_us,
-      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       | FROM tagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       | max(ts_us) - min(ts_us) AS dur_us

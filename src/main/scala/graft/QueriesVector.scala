@@ -90,7 +90,7 @@ object QueriesVector {
     val norm =
       "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
     s"""SELECT label, count(*) AS n,
-       | sum(CAST(floor($norm * 1e6) AS BIGINT)) AS sum_norm_u,
+       | CAST(sum(CAST(floor($norm * 1e6) AS BIGINT)) AS BIGINT) AS sum_norm_u,
        | min(CAST(floor($norm * 1e6) AS BIGINT)) AS min_norm_u,
        | max(CAST(floor($norm * 1e6) AS BIGINT)) AS max_norm_u
        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Strict (bit-exact) mimic of the driver's hash compare.
+
+Usage: python3 tools/strictcheck.py <sfDir> <verifyOutDir> [name ...]
+
+Like tools/check.py but with NO float tolerance: after sorting columns
+by name and rows by all columns, every value must be exactly equal
+(floats compared by bit pattern via repr). This is the bar the driver's
+hash_match applies; check.py's isclose pass is NOT sufficient.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            ignore_index=True)
+    return df
+
+
+def cell(v):
+    if isinstance(v, float):
+        return repr(v)  # bit-faithful for doubles
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "<null>"
+    return str(v)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files],
+                                  ignore_index=True))
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} "
+                  f"duck={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}")
+            n_fail += 1
+            continue
+        ok = True
+        detail = ""
+        for c in got.columns:
+            gs = np.array([cell(v) for v in got[c].tolist()])
+            es = np.array([cell(v) for v in exp[c].tolist()])
+            neq = gs != es
+            if neq.any():
+                ok = False
+                i = int(np.argmax(neq))
+                detail = (f"col {c} ({got[c].dtype}/{exp[c].dtype}) "
+                          f"row {i}: spark={gs[i]!r} duck={es[i]!r} "
+                          f"(n_diff={int(neq.sum())})")
+                break
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: {detail}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail (strict)")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
