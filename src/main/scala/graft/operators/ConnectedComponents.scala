@@ -23,11 +23,13 @@ object ConnectedComponents {
     */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
-    // materialize the (possibly expensive) pair pipeline ONCE — the
-    // 4-way symmetrizing union below would otherwise recompute it per
-    // branch
-    val p = pairs.select(col("id_a"), col("id_b")).cache()
-    p.count()
+    // materialize the (possibly expensive) pair pipeline ONCE and CUT
+    // LINEAGE — the 4-way symmetrizing union below references it 4×,
+    // and a plain cache() can be recomputed from scratch under memory
+    // pressure (observed: a 10 s pair pipeline ballooning a bench run
+    // to 190+ s when evicted mid-iteration). After localCheckpoint the
+    // blocks live in MEMORY_AND_DISK and recompute is impossible.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     // symmetrize once; self-edges make "keep own label" part of the agg
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -65,9 +67,14 @@ object ConnectedComponents {
       prevSum = sumNow
       i += 1
     }
+    // pin the result before releasing the caches it derives from — the
+    // returned frame must not re-trigger the iteration lineage
+    val out = labels.withColumnRenamed("label", "component")
+      .localCheckpoint(true)
+    prevCached.unpersist()
     edges.unpersist()
     p.unpersist()
-    labels.withColumnRenamed("label", "component")
+    out
   }
 
   /** Dedup driver: given docs and near-dup pairs, keep one canonical row

@@ -54,7 +54,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val sh = docs
+    val sh = Par.widen(docs)
       .select(col(idCol),
         explode(array_distinct(transform(
           TextFunctions.charShingles(col(textCol), shingleSize),
@@ -113,7 +113,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sets = docs.select(
+    val sets = Par.widen(docs).select(
       col(idCol).as("__id"),
       array_distinct(transform(
         TextFunctions.charShingles(col(textCol), shingleSize),
@@ -150,7 +150,7 @@ object Dedup {
       shingleSize: Int,
       threshold: Double): DataFrame = {
     // set size rides along from the array (no count-over-partition pass)
-    val sh = docs
+    val sh = Par.widen(docs)
       .select(col(idCol).as("__id"),
         array_distinct(transform(
           TextFunctions.charShingles(col(textCol), shingleSize),
@@ -199,7 +199,7 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val toks = docs
+    val toks = Par.widen(docs)
       .select(col(idCol).as("__id"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__h"))

@@ -34,7 +34,7 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val scored = corpus.as("c")
+    val scored = Par.widen(corpus).as("c")
       .crossJoin(broadcast(queries.as("q")))
       .where(if (excludeSelf) !(col("q.qid") <=> col("c.id")) else lit(true))
       .select(
@@ -63,7 +63,7 @@ object Similarity {
 
     // angular assignment: nearest centroid by cosine — the index metric
     // must match the query metric (cosine top-k), not L2.
-    val assigned = corpus.as("c")
+    val assigned = Par.widen(corpus).as("c")
       .crossJoin(broadcast(centroids.as("k")))
       .select(col("c.id").as("id"), col("c.vec").as("vec"),
         col("k.cid").as("cid"),
@@ -123,7 +123,7 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
     val perBand = bits / bands
-    val signed = corpus.select(col("id"), col("vec"),
+    val signed = Par.widen(corpus).select(col("id"), col("vec"),
       hyperplaneSignature(col("vec"), dim, bits).as("__sig"))
     val banded = signed.select(
       col("id"), col("vec"),
