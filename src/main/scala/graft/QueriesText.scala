@@ -137,15 +137,21 @@ object QueriesText {
   // -------------------------------------------------------------------
   // MinHash+LSH near-dup pairs — the scale path (signature map-side,
   // shuffle only on (band, bucket)). Oracle = the exact-Jaccard pairs:
-  // the verification stage gives precision 1.0, and at the planted
-  // J≈0.99 a pair misses all 4 bands with P≈(1-0.99⁴)⁴≈3e-6, so the
-  // exact answer is also the expected LSH answer.
+  // the verification stage gives precision 1.0, and with 32 hashes in
+  // 8 bands of 4 a true pair at J escapes every band with
+  // P=(1-J⁴)⁸ — ≈6e-12 at the planted J≈0.99 and ≈2e-4 even at the
+  // J=0.9 threshold boundary — so the exact answer is also the
+  // expected LSH answer. Generator assumption (documented because the
+  // oracle is exact while LSH is probabilistic): the testdata plants
+  // near-dup pairs at J≈0.99 and keeps all other pairs below 0.1; a
+  // generator change planting pairs AT the 0.9 boundary would make
+  // this hash-exact compare hold only with P≈(1-2e-4)^pairs.
   // -------------------------------------------------------------------
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       Tables.load(spark, dir, "documents"),
       idCol = "doc_id", textCol = "text",
-      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.9)
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
       .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
       .drop("jaccard")
       .orderBy("id_a", "id_b")
@@ -168,11 +174,14 @@ object QueriesText {
     val docs = Tables.load(spark, dir, "documents")
     // candidate pairs via MinHash-LSH — the 100 TB path (no all-pairs
     // stage; shuffle only on band buckets). The exact-Jaccard verify
-    // step inside gives precision 1.0, and at the planted J≈0.99 a
-    // pair escapes all 4 bands with P≈3e-6, so the recursive-CTE
-    // oracle over EXACT pairs is still the expected answer.
+    // step inside gives precision 1.0, and with 32 hashes / 8 bands a
+    // pair at the planted J≈0.99 escapes all bands with P≈6e-12
+    // (≈2e-4 even at the 0.9 boundary), so the recursive-CTE oracle
+    // over EXACT pairs is still the expected answer. Same generator
+    // assumption as dedup_minhash_lsh above: planted pairs sit at
+    // J≈0.99, everything else < 0.1 — not at the threshold boundary.
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.9)
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
       .select("id_a", "id_b")
     graft.operators.ConnectedComponents.canonicalize(docs, pairs, "doc_id")
       .select("doc_id")

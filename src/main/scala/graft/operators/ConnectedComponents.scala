@@ -27,9 +27,11 @@ object ConnectedComponents {
     // LINEAGE — the 4-way symmetrizing union below references it 4×,
     // and a plain cache() can be recomputed from scratch under memory
     // pressure (observed: a 10 s pair pipeline ballooning a bench run
-    // to 190+ s when evicted mid-iteration). After localCheckpoint the
-    // blocks live in MEMORY_AND_DISK and recompute is impossible.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // to 190+ s when evicted mid-iteration). Par.pin uses a RELIABLE
+    // checkpoint when the app has a checkpoint dir (cluster-safe:
+    // localCheckpoint blocks die with their executor), else
+    // localCheckpoint for local runs.
+    val p = Par.pin(pairs.select(col("id_a"), col("id_b")))
     // symmetrize once; self-edges make "keep own label" part of the agg
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -69,8 +71,7 @@ object ConnectedComponents {
     }
     // pin the result before releasing the caches it derives from — the
     // returned frame must not re-trigger the iteration lineage
-    val out = labels.withColumnRenamed("label", "component")
-      .localCheckpoint(true)
+    val out = Par.pin(labels.withColumnRenamed("label", "component"))
     prevCached.unpersist()
     edges.unpersist()
     p.unpersist()

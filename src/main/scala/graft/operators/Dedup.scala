@@ -53,8 +53,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
+      numHashes: Int): DataFrame =
+    minhashSignaturesOf(Par.widen(docs), idCol, textCol, shingleSize, numHashes)
+
+  /** As [[minhashSignatures]] but over an already-widened frame — so a
+    * composite operator widens its input exactly once.
+    */
+  private def minhashSignaturesOf(
+      wide: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val sh = Par.widen(docs)
+    val sh = wide
       .select(col(idCol),
         explode(array_distinct(transform(
           TextFunctions.charShingles(col(textCol), shingleSize),
@@ -78,15 +89,21 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    // widen ONCE; signatures and verification share the widened frame
+    // (widening each subtree independently would round-robin-shuffle
+    // the corpus twice)
+    val wide = Par.widen(docs)
+    val sigs = minhashSignaturesOf(wide, idCol, textCol, shingleSize, numHashes)
 
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
     }
-    val buckets = sigs
+    // pinned: the self-join references `buckets` twice — without
+    // materialization the shingle→minhash pipeline executes twice
+    val buckets = Par.pin(sigs
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket")))
 
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -98,7 +115,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
+    verifyJaccardOf(wide, candidates, idCol, textCol, shingleSize, threshold)
   }
 
   /** Exact Jaccard over candidate pairs (the verification stage).
@@ -112,13 +129,34 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
+      threshold: Double): DataFrame =
+    verifyJaccardOf(Par.widen(docs), pairs, idCol, textCol, shingleSize, threshold)
+
+  private def verifyJaccardOf(
+      wide: DataFrame,
+      pairs: DataFrame, // columns id_a, id_b
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sets = Par.widen(docs).select(
-      col(idCol).as("__id"),
-      array_distinct(transform(
-        TextFunctions.charShingles(col(textCol), shingleSize),
-        s => xxhash64(s))).as("__set"))
-    pairs
+    // pin the (often expensive) candidate pipeline: it feeds the id
+    // semi-join below AND the two set joins
+    val p = Par.pin(pairs.select(col("id_a"), col("id_b")))
+    // only docs that appear in a candidate pair need shingling — at
+    // scale candidates << corpus, so the verify stage must not re-scan
+    // and re-shingle the full corpus
+    val ids = p.select(col("id_a").as("__vid"))
+      .union(p.select(col("id_b").as("__vid")))
+      .distinct()
+    // pinned: referenced by both the id_a and id_b joins
+    val sets = Par.pin(
+      wide.join(ids, wide(idCol) === ids("__vid"), "left_semi")
+        .select(
+          col(idCol).as("__id"),
+          array_distinct(transform(
+            TextFunctions.charShingles(col(textCol), shingleSize),
+            s => xxhash64(s))).as("__set")))
+    p
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__sa"), "id_a")
       .join(sets.withColumnRenamed("__id", "id_b")
@@ -149,14 +187,17 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
+    val wide = Par.widen(docs)
     // set size rides along from the array (no count-over-partition pass)
-    val sh = Par.widen(docs)
+    // pinned: `sh` feeds BOTH the frequency aggregate and the ranked
+    // join — unpinned, the shingle explode executes twice
+    val sh = Par.pin(wide
       .select(col(idCol).as("__id"),
         array_distinct(transform(
           TextFunctions.charShingles(col(textCol), shingleSize),
           s => xxhash64(s))).as("__set"))
       .select(col("__id"), size(col("__set")).as("__n"),
-        explode(col("__set")).as("__shingle"))
+        explode(col("__set")).as("__shingle")))
 
     // global rarest-first total order on shingles (freq, shingle);
     // freq output is tiny after aggregation → AQE broadcasts the join
@@ -168,10 +209,11 @@ object Dedup {
       .withColumn("__r", row_number().over(wDoc))
 
     // index only the prefix: r ≤ n - ceil(t*n) + 1
-    val prefix = ranked
+    // pinned: the candidate self-join references `prefix` twice
+    val prefix = Par.pin(ranked
       .where(col("__r") <=
         col("__n") - ceil(col("__n") * threshold) + 1)
-      .select(col("__id"), col("__shingle"), col("__n"))
+      .select(col("__id"), col("__shingle"), col("__n")))
 
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
@@ -183,7 +225,7 @@ object Dedup {
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
 
-    verifyJaccard(docs, candidates, idCol, textCol, shingleSize, threshold)
+    verifyJaccardOf(wide, candidates, idCol, textCol, shingleSize, threshold)
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum of
@@ -224,13 +266,15 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val signed = simhashSignatures(docs, idCol, textCol)
-    val banded = signed.select(
+    // pinned: the self-join references `banded` twice — without
+    // materialization the tokenize→hash→64-sum pipeline executes twice
+    val banded = Par.pin(signed.select(
       col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           (shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
             .as("chunk"))): _*)).as("bb"))
-      .select(col("__id"), col("__sig"), col("bb.band"), col("bb.chunk"))
+      .select(col("__id"), col("__sig"), col("bb.band"), col("bb.chunk")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

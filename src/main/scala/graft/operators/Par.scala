@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Parallelism hygiene for CPU-heavy per-row operators (shingling,
-  * hashing, vector math).
+/** Parallelism + materialization hygiene for CPU-heavy per-row operators
+  * (shingling, hashing, vector math).
   *
   * A small parquet table arrives as ONE input split, so an expensive
   * map stage (e.g. 1.3M substring+hash ops for 8-gram shingles) runs
@@ -17,9 +17,32 @@ object Par {
   /** Repartition up to the session default parallelism iff the plan
     * currently has fewer partitions. Safe before any per-row map work;
     * do not rely on input ordering afterwards.
+    *
+    * Call ONCE at an operator's entry point and thread the widened
+    * frame through its stages — the partition-count probe plans the
+    * frame, and widening the same input in two subtrees pays two
+    * independent round-robin shuffles of it.
     */
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Materialize `df` NOW and cut its lineage, so a frame referenced by
+    * several downstream subtrees (self-joins, iterative loops) is
+    * computed exactly once and can never be silently recomputed from
+    * scratch (observed: a 10 s pair pipeline ballooning a bench run to
+    * 190+ s when a plain cache was evicted mid-iteration).
+    *
+    * Durability: when the application has a reliable checkpoint dir
+    * configured (`SparkContext.setCheckpointDir`), use a reliable
+    * `checkpoint` — on a real cluster `localCheckpoint` blocks live
+    * only on their executors, so any executor loss or dynamic-
+    * allocation decommission kills the job. Without a checkpoint dir
+    * (local bench/test runs) fall back to `localCheckpoint`.
+    */
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

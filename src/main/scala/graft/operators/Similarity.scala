@@ -50,7 +50,19 @@ object Similarity {
 
   /** IVF index: deterministic centroids = the `nCells` corpus vectors
     * with smallest xxhash64(id) (a reproducible pseudo-random sample).
-    * Returns (id, vec, cell).
+    * Returns (id, vec, cell). Requires a numeric `id` column (the
+    * argmax tie-break negates the centroid id).
+    *
+    * Angular assignment: nearest centroid by cosine — the index metric
+    * must match the query metric (cosine top-k), not L2.
+    *
+    * Scale shape: the centroids collapse to ONE row holding an array of
+    * (cid, cvec) structs (nCells is broadcast-small by construction),
+    * and the per-row nearest-centroid is a pure argmax expression
+    * inside the corpus scan stage — no explode, no window, zero corpus
+    * shuffle. The previous formulation (crossJoin + row_number window
+    * over the exploded corpus×nCells frame) shuffled nCells× the corpus
+    * bytes: a scale-killer in the one stage that touches every vector.
     */
   def ivfAssign(
       corpus: DataFrame, // (id, vec)
@@ -61,19 +73,20 @@ object Similarity {
       .limit(nCells)
       .select(col("id").as("cid"), col("vec").as("cvec"))
 
-    // angular assignment: nearest centroid by cosine — the index metric
-    // must match the query metric (cosine top-k), not L2.
-    val assigned = Par.widen(corpus).as("c")
-      .crossJoin(broadcast(centroids.as("k")))
-      .select(col("c.id").as("id"), col("c.vec").as("vec"),
-        col("k.cid").as("cid"),
-        cosine(col("c.vec"), col("k.cvec")).as("__d"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__d").desc, col("cid").asc)
-    val cells = assigned
-      .withColumn("__r", row_number().over(w))
-      .where(col("__r") === 1)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+    val centArr = centroids
+      .agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
+    // argmax via array_max over (cosine, -cid) structs: best cosine
+    // first, ties to the SMALLEST cid — the exact ordering the window
+    // formulation used (__d desc, cid asc).
+    val scored = transform(col("__cents"), c =>
+      struct(
+        cosine(col("vec"), c.getField("cvec")).as("d"),
+        (-c.getField("cid")).as("ncid")))
+    val cells = Par.widen(corpus)
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best", array_max(scored))
+      .select(col("id"), col("vec"),
+        (-col("__best").getField("ncid")).as("cell"))
     (cells, centroids)
   }
 
@@ -125,14 +138,16 @@ object Similarity {
     val perBand = bits / bands
     val signed = Par.widen(corpus).select(col("id"), col("vec"),
       hyperplaneSignature(col("vec"), dim, bits).as("__sig"))
-    val banded = signed.select(
+    // pinned: the self-join below references `banded` twice — without
+    // materialization the signature pipeline would execute twice
+    val banded = Par.pin(signed.select(
       col("id"), col("vec"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * perBand)
             .bitwiseAND(lit((1L << perBand) - 1)).as("chunk"))): _*))
         .as("bb"))
-      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk"))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -47,6 +47,37 @@ class DedupSpec extends SparkSpec {
       s"simhash recall: ${(got intersect truth).size}/${truth.size}")
   }
 
+  test("simhash property bridge: emitted pairs re-verify hamming ≤ 6 and " +
+      "include every planted pair whose banding guarantees recall") {
+    // dedup_simhash has no DuckDB oracle (xxhash64 is not replayable
+    // there); this is the property-bridge contract instead. Everything
+    // here is deterministic (fixed data, xxhash64), so the assertions
+    // are exact, not statistical.
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+    // 1. soundness: every emitted (id_a, id_b, hamming) row re-verifies
+    //    against independently recomputed signatures
+    val bad = out
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sa")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sb")), "id_b")
+      .where(
+        graft.functions.VectorFunctions.hamming64(col("sa"), col("sb"))
+          =!= col("hamming") || col("hamming") > 6)
+    assert(bad.count() == 0)
+    // 2. recall: every planted exact-Jaccard pair (the oracle set for
+    //    the other dedup queries) within the banding guarantee
+    //    (hamming ≤ 3 ⇒ some 16-bit chunk matches, pigeonhole) is
+    //    emitted; planted pairs beyond it can legitimately escape
+    val got = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigMap = sigs.as[(Long, Long)].collect().toMap
+    val guaranteed = truth.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= 3
+    }
+    assert(guaranteed.nonEmpty, "no planted pair within hamming 3 — data drift?")
+    assert(guaranteed.subsetOf(got),
+      s"banding-guaranteed pairs missing: ${guaranteed -- got}")
+  }
+
   test("minhash signatures: identical text → identical signature") {
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"))
       .toDF("doc_id", "text")

@@ -54,6 +54,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.groupBy("id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("ivfAssign plan: argmin is a scan-stage expression, no window shuffle") {
+    // regression pin for the round-2 scale wart: the assign stage used
+    // to crossJoin corpus×nCells then window row_number — a full
+    // shuffle of the EXPLODED frame (nCells× amplification at the one
+    // stage that touches every corpus vector). The rewrite computes the
+    // argmax against the broadcast centroid array in the scan stage.
+    val (cells, _) = Similarity.ivfAssign(corpus, nCells = 16)
+    val plan = cells.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window shuffle back in assign:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // allowed non-broadcast exchanges: Par.widen's round-robin on the
+    // corpus + the SinglePartition collect_list on the (tiny) centroid
+    // side; the old plan added a hashpartitioning shuffle of the
+    // exploded corpus×nCells frame on top
+    val shuffles = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"unexpected exchanges in assign plan:\n$plan")
+  }
+
   test("vector math: dot/norm/cosine agree with hand computation") {
     val df = Seq((Array(1f, 2f, 2f), Array(2f, 0f, 1f))).toDF("a", "b")
     val row = df.select(

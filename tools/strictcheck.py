@@ -17,20 +17,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def cell(v):
+    # null check FIRST: NaN must map to '<null>' before the float-repr
+    # branch (else float-dtype NaN renders 'nan' while object-dtype None
+    # renders '<null>' and null-bearing columns spuriously mismatch)
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "<null>" if np.isnan(v) else repr(v)  # bit-faithful doubles
+    try:
+        if pd.isna(v):  # pd.NaT / pd.NA in object columns
+            return "<null>"
+    except (TypeError, ValueError):
+        pass  # array-valued cell: isna is ambiguous, fall through
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) and len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort",
-                            ignore_index=True)
+        # sort on STRINGIFIED cells: object columns holding None raise
+        # TypeError under raw sort_values (None vs str comparison), and
+        # this also makes the row order engine-dtype-independent
+        sdf = pd.DataFrame(
+            {c: [cell(v) for v in df[c].tolist()] for c in df.columns})
+        order = sdf.sort_values(by=list(sdf.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
     return df
-
-
-def cell(v):
-    if isinstance(v, float):
-        return repr(v)  # bit-faithful for doubles
-    if v is None or (isinstance(v, float) and np.isnan(v)):
-        return "<null>"
-    return str(v)
 
 
 def main():
