@@ -71,6 +71,37 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // Exact embedding-cosine near-dup pairs over a bounded slice (the
+  // verification baseline for the LSH-bucketed scale path — see
+  // Similarity.cosineNearDupPairs). The slice keeps the quadratic
+  // baseline bounded in the bench battery; the oracle replays the same
+  // left-to-right double fold, so cosine is bit-identical and the
+  // threshold filter cannot straddle a rounding boundary differently
+  // in the two engines.
+  // -------------------------------------------------------------------
+  def simCosinePairsExact(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosinePairsExact(corpus, threshold = 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  val simCosinePairsExactSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |           WHERE vec_id < 1000),
+       |s AS (SELECT a.id AS id_a, b.id AS id_b,
+       |  round(${dot("a.vec", "b.vec")} /
+       |    (sqrt(${dot("a.vec", "a.vec")}) * sqrt(${dot("b.vec", "b.vec")})), 6)
+       |    AS cosine
+       | FROM e a JOIN e b ON a.id < b.id)
+       |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Per-label embedding statistics (vector math exercised under
   // aggregation; norms flow as integer micro-units).
   // -------------------------------------------------------------------
@@ -126,6 +157,7 @@ object QueriesVector {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_cosine_pairs" -> (simCosinePairsExact _),
     "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
     "multimodal_decode" -> (multimodalDecode _))
@@ -133,6 +165,7 @@ object QueriesVector {
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
+    "sim_cosine_pairs" -> simCosinePairsExactSql,
     "embed_label_stats" -> embedLabelStatsSql,
     "multimodal_decode" -> multimodalDecodeSql)
 }

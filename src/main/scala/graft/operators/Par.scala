@@ -40,9 +40,21 @@ object Par {
     * only on their executors, so any executor loss or dynamic-
     * allocation decommission kills the job. Without a checkpoint dir
     * (local bench/test runs) fall back to `localCheckpoint`.
+    *
+    * Parallelism: the eager materialization runs through AQE, which
+    * coalesces a small-byte output to ONE partition — and every
+    * downstream consumer (candidate self-joins, verify intersects)
+    * would inherit that single partition and run on one core
+    * (measured: a 12 s single-task stage inside an 18 s query). So the
+    * pinned frame is re-widened: the round-robin exchange over the
+    * already-materialized blocks is cheap, the restored parallelism is
+    * not.
     */
-  def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  def pin(df: DataFrame): DataFrame = {
+    val ck =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    widen(ck)
+  }
 }

@@ -124,6 +124,27 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** EXACT embedding near-duplicate pairs: every (id_a < id_b) pair
+    * with cosine ≥ threshold. Inherently quadratic — this is the
+    * verification/recall baseline (and the right tool for a bounded
+    * slice, e.g. one shard or one cluster of a blocked pipeline), NOT
+    * the 100 TB path: for the full corpus use [[cosineNearDupPairs]]
+    * (hyperplane-LSH bucketed, near-linear). When one side fits the
+    * broadcast threshold the non-equi self-join runs as a
+    * BroadcastNestedLoopJoin — the corpus side streams, nothing
+    * shuffles.
+    */
+  def cosinePairsExact(
+      corpus: DataFrame, // (id, vec)
+      threshold: Double): DataFrame = {
+    val a = Par.widen(corpus).as("a")
+    val b = corpus.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * bucketed by hyperplane-LSH signature so only same-bucket vectors
     * pair up (plus multi-probe via `bands` rotations for recall).

@@ -54,6 +54,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.groupBy("id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("cosinePairsExact matches a driver-side exact computation and " +
+      "bounds the LSH variant") {
+    val slice = corpus.where(col("id") < 100)
+    val got = Similarity.cosinePairsExact(slice, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // driver-side oracle over the same 100-vector slice
+    val rows = slice.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      // mirror the query contract: threshold applies to the ROUNDED value
+      if BigDecimal(cos(va, vb)).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(got == expect)
+    // LSH-bucketed variant emits only true pairs (precision 1.0): its
+    // output over the slice must be a subset of the exact answer
+    val lsh = Similarity.cosineNearDupPairs(slice, dim = 64, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(got))
+  }
+
   test("ivfAssign plan: argmin is a scan-stage expression, no window shuffle") {
     // regression pin for the round-2 scale wart: the assign stage used
     // to crossJoin corpus×nCells then window row_number — a full
