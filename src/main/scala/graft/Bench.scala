@@ -27,8 +27,10 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run while iterating on one query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // SPARK_GRAFT_REPS=n reports best-of-n per query (default 1)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    // SPARK_GRAFT_REPS=n reports best-of-n per query (default 1;
+    // non-numeric values fall back rather than aborting the battery)
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.toIntOption).getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -37,8 +39,14 @@ object Bench {
         // left by the previous query and let the JVM settle, so one
         // heavy query can't poison the next one's timing (round 2's
         // ngram 44 s artifact was same-JVM contention, not a plan
-        // regression — isolated it ran 8.5 s)
+        // regression — isolated it ran 8.5 s). clearCache only covers
+        // catalog-registered caches; Par.pin's localCheckpoint blocks
+        // are plain persisted RDDs, so unpersist those explicitly and
+        // BLOCKING (async ContextCleaner could still be evicting the
+        // previous query's multi-GB blocks inside our timed region)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

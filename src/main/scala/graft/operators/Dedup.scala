@@ -269,16 +269,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val signed = simhashSignatures(docs, idCol, textCol)
-    // pinned: the self-join references `banded` twice — without
-    // materialization the tokenize→hash→64-sum pipeline executes twice
-    val banded = Par.pin(signed.select(
+    // pinned BEFORE the bands explode: the self-join consumes the frame
+    // twice, and pinning here materializes the expensive
+    // tokenize→hash→64-sum signature pipeline once at 1× rows — the
+    // shift/mask explode below is a trivial map to re-run per consumer
+    val signed = Par.pin(simhashSignatures(docs, idCol, textCol))
+    val banded = signed.select(
       col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           (shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
             .as("chunk"))): _*)).as("bb"))
-      .select(col("__id"), col("__sig"), col("bb.band"), col("bb.chunk")))
+      .select(col("__id"), col("__sig"), col("bb.band"), col("bb.chunk"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

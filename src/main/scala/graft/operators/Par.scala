@@ -41,6 +41,20 @@ object Par {
     * allocation decommission kills the job. Without a checkpoint dir
     * (local bench/test runs) fall back to `localCheckpoint`.
     *
+    * Contract notes for callers:
+    *  - EAGER: pin runs the full upstream pipeline NOW. Operators built
+    *    on it (minhash/ngram/simhash pairs, cosine near-dup, connected
+    *    components) execute Spark jobs at construction, not at the
+    *    first action — plan-only inspection of those operators pays the
+    *    compute, and failures surface at construction.
+    *  - CLEANUP: reliable checkpoint files are deleted by Spark only
+    *    when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    *    (default false) — a long-running app with a checkpoint dir MUST
+    *    set it, or each operator call leaks checkpoint files for the
+    *    application lifetime. localCheckpoint blocks are reclaimed by
+    *    the ContextCleaner on GC (or explicit blocking unpersist, as
+    *    Bench does between queries).
+    *
     * Parallelism: the eager materialization runs through AQE, which
     * coalesces a small-byte output to ONE partition — and every
     * downstream consumer (candidate self-joins, verify intersects)

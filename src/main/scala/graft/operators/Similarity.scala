@@ -157,18 +157,21 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
     val perBand = bits / bands
-    val signed = Par.widen(corpus).select(col("id"), col("vec"),
-      hyperplaneSignature(col("vec"), dim, bits).as("__sig"))
-    // pinned: the self-join below references `banded` twice — without
-    // materialization the signature pipeline would execute twice
-    val banded = Par.pin(signed.select(
+    // pinned BEFORE the bands explode: the self-join below consumes the
+    // frame twice, and pinning here materializes each vector once —
+    // pinning after the explode would store every 64-float vector
+    // `bands`× (the expensive part, hyperplaneSignature, is above this
+    // line; the shift/mask explode below is a trivial map to re-run)
+    val signed = Par.pin(Par.widen(corpus).select(col("id"), col("vec"),
+      hyperplaneSignature(col("vec"), dim, bits).as("__sig")))
+    val banded = signed.select(
       col("id"), col("vec"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * perBand)
             .bitwiseAND(lit((1L << perBand) - 1)).as("chunk"))): _*))
         .as("bb"))
-      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk")))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
