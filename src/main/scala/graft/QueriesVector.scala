@@ -102,6 +102,51 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // End-to-end embedding dedup: cosine near-dup pairs → connected
+  // components → one canonical vector per cluster (the embedding
+  // analog of dedup_canonical). Pairs come from the exact baseline
+  // over the bounded slice so the recursive-CTE oracle can replay
+  // them; at full scale the pair source swaps to the LSH-bucketed
+  // cosineNearDupPairs with the same downstream CC/canonical stages.
+  // -------------------------------------------------------------------
+  def embedCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 1000)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairsExact(corpus, threshold = 0.35)
+      .select("id_a", "id_b")
+    graft.operators.ConnectedComponents
+      .canonicalize(emb.select("vec_id"), pairs, "vec_id")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
+  val embedCanonicalSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding AS vec
+       |                     FROM embeddings WHERE vec_id < 1000),
+       |s AS (SELECT a.id AS id_a, b.id AS id_b,
+       |  round(${dot("a.vec", "b.vec")} /
+       |    (sqrt(${dot("a.vec", "a.vec")}) * sqrt(${dot("b.vec", "b.vec")})), 6)
+       |    AS cosine
+       | FROM e a JOIN e b ON a.id < b.id),
+       |pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.35),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, label) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT g.src, r.label FROM edges g JOIN reach r ON g.dst = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)
+       |SELECT v.id AS vec_id FROM e v
+       |LEFT JOIN comp ON v.id = comp.id
+       |WHERE comp.component IS NULL OR comp.component = v.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Per-label embedding statistics (vector math exercised under
   // aggregation; norms flow as integer micro-units).
   // -------------------------------------------------------------------
@@ -158,6 +203,7 @@ object QueriesVector {
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
+    "embed_canonical" -> (embedCanonical _),
     "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
     "multimodal_decode" -> (multimodalDecode _))
@@ -166,6 +212,7 @@ object QueriesVector {
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "sim_cosine_pairs" -> simCosinePairsExactSql,
+    "embed_canonical" -> embedCanonicalSql,
     "embed_label_stats" -> embedLabelStatsSql,
     "multimodal_decode" -> multimodalDecodeSql)
 }
