@@ -182,6 +182,48 @@ object QueriesExtra {
       .orderBy("user_id", "session_id")
   }
 
+  // -------------------------------------------------------------------
+  // Range join (no equi-key): events (points on the time axis) against
+  // 7-day order windows, via the grid-bucketed RangeJoin operator — a
+  // plain cell equi-join instead of the BroadcastNestedLoop/cartesian
+  // Spark would plan for a bare inequality join. Orders are sampled 1%
+  // (o_orderkey % 100 = 0) to keep the match cardinality honest for a
+  // bench battery; the operator shape is sample-independent. The
+  // aggregate output makes the oracle compare stable while every
+  // matched pair contributes (count + value micro-unit sum + distinct
+  // interval count).
+  // -------------------------------------------------------------------
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val points = Tables.load(spark, dir, "events")
+      .select(unix_micros(col("ts")).as("t"),
+        col("event_type"), col("value"))
+    val intervals = Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("iid"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(weekUs))
+    graft.operators.RangeJoin
+      .pointInInterval(points, "t", intervals, "w_start", "w_end",
+        bucketWidth = weekUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(floor(col("value") * 100).cast("long")).as("val_cents"),
+        countDistinct(col("iid")).as("n_intervals"))
+      .orderBy("event_type")
+  }
+
+  val rangeJoinEventsSql: String =
+    """SELECT e.event_type,
+      | CAST(count(*) AS BIGINT) AS n_hits,
+      | CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+      | CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_intervals
+      |FROM events e JOIN orders o
+      | ON o.o_orderkey % 100 = 0
+      | AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+      | AND epoch_us(e.ts) <= epoch_us(o.o_orderdate) + 604800000000
+      |GROUP BY 1 ORDER BY e.event_type""".stripMargin
+
   val sessionizeBatchSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
       |tagged AS (
@@ -325,6 +367,7 @@ object QueriesExtra {
     "string_funcs" -> (stringFuncs _),
     "array_agg" -> (arrayAgg _),
     "sessionize_batch" -> (sessionizeBatch _),
+    "range_join_events" -> (rangeJoinEvents _),
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
@@ -338,5 +381,6 @@ object QueriesExtra {
     "string_funcs" -> stringFuncsSql,
     "array_agg" -> arrayAggSql,
     "sessionize_batch" -> sessionizeBatchSql,
+    "range_join_events" -> rangeJoinEventsSql,
     "subqueries" -> subqueriesSql)
 }
