@@ -48,14 +48,53 @@ object RangeJoin {
       .drop("__cell")
   }
 
+  /** Interval × interval overlap join: all (left, right) pairs with
+    * `ls ≤ re && rs ≤ le` (closed intervals). Same grid trick — both
+    * sides explode into their overlapping cells and equi-join on the
+    * cell — but two overlapping intervals can now share SEVERAL cells,
+    * so each qualifying pair is emitted only from its canonical cell
+    * (the cell of `max(ls, rs)`, the overlap's left edge, which both
+    * sides necessarily cover): exactly-once output with no distinct
+    * pass over the matches.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      right: DataFrame,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left.withColumn("__lcell",
+      explode(sequence(
+        floorDiv(leftStart, bucketWidth), floorDiv(leftEnd, bucketWidth))))
+    val rb = right.withColumn("__rcell",
+      explode(sequence(
+        floorDiv(rightStart, bucketWidth), floorDiv(rightEnd, bucketWidth))))
+    lb.join(rb,
+      col("__lcell") === col("__rcell") &&
+        col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        col("__lcell") === floorDivCol(
+          greatest(col(leftStart), col(rightStart)), bucketWidth))
+      .drop("__lcell", "__rcell")
+  }
+
   /** Exact integer floor division (w > 0) — `DIV` truncates toward
     * zero, which would put negative-axis values in the wrong cell, and
     * double `/` + floor can misround at cell boundaries for large
     * magnitudes.
     */
-  private def floorDiv(colName: String, w: Long) = {
-    val q = expr(s"`$colName` DIV ${w}L")
-    val r = expr(s"`$colName` % ${w}L")
-    when(r < 0, q - 1).otherwise(q)
+  private def floorDiv(colName: String, w: Long) =
+    floorDivCol(col(colName), w)
+
+  /** Integer-exact for the full long range: `div` truncates toward
+    * zero, the negative-remainder adjustment restores floor semantics
+    * (double-based `floor(c / w)` would misround once |c| > 2^53).
+    */
+  private def floorDivCol(c: org.apache.spark.sql.Column, w: Long) = {
+    val q = call_function("div", c, lit(w))
+    when(c % lit(w) < 0, q - 1).otherwise(q)
   }
 }

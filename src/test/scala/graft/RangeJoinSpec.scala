@@ -45,6 +45,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(10L).nonEmpty)
   }
 
+  test("intervalOverlap matches a driver-side computation exactly once " +
+      "per pair, across bucket widths and the negative axis") {
+    val ls = Seq((1L, -30L, -5L), (2L, -10L, 10L), (3L, 0L, 100L),
+      (4L, 50L, 60L), (5L, 200L, 210L))
+    val rs = Seq((10L, -40L, -25L), (20L, -6L, 4L), (30L, 90L, 150L),
+      (40L, 55L, 58L), (50L, 300L, 310L))
+    val left = ls.toDF("lid", "ls", "le")
+    val right = rs.toDF("rid", "rs", "re")
+    val expect = (for {
+      (lid, a, b) <- ls; (rid, c, d) <- rs if a <= d && c <= b
+    } yield (lid, rid)).toSet
+    for (w <- Seq(3L, 10L, 1000L)) {
+      val out = RangeJoin.intervalOverlap(left, "ls", "le", right, "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(out.toSet == expect, s"width $w")
+      assert(out.length == expect.size,
+        s"width $w: a pair must be emitted from exactly one canonical cell")
+    }
+    assert(expect.nonEmpty)
+  }
+
   test("plan is an equi-join on the cell, not a nested-loop cross product") {
     val points = spark.range(0, 1000).select((col("id") * 3).as("t"))
     val intervals = spark.range(0, 100)
