@@ -108,12 +108,18 @@ object QueriesVector {
   // over the bounded slice so the recursive-CTE oracle can replay
   // them; at full scale the pair source swaps to the LSH-bucketed
   // cosineNearDupPairs with the same downstream CC/canonical stages.
+  // Threshold 0.45, deliberately higher than sim_cosine_pairs' 0.35:
+  // dedup means HIGH similarity, and on these near-random embeddings
+  // a 0.35 cut links long transitive chains (1022 pairs collapsing
+  // 1000→153 at sf0.1) whose diameter forces the label-propagation
+  // loop through its full iteration budget — a graph no real dedup
+  // run would produce. At 0.45 the clusters are tight and small.
   // -------------------------------------------------------------------
   def embedCanonical(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .where(col("vec_id") < 1000)
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val pairs = Similarity.cosinePairsExact(corpus, threshold = 0.35)
+    val pairs = Similarity.cosinePairsExact(corpus, threshold = 0.45)
       .select("id_a", "id_b")
     graft.operators.ConnectedComponents
       .canonicalize(emb.select("vec_id"), pairs, "vec_id")
@@ -131,7 +137,7 @@ object QueriesVector {
        |    (sqrt(${dot("a.vec", "a.vec")}) * sqrt(${dot("b.vec", "b.vec")})), 6)
        |    AS cosine
        | FROM e a JOIN e b ON a.id < b.id),
-       |pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.35),
+       |pairs AS (SELECT id_a, id_b FROM s WHERE cosine >= 0.45),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
