@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * MinHash/SimHash/Jaccard joins) into dup CLUSTERS so a dedup pipeline
   * can keep one canonical document per cluster.
   *
-  * Algorithm: iterative min-label propagation. Each node starts labeled
-  * with itself; every round each node takes the min label in its
-  * neighborhood (including itself); converges in O(diameter) rounds.
-  * Each round is two shuffles (join + agg) — no driver-side graph, so
-  * it scales to billions of edges. Near-dup graphs are unions of small
-  * cliques (diameter ≤ 2-3), so `maxIter` default 10 is generous; the
-  * loop exits early via an AGGREGATE convergence check, not a per-round
+  * Algorithm: iterative min-label propagation with POINTER JUMPING.
+  * Each node starts labeled with itself; every round each node takes
+  * the min label in its neighborhood, then replaces that label with
+  * the label's own label (valid: a node's label is always a member of
+  * its component with a ≤ label, so the jump can only move toward the
+  * minimum). The jump halves the effective distance to the component
+  * minimum each round — chains/paths converge in O(log diameter)
+  * rounds instead of O(diameter). Each round is the neighborhood
+  * join+agg plus a self-join of the (tiny: one row per node) label
+  * table — no driver-side graph, so it scales to billions of edges.
+  * Near-dup graphs are unions of small cliques (diameter ≤ 2-3, 2-3
+  * rounds); `maxIter` 50 is a pure backstop — with jumping it admits
+  * graphs of diameter ~2^50, and the loop always exits early via an
+  * AGGREGATE convergence check (label checksum), never a per-round
   * collect of labels.
   */
 object ConnectedComponents {
@@ -21,7 +28,7 @@ object ConnectedComponents {
   /** @param pairs  undirected edges: columns (id_a, id_b)
     * @return (id, component) — component = min node id reachable
     */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the (possibly expensive) pair pipeline ONCE and CUT
     // LINEAGE — the 4-way symmetrizing union below references it 4×,
@@ -43,9 +50,7 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
-    // exactly one cached label table is live at any time: materialize
-    // the new round, then release the previous round's cache
-    var prevCached = labels
+    val labels0 = labels
 
     // convergence via a label-sum checksum: labels are monotonically
     // non-increasing per node, so the total sum strictly decreases iff
@@ -54,25 +59,42 @@ object ConnectedComponents {
     var prevSum = Long.MinValue
     var i = 0
     while (!converged && i < maxIter) {
-      val next = edges
+      val prop = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("label2"))
         .cache()
+      // pointer jump: label := label's label. Every label is a node id
+      // of the same component (so present in `prop`), but the left
+      // join + coalesce keeps this robust rather than row-dropping if
+      // that invariant is ever disturbed. PINNED, not cached: the
+      // self-join references `prop` twice, so an un-truncated plan
+      // would DOUBLE in size every round — exponential in rounds, an
+      // OOM in plan stringification alone by round ~10. The per-round
+      // pin materializes a one-row-per-node table and restarts the
+      // lineage, keeping every round's plan O(1).
+      val next = Par.pin(prop.as("x")
+        .join(prop.as("y").select(col("id2").as("__jid"),
+          col("label2").as("__jlabel")),
+          col("x.label2") === col("__jid"), "left")
+        .select(col("x.id2").as("id2"),
+          coalesce(col("__jlabel"), col("x.label2")).as("label2")))
       val sumNow = next.agg(coalesce(sum(col("label2")), lit(0L)))
-        .head().getLong(0) // materializes next's cache
-      prevCached.unpersist()
-      prevCached = next
-      // plain projection over the cached `next` — no second cache
+        .head().getLong(0)
+      prop.unpersist()
+      // previous rounds' pinned blocks are reclaimed by the
+      // ContextCleaner once unreferenced (or a caller's blocking
+      // unpersist sweep, as Bench does between queries)
       labels = next.select(col("id2").as("id"), col("label2").as("label"))
       converged = sumNow == prevSum
       prevSum = sumNow
       i += 1
     }
-    // pin the result before releasing the caches it derives from — the
-    // returned frame must not re-trigger the iteration lineage
+    // labels is already a projection over a pinned round table (or the
+    // initial cache when the edge set is empty) — pin the renamed
+    // output so the returned frame survives the cache releases below
     val out = Par.pin(labels.withColumnRenamed("label", "component"))
-    prevCached.unpersist()
+    labels0.unpersist()
     edges.unpersist()
     p.unpersist()
     out

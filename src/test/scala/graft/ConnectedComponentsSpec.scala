@@ -20,6 +20,20 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("a 300-node path converges to the chain minimum (pointer jumping: " +
+      "O(log d) rounds, far inside the iteration backstop)") {
+    // worst case for plain min-label propagation — a diameter-299 chain
+    // would need 299 one-hop rounds; with pointer jumping the distance
+    // to the minimum halves each round, so ~9 rounds suffice. A wrong
+    // (capped, unconverged) run returns non-zero labels for far nodes.
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.components(pairs)
+      .as[(Long, Long)].collect()
+    assert(got.length == 300)
+    assert(got.forall(_._2 == 0L),
+      s"unconverged labels: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
+
   test("canonicalize keeps one doc per dup cluster plus all unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (6L, 7L)).toDF("id_a", "id_b")
