@@ -58,6 +58,14 @@ object ConnectedComponents {
     var converged = false
     var prevSum = Long.MinValue
     var i = 0
+    // ids of the previous round's pinned RDD blocks, freed
+    // deterministically once the next round has materialized —
+    // localCheckpoint blocks are plain persisted RDDs invisible to
+    // DataFrame.unpersist, so without this only a later GC (via the
+    // ContextCleaner) would reclaim them, and a deep run would hold
+    // every round's label table in storage simultaneously
+    var prevRoundIds: Set[Int] = Set.empty
+    val sc = spark.sparkContext
     while (!converged && i < maxIter) {
       val prop = edges
         .join(labels, edges("dst") === labels("id"))
@@ -72,8 +80,11 @@ object ConnectedComponents {
       // would DOUBLE in size every round — exponential in rounds, an
       // OOM in plan stringification alone by round ~10. The per-round
       // pin materializes a one-row-per-node table and restarts the
-      // lineage, keeping every round's plan O(1).
-      val next = Par.pin(prop.as("x")
+      // lineage, keeping every round's plan O(1). pinLocal, not pin:
+      // round tables are transient (superseded next round), so a
+      // reliable checkpoint per round would only leak files.
+      val beforeIds = sc.getPersistentRDDs.keySet.toSet
+      val next = Par.pinLocal(prop.as("x")
         .join(prop.as("y").select(col("id2").as("__jid"),
           col("label2").as("__jlabel")),
           col("x.label2") === col("__jid"), "left")
@@ -82,9 +93,10 @@ object ConnectedComponents {
       val sumNow = next.agg(coalesce(sum(col("label2")), lit(0L)))
         .head().getLong(0)
       prop.unpersist()
-      // previous rounds' pinned blocks are reclaimed by the
-      // ContextCleaner once unreferenced (or a caller's blocking
-      // unpersist sweep, as Bench does between queries)
+      // this round is materialized — free the previous round's blocks
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
       labels = next.select(col("id2").as("id"), col("label2").as("label"))
       converged = sumNow == prevSum
       prevSum = sumNow
@@ -94,6 +106,9 @@ object ConnectedComponents {
     // initial cache when the edge set is empty) — pin the renamed
     // output so the returned frame survives the cache releases below
     val out = Par.pin(labels.withColumnRenamed("label", "component"))
+    // out is pinned — the final round's blocks can go too
+    prevRoundIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     labels0.unpersist()
     edges.unpersist()
     p.unpersist()

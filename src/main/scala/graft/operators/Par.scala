@@ -71,4 +71,15 @@ object Par {
       else df.localCheckpoint(eager = true)
     widen(ck)
   }
+
+  /** As [[pin]] but ALWAYS a local checkpoint, even when a reliable
+    * checkpoint dir is configured. For short-lived intermediates inside
+    * an iterative loop: each round's table is superseded by the next,
+    * so durability buys nothing (an executor loss fails the query,
+    * which retries whole), while a reliable checkpoint per round would
+    * write — and with default cleaner settings leak — one
+    * distributed-FS file set per iteration.
+    */
+  def pinLocal(df: DataFrame): DataFrame =
+    widen(df.localCheckpoint(eager = true))
 }

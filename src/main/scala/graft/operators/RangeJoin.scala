@@ -38,6 +38,11 @@ object RangeJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // fail loud instead of silently overwriting-then-dropping a caller
+    // column that collides with the internal cell name
+    require(!points.columns.contains("__cell") &&
+      !intervals.columns.contains("__cell"),
+      "__cell is reserved by RangeJoin; rename the input column")
     val pb = points.withColumn("__cell", floorDiv(pointCol, bucketWidth))
     val ib = intervals.withColumn("__cell",
       explode(sequence(
@@ -66,6 +71,9 @@ object RangeJoin {
       rightEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains("__lcell") &&
+      !right.columns.contains("__rcell"),
+      "__lcell/__rcell are reserved by RangeJoin; rename the input column")
     val lb = left.withColumn("__lcell",
       explode(sequence(
         floorDiv(leftStart, bucketWidth), floorDiv(leftEnd, bucketWidth))))
