@@ -3,8 +3,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line {"metric":...,"queries":{name:sec}}.
+  *
+  * Contamination defenses (a shared machine under load has produced
+  * phantom 3-10x "regressions" in past rounds):
+  *  - per-query isolation: clearCache + blocking unpersist + GC before
+  *    every timed rep;
+  *  - adaptive best-of-2: any query whose first rep exceeds
+  *    [[HeavyCutoffSec]] gets a second rep and reports the min —
+  *    a transient load spike then only poisons one of the two;
+  *  - telemetry: /proc/loadavg before/after the battery and process
+  *    CPU-vs-wall ratio go into the JSON line, so a poisoned run is
+  *    self-identifying (low cpu_wall_ratio + high loadavg ⇒ the
+  *    machine, not the code).
   */
 object Bench {
+  /** First-rep duration above which a query earns a second rep. */
+  val HeavyCutoffSec = 2.0
+
+  private def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  private def processCpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getProcessCpuTime / 1e9
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,14 +54,19 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run while iterating on one query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // SPARK_GRAFT_REPS=n reports best-of-n per query (default 1;
-    // non-numeric values fall back rather than aborting the battery)
-    val reps = sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(_.toIntOption).getOrElse(1).max(1)
+    // SPARK_GRAFT_REPS=n forces best-of-n per query (non-numeric values
+    // fall back rather than aborting the battery). Unset → adaptive:
+    // 1 rep for cheap queries, best-of-2 when the first rep ran longer
+    // than HeavyCutoffSec (the heavy dedup/CC family — exactly the
+    // queries a load spike distorts most in absolute seconds).
+    val forcedReps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+    val loadBefore = loadavg()
+    val cpu0 = processCpuSec()
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val secs = (1 to reps).map { _ =>
+      def oneRep(): Double = {
         // isolate queries from each other: drop cached/pinned blocks
         // left by the previous query and let the JVM settle, so one
         // heavy query can't poison the next one's timing (round 2's
@@ -52,12 +84,22 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      val first = oneRep()
+      val reps = forcedReps.getOrElse(if (first > HeavyCutoffSec) 2 else 1).max(1)
+      val secs = first +: (2 to reps).map(_ => oneRep())
       name -> secs.min
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuSec = processCpuSec() - cpu0
+    val loadAfter = loadavg()
+    // cpu_wall_ratio: this JVM's CPU seconds per wall second over the
+    // battery. On a quiet 32-core box heavy queries push it well above
+    // 1; a contaminated run shows it depressed WITH loadavg elevated.
+    val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
     spark.stop()
   }
 }
