@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs  undirected edges: columns (id_a, id_b)
+    * @param maxIter iteration budget — must be ≥ rounds-to-converge + 1
+    *   (convergence is detected by two consecutive equal label
+    *   checksums, so even an already-stable labeling needs one extra
+    *   confirming round). With pointer jumping rounds ≈ log2(diameter)
+    *   + 2, so the default 50 admits graphs of diameter ~2^48.
     * @return (id, component) — component = min node id reachable
+    * @throws IllegalStateException if the budget is exhausted before
+    *   convergence — partial labels are WRONG components, and a
+    *   correctness-critical operator must fail loud rather than return
+    *   them silently.
     */
   def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -101,6 +110,19 @@ object ConnectedComponents {
       converged = sumNow == prevSum
       prevSum = sumNow
       i += 1
+    }
+    if (!converged) {
+      // free what we hold before failing — the caller gets an exception,
+      // not a frame, so nothing downstream will release these
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labels0.unpersist()
+      edges.unpersist()
+      p.unpersist()
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within maxIter=$maxIter " +
+          "rounds — partial labels would be wrong components. Raise " +
+          "maxIter (rounds needed ≈ log2(graph diameter) + 2).")
     }
     // labels is already a projection over a pinned round table (or the
     // initial cache when the edge set is empty) — pin the renamed

@@ -34,6 +34,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"unconverged labels: ${got.filter(_._2 != 0L).take(5).mkString(",")}")
   }
 
+  test("an exhausted iteration budget fails loud instead of returning " +
+      "partial (wrong) component labels") {
+    // the 30-node path needs ~log2(29)+2 ≈ 7 rounds; maxIter=2 cannot
+    // even confirm convergence (two equal consecutive checksums), so
+    // the backstop must throw — silent partial labels would be wrong
+    // components with no signal
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(pairs, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("canonicalize keeps one doc per dup cluster plus all unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L), (6L, 7L)).toDF("id_a", "id_b")
