@@ -41,18 +41,54 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
-  // IVF top-k — the ANN scale path (probe nProbe of nCells cells). No
-  // DuckDB oracle (centroid sampling uses xxhash64): rows-only; recall
-  // vs brute force is asserted in SimilaritySpec.
+  // IVF top-k — the ANN scale path (probe nProbe=4 of 16 cells), with a
+  // FULL DuckDB replay oracle: centroids are a deterministic slice
+  // (vec_id < 16) instead of the default xxhash64 sample, so the oracle
+  // can re-derive the whole approximate path — centroid assignment
+  // (argmax cosine, ties to smallest cid), query routing (4 nearest
+  // centroids), per-cell scoring, global top-k — and the compare is
+  // hash-exact on the APPROXIMATE answer itself, misses included. The
+  // production default (hash-sampled centroids, Similarity.ivfAssign)
+  // stays covered end-to-end by sim_ivf_exact below. Cosines are
+  // left-to-right double folds in both engines → bit-identical, so the
+  // full-precision ORDER BYs in assignment/routing can't diverge.
   // -------------------------------------------------------------------
   def simIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val queries = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val (cells, centroids) = Similarity.ivfAssign(corpus, nCells = 16)
+    val centroids = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cells = Similarity.ivfAssignTo(corpus, centroids)
     Similarity.ivfTopK(cells, centroids, queries, k = 5, nProbe = 4)
       .orderBy("qid", "rank")
+  }
+
+  val simIvfTopkSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |         WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < 8),
+       |asg AS (SELECT id, vec, cid, row_number() OVER (PARTITION BY id
+       |    ORDER BY ${cos("vec", "cvec")} DESC, cid ASC) AS rn
+       |  FROM c CROSS JOIN cent),
+       |cells AS (SELECT id, vec, cid AS cell FROM asg WHERE rn = 1),
+       |pr AS (SELECT qid, qvec, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cos("qvec", "cvec")} DESC, cid ASC) AS rn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT qid, qvec, cid AS cell FROM pr WHERE rn <= 4),
+       |s AS (SELECT p.qid, c.id, round(${cos("p.qvec", "c.vec")}, 6) AS cosine
+       |  FROM cells c JOIN probes p ON c.cell = p.cell WHERE p.qid <> c.id),
+       |r AS (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, id ASC) AS rank FROM s)
+       |SELECT qid, id, cosine, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -98,6 +134,80 @@ object QueriesVector {
        |    AS cosine
        | FROM e a JOIN e b ON a.id < b.id)
        |SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Hyperplane-LSH cosine near-dup pairs — the 100 TB cosine-dedup
+  // path itself (bucketed signature self-join, NOT the exact quadratic
+  // baseline), under a FULL DuckDB replay oracle. The LSH planes are
+  // derived from xxhash64 of LITERALS (VectorFunctions
+  // .hyperplaneSignature), i.e. they are compile-time constants: we
+  // evaluate the same hash here and embed the 16×64 plane components
+  // into the oracle SQL, so DuckDB replays signature bits, band
+  // buckets, candidate join and the exact-cosine filter — the compare
+  // is hash-exact on the LSH answer itself, band misses included (no
+  // probabilistic-recall assumption anywhere).
+  // -------------------------------------------------------------------
+  def simLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineNearDupPairs(corpus, dim = 64, threshold = 0.45,
+      bits = 16, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Plane component (p, j) exactly as `hyperplaneSignature` builds it:
+    * Catalyst constant-folds `xxhash64(lit(p*131071+j))` at plan time,
+    * and this evaluates the identical expression eagerly (same seed 42,
+    * same long input) — then replays the identical double arithmetic
+    * (h/1000.0 then -0.5, two IEEE roundings in that order).
+    */
+  private def planeComp(p: Int, j: Int): Double = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(p.toLong * 131071L + j)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    val m = (h % 1000L + 1000L) % 1000L
+    m.toDouble / 1000.0 - 0.5
+  }
+
+  val simLshPairsSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    // bit p of the signature: sign of the plane-p dot product. Plane
+    // components are embedded via Double.toString (shortest-roundtrip,
+    // parses back to the identical double); the multiply-and-left-fold
+    // matches hyperplaneSignature's comps.reduce(_ + _) order, which
+    // DuckDB's list_sum reproduces (proven bit-exact by the
+    // sim_cosine_pairs dot products).
+    def bit(p: Int): String = {
+      val consts = (0 until 64).map(j => planeComp(p, j).toString).mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> ([$consts][j]) * CAST(vec[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END) AS b$p"
+    }
+    val bits = (0 until 16).map(bit).mkString(",\n ")
+    // 4 bands of 4 bits: chunk b = bits [4b, 4b+4), little-endian
+    def chunk(b: Int): String =
+      (0 until 4).map(i => s"${1 << i} * b${4 * b + i}").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT id, $b AS band, ${chunk(b)} AS chunk FROM sig").mkString("\n UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |           WHERE vec_id < 1000),
+       |sig AS (SELECT id, vec,
+       | $bits
+       | FROM e),
+       |bands AS (
+       | $bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id),
+       |p AS (SELECT id_a, id_b,
+       |  round(${dot("a.vec", "b.vec")} /
+       |    (sqrt(${dot("a.vec", "a.vec")}) * sqrt(${dot("b.vec", "b.vec")})), 6)
+       |    AS cosine
+       | FROM cand JOIN e a ON a.id = id_a JOIN e b ON b.id = id_b)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -179,36 +289,65 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
-  // Multimodal decode plumbing: text bytes stand in for media payloads;
-  // stub decode runs in mapPartitions; frames explode post-decode.
+  // Multimodal decode — REAL codec round-trip. Each document derives a
+  // deterministic image shape (dims from its text), gets ENCODED as an
+  // actual PNG and DECODED back with javax.imageio inside
+  // mapPartitions; width/height/pixel_sum in the output are MEASURED
+  // from the decoded raster, not carried through. The frame count is a
+  // typed METADATA column riding next to the binary (a PNG has no frame
+  // count to measure — exactly the property the multimodal contract
+  // says travels as metadata), driving the post-decode frame-sample
+  // explode. The oracle replays the generator formulas relationally —
+  // so a green row proves encode∘decode is an identity on dims and
+  // pixel content (documents are ASCII: octet_length == n_chars).
   // -------------------------------------------------------------------
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
-    val payloads = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    import spark.implicits._
+    val shaped = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(16) + octet_length(col("text")) % 64).cast("int").as("w"),
+        (lit(16) + ascii(substring(col("text"), 1, 1)) % 64).cast("int").as("h"),
+        (lit(1) + octet_length(col("text")) % 8).cast("int").as("frames"))
+    val payloads = shaped
+      .select(col("doc_id"), col("w"), col("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // per-partition codec context (see Multimodal.decode scaladoc)
+        it.map { case (id, w, h) => (id, Multimodal.encodePng(id, w, h)) }
+      }
+      .toDF("doc_id", "payload")
     val meta = Multimodal.decode(payloads, "doc_id", "payload")
-    Multimodal.sampleFrames(meta, every = 2)
-      .groupBy("doc_id", "n_bytes", "width", "height", "frames")
+    val withFrames = meta.join(shaped.select("doc_id", "frames"), "doc_id")
+    Multimodal.sampleFrames(withFrames, every = 2)
+      .groupBy("doc_id", "width", "height", "n_pixels", "pixel_sum", "frames")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("doc_id")
   }
 
-  /** The stub decode is deterministic byte arithmetic, so the oracle
-    * replays it relationally (documents are ASCII: octet_length ==
-    * n_chars, first byte == unicode of first char).
+  /** Replays the image GENERATOR formulas (dims and the pixel function)
+    * relationally; the Spark side must measure the same values back out
+    * of real PNG bytes for the row to hash-match.
     */
   val multimodalDecodeSql: String =
-    """SELECT doc_id,
-      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-      | CAST(16 + unicode(substr(text, 1, 1)) % 64 AS INTEGER) AS height,
-      | CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS frames,
-      | CAST(ceil((1 + octet_length(encode(text)) % 8) / 2.0) AS BIGINT) AS n_sampled
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH d AS (SELECT doc_id,
+      |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+      |  CAST(16 + unicode(substr(text, 1, 1)) % 64 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS frames
+      | FROM documents)
+      |SELECT doc_id, width, height,
+      | CAST(width AS BIGINT) * height AS n_pixels,
+      | CAST(list_sum(list_transform(range(0, width * height),
+      |   i -> ((i % width) * 31 + (i // width) * 17 + doc_id) % 256))
+      |   AS BIGINT) AS pixel_sum,
+      | frames,
+      | CAST(ceil(frames / 2.0) AS BIGINT) AS n_sampled
+      |FROM d ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
+    "sim_lsh_pairs" -> (simLshPairs _),
     "embed_canonical" -> (embedCanonical _),
     "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
@@ -216,8 +355,10 @@ object QueriesVector {
 
   val oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
+    "sim_ivf_topk" -> simIvfTopkSql, // full replay: see simIvfTopk notes
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "sim_cosine_pairs" -> simCosinePairsExactSql,
+    "sim_lsh_pairs" -> simLshPairsSql,
     "embed_canonical" -> embedCanonicalSql,
     "embed_label_stats" -> embedLabelStatsSql,
     "multimodal_decode" -> multimodalDecodeSql)

@@ -260,15 +260,28 @@ object Dedup {
     votes.select(col("__id"), sig.as("__sig"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    * chunks (any-equal-chunk ⇒ candidate, guaranteeing recall for
-    * hamming ≤ 3), verify by full Hamming distance.
+  /** SimHash near-dup pairs: band the 64-bit signature into `bands`
+    * equal chunks (any-equal-chunk ⇒ candidate), verify by full
+    * Hamming distance.
+    *
+    * Banding is a DETERMINISTIC recall guarantee by pigeonhole: a pair
+    * within hamming ≤ `bands` - 1 must leave some chunk untouched, so
+    * it always becomes a candidate. The trade is candidate volume on
+    * uncorrelated docs: a random pair collides in some band with
+    * P ≈ bands · 2^-(64/bands) — 4×16-bit ≈ 6e-5·n²/2 (sharp filter,
+    * guarantee only to h ≤ 3), 8×8-bit ≈ 3e-2·n²/2 (guarantee to
+    * h ≤ 7). Choose `bands` ≥ maxHamming + 1 when the gate must be
+    * exhaustive; keep the default 4 when the corpus is huge and
+    * near-dups are expected to sit at tiny hamming anyway.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, "bands must divide 64 (and be ≥ 2)")
+    val chunkBits = 64 / bands
     // pinned BEFORE the bands explode: the self-join consumes the frame
     // twice, and pinning here materializes the expensive
     // tokenize→hash→64-sum signature pipeline once at 1× rows — the
@@ -276,9 +289,10 @@ object Dedup {
     val signed = Par.pin(simhashSignatures(docs, idCol, textCol))
     val banded = signed.select(
       col("__id"), col("__sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          (shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
+          (shiftright(col("__sig"), b * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)))
             .as("chunk"))): _*)).as("bb"))
       .select(col("__id"), col("__sig"), col("bb.band"), col("bb.chunk"))
     banded.as("a")

@@ -72,7 +72,18 @@ object Similarity {
       .orderBy(col("__h"))
       .limit(nCells)
       .select(col("id").as("cid"), col("vec").as("cvec"))
+    (ivfAssignTo(corpus, centroids), centroids)
+  }
 
+  /** Assign every corpus vector to its nearest centroid from an
+    * explicit (cid, cvec) table — the [[ivfAssign]] body, exposed so a
+    * caller can supply centroids from a different selection rule (a
+    * trained k-means table, or a deterministic slice when the whole
+    * index must be replayable by an external oracle engine).
+    */
+  def ivfAssignTo(
+      corpus: DataFrame, // (id, vec)
+      centroids: DataFrame): DataFrame = { // (cid, cvec)
     val centArr = centroids
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
     // argmax via array_max over (cosine, -cid) structs: best cosine
@@ -82,12 +93,11 @@ object Similarity {
       struct(
         cosine(col("vec"), c.getField("cvec")).as("d"),
         (-c.getField("cid")).as("ncid")))
-    val cells = Par.widen(corpus)
+    Par.widen(corpus)
       .crossJoin(broadcast(centArr))
       .withColumn("__best", array_max(scored))
       .select(col("id"), col("vec"),
         (-col("__best").getField("ncid")).as("cell"))
-    (cells, centroids)
   }
 
   /** IVF probe: route each query to its `nProbe` nearest centroids and

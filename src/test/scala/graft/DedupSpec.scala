@@ -47,12 +47,31 @@ class DedupSpec extends SparkSpec {
       s"simhash recall: ${(got intersect truth).size}/${truth.size}")
   }
 
+  test("simhash 8-band blocking is EXHAUSTIVE for hamming ≤ 7 (pigeonhole " +
+      "guarantee backing the dedup_simhash oracle row)") {
+    val sigMap = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val ids = sigMap.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      h = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) if h <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 7, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.nonEmpty)
+  }
+
   test("simhash property bridge: emitted pairs re-verify hamming ≤ 6 and " +
       "include every planted pair whose banding guarantees recall") {
-    // dedup_simhash has no DuckDB oracle (xxhash64 is not replayable
-    // there); this is the property-bridge contract instead. Everything
-    // here is deterministic (fixed data, xxhash64), so the assertions
-    // are exact, not statistical.
+    // the signature itself is not DuckDB-replayable (xxhash64); the
+    // dedup_simhash query row closes the loop via exact-Jaccard
+    // verification, and this is the signature-level contract.
+    // Everything here is deterministic (fixed data, xxhash64), so the
+    // assertions are exact, not statistical.
     val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
     // 1. soundness: every emitted (id_a, id_b, hamming) row re-verifies
