@@ -1,49 +1,93 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride through the engine as
   * opaque `binary` columns plus typed metadata, decoded per-partition.
   *
-  * The container has no image/audio codecs, so `decodeFake` is a
-  * clearly-marked deterministic stand-in (header arithmetic on the raw
-  * bytes); the Spark-side shape — binary column, case-class schema,
-  * `mapPartitions` over a Dataset so codec state could be initialized
-  * once per partition and rows stream through in batches — is the real,
-  * tested contract a production codec would drop into.
+  * The decode is REAL: payloads are PNG byte streams and `decodeImage`
+  * runs them through `javax.imageio` (bundled with the JDK — no external
+  * codec dependency), measuring width/height/pixel content from the
+  * decoded raster. Properties a container can't measure from pixels
+  * (e.g. a video's frame count) travel as typed METADATA columns next to
+  * the binary — the schema contract for multimodal tables.
+  *
+  * Scale shape: the binary column never shuffles post-decode (explode
+  * frame indices AFTER decode), and decoding runs inside `mapPartitions`
+  * so a production codec can allocate its native context once per
+  * partition and stream the partition's rows through it.
   */
 object Multimodal {
 
-  /** Decoded-media metadata row. `frames` drives downstream per-frame
-    * explode (frame-sampling); width/height drive resize planning.
-    */
-  final case class MediaMeta(
+  /** Decoded-image metadata row: measured (not declared) properties. */
+  final case class ImageMeta(
       doc_id: Long,
-      n_bytes: Long,
       width: Int,
       height: Int,
-      frames: Int)
+      n_pixels: Long,
+      pixel_sum: Long)
 
-  /** STUB — stands in for an image/video header decode. Deterministic
-    * arithmetic over the payload so tests and the DuckDB oracle can
-    * replay it; a real build replaces the body with e.g. a JPEG/WAV
-    * header parse, keeping the signature.
+  /** Deterministic grayscale value for pixel (x, y) of document `id` —
+    * the synthetic-image content generator. Pure integer arithmetic so
+    * an external oracle engine can replay the expected `pixel_sum` of a
+    * decoded image relationally.
     */
-  def decodeFake(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    val first = if (payload.isEmpty) 0 else payload(0) & 0xff
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n,
-      width = 16 + (n % 64).toInt,
-      height = 16 + (first % 64),
-      frames = 1 + (n % 8).toInt)
+  def pixelValue(id: Long, x: Int, y: Int): Int =
+    ((x * 31L + y * 17L + id) % 256L).toInt
+
+  /** Encode a deterministic `w`×`h` grayscale PNG for document `id`.
+    * PNG is lossless, so decoding returns the exact [[pixelValue]]
+    * raster — encode∘decode is an identity on the measured properties.
+    */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pixelValue(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** (id, payload) → MediaMeta, decoding per partition. The
-    * mapPartitions boundary is where a real codec would allocate its
-    * native context once and reuse it across the partition's rows.
+  /** Real image decode: parse the payload with `javax.imageio`, measure
+    * dimensions and the sum of the red channel over the raster. Fails
+    * loud on undecodable bytes — silently skipping corrupt media would
+    * under-count a training corpus without a trace.
+    */
+  def decodeImage(docId: Long, payload: Array[Byte]): ImageMeta = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s += img.getRGB(x, y) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageMeta(docId, w, h, w.toLong * h, s)
+  }
+
+  /** (id, payload) → [[ImageMeta]], decoding per partition. The
+    * mapPartitions boundary is where a heavier codec would allocate its
+    * native context once and reuse it across the partition's rows
+    * (ImageIO itself is stateless, but the contract point stands).
     */
   def decode(payloads: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = payloads.sparkSession
@@ -52,15 +96,15 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codec: init decoder context here, once per partition
-        it.map { case (id, bytes) => decodeFake(id, bytes) }
+        // heavier codec: init decoder context here, once per partition
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
       .toDF()
   }
 
   /** Frame-sampling: one output row per sampled frame index, stride
-    * `every` — the explode happens AFTER decode so only metadata (not
-    * pixels) shuffles.
+    * `every`, driven by a `frames` metadata column — the explode
+    * happens AFTER decode so only metadata (not pixels) shuffles.
     */
   def sampleFrames(meta: DataFrame, every: Int = 2): DataFrame =
     meta.withColumn("frame_idx",
