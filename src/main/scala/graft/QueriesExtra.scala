@@ -356,7 +356,49 @@ object QueriesExtra {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Bucketed shuffle-free join, end-to-end: write both fact tables
+  // bucketed+sorted on the join key (the write-time shuffle a 100 TB
+  // deployment pays ONCE), then join and aggregate off the bucketed
+  // layout — the join itself runs with zero Exchange on either side
+  // (plan-asserted in BucketedJoinSpec; this entry oracle-checks the
+  // RESULT, which bucketing must not change). Table names carry a dir
+  // hash so concurrent sessions on different scale factors can't clash
+  // in a shared warehouse.
+  // -------------------------------------------------------------------
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = (dir.hashCode & 0x7fffffff).toString
+    val to = s"graft_bkt_orders_$sfx"
+    val tl = s"graft_bkt_lineitem_$sfx"
+    graft.sinks.Bucketing.writeBucketed(
+      Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+      to, keys = Seq("o_orderkey"), numBuckets = 8,
+      sortBy = Seq("o_orderkey"))
+    graft.sinks.Bucketing.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      tl, keys = Seq("l_orderkey"), numBuckets = 8,
+      sortBy = Seq("l_orderkey"))
+    val o = spark.table(to)
+    val l = spark.table(tl)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join_agg" -> (bucketedJoinAgg _),
     "profile_orders" -> (profileOrders _),
     "redact_pii" -> (redactPii _),
     "skew_salted_join" -> (skewSaltedJoin _),
@@ -371,6 +413,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "bucketed_join_agg" -> bucketedJoinAggSql,
     "profile_orders" -> profileOrdersSql,
     "redact_pii" -> redactPiiSql,
     "skew_salted_join" -> skewSaltedJoinSql,

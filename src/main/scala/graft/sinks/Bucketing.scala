@@ -32,10 +32,28 @@ object Bucketing {
       sortBy: Seq[String] = Nil,
       mode: String = "overwrite"): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key")
+    // overwrite must also replace a STALE location: a managed table
+    // written by a previous application isn't in this session's
+    // in-memory catalog, so saveAsTable would treat the write as CREATE
+    // and fail with LOCATION_ALREADY_EXISTS on the leftover directory
+    if (mode == "overwrite") dropTableAndLocation(df.sparkSession, table)
     val w = df.write.mode(mode)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
     val sorted =
       if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w
     sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Drop `table` (default database) from the catalog AND remove its
+    * default managed location under the warehouse dir, whether or not
+    * the current session's catalog knows the table.
+    */
+  def dropTableAndLocation(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 }
