@@ -89,6 +89,68 @@ object RangeJoin {
       .drop("__lcell", "__rcell")
   }
 
+  /** Long-tail splitter — makes the scaladoc's "split extreme intervals
+    * upstream" mitigation code. Each input interval becomes
+    * `ceil(cells / maxCellsPerChunk)` chunk rows with bounds in
+    * `__cs`/`__ce`; the chunks PARTITION the original value range
+    * `[start, end]` and each chunk covers at most `maxCellsPerChunk`
+    * grid cells. Compose with [[pointInInterval]] on the CHUNK bounds:
+    *
+    * {{{
+    * val split = RangeJoin.splitIntervals(iv, "s", "e", w, 64)
+    * RangeJoin.pointInInterval(points, "ts", split, "__cs", "__ce", w)
+    *   .drop("__cs", "__ce")   // original s/e columns ride along
+    * }}}
+    *
+    * Because the chunks partition the interval, a point inside `[s, e]`
+    * lies in exactly ONE chunk — results are exactly-once with no
+    * re-merge/distinct pass, and match the unsplit join row-for-row.
+    *
+    * What this bounds: the per-row explode. An interval spanning 10^6
+    * cells otherwise materializes one 10^6-element `sequence` array in
+    * a single task (a memory spike and a one-task hotspot); split, it
+    * becomes 10^6/k chunk ROWS that redistribute across the cluster
+    * before each explodes into ≤ k cells. Total cell rows are
+    * unchanged — that amplification is inherent to a single-resolution
+    * grid — but no task or allocation depends on the span any more.
+    * (The other scale answer for a handful of galaxy-sized intervals:
+    * route them to a broadcast nested-loop join and grid-join only the
+    * short ones — both sides stay exactly-once since the two sets are
+    * disjoint.)
+    *
+    * Bounds note: chunk arithmetic is exact as long as
+    * `|start|, |end| + maxCellsPerChunk·bucketWidth` stay inside Long —
+    * the cell grid itself has the same headroom requirement.
+    */
+  def splitIntervals(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      maxCellsPerChunk: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxCellsPerChunk > 0, "maxCellsPerChunk must be positive")
+    require(!intervals.columns.contains("__cs") &&
+      !intervals.columns.contains("__ce") &&
+      !intervals.columns.contains("__chunk"),
+      "__cs/__ce/__chunk are reserved by splitIntervals; rename the input column")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val cs = floorDivCol(s, bucketWidth)
+    val ce = floorDivCol(e, bucketWidth)
+    val k = lit(maxCellsPerChunk.toLong)
+    // ce - cs ≥ 0, so truncating div == floor div here
+    val lastChunk = call_function("div", ce - cs, k)
+    val chunkSpan = k * lit(bucketWidth)
+    val base = cs * lit(bucketWidth) // cell-aligned start (≤ s)
+    intervals
+      .withColumn("__chunk", explode(sequence(lit(0L), lastChunk)))
+      .withColumn("__cs", greatest(s, base + col("__chunk") * chunkSpan))
+      .withColumn("__ce",
+        least(e, base + (col("__chunk") + 1) * chunkSpan - 1))
+      .drop("__chunk")
+  }
+
   /** Exact integer floor division (w > 0) — `DIV` truncates toward
     * zero, which would put negative-axis values in the wrong cell, and
     * double `/` + floor can misround at cell boundaries for large

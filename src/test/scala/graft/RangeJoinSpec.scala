@@ -66,6 +66,60 @@ class RangeJoinSpec extends SparkSpec {
     assert(expect.nonEmpty)
   }
 
+  test("splitIntervals bounds per-row amplification on a pathological " +
+      "long-tail distribution and keeps the join exactly-once") {
+    val w = 10L
+    val k = 64
+    // long tail: one interval spanning 1e6 cells, one spanning 100k,
+    // plus ordinary short ones — the distribution the scaladoc warns
+    // about (unsplit, the big one explodes a 1e6-element array in one
+    // task)
+    val ivs = Seq(
+      (1L, 0L, 10_000_000L - 1),  // 1e6 cells
+      (2L, 500L, 1_000_499L),     // 100k cells
+      (3L, -35L, 5L),             // crosses zero
+      (4L, 42L, 42L),             // degenerate
+      (5L, 70L, 130L))
+    val intervals = ivs.toDF("iid", "s", "e")
+    val split = RangeJoin.splitIntervals(intervals, "s", "e", w, k)
+      .cache()
+
+    // per-interval chunk count = ceil(cells / k); every chunk ≤ k cells
+    def cellsOf(s: Long, e: Long) = Math.floorDiv(e, w) - Math.floorDiv(s, w) + 1
+    val chunkCounts = split.groupBy("iid").count()
+      .as[(Long, Long)].collect().toMap
+    ivs.foreach { case (iid, s, e) =>
+      val cells = cellsOf(s, e)
+      assert(chunkCounts(iid) == (cells + k - 1) / k,
+        s"iid=$iid cells=$cells chunks=${chunkCounts(iid)}")
+    }
+    val maxChunkCells = split
+      .select(col("iid"), col("__cs"), col("__ce")).as[(Long, Long, Long)]
+      .collect()
+    assert(maxChunkCells.forall { case (_, cs, ce) => cellsOf(cs, ce) <= k })
+    // chunks partition each interval: total covered length == span
+    ivs.foreach { case (iid, s, e) =>
+      val covered = maxChunkCells.filter(_._1 == iid)
+        .map { case (_, cs, ce) => ce - cs + 1 }.sum
+      assert(covered == e - s + 1, s"iid=$iid covers $covered of ${e - s + 1}")
+    }
+
+    // joining on the chunk bounds equals the naive answer, exactly once
+    val pts = Seq(-36L, -35L, 0L, 42L, 43L, 100L, 640L, 999L, 500_000L,
+      1_000_499L, 9_999_999L, 10_000_000L)
+    val points = pts.toDF("t")
+    val got = RangeJoin.pointInInterval(points, "t", split, "__cs", "__ce", w)
+      .select("t", "iid").as[(Long, Long)].collect()
+    val expect = for {
+      t <- pts
+      (iid, s, e) <- ivs if t >= s && t <= e
+    } yield (t, iid)
+    assert(got.toSet == expect.toSet)
+    assert(got.length == expect.size,
+      "chunks partition the interval, so each match is emitted once")
+    split.unpersist()
+  }
+
   test("plan is an equi-join on the cell, not a nested-loop cross product") {
     val points = spark.range(0, 1000).select((col("id") * 3).as("t"))
     val intervals = spark.range(0, 100)
