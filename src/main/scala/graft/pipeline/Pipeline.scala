@@ -19,10 +19,17 @@ final case class Task(
     layer: String, // RAW | CURATED | SEMANTIC
     tableId: Long = 999L)(val body: SparkSession => Long)
 
+/** @param auditSinks additional audit stores the run records are
+  *   appended to after the parquet log — e.g. a
+  *   [[graft.sinks.JdbcSink]] pointing at the monitoring database,
+  *   matching the reference's operational-metadata MySQL insert
+  *   (reference: commons/utilities.py:320-327).
+  */
 final class DagRunner(
     spark: SparkSession,
     batchId: String,
-    auditPath: String) {
+    auditPath: String,
+    auditSinks: Seq[graft.sinks.Sink] = Nil) {
 
   /** Runs tasks in order; returns audit records (also appended to the
     * parquet audit log). Halts at the first failure.
@@ -66,12 +73,22 @@ final class DagRunner(
 
   private def writeAudit(runs: Seq[JobRun]): Unit = {
     import spark.implicits._
-    if (runs.nonEmpty)
-      runs.toDF().coalesce(1).write.mode("append").parquet(auditPath)
+    if (runs.nonEmpty) {
+      val df = runs.toDF().coalesce(1)
+      df.write.mode("append").parquet(auditPath)
+      auditSinks.foreach(_.write(df))
+    }
   }
 }
 
 object DagRunner {
   def apply(spark: SparkSession, batchId: String, auditPath: String): DagRunner =
     new DagRunner(spark, batchId, auditPath)
+
+  def apply(
+      spark: SparkSession,
+      batchId: String,
+      auditPath: String,
+      auditSinks: Seq[graft.sinks.Sink]): DagRunner =
+    new DagRunner(spark, batchId, auditPath, auditSinks)
 }

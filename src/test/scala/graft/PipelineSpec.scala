@@ -33,6 +33,38 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/curated/event_type_map").count() == 5)
   }
 
+  test("audit records round-trip through a live JDBC store (embedded " +
+      "Derby — the reference's monitoring-DB shape)") {
+    val root = Files.createTempDirectory("graft-dag-jdbc").toString
+    val url = "jdbc:derby:memory:graftaudit;create=true"
+    val runner = DagRunner(spark, "bJ", s"$root/audit",
+      auditSinks = Seq(graft.sinks.JdbcSink(url, "APP.OP_METADATA")))
+    val runs = runner.run(Seq(
+      Task("load_a", "RAW")(_ => 11L),
+      Task("load_b", "CURATED")(_ => 22L)))
+    assert(runs.forall(_.jobStatus == "Success"))
+
+    // read back through JDBC, not the parquet log — proves the records
+    // landed in the live store
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "APP.OP_METADATA").load()
+    assert(back.count() == 2)
+    val rows = back.select("batchId", "tblName", "rowsIngested", "jobStatus")
+      .as[(String, String, Long, String)].collect().sortBy(_._2)
+    assert(rows.map(_._1).forall(_ == "bJ"))
+    assert(rows.map(r => (r._2, r._3)).toSeq ==
+      Seq(("load_a", 11L), ("load_b", 22L)))
+    assert(rows.forall(_._4 == "Success"))
+
+    // appends accumulate (the reference's per-batch INSERT semantics)
+    DagRunner(spark, "bK", s"$root/audit",
+      auditSinks = Seq(graft.sinks.JdbcSink(url, "APP.OP_METADATA")))
+      .run(Seq(Task("load_c", "RAW")(_ => 3L)))
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "APP.OP_METADATA")
+      .load().count() == 3)
+  }
+
   test("a failing task halts the chain and logs a sanitized failure") {
     val root = Files.createTempDirectory("graft-dag").toString
     val runs = DagRunner(spark, "bX", s"$root/audit").run(Seq(
