@@ -44,9 +44,21 @@ object VectorFunctions {
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products
     * against pseudo-random hyperplanes derived deterministically from
     * (planeIdx, dim) via xxhash64 — no RNG state to ship to executors,
-    * any engine can re-derive the planes.
+    * any engine can re-derive the planes. Native codegen'd Expression
+    * (see [[HyperplaneSigExpr]]); bit-for-bit equal to
+    * [[hyperplaneSignatureHof]], the Column-expression reference
+    * implementation.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column =
+    HyperplaneSigExpr.signature(vec, dim, bits)
+
+  /** Reference formulation of [[hyperplaneSignature]] in pure Column
+    * expressions. Kept for the equivalence property test — at bits=16,
+    * dim=64 its unrolled literal tree overflows janino's method limit
+    * and knocks the whole stage out of codegen, which is why the native
+    * expression above is the production path.
+    */
+  def hyperplaneSignatureHof(vec: Column, dim: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       // plane component in [-0.5, 0.5): hash to a bucket then scale
       val comps = (0 until dim).map { j =>

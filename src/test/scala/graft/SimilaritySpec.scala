@@ -143,6 +143,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("native hyperplane signature agrees bit-for-bit with the HOF " +
+      "reference, and its stage stays inside whole-stage codegen") {
+    val mismatches = emb
+      .select(
+        VectorFunctions.hyperplaneSignature(col("embedding"), 64, 16).as("fast"),
+        VectorFunctions.hyperplaneSignatureHof(col("embedding"), 64, 16).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(mismatches.count() == 0)
+    // the HOF form knocks the stage out of codegen (janino method-size
+    // limit); the native expression must not — its Project renders with
+    // the `*(n)` whole-stage-codegen marker
+    val plan = emb
+      .select(VectorFunctions.hyperplaneSignature(col("embedding"), 64, 16))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, 7L)).toDF("a", "b")
     assert(df.select(VectorFunctions.hamming64(col("a"), col("b")))
