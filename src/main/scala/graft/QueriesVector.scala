@@ -308,8 +308,11 @@ object QueriesVector {
         (lit(16) + octet_length(col("text")) % 64).cast("int").as("w"),
         (lit(16) + ascii(substring(col("text"), 1, 1)) % 64).cast("int").as("h"),
         (lit(1) + octet_length(col("text")) % 8).cast("int").as("frames"))
-    val payloads = shaped
-      .select(col("doc_id"), col("w"), col("h"))
+    // widened: the codec work is CPU-heavy per row and the small
+    // parquet arrives as one split — unwidened, every PNG encodes on a
+    // single core (measured 4 s at sf0.1 vs <1 s widened)
+    val payloads = graft.operators.Par.widen(
+      shaped.select(col("doc_id"), col("w"), col("h")))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
         // per-partition codec context (see Multimodal.decode scaladoc)
