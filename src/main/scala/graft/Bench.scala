@@ -90,7 +90,11 @@ object Bench {
       name -> secs.min
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val cpuSec = processCpuSec() - cpu0
+    val cpuNow = processCpuSec()
+    // -1 sentinel must survive: without it, an unavailable MXBean would
+    // report cpu 0.0 / ratio 0.0 — indistinguishable from "maximally
+    // contaminated" under the documented reading of this telemetry
+    val cpuSec = if (cpu0 < 0 || cpuNow < 0) -1.0 else cpuNow - cpu0
     val loadAfter = loadavg()
     // cpu_wall_ratio: this JVM's CPU seconds per wall second over the
     // battery. On a quiet 32-core box heavy queries push it well above

@@ -363,8 +363,11 @@ object QueriesExtra {
   // layout — the join itself runs with zero Exchange on either side
   // (plan-asserted in BucketedJoinSpec; this entry oracle-checks the
   // RESULT, which bucketing must not change). Table names carry a dir
-  // hash so concurrent sessions on different scale factors can't clash
-  // in a shared warehouse.
+  // hash so sessions on DIFFERENT scale factors can't clash in a
+  // shared warehouse; two concurrent sessions on the SAME sf dir would
+  // still race on the table (the driver's verify/bench flows run
+  // sequentially — a shared multi-writer warehouse needs a lakehouse
+  // format with transactional commit, see README connector seams).
   // -------------------------------------------------------------------
   def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val sfx = (dir.hashCode & 0x7fffffff).toString

@@ -158,22 +158,8 @@ object QueriesVector {
       .orderBy("id_a", "id_b")
   }
 
-  /** Plane component (p, j) exactly as `hyperplaneSignature` builds it:
-    * Catalyst constant-folds `xxhash64(lit(p*131071+j))` at plan time,
-    * and this evaluates the identical expression eagerly (same seed 42,
-    * same long input) — then replays the identical double arithmetic
-    * (h/1000.0 then -0.5, two IEEE roundings in that order).
-    */
-  private def planeComp(p: Int, j: Int): Double = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val h = new XxHash64(Seq(Literal(p.toLong * 131071L + j)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
-    val m = (h % 1000L + 1000L) % 1000L
-    m.toDouble / 1000.0 - 0.5
-  }
-
   val simLshPairsSql: String = {
+    import graft.functions.HyperplaneSigExpr.planeComponent
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     // bit p of the signature: sign of the plane-p dot product. Plane
@@ -183,7 +169,7 @@ object QueriesVector {
     // DuckDB's list_sum reproduces (proven bit-exact by the
     // sim_cosine_pairs dot products).
     def bit(p: Int): String = {
-      val consts = (0 until 64).map(j => planeComp(p, j).toString).mkString(", ")
+      val consts = (0 until 64).map(j => planeComponent(p, j).toString).mkString(", ")
       s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> ([$consts][j]) * CAST(vec[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END) AS b$p"
     }
     val bits = (0 until 16).map(bit).mkString(",\n ")

@@ -29,9 +29,12 @@ import org.apache.spark.sql.types._
   * constants in the `sim_lsh_pairs` DuckDB oracle. Property-tested
   * bit-for-bit against the HOF version in `SimilaritySpec`.
   *
-  * Input contract: array<float|double> with at least `dim` elements —
-  * fails loud on shorter vectors (a truncated embedding is corrupt
-  * data, not a case to hash quietly).
+  * Input contract: array<float|double> with at least `dim` non-null
+  * elements — fails loud on shorter vectors AND on null elements (a
+  * truncated or hole-y embedding is corrupt data, not a case to hash
+  * quietly; this is the one deliberate divergence from the HOF
+  * reference, which silently nulls the dot products and emits
+  * signature 0 for such rows).
   */
 case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int)
     extends UnaryExpression {
@@ -62,9 +65,7 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int)
     while (p < bits) {
       var j = 0
       while (j < dim) {
-        val h = XXH64.hashLong(p.toLong * 131071L + j, 42L)
-        val m = (h % 1000L + 1000L) % 1000L
-        arr(p * dim + j) = m.toDouble / 1000.0 - 0.5
+        arr(p * dim + j) = HyperplaneSigExpr.planeComponent(p, j)
         j += 1
       }
       p += 1
@@ -77,16 +78,25 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int)
     require(v.numElements() >= dim,
       s"graft_hyperplane_sig: vector has ${v.numElements()} elements, needs $dim")
     val isFloat = elemType.get == FloatType
-    var sig = 0L
+    // null ELEMENTS also fail loud (same corrupt-data stance as short
+    // vectors) — ArrayData getters would silently read a null slot as
+    // 0.0 and hash the vector into a wrong bucket
     var p = 0
+    var sig = 0L
+    var j = 0
+    while (j < dim) {
+      require(!v.isNullAt(j),
+        s"graft_hyperplane_sig: null element at index $j")
+      j += 1
+    }
     while (p < bits) {
       var d = 0.0
       val off = p * dim
-      var j = 0
-      while (j < dim) {
-        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
-        d += planes(off + j) * x
-        j += 1
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        d += planes(off + i) * x
+        i += 1
       }
       if (d >= 0) sig |= 1L << p
       p += 1
@@ -108,6 +118,12 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int)
          |  throw new IllegalArgumentException(
          |    "graft_hyperplane_sig: vector has " + $v.numElements() +
          |    " elements, needs $dim");
+         |}
+         |for (int $j = 0; $j < $dim; $j++) {
+         |  if ($v.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_hyperplane_sig: null element at index " + $j);
+         |  }
          |}
          |long $sig = 0L;
          |for (int $p = 0; $p < $bits; $p++) {
@@ -131,4 +147,17 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int)
 object HyperplaneSigExpr {
   def signature(vec: Column, dim: Int, bits: Int): Column =
     Bridge.column(HyperplaneSigExpr(Bridge.expression(vec), dim, bits))
+
+  /** The canonical plane-component derivation — the single home of the
+    * constant formula, used by the expression's plane matrix and the
+    * embedded constants in the `sim_lsh_pairs` DuckDB oracle; the HOF
+    * reference derives the identical values independently through
+    * Catalyst's constant-folded `xxhash64` (same XXH64.hashLong, seed
+    * 42), which the bit-equivalence spec pins.
+    */
+  def planeComponent(p: Int, j: Int): Double = {
+    val h = XXH64.hashLong(p.toLong * 131071L + j, 42L)
+    val m = (h % 1000L + 1000L) % 1000L
+    m.toDouble / 1000.0 - 0.5
+  }
 }

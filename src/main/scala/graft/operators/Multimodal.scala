@@ -76,7 +76,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        s += img.getRGB(x, y) & 0xff
+        s += (img.getRGB(x, y) >> 16) & 0xff // red channel
         x += 1
       }
       y += 1

@@ -76,19 +76,27 @@ final class DagRunner(
     if (runs.nonEmpty) {
       val df = runs.toDF().coalesce(1)
       df.write.mode("append").parquet(auditPath)
-      auditSinks.foreach(_.write(df))
+      // secondary stores are best-effort: a flaky monitoring DB must not
+      // turn a successful batch into a failure (the parquet log above is
+      // the source of truth, and it is already written) — but it fails
+      // LOUD in the logs rather than silently dropping records
+      auditSinks.foreach { s =>
+        try s.write(df)
+        catch {
+          case e: Exception => System.err.println(
+            s"[DagRunner] audit sink $s failed (parquet log intact): " +
+              JobRun.sanitize(String.valueOf(e.getMessage)))
+        }
+      }
     }
   }
 }
 
 object DagRunner {
-  def apply(spark: SparkSession, batchId: String, auditPath: String): DagRunner =
-    new DagRunner(spark, batchId, auditPath)
-
   def apply(
       spark: SparkSession,
       batchId: String,
       auditPath: String,
-      auditSinks: Seq[graft.sinks.Sink]): DagRunner =
+      auditSinks: Seq[graft.sinks.Sink] = Nil): DagRunner =
     new DagRunner(spark, batchId, auditPath, auditSinks)
 }

@@ -31,12 +31,15 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
-  test("decodeImage reads a foreign (non-generator) image too") {
-    // a 3×2 all-white RGB PNG built directly, bypassing encodePng — the
-    // decoder must not depend on the generator's pixel formula
+  test("decodeImage reads a foreign (non-generator) image too, and " +
+      "measures the documented channel") {
+    // a 3×2 PURE-RED RGB PNG built directly, bypassing encodePng — the
+    // decoder must not depend on the generator's pixel formula, and a
+    // non-gray color pins WHICH channel is summed (red: 255 per pixel;
+    // summing blue or green would read 0)
     val img = new java.awt.image.BufferedImage(
       3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, 0xffffff)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, 0xff0000)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     val m = Multimodal.decodeImage(99L, bos.toByteArray)
