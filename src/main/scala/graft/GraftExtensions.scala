@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.FingerprintExpr
+import graft.functions.{DotProductExpr, FingerprintExpr, HyperplaneSigExpr}
 
 /** SparkSessionExtensions entry point — the idiomatic way a library
   * ships custom Catalyst pieces: users opt in with
@@ -13,11 +14,21 @@ import graft.functions.FingerprintExpr
   * functions resolve in plain SQL on any session, including ones the
   * library never touches directly (thriftserver, notebooks).
   *
-  * Currently injects `graft_fingerprint` (the codegen'd rolling-hash
-  * Expression). Custom Rules/Strategies are deliberately absent — every
-  * operator here plans well with stock Catalyst (SURVEY §4 conclusion).
+  * Injects the engine's codegen'd Expressions: `graft_fingerprint`
+  * (rolling-hash doc fingerprint), `graft_dot` (vector dot product),
+  * `graft_hyperplane_sig(vec, dim, bits)` (hyperplane-LSH signature;
+  * dim/bits must be integer literals — they shape the generated code).
+  * Custom Rules/Strategies are deliberately absent — every operator
+  * here plans well with stock Catalyst (SURVEY §4 conclusion).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"graft_hyperplane_sig: $what must be an INTEGER literal, got $e")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
@@ -25,6 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_fingerprint takes one argument")
         FingerprintExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes two arguments")
+        DotProductExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSigExpr].getName,
+        "graft_hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_hyperplane_sig takes (vec, dim, bits)")
+        HyperplaneSigExpr(children.head,
+          intLit(children(1), "dim"), intLit(children(2), "bits"))
       }))
   }
 }

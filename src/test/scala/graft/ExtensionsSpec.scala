@@ -23,6 +23,26 @@ class ExtensionsSpec extends SparkSpec {
       val got = s2.sql("SELECT graft_fingerprint('hello world') AS fp")
         .head().getLong(0)
       assert(got == FingerprintExpr.hash("hello world"))
+      // vector functions resolve in plain SQL too
+      val dot = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(dot == 11.0)
+      val sig = s2.sql(
+        "SELECT graft_hyperplane_sig(array(1.0D, -2.0D), 2, 4) AS s")
+        .head().getLong(0)
+      // independently: bit p set iff c(p,0)·1 + c(p,1)·(-2) ≥ 0
+      val expect = (0 until 4).map { p =>
+        val d = graft.functions.HyperplaneSigExpr.planeComponent(p, 0) * 1.0 +
+          graft.functions.HyperplaneSigExpr.planeComponent(p, 1) * -2.0
+        if (d >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+      assert(sig == expect)
+      // non-literal dim fails loud (it shapes the generated code)
+      val e = intercept[Exception] {
+        s2.sql("SELECT graft_hyperplane_sig(array(1.0D), 1 + 1, 4)").collect()
+      }
+      assert(e.getMessage.contains("INTEGER literal"))
     } finally {
       // keep the shared context alive for other suites; restore session
       SparkSession.setActiveSession(prev)
