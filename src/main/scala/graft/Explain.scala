@@ -3,7 +3,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("explain")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("j1_fact_enrich", "a2_thin_layer_agg", "dedup_exact", "asof_join")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("j1_fact_enrich", "a2_thin_layer_agg", "dedup_exact", "asof_join")
+    for (name <- names) {
       println(s"========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.treeString.take(4000))
     }

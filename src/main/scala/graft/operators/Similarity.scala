@@ -122,8 +122,16 @@ object Similarity {
       .where(col("__r") <= nProbe)
       .select(col("qid"), col("qvec"), col("cid").as("cell"))
 
+    // null-safe key on purpose, NOT for nulls (cells are never null):
+    // with plain `=`, constraint inference propagates any predicate on
+    // the probes' centroid ids (e.g. a deterministic `cid < 16` slice)
+    // through the join equality onto `c.cell` — and since `cell` is a
+    // projected argmax EXPRESSION, the inferred filter re-derives the
+    // whole nearest-centroid scan per row (observed: 3× the argmax work
+    // in the corpus scan stage). `<=>` joins identically here but
+    // yields no equality constraint to propagate.
     val scored = cells.as("c")
-      .join(broadcast(probes.as("p")), col("c.cell") === col("p.cell"))
+      .join(broadcast(probes.as("p")), col("c.cell") <=> col("p.cell"))
       .where(if (excludeSelf) !(col("p.qid") <=> col("c.id")) else lit(true))
       .select(col("p.qid").as("qid"), col("c.id").as("id"),
         round(cosine(col("p.qvec"), col("c.vec")), 6).as("cosine"))
