@@ -244,7 +244,89 @@ object QueriesText {
       |WHERE comp.component IS NULL OR comp.component = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Deterministic train/val split — hash-based bucketing on the doc
+  // FINGERPRINT (content-addressed: re-runs and re-shuffles cannot move
+  // a document between splits, and byte-identical dups land in the same
+  // split). Pure map-side expression + one agg shuffle; the fingerprint
+  // is the codegen'd rolling-hash Expression, replayed relationally by
+  // the oracle.
+  // -------------------------------------------------------------------
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    docs.select(
+      col("doc_id"),
+      FingerprintExpr.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("split",
+        when(col("fp") % 100 < 90, lit("train")).otherwise(lit("val")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+
+  val datasetSplitSql: String = {
+    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len(str_split_regex($rt, '\\s+')) END"
+    val fp = """list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |   (acc, cp) -> (acc * 31 + cp) % 2147483647)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, $fp AS fp, CAST($nTok AS BIGINT) AS toks
+       | FROM documents)
+       |SELECT CASE WHEN fp % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+       | count(*) AS n_docs,
+       | CAST(sum(toks) AS BIGINT) AS n_tokens,
+       | min(doc_id) AS min_doc,
+       | max(doc_id) AS max_doc
+       |FROM t GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Greedy sequence packing into ~2000-token shards over the global
+  // doc_id order — the scalable two-phase prefix sum (Pack.packGreedy):
+  // within-bucket window cumsums in parallel + a tiny bucket-offset
+  // table broadcast back, never a corpus-wide single-partition window.
+  // The oracle replays the semantics with DuckDB's global window — same
+  // values, which is exactly the point: the decomposition must be
+  // invisible in the result.
+  // -------------------------------------------------------------------
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    val t = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    graft.operators.Pack
+      .packGreedy(t, "doc_id", "toks", shardWeight = 2000L, bucketSize = 100L)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard")
+  }
+
+  val packShardsSql: String = {
+    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len(str_split_regex($rt, '\\s+')) END"
+    s"""WITH t AS (SELECT doc_id, CAST($nTok AS BIGINT) AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |  sum(toks) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       | FROM t),
+       |s AS (SELECT doc_id, toks,
+       |  CAST(CAST(cum - toks AS BIGINT) // 2000 AS BIGINT) AS shard FROM c)
+       |SELECT shard, count(*) AS n_docs,
+       | CAST(sum(toks) AS BIGINT) AS n_tokens,
+       | min(doc_id) AS first_doc,
+       | max(doc_id) AS last_doc
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_split" -> (datasetSplit _),
+    "pack_shards" -> (packShards _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -253,6 +335,8 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "dataset_split" -> datasetSplitSql,
+    "pack_shards" -> packShardsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
