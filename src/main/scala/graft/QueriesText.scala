@@ -245,6 +245,96 @@ object QueriesText {
       |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // End-to-end corpus CURATION — the composed training-data pipeline:
+  // language filter (lang-id argmax) → quality gate (micro-unit
+  // threshold, engine-exact doubles) → MinHash-LSH near-dup pairs over
+  // the SURVIVORS → connected components → one canonical doc per
+  // cluster. Each stage is individually oracle-proven (lang_id,
+  // text_quality, dedup_minhash_lsh, dedup_canonical); this row proves
+  // the composition. Filters run before the pair stage on purpose —
+  // at 100 TB, curation order is the cost model (shingle+hash only
+  // what survived the cheap map-side gates).
+  // -------------------------------------------------------------------
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    val kept = docs.select(col("doc_id"), col("text"))
+      .where(TextFunctions.langId(col("text")) === "en" &&
+        floor(TextFunctions.qualityScore(col("text")) * 1e6).cast("long")
+          >= 700000L)
+    val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b")
+    graft.operators.ConnectedComponents.canonicalize(kept, pairs, "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val curateCorpusSql: String = {
+    // lang CASE — same construction as langIdSql
+    def score(lang: String): String =
+      TextFunctions.langMarkers(lang)
+        .map(w =>
+          s"len(list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t = '$w'))")
+        .mkString(" + ")
+    val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+    val scores = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val pick = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    // quality micro-units — same construction as textQualitySql
+    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val toks = s"str_split_regex($rt, '\\s+')"
+    val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
+    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len($toks) END"
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
+      .mkString(" + ")
+    val punct =
+      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END"
+    val mwl =
+      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / $nTok END"
+    val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE ($stops) * 1.0 / $nTok END"
+    val quality =
+      s"""least(length(text) / 200.0, 1.0) * 0.3
+         | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
+         | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+    s"""WITH RECURSIVE kept AS (
+       | SELECT doc_id, text FROM (
+       |   SELECT doc_id, text, $pick AS lang,
+       |     CAST(floor(round($quality, 6) * 1e6) AS BIGINT) AS qu
+       |   FROM (SELECT doc_id, text, $scores FROM documents))
+       | WHERE lang = 'en' AND qu >= 700000),
+       |sh AS (
+       | SELECT doc_id, unnest(list_distinct(
+       |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+       |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+       | FROM kept),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (
+       | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+       | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       | GROUP BY 1, 2),
+       |pairs AS (
+       | SELECT id_a, id_b FROM common
+       | JOIN sz sa ON sa.doc_id = id_a
+       | JOIN sz sb ON sb.doc_id = id_b
+       | WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, label) AS (
+       | SELECT id, id FROM nodes
+       | UNION
+       | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)
+       |SELECT d.doc_id FROM kept d
+       |LEFT JOIN comp ON d.doc_id = comp.id
+       |WHERE comp.component IS NULL OR comp.component = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Deterministic train/val split — hash-based bucketing on the doc
   // FINGERPRINT (content-addressed: re-runs and re-shuffles cannot move
   // a document between splits, and byte-identical dups land in the same
@@ -325,6 +415,7 @@ object QueriesText {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus" -> (curateCorpus _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
     "text_quality" -> (textQuality _),
@@ -335,6 +426,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "curate_corpus" -> curateCorpusSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,
     "text_quality" -> textQualitySql,
