@@ -20,6 +20,79 @@ import graft.operators.Dedup
   */
 object QueriesText {
 
+  /** Shared DuckDB-oracle SQL fragments — the single home for formulas
+    * that appear in several oracles (token count, quality score,
+    * lang-id argmax, the rolling-hash fingerprint, the shingle→pairs→
+    * connected-components CTE chain). An edit here changes every
+    * dependent oracle together instead of desynchronizing one embedded
+    * copy.
+    */
+  private object Frag {
+    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+    val toks = s"str_split_regex($rt, '\\s+')"
+    val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
+    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len($toks) END"
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+      .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
+      .mkString(" + ")
+    val punct =
+      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END"
+    val mwl =
+      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / $nTok END"
+    val stopRatio =
+      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE ($stops) * 1.0 / $nTok END"
+    val quality =
+      s"""least(length(text) / 200.0, 1.0) * 0.3
+         | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
+         | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+    val fp =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |   (acc, cp) -> (acc * 31 + cp) % 2147483647)""".stripMargin
+    def langScore(lang: String): String =
+      TextFunctions.langMarkers(lang)
+        .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
+        .mkString(" + ")
+    val langs: Seq[String] = TextFunctions.langMarkers.keys.toSeq.sorted
+    val langScores: String =
+      langs.map(l => s"(${langScore(l)}) AS s_$l").mkString(", ")
+    val langMax: String = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val langPick: String = langs
+      .map(l => s"WHEN s_$l = $langMax THEN '$l'")
+      .mkString("CASE ", " ", " END")
+
+    /** shingles → sizes → common counts → J ≥ 0.9 pairs → symmetric
+      * edges → recursive reachability → min-label components, over
+      * source CTE/table `src` (8-char shingles). Ends with the `comp`
+      * CTE; append a final SELECT against `src`.
+      */
+    def canonicalCtes(src: String): String =
+      s"""sh AS (
+         | SELECT doc_id, unnest(list_distinct(
+         |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+         |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+         | FROM $src),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+         | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT id_a, id_b FROM common
+         | JOIN sz sa ON sa.doc_id = id_a
+         | JOIN sz sb ON sb.doc_id = id_b
+         | WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, label) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Token counting, quality scoring, fingerprinting — all map-side
   // Column expressions inside the parquet scan stage.
@@ -44,39 +117,19 @@ object QueriesText {
     * `\\p{Punct}` == POSIX [[:punct:]] on ASCII text. Ratios flow
     * through floor(x*1e6) so engine-identical doubles compare exactly.
     */
-  val textQualitySql: String = {
-    // regex trim (NOT duckdb trim(), which strips spaces only) —
-    // mirrors TextFunctions.tokenCount exactly
-    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
-    val toks = s"str_split_regex($rt, '\\s+')"
-    val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
-    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len($toks) END"
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-      .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
-      .mkString(" + ")
-    val punct =
-      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END"
-    val mwl =
-      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / $nTok END"
-    val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE ($stops) * 1.0 / $nTok END"
-    val quality =
-      s"""least(length(text) / 200.0, 1.0) * 0.3
-         | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
-         | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-         | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+  val textQualitySql: String =
+    // Frag.rt is a regex trim (NOT duckdb trim(), which strips spaces
+    // only) — mirrors TextFunctions.tokenCount exactly
     s"""SELECT doc_id,
-       | $nTok AS n_tokens,
+       | ${Frag.nTok} AS n_tokens,
        | len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
        | length(text) AS n_chars_m,
-       | CAST(floor(($punct) * 1e6) AS BIGINT) AS punct_u,
-       | CAST(floor(($stopRatio) * 1e6) AS BIGINT) AS stop_u,
-       | CAST(floor(($mwl) * 1e6) AS BIGINT) AS mwl_u,
-       | CAST(floor(round($quality, 6) * 1e6) AS BIGINT) AS quality_u,
-       | list_reduce(list_prepend(CAST(7 AS BIGINT),
-       |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-       |   (acc, cp) -> (acc * 31 + cp) % 2147483647) AS fp
+       | CAST(floor((${Frag.punct}) * 1e6) AS BIGINT) AS punct_u,
+       | CAST(floor((${Frag.stopRatio}) * 1e6) AS BIGINT) AS stop_u,
+       | CAST(floor((${Frag.mwl}) * 1e6) AS BIGINT) AS mwl_u,
+       | CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS quality_u,
+       | ${Frag.fp} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // Language-ID by stopword evidence (argmax over marker scores, ties →
@@ -87,22 +140,10 @@ object QueriesText {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  val langIdSql: String = {
-    def score(lang: String): String =
-      TextFunctions.langMarkers(lang)
-        .map(w =>
-          s"len(list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t = '$w'))")
-        .mkString(" + ")
-    val langs = TextFunctions.langMarkers.keys.toSeq.sorted // de, en, es, fr
-    val scores = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
-    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-    val pick = langs
-      .map(l => s"WHEN s_$l = $m THEN '$l'")
-      .mkString("CASE ", " ", " END")
-    s"""SELECT doc_id, $pick AS lang_pred
-       |FROM (SELECT doc_id, $scores FROM documents)
+  val langIdSql: String = // langs sorted: de, en, es, fr
+    s"""SELECT doc_id, ${Frag.langPick} AS lang_pred
+       |FROM (SELECT doc_id, ${Frag.langScores} FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // Exact n-gram Jaccard near-dup pairs (shingle-inverted-index join;
@@ -216,33 +257,11 @@ object QueriesText {
   }
 
   val dedupCanonicalSql: String =
-    """WITH RECURSIVE sh AS (
-      | SELECT doc_id, unnest(list_distinct(
-      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
-      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
-      | FROM documents),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |common AS (
-      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
-      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      | GROUP BY 1, 2),
-      |pairs AS (
-      | SELECT id_a, id_b FROM common
-      | JOIN sz sa ON sa.doc_id = id_a
-      | JOIN sz sb ON sb.doc_id = id_b
-      | WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |reach(id, label) AS (
-      | SELECT id, id FROM nodes
-      | UNION
-      | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-      |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)
-      |SELECT d.doc_id FROM documents d
-      |LEFT JOIN comp ON d.doc_id = comp.id
-      |WHERE comp.component IS NULL OR comp.component = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+    s"""WITH RECURSIVE ${Frag.canonicalCtes("documents")}
+       |SELECT d.doc_id FROM documents d
+       |LEFT JOIN comp ON d.doc_id = comp.id
+       |WHERE comp.component IS NULL OR comp.component = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // End-to-end corpus CURATION — the composed training-data pipeline:
@@ -257,10 +276,14 @@ object QueriesText {
   // -------------------------------------------------------------------
   def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
-    val kept = docs.select(col("doc_id"), col("text"))
+    // pinned: the survivor set feeds the minhash signature branch, the
+    // Jaccard-verify branch AND the canonicalize scan — unpinned, the
+    // lang-id + quality gates (dozens of regex splits per row) re-run
+    // per consumer (measured: 33 s → 7 s at sf0.1)
+    val kept = graft.operators.Par.pin(docs.select(col("doc_id"), col("text"))
       .where(TextFunctions.langId(col("text")) === "en" &&
         floor(TextFunctions.qualityScore(col("text")) * 1e6).cast("long")
-          >= 700000L)
+          >= 700000L))
     val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
       shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
       .select("id_a", "id_b")
@@ -269,70 +292,18 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
-  val curateCorpusSql: String = {
-    // lang CASE — same construction as langIdSql
-    def score(lang: String): String =
-      TextFunctions.langMarkers(lang)
-        .map(w =>
-          s"len(list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t = '$w'))")
-        .mkString(" + ")
-    val langs = TextFunctions.langMarkers.keys.toSeq.sorted
-    val scores = langs.map(l => s"(${score(l)}) AS s_$l").mkString(", ")
-    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-    val pick = langs.map(l => s"WHEN s_$l = $m THEN '$l'")
-      .mkString("CASE ", " ", " END")
-    // quality micro-units — same construction as textQualitySql
-    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
-    val toks = s"str_split_regex($rt, '\\s+')"
-    val lowToks = "str_split_regex(trim(lower(text)), '\\s+')"
-    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len($toks) END"
-    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
-      .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
-      .mkString(" + ")
-    val punct =
-      s"CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END"
-    val mwl =
-      s"CASE WHEN $nTok = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / $nTok END"
-    val stopRatio = s"CASE WHEN $nTok = 0 THEN 0.0 ELSE ($stops) * 1.0 / $nTok END"
-    val quality =
-      s"""least(length(text) / 200.0, 1.0) * 0.3
-         | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
-         | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-         | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+  val curateCorpusSql: String =
     s"""WITH RECURSIVE kept AS (
        | SELECT doc_id, text FROM (
-       |   SELECT doc_id, text, $pick AS lang,
-       |     CAST(floor(round($quality, 6) * 1e6) AS BIGINT) AS qu
-       |   FROM (SELECT doc_id, text, $scores FROM documents))
+       |   SELECT doc_id, text, ${Frag.langPick} AS lang,
+       |     CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS qu
+       |   FROM (SELECT doc_id, text, ${Frag.langScores} FROM documents))
        | WHERE lang = 'en' AND qu >= 700000),
-       |sh AS (
-       | SELECT doc_id, unnest(list_distinct(
-       |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
-       |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
-       | FROM kept),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |common AS (
-       | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
-       | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-       | GROUP BY 1, 2),
-       |pairs AS (
-       | SELECT id_a, id_b FROM common
-       | JOIN sz sa ON sa.doc_id = id_a
-       | JOIN sz sb ON sb.doc_id = id_b
-       | WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION SELECT id_b, id_a FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS id FROM edges),
-       |reach(id, label) AS (
-       | SELECT id, id FROM nodes
-       | UNION
-       | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
-       |comp AS (SELECT id, min(label) AS component FROM reach GROUP BY 1)
+       |${Frag.canonicalCtes("kept")}
        |SELECT d.doc_id FROM kept d
        |LEFT JOIN comp ON d.doc_id = comp.id
        |WHERE comp.component IS NULL OR comp.component = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // Deterministic train/val split — hash-based bucketing on the doc
@@ -359,12 +330,8 @@ object QueriesText {
   }
 
   val datasetSplitSql: String = {
-    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
-    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len(str_split_regex($rt, '\\s+')) END"
-    val fp = """list_reduce(list_prepend(CAST(7 AS BIGINT),
-      |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
-      |   (acc, cp) -> (acc * 31 + cp) % 2147483647)""".stripMargin
-    s"""WITH t AS (SELECT doc_id, $fp AS fp, CAST($nTok AS BIGINT) AS toks
+    s"""WITH t AS (SELECT doc_id, ${Frag.fp} AS fp,
+       |  CAST(${Frag.nTok} AS BIGINT) AS toks
        | FROM documents)
        |SELECT CASE WHEN fp % 100 < 90 THEN 'train' ELSE 'val' END AS split,
        | count(*) AS n_docs,
@@ -398,9 +365,8 @@ object QueriesText {
   }
 
   val packShardsSql: String = {
-    val rt = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
-    val nTok = s"CASE WHEN $rt = '' THEN 0 ELSE len(str_split_regex($rt, '\\s+')) END"
-    s"""WITH t AS (SELECT doc_id, CAST($nTok AS BIGINT) AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, CAST(${Frag.nTok} AS BIGINT) AS toks
+       | FROM documents),
        |c AS (SELECT doc_id, toks,
        |  sum(toks) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

@@ -71,11 +71,5 @@ object Pack {
       .drop("__bucket", "__local_cum", "__ob", "__offset")
   }
 
-  /** Integer-exact floor division for non-negative divisors (same
-    * rationale as RangeJoin's cells: `div` truncates toward zero).
-    */
-  private def floorDiv(c: Column, d: Long): Column = {
-    val q = call_function("div", c, lit(d))
-    when(c % lit(d) < 0, q - 1).otherwise(q)
-  }
+  private def floorDiv(c: Column, d: Long): Column = IntMath.floorDiv(c, d)
 }

@@ -159,12 +159,7 @@ object RangeJoin {
   private def floorDiv(colName: String, w: Long) =
     floorDivCol(col(colName), w)
 
-  /** Integer-exact for the full long range: `div` truncates toward
-    * zero, the negative-remainder adjustment restores floor semantics
-    * (double-based `floor(c / w)` would misround once |c| > 2^53).
-    */
-  private def floorDivCol(c: org.apache.spark.sql.Column, w: Long) = {
-    val q = call_function("div", c, lit(w))
-    when(c % lit(w) < 0, q - 1).otherwise(q)
-  }
+  /** Integer-exact for the full long range — see [[IntMath.floorDiv]]. */
+  private def floorDivCol(c: org.apache.spark.sql.Column, w: Long) =
+    IntMath.floorDiv(c, w)
 }

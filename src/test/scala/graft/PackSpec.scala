@@ -40,5 +40,15 @@ class PackSpec extends SparkSpec {
         assert(rows1.map(_._1).max < rows2.map(_._1).min)
       case _ => ()
     }
+    // greedy fill: every non-final shard's cumulative weight crosses its
+    // weight boundary (an exclusive-vs-inclusive prefix regression would
+    // shift every boundary and under-fill shards while keeping the
+    // shard formula self-consistent)
+    val lastShard = byShard.last._1
+    byShard.filter(_._1 != lastShard).foreach { case (s, rows) =>
+      val endCum = rows.map(_._2).max // inclusive cum of the shard's last doc
+      assert(endCum >= (s + 1) * 20L,
+        s"shard $s under-filled: reaches only $endCum of ${(s + 1) * 20L}")
+    }
   }
 }
