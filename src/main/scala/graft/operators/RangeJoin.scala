@@ -151,6 +151,38 @@ object RangeJoin {
       .drop("__chunk")
   }
 
+  /** The complementary long-tail strategy to [[splitIntervals]]: route
+    * intervals spanning more than `maxSpanCells` grid cells — assumed
+    * RARE (a handful of galaxy-sized intervals in a corpus of normal
+    * ones) — to a broadcast nested-loop join where they never explode
+    * at all, and grid-join only the short ones. The two interval sets
+    * are disjoint, so the union is exactly-once with no dedup pass.
+    *
+    * Pick this over [[splitIntervals]] when the tail is few-but-huge
+    * (total cell rows matter: a 10^9-cell interval is 10^9 rows even
+    * split); pick splitIntervals when long intervals are too many to
+    * broadcast. Both bound per-task memory.
+    */
+  def pointInIntervalSkewSafe(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long,
+      maxSpanCells: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxSpanCells > 0, "maxSpanCells must be positive")
+    val span = floorDivCol(col(endCol), bucketWidth) -
+      floorDivCol(col(startCol), bucketWidth) + 1
+    val gridded = pointInInterval(points, pointCol,
+      intervals.where(span <= maxSpanCells), startCol, endCol, bucketWidth)
+    val broadcasted = points.join(
+      broadcast(intervals.where(span > maxSpanCells)),
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+    gridded.unionByName(broadcasted)
+  }
+
   /** Exact integer floor division (w > 0) — `DIV` truncates toward
     * zero, which would put negative-axis values in the wrong cell, and
     * double `/` + floor can misround at cell boundaries for large

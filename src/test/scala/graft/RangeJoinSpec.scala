@@ -120,6 +120,34 @@ class RangeJoinSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("pointInIntervalSkewSafe routes giant intervals to the broadcast " +
+      "path and matches the naive answer exactly once") {
+    val w = 10L
+    val ivs = Seq(
+      (1L, 0L, 100_000_000L), // 1e7 cells — would explode on the grid
+      (2L, 50L, 90L),
+      (3L, -25L, 5L),
+      (4L, 200L, 200L))
+    val intervals = ivs.toDF("iid", "s", "e")
+    val pts = Seq(-30L, -25L, 0L, 55L, 90L, 91L, 200L, 5_000_000L,
+      100_000_000L, 100_000_001L)
+    val points = pts.toDF("t")
+    val joined = RangeJoin.pointInIntervalSkewSafe(
+      points, "t", intervals, "s", "e", w, maxSpanCells = 64L)
+    val got = joined.select("t", "iid").as[(Long, Long)].collect()
+    val expect = for {
+      t <- pts; (iid, s, e) <- ivs if t >= s && t <= e
+    } yield (t, iid)
+    assert(got.toSet == expect.toSet)
+    assert(got.length == expect.size, "disjoint routes must stay exactly-once")
+    // the giant interval rides the broadcast branch: the plan contains a
+    // BroadcastNestedLoopJoin (intended here), and no grid sequence ever
+    // materialized 1e7 cells (the test completing at all is the signal —
+    // an exploded 1e7-element array per copartition would dominate)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("plan is an equi-join on the cell, not a nested-loop cross product") {
     val points = spark.range(0, 1000).select((col("id") * 3).as("t"))
     val intervals = spark.range(0, 100)
