@@ -306,6 +306,40 @@ object QueriesText {
        |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Vocabulary building: corpus-wide word-bigram counts, top 20 — the
+  // counting primitive under tokenizer training. Bigrams are built
+  // inside the scan stage with array ops (zip_with over shifted
+  // slices — no UDF, no per-token shuffle); the only shuffle is the
+  // count aggregation on the bigram key, top-k via a deterministic
+  // (count desc, ngram asc) order. At 100 TB this is the canonical
+  // map-side-combine shape: partial counts collapse per executor
+  // before the single key shuffle.
+  // -------------------------------------------------------------------
+  def vocabTopNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(explode(bigrams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(20)
+  }
+
+  val vocabTopNgramsSql: String =
+    """WITH ws AS (
+      | SELECT str_split_regex(trim(lower(text)), '\s+') AS a FROM documents),
+      |bg AS (
+      | SELECT unnest(list_transform(range(1, len(a)),
+      |                              i -> a[i] || ' ' || a[i + 1])) AS ngram
+      | FROM ws)
+      |SELECT ngram, count(*) AS n FROM bg
+      |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // Deterministic train/val split — hash-based bucketing on the doc
   // FINGERPRINT (content-addressed: re-runs and re-shuffles cannot move
   // a document between splits, and byte-identical dups land in the same
@@ -384,6 +418,7 @@ object QueriesText {
     "curate_corpus" -> (curateCorpus _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
+    "vocab_top_ngrams" -> (vocabTopNgrams _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -395,6 +430,7 @@ object QueriesText {
     "curate_corpus" -> curateCorpusSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,
+    "vocab_top_ngrams" -> vocabTopNgramsSql,
     "text_quality" -> textQualitySql,
     "lang_id" -> langIdSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
