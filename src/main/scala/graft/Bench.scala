@@ -66,6 +66,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // fail LOUD, not fast: a throwing query must never be timed as a
+      // (suspiciously quick) success — that reads as a speedup in the
+      // round-over-round bench compare. Error ⇒ -1.0 sentinel in
+      // `queries` + the exception in `errors`.
+      var err: Option[String] = None
       def oneRep(): Double = {
         // isolate queries from each other: drop cached/pinned blocks
         // left by the previous query and let the JVM settle, so one
@@ -81,13 +86,24 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            err = Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(300))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val first = oneRep()
-      val reps = forcedReps.getOrElse(if (first > HeavyCutoffSec) 2 else 1).max(1)
-      val secs = first +: (2 to reps).map(_ => oneRep())
-      name -> secs.min
+      val secs =
+        if (err.isDefined) -1.0
+        else {
+          val reps =
+            forcedReps.getOrElse(if (first > HeavyCutoffSec) 2 else 1).max(1)
+          (first +: (2 to reps).map(_ => oneRep())).min
+        }
+      // per-query loadavg: one poisoned entry is attributable to machine
+      // load without re-running the whole battery under a judge
+      (name, secs, loadavg(), err)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val cpuNow = processCpuSec()
@@ -100,10 +116,24 @@ object Bench {
     // battery. On a quiet 32-core box heavy queries push it well above
     // 1; a contaminated run shows it depressed WITH loadavg elevated.
     val ratio = if (wallSec > 0 && cpuSec >= 0) cpuSec / wallSec else -1.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+    val qload = results.map { case (k, _, l, _) => s"\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"\"" + k + "\":" + jstr(e)
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._4.isDefined)
+    // failed queries are EXCLUDED from total (they contribute no honest
+    // seconds); n_failed + errors make the breakage unmissable
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AuditColumns, IncrementalIngest, KeyMapUpsert, Mask, Normalize}
+import graft.operators.{AuditColumns, IncrementalIngest, KeyMapUpsert, Mask, Merge, Normalize}
 
 /** Oracle coverage for the curated-write operator family that round 2
   * left spec-only: column masking (R2), whitespace normalization (R3),
@@ -139,13 +139,59 @@ object QueriesCurated {
       | CAST(count(DISTINCT nat_key) AS BIGINT) AS n_nat_distinct
       |FROM new_keys CROSS JOIN mx GROUP BY m""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SCD-1 MERGE upsert (the reserved-but-unimplemented merge_column
+  // contract — commons/dictionary_check.py:11, commons/utilities.py:194).
+  // Target = customers ≤1000; updates carry TWO versions of an
+  // overlapping slice (v1 renames 501-1500, v2 re-renames 900-1200 and
+  // moves segment) so the oracle exercises all four MERGE regions:
+  // untouched target (1-500), v1-updated (501-899), v2-newest-wins
+  // (900-1200), pure inserts (1201-1500).
+  // -------------------------------------------------------------------
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val v1 = c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), lit(1L).as("ver"))
+    val v2 = c.where(col("c_custkey").between(900, 1200))
+      .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+        lit("UPDATED").as("c_mktsegment"), lit(2L).as("ver"))
+    Merge.upsert(target, v1.unionByName(v2), Seq("c_custkey"),
+      versionCol = Some("ver"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment
+      |             FROM customer WHERE c_custkey <= 1000),
+      |u_all AS (
+      | SELECT c_custkey, upper(c_name) AS c_name, c_mktsegment, 1 AS ver
+      | FROM customer WHERE c_custkey BETWEEN 501 AND 1500
+      | UNION ALL
+      | SELECT c_custkey, c_name || '-v2' AS c_name, 'UPDATED' AS c_mktsegment, 2 AS ver
+      | FROM customer WHERE c_custkey BETWEEN 900 AND 1200),
+      |upd AS (SELECT c_custkey, c_name, c_mktsegment FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY c_custkey
+      |    ORDER BY ver DESC, c_name ASC, c_mktsegment ASC) AS rn
+      |  FROM u_all) WHERE rn = 1)
+      |SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+      | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+      | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
     "incremental_bookmark" -> (incrementalBookmark _),
     "keymap_scalable" -> (keymapScalable _))
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert" -> mergeUpsertSql,
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,
     "incremental_bookmark" -> incrementalBookmarkSql,

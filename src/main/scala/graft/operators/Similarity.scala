@@ -166,6 +166,15 @@ object Similarity {
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * bucketed by hyperplane-LSH signature so only same-bucket vectors
     * pair up (plus multi-probe via `bands` rotations for recall).
+    *
+    * Exactly-once emission: a pair whose signatures agree on k of the
+    * `bands` chunks collides in k buckets. Instead of computing the
+    * cosine k times and collapsing with a distinct shuffle over the
+    * candidate set, each pair is emitted only from the FIRST band where
+    * its chunks agree — both join sides carry the full signature, so
+    * "no earlier band matched" is a pure predicate inside the join (the
+    * same canonical-cell trick as RangeJoin.intervalOverlap). One
+    * cosine per pair, zero post-join Aggregate.
     */
   def cosineNearDupPairs(
       corpus: DataFrame, // (id, vec)
@@ -175,6 +184,8 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
     val perBand = bits / bands
+    def chunk(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftright(sig, b * perBand).bitwiseAND(lit((1L << perBand) - 1))
     // pinned BEFORE the bands explode: the self-join below consumes the
     // frame twice, and pinning here materializes each vector once —
     // pinning after the explode would store every 64-float vector
@@ -183,21 +194,29 @@ object Similarity {
     val signed = Par.pin(Par.widen(corpus).select(col("id"), col("vec"),
       hyperplaneSignature(col("vec"), dim, bits).as("__sig")))
     val banded = signed.select(
-      col("id"), col("vec"),
+      col("id"), col("vec"), col("__sig"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * perBand)
-            .bitwiseAND(lit((1L << perBand) - 1)).as("chunk"))): _*))
+        struct(lit(b).as("band"), chunk(col("__sig"), b).as("chunk"))): _*))
         .as("bb"))
-      .select(col("id"), col("vec"), col("bb.band"), col("bb.chunk"))
+      .select(col("id"), col("vec"), col("__sig"),
+        col("bb.band"), col("bb.chunk"))
+    // true iff some band BELOW the joined one also matches — then this
+    // bucket is not the pair's canonical (first) meeting point and the
+    // row is dropped before any cosine work (single-band LSH has no
+    // earlier band, so the predicate collapses to false)
+    val earlierShared = (0 until bands - 1)
+      .map(j =>
+        (col("a.band") > j) &&
+          (chunk(col("a.__sig"), j) === chunk(col("b.__sig"), j)))
+      .foldLeft(lit(false))(_ || _)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.chunk") === col("b.chunk") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          !earlierShared)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.vec"), col("b.vec")), 6).as("cosine"))
-      .distinct()
       .where(col("cosine") >= threshold)
   }
 }

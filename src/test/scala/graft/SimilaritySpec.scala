@@ -125,12 +125,24 @@ class SimilaritySpec extends SparkSpec {
       .select((col("id") + 1000).as("id"),
         transform(col("vec"), x => x * lit(1.0001f)).cast("array<float>").as("vec"))
     val corpus2 = base.unionByName(clones)
-    val got = Similarity
+    val pairsDf = Similarity
       .cosineNearDupPairs(corpus2, dim = 64, threshold = 0.99, bits = 16, bands = 8)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gotList = pairsDf.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSeq
+    val got = gotList.toSet
     val expected = (0L until 10L).map(i => (i, i + 1000)).toSet
     // banding with 8×2-bit chunks ⇒ scaled clones always collide
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    // exactly-once: a scaled clone shares ALL 8 bands with its base, so
+    // without canonical-band emission each pair would surface 8 times —
+    // one row per pair proves the first-shared-band predicate works
+    assert(gotList.size == got.size,
+      s"band-duplicate pairs emitted: ${gotList.size} rows, ${got.size} pairs")
+    // and the dedup must come from the join predicate, not a distinct
+    // shuffle over the candidate set: no Aggregate anywhere in the plan
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"),
+      s"distinct-style Aggregate back in the LSH pair plan:\n$plan")
   }
 
   test("native dot Expression agrees bit-for-bit with the HOF fold") {
