@@ -414,7 +414,54 @@ object QueriesText {
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // BPE-style vocabulary induction: N rounds of merge-the-top-pair
+  // with recount (operators.Bpe — the iterative extension of
+  // vocab_top_ngrams). The oracle UNROLLS the N rounds as a CTE chain:
+  // both engines express the greedy merge as a literal
+  // replace(' a  b ', ' a b ') over the double-space token encoding,
+  // and replace() substitutes non-overlapping matches left-to-right in
+  // both — so pair counts, tie-breaks AND merge application replay
+  // exactly, round by round.
+  // -------------------------------------------------------------------
+  val BpeRounds = 3
+
+  def vocabBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnMerges(
+      Tables.load(spark, dir, "documents"), "text", nMerges = BpeRounds)
+
+  val vocabBpeMergesSql: String = {
+    def round(i: Int, src: String): String =
+      s"""p$i AS (
+         | SELECT unnest(list_transform(range(1, len(t)),
+         |                              j -> {'a': t[j], 'b': t[j + 1]})) AS p
+         | FROM (SELECT str_split(trim(enc), '  ') AS t FROM $src)),
+         |t$i AS (
+         | SELECT p.a AS a, p.b AS b, count(*) AS n FROM p$i
+         | GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    def merge(i: Int, src: String): String =
+      s"""d${i + 1} AS (
+         | SELECT replace(enc, ' ' || a || '  ' || b || ' ',
+         |                ' ' || a || ' ' || b || ' ') AS enc
+         | FROM $src CROSS JOIN t$i)""".stripMargin
+    val rounds = (1 to BpeRounds).map { i =>
+      round(i, s"d$i") +
+        (if (i < BpeRounds) ",\n" + merge(i, s"d$i") else "")
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS step, a AS pair_a, b AS pair_b, n FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH d1 AS (
+       | SELECT ' ' || regexp_replace(trim(lower(text)), '\\s+', '  ', 'g')
+       |        || ' ' AS enc
+       | FROM documents),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_bpe_merges" -> (vocabBpeMerges _),
     "curate_corpus" -> (curateCorpus _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
@@ -427,6 +474,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "vocab_bpe_merges" -> vocabBpeMergesSql,
     "curate_corpus" -> curateCorpusSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,

@@ -107,6 +107,66 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // k-means-trained IVF centroids (Similarity.kmeansCentroids), FULL
+  // DuckDB replay: init = the deterministic vec_id<8 slice (the same
+  // trick that made sim_ivf_* replayable — hash-sampling isn't portable,
+  // a key slice is), 2 Lloyd iterations, k=8 over the vec_id<1000
+  // corpus. Centroid updates are exact integer micro-unit SUM vectors
+  // (cosine is scale-invariant, so the unnormalized sum assigns like
+  // the mean while summing order-independently) — so the oracle can
+  // replay assignment (argmax cosine, ties→min cid), per-cell sums and
+  // empty-cell retention round by round, and the final centroids
+  // compare EXACTLY, no float-mean tolerance anywhere.
+  // -------------------------------------------------------------------
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val init = corpus.where(col("id") < 8)
+      .select(col("id").as("cid"),
+        transform(col("vec"), x => x.cast("double")).as("cvec"))
+    Similarity.kmeansCentroids(corpus, dim = 64, init, iters = 2)
+      .select(col("cid"), posexplode(col("cvec")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("d"),
+        col("col").as("v"))
+      .orderBy("cid", "d")
+  }
+
+  val kmeansCentroidsSql: String = {
+    def dotVV(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def iter(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         | SELECT id, vec, cid, row_number() OVER (
+         |   PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+         | FROM (SELECT m.id, m.vec, c.cid,
+         |   ${dotVV("m.vec", "c.cv")} /
+         |     (sqrt(${dotVV("m.vec", "m.vec")}) * sqrt(${dotVV("c.cv", "c.cv")})) AS cos
+         |  FROM e m CROSS JOIN $prev c)),
+         |s$i AS (
+         | SELECT cid, d, CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv
+         | FROM (SELECT cid, unnest(vec) AS v, unnest(range(1, 65)) AS d
+         |       FROM a$i WHERE rn = 1)
+         | GROUP BY cid, d),
+         |c$i AS (
+         | SELECT o.cid, coalesce(n.cv, o.cv) AS cv
+         | FROM $prev o LEFT JOIN (
+         |   SELECT cid, list(CAST(sv AS DOUBLE) ORDER BY d) AS cv
+         |   FROM s$i GROUP BY cid) n ON o.cid = n.cid)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |           WHERE vec_id < 1000),
+       |c0 AS (SELECT id AS cid,
+       |        list_transform(range(1, 65), i -> CAST(vec[i] AS DOUBLE)) AS cv
+       |       FROM e WHERE id < 8),
+       |${iter(1)},
+       |${iter(2)}
+       |SELECT cid, unnest(range(1, 65)) AS d, unnest(cv) AS v
+       |FROM c2 ORDER BY cid, d""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Exact embedding-cosine near-dup pairs over a bounded slice (the
   // verification baseline for the LSH-bucketed scale path — see
   // Similarity.cosineNearDupPairs). The slice keeps the quadratic
@@ -337,6 +397,7 @@ object QueriesVector {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
     "sim_lsh_pairs" -> (simLshPairs _),
+    "kmeans_centroids" -> (kmeansCentroids _),
     "embed_canonical" -> (embedCanonical _),
     "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
@@ -348,6 +409,7 @@ object QueriesVector {
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "sim_cosine_pairs" -> simCosinePairsExactSql,
     "sim_lsh_pairs" -> simLshPairsSql,
+    "kmeans_centroids" -> kmeansCentroidsSql,
     "embed_canonical" -> embedCanonicalSql,
     "embed_label_stats" -> embedLabelStatsSql,
     "multimodal_decode" -> multimodalDecodeSql)

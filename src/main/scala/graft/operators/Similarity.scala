@@ -142,6 +142,57 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic k-means (Lloyd's) trainer for IVF centroids —
+    * [[ivfAssign]]'s hash-sampled centroids are a zero-cost index, but a
+    * few Lloyd iterations align cells with the corpus's actual cluster
+    * structure (higher recall at the same nProbe). DataFrame ops only:
+    * per iteration, one corpus scan (argmax assignment against the
+    * broadcast centroid array, via [[ivfAssignTo]]) plus one
+    * partial-aggregated shuffle of k×dim running sums — the canonical
+    * map-side-combine shape, no driver-side collect anywhere.
+    *
+    * Determinism at cluster scale: float summation order varies with
+    * partitioning, so a naive mean-vector update is NOT reproducible
+    * across runs/cluster sizes. Instead each element travels as
+    * `floor(x*1e6)` integer micro-units and the "centroid" is the EXACT
+    * per-cell integer SUM vector — cosine is scale-invariant, so the
+    * unnormalized sum assigns identically to the mean while being
+    * byte-reproducible on any partitioning (and replayable by an
+    * external oracle engine). Empty cells keep their previous centroid.
+    * Ties (equal cosine) assign to the smallest cid, as in
+    * [[ivfAssignTo]].
+    *
+    * @param init (cid, cvec) starting centroids — e.g. the hash-sampled
+    *             [[ivfAssign]] pick, or a deterministic slice when the
+    *             run must be replayable externally
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      init: DataFrame, // (cid, cvec)
+      iters: Int): DataFrame = {
+    def micro(vec: org.apache.spark.sql.Column, d: Int) =
+      floor(element_at(vec, d + 1).cast("double") * lit(1e6)).cast("long")
+    var cents = Par.pinLocal(init.select(col("cid"), col("cvec")))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignTo(corpus, cents)
+      val sumExprs = (0 until dim).map(d =>
+        sum(micro(col("vec"), d)).as(s"__s$d"))
+      val sums = assigned.groupBy(col("cell"))
+        .agg(sumExprs.head, sumExprs.tail: _*)
+      val fresh = sums.select(col("cell").as("cid"),
+        array((0 until dim).map(d => col(s"__s$d").cast("double")): _*)
+          .as("cvec"))
+      // per-round pin: the loop's self-reference doubles the plan per
+      // iteration otherwise (the pointer-jumping CC lesson); k rows
+      cents = Par.pinLocal(cents.as("o")
+        .join(fresh.as("n"), col("o.cid") === col("n.cid"), "left")
+        .select(col("o.cid").as("cid"),
+          coalesce(col("n.cvec"), col("o.cvec")).as("cvec")))
+    }
+    cents
+  }
+
   /** EXACT embedding near-duplicate pairs: every (id_a < id_b) pair
     * with cosine ≥ threshold. Inherently quadratic — this is the
     * verification/recall baseline (and the right tool for a bounded

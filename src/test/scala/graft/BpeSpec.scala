@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def learn(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] =
+    Bpe.learnMerges(texts.toDF("text"), "text", n)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("most frequent pair merges first; recount sees the merged token") {
+    // "the cat" ×3 beats everything; after merging, ("the cat", "sat")
+    // appears twice and wins round 2 — proving the recount runs on the
+    // MERGED corpus, not the original
+    val texts = Seq(
+      "the cat sat",
+      "the cat sat",
+      "the cat ran",
+      "dog ran far")
+    val got = learn(texts, 2)
+    assert(got(0) == ((1, "the", "cat", 3L)))
+    assert(got(1) == ((2, "the cat", "sat", 2L)))
+  }
+
+  test("count ties break lexicographically on (a, b)") {
+    // every adjacent pair occurs exactly once → pure tie; ("a b") is
+    // the lexicographically smallest pair
+    val texts = Seq("c d", "a b", "b c")
+    val got = learn(texts, 1)
+    assert(got == Seq((1, "a", "b", 1L)))
+  }
+
+  test("greedy left-to-right merge: 'a a a' yields one merge, and the " +
+      "merged-pair count matches what replace() can actually apply") {
+    // zip counting sees (a,a) twice in "a a a" but greedy replace merges
+    // only the first occurrence — round 2's recount must then see
+    // ("a a", "a") once, NOT ("a", "a") again at full strength
+    val texts = Seq("a a a")
+    val got = learn(texts, 2)
+    assert(got(0) == ((1, "a", "a", 2L)))
+    assert(got(1) == ((2, "a a", "a", 1L)))
+  }
+
+  test("whitespace normalization: runs of whitespace and case fold away") {
+    val got = learn(Seq("The\t Cat", "the  cat"), 1)
+    assert(got == Seq((1, "the", "cat", 2L)))
+  }
+}

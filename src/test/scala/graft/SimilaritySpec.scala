@@ -145,6 +145,53 @@ class SimilaritySpec extends SparkSpec {
       s"distinct-style Aggregate back in the LSH pair plan:\n$plan")
   }
 
+  test("k-means-trained centroids tie or beat the hash-sampled init on " +
+      "planted clusters, and updates are exact micro-unit integers") {
+    // 8 near-orthogonal anchors (max pairwise cosine ~0.5 on this
+    // data), each with 12 ANGULAR perturbations (per-coordinate nudges
+    // — a pure scaling would leave cosine unchanged and prove nothing)
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val clones = anchors
+      .select(col("id"), col("vec"),
+        explode(array((1 to 12).map(lit): _*)).as("j"))
+      .select((col("id") * 100 + col("j") + 1000).as("id"),
+        transform(col("vec"), (x, i) =>
+          x.cast("double") + lit(0.02) *
+            (((col("j") * 7 + i) % 5).cast("double") - lit(2.0)))
+          .cast("array<float>").as("vec"))
+    val corpus2 = anchors.unionByName(clones)
+
+    val (cellsInit, centsInit) = Similarity.ivfAssign(corpus2, nCells = 8)
+    val trained =
+      Similarity.kmeansCentroids(corpus2, dim = 64, centsInit, iters = 3)
+    val cellsTrained = Similarity.ivfAssignTo(corpus2, trained)
+
+    def recall(cells: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame): Double = {
+      val queries = anchors.select(col("id").as("qid"), col("vec").as("qvec"))
+      val truth = Similarity.bruteForceTopK(corpus2, queries, k = 5)
+        .select("qid", "id")
+      val approx = Similarity.ivfTopK(cells, cents, queries, k = 5, nProbe = 1)
+        .select("qid", "id")
+      approx.join(truth, Seq("qid", "id")).count().toDouble / truth.count()
+    }
+    val rInit = recall(cellsInit, centsInit)
+    val rTrained = recall(cellsTrained, trained)
+    assert(rTrained >= rInit,
+      s"training regressed recall: init=$rInit trained=$rTrained")
+    assert(rTrained >= 0.8, s"trained recall too low: $rTrained")
+
+    // micro-unit exactness: every trained centroid component is an
+    // integral double (the per-cell BIGINT sum) — the property that
+    // makes training order-independent and oracle-replayable
+    val nonIntegral = trained
+      .select(explode(col("cvec")).as("v"))
+      .where(col("v") =!= floor(col("v"))).count()
+    assert(nonIntegral == 0)
+    assert(trained.count() == 8) // empty-cell retention keeps k fixed
+  }
+
   test("native dot Expression agrees bit-for-bit with the HOF fold") {
     val mismatches = emb.as("x").crossJoin(emb.as("y"))
       .where(col("x.vec_id") < 20 && col("y.vec_id") < 20)
