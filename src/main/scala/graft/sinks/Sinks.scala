@@ -46,6 +46,25 @@ final case class ParquetSink(
   }
 }
 
+object ParquetSink {
+  /** Metadata-driven sink: partition columns come from the declared
+    * schema's `isPartitionKey` flags — the wiring for the
+    * `partition_on`/`partition_column` fields the reference reserves in
+    * every table dict but never reads (reference:
+    * commons/dictionary_check.py:11,15). Writes land as
+    * `path/key=value/` directories, so any later scan filtering on a
+    * partition key prunes at the FILE LISTING level (PartitionFilters
+    * in the scan node) — at 100 TB this, not row-group skipping, is
+    * what turns an incremental read from a full-table scan into a
+    * touch of one partition.
+    */
+  def forTable(
+      tdef: graft.meta.TableDef,
+      path: String,
+      mode: String = "overwrite"): ParquetSink =
+    ParquetSink(path, mode = mode, partitionBy = tdef.partitionKeys)
+}
+
 /** Header CSV sink (reference: jobs/raw/source-to-gcs.py:102-110 wrote
   * rows as comma-joined strings by hand; Spark's writer replaces it).
   */

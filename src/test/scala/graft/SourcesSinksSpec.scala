@@ -42,6 +42,48 @@ class SourcesSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || scanned.inputFiles.length == 1)
   }
 
+  test("TableDef partition keys drive the parquet sink layout and prune " +
+      "scans (the reserved partition_on contract, wired)") {
+    import graft.meta.{ColumnDef, TableDef}
+    val tdef = TableDef("dl", "gosales", "customer_part", Seq(
+      ColumnDef("c_custkey", "bigint", isMergeKey = true),
+      ColumnDef("c_name", "varchar(40)"),
+      ColumnDef("c_mktsegment", "varchar(16)", isPartitionKey = true)))
+    val dir = tmp() + "/meta_part"
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(tdef.columnNames.map(col): _*)
+    ParquetSink.forTable(tdef, dir).write(cust)
+
+    // physical layout: one directory per declared partition-key value
+    val segs = cust.select("c_mktsegment").distinct()
+      .as[String].collect().toSet
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("c_mktsegment=")).toSet
+    assert(dirs == segs.map(s => s"c_mktsegment=$s"))
+
+    // a predicate on the partition key prunes at the file-listing level:
+    // the filtered scan touches ONLY that partition's files (strictly
+    // fewer than the full table), and the plan carries it as a
+    // PartitionFilter, not a post-scan row filter
+    val one = segs.head
+    val scan = spark.read.parquet(dir).where(col("c_mktsegment") === one)
+    assert(scan.count() ==
+      cust.where(col("c_mktsegment") === one).count())
+    val pruned = scan.queryExecution.executedPlan
+      .toString.contains(s"PartitionFilters")
+    assert(pruned)
+    val filesTouched = scan.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val allFiles = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesTouched < allFiles,
+      s"no listing-level pruning: touched $filesTouched of $allFiles")
+  }
+
   test("sorted-layout sink clusters rows for row-group skipping") {
     val dir = tmp() + "/s"
     val df = spark.range(10000).toDF("id")
