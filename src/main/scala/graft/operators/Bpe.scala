@@ -76,7 +76,10 @@ object Bpe {
     var corpus = Par.pin(
       Par.widen(docs).select(encode(col(textCol)).as("__enc")))
     val steps = (1 to nMerges).map { step =>
-      val top = topPair(corpus, "__enc")
+      // the 1-row winner is consumed twice (merge broadcast + final
+      // output union) — pin it so the corpus-wide count pass behind it
+      // runs once per round, not once per consumer
+      val top = Par.pinLocal(topPair(corpus, "__enc"))
       if (step < nMerges) {
         // apply the merge: the 1-row winner rides in via broadcast
         // crossJoin; pinLocal (not pin) — round intermediates are
