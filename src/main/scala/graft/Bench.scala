@@ -99,7 +99,10 @@ object Bench {
         else {
           val reps =
             forcedReps.getOrElse(if (first > HeavyCutoffSec) 2 else 1).max(1)
-          (first +: (2 to reps).map(_ => oneRep())).min
+          val all = first +: (2 to reps).map(_ => oneRep())
+          // a LATER rep may have thrown: its elapsed-to-throw time would
+          // win the min() as a phantom speedup — re-check before trusting
+          if (err.isDefined) -1.0 else all.min
         }
       // per-query loadavg: one poisoned entry is attributable to machine
       // load without re-running the whole battery under a judge
@@ -120,14 +123,8 @@ object Bench {
       .mkString("{", ",", "}")
     val qload = results.map { case (k, _, l, _) => s"\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      s"\"" + k + "\":" + jstr(e)
+      s"\"" + k + "\":" + JsonUtil.escape(e)
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._4.isDefined)
     // failed queries are EXCLUDED from total (they contribute no honest

@@ -439,20 +439,24 @@ object QueriesText {
          |t$i AS (
          | SELECT p.a AS a, p.b AS b, count(*) AS n FROM p$i
          | GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+    // merged tokens glue their parts with chr(1) — Bpe.Joiner — so the
+    // pattern's outer single-space boundaries can only match separator
+    // spaces (see Bpe.scala's boundary-collision note)
     def merge(i: Int, src: String): String =
       s"""d${i + 1} AS (
          | SELECT replace(enc, ' ' || a || '  ' || b || ' ',
-         |                ' ' || a || ' ' || b || ' ') AS enc
+         |                ' ' || a || chr(1) || b || ' ') AS enc
          | FROM $src CROSS JOIN t$i)""".stripMargin
     val rounds = (1 to BpeRounds).map { i =>
       round(i, s"d$i") +
         (if (i < BpeRounds) ",\n" + merge(i, s"d$i") else "")
     }.mkString(",\n")
     val out = (1 to BpeRounds)
-      .map(i => s"SELECT $i AS step, a AS pair_a, b AS pair_b, n FROM t$i")
+      .map(i => s"SELECT $i AS step, replace(a, chr(1), ' ') AS pair_a, " +
+        s"replace(b, chr(1), ' ') AS pair_b, n FROM t$i")
       .mkString("\nUNION ALL ")
     s"""WITH d1 AS (
-       | SELECT ' ' || regexp_replace(trim(lower(text)), '\\s+', '  ', 'g')
+       | SELECT ' ' || regexp_replace(trim(lower(text)), '[\\s\\x01]+', '  ', 'g')
        |        || ' ' AS enc
        | FROM documents),
        |$rounds

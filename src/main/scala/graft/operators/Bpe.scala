@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Corpus representation: one STRING per document, tokens joined by a
   * DOUBLE space and padded with one space each side
-  * (`" tok1  tok2  tok3 "`). That encoding makes the greedy merge a
-  * plain literal `replace(" a  b ", " a b ")`:
+  * (`" tok1  tok2  tok3 "`); a MERGED token glues its parts with the
+  * non-space [[Joiner]] control char (`"a\u0001b"`), so tokens NEVER
+  * contain spaces. That encoding makes the greedy merge a plain literal
+  * `replace(" a  b ", " a\u0001b ")`:
   *
   *  - `replace` substitutes non-overlapping occurrences left-to-right
   *    in BOTH Spark and DuckDB — exactly BPE's greedy merge order
@@ -19,9 +21,17 @@ import org.apache.spark.sql.functions._
   *  - each match consumes one of the two separator spaces on either
   *    side, and the replacement restores it, so the double-space
   *    invariant survives every round;
-  *  - a MERGED token keeps a single internal space (`"a b"`), which can
-  *    never be confused with the double-space separator — so later
-  *    rounds can merge merged tokens with zero escaping or re-encoding.
+  *  - the pattern's outer single-space boundaries can only ever match
+  *    separator spaces, because no token contains a space. (A previous
+  *    revision joined merged tokens with a single INTERNAL space; then
+  *    pattern `" cat  sat "` also matched inside `" the cat  sat "`
+  *    starting at "the cat"'s internal space, silently three-way
+  *    merging a pair that never won — the joiner char closes that
+  *    hole, and `BpeSpec` pins the exact scenario.)
+  *
+  * The joiner is stripped from raw input by [[encode]] (folded into
+  * whitespace) so user text can never forge a merged token, and
+  * translated back to a space in the returned merge table.
   *
   * Everything is DataFrame ops: pair counts are a map-side zip over the
   * token array plus one count shuffle; the round's winning pair is a
@@ -36,13 +46,21 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** `" tok1  tok2  ... "` encoding of a raw text column. */
+  /** Internal glue between the parts of a merged token (never a space,
+    * never in normalized input).
+    */
+  val Joiner = "\u0001"
+
+  /** `" tok1  tok2  ... "` encoding of a raw text column. Runs of
+    * whitespace AND any raw [[Joiner]] chars collapse into the
+    * double-space separator.
+    */
   def encode(text: Column): Column =
     concat(lit(" "),
-      regexp_replace(trim(lower(text)), "\\s+", "  "), lit(" "))
+      regexp_replace(trim(lower(text)), "[\\s\\u0001]+", "  "), lit(" "))
 
-  /** Tokens of an encoded doc (inner single spaces belong to merged
-    * tokens; the double space is the separator).
+  /** Tokens of an encoded doc (merged tokens carry [[Joiner]]s; the
+    * double space is the separator).
     */
   private def tokens(s: Column): Column = split(trim(s), "  ")
 
@@ -65,14 +83,27 @@ object Bpe {
       .orderBy(col("n").desc, col("a").asc, col("b").asc)
       .limit(1)
 
+  /** One greedy merge of the 1-row (a, b) winner into the corpus —
+    * exposed for direct testing of the application step.
+    */
+  private[graft] def applyMerge(
+      corpus: DataFrame, encCol: String, top: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(top)).select(
+      replace(col(encCol),
+        concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
+        concat(lit(" "), col("a"), lit(Joiner), col("b"), lit(" ")))
+        .as(encCol))
+
   /** Learn `nMerges` BPE merges. Returns the merge table:
-    * (step 1..n, pair_a, pair_b, n = pair count at merge time) —
-    * the induced vocabulary additions in application order.
+    * (step 1..n, pair_a, pair_b, n = pair count at merge time) with
+    * merged-token parts space-separated — the induced vocabulary
+    * additions in application order.
     */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var corpus = Par.pin(
       Par.widen(docs).select(encode(col(textCol)).as("__enc")))
     val steps = (1 to nMerges).map { step =>
@@ -81,18 +112,13 @@ object Bpe {
       // runs once per round, not once per consumer
       val top = Par.pinLocal(topPair(corpus, "__enc"))
       if (step < nMerges) {
-        // apply the merge: the 1-row winner rides in via broadcast
-        // crossJoin; pinLocal (not pin) — round intermediates are
-        // transient and reliable checkpoints would leak files
-        corpus = Par.pinLocal(
-          corpus.crossJoin(broadcast(top)).select(
-            replace(col("__enc"),
-              concat(lit(" "), col("a"), lit("  "), col("b"), lit(" ")),
-              concat(lit(" "), col("a"), lit(" "), col("b"), lit(" ")))
-              .as("__enc")))
+        // pinLocal (not pin) — round intermediates are transient and
+        // reliable checkpoints would leak files
+        corpus = Par.pinLocal(applyMerge(corpus, "__enc", top))
       }
-      top.select(lit(step).as("step"), col("a").as("pair_a"),
-        col("b").as("pair_b"), col("n"))
+      top.select(lit(step).as("step"),
+        translate(col("a"), Joiner, " ").as("pair_a"),
+        translate(col("b"), Joiner, " ").as("pair_b"), col("n"))
     }
     steps.reduce(_.unionByName(_)).orderBy("step")
   }

@@ -69,9 +69,16 @@ object Merge {
     val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
     val ordering =
       versionCol.map(col(_).desc).toSeq ++ tb.map(col(_).asc)
+    // NULL-merge-key updates can never match (ANSI MERGE) — they insert
+    // as-is, WITHOUT the newest-wins collapse: Window.partitionBy groups
+    // all NULL keys into one partition, so leaving them in the window
+    // would silently keep only one of them
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val nullKeyed = updates.where(anyKeyNull).select(outCols.map(col): _*)
     // newest-wins collapse; window partitioning == join keys below, so
     // Catalyst reuses one hash exchange of the updates side for both
     val latest = updates
+      .where(!anyKeyNull)
       .withColumn("__rn",
         row_number().over(
           Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)))
@@ -100,6 +107,7 @@ object Merge {
         dataCols.map(c =>
           when(col("__mu.__upd").isNotNull, col(s"__mu.$c"))
             .otherwise(col(s"__mt.$c")).as(c)): _*)
+      .unionByName(nullKeyed)
   }
 
   /** Metadata-driven variant: merge keys come from the declared schema

@@ -46,4 +46,39 @@ class BpeSpec extends SparkSpec {
     val got = learn(Seq("The\t Cat", "the  cat"), 1)
     assert(got == Seq((1, "the", "cat", 2L)))
   }
+
+  test("merge application cannot fire across a merged token's boundary") {
+    // corpus state after some round merged ("the","cat"): the doc holds
+    // tokens ["the·cat", "sat"] (· = the joiner char). Applying winner
+    // ("cat","sat") must NOT match inside the merged token — the
+    // space-joined encoding had exactly this hole (pattern " cat  sat "
+    // matched starting at "the cat"'s internal space, three-way merging
+    // a pair that never won)
+    val enc = Seq(s" the${Bpe.Joiner}cat  sat ").toDF("__enc")
+    val top = Seq(("cat", "sat", 1L)).toDF("a", "b", "n")
+    val out = Bpe.applyMerge(enc, "__enc", top).as[String].head()
+    assert(out == s" the${Bpe.Joiner}cat  sat ")
+  }
+
+  test("end-to-end: a standalone pair's merge leaves merged-token " +
+      "contexts intact for later rounds") {
+    // round 1: ("aa","cat") n=6. round 2: ("cat","sat") n=4 — applies
+    // ONLY to the standalone "cat sat" docs, not inside "aa·cat  sat".
+    // round 3 then still sees the ("aa cat","sat") pair; under the old
+    // boundary bug that doc had collapsed to one token and round 3
+    // would find a different winner
+    val texts = Seq.fill(5)("aa cat") ++ Seq("aa cat sat") ++
+      Seq.fill(4)("cat sat")
+    val got = learn(texts, 3)
+    assert(got == Seq(
+      (1, "aa", "cat", 6L),
+      (2, "cat", "sat", 4L),
+      (3, "aa cat", "sat", 1L)))
+  }
+
+  test("nMerges must be positive") {
+    intercept[IllegalArgumentException] {
+      Bpe.learnMerges(Seq("x y").toDF("text"), "text", 0)
+    }
+  }
 }

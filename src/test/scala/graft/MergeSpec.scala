@@ -57,6 +57,23 @@ class MergeSpec extends SparkSpec {
       .columns.toSeq == Seq("id", "name", "region"))
   }
 
+  test("NULL-merge-key update rows all insert as unmatched rows — " +
+      "the newest-wins collapse never groups them") {
+    val updates = Seq(
+      (Option.empty[Long], Option("n1"), Option("NA")),
+      (Option.empty[Long], Option("n2"), Option("EU")),
+      (Option(2L), Option("beta2"), Option("EU")))
+      .toDF("id", "name", "region")
+    val out = Merge.upsert(dim, updates, Seq("id"))
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    assert(out == Set(
+      (Some(1L), Some("alpha"), Some("NA")),
+      (Some(2L), Some("beta2"), Some("EU")),
+      (Some(3L), Some("gamma"), Some("APAC")),
+      (None, Some("n1"), Some("NA")),
+      (None, Some("n2"), Some("EU"))))
+  }
+
   test("merge keys from metadata (merge_column contract) + idempotent " +
       "double-upsert through the parquet sink") {
     val tdef = TableDef("dl", "gosales", "region_dim", Seq(
