@@ -100,6 +100,40 @@ object Similarity {
         (-col("__best").getField("ncid")).as("cell"))
   }
 
+  /** Query→cell routing shared by the in-memory and disk-backed probe
+    * paths: each query goes to its `nProbe` nearest centroids.
+    */
+  private def routeProbes(
+      queries: DataFrame,
+      centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    val routed = queries.as("q")
+      .crossJoin(broadcast(centroids.as("k")))
+      .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"),
+        col("k.cid").as("cid"),
+        cosine(col("q.qvec"), col("k.cvec")).as("__d"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__d").desc, col("cid").asc)
+    routed
+      .withColumn("__r", row_number().over(wq))
+      .where(col("__r") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid").as("cell"))
+  }
+
+  /** Per-cell scoring + global per-query top-k over joined probe rows. */
+  private def scoreTopK(
+      joined: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    val scored = joined
+      .where(if (excludeSelf) !(col("p.qid") <=> col("c.id")) else lit(true))
+      .select(col("p.qid").as("qid"), col("c.id").as("id"),
+        round(cosine(col("p.qvec"), col("c.vec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** IVF probe: route each query to its `nProbe` nearest centroids and
     * score only vectors in those cells.
     */
@@ -110,18 +144,7 @@ object Similarity {
       k: Int,
       nProbe: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val routed = queries.as("q")
-      .crossJoin(broadcast(centroids.as("k")))
-      .select(col("q.qid").as("qid"), col("q.qvec").as("qvec"),
-        col("k.cid").as("cid"),
-        cosine(col("q.qvec"), col("k.cvec")).as("__d"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("__d").desc, col("cid").asc)
-    val probes = routed
-      .withColumn("__r", row_number().over(wq))
-      .where(col("__r") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cid").as("cell"))
-
+    val probes = routeProbes(queries, centroids, nProbe)
     // null-safe key on purpose, NOT for nulls (cells are never null):
     // with plain `=`, constraint inference propagates any predicate on
     // the probes' centroid ids (e.g. a deterministic `cid < 16` slice)
@@ -130,16 +153,43 @@ object Similarity {
     // whole nearest-centroid scan per row (observed: 3× the argmax work
     // in the corpus scan stage). `<=>` joins identically here but
     // yields no equality constraint to propagate.
-    val scored = cells.as("c")
-      .join(broadcast(probes.as("p")), col("c.cell") <=> col("p.cell"))
-      .where(if (excludeSelf) !(col("p.qid") <=> col("c.id")) else lit(true))
-      .select(col("p.qid").as("qid"), col("c.id").as("id"),
-        round(cosine(col("p.qvec"), col("c.vec")), 6).as("cosine"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    scoreTopK(
+      cells.as("c")
+        .join(broadcast(probes.as("p")), col("c.cell") <=> col("p.cell")),
+      k, excludeSelf)
+  }
+
+  /** Persist an IVF index: cells land as one `cell=N/` directory each —
+    * the on-disk inverted file. A probe against the read-back index
+    * then touches only the probed cells' directories (see
+    * [[ivfTopKIndexed]]); at 100 TB that file-listing-level pruning is
+    * the difference between an index and a full-corpus scan per query
+    * batch.
+    */
+  def writeIndex(cells: DataFrame, path: String): Unit =
+    graft.sinks.ParquetSink(path, partitionBy = Seq("cell")).write(cells)
+
+  /** IVF probe against a cell-partitioned on-disk index
+    * ([[writeIndex]]). Same semantics as [[ivfTopK]]; the join uses
+    * plain equality — safe here because the stored `cell` is a real
+    * partition column, not a projected argmax expression (no
+    * constraint-inference hazard) — which is what lets Spark inject
+    * DYNAMIC PARTITION PRUNING: the broadcast probe side's cell set
+    * becomes a runtime partition filter on the index scan, so only the
+    * probed `cell=N/` directories are listed and read.
+    */
+  def ivfTopKIndexed(
+      indexedCells: DataFrame, // spark.read.parquet(<writeIndex path>)
+      centroids: DataFrame, // (cid, cvec)
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val probes = routeProbes(queries, centroids, nProbe)
+    scoreTopK(
+      indexedCells.as("c")
+        .join(broadcast(probes.as("p")), col("c.cell") === col("p.cell")),
+      k, excludeSelf)
   }
 
   /** Deterministic k-means (Lloyd's) trainer for IVF centroids —

@@ -192,6 +192,38 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.count() == 8) // empty-cell retention keeps k fixed
   }
 
+  test("disk-backed IVF index: cell-partitioned layout, probe equals " +
+      "the in-memory path and prunes to the probed cells") {
+    val corpus = emb.where(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val (cells, cents) = Similarity.ivfAssign(corpus, nCells = 16)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    Similarity.writeIndex(cells, dir)
+
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+
+    val idx = spark.read.parquet(dir)
+    val got = Similarity.ivfTopKIndexed(idx, cents, queries, k = 5, nProbe = 4)
+    val want = Similarity.ivfTopK(cells, cents, queries, k = 5, nProbe = 4)
+      .select("qid", "id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val gotRows = got.select("qid", "id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(gotRows == want)
+
+    // dynamic partition pruning: the probe side's cell set reaches the
+    // index scan as a runtime partition filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n$plan")
+  }
+
   test("native dot Expression agrees bit-for-bit with the HOF fold") {
     val mismatches = emb.as("x").crossJoin(emb.as("y"))
       .where(col("x.vec_id") < 20 && col("y.vec_id") < 20)
