@@ -146,6 +146,39 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Deterministic stratified sampling (operators.Sample): downsample
+  // the dominant language to 250‰ by content fingerprint, keep the
+  // rest whole — corpus rebalancing with zero RNG. The oracle replays
+  // langPick + fingerprint + the permille gate, so the exact membership
+  // of the sample (not just its size) is under the hash compare.
+  // -------------------------------------------------------------------
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang"))
+    graft.operators.Sample
+      .stratifiedPermille(docs, col("lang"), col("text"),
+        ratesPermille = Map("en" -> 250), defaultPermille = 1000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
+  val sampleStratifiedSql: String =
+    s"""WITH tagged AS (
+       | SELECT doc_id, text, ${Frag.langPick} AS lang,
+       |        ${Frag.fp} AS fp, CAST(${Frag.nTok} AS BIGINT) AS toks
+       | FROM (SELECT doc_id, text, ${Frag.langScores} FROM documents))
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(toks) AS BIGINT) AS n_tokens,
+       | min(doc_id) AS first_doc
+       |FROM tagged
+       |WHERE fp % 1000 < CASE WHEN lang = 'en' THEN 250 ELSE 1000 END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact n-gram Jaccard near-dup pairs (shingle-inverted-index join;
   // shuffle key = shingle). Expected: the 25 planted pairs.
   // -------------------------------------------------------------------
@@ -466,6 +499,7 @@ object QueriesText {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_bpe_merges" -> (vocabBpeMerges _),
+    "sample_stratified" -> (sampleStratified _),
     "curate_corpus" -> (curateCorpus _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
@@ -479,6 +513,7 @@ object QueriesText {
 
   val oracles: Map[String, String] = Map(
     "vocab_bpe_merges" -> vocabBpeMergesSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "curate_corpus" -> curateCorpusSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,
