@@ -183,8 +183,66 @@ object QueriesCurated {
       |FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // The reference's two reserved-but-unwired metadata contracts
+  // COMPOSED: watermark incremental extraction (watermark_col_name_1,
+  // commons/utilities.py:162) feeding the SCD-1 MERGE (merge_column,
+  // commons/dictionary_check.py:11). Target = latest order per customer
+  // as of the bookmark; the delta = orders past the bookmark, collapsed
+  // newest-wins per customer (version = order date, ties → smallest
+  // order key) and merged. This is the incremental-upsert loop every
+  // real ingestion runs: at scale the delta is days, the target is
+  // years, and the one full-outer shuffle is on the merge key.
+  // -------------------------------------------------------------------
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val bookmark = "1996-06-15"
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_custkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey"),
+      col("o_orderdate"))
+    val wLatest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("od_us").desc, col("o_orderkey").asc)
+    val target = o.where(col("o_orderdate") <= lit(bookmark).cast("timestamp"))
+      .withColumn("__rn", row_number().over(wLatest))
+      .where(col("__rn") === 1)
+      .select("o_custkey", "od_us", "cents", "o_orderkey")
+    val delta = IncrementalIngest
+      .selectNew(o, "o_orderdate", lastValue = Some(bookmark))
+      .select("o_custkey", "od_us", "cents", "o_orderkey")
+    Merge.upsert(target, delta, Seq("o_custkey"),
+      versionCol = Some("od_us"), tiebreak = Seq("o_orderkey"))
+      .orderBy("o_custkey")
+  }
+
+  val incrementalMergeSql: String =
+    """WITH o AS (
+      | SELECT o_custkey, epoch_us(o_orderdate) AS od_us,
+      |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |        o_orderkey, o_orderdate
+      | FROM orders),
+      |tgt AS (
+      | SELECT o_custkey, od_us, cents, o_orderkey FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |     ORDER BY od_us DESC, o_orderkey ASC) AS rn
+      |   FROM o WHERE o_orderdate <= TIMESTAMP '1996-06-15') WHERE rn = 1),
+      |upd AS (
+      | SELECT o_custkey, od_us, cents, o_orderkey FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |     ORDER BY od_us DESC, o_orderkey ASC) AS rn
+      |   FROM o WHERE o_orderdate > TIMESTAMP '1996-06-15') WHERE rn = 1)
+      |SELECT coalesce(u.o_custkey, t.o_custkey) AS o_custkey,
+      | CASE WHEN u.o_custkey IS NOT NULL THEN u.od_us ELSE t.od_us END AS od_us,
+      | CASE WHEN u.o_custkey IS NOT NULL THEN u.cents ELSE t.cents END AS cents,
+      | CASE WHEN u.o_custkey IS NOT NULL THEN u.o_orderkey ELSE t.o_orderkey END AS o_orderkey
+      |FROM tgt t FULL OUTER JOIN upd u ON t.o_custkey = u.o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "incremental_merge" -> (incrementalMerge _),
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
     "incremental_bookmark" -> (incrementalBookmark _),
@@ -192,6 +250,7 @@ object QueriesCurated {
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "incremental_merge" -> incrementalMergeSql,
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,
     "incremental_bookmark" -> incrementalBookmarkSql,
