@@ -29,8 +29,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity; NULL (not NaN/error) when either vector has
+    * zero norm — under ANSI mode a plain divide would ERROR on the 0/0,
+    * and with ANSI off it yields NaN, which Spark totally orders ABOVE
+    * every real double and so silently wins any top-k/argmax. NULL
+    * propagates as "no similarity" and every consumer's null handling
+    * (coalesce in the IVF argmax, NULL-last sort in top-k) does the
+    * right thing.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(

@@ -94,10 +94,18 @@ object Bpe {
         concat(lit(" "), col("a"), lit(Joiner), col("b"), lit(" ")))
         .as(encCol))
 
-  /** Learn `nMerges` BPE merges. Returns the merge table:
+  /** Learn up to `nMerges` BPE merges. Returns the merge table:
     * (step 1..n, pair_a, pair_b, n = pair count at merge time) with
     * merged-token parts space-separated — the induced vocabulary
     * additions in application order.
+    *
+    * Stops EARLY (returning fewer than nMerges rows) when the corpus
+    * runs out of adjacent pairs — every document collapsed to a single
+    * token, the vocabulary is complete. The alternative — cross-joining
+    * the corpus with the 0-row winner — would silently EMPTY the corpus
+    * and make every later round vacuous; a fully merged corpus is a
+    * success state, not an error, so the loop ends cleanly. A corpus
+    * with no pairs at all (nothing to learn) still fails loudly.
     */
   def learnMerges(
       docs: DataFrame,
@@ -106,20 +114,32 @@ object Bpe {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var corpus = Par.pin(
       Par.widen(docs).select(encode(col(textCol)).as("__enc")))
-    val steps = (1 to nMerges).map { step =>
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
       // the 1-row winner is consumed twice (merge broadcast + final
       // output union) — pin it so the corpus-wide count pass behind it
-      // runs once per round, not once per consumer
+      // runs once per round, not once per consumer. The pin also makes
+      // the emptiness probe below free (1-row checkpointed frame).
       val top = Par.pinLocal(topPair(corpus, "__enc"))
-      if (step < nMerges) {
-        // pinLocal (not pin) — round intermediates are transient and
-        // reliable checkpoints would leak files
-        corpus = Par.pinLocal(applyMerge(corpus, "__enc", top))
+      if (top.isEmpty) {
+        exhausted = true
+      } else {
+        if (step < nMerges) {
+          // pinLocal (not pin) — round intermediates are transient and
+          // reliable checkpoints would leak files
+          corpus = Par.pinLocal(applyMerge(corpus, "__enc", top))
+        }
+        steps += top.select(lit(step).as("step"),
+          translate(col("a"), Joiner, " ").as("pair_a"),
+          translate(col("b"), Joiner, " ").as("pair_b"), col("n"))
+        step += 1
       }
-      top.select(lit(step).as("step"),
-        translate(col("a"), Joiner, " ").as("pair_a"),
-        translate(col("b"), Joiner, " ").as("pair_b"), col("n"))
     }
+    require(steps.nonEmpty,
+      "BPE: corpus has no adjacent token pairs at all — nothing to learn " +
+        "(every document is empty or a single character)")
     steps.reduce(_.unionByName(_)).orderBy("step")
   }
 }

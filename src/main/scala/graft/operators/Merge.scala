@@ -101,12 +101,17 @@ object Merge {
     val joinCond = keyCols
       .map(k => col(s"__mt.$k") === col(s"__mu.$k"))
       .reduce(_ && _)
+    // selected in outCols ORDER (not keys-then-data): the output must
+    // keep the target's column order exactly, or positional consumers
+    // (insertInto, CSV) misalign when merge keys aren't leading
     t.join(u, joinCond, "full_outer").select(
-      keyCols.map(k =>
-        coalesce(col(s"__mu.$k"), col(s"__mt.$k")).as(k)) ++
-        dataCols.map(c =>
+      outCols.map { c =>
+        if (keyCols.contains(c))
+          coalesce(col(s"__mu.$c"), col(s"__mt.$c")).as(c)
+        else
           when(col("__mu.__upd").isNotNull, col(s"__mu.$c"))
-            .otherwise(col(s"__mt.$c")).as(c)): _*)
+            .otherwise(col(s"__mt.$c")).as(c)
+      }: _*)
       .unionByName(nullKeyed)
   }
 

@@ -35,7 +35,14 @@ object Sample {
       case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
     }
     // fingerprint is non-negative by construction (mod 2^31-1), so
-    // plain % matches the oracle engine's %
-    df.where(FingerprintExpr.fingerprint(content) % 1000 < rate)
+    // plain % matches the oracle engine's %. NULL content is addressed
+    // as the EMPTY document (coalesce to ''): a NULL fingerprint would
+    // make the predicate NULL and silently drop the row even at rate
+    // 1000‰ — instead all NULL/empty docs share one fingerprint and
+    // move in or out of the sample together, the same "byte-identical
+    // duplicates sample identically" contract as the rest of the
+    // content-addressed family (dataset_split).
+    df.where(
+      FingerprintExpr.fingerprint(coalesce(content, lit(""))) % 1000 < rate)
   }
 }

@@ -88,10 +88,15 @@ object Similarity {
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
     // argmax via array_max over (cosine, -cid) structs: best cosine
     // first, ties to the SMALLEST cid — the exact ordering the window
-    // formulation used (__d desc, cid asc).
+    // formulation used (__d desc, cid asc). NaN-safed: a zero vector on
+    // either side makes cosine 0/0 = NaN, and Spark totally orders NaN
+    // ABOVE every double — an all-zero (degenerate) centroid would win
+    // the argmax for EVERY row. nanvl+coalesce pin such scores to -2.0
+    // (below any real cosine), so a degenerate cell can never win.
     val scored = transform(col("__cents"), c =>
       struct(
-        cosine(col("vec"), c.getField("cvec")).as("d"),
+        coalesce(nanvl(cosine(col("vec"), c.getField("cvec")), lit(-2.0)),
+          lit(-2.0)).as("d"),
         (-c.getField("cid")).as("ncid")))
     Par.widen(corpus)
       .crossJoin(broadcast(centArr))
@@ -234,11 +239,16 @@ object Similarity {
         array((0 until dim).map(d => col(s"__s$d").cast("double")): _*)
           .as("cvec"))
       // per-round pin: the loop's self-reference doubles the plan per
-      // iteration otherwise (the pointer-jumping CC lesson); k rows
+      // iteration otherwise (the pointer-jumping CC lesson); k rows.
+      // A cell whose micro-unit sums cancel to the all-zero vector is
+      // degenerate (cosine 0/0 = NaN against every row) — retain the
+      // previous centroid for it, exactly like an empty cell.
       cents = Par.pinLocal(cents.as("o")
         .join(fresh.as("n"), col("o.cid") === col("n.cid"), "left")
         .select(col("o.cid").as("cid"),
-          coalesce(col("n.cvec"), col("o.cvec")).as("cvec")))
+          coalesce(
+            when(exists(col("n.cvec"), v => v =!= lit(0.0)), col("n.cvec")),
+            col("o.cvec")).as("cvec")))
     }
     cents
   }
