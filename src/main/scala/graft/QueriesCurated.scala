@@ -240,8 +240,90 @@ object QueriesCurated {
       |FROM tgt t FULL OUTER JOIN upd u ON t.o_custkey = u.o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SCD-2 history-tracking merge (Merge.scd2) — two sequential update
+  // batches over a target that already carries closed history, so the
+  // oracle exercises: close-and-insert, no-change suppression (batch 1
+  // re-extracts 401-500 unchanged), newest-wins sequencing across
+  // batches, brand-new keys (1001-1500), and verbatim passthrough of
+  // pre-existing closed rows (keys ≤ 200). The DuckDB oracle replays
+  // the chain in ONE window pass — equivalent to the two sequential
+  // applications because change-detection equality runs are transitive
+  // (a dropped row equals its predecessor, so comparing to the
+  // immediate chain predecessor = comparing to the previous survivor)
+  // and batch effs are distinct (100 < 200 < 300).
+  // -------------------------------------------------------------------
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val hist0 = c.where(col("c_custkey") <= 200).select(
+      col("c_custkey"), concat(col("c_name"), lit("-v0")).as("c_name"),
+      col("c_mktsegment"), lit(50L).as("effective_from"),
+      lit(100L).as("effective_to"), lit(false).as("is_current"))
+    val open0 = c.where(col("c_custkey") <= 1000).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      lit(100L).as("effective_from"),
+      lit(null).cast("long").as("effective_to"), lit(true).as("is_current"))
+    val target = hist0.unionByName(open0)
+    val b1 = c.where(col("c_custkey").between(501, 1500)).select(
+      col("c_custkey"), upper(col("c_name")).as("c_name"),
+      col("c_mktsegment"), lit(200L).as("eff"))
+      .unionByName( // re-extracted UNCHANGED slice: must create nothing
+        c.where(col("c_custkey").between(401, 500)).select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          lit(200L).as("eff")))
+    val b2 = c.where(col("c_custkey").between(900, 1200)).select(
+      col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+      lit("UPDATED").as("c_mktsegment"), lit(300L).as("eff"))
+    val s1 = Merge.scd2(target, b1, Seq("c_custkey"), "eff")
+    Merge.scd2(s1, b2, Seq("c_custkey"), "eff")
+      .orderBy("c_custkey", "effective_from")
+  }
+
+  val scd2MergeSql: String =
+    """WITH v0 AS (
+      | SELECT c_custkey, c_name, c_mktsegment, CAST(100 AS BIGINT) AS eff
+      | FROM customer WHERE c_custkey <= 1000),
+      |b1 AS (
+      | SELECT c_custkey, upper(c_name) AS c_name, c_mktsegment,
+      |        CAST(200 AS BIGINT) AS eff
+      | FROM customer WHERE c_custkey BETWEEN 501 AND 1500
+      | UNION ALL
+      | SELECT c_custkey, c_name, c_mktsegment, CAST(200 AS BIGINT)
+      | FROM customer WHERE c_custkey BETWEEN 401 AND 500),
+      |b2 AS (
+      | SELECT c_custkey, c_name || '-v2' AS c_name, 'UPDATED' AS c_mktsegment,
+      |        CAST(300 AS BIGINT) AS eff
+      | FROM customer WHERE c_custkey BETWEEN 900 AND 1200),
+      |chain AS (SELECT * FROM v0 UNION ALL SELECT * FROM b1
+      |          UNION ALL SELECT * FROM b2),
+      |lagged AS (
+      | SELECT *, lag(c_name) OVER w AS pn, lag(c_mktsegment) OVER w AS ps,
+      |        row_number() OVER w AS rn
+      | FROM chain
+      | WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)),
+      |kept AS (
+      | SELECT c_custkey, c_name, c_mktsegment, eff FROM lagged
+      | WHERE rn = 1 OR (c_name IS DISTINCT FROM pn)
+      |    OR (c_mktsegment IS DISTINCT FROM ps)),
+      |tiled AS (
+      | SELECT c_custkey, c_name, c_mktsegment, eff AS effective_from,
+      |        lead(eff) OVER (PARTITION BY c_custkey ORDER BY eff)
+      |          AS effective_to
+      | FROM kept),
+      |hist0 AS (
+      | SELECT c_custkey, c_name || '-v0' AS c_name, c_mktsegment,
+      |        CAST(50 AS BIGINT) AS effective_from,
+      |        CAST(100 AS BIGINT) AS effective_to, FALSE AS is_current
+      | FROM customer WHERE c_custkey <= 200)
+      |SELECT c_custkey, c_name, c_mktsegment, effective_from, effective_to,
+      |       effective_to IS NULL AS is_current
+      |FROM tiled
+      |UNION ALL SELECT * FROM hist0
+      |ORDER BY c_custkey, effective_from""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "scd2_merge" -> (scd2Merge _),
     "incremental_merge" -> (incrementalMerge _),
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
@@ -250,6 +332,7 @@ object QueriesCurated {
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
+    "scd2_merge" -> scd2MergeSql,
     "incremental_merge" -> incrementalMergeSql,
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,

@@ -125,4 +125,134 @@ object Merge {
       tdef: graft.meta.TableDef,
       versionCol: Option[String] = None): DataFrame =
     upsert(target, updates, tdef.mergeKeys, versionCol)
+
+  /** SCD-2 history-tracking merge — close-and-insert on change. The
+    * completion of the mutable-dimension story [[upsert]] started: where
+    * SCD-1 overwrites the matched row, SCD-2 keeps every version as its
+    * own row tiled by `[effective_from, effective_to)` with exactly one
+    * open (`is_current`, `effective_to IS NULL`) version per key — the
+    * shape every warehouse dimension with history needs (the reference
+    * reserves the `merge_column` contract, commons/dictionary_check.py:11,
+    * but only ever inserts, `oper='I'` at sales_fact_01.py:65).
+    *
+    * Version semantics:
+    *  - each update row carries its change timestamp in `effCol`; a new
+    *    version opens at that instant and the previously-open version is
+    *    CLOSED at it (`effective_to` = successor's `effective_from`) —
+    *    intervals tile with no gaps or overlaps;
+    *  - NO-CHANGE suppression: an update whose data columns null-safe
+    *    equal the previous surviving version's creates no version (a
+    *    re-extracted unchanged dimension row must not churn history);
+    *  - duplicate (key, effCol) rows in one batch collapse by the
+    *    deterministic `tiebreak`; an update sharing the OPEN version's
+    *    `effective_from` is ignored (the timestamp is the version
+    *    identity — this is what makes re-applying a batch a no-op);
+    *  - LATE updates older than the open version's `effective_from` are
+    *    dropped (history is immutable; rewriting closed intervals is a
+    *    restatement job, not a merge);
+    *  - NULL merge keys never match (ANSI MERGE): null-keyed target rows
+    *    pass through untouched, null-keyed updates insert as standalone
+    *    open versions — never collapsed into one window partition.
+    *
+    * Scale notes (100 TB): CLOSED history never shuffles — it is
+    * filtered out up front and unioned back verbatim, so the operator's
+    * cost is one hash shuffle of (open versions ∪ delta) on the merge
+    * keys, i.e. dimension-current-size + batch-size, independent of
+    * history depth. All four window passes (anchor max, (key,from)
+    * dedup, change-detect lag, tiling lead) partition by the same keys
+    * and reuse that single exchange.
+    *
+    * @param target  current SCD-2 table: key cols + data cols + the
+    *                three SCD columns (`fromCol`, `toCol`, `currentCol`)
+    * @param updates incoming rows: key cols + data cols + `effCol`
+    * @param effCol  change-instant column in `updates`; becomes the new
+    *                version's `effective_from` (must be comparable with
+    *                `fromCol` — use the same type)
+    */
+  def scd2(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      effCol: String,
+      fromCol: String = "effective_from",
+      toCol: String = "effective_to",
+      currentCol: String = "is_current",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "SCD-2 needs at least one merge key")
+    val outCols = target.columns.toSeq
+    val scdCols = Seq(fromCol, toCol, currentCol)
+    scdCols.foreach(c => require(outCols.contains(c),
+      s"SCD-2 target must carry column '$c' (has ${outCols.mkString(", ")})"))
+    require(!keyCols.exists(scdCols.contains),
+      "merge keys cannot be SCD bookkeeping columns")
+    val dataCols =
+      outCols.filterNot(c => keyCols.contains(c) || scdCols.contains(c))
+    require(dataCols.nonEmpty, "SCD-2 needs at least one tracked data column")
+    val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
+    val toType = target.schema(toCol).dataType
+
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    // NULL-keyed rows are routed around every window (see scaladoc)
+    val nullKeyTarget = target.where(anyKeyNull)
+    val nullKeyUpd = updates.where(anyKeyNull)
+      .withColumn(fromCol, col(effCol))
+      .withColumn(toCol, lit(null).cast(toType))
+      .withColumn(currentCol, lit(true))
+      .select(outCols.map(col): _*)
+
+    // closed history passes through VERBATIM — never shuffled, so cost
+    // is independent of history depth. NULL is_current counts as closed
+    // (a plain =!= would silently DROP such rows on both branches).
+    val isOpen = coalesce(col(currentCol), lit(false))
+    val hist = target.where(!anyKeyNull && !isOpen)
+
+    val chainCols = keyCols ++ dataCols :+ fromCol
+    val cur = target.where(!anyKeyNull && isOpen)
+      .select(chainCols.map(col) :+ lit(0).as("__src"): _*)
+    val upd = updates.where(!anyKeyNull)
+      .select((keyCols ++ dataCols).map(col) ++
+        Seq(col(effCol).as(fromCol), lit(1).as("__src")): _*)
+
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    // one ordering drives every sequenced pass: (from, src, tiebreak) —
+    // the open target version precedes an update sharing its from, and
+    // duplicate (key, from) update rows order by the deterministic
+    // tiebreak. Keeping the FIRST row of each equal-from run (the lag
+    // rule below) then dedupes per (key, from) inside the (key)
+    // partitioning — a dedicated (key, from)-partitioned window would
+    // cost the updates side a second exchange.
+    val wSeq = wKey.orderBy(
+      Seq(col(fromCol).asc, col("__src").asc) ++ tb.map(col(_).asc): _*)
+    val dataStruct = struct(dataCols.map(col): _*)
+
+    val tiled = cur.unionByName(upd)
+      // drop late updates: strictly older than the open version's start
+      .withColumn("__anchor",
+        max(when(col("__src") === 0, col(fromCol))).over(wKey))
+      .where(col("__src") === 0 ||
+        col("__anchor").isNull || col(fromCol) >= col("__anchor"))
+      // keep only the first row of each equal-from run: collapses
+      // duplicate (key, eff) batch rows AND ignores an update sharing
+      // the open version's effective_from (target wins — the
+      // replay-idempotence rule)
+      .withColumn("__same_from",
+        lag(col(fromCol), 1).over(wSeq) === col(fromCol))
+      .where(!coalesce(col("__same_from"), lit(false)))
+      // no-change suppression: data null-safe-equal to the previous
+      // surviving version ⇒ no new version. lag compares to the
+      // immediate predecessor, which is equivalent to comparing to the
+      // previous SURVIVOR: a dropped predecessor equals ITS predecessor,
+      // so equality runs are transitive
+      .withColumn("__prev", lag(dataStruct, 1).over(wSeq))
+      .where(!(dataStruct <=> col("__prev")))
+      // interval tiling: close each version at its successor's start
+      .withColumn(toCol, lead(col(fromCol), 1).over(wSeq).cast(toType))
+      .withColumn(currentCol, col(toCol).isNull)
+      .select(outCols.map(col): _*)
+
+    hist.select(outCols.map(col): _*)
+      .unionByName(tiled)
+      .unionByName(nullKeyTarget.select(outCols.map(col): _*))
+      .unionByName(nullKeyUpd)
+  }
 }

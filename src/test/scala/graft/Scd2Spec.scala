@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+/** SCD-2 history-tracking merge: close-and-insert on change, interval
+  * tiling, no-change suppression, replay idempotence.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, name, segment, effective_from, effective_to, is_current)
+  private type Row6 = (Long, String, String, Long, Option[Long], Boolean)
+
+  private def dim = Seq(
+    (1L, "alpha", "NA", 100L, Option.empty[Long], true),
+    (2L, "beta", "EU", 100L, Option.empty[Long], true),
+    (3L, "gamma", "APAC", 100L, Option.empty[Long], true))
+    .toDF("id", "name", "seg", "effective_from", "effective_to", "is_current")
+
+  private def rows(df: DataFrame): Seq[Row6] =
+    df.orderBy("id", "effective_from").as[Row6].collect().toSeq
+
+  private def batch(rs: (Long, String, String, Long)*): DataFrame =
+    rs.toDF("id", "name", "seg", "eff")
+
+  test("close-and-insert on change; untouched and inserted keys behave") {
+    val out = Merge.scd2(dim,
+      batch((2L, "beta2", "EU", 200L), (9L, "iota", "NA", 200L)),
+      Seq("id"), "eff")
+    assert(rows(out) == Seq(
+      (1L, "alpha", "NA", 100L, None, true),
+      (2L, "beta", "EU", 100L, Some(200L), false), // closed at successor
+      (2L, "beta2", "EU", 200L, None, true),
+      (3L, "gamma", "APAC", 100L, None, true),
+      (9L, "iota", "NA", 200L, None, true))) // brand-new key opens
+  }
+
+  test("no-change suppression: a re-extracted identical row creates no " +
+      "version") {
+    val out = Merge.scd2(dim, batch((2L, "beta", "EU", 200L)), Seq("id"), "eff")
+    assert(rows(out) == rows(dim))
+  }
+
+  test("re-applying the same batch is a no-op (idempotent replay)") {
+    val b = batch((2L, "beta2", "EU", 200L), (9L, "iota", "NA", 200L))
+    val once = Merge.scd2(dim, b, Seq("id"), "eff")
+    val twice = Merge.scd2(once, b, Seq("id"), "eff")
+    assert(rows(twice) == rows(once))
+  }
+
+  test("two batches tile: effective_to equals the successor's " +
+      "effective_from, exactly one open version per key, closed history " +
+      "survives verbatim") {
+    val s1 = Merge.scd2(dim, batch((2L, "beta2", "EU", 200L)), Seq("id"), "eff")
+    val s2 = Merge.scd2(s1, batch((2L, "beta3", "LATAM", 300L)), Seq("id"), "eff")
+    assert(rows(s2.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "beta2", "EU", 200L, Some(300L), false),
+      (2L, "beta3", "LATAM", 300L, None, true)))
+    // invariants over the whole table: one open version per key; every
+    // closed version's end = its successor's start (no gaps/overlaps)
+    val opens = s2.groupBy("id").agg(sum(when($"is_current", 1).otherwise(0)))
+      .as[(Long, Long)].collect()
+    assert(opens.forall(_._2 == 1L), s"open-version counts: ${opens.toSeq}")
+    val gaps = s2.as("a").join(s2.as("b"),
+        $"a.id" === $"b.id" && $"a.effective_to" === $"b.effective_from",
+        "left_anti")
+      .where($"a.effective_to".isNotNull).count()
+    assert(gaps == 0, "a closed interval has no successor starting at its end")
+  }
+
+  test("two versions of one key in a single batch both apply, in eff order") {
+    val out = Merge.scd2(dim,
+      batch((2L, "beta2", "EU", 200L), (2L, "beta3", "EU", 300L)),
+      Seq("id"), "eff")
+    assert(rows(out.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "beta2", "EU", 200L, Some(300L), false),
+      (2L, "beta3", "EU", 300L, None, true)))
+  }
+
+  test("duplicate (key, eff) rows collapse deterministically; an update " +
+      "sharing the open version's effective_from is ignored") {
+    val out = Merge.scd2(dim,
+      batch((2L, "dup-b", "EU", 200L), (2L, "dup-a", "EU", 200L), // tie
+        (3L, "backdated", "APAC", 100L)), // same from as open version
+      Seq("id"), "eff")
+    assert(rows(out.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "dup-a", "EU", 200L, None, true))) // lexicographic tiebreak
+    assert(rows(out.where($"id" === 3L)) == Seq(
+      (3L, "gamma", "APAC", 100L, None, true)))
+  }
+
+  test("late updates older than the open version are dropped") {
+    val out = Merge.scd2(dim, batch((2L, "ancient", "EU", 50L)), Seq("id"), "eff")
+    assert(rows(out) == rows(dim))
+  }
+
+  test("NULL-keyed rows route around the windows: target rows survive, " +
+      "updates insert as standalone open versions") {
+    val t = dim.unionByName(Seq(
+      (Option.empty[Long], "nk-old", "NA", 100L, Option.empty[Long], true))
+      .toDF("id", "name", "seg", "effective_from", "effective_to", "is_current"))
+    val b = Seq((Option.empty[Long], "nk-new1", "EU", 200L),
+      (Option.empty[Long], "nk-new2", "EU", 200L))
+      .toDF("id", "name", "seg", "eff")
+    val out = Merge.scd2(t, b, Seq("id"), "eff")
+    val nulls = out.where($"id".isNull)
+      .as[(Option[Long], String, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(nulls == Set(
+      (None, "nk-old", "NA", 100L, None, true),
+      (None, "nk-new1", "EU", 200L, None, true),
+      (None, "nk-new2", "EU", 200L, None, true)))
+  }
+
+  test("NULL data columns compare null-safely in change detection") {
+    val t = Seq((1L, Option.empty[String], "NA", 100L, Option.empty[Long], true))
+      .toDF("id", "name", "seg", "effective_from", "effective_to", "is_current")
+    // same NULL name → suppressed; a real value → new version
+    val same = Seq((1L, Option.empty[String], "NA", 200L)).toDF("id", "name", "seg", "eff")
+    assert(Merge.scd2(t, same, Seq("id"), "eff").count() == 1)
+    val diff = Seq((1L, Option("named"), "NA", 200L)).toDF("id", "name", "seg", "eff")
+    assert(Merge.scd2(t, diff, Seq("id"), "eff").count() == 2)
+  }
+
+  test("one shuffle for the open∪delta chain — closed history never " +
+      "exchanges") {
+    val s1 = Merge.scd2(dim, batch((2L, "beta2", "EU", 200L)), Seq("id"), "eff")
+    val plan = s1.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("output keeps the target's column order even with non-leading keys") {
+    val t = Seq(("alpha", 1L, 100L, Option.empty[Long], true))
+      .toDF("name", "id", "effective_from", "effective_to", "is_current")
+    val b = Seq(("alpha2", 1L, 200L)).toDF("name", "id", "eff")
+    val out = Merge.scd2(t, b, Seq("id"), "eff")
+    assert(out.columns.toSeq ==
+      Seq("name", "id", "effective_from", "effective_to", "is_current"))
+  }
+}
