@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AuditColumns, IncrementalIngest, KeyMapUpsert, Mask, Merge, Normalize}
+import graft.operators.{AuditColumns, Cdc, IncrementalIngest, KeyMapUpsert, Mask, Merge, Normalize}
 
 /** Oracle coverage for the curated-write operator family that round 2
   * left spec-only: column masking (R2), whitespace normalization (R3),
@@ -321,9 +321,75 @@ object QueriesCurated {
       |UNION ALL SELECT * FROM hist0
       |ORDER BY c_custkey, effective_from""".stripMargin
 
+  // -------------------------------------------------------------------
+  // CDC apply (Cdc.apply) — the I/U/D completion of the `oper` lineage
+  // contract the reference hardcodes to 'I' (sales_fact_01.py:65). The
+  // batch interleaves all transitions: plain U (201-300), plain D
+  // (101-200), plain I (1001-1100), D-then-I rebirth at a later version
+  // (150-170), and U-then-D final delete (250-260). Versions are chosen
+  // so no (key, ver) collision exists — the newest-wins tiebreak is
+  // never exercised on NULL data columns, where Spark (NULLS FIRST) and
+  // DuckDB (NULLS LAST) default sort orders diverge.
+  // -------------------------------------------------------------------
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    def nullStr = lit(null).cast("string")
+    val batch =
+      c.where(col("c_custkey").between(101, 200)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit("D").as("oper"), lit(1L).as("ver"))
+      .unionByName(c.where(col("c_custkey").between(201, 300)).select(
+        col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), lit("U").as("oper"), lit(1L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(1001, 1100)).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("I").as("oper"), lit(1L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(150, 170)).select(
+        col("c_custkey"), concat(col("c_name"), lit("-reborn")).as("c_name"),
+        lit("REBORN").as("c_mktsegment"), lit("I").as("oper"), lit(2L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(250, 260)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit("D").as("oper"), lit(2L).as("ver")))
+    Cdc.apply(target, batch, Seq("c_custkey"), versionCol = Some("ver"))
+      .orderBy("c_custkey")
+  }
+
+  val cdcApplySql: String =
+    """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment
+      |             FROM customer WHERE c_custkey <= 1000),
+      |b AS (
+      | SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+      |        CAST(NULL AS VARCHAR) AS c_mktsegment, 'D' AS oper, 1 AS ver
+      | FROM customer WHERE c_custkey BETWEEN 101 AND 200
+      | UNION ALL
+      | SELECT c_custkey, upper(c_name), c_mktsegment, 'U', 1
+      | FROM customer WHERE c_custkey BETWEEN 201 AND 300
+      | UNION ALL
+      | SELECT c_custkey, c_name, c_mktsegment, 'I', 1
+      | FROM customer WHERE c_custkey BETWEEN 1001 AND 1100
+      | UNION ALL
+      | SELECT c_custkey, c_name || '-reborn', 'REBORN', 'I', 2
+      | FROM customer WHERE c_custkey BETWEEN 150 AND 170
+      | UNION ALL
+      | SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'D', 2
+      | FROM customer WHERE c_custkey BETWEEN 250 AND 260),
+      |latest AS (SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY ver DESC, oper ASC, c_name ASC, c_mktsegment ASC) AS rn
+      |  FROM b) WHERE rn = 1)
+      |SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+      | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+      | CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      |FROM tgt t FULL OUTER JOIN latest u ON t.c_custkey = u.c_custkey
+      |WHERE NOT coalesce(u.oper = 'D', FALSE)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
+    "cdc_apply" -> (cdcApply _),
     "incremental_merge" -> (incrementalMerge _),
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
@@ -333,6 +399,7 @@ object QueriesCurated {
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "scd2_merge" -> scd2MergeSql,
+    "cdc_apply" -> cdcApplySql,
     "incremental_merge" -> incrementalMergeSql,
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,
