@@ -157,6 +157,52 @@ object StreamOps {
       .outputMode(mode) // Update for stateful upserts, Append for facts
       .start()
 
+  /** One micro-batch of the streaming SCD-1 upsert: read the current
+    * snapshot, [[graft.operators.Merge.upsert]] the batch in, commit as
+    * snapshot `batchId`. Exactly-once under crash-replay: a replayed
+    * batch whose snapshot already committed is SKIPPED (the merge is
+    * deterministic, so the committed snapshot already holds exactly the
+    * replay's result), and a half-written snapshot has no `_SUCCESS`
+    * and is recomputed — see [[graft.sinks.SnapshotTarget]]'s crash
+    * matrix. Exposed separately from [[upsertSink]] so the replay
+    * contract is directly testable without a streaming harness.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      targetPath: String,
+      keyCols: Seq[String],
+      versionCol: Option[String] = None): Unit = {
+    import graft.sinks.SnapshotTarget
+    val spark = batch.sparkSession
+    // any committed snapshot at-or-past this id ⇒ the batch (or a
+    // successor) is already applied — replay must be a no-op
+    if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
+      return
+    val targetCols = batch.columns.toSeq.filterNot(versionCol.contains)
+    val current = SnapshotTarget.read(spark, targetPath)
+      .getOrElse(batch.select(targetCols.map(col): _*).limit(0))
+    SnapshotTarget.commit(
+      graft.operators.Merge.upsert(current, batch, keyCols, versionCol),
+      targetPath, batchId)
+  }
+
+  /** Streaming SCD-1 upsert sink: every micro-batch merges into the
+    * snapshot-versioned parquet target at `targetPath` — the streaming
+    * completion of the `merge_column` contract ([[graft.operators
+    * .Merge.upsert]]), with exactly-once table state across crashes
+    * (crash-replay proof in `StreamingSpec`).
+    */
+  def upsertSink(
+      updates: DataFrame,
+      targetPath: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(updates, checkpoint) { (batch, id) =>
+      upsertBatch(batch, id, targetPath, keyCols, versionCol)
+    }
+
   /** Streaming raw-layer ingest: file-source stream → trim → parquet
     * sink with checkpointed exactly-once progress (the readStream
     * version of the reference's raw job).

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sinks.SnapshotTarget
+import graft.streaming.StreamOps
+
+/** Streaming SCD-1 upsert into a snapshot-versioned parquet target:
+  * the foreachBatch + Merge.upsert composition, with the exactly-once
+  * crash-replay contract proven at both the batch and streaming level.
+  */
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(root: String): Seq[(Long, String)] =
+    SnapshotTarget.read(spark, root)
+      .map(_.orderBy("id").as[(Long, String)].collect().toSeq)
+      .getOrElse(Nil)
+
+  test("snapshot target: only _SUCCESS-committed snapshots are visible, " +
+      "prune keeps the newest two") {
+    val root = Files.createTempDirectory("graft-snap").toString + "/t"
+    assert(SnapshotTarget.read(spark, root).isEmpty)
+    SnapshotTarget.commit(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    SnapshotTarget.commit(Seq((1L, "b")).toDF("id", "v"), root, 1L)
+    // a half-written snapshot: directory without _SUCCESS is invisible
+    val partial = new java.io.File(s"$root/snap-5")
+    partial.mkdirs()
+    assert(SnapshotTarget.committedIds(spark, root) == Seq(0L, 1L))
+    assert(state(root) == Seq((1L, "b")))
+    SnapshotTarget.commit(Seq((1L, "c")).toDF("id", "v"), root, 6L)
+    // prune dropped snap-0 AND the sub-cutoff partial; kept 1 and 6
+    assert(SnapshotTarget.committedIds(spark, root) == Seq(1L, 6L))
+    assert(!partial.exists())
+    assert(state(root) == Seq((1L, "c")))
+  }
+
+  test("upsertBatch merges sequential batches and SKIPS a replayed one") {
+    val root = Files.createTempDirectory("graft-ub").toString + "/t"
+    def b(rows: (Long, String)*) = rows.toDF("id", "v")
+    StreamOps.upsertBatch(b(1L -> "a", 2L -> "b"), 0L, root, Seq("id"))
+    StreamOps.upsertBatch(b(2L -> "b2", 3L -> "c"), 1L, root, Seq("id"))
+    val after = state(root)
+    assert(after == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // crash-after-commit replay: batch 1 re-delivered → exact no-op,
+    // even with DIFFERENT content (the commit already happened; replay
+    // must not double-apply or fork state)
+    StreamOps.upsertBatch(b(2L -> "evil"), 1L, root, Seq("id"))
+    assert(state(root) == after)
+    assert(SnapshotTarget.committedIds(spark, root) == Seq(0L, 1L))
+  }
+
+  test("crash mid-batch: restart replays the micro-batch and the target " +
+      "converges to the exactly-once state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sups").toString
+    val root = s"$dir/target"
+    val in = MemoryStream[(Long, String)]
+    val updates = in.toDF().toDF("id", "v")
+
+    // injected fault AFTER the snapshot commit of batch 1 but BEFORE
+    // the streaming checkpoint commits — the worst spot: the replay
+    // sees an already-committed snapshot and must skip, not re-merge
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def writer(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      StreamOps.upsertBatch(batch, id, root, Seq("id"))
+      if (id == 1 && failOnce.getAndSet(false))
+        throw new RuntimeException("injected crash after snapshot commit")
+    }
+
+    val q1 = StreamOps.foreachBatchSink(updates, s"$dir/ckpt")(writer)
+    in.addData(1L -> "a", 2L -> "b")
+    q1.processAllAvailable() // batch 0 lands
+    in.addData(2L -> "b2", 3L -> "c")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable() // batch 1 commits its snapshot, then dies
+    }
+    assert(!q1.isActive)
+    assert(state(root) == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+
+    // restart from the same checkpoint: batch 1 replays (skip), stream
+    // continues with batch 2
+    val q2 = StreamOps.upsertSink(updates, root, Seq("id"), s"$dir/ckpt")
+    try {
+      q2.processAllAvailable()
+      in.addData(3L -> "c2", 4L -> "d")
+      q2.processAllAvailable()
+      assert(state(root) ==
+        Seq(1L -> "a", 2L -> "b2", 3L -> "c2", 4L -> "d"))
+    } finally q2.stop()
+  }
+
+  test("newest-wins versioning applies inside a micro-batch") {
+    val dir = Files.createTempDirectory("graft-supv").toString
+    val root = s"$dir/target"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.upsertSink(in.toDF().toDF("id", "v", "ver"), root,
+      Seq("id"), s"$dir/ckpt", versionCol = Some("ver"))
+    try {
+      in.addData((1L, "old", 1L), (1L, "new", 2L))
+      q.processAllAvailable()
+      // version column is dropped from the target schema
+      val out = SnapshotTarget.read(spark, root).get
+      assert(out.columns.toSeq == Seq("id", "v"))
+      assert(out.as[(Long, String)].collect().toSeq == Seq(1L -> "new"))
+    } finally q.stop()
+  }
+}
