@@ -1,0 +1,165 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the operational gap every long-running
+  * incremental pipeline hits: streaming/micro-batch appends and
+  * per-batch dynamic-partition overwrites (reference:
+  * dl_ct_gosales_sales_fact_01.py:107) accumulate thousands of tiny
+  * parquet files per partition, and at 100 TB the driver-side file
+  * listing plus per-file open overhead — not the bytes — becomes the
+  * scan bottleneck. Compaction bin-packs each partition back to
+  * ~`targetFileBytes` files while preserving the partition directory
+  * layout, so every downstream query keeps its partition pruning.
+  *
+  * Shape: one shuffle of the table, keyed by (partition columns, bin)
+  * where each partition directory gets `ceil(bytes / target)` bins —
+  * a SKEWED partition therefore spreads over multiple write tasks
+  * instead of serializing through one (the naive
+  * `repartition(partitionCols)` recipe's failure mode), and a tiny
+  * partition collapses to a single file. The rewrite lands in a
+  * staging directory and swaps in via two renames, so a crash leaves
+  * either the old table or the old table under `<path>__old` — never
+  * a half-compacted mix.
+  */
+object Compaction {
+
+  final case class CompactStats(
+      partitionDirs: Int,
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesBefore: Long)
+
+  private def listDataFiles(
+      spark: SparkSession, root: String): Seq[(String, FileStatus)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(dir: Path, rel: String): Seq[(String, FileStatus)] =
+      fs.listStatus(dir).toSeq.flatMap {
+        case d if d.isDirectory =>
+          val name = d.getPath.getName
+          walk(d.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        case f if !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".") => Seq(rel -> f)
+        case _ => Nil
+      }
+    walk(rootPath, "")
+  }
+
+  /** Total data bytes under a table root (listing-based). */
+  def tableBytes(spark: SparkSession, path: String): Long =
+    listDataFiles(spark, path).map(_._2.getLen).sum
+
+  /** Compact the parquet table at `path` to ~`targetFileBytes` files.
+    *
+    * Partition columns are discovered from the `k=v` directory layout;
+    * an unpartitioned table bin-packs globally. Row content is
+    * preserved exactly (it is a pure rewrite); file ORDER within the
+    * table is not (parquet scans never promise one).
+    *
+    * @return before/after stats (files counted from the directory
+    *         listings, not estimated)
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val files = listDataFiles(spark, path)
+    require(files.nonEmpty, s"no data files under $path")
+    val partCols = files.head._1.split("/").filter(_.contains("="))
+      .map(_.takeWhile(_ != '=')).toSeq
+    val bytesBefore = files.map(_._2.getLen).sum
+
+    val df = spark.read.parquet(path)
+    // staging lives OUTSIDE the table root (a reader listing the table
+    // mid-compact must not see half-written files)
+    val stagingPath = s"${path.stripSuffix("/")}__staging"
+
+    if (partCols.isEmpty) {
+      val nBins = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+      df.repartition(nBins).write.mode("overwrite").parquet(stagingPath)
+    } else {
+      // per-directory bin counts from the listing: ceil(bytes/target)
+      val perDir = files.groupBy(_._1).view
+        .mapValues(_.map(_._2.getLen).sum).toSeq
+      val bins = perDir.map { case (dir, bytes) =>
+        (dir, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes))
+      }
+      import spark.implicits._
+      val binsDf = bins.toDF("__dir", "__nbins")
+      // rebuild each row's partition directory string from its columns
+      // (matches Spark's k=v layout for the simple value types partition
+      // columns should be — dates/numbers/clean strings)
+      val dirExpr = concat_ws("/",
+        partCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
+      val dataCols = df.columns.filterNot(partCols.contains)
+      val binned = df.withColumn("__dir", dirExpr)
+        .join(broadcast(binsDf), Seq("__dir"))
+        // deterministic row→bin spread over the data columns: a skewed
+        // partition fans out across its bins' write tasks
+        .withColumn("__bin",
+          pmod(xxhash64(dataCols.map(col): _*), col("__nbins")))
+      // EXPLICIT partition count: repartition-by-column without one is
+      // subject to AQE coalescing, which would pack several bins into
+      // one write task and defeat the bin targets. Range partitioning
+      // (not hash) maps the distinct (dir, bin) groups onto tasks
+      // nearly 1:1 — hash would birthday-collide bins together.
+      val totalBins = math.min(bins.map(_._2).sum, 1 << 20).toInt
+      binned
+        .repartitionByRange(totalBins, (partCols :+ "__bin").map(col): _*)
+        .drop("__dir", "__nbins", "__bin")
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(stagingPath)
+    }
+
+    // swap: old table aside, staging in, old dropped — two renames
+    // bracket the only non-atomic instant, and both states are readable
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(rootPath, old), s"could not move $path aside")
+    require(fs.rename(new Path(stagingPath), rootPath),
+      s"could not move staging into place; original preserved at $old")
+    fs.delete(old, true)
+
+    val after = listDataFiles(spark, path)
+    CompactStats(
+      partitionDirs = after.map(_._1).distinct.size,
+      filesBefore = files.size,
+      filesAfter = after.size,
+      bytesBefore = bytesBefore)
+  }
+
+  /** Compact a BUCKETED catalog table, preserving its bucket spec: a
+    * bucketed table's layout contract ("bucket j of every file batch
+    * holds hash(keys)%n == j") is what lets joins/aggregations on the
+    * bucket keys skip their exchange ([[graft.sinks]] bucketed-write
+    * path, `BucketedJoinSpec`) — so compaction must rewrite THROUGH the
+    * same bucketBy, not a plain parquet copy. Uses a staging table +
+    * two ALTER RENAMEs, same crash shape as [[compact]].
+    */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec"))
+    val staging = s"${table}__compact_staging"
+    val old = s"${table}__compact_old"
+    val w = spark.table(table)
+      // one file per bucket is the compaction target: coalesce the
+      // row spread so each bucket's writer sees all its rows at once
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(staging)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+}
