@@ -392,7 +392,52 @@ object QueriesVector {
       | CAST(ceil(frames / 2.0) AS BIGINT) AS n_sampled
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // IVF index drift monitor (Similarity.assignFit) — the retrain signal
+  // for incremental index maintenance (Similarity.appendIndex): the
+  // corpus splits into a "training era" (vec_id%10 < 8) and "new
+  // arrivals" (%10 >= 8); each half's winning-cosine fit against the
+  // deterministic vec_id<16 centroid slice is summed in exact 1e-6
+  // micro-units, so the DuckDB replay (same argmax, same floor) is
+  // hash-exact. Consumers compare mean fits: delta mean well below base
+  // mean ⇒ the centroids no longer describe incoming data ⇒ retrain.
+  // -------------------------------------------------------------------
+  def simIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val b = Similarity.assignFit(corpus.where(col("id") % 10 < 8), centroids)
+      .select(col("n").as("n_base"), col("fit_sum_u").as("base_fit_u"))
+    val d = Similarity.assignFit(corpus.where(col("id") % 10 >= 8), centroids)
+      .select(col("n").as("n_delta"), col("fit_sum_u").as("delta_fit_u"))
+    b.crossJoin(d)
+  }
+
+  val simIvfDriftSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |         WHERE vec_id < 16),
+       |asg AS (SELECT id, cos, row_number() OVER (PARTITION BY id
+       |    ORDER BY cos DESC, cid ASC) AS rn
+       |  FROM (SELECT c.id, cent.cid,
+       |    ${dot("c.vec", "cent.cvec")} /
+       |      (sqrt(${dot("c.vec", "c.vec")}) * sqrt(${dot("cent.cvec", "cent.cvec")})) AS cos
+       |   FROM c CROSS JOIN cent)),
+       |best AS (SELECT id, CAST(floor(cos * 1000000) AS BIGINT) AS fit_u
+       |         FROM asg WHERE rn = 1)
+       |SELECT
+       | count(*) FILTER (WHERE id % 10 < 8) AS n_base,
+       | CAST(sum(fit_u) FILTER (WHERE id % 10 < 8) AS BIGINT) AS base_fit_u,
+       | count(*) FILTER (WHERE id % 10 >= 8) AS n_delta,
+       | CAST(sum(fit_u) FILTER (WHERE id % 10 >= 8) AS BIGINT) AS delta_fit_u
+       |FROM best""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_drift" -> (simIvfDrift _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
@@ -404,6 +449,7 @@ object QueriesVector {
     "multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_drift" -> simIvfDriftSql,
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql, // full replay: see simIvfTopk notes
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact

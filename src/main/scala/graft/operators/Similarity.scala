@@ -83,6 +83,15 @@ object Similarity {
     */
   def ivfAssignTo(
       corpus: DataFrame, // (id, vec)
+      centroids: DataFrame): DataFrame = // (cid, cvec)
+    ivfAssignScored(corpus, centroids).drop("fit")
+
+  /** [[ivfAssignTo]] keeping the winning cosine as `fit` — the
+    * assignment-quality signal [[assignFit]] aggregates for index-drift
+    * monitoring. Returns (id, vec, cell, fit).
+    */
+  def ivfAssignScored(
+      corpus: DataFrame, // (id, vec)
       centroids: DataFrame): DataFrame = { // (cid, cvec)
     val centArr = centroids
       .agg(collect_list(struct(col("cid"), col("cvec"))).as("__cents"))
@@ -102,7 +111,8 @@ object Similarity {
       .crossJoin(broadcast(centArr))
       .withColumn("__best", array_max(scored))
       .select(col("id"), col("vec"),
-        (-col("__best").getField("ncid")).as("cell"))
+        (-col("__best").getField("ncid")).as("cell"),
+        col("__best").getField("d").as("fit"))
   }
 
   /** Query→cell routing shared by the in-memory and disk-backed probe
@@ -173,6 +183,46 @@ object Similarity {
     */
   def writeIndex(cells: DataFrame, path: String): Unit =
     graft.sinks.ParquetSink(path, partitionBy = Seq("cell")).write(cells)
+
+  /** Incremental index maintenance: assign a DELTA of new vectors
+    * against the index's existing centroids and APPEND them into the
+    * `cell=N/` layout — no touch of the resident data. Sound because
+    * assignment is per-row against fixed centroids: assign(base) ∪
+    * assign(delta) ≡ assign(base ∪ delta) (spec-pinned in
+    * `SimilaritySpec`), so the grown index answers probes exactly as a
+    * full rebuild would. At 100 TB this is the difference between a
+    * per-batch index update costing O(|delta|) and one costing
+    * O(|corpus|).
+    *
+    * What appends CANNOT fix is centroid QUALITY: as the data
+    * distribution drifts away from the training corpus, cells get
+    * lopsided and recall-per-nProbe decays even though correctness of
+    * the bucketing is unaffected. Monitor with [[assignFit]] and
+    * retrain ([[kmeansCentroids]] + [[writeIndex]] rebuild) when the
+    * delta's fit drops materially below the training-time fit.
+    */
+  def appendIndex(
+      delta: DataFrame, // (id, vec)
+      centroids: DataFrame, // (cid, cvec) — the index's training output
+      path: String): Unit =
+    graft.sinks.ParquetSink(path, mode = "append", partitionBy = Seq("cell"))
+      .write(ivfAssignTo(delta, centroids))
+
+  /** Assignment-fit summary of a vector set against `centroids`: one
+    * row (n, fit_sum_u) where fit_sum_u is the SUM of per-row winning
+    * cosines in exact 1e-6 micro-units — order-independent integer
+    * addition, so the number is byte-identical on any partitioning and
+    * replayable by an external oracle engine (same trick as
+    * [[kmeansCentroids]]). Mean fit = fit_sum_u / 1e6 / n; compare the
+    * incoming delta's mean against the training corpus's to decide
+    * when the index needs retraining.
+    */
+  def assignFit(
+      vs: DataFrame, // (id, vec)
+      centroids: DataFrame): DataFrame =
+    ivfAssignScored(vs, centroids)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("fit") * lit(1e6)).cast("long")).as("fit_sum_u"))
 
   /** IVF probe against a cell-partitioned on-disk index
     * ([[writeIndex]]). Same semantics as [[ivfTopK]]; the join uses

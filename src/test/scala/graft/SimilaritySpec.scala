@@ -224,6 +224,60 @@ class SimilaritySpec extends SparkSpec {
       s"no dynamic partition pruning on the index scan:\n$plan")
   }
 
+  test("incremental index append: grown index equals a full rebuild, " +
+      "probes unchanged; assignFit flags drift") {
+    val base = emb.where(col("vec_id") < 150)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val delta = emb.where(col("vec_id").between(150, 199))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val full = emb.where(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+
+    Similarity.writeIndex(Similarity.ivfAssignTo(base, cents), dir)
+    Similarity.appendIndex(delta, cents, dir)
+
+    // assign(base) ∪ assign(delta) == assign(base ∪ delta): the grown
+    // index is exactly the full rebuild
+    val grown = spark.read.parquet(dir)
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.ivfAssignTo(full, cents)
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    assert(grown == rebuilt)
+
+    // and a probe against the grown index equals the in-memory answer
+    // over the full corpus
+    val queries = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.ivfTopKIndexed(spark.read.parquet(dir), cents,
+        queries, k = 5, nProbe = 4)
+      .select("qid", "id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.ivfTopK(Similarity.ivfAssignTo(full, cents),
+        cents, queries, k = 5, nProbe = 4)
+      .select("qid", "id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want)
+
+    // drift metric: the training slice fits its own centroids perfectly
+    // (mean fit 1.0); orthogonal-ish junk vectors fit far worse
+    val selfFit = Similarity.assignFit(
+      cents.select(col("cid").as("id"), col("cvec").as("vec")), cents)
+      .as[(Long, Long)].head()
+    assert(selfFit._1 == 16L && selfFit._2 >= 16L * 999999,
+      s"self-fit should be ~1.0/row, got $selfFit")
+    val junk = spark.range(8).select(col("id"),
+      transform(sequence(lit(1), lit(64)),
+        i => when(i === (col("id") % 64 + 1).cast("int"), lit(-1.0))
+          .otherwise(lit(0.0))).as("vec"))
+    val junkFit = Similarity.assignFit(junk, cents).as[(Long, Long)].head()
+    assert(junkFit._1 == 8L && junkFit._2 < selfFit._2 / 2,
+      s"junk fit should be far below self fit: $junkFit vs $selfFit")
+  }
+
   test("native dot Expression agrees bit-for-bit with the HOF fold") {
     val mismatches = emb.as("x").crossJoin(emb.as("y"))
       .where(col("x.vec_id") < 20 && col("y.vec_id") < 20)
