@@ -32,9 +32,109 @@ object Bench {
       .getProcessCpuTime / 1e9
     catch { case _: Throwable => -1.0 }
 
+  // ---------------------------------------------------------------------
+  // Process isolation (SPARK_GRAFT_ISOLATE=1): one fresh JVM per query.
+  // Same-JVM batteries share JIT state, GC pressure, shuffle dirs and
+  // page cache — a heavy query can poison its successors' timings even
+  // with the clearCache+GC hygiene below (observed as ±50% round-over-
+  // round swings in driver numbers). A fresh JVM per query removes every
+  // shared-process channel; what remains (machine load) is visible in
+  // the per-query loadavg. Cost: each child pays full session bring-up
+  // + table warmup, so this mode is for deep-dive runs and
+  // SPARK_GRAFT_ONLY subsets, not the default battery.
+  // ---------------------------------------------------------------------
+  private val Jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private val Num = "(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)"
+
+  /** Run one query in a fresh child JVM; returns (sec, loadavg, err,
+    * childCpuSec) parsed from the child's own JSON line.
+    */
+  private def isolatedRep(
+      name: String, sfDir: String, cpus: String,
+      forcedReps: Option[Int]): (Double, Double, Option[String], Double) = {
+    val cmd = Seq(s"${sys.props("java.home")}/bin/java") ++ Jdk17AddOpens ++
+      Seq(s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().remove("SPARK_GRAFT_ISOLATE")
+    forcedReps.foreach(r =>
+      pb.environment().put("SPARK_GRAFT_REPS", r.toString))
+    // child stderr (Spark logs) flows through; an un-drained pipe would
+    // fill and deadlock the child
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().toList
+    val code = proc.waitFor()
+    out.find(_.startsWith("{\"metric\"")) match {
+      case None =>
+        (-1.0, loadavg(), Some(s"isolated child produced no bench line (exit=$code)"), 0.0)
+      case Some(line) =>
+        val q = java.util.regex.Pattern.quote(name)
+        // "queries" precedes "query_loadavg" in the line, so the first
+        // match is the seconds, the second the loadavg
+        val hits = ("\"" + q + "\":" + Num).r
+          .findAllMatchIn(line).map(_.group(1).toDouble).toList
+        val sec = hits.headOption.getOrElse(-1.0)
+        val load = hits.drop(1).headOption.getOrElse(-1.0)
+        val err =
+          if (sec < 0)
+            ("\"" + q + "\":(\"(?:[^\"\\\\]|\\\\.)*\")").r
+              .findFirstMatchIn(line).map(_.group(1))
+              .orElse(Some("child reported failure"))
+          else None
+        val cpu = ("\"battery_cpu_sec\":" + Num).r
+          .findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(0.0)
+        (sec, load, err, math.max(cpu, 0.0))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (isolate) {
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).toSet)
+      val forcedReps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      val loadBefore = loadavg()
+      val wall0 = System.nanoTime()
+      val results = SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .map { name =>
+          val (sec, load, err, cpu) =
+            isolatedRep(name, sfDir, cpus, forcedReps)
+          (name, sec, load, err, cpu)
+        }
+      val wallSec = (System.nanoTime() - wall0) / 1e9
+      val cpuSec = results.map(_._5).sum
+      val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qload = results.map { case (k, _, l, _, _) => s"\"" + k + "\":" + l }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, _, Some(e), _) =>
+        s"\"" + k + "\":" + (if (e.startsWith("\"")) e else JsonUtil.escape(e))
+      }.mkString("{", ",", "}")
+      val nFailed = results.count(_._4.isDefined)
+      val total = results.collect { case (_, v, _, None, _) => v }.sum
+      val ratio = if (wallSec > 0) cpuSec / wallSec else -1.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","isolated":true,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -130,7 +230,7 @@ object Bench {
     // failed queries are EXCLUDED from total (they contribute no honest
     // seconds); n_failed + errors make the breakage unmissable
     val total = results.collect { case (_, v, _, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","isolated":false,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
     spark.stop()
   }
 }

@@ -400,7 +400,46 @@ object QueriesExtra {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Approximate aggregates under an INVARIANT oracle (the
+  // keymap_scalable pattern): approx_count_distinct (HLL++) and
+  // approx_percentile (GK summaries) have engine-specific sketch
+  // internals DuckDB cannot replay, but their ERROR CONTRACTS are
+  // checkable exactly. The Spark side evaluates the contract to a
+  // boolean next to exact anchor values; the oracle recomputes the
+  // anchors exactly and pins the booleans at TRUE. Both sketches are
+  // hash-based and deterministic for fixed data, and the asserted
+  // bounds (5% on a 2% rsd HLL; p45..p55 on a 1e-4 rank-error median)
+  // sit far outside worst-case error, so the flags cannot flap with
+  // partitioning/merge order. At 100 TB these sketches ARE the
+  // count-distinct/percentile story: constant memory, one pass,
+  // mergeable partials — the exact forms here exist to judge them.
+  // -------------------------------------------------------------------
+  def approxAggBounds(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("cd_exact"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__acd"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("__amed"),
+        expr("percentile(o_totalprice, 0.45)").as("__p45"),
+        expr("percentile(o_totalprice, 0.55)").as("__p55"))
+      .select(col("n_rows"), col("cd_exact"),
+        (abs(col("__acd") - col("cd_exact")) <=
+          col("cd_exact").cast("double") * 0.05).as("acd_within_5pct"),
+        col("__amed").between(col("__p45"), col("__p55"))
+          .as("amed_within_decile"))
+  }
+
+  val approxAggBoundsSql: String =
+    """SELECT count(*) AS n_rows,
+      | count(DISTINCT o_custkey) AS cd_exact,
+      | TRUE AS acd_within_5pct,
+      | TRUE AS amed_within_decile
+      |FROM orders""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_agg_bounds" -> (approxAggBounds _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "profile_orders" -> (profileOrders _),
     "redact_pii" -> (redactPii _),
@@ -416,6 +455,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "approx_agg_bounds" -> approxAggBoundsSql,
     "bucketed_join_agg" -> bucketedJoinAggSql,
     "profile_orders" -> profileOrdersSql,
     "redact_pii" -> redactPiiSql,
