@@ -279,7 +279,10 @@ object QueriesCurated {
       .orderBy("c_custkey", "effective_from")
   }
 
-  val scd2MergeSql: String =
+  /** The scd2 chain CTEs, shared by the merge oracle and the
+    * point-in-time lookup oracle (`scd2` = the final SCD-2 table).
+    */
+  private val scd2ChainCtes: String =
     """WITH v0 AS (
       | SELECT c_custkey, c_name, c_mktsegment, CAST(100 AS BIGINT) AS eff
       | FROM customer WHERE c_custkey <= 1000),
@@ -314,12 +317,16 @@ object QueriesCurated {
       | SELECT c_custkey, c_name || '-v0' AS c_name, c_mktsegment,
       |        CAST(50 AS BIGINT) AS effective_from,
       |        CAST(100 AS BIGINT) AS effective_to, FALSE AS is_current
-      | FROM customer WHERE c_custkey <= 200)
-      |SELECT c_custkey, c_name, c_mktsegment, effective_from, effective_to,
-      |       effective_to IS NULL AS is_current
-      |FROM tiled
-      |UNION ALL SELECT * FROM hist0
-      |ORDER BY c_custkey, effective_from""".stripMargin
+      | FROM customer WHERE c_custkey <= 200),
+      |scd2 AS (
+      | SELECT c_custkey, c_name, c_mktsegment, effective_from, effective_to,
+      |        effective_to IS NULL AS is_current
+      | FROM tiled
+      | UNION ALL SELECT * FROM hist0)""".stripMargin
+
+  val scd2MergeSql: String =
+    s"""$scd2ChainCtes
+       |SELECT * FROM scd2 ORDER BY c_custkey, effective_from""".stripMargin
 
   // -------------------------------------------------------------------
   // CDC apply (Cdc.apply) — the I/U/D completion of the `oper` lineage
@@ -386,10 +393,86 @@ object QueriesCurated {
       |WHERE NOT coalesce(u.oper = 'D', FALSE)
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SCD-2 point-in-time lookup (Merge.scd2Lookup) — the read side: each
+  // order carries a synthetic event time on the dimension's version
+  // timeline (o_orderkey % 350 + 1 spans pre-history, v0, v1 and v2
+  // eras) and joins the version effective AT THAT TIME. The oracle
+  // replays the same chain + interval join; facts before a key's first
+  // version or outside the dim's key range enrich to NULL.
+  // -------------------------------------------------------------------
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Merge(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .drop("is_current")
+    val facts = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 350 + 1).cast("long").as("ts"))
+    Merge.scd2Lookup(facts, dim, Seq("o_custkey"), "ts")
+      .select("o_orderkey", "o_custkey", "ts", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  val scd2LookupSql: String =
+    s"""$scd2ChainCtes,
+       |f AS (SELECT o_orderkey, o_custkey,
+       |        CAST(o_orderkey % 350 + 1 AS BIGINT) AS ts FROM orders)
+       |SELECT f.o_orderkey, f.o_custkey, f.ts, d.c_name, d.c_mktsegment
+       |FROM f LEFT JOIN scd2 d
+       |  ON d.c_custkey = f.o_custkey AND f.ts >= d.effective_from
+       | AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Changelog generation (Cdc.changelog) — the inverse of cdc_apply:
+  // diff two snapshot states of the customer dimension into an I/U/D
+  // stream (how a batch pipeline publishes a delta instead of a full
+  // table). after = before minus 101-150 (D), 201-300 renamed (U),
+  // 1001-1200 added (I); everything else silent.
+  // -------------------------------------------------------------------
+  def tableChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val before = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val after = c.where(
+        (col("c_custkey") <= 1000 && !col("c_custkey").between(101, 150)) ||
+          col("c_custkey").between(1001, 1200))
+      .select(col("c_custkey"),
+        when(col("c_custkey").between(201, 300), upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        col("c_mktsegment"))
+    Cdc.changelog(before, after, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val tableChangelogSql: String =
+    """WITH b AS (SELECT c_custkey, c_name, c_mktsegment
+      |           FROM customer WHERE c_custkey <= 1000),
+      |a AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey BETWEEN 201 AND 300 THEN upper(c_name)
+      |             ELSE c_name END AS c_name,
+      |        c_mktsegment
+      |      FROM customer
+      |      WHERE (c_custkey <= 1000 AND c_custkey NOT BETWEEN 101 AND 150)
+      |         OR c_custkey BETWEEN 1001 AND 1200)
+      |SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+      | CASE WHEN a.c_custkey IS NULL THEN b.c_name ELSE a.c_name END AS c_name,
+      | CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment
+      |      ELSE a.c_mktsegment END AS c_mktsegment,
+      | CASE WHEN a.c_custkey IS NULL THEN 'D'
+      |      WHEN b.c_custkey IS NULL THEN 'I' ELSE 'U' END AS oper
+      |FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
+      |WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+      |   OR (a.c_name IS DISTINCT FROM b.c_name)
+      |   OR (a.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
+    "scd2_lookup" -> (scd2Lookup _),
     "cdc_apply" -> (cdcApply _),
+    "table_changelog" -> (tableChangelog _),
     "incremental_merge" -> (incrementalMerge _),
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
@@ -399,7 +482,9 @@ object QueriesCurated {
   val oracles: Map[String, String] = Map(
     "merge_upsert" -> mergeUpsertSql,
     "scd2_merge" -> scd2MergeSql,
+    "scd2_lookup" -> scd2LookupSql,
     "cdc_apply" -> cdcApplySql,
+    "table_changelog" -> tableChangelogSql,
     "incremental_merge" -> incrementalMergeSql,
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,

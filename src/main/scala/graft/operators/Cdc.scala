@@ -105,4 +105,67 @@ object Cdc {
       }: _*)
       .unionByName(nullKeyed)
   }
+
+  /** Metadata-driven variant: merge keys from the declared schema
+    * (`ColumnDef.isMergeKey` — the `merge_column` contract), matching
+    * [[Merge.upsertFor]].
+    */
+  def applyFor(
+      target: DataFrame,
+      batch: DataFrame,
+      tdef: graft.meta.TableDef,
+      operCol: String = "oper",
+      versionCol: Option[String] = None): DataFrame =
+    apply(target, batch, tdef.mergeKeys, operCol, versionCol)
+
+  /** Snapshot diff → CDC changelog: the INVERSE of [[apply]]. Compares
+    * two states of a table keyed by `keyCols` and emits one row per
+    * difference: `I` (key only in `after`), `D` (key only in `before`,
+    * carrying the before-image), `U` (key in both, data columns
+    * null-safe different, carrying the after-image). Unchanged keys
+    * emit nothing.
+    *
+    * Round-trip contract (property-pinned in `CdcSpec`): for non-null
+    * keys, `apply(before, changelog(before, after)) == after` — which
+    * is how a batch pipeline PUBLISHES changes downstream (compute the
+    * new state, diff against the old, ship the delta instead of the
+    * table). Null-keyed rows break the round-trip asymmetrically by
+    * design: an after-side null-key row emits `I` (and re-applies),
+    * but a before-side one emits `D` that [[apply]] treats as a no-op
+    * — ANSI NULL keys can never match, so a null-keyed row is not
+    * deletable through a key-addressed changelog.
+    *
+    * Scale notes: one full-outer join on the keys (the same one
+    * unavoidable shuffle as [[apply]]); the output is delta-sized.
+    */
+  def changelog(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String],
+      operCol: String = "oper"): DataFrame = {
+    require(keyCols.nonEmpty, "changelog needs at least one key")
+    val outCols = before.columns.toSeq
+    require(after.columns.toSeq.sorted == outCols.sorted,
+      s"before/after schemas differ: $outCols vs ${after.columns.toSeq}")
+    val dataCols = outCols.filterNot(keyCols.contains)
+    val b = before.withColumn("__b", lit(true)).alias("__gb")
+    val a = after.withColumn("__a", lit(true)).alias("__ga")
+    val joinCond = keyCols
+      .map(k => col(s"__gb.$k") === col(s"__ga.$k"))
+      .reduce(_ && _)
+    val bData = struct(dataCols.map(c => col(s"__gb.$c")): _*)
+    val aData = struct(dataCols.map(c => col(s"__ga.$c")): _*)
+    b.join(a, joinCond, "full_outer")
+      .where(col("__ga.__a").isNull || col("__gb.__b").isNull ||
+        !(bData <=> aData))
+      .select(outCols.map { c =>
+        if (keyCols.contains(c))
+          coalesce(col(s"__ga.$c"), col(s"__gb.$c")).as(c)
+        else // D carries the before-image, I/U the after-image
+          when(col("__ga.__a").isNull, col(s"__gb.$c"))
+            .otherwise(col(s"__ga.$c")).as(c)
+      } :+ when(col("__ga.__a").isNull, lit("D"))
+        .when(col("__gb.__b").isNull, lit("I"))
+        .otherwise(lit("U")).as(operCol): _*)
+  }
 }

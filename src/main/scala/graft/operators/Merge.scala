@@ -255,4 +255,56 @@ object Merge {
       .unionByName(nullKeyTarget.select(outCols.map(col): _*))
       .unionByName(nullKeyUpd)
   }
+
+  /** Metadata-driven SCD-2: merge keys from the declared schema
+    * (`ColumnDef.isMergeKey`), same contract as [[upsertFor]].
+    */
+  def scd2For(
+      target: DataFrame,
+      updates: DataFrame,
+      tdef: graft.meta.TableDef,
+      effCol: String): DataFrame =
+    scd2(target, updates, tdef.mergeKeys, effCol)
+
+  /** Point-in-time dimension lookup — the READ side of [[scd2]]: enrich
+    * each fact with the dimension version effective AT THE FACT'S OWN
+    * TIME, i.e. the version whose `[effective_from, effective_to)`
+    * interval contains `tsCol`. This is what makes SCD-2 history worth
+    * keeping: a reprocessed 2019 fact joins the 2019 dimension row, not
+    * today's (a plain `is_current` join silently rewrites history).
+    *
+    * LEFT join: facts with no matching key OR a timestamp before the
+    * key's first version keep NULL dimension columns. The scd2 tiling
+    * invariant (no overlaps) guarantees at most one match per fact, so
+    * the join can never fan out.
+    *
+    * Scale notes: an equi-join on the merge keys with the interval
+    * predicate evaluated as the join's residual condition — one hash
+    * shuffle of each side on the keys (or zero for the dim side when
+    * it broadcasts). NOT a blind interval join: the key equality does
+    * the routing, so no interval-bucketing machinery
+    * ([[RangeJoin]]-style) is needed unless a single key's history is
+    * itself huge — dimensions aren't.
+    */
+  def scd2Lookup(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      fromCol: String = "effective_from",
+      toCol: String = "effective_to"): DataFrame = {
+    require(keyCols.nonEmpty, "SCD-2 lookup needs at least one key")
+    val f = facts.alias("__lf")
+    val d = dim.alias("__ld")
+    val keyEq = keyCols
+      .map(k => col(s"__lf.$k") === col(s"__ld.$k"))
+      .reduce(_ && _)
+    val inInterval = col(s"__lf.$tsCol") >= col(s"__ld.$fromCol") &&
+      (col(s"__ld.$toCol").isNull ||
+        col(s"__lf.$tsCol") < col(s"__ld.$toCol"))
+    val dimDataCols = dim.columns.toSeq.filterNot(keyCols.contains)
+    f.join(d, keyEq && inInterval, "left")
+      .select(facts.columns.toSeq.map(c => col(s"__lf.$c").as(c)) ++
+        dimDataCols.map(c => col(s"__ld.$c").as(c)): _*)
+  }
 }

@@ -203,6 +203,47 @@ object StreamOps {
       upsertBatch(batch, id, targetPath, keyCols, versionCol)
     }
 
+  /** One micro-batch of the streaming CDC apply — [[upsertBatch]]'s
+    * skeleton (same snapshot commit/skip replay contract) with
+    * [[graft.operators.Cdc.apply]] as the merge, so a streamed I/U/D
+    * changelog (e.g. a Debezium-shaped feed) materializes the table it
+    * describes.
+    */
+  def cdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      targetPath: String,
+      keyCols: Seq[String],
+      operCol: String = "oper",
+      versionCol: Option[String] = None): Unit = {
+    import graft.sinks.SnapshotTarget
+    val spark = batch.sparkSession
+    if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
+      return
+    val targetCols = batch.columns.toSeq
+      .filterNot(c => c == operCol || versionCol.contains(c))
+    val current = SnapshotTarget.read(spark, targetPath)
+      .getOrElse(batch.select(targetCols.map(col): _*).limit(0))
+    SnapshotTarget.commit(
+      graft.operators.Cdc.apply(current, batch, keyCols, operCol, versionCol),
+      targetPath, batchId)
+  }
+
+  /** Streaming CDC sink: a changelog stream (rows carrying I/U/D in
+    * `operCol`) applied micro-batch by micro-batch to the snapshot
+    * target — deletes included, exactly-once across crash-replay.
+    */
+  def cdcSink(
+      changelog: DataFrame,
+      targetPath: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      operCol: String = "oper",
+      versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(changelog, checkpoint) { (batch, id) =>
+      cdcBatch(batch, id, targetPath, keyCols, operCol, versionCol)
+    }
+
   /** Streaming raw-layer ingest: file-source stream → trim → parquet
     * sink with checkpointed exactly-once progress (the readStream
     * version of the reference's raw job).

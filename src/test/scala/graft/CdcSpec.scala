@@ -86,6 +86,45 @@ class CdcSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("changelog emits I/U/D with the right row images; unchanged keys " +
+      "emit nothing") {
+    val after = Seq(
+      (1L, "alpha", "NA"), // unchanged → silent
+      (2L, "beta2", "EU"), // changed → U, after-image
+      (4L, "delta", "NA")) // new → I
+      .toDF("id", "name", "region") // 3L gone → D, before-image
+    val out = Cdc.changelog(dim, after, Seq("id"))
+      .orderBy("id").as[(Long, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      (2L, "beta2", "EU", "U"),
+      (3L, "gamma", "APAC", "D"),
+      (4L, "delta", "NA", "I")))
+  }
+
+  test("round-trip: apply(before, changelog(before, after)) == after") {
+    val after = Seq(
+      (1L, "alpha", "NA"),
+      (2L, null, "EU"), // update to NULL must survive the trip
+      (5L, "eps", "APAC"))
+      .toDF("id", "name", "region")
+    val log = Cdc.changelog(dim, after, Seq("id"))
+    val roundTripped = Cdc.apply(dim, log, Seq("id"))
+    assert(roundTripped.orderBy("id")
+      .as[(Long, Option[String], String)].collect().toSeq ==
+      after.orderBy("id")
+        .as[(Long, Option[String], String)].collect().toSeq)
+    // and an identical state diffs to an EMPTY changelog
+    assert(Cdc.changelog(dim, dim, Seq("id")).isEmpty)
+  }
+
+  test("changelog NULL-data change detection is null-safe both ways") {
+    val b = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("id", "v")
+    val a = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "v")
+    val out = Cdc.changelog(b, a, Seq("id"))
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(out == Seq((1L, None, "U"))) // NULL==NULL is no change
+  }
+
   test("target carrying the oper column is rejected loudly") {
     intercept[IllegalArgumentException] {
       Cdc.apply(dim.withColumn("oper", lit("I")),

@@ -135,6 +135,28 @@ class Scd2Spec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("point-in-time lookup joins each fact to the version effective " +
+      "at the fact's own time; never fans out") {
+    val s1 = Merge.scd2(dim, batch((2L, "beta2", "EU", 200L)), Seq("id"), "eff")
+    val s2 = Merge.scd2(s1, batch((2L, "beta3", "LATAM", 300L)), Seq("id"), "eff")
+    val facts = Seq(
+      (10L, 2L, 150L), // v0 era → beta
+      (11L, 2L, 200L), // boundary: effective_from inclusive → beta2
+      (12L, 2L, 299L), // still beta2
+      (13L, 2L, 999L), // open version → beta3
+      (14L, 2L, 50L), // before first version → NULL
+      (15L, 9L, 200L)) // unknown key → NULL
+      .toDF("fid", "id", "ts")
+    val out = Merge.scd2Lookup(facts, s2.drop("is_current"), Seq("id"), "ts")
+      .select("fid", "name").orderBy("fid")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (10L, Some("beta")), (11L, Some("beta2")), (12L, Some("beta2")),
+      (13L, Some("beta3")), (14L, None), (15L, None)))
+    assert(Merge.scd2Lookup(facts, s2.drop("is_current"), Seq("id"), "ts")
+      .count() == facts.count()) // tiling ⇒ no fan-out
+  }
+
   test("output keeps the target's column order even with non-leading keys") {
     val t = Seq(("alpha", 1L, 100L, Option.empty[Long], true))
       .toDF("name", "id", "effective_from", "effective_to", "is_current")

@@ -90,6 +90,27 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming CDC sink applies I/U/D micro-batches with deletes; " +
+      "replayed batches are no-ops") {
+    val dir = Files.createTempDirectory("graft-scdc").toString
+    val root = s"$dir/target"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.cdcSink(in.toDF().toDF("id", "v", "oper"), root,
+      Seq("id"), s"$dir/ckpt")
+    try {
+      in.addData((1L, "a", "I"), (2L, "b", "I"))
+      q.processAllAvailable()
+      in.addData((2L, "b2", "U"), (1L, "", "D"), (3L, "c", "I"))
+      q.processAllAvailable()
+      assert(state(root) == Seq(2L -> "b2", 3L -> "c"))
+    } finally q.stop()
+    // crash-after-commit replay of the last batch: exact no-op
+    StreamOps.cdcBatch(
+      Seq((3L, "evil", "U")).toDF("id", "v", "oper"), 1L, root, Seq("id"))
+    assert(state(root) == Seq(2L -> "b2", 3L -> "c"))
+  }
+
   test("newest-wins versioning applies inside a micro-batch") {
     val dir = Files.createTempDirectory("graft-supv").toString
     val root = s"$dir/target"
