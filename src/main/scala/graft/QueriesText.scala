@@ -497,7 +497,53 @@ object QueriesText {
        |ORDER BY step""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // BPE tokenizer APPLICATION (Bpe.applyMerges): learn BpeRounds merges,
+  // then encode the corpus in one fused scan (the merge table collects
+  // as a vocabulary artifact; each merge is a literal replace in one
+  // projection). The oracle replays training AND application: the same
+  // round CTEs as vocab_bpe_merges, but with doc_id carried through and
+  // the final winner also applied, then the full encoded string and
+  // token count compare hash-exact per document.
+  // -------------------------------------------------------------------
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", BpeRounds)
+    graft.operators.Bpe
+      .applyMerges(docs.select(col("doc_id"), col("text")), "text", merges)
+      .select(col("doc_id"), col("bpe_enc"),
+        size(col("bpe_tokens")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String = {
+    def round(i: Int): String =
+      s"""p$i AS (
+         | SELECT unnest(list_transform(range(1, len(t)),
+         |                              j -> {'a': t[j], 'b': t[j + 1]})) AS p
+         | FROM (SELECT str_split(trim(enc), '  ') AS t FROM d$i)),
+         |t$i AS (
+         | SELECT p.a AS a, p.b AS b, count(*) AS n FROM p$i
+         | GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |d${i + 1} AS (
+         | SELECT doc_id, replace(enc, ' ' || a || '  ' || b || ' ',
+         |                ' ' || a || chr(1) || b || ' ') AS enc
+         | FROM d$i CROSS JOIN t$i)""".stripMargin
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    s"""WITH d1 AS (
+       | SELECT doc_id,
+       |   ' ' || regexp_replace(trim(lower(text)), '[\\s\\x01]+', '  ', 'g')
+       |   || ' ' AS enc
+       | FROM documents),
+       |$rounds
+       |SELECT doc_id, enc AS bpe_enc,
+       |  CAST(len(str_split(trim(enc), '  ')) AS INTEGER) AS n_tokens
+       |FROM d${BpeRounds + 1}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_encode" -> (bpeEncode _),
     "vocab_bpe_merges" -> (vocabBpeMerges _),
     "sample_stratified" -> (sampleStratified _),
     "curate_corpus" -> (curateCorpus _),
@@ -512,6 +558,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_encode" -> bpeEncodeSql,
     "vocab_bpe_merges" -> vocabBpeMergesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "curate_corpus" -> curateCorpusSql,

@@ -436,7 +436,42 @@ object QueriesVector {
        |FROM best""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Int8-quantized ANN (Similarity.quantizeUnit + quantizedTopK): each
+  // vector L2-normalizes then maps to floor(x/||v||*127) ∈ [-127,127],
+  // and top-k runs on EXACT INTEGER dot products — 4× smaller vectors
+  // and a ranking with no float-order hazard at all, so the DuckDB
+  // replay (same fold for the norm, same floor, same integer sums) is
+  // hash-exact on the quantized answer itself.
+  // -------------------------------------------------------------------
+  def simQuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Similarity.quantizeUnit(corpus)
+    Similarity.quantizedTopK(q, q.where(col("id") < 8), k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val simQuantizedTopkSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |n AS (SELECT id, vec, sqrt(${dot("vec", "vec")}) AS nr FROM e),
+       |q AS (SELECT id, list_transform(range(1, 65),
+       |        i -> CAST(floor(CAST(vec[i] AS DOUBLE) / nr * 127) AS INTEGER))
+       |        AS qvec FROM n),
+       |s AS (SELECT a.id AS qid, b.id AS id,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.qvec[i] AS BIGINT) * b.qvec[i])) AS BIGINT) AS score
+       | FROM q a JOIN q b ON a.id <> b.id WHERE a.id < 8),
+       |r AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, id ASC) AS rank FROM s)
+       |SELECT qid, id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -449,6 +484,7 @@ object QueriesVector {
     "multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
+    "sim_quantized_topk" -> simQuantizedTopkSql,
     "sim_ivf_drift" -> simIvfDriftSql,
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql, // full replay: see simIvfTopk notes

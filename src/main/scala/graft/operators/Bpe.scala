@@ -142,4 +142,36 @@ object Bpe {
         "(every document is empty or a single character)")
     steps.reduce(_.unionByName(_)).orderBy("step")
   }
+
+  /** Apply a learned merge table ([[learnMerges]] output) to encode a
+    * corpus: every merge replayed in step order. The merge table is a
+    * VOCABULARY artifact (nMerges rows, not data), so it collects to
+    * the driver and each merge becomes one literal `replace` in a
+    * single fused projection — encoding costs ONE corpus scan
+    * regardless of vocabulary size, vs the training loop's pass per
+    * round. This is the tokenizer-application side: train once
+    * ([[learnMerges]]), encode any corpus any number of times.
+    *
+    * Adds `bpe_enc` (the encoded string, merged tokens glued with
+    * [[Joiner]]) and `bpe_tokens` (the token array with joiners
+    * restored to spaces) to `docs`.
+    */
+  def applyMerges(
+      docs: DataFrame,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    // step order matters: later merges may consume earlier merged
+    // tokens (("the cat"), then ("the cat","sat"))
+    val ms = merges.orderBy("step").select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0).replace(" ", Joiner),
+        r.getString(1).replace(" ", Joiner)))
+    val enc = ms.foldLeft(encode(col(textCol))) { case (e, (a, b)) =>
+      replace(e, lit(s" $a  $b "), lit(s" $a$Joiner$b "))
+    }
+    docs
+      .withColumn("bpe_enc", enc)
+      .withColumn("bpe_tokens",
+        transform(split(trim(col("bpe_enc")), "  "),
+          t => translate(t, Joiner, " ")))
+  }
 }

@@ -208,6 +208,59 @@ object Similarity {
     graft.sinks.ParquetSink(path, mode = "append", partitionBy = Seq("cell"))
       .write(ivfAssignTo(delta, centroids))
 
+  /** Scalar int8 quantization of an embedding column: each vector is
+    * L2-normalized (exact left-to-right double fold, like every norm
+    * here) and each element mapped to `floor(x/||v|| * 127)` ∈
+    * [-127, 127]. 4× smaller than float32 — at 100 TB that is the
+    * difference between an index that fits executor memory and one
+    * that spills — and, crucially for this engine's oracle discipline,
+    * scoring becomes EXACT INTEGER arithmetic: no float summation
+    * order, no NaN totality traps, ties broken by id. Zero vectors
+    * quantize to all-zero (try_divide), scoring 0 against everything.
+    *
+    * Returns (id, qvec: Array[Int]). The fidelity loss is bounded by
+    * the quantization step (1/127 per dim); [[quantizedTopK]]'s recall
+    * against the exact path is spec-pinned in `SimilaritySpec`.
+    */
+  def quantizeUnit(corpus: DataFrame): DataFrame = { // (id, vec)
+    val n = norm(col("vec"))
+    Par.widen(corpus)
+      .select(col("id"), col("vec"), n.as("__n"))
+      .select(col("id"),
+        transform(col("vec"), x =>
+          coalesce(
+            floor(try_divide(x.cast("double"), col("__n")) * lit(127.0)),
+            lit(0L)).cast("int")).as("qvec"))
+  }
+
+  /** Top-k by integer dot product over [[quantizeUnit]] vectors —
+    * since both sides are unit-normalized before quantization, the
+    * integer dot is a (scaled, discretized) cosine. Same broadcast
+    * shape as [[bruteForceTopK]]: the corpus never shuffles. The score
+    * is exact integer math, so the ranking is bit-deterministic on any
+    * partitioning and externally replayable.
+    */
+  def quantizedTopK(
+      qcorpus: DataFrame, // (id, qvec) from quantizeUnit
+      qqueries: DataFrame, // (qid, qvec) from quantizeUnit
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = Par.widen(qcorpus).as("c")
+      .crossJoin(broadcast(
+        qqueries.select(col("id").as("qid"), col("qvec").as("q2")).as("q")))
+      .where(if (excludeSelf) !(col("q.qid") <=> col("c.id")) else lit(true))
+      .select(col("q.qid").as("qid"), col("c.id").as("id"),
+        aggregate(
+          zip_with(col("q.q2"), col("c.qvec"),
+            (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Assignment-fit summary of a vector set against `centroids`: one
     * row (n, fit_sum_u) where fit_sum_u is the SUM of per-row winning
     * cosines in exact 1e-6 micro-units — order-independent integer

@@ -81,4 +81,28 @@ class BpeSpec extends SparkSpec {
       Bpe.learnMerges(Seq("x y").toDF("text"), "text", 0)
     }
   }
+
+  test("applyMerges replays the learned vocabulary in step order: " +
+      "multi-part tokens chain and later docs encode identically") {
+    val train = Seq(
+      "the cat sat", "the cat sat", "the cat ran", "dog ran far")
+      .toDF("text")
+    val merges = Bpe.learnMerges(train, "text", 2)
+    // ("the","cat") then ("the cat","sat") — applying to NEW text must
+    // replay both, producing the 3-part token on matching docs
+    val fresh = Seq((1L, "the cat sat here"), (2L, "the dog sat"))
+      .toDF("id", "text")
+    val out = Bpe.applyMerges(fresh, "text", merges)
+      .select("id", "bpe_tokens").orderBy("id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, Seq("the cat sat", "here")), // both merges chained
+      (2L, Seq("the", "dog", "sat")))) // no partial merge fires
+    // and application agrees with the training loop's own corpus state:
+    // token counts on the training corpus itself
+    val counts = Bpe.applyMerges(train, "text", merges)
+      .select(org.apache.spark.sql.functions.size($"bpe_tokens"))
+      .as[Int].collect().toSeq
+    assert(counts == Seq(1, 1, 2, 3))
+  }
 }

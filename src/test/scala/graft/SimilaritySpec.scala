@@ -278,6 +278,29 @@ class SimilaritySpec extends SparkSpec {
       s"junk fit should be far below self fit: $junkFit vs $selfFit")
   }
 
+  test("int8 quantized top-k: elements bounded, zero vectors safe, " +
+      "top-1 recall tracks the exact path") {
+    val corpus = emb.where(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Similarity.quantizeUnit(corpus)
+    // every element within the int8 budget
+    assert(q.where(exists(col("qvec"), v => abs(v) > 127)).count() == 0)
+    // a zero vector quantizes to zeros instead of erroring under ANSI
+    val z = Similarity.quantizeUnit(
+      Seq((1L, Seq.fill(64)(0.0f))).toDF("id", "vec"))
+    assert(z.select(explode(col("qvec"))).as[Int].collect().forall(_ == 0))
+
+    val queries = corpus.where(col("id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries
+        .select(col("id").as("qid"), col("vec").as("qvec")), k = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    val quant = Similarity.quantizedTopK(q, q.where(col("id") < 20), k = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    val agree = exact.keys.count(k => exact(k) == quant(k))
+    assert(agree >= 14, // 1/127-step discretization: most top-1s survive
+      s"quantized top-1 agreed on $agree/20 queries")
+  }
+
   test("native dot Expression agrees bit-for-bit with the HOF fold") {
     val mismatches = emb.as("x").crossJoin(emb.as("y"))
       .where(col("x.vec_id") < 20 && col("y.vec_id") < 20)
