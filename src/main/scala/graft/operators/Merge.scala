@@ -62,11 +62,61 @@ object Merge {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: Option[String] = None,
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil): DataFrame =
+    mergeCore(target, updates, keyCols, versionCol, tiebreak, evolve = false)
+
+  /** [[upsert]] with automatic SCHEMA EVOLUTION — the `MERGE … UPDATE
+    * SET *` + `mergeSchema` semantics of a lakehouse table format:
+    *
+    *  - a column only in `updates` is ADDED to the output schema
+    *    (after the target's columns); untouched target rows carry NULL
+    *    for it;
+    *  - a column only in `target` is KEPT: matched rows retain their
+    *    target value (an update that simply doesn't know about a
+    *    column must not null it out — unlike [[upsert]]'s strict
+    *    row-replacement, which REQUIRES updates to carry every target
+    *    column precisely so that silent partial updates cannot
+    *    happen); inserted rows get NULL;
+    *  - shared non-key columns keep row-replacement semantics.
+    *
+    * Use with [[graft.sinks.SnapshotTarget]] and the schema evolves
+    * per snapshot, exactly like a format-native evolving MERGE.
+    */
+  def upsertEvolve(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: Option[String] = None,
+      tiebreak: Seq[String] = Nil): DataFrame =
+    mergeCore(target, updates, keyCols, versionCol, tiebreak, evolve = true)
+
+  private def mergeCore(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: Option[String],
+      tiebreak: Seq[String],
+      evolve: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "MERGE needs at least one merge key")
-    val outCols = target.columns.toSeq
+    val targetCols = target.columns.toSeq
+    val updCols = updates.columns.toSeq
+    keyCols.foreach(k => require(updCols.contains(k),
+      s"updates must carry merge key '$k'"))
+    if (!evolve) targetCols.foreach(c => require(updCols.contains(c),
+      s"updates must carry target column '$c' (use upsertEvolve for " +
+        "schema evolution)"))
+    // evolved output = target columns ++ update-only columns (the
+    // version column is bookkeeping, never schema)
+    val newCols =
+      if (evolve)
+        updCols.filterNot(c => targetCols.contains(c) || versionCol.contains(c))
+      else Nil
+    val outCols = targetCols ++ newCols
+    val presentInUpd = outCols.filter(updCols.contains).toSet
     val dataCols = outCols.filterNot(keyCols.contains)
-    val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
+    val tb =
+      if (tiebreak.nonEmpty) tiebreak
+      else dataCols.filter(presentInUpd) // collapse orders on what updates carry
     val ordering =
       versionCol.map(col(_).desc).toSeq ++ tb.map(col(_).asc)
     // NULL-merge-key updates can never match (ANSI MERGE) — they insert
@@ -74,7 +124,10 @@ object Merge {
     // all NULL keys into one partition, so leaving them in the window
     // would silently keep only one of them
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    val nullKeyed = updates.where(anyKeyNull).select(outCols.map(col): _*)
+    val nullKeyed = updates.where(anyKeyNull).select(outCols.map { c =>
+      if (presentInUpd(c)) col(c)
+      else lit(null).cast(target.schema(c).dataType).as(c)
+    }: _*)
     // newest-wins collapse; window partitioning == join keys below, so
     // Catalyst reuses one hash exchange of the updates side for both
     val latest = updates
@@ -86,7 +139,8 @@ object Merge {
       // marker column: row-level presence flag for the post-join
       // selection (data columns can be legitimately NULL, key columns
       // vanish on the unmatched-target side — only a constant works)
-      .select(outCols.map(col) :+ lit(true).as("__upd"): _*)
+      .select(outCols.filter(presentInUpd).map(col) :+
+        lit(true).as("__upd"): _*)
 
     // plain equality, deliberately NOT null-safe `<=>`: (a) ANSI MERGE
     // semantics — a NULL merge key never matches, the row just lands as
@@ -101,13 +155,17 @@ object Merge {
     val joinCond = keyCols
       .map(k => col(s"__mt.$k") === col(s"__mu.$k"))
       .reduce(_ && _)
-    // selected in outCols ORDER (not keys-then-data): the output must
-    // keep the target's column order exactly, or positional consumers
-    // (insertInto, CSV) misalign when merge keys aren't leading
+    // selected in outCols ORDER (target's order, new columns last): the
+    // output must keep the target's column order exactly, or positional
+    // consumers (insertInto, CSV) misalign when merge keys aren't leading
     t.join(u, joinCond, "full_outer").select(
       outCols.map { c =>
         if (keyCols.contains(c))
           coalesce(col(s"__mu.$c"), col(s"__mt.$c")).as(c)
+        else if (!presentInUpd(c)) // target-only column: always target's
+          col(s"__mt.$c").as(c)
+        else if (!targetCols.contains(c)) // update-only: theirs or NULL
+          col(s"__mu.$c").as(c)
         else
           when(col("__mu.__upd").isNotNull, col(s"__mu.$c"))
             .otherwise(col(s"__mt.$c")).as(c)

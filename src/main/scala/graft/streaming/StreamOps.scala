@@ -172,7 +172,8 @@ object StreamOps {
       batchId: Long,
       targetPath: String,
       keyCols: Seq[String],
-      versionCol: Option[String] = None): Unit = {
+      versionCol: Option[String] = None,
+      evolveSchema: Boolean = false): Unit = {
     import graft.sinks.SnapshotTarget
     val spark = batch.sparkSession
     // any committed snapshot at-or-past this id ⇒ the batch (or a
@@ -182,9 +183,16 @@ object StreamOps {
     val targetCols = batch.columns.toSeq.filterNot(versionCol.contains)
     val current = SnapshotTarget.read(spark, targetPath)
       .getOrElse(batch.select(targetCols.map(col): _*).limit(0))
-    SnapshotTarget.commit(
-      graft.operators.Merge.upsert(current, batch, keyCols, versionCol),
-      targetPath, batchId)
+    // evolveSchema: a batch carrying NEW columns grows the table schema
+    // at this snapshot (old rows read NULL), exactly like a
+    // format-native evolving MERGE — snapshots are whole-table rewrites
+    // so no old file needs patching
+    val merged =
+      if (evolveSchema)
+        graft.operators.Merge.upsertEvolve(current, batch, keyCols, versionCol)
+      else
+        graft.operators.Merge.upsert(current, batch, keyCols, versionCol)
+    SnapshotTarget.commit(merged, targetPath, batchId)
   }
 
   /** Streaming SCD-1 upsert sink: every micro-batch merges into the
@@ -198,9 +206,10 @@ object StreamOps {
       targetPath: String,
       keyCols: Seq[String],
       checkpoint: String,
-      versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      versionCol: Option[String] = None,
+      evolveSchema: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(updates, checkpoint) { (batch, id) =>
-      upsertBatch(batch, id, targetPath, keyCols, versionCol)
+      upsertBatch(batch, id, targetPath, keyCols, versionCol, evolveSchema)
     }
 
   /** One micro-batch of the streaming CDC apply — [[upsertBatch]]'s

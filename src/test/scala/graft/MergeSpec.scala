@@ -114,6 +114,45 @@ class MergeSpec extends SparkSpec {
     assert(after2 == after1)
   }
 
+  test("schema evolution: update-only columns join the schema, " +
+      "target-only columns survive matched updates") {
+    val updates = Seq(
+      (2L, "beta2", 42L), // matched: region survives, score arrives
+      (4L, "delta", 7L)) // insert: region NULL, score set
+      .toDF("id", "name", "score") // no region; NEW col score
+    val out = Merge.upsertEvolve(dim, updates, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "name", "region", "score"))
+    val rows = out.orderBy("id")
+      .as[(Long, String, Option[String], Option[Long])].collect().toSeq
+    assert(rows == Seq(
+      (1L, "alpha", Some("NA"), None), // untouched: new col NULL
+      (2L, "beta2", Some("EU"), Some(42L)), // region KEPT, not nulled
+      (3L, "gamma", Some("APAC"), None),
+      (4L, "delta", None, Some(7L))))
+    // strict upsert refuses the same partial batch loudly
+    intercept[IllegalArgumentException] {
+      Merge.upsert(dim, updates, Seq("id"))
+    }
+  }
+
+  test("schema evolution composes with the snapshot target: the table " +
+      "grows a column at a snapshot boundary") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val root = s"$dir/t"
+    graft.streaming.StreamOps.upsertBatch(
+      dim, 0L, root, Seq("id"), evolveSchema = true)
+    graft.streaming.StreamOps.upsertBatch(
+      Seq((2L, "beta2", 9L)).toDF("id", "name", "score"),
+      1L, root, Seq("id"), evolveSchema = true)
+    val out = graft.sinks.SnapshotTarget.read(spark, root).get
+    assert(out.columns.toSeq == Seq("id", "name", "region", "score"))
+    assert(out.where($"id" === 2L)
+      .select("name", "region", "score")
+      .as[(String, String, Option[Long])].head() == (("beta2", "EU", Some(9L))))
+    assert(out.where($"id" === 1L).select("score")
+      .as[Option[Long]].head().isEmpty)
+  }
+
   test("updates side shuffles once: dedup window and join share the " +
       "merge-key partitioning") {
     val updates = Seq((2L, "x", "EU", 1L)).toDF("id", "name", "region", "ver")
