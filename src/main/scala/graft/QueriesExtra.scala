@@ -438,7 +438,43 @@ object QueriesExtra {
       | TRUE AS amed_within_decile
       |FROM orders""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Incremental materialized-aggregate maintenance (MaterializedAgg):
+  // the rollup is maintained as mergeable state — base state (orders up
+  // to the watermark) merged with the delta's state must equal the
+  // direct aggregate over everything, which is exactly what the DuckDB
+  // oracle computes. Decimal sums make the equality bit-exact
+  // regardless of how the data was split.
+  // -------------------------------------------------------------------
+  def mvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg
+    val o = Tables.load(spark, dir, "orders")
+    val keys = Seq("o_orderstatus")
+    val values = Seq("o_totalprice")
+    val bookmark = lit("1996-06-15").cast("timestamp")
+    val base = MaterializedAgg.state(
+      o.where(col("o_orderdate") <= bookmark), keys, values)
+    val delta = MaterializedAgg.state(
+      o.where(col("o_orderdate") > bookmark), keys, values)
+    MaterializedAgg.finish(
+        MaterializedAgg.merge(keys, values, base, delta), values)
+      .orderBy("o_orderstatus")
+  }
+
+  val mvIncrementalSql: String =
+    """SELECT o_orderstatus,
+      | count(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+      |   AS sum_o_totalprice,
+      | min(o_totalprice) AS min_o_totalprice,
+      | max(o_totalprice) AS max_o_totalprice,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS avg_o_totalprice
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental" -> (mvIncremental _),
     "approx_agg_bounds" -> (approxAggBounds _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
     "profile_orders" -> (profileOrders _),
@@ -455,6 +491,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "mv_incremental" -> mvIncrementalSql,
     "approx_agg_bounds" -> approxAggBoundsSql,
     "bucketed_join_agg" -> bucketedJoinAggSql,
     "profile_orders" -> profileOrdersSql,
