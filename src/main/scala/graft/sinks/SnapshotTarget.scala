@@ -64,6 +64,15 @@ object SnapshotTarget {
     committedIds(spark, root).lastOption
       .map(id => spark.read.parquet(s"$root/$Prefix$id"))
 
+  /** TIME TRAVEL: the table state as of batch `id` — the highest
+    * committed snapshot ≤ id (snapshots ARE versions, so this is free;
+    * retention is bounded by [[prune]]'s `keep`). None if every
+    * retained snapshot is newer than `id`.
+    */
+  def readAt(spark: SparkSession, root: String, id: Long): Option[DataFrame] =
+    committedIds(spark, root).filter(_ <= id).lastOption
+      .map(i => spark.read.parquet(s"$root/$Prefix$i"))
+
   /** Commit `df` as snapshot `id` and prune old snapshots. The write
     * lands in a directory the current state was NOT read from, so the
     * read-merge-write cycle never overwrites its own input mid-scan.

@@ -35,6 +35,22 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(state(root) == Seq((1L, "c")))
   }
 
+  test("time travel: readAt returns the state as of a batch id, within " +
+      "retention") {
+    val root = Files.createTempDirectory("graft-tt2").toString + "/t"
+    StreamOps.upsertBatch(Seq(1L -> "a").toDF("id", "v"), 0L, root, Seq("id"))
+    StreamOps.upsertBatch(Seq(1L -> "b").toDF("id", "v"), 1L, root, Seq("id"))
+    def at(id: Long) = SnapshotTarget.readAt(spark, root, id)
+      .map(_.as[(Long, String)].collect().toSeq)
+    assert(at(0L) == Some(Seq(1L -> "a")))
+    assert(at(1L) == Some(Seq(1L -> "b")))
+    assert(at(99L) == Some(Seq(1L -> "b"))) // future id → latest ≤ id
+    // a third commit prunes snapshot 0 (keep=2): history has a horizon
+    StreamOps.upsertBatch(Seq(1L -> "c").toDF("id", "v"), 2L, root, Seq("id"))
+    assert(at(0L).isEmpty)
+    assert(at(1L) == Some(Seq(1L -> "b")))
+  }
+
   test("upsertBatch merges sequential batches and SKIPS a replayed one") {
     val root = Files.createTempDirectory("graft-ub").toString + "/t"
     def b(rows: (Long, String)*) = rows.toDF("id", "v")
