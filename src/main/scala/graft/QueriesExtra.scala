@@ -473,7 +473,58 @@ object QueriesExtra {
       |FROM orders GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Retractable MV maintenance under MUTATION (deletes + in-place
+  // updates + inserts): base state + signed state of a NORMALIZED
+  // changelog (U → D-old + I-new, Cdc.changelogSigned) must equal the
+  // direct aggregate of the mutated table — which is what the oracle
+  // computes. Decimal arithmetic makes the retraction exact: −old
+  // cancels +old to the last digit.
+  // -------------------------------------------------------------------
+  def mvCdcUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Cdc, MaterializedAgg}
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"))
+    val bm = lit("1996-06-15").cast("timestamp")
+    val before = o.where(col("o_orderdate") <= bm).drop("o_orderdate")
+    val after = before.where(col("o_orderkey") % 10 =!= 3) // deletes
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 4, col("o_totalprice") + lit(1000.0))
+          .otherwise(col("o_totalprice"))) // updates
+      .unionByName(
+        o.where(col("o_orderdate") > bm).drop("o_orderdate")) // inserts
+    val keys = Seq("o_orderstatus")
+    val values = Seq("o_totalprice")
+    val base = MaterializedAgg.retractState(before, keys, values, lit(1))
+    val delta = MaterializedAgg.retractStateOf(
+      Cdc.changelogSigned(before, after, Seq("o_orderkey")), keys, values)
+    MaterializedAgg.finishRetract(
+        MaterializedAgg.mergeRetract(keys, values, base, delta), values)
+      .orderBy("o_orderstatus")
+  }
+
+  val mvCdcUpdateSql: String =
+    """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderdate <= TIMESTAMP '1996-06-15'),
+      |aft AS (
+      | SELECT o_orderkey, o_orderstatus,
+      |   CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000.0
+      |        ELSE o_totalprice END AS o_totalprice
+      | FROM b WHERE o_orderkey % 10 <> 3
+      | UNION ALL
+      | SELECT o_orderkey, o_orderstatus, o_totalprice
+      | FROM orders WHERE o_orderdate > TIMESTAMP '1996-06-15')
+      |SELECT o_orderstatus, count(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+      |   AS sum_o_totalprice,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS avg_o_totalprice
+      |FROM aft GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_cdc_update" -> (mvCdcUpdate _),
     "mv_incremental" -> (mvIncremental _),
     "approx_agg_bounds" -> (approxAggBounds _),
     "bucketed_join_agg" -> (bucketedJoinAgg _),
@@ -491,6 +542,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "mv_cdc_update" -> mvCdcUpdateSql,
     "mv_incremental" -> mvIncrementalSql,
     "approx_agg_bounds" -> approxAggBoundsSql,
     "bucketed_join_agg" -> bucketedJoinAggSql,

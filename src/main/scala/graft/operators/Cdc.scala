@@ -168,4 +168,47 @@ object Cdc {
         .when(col("__gb.__b").isNull, lit("I"))
         .otherwise(lit("U")).as(operCol): _*)
   }
+
+  /** NORMALIZED changelog: like [[changelog]], but an update emits TWO
+    * rows — `D` with the before-image and `I` with the after-image —
+    * so every row carries exactly one full row image with a ±1 meaning.
+    * This is the form retractable aggregation needs
+    * ([[MaterializedAgg.retractStateOf]]): the D-old row cancels the
+    * old contribution exactly, the I-new row adds the new one; a plain
+    * [[changelog]] `U` (after-image only) cannot retract a sum because
+    * the old value is gone. Same one full-outer shuffle; at most 2
+    * output rows per changed key.
+    */
+  def changelogSigned(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String],
+      operCol: String = "oper"): DataFrame = {
+    require(keyCols.nonEmpty, "changelog needs at least one key")
+    val outCols = before.columns.toSeq
+    require(after.columns.toSeq.sorted == outCols.sorted,
+      s"before/after schemas differ: $outCols vs ${after.columns.toSeq}")
+    val dataCols = outCols.filterNot(keyCols.contains)
+    val b = before.withColumn("__b", lit(true)).alias("__gb")
+    val a = after.withColumn("__a", lit(true)).alias("__ga")
+    val joinCond = keyCols
+      .map(k => col(s"__gb.$k") === col(s"__ga.$k"))
+      .reduce(_ && _)
+    val bData = struct(dataCols.map(c => col(s"__gb.$c")): _*)
+    val aData = struct(dataCols.map(c => col(s"__ga.$c")): _*)
+    def img(side: String, oper: String) = struct(
+      (outCols.map(c =>
+        if (keyCols.contains(c))
+          coalesce(col(s"__ga.$c"), col(s"__gb.$c")).as(c)
+        else col(s"$side.$c").as(c)) :+ lit(oper).as(operCol)): _*)
+    val changed = col("__gb.__b").isNull || col("__ga.__a").isNull ||
+      !(bData <=> aData)
+    b.join(a, joinCond, "full_outer")
+      .where(changed)
+      .select(explode(filter(array(
+        when(col("__gb.__b").isNotNull, img("__gb", "D")),
+        when(col("__ga.__a").isNotNull, img("__ga", "I"))),
+        x => x.isNotNull)).as("__row"))
+      .select((outCols :+ operCol).map(c => col(s"__row.$c").as(c)): _*)
+  }
 }

@@ -81,4 +81,64 @@ object MaterializedAgg {
       .filterNot(c => c == "mv_n" || stateCols(values).contains(c))
     state.select(keyCols.map(col) ++ derived: _*)
   }
+
+  // ---------------------------------------------------------------------
+  // RETRACTABLE (CDC-aware) variant: counts and sums under ±1 weights,
+  // so a normalized changelog (U expressed as D-old + I-new, see
+  // Cdc.changelogSigned) updates the rollup under deletes and updates
+  // too. Min/max deliberately absent — a deleted extremum cannot
+  // retract without rescanning the base; that is the algebra's limit,
+  // not an implementation gap. Decimal arithmetic makes retraction
+  // EXACT: -x cancels +x to the last digit, so a mutate-then-aggregate
+  // equals aggregate-of-mutated bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  /** Weighted count/sum state: rows contribute `weight` (±1) to the
+    * count and `weight * value` to each sum.
+    */
+  def retractState(
+      df: DataFrame,
+      keys: Seq[String],
+      values: Seq[String],
+      weight: org.apache.spark.sql.Column): DataFrame = {
+    val aggs = sum(weight.cast("long")).as("mv_n") +: values.map(c =>
+      sum((col(c).cast(SumType) * weight).cast(SumType))
+        .cast(SumType).as(s"mv_sum_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[retractState]] of a normalized changelog: D rows weigh −1,
+    * everything else +1.
+    */
+  def retractStateOf(
+      changelog: DataFrame,
+      keys: Seq[String],
+      values: Seq[String],
+      operCol: String = "oper"): DataFrame =
+    retractState(changelog, keys, values,
+      when(upper(trim(col(operCol))) === "D", lit(-1)).otherwise(lit(1)))
+
+  /** Merge retractable states; groups whose count cancels to zero are
+    * DROPPED (the group no longer exists — keeping a 0-count row would
+    * leak a tombstone per deleted group forever).
+    */
+  def mergeRetract(
+      keys: Seq[String], values: Seq[String], states: DataFrame*): DataFrame = {
+    val aggs = sum(col("mv_n")).as("mv_n") +: values.map(c =>
+      sum(col(s"mv_sum_$c")).cast(SumType).as(s"mv_sum_$c"))
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .where(col("mv_n") =!= 0)
+  }
+
+  /** Present a retractable state: n, sum (double), avg. */
+  def finishRetract(state: DataFrame, values: Seq[String]): DataFrame = {
+    val derived = col("mv_n").as("n") +: values.flatMap(c => Seq(
+      col(s"mv_sum_$c").cast(DoubleType).as(s"sum_$c"),
+      (col(s"mv_sum_$c").cast(DoubleType) /
+        col("mv_n").cast(DoubleType)).as(s"avg_$c")))
+    val keyCols = state.columns.toSeq
+      .filterNot(c => c == "mv_n" || values.exists(v => c == s"mv_sum_$v"))
+    state.select(keyCols.map(col) ++ derived: _*)
+  }
 }

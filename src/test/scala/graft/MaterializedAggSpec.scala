@@ -59,6 +59,39 @@ class MaterializedAggSpec extends SparkSpec {
     assert(out == Seq(("x", 2L, 3.0, 1.0, 2.0, 1.5), ("y", 1L, 5.0, 5.0, 5.0, 5.0)))
   }
 
+  test("retractable state: mutate-then-merge equals aggregate-of-mutated; " +
+      "fully-deleted groups vanish") {
+    import graft.operators.Cdc
+    val before = Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 5.0))
+      .toDF("id", "grp", "v")
+    // delete id 3 (kills group y entirely), update id 2, insert id 4
+    val after = Seq((1L, "x", 10.0), (2L, "x", 25.0), (4L, "x", 1.0))
+      .toDF("id", "grp", "v")
+    val keys = Seq("grp"); val values = Seq("v")
+    val base = MaterializedAgg.retractState(before, keys, values, lit(1))
+    val delta = MaterializedAgg.retractStateOf(
+      Cdc.changelogSigned(before, after, Seq("id")), keys, values)
+    val out = MaterializedAgg.finishRetract(
+        MaterializedAgg.mergeRetract(keys, values, base, delta), values)
+      .select("grp", "n", "sum_v", "avg_v")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("x", 3L, 36.0, 12.0))) // y is GONE, not n=0
+  }
+
+  test("changelogSigned normalizes an update into D-old + I-new") {
+    import graft.operators.Cdc
+    val before = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val after = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    val out = Cdc.changelogSigned(before, after, Seq("id"))
+      .orderBy("id", "oper")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "D"), (1L, "a2", "I"), // update = both images
+      (2L, "b", "D"), (3L, "c", "I")))
+    // unchanged state → empty signed changelog too
+    assert(Cdc.changelogSigned(before, before, Seq("id")).isEmpty)
+  }
+
   test("repeated merges keep a stable state schema (no decimal creep)") {
     val keys = Seq("o_orderstatus"); val values = Seq("o_totalprice")
     var st = MaterializedAgg.state(orders.limit(100), keys, values)
