@@ -542,7 +542,90 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Document chunking (TextFunctions.chunkTokens) — context-length prep:
+  // overlapping 40-token windows with 8-token overlap, posexploded to
+  // one row per chunk. The oracle replays the window arithmetic with
+  // DuckDB list slicing; chunk_id + the chunk text + its token count
+  // compare hash-exact. Scan-stage flatMap: no shuffle at any scale.
+  // -------------------------------------------------------------------
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunkTokens(col("text"), 40, 8)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk_text"),
+        TextFunctions.tokenCount(col("col")).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkDocsSql: String =
+    """WITH t AS (
+      | SELECT doc_id, str_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ts
+      | FROM documents
+      | WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      |n AS (SELECT doc_id, ts, len(ts) AS nt,
+      |        1 + CAST(ceil(greatest(0, len(ts) - 40) / 32.0) AS INTEGER)
+      |          AS nchunks
+      |      FROM t),
+      |c AS (SELECT doc_id, unnest(range(0, nchunks)) AS chunk_id, ts FROM n)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      | list_aggregate(list_slice(ts, chunk_id * 32 + 1, chunk_id * 32 + 40),
+      |                'string_agg', ' ') AS chunk_text,
+      | CAST(len(list_slice(ts, chunk_id * 32 + 1, chunk_id * 32 + 40))
+      |   AS INTEGER) AS chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Repetition battery (Gopher-style quality rules): duplicate 2-/3-gram
+  // fractions + top-token mass fraction, with the pass flags evaluated
+  // on both engines over identical IEEE divisions (same int operands ⇒
+  // bit-identical doubles ⇒ the threshold compare cannot flap).
+  // -------------------------------------------------------------------
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        dupNgramFraction(col("text"), 2).as("dup2_frac"),
+        dupNgramFraction(col("text"), 3).as("dup3_frac"),
+        topTokenFraction(col("text")).as("top_token_frac"))
+      .withColumn("repetition_pass",
+        col("dup3_frac") <= 0.3 && col("top_token_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = {
+    val toks = """str_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+    def grams(n: Int) = {
+      val parts = (0 until n).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(ts) - ${n - 2}), j -> $parts)"
+    }
+    def dup(n: Int) =
+      s"""CASE WHEN len(ts) < $n THEN 0.0 ELSE
+         | (len(${grams(n)}) - len(list_distinct(${grams(n)})))
+         |   / CAST(len(${grams(n)}) AS DOUBLE) END""".stripMargin
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |   CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
+       |        THEN [] ELSE $toks END AS ts
+       | FROM documents),
+       |m AS (SELECT doc_id,
+       |  ${dup(2)} AS dup2_frac,
+       |  ${dup(3)} AS dup3_frac,
+       |  CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+       |    list_max(list_transform(list_distinct(ts),
+       |      u -> len(list_filter(ts, x -> x = u))))
+       |      / CAST(len(ts) AS DOUBLE) END AS top_token_frac
+       | FROM d)
+       |SELECT doc_id, dup2_frac, dup3_frac, top_token_frac,
+       | dup3_frac <= 0.3 AND top_token_frac <= 0.2 AS repetition_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_docs" -> (chunkDocs _),
+    "text_repetition" -> (textRepetition _),
     "bpe_encode" -> (bpeEncode _),
     "vocab_bpe_merges" -> (vocabBpeMerges _),
     "sample_stratified" -> (sampleStratified _),
@@ -558,6 +641,8 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "chunk_docs" -> chunkDocsSql,
+    "text_repetition" -> textRepetitionSql,
     "bpe_encode" -> bpeEncodeSql,
     "vocab_bpe_merges" -> vocabBpeMergesSql,
     "sample_stratified" -> sampleStratifiedSql,

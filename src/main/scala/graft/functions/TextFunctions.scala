@@ -25,9 +25,84 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Whitespace tokens (regex-trimmed; empty/blank text → empty array,
+    * NOT `[""]` — the `split`-on-empty-string footgun every ratio here
+    * would otherwise inherit).
+    */
+  def tokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Overlapping token-window chunks of a document — the context-length
+    * prep step of a training pipeline (documents exceed the model's
+    * window; training wants `maxTokens`-sized pieces with `overlap`
+    * tokens of continuity). Returns an array of chunk strings; chunk i
+    * covers tokens `[i*stride, i*stride + maxTokens)` with
+    * `stride = maxTokens - overlap`, and the number of chunks is
+    * `1 + ceil(max(0, n - maxTokens) / stride)` — the final chunk may
+    * be short, a document within one window yields exactly itself, and
+    * an empty document yields no chunks. Pure scan-stage array math: at
+    * 100 TB chunking is a flatMap inside the parquet scan, no shuffle,
+    * no state.
+    */
+  def chunkTokens(text: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val ts = tokens(text)
+    val n = size(ts)
+    // integer ceil((n - maxTokens)/stride) via double division — exact
+    // for any realistic document length (< 2^53 tokens)
+    val nChunks = lit(1) +
+      ceil(greatest(lit(0), n - lit(maxTokens)).cast("double") /
+        lit(stride.toDouble)).cast("int")
+    // empty doc → no chunks; guarded BEFORE sequence(), which would
+    // otherwise happily generate the DESCENDING [0, -1]
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ts, i * stride + 1, lit(maxTokens)), " ")))
+  }
+
   /** Occurrences of `word` as a standalone whitespace token. */
   def wordOccurrences(text: Column, word: String): Column =
     size(filter(split(text, "\\s+"), t => t === lit(word)))
+
+  /** Space-joined token n-grams; fewer than n tokens → empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+  }
+
+  /** Fraction of token n-grams that are repeats of an earlier one —
+    * the Gopher-style repetition signal (machine-generated and
+    * boilerplate text repeats itself; high duplicate-n-gram fractions
+    * are the cheapest reliable tell). 0.0 for docs with no n-grams.
+    * Scan-stage array math, no shuffle.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      (size(g) - size(array_distinct(g))).cast("double") /
+        size(g).cast("double"))
+  }
+
+  /** Fraction of the document taken by its single most frequent token
+    * (the other half of the repetition battery: keyword-stuffed or
+    * templated text concentrates mass on one token). O(unique·n) per
+    * document — bounded by document length, never by corpus size.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(ts),
+        t => size(filter(ts, x => x === t)))).cast("double") /
+        size(ts).cast("double"))
+  }
 
   /** Language-ID by stopword evidence: scores each candidate language by
     * marker-token hits, returns the argmax (ties → alphabetical-first).

@@ -84,4 +84,46 @@ class TextFunctionsSpec extends SparkSpec {
       .where(col("q") < 0 || col("q") > 1)
     assert(bad.count() == 0)
   }
+
+  test("chunkTokens: windows tile with overlap, short docs give one " +
+      "chunk, empty docs none, chunks reassemble the document") {
+    import spark.implicits._
+    def chunks(s: String, max: Int, ov: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextFunctions.chunkTokens(col("t"), max, ov).as("c"))
+        .as[Seq[String]].head()
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    assert(chunks(ten, 4, 1) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    // non-dividing tail: last chunk short
+    assert(chunks(ten, 4, 0) == Seq(
+      "w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+    assert(chunks("a b", 40, 8) == Seq("a b"))
+    assert(chunks("", 40, 8).isEmpty)
+    assert(chunks("  \n\t ", 40, 8).isEmpty)
+    // overlap-stripped concatenation reassembles the original
+    val got = chunks(ten, 4, 1)
+    val reassembled = (got.head +:
+      got.tail.map(_.split(" ").drop(1).mkString(" "))).mkString(" ")
+    assert(reassembled == ten)
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(col("t"), 4, 4)
+    }
+  }
+
+  test("repetition metrics: clean text scores low, repeated text high, " +
+      "degenerate inputs are 0") {
+    import spark.implicits._
+    def m(s: String): (Double, Double) =
+      Seq(s).toDF("t").select(
+        TextFunctions.dupNgramFraction(col("t"), 3).as("d3"),
+        TextFunctions.topTokenFraction(col("t")).as("tf"))
+        .as[(Double, Double)].head()
+    val (d3clean, tfClean) = m("one two three four five six seven eight")
+    assert(d3clean == 0.0 && tfClean == 0.125)
+    val (d3rep, tfRep) = m("spam spam spam spam spam spam")
+    assert(d3rep == 0.75 && tfRep == 1.0) // 4 trigrams, 1 distinct
+    assert(m("") == ((0.0, 0.0)))
+    assert(m("a b") == ((0.0, 0.5))) // too short for any trigram
+  }
 }
