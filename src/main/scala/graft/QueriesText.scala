@@ -46,9 +46,12 @@ object QueriesText {
          | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
          | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
          | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+    // coalesce matches Sample.stratifiedPermille's NULL-as-empty-doc
+    // addressing (a NULL fp would make the permille predicate NULL and
+    // silently drop the row on the oracle side only)
     val fp =
       """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |   list_transform(str_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |   list_transform(str_split(coalesce(text, ''), ''), c -> CAST(unicode(c) AS BIGINT))),
         |   (acc, cp) -> (acc * 31 + cp) % 2147483647)""".stripMargin
     def langScore(lang: String): String =
       TextFunctions.langMarkers(lang)
@@ -109,7 +112,8 @@ object QueriesText {
       floor(TextFunctions.stopwordRatio(text) * 1e6).cast("long").as("stop_u"),
       floor(TextFunctions.meanWordLength(text) * 1e6).cast("long").as("mwl_u"),
       floor(TextFunctions.qualityScore(text) * 1e6).cast("long").as("quality_u"),
-      FingerprintExpr.fingerprint(text).as("fp"))
+      // NULL-as-empty content addressing, matching Sample/dataset_split
+      FingerprintExpr.fingerprint(coalesce(text, lit(""))).as("fp"))
       .orderBy("doc_id")
   }
 
@@ -384,7 +388,9 @@ object QueriesText {
     val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
     docs.select(
       col("doc_id"),
-      FingerprintExpr.fingerprint(col("text")).as("fp"),
+      // NULL-as-empty: a NULL fp would route the doc to "val" via the
+      // otherwise-branch on the Spark side only
+      FingerprintExpr.fingerprint(coalesce(col("text"), lit(""))).as("fp"),
       TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
       .withColumn("split",
         when(col("fp") % 100 < 90, lit("train")).otherwise(lit("val")))

@@ -145,6 +145,9 @@ object Cdc {
       operCol: String = "oper"): DataFrame = {
     require(keyCols.nonEmpty, "changelog needs at least one key")
     val outCols = before.columns.toSeq
+    require(!outCols.contains(operCol),
+      s"input already carries a '$operCol' column — the output would " +
+        "have two; pass a different operCol")
     require(after.columns.toSeq.sorted == outCols.sorted,
       s"before/after schemas differ: $outCols vs ${after.columns.toSeq}")
     val dataCols = outCols.filterNot(keyCols.contains)
@@ -186,6 +189,9 @@ object Cdc {
       operCol: String = "oper"): DataFrame = {
     require(keyCols.nonEmpty, "changelog needs at least one key")
     val outCols = before.columns.toSeq
+    require(!outCols.contains(operCol),
+      s"input already carries a '$operCol' column — the output would " +
+        "have two; pass a different operCol")
     require(after.columns.toSeq.sorted == outCols.sorted,
       s"before/after schemas differ: $outCols vs ${after.columns.toSeq}")
     val dataCols = outCols.filterNot(keyCols.contains)

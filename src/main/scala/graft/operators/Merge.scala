@@ -129,16 +129,25 @@ object Merge {
       else lit(null).cast(target.schema(c).dataType).as(c)
     }: _*)
     // newest-wins collapse; window partitioning == join keys below, so
-    // Catalyst reuses one hash exchange of the updates side for both
-    val latest = updates
-      .where(!anyKeyNull)
-      .withColumn("__rn",
-        row_number().over(
-          Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)))
-      .where(col("__rn") === 1)
-      // marker column: row-level presence flag for the post-join
-      // selection (data columns can be legitimately NULL, key columns
-      // vanish on the unmatched-target side — only a constant works)
+    // Catalyst reuses one hash exchange of the updates side for both.
+    // A KEY-ONLY evolve delta (register keys now, fill columns later)
+    // has nothing to order by — its rows are identical per key, so
+    // dropDuplicates collapses them without a window (an empty orderBy
+    // would fail analysis).
+    val collapsed =
+      if (ordering.isEmpty)
+        updates.where(!anyKeyNull).dropDuplicates(keyCols)
+      else
+        updates
+          .where(!anyKeyNull)
+          .withColumn("__rn",
+            row_number().over(
+              Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)))
+          .where(col("__rn") === 1)
+    // marker column: row-level presence flag for the post-join
+    // selection (data columns can be legitimately NULL, key columns
+    // vanish on the unmatched-target side — only a constant works)
+    val latest = collapsed
       .select(outCols.filter(presentInUpd).map(col) :+
         lit(true).as("__upd"): _*)
 

@@ -50,19 +50,25 @@ final class MetricsListener extends QueryExecutionListener {
     case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
     case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
       unwrap(s.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      unwrap(r.child)
     case other => other
   }
 
   private def sumMetric(root: SparkPlan, names: Set[String]): Long = {
     var total = 0L
-    def visit(p: SparkPlan): Unit = {
-      val q = unwrap(p)
-      q.metrics.foreach { case (name, m) =>
-        if (names.contains(name) && m.value > 0) total += m.value
-      }
-      q.children.foreach(visit)
+    def visit(p: SparkPlan): Unit = p match {
+      // a reused exchange points BACK at an already-visited subtree
+      // (the shared-exchange shape Merge/Cdc deliberately produce) —
+      // descending into it would double-count that stage's scan and
+      // shuffle bytes, turning "plan gained exchange reuse" into a
+      // phantom bytesRead step-change
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        ()
+      case _ =>
+        val q = unwrap(p)
+        q.metrics.foreach { case (name, m) =>
+          if (names.contains(name) && m.value > 0) total += m.value
+        }
+        q.children.foreach(visit)
     }
     visit(root)
     total

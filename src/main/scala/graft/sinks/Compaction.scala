@@ -78,26 +78,33 @@ object Compaction {
     // mid-compact must not see half-written files)
     val stagingPath = s"${path.stripSuffix("/")}__staging"
 
+    val rowsBefore = df.count()
     if (partCols.isEmpty) {
       val nBins = math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
       df.repartition(nBins).write.mode("overwrite").parquet(stagingPath)
     } else {
-      // per-directory bin counts from the listing: ceil(bytes/target)
-      val perDir = files.groupBy(_._1).view
-        .mapValues(_.map(_._2.getLen).sum).toSeq
-      val bins = perDir.map { case (dir, bytes) =>
-        (dir, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes))
-      }
-      import spark.implicits._
-      val binsDf = bins.toDF("__dir", "__nbins")
-      // rebuild each row's partition directory string from its columns
-      // (matches Spark's k=v layout for the simple value types partition
-      // columns should be — dates/numbers/clean strings)
-      val dirExpr = concat_ws("/",
-        partCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
+      // per-partition bin counts from the DATA, not from reconstructed
+      // directory strings: a NULL partition value lands under
+      // __HIVE_DEFAULT_PARTITION__ and escaped chars (':' → '%3A')
+      // never match a rebuilt `k=v` string, so a listing-string join
+      // would silently DROP those rows from the rewrite. Row counts per
+      // partition value (one pass) × the table's bytes-per-row give the
+      // same bin sizing, keyed by the actual typed values.
+      val totalRows0 = math.max(rowsBefore, 1L)
+      val bytesPerRow = bytesBefore.toDouble / totalRows0
+      // bin keys renamed __bk_*: binsDf derives from df, so joining on
+      // same-name columns would trip the ambiguous-self-join check
+      val binsDf = df.groupBy(partCols.map(col): _*)
+        .agg(count(lit(1)).as("__prows"))
+        .select(partCols.map(c => col(c).as(s"__bk_$c")) :+
+          greatest(lit(1L),
+            ceil(col("__prows") * bytesPerRow / targetFileBytes).cast("long"))
+            .as("__nbins"): _*)
+      // null-safe join: NULL partition values must match their bin row
+      val joinCond = partCols.map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
       val dataCols = df.columns.filterNot(partCols.contains)
-      val binned = df.withColumn("__dir", dirExpr)
-        .join(broadcast(binsDf), Seq("__dir"))
+      val binned = df.join(broadcast(binsDf), joinCond)
+        .drop(partCols.map(c => s"__bk_$c"): _*)
         // deterministic row→bin spread over the data columns: a skewed
         // partition fans out across its bins' write tasks
         .withColumn("__bin",
@@ -105,14 +112,24 @@ object Compaction {
       // EXPLICIT partition count: repartition-by-column without one is
       // subject to AQE coalescing, which would pack several bins into
       // one write task and defeat the bin targets. Range partitioning
-      // (not hash) maps the distinct (dir, bin) groups onto tasks
+      // (not hash) maps the distinct (partition, bin) groups onto tasks
       // nearly 1:1 — hash would birthday-collide bins together.
-      val totalBins = math.min(bins.map(_._2).sum, 1 << 20).toInt
+      val totalBins = math.min(
+        math.max(1L, (bytesBefore + targetFileBytes - 1) / targetFileBytes),
+        1L << 20).toInt
       binned
         .repartitionByRange(totalBins, (partCols :+ "__bin").map(col): _*)
-        .drop("__dir", "__nbins", "__bin")
+        .drop("__nbins", "__bin")
         .write.mode("overwrite").partitionBy(partCols: _*).parquet(stagingPath)
     }
+
+    // fail LOUD before the swap if the rewrite lost or invented rows —
+    // cheap insurance (a parquet count is metadata-fast) against any
+    // silent-drop bug ever reaching the destructive rename below
+    val rowsStaged = spark.read.parquet(stagingPath).count()
+    require(rowsStaged == rowsBefore,
+      s"compaction row count changed ($rowsBefore -> $rowsStaged); " +
+        s"aborting before swap, original untouched, staging at $stagingPath")
 
     // swap: old table aside, staging in, old dropped — two renames
     // bracket the only non-atomic instant, and both states are readable
