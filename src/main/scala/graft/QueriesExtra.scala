@@ -523,7 +523,66 @@ object QueriesExtra {
       |FROM aft GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Ordered funnel over the events stream: view → click → purchase,
+  // each stage's timestamp being the FIRST occurrence at-or-after the
+  // previous stage (a purchase before the first view does not count).
+  // Three conditional-min window passes over ONE user_id exchange —
+  // the chained-stage semantics without self-joins (a 3-way self-join
+  // would shuffle the events table three times; this shuffles once).
+  // -------------------------------------------------------------------
+  def funnelEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(wU))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("t1"),
+          col("ts_us"))).over(wU))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("t2"),
+          col("ts_us"))).over(wU))
+    staged.groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L))
+          .as("n_view_click_purchase"))
+  }
+
+  val funnelEventsSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |           FROM events),
+      |u AS (
+      | SELECT user_id,
+      |   min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+      | FROM e GROUP BY user_id),
+      |u2 AS (
+      | SELECT e.user_id, u.t1,
+      |   min(CASE WHEN event_type = 'click' AND ts_us >= t1
+      |       THEN ts_us END) AS t2
+      | FROM e JOIN u USING (user_id) GROUP BY e.user_id, u.t1),
+      |u3 AS (
+      | SELECT e.user_id, u2.t1, u2.t2,
+      |   min(CASE WHEN event_type = 'purchase' AND ts_us >= t2
+      |       THEN ts_us END) AS t3
+      | FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.t1, u2.t2)
+      |SELECT count(*) AS n_users,
+      | CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_view,
+      | CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_view_click,
+      | CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_view_click_purchase
+      |FROM u3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_events" -> (funnelEvents _),
     "mv_cdc_update" -> (mvCdcUpdate _),
     "mv_incremental" -> (mvIncremental _),
     "approx_agg_bounds" -> (approxAggBounds _),
@@ -542,6 +601,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "funnel_events" -> funnelEventsSql,
     "mv_cdc_update" -> mvCdcUpdateSql,
     "mv_incremental" -> mvIncrementalSql,
     "approx_agg_bounds" -> approxAggBoundsSql,

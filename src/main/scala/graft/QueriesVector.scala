@@ -470,7 +470,68 @@ object QueriesVector {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // kNN label evaluation — validating a quality/topic classifier by
+  // nearest-neighbor vote, the standard embedding-space sanity check
+  // before trusting labels at corpus scale: each query vector's label
+  // is predicted by majority vote of its 5 nearest neighbors
+  // (excluding itself; ties → most-similar wins via count desc then
+  // smallest label), and per-label accuracy comes back. Full DuckDB
+  // replay via the same bit-identical cosine fold.
+  // -------------------------------------------------------------------
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val labels = emb.select(col("vec_id").as("id"),
+      col("label").as("nbr_label"))
+    val queries = emb.where(col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val votes = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .join(broadcast(labels), "id")
+      .groupBy("qid", "nbr_label").agg(count(lit(1)).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("nv").desc, col("nbr_label").asc)
+    val pred = votes
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("nbr_label").as("pred"))
+    pred
+      .join(emb.select(col("vec_id").as("qid"), col("label").as("truth")), "qid")
+      .groupBy("truth")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .orderBy("truth")
+  }
+
+  val knnLabelEvalSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH c AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec, label AS truth
+       |      FROM embeddings WHERE vec_id < 200),
+       |s AS (SELECT qid, id,
+       |  round(${dot("qvec", "vec")} /
+       |    (sqrt(${dot("qvec", "qvec")}) * sqrt(${dot("vec", "vec")})), 6)
+       |    AS cosine
+       | FROM q CROSS JOIN c WHERE qid <> id),
+       |topk AS (SELECT qid, id FROM (
+       |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, id ASC) AS rank FROM s) WHERE rank <= 5),
+       |votes AS (
+       | SELECT t.qid, c.label AS nbr_label, count(*) AS nv
+       | FROM topk t JOIN c ON c.id = t.id GROUP BY 1, 2),
+       |pred AS (SELECT qid, nbr_label AS pred FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY nv DESC, nbr_label ASC) AS rn FROM votes) WHERE rn = 1)
+       |SELECT q.truth, count(*) AS n_queries,
+       | CAST(sum(CASE WHEN p.pred = q.truth THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_correct
+       |FROM pred p JOIN q ON q.qid = p.qid
+       |GROUP BY q.truth ORDER BY q.truth""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_label_eval" -> (knnLabelEval _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
@@ -484,6 +545,7 @@ object QueriesVector {
     "multimodal_decode" -> (multimodalDecode _))
 
   val oracles: Map[String, String] = Map(
+    "knn_label_eval" -> knnLabelEvalSql,
     "sim_quantized_topk" -> simQuantizedTopkSql,
     "sim_ivf_drift" -> simIvfDriftSql,
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
