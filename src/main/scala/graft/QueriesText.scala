@@ -629,7 +629,62 @@ object QueriesText {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Cross-source contamination matrix — benchmark-leakage detection:
+  // near-duplicate PAIRS (the MinHash-LSH scale path, same parameters
+  // and recall argument as dedup_minhash_lsh) rolled up by the SOURCE
+  // pair they straddle. Off-diagonal cells are the leaks (an eval set
+  // contaminating a train crawl); the diagonal is ordinary
+  // within-source duplication. Source pairs are unordered
+  // (least/greatest) so A→B and B→A land in one cell.
+  // -------------------------------------------------------------------
+  def contaminationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashLshPairs(docs,
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
+    pairs
+      .join(broadcast(src.withColumnRenamed("source", "src_a")),
+        col("id_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(src.withColumnRenamed("source", "src_b")),
+        col("id_b") === col("doc_id")).drop("doc_id")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
+  val contaminationMatrixSql: String =
+    """WITH sh AS (
+      | SELECT doc_id, unnest(list_distinct(
+      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+      | FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      | GROUP BY 1, 2),
+      |j AS (
+      | SELECT id_a, id_b,
+      |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      | FROM common
+      | JOIN sz sa ON sa.doc_id = id_a
+      | JOIN sz sb ON sb.doc_id = id_b),
+      |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9)
+      |SELECT least(da.source, db.source) AS source_lo,
+      | greatest(da.source, db.source) AS source_hi,
+      | count(*) AS n_dup_pairs
+      |FROM p
+      |JOIN documents da ON da.doc_id = p.id_a
+      |JOIN documents db ON db.doc_id = p.id_b
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_matrix" -> (contaminationMatrix _),
     "chunk_docs" -> (chunkDocs _),
     "text_repetition" -> (textRepetition _),
     "bpe_encode" -> (bpeEncode _),
@@ -647,6 +702,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "contamination_matrix" -> contaminationMatrixSql,
     "chunk_docs" -> chunkDocsSql,
     "text_repetition" -> textRepetitionSql,
     "bpe_encode" -> bpeEncodeSql,
