@@ -683,7 +683,69 @@ object QueriesText {
       |JOIN documents db ON db.doc_id = p.id_b
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Cross-modal quality report — documents and embeddings share the id
+  // space (doc_id = vec_id), so text-side quality signals roll up by
+  // EMBEDDING-SPACE grouping (the label column): per label, doc count,
+  // exact micro-unit quality mass, token mass, and how many docs clear
+  // the repetition gate. This is the curation deliverable that decides
+  // which semantic clusters need cleaning. One doc_id join (both sides
+  // id-partitioned at scale), one tiny group-by.
+  // -------------------------------------------------------------------
+  def modalQualityByLabel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val docs = Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      floor(qualityScore(col("text")) * 1e6).cast("long").as("q_u"),
+      tokenCount(col("text")).cast("long").as("toks"),
+      (dupNgramFraction(col("text"), 3) <= 0.3 &&
+        topTokenFraction(col("text")) <= 0.2).as("rep_pass"))
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    docs.join(emb, "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("q_u").as("quality_u_sum"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("rep_pass"), 1L).otherwise(0L)).as("n_rep_pass"))
+      .orderBy("label")
+  }
+
+  val modalQualityByLabelSql: String = {
+    def grams(n: Int) = {
+      val parts = (0 until n).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(ts) - ${n - 2}), j -> $parts)"
+    }
+    val dup3 =
+      s"""CASE WHEN len(ts) < 3 THEN 0.0 ELSE
+         | (len(${grams(3)}) - len(list_distinct(${grams(3)})))
+         |   / CAST(len(${grams(3)}) AS DOUBLE) END""".stripMargin
+    val topFrac =
+      """CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+        | list_max(list_transform(list_distinct(ts),
+        |   u -> len(list_filter(ts, x -> x = u))))
+        |   / CAST(len(ts) AS DOUBLE) END""".stripMargin
+    s"""WITH d AS (
+       | SELECT doc_id,
+       |   CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS q_u,
+       |   CAST(${Frag.nTok} AS BIGINT) AS toks,
+       |   CASE WHEN ${Frag.rt} = '' THEN [] ELSE ${Frag.toks} END AS ts
+       | FROM documents),
+       |m AS (SELECT doc_id, q_u, toks,
+       |   ($dup3) <= 0.3 AND ($topFrac) <= 0.2 AS rep_pass
+       | FROM d),
+       |e AS (SELECT vec_id AS doc_id, label FROM embeddings)
+       |SELECT label, count(*) AS n_docs,
+       | CAST(sum(q_u) AS BIGINT) AS quality_u_sum,
+       | CAST(sum(toks) AS BIGINT) AS n_tokens,
+       | CAST(sum(CASE WHEN rep_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_rep_pass
+       |FROM m JOIN e USING (doc_id)
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "modal_quality_by_label" -> (modalQualityByLabel _),
     "contamination_matrix" -> (contaminationMatrix _),
     "chunk_docs" -> (chunkDocs _),
     "text_repetition" -> (textRepetition _),
@@ -702,6 +764,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "modal_quality_by_label" -> modalQualityByLabelSql,
     "contamination_matrix" -> contaminationMatrixSql,
     "chunk_docs" -> chunkDocsSql,
     "text_repetition" -> textRepetitionSql,
