@@ -581,7 +581,62 @@ object QueriesExtra {
       |   AS n_view_click_purchase
       |FROM u3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Winsorization (Normalize.winsorize): heavy-tail outlier treatment —
+  // clip to the exact [p05, p95] quantiles, then aggregate the clipped
+  // column per group. The oracle replays quantile_cont (interpolated,
+  // same definition as Spark's percentile — parity already pinned by
+  // agg_percentile) and the clip. Decimal sums keep the compare exact.
+  // -------------------------------------------------------------------
+  def winsorizePrices(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.load(spark, dir, "orders")
+    graft.operators.Normalize.winsorize(o, "o_totalprice", 0.05, 0.95)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(25, 6))).cast("double")
+          .as("sum_clipped"),
+        min("o_totalprice").as("min_clipped"),
+        max("o_totalprice").as("max_clipped"))
+      .orderBy("o_orderstatus")
+  }
+
+  val winsorizePricesSql: String =
+    """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+      |                  quantile_cont(o_totalprice, 0.95) AS hi
+      |           FROM orders),
+      |w AS (SELECT o_orderstatus,
+      |        least(greatest(o_totalprice, lo), hi) AS p
+      |      FROM orders CROSS JOIN b)
+      |SELECT o_orderstatus, count(*) AS n,
+      | CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) AS sum_clipped,
+      | min(p) AS min_clipped, max(p) AS max_clipped
+      |FROM w GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Equi-width histogram (Profile.histogram) — profiling depth: 10 bins
+  // over o_totalprice, top edge closed. Bin arithmetic is identical
+  // IEEE double ops in both engines, so bin membership cannot straddle.
+  // -------------------------------------------------------------------
+  def profileHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(
+      Tables.load(spark, dir, "orders"), "o_totalprice", nBins = 10)
+
+  val profileHistogramSql: String =
+    """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |           FROM orders)
+      |SELECT CAST(CASE WHEN hi = lo THEN 0
+      |  ELSE least(CAST(floor((o_totalprice - lo) * 10 / (hi - lo))
+      |             AS INTEGER), 9) END AS INTEGER) AS bin,
+      | count(*) AS n
+      |FROM orders CROSS JOIN b
+      |WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorize_prices" -> (winsorizePrices _),
+    "profile_histogram" -> (profileHistogram _),
     "funnel_events" -> (funnelEvents _),
     "mv_cdc_update" -> (mvCdcUpdate _),
     "mv_incremental" -> (mvIncremental _),
@@ -601,6 +656,8 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "winsorize_prices" -> winsorizePricesSql,
+    "profile_histogram" -> profileHistogramSql,
     "funnel_events" -> funnelEventsSql,
     "mv_cdc_update" -> mvCdcUpdateSql,
     "mv_incremental" -> mvIncrementalSql,

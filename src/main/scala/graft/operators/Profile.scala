@@ -69,4 +69,31 @@ object Profile {
     */
   def profileExact(df: DataFrame): DataFrame =
     build(df, countDistinct(_), "n_distinct")
+
+  /** Equi-width histogram of a numeric column: `nBins` bins spanning
+    * [min, max], the top edge closed (a value equal to max lands in
+    * the last bin, not an overflow bin). Empty bins are absent from
+    * the output (counts are per seen bin). Two passes: one min/max
+    * aggregate (broadcast back as a 1-row frame) + one group-by on the
+    * computed bin — at 100 TB that is two scans and one tiny shuffle,
+    * the profiling shape, not a sort. NULLs are excluded (they have no
+    * bin; count them via [[profile]]).
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val bounds = df.agg(
+      min(col(c).cast("double")).as("__lo"),
+      max(col(c).cast("double")).as("__hi"))
+    df.where(col(c).isNotNull)
+      .crossJoin(broadcast(bounds))
+      // min==max (or a single row) degenerates to bin 0
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(
+          least(
+            floor((col(c).cast("double") - col("__lo")) * nBins /
+              (col("__hi") - col("__lo"))).cast("int"),
+            lit(nBins - 1))))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
 }

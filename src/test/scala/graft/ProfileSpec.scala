@@ -41,4 +41,27 @@ class ProfileSpec extends SparkSpec {
     assert(out(2) == "card <NUM> expires")
     assert(out(3) == "clean text stays clean")
   }
+
+  test("histogram: top edge closed, NULLs excluded, degenerate " +
+      "single-value column lands in bin 0") {
+    import graft.operators.Profile
+    val df = Seq(Some(0.0), Some(5.0), Some(10.0), None).toDF("v")
+    val bins = Profile.histogram(df, "v", 10)
+      .as[(Int, Long)].collect().toMap
+    assert(bins == Map(0 -> 1L, 5 -> 1L, 9 -> 1L)) // max → last bin
+    val flat = Profile.histogram(Seq(7.0, 7.0).toDF("v"), "v", 10)
+      .as[(Int, Long)].collect().toMap
+    assert(flat == Map(0 -> 2L))
+  }
+
+  test("winsorize clips to the quantile bounds and leaves NULLs NULL") {
+    import graft.operators.Normalize
+    val df = (Seq.tabulate(99)(i => Some((i + 1).toDouble)) :+
+      Some(1000000.0) :+ Option.empty[Double]).toDF("v")
+    val out = Normalize.winsorize(df, "v", 0.05, 0.95)
+    assert(out.where(col("v").isNull).count() == 1) // NULL survives
+    val mx = out.agg(max("v")).as[Double].head()
+    assert(mx < 1000.0, s"outlier not clipped: $mx") // p95 of ~1..100
+    assert(out.count() == df.count()) // winsorize never drops rows
+  }
 }
