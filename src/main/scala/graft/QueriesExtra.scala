@@ -606,7 +606,8 @@ object QueriesExtra {
       |                  quantile_cont(o_totalprice, 0.95) AS hi
       |           FROM orders),
       |w AS (SELECT o_orderstatus,
-      |        least(greatest(o_totalprice, lo), hi) AS p
+      |        CASE WHEN o_totalprice IS NULL THEN NULL
+      |             ELSE least(greatest(o_totalprice, lo), hi) END AS p
       |      FROM orders CROSS JOIN b)
       |SELECT o_orderstatus, count(*) AS n,
       | CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) AS sum_clipped,

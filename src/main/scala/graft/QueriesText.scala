@@ -53,6 +53,49 @@ object QueriesText {
       """list_reduce(list_prepend(CAST(7 AS BIGINT),
         |   list_transform(str_split(coalesce(text, ''), ''), c -> CAST(unicode(c) AS BIGINT))),
         |   (acc, cp) -> (acc * 31 + cp) % 2147483647)""".stripMargin
+    /** 8-char-shingle exact-Jaccard pair chain over `documents`,
+      * ending in CTE `jpairs(id_a, id_b, jaccard)` with jaccard
+      * rounded to 6dp BEFORE any threshold — the one definition shared
+      * by the ngram-dedup, minhash (same exact answer) and
+      * contamination oracles.
+      */
+    val pairCtes: String =
+      """sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
+        |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
+        | FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+        | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        | GROUP BY 1, 2),
+        |jpairs AS (
+        | SELECT id_a, id_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        | FROM common
+        | JOIN sz sa ON sa.doc_id = id_a
+        | JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
+
+    /** Space-joined token n-grams over a list expression named `ts`. */
+    def gramsSql(n: Int): String = {
+      val parts = (0 until n).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(ts) - ${n - 2}), j -> $parts)"
+    }
+
+    /** Duplicate-n-gram fraction over `ts` (0.0 when too short). */
+    def dupFracSql(n: Int): String =
+      s"""CASE WHEN len(ts) < $n THEN 0.0 ELSE
+         | (len(${gramsSql(n)}) - len(list_distinct(${gramsSql(n)})))
+         |   / CAST(len(${gramsSql(n)}) AS DOUBLE) END""".stripMargin
+
+    /** Top-token mass fraction over `ts` (0.0 when empty). */
+    val topTokenFracSql: String =
+      """CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+        | list_max(list_transform(list_distinct(ts),
+        |   u -> len(list_filter(ts, x -> x = u))))
+        |   / CAST(len(ts) AS DOUBLE) END""".stripMargin
+
     def langScore(lang: String): String =
       TextFunctions.langMarkers(lang)
         .map(w => s"len(list_filter($lowToks, t -> t = '$w'))")
@@ -195,25 +238,10 @@ object QueriesText {
       .orderBy("id_a", "id_b")
 
   val dedupNgramJaccardSql: String =
-    """WITH sh AS (
-      | SELECT doc_id, unnest(list_distinct(
-      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
-      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
-      | FROM documents),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |common AS (
-      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
-      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      | GROUP BY 1, 2),
-      |j AS (
-      | SELECT id_a, id_b,
-      |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-      | FROM common
-      | JOIN sz sa ON sa.doc_id = id_a
-      | JOIN sz sb ON sb.doc_id = id_b)
-      |SELECT id_a, id_b, CAST(floor(jaccard * 1e4) AS BIGINT) AS jaccard_u
-      |FROM j WHERE jaccard >= 0.9
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH ${Frag.pairCtes}
+       |SELECT id_a, id_b, CAST(floor(jaccard * 1e4) AS BIGINT) AS jaccard_u
+       |FROM jpairs WHERE jaccard >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // MinHash+LSH near-dup pairs — the scale path (signature map-side,
@@ -601,33 +629,19 @@ object QueriesText {
       .orderBy("doc_id")
   }
 
-  val textRepetitionSql: String = {
-    val toks = """str_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
-    def grams(n: Int) = {
-      val parts = (0 until n).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
-      s"list_transform(range(1, len(ts) - ${n - 2}), j -> $parts)"
-    }
-    def dup(n: Int) =
-      s"""CASE WHEN len(ts) < $n THEN 0.0 ELSE
-         | (len(${grams(n)}) - len(list_distinct(${grams(n)})))
-         |   / CAST(len(${grams(n)}) AS DOUBLE) END""".stripMargin
+  val textRepetitionSql: String =
     s"""WITH d AS (
        | SELECT doc_id,
-       |   CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
-       |        THEN [] ELSE $toks END AS ts
+       |   CASE WHEN ${Frag.rt} = '' THEN [] ELSE ${Frag.toks} END AS ts
        | FROM documents),
        |m AS (SELECT doc_id,
-       |  ${dup(2)} AS dup2_frac,
-       |  ${dup(3)} AS dup3_frac,
-       |  CASE WHEN len(ts) = 0 THEN 0.0 ELSE
-       |    list_max(list_transform(list_distinct(ts),
-       |      u -> len(list_filter(ts, x -> x = u))))
-       |      / CAST(len(ts) AS DOUBLE) END AS top_token_frac
+       |  ${Frag.dupFracSql(2)} AS dup2_frac,
+       |  ${Frag.dupFracSql(3)} AS dup3_frac,
+       |  ${Frag.topTokenFracSql} AS top_token_frac
        | FROM d)
        |SELECT doc_id, dup2_frac, dup3_frac, top_token_frac,
        | dup3_frac <= 0.3 AND top_token_frac <= 0.2 AS repetition_pass
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // Cross-source contamination matrix — benchmark-leakage detection:
@@ -644,11 +658,13 @@ object QueriesText {
     val pairs = Dedup.minhashLshPairs(docs,
       idCol = "doc_id", textCol = "text",
       shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
-    pairs
-      .join(broadcast(src.withColumnRenamed("source", "src_a")),
-        col("id_a") === col("doc_id")).drop("doc_id")
-      .join(broadcast(src.withColumnRenamed("source", "src_b")),
-        col("id_b") === col("doc_id")).drop("doc_id")
+    // broadcast the PAIRS (near-dup pairs ≪ corpus); the corpus-sized
+    // doc→source map streams from its scan — broadcasting src instead
+    // would ship the whole corpus mapping through the driver
+    val withA = src.withColumnRenamed("source", "src_a")
+      .join(broadcast(pairs), col("doc_id") === col("id_a")).drop("doc_id")
+    src.withColumnRenamed("source", "src_b")
+      .join(broadcast(withA), col("doc_id") === col("id_b")).drop("doc_id")
       .select(
         least(col("src_a"), col("src_b")).as("source_lo"),
         greatest(col("src_a"), col("src_b")).as("source_hi"))
@@ -658,30 +674,15 @@ object QueriesText {
   }
 
   val contaminationMatrixSql: String =
-    """WITH sh AS (
-      | SELECT doc_id, unnest(list_distinct(
-      |   list_transform(range(1, greatest(length(text) - 8, -1) + 2),
-      |                  i -> substr(text, CAST(i AS INTEGER), 8)))) AS s
-      | FROM documents),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |common AS (
-      | SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
-      | FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-      | GROUP BY 1, 2),
-      |j AS (
-      | SELECT id_a, id_b,
-      |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-      | FROM common
-      | JOIN sz sa ON sa.doc_id = id_a
-      | JOIN sz sb ON sb.doc_id = id_b),
-      |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.9)
-      |SELECT least(da.source, db.source) AS source_lo,
-      | greatest(da.source, db.source) AS source_hi,
-      | count(*) AS n_dup_pairs
-      |FROM p
-      |JOIN documents da ON da.doc_id = p.id_a
-      |JOIN documents db ON db.doc_id = p.id_b
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""WITH ${Frag.pairCtes},
+       |p AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.9)
+       |SELECT least(da.source, db.source) AS source_lo,
+       | greatest(da.source, db.source) AS source_hi,
+       | count(*) AS n_dup_pairs
+       |FROM p
+       |JOIN documents da ON da.doc_id = p.id_a
+       |JOIN documents db ON db.doc_id = p.id_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
   // Cross-modal quality report — documents and embeddings share the id
@@ -711,20 +712,7 @@ object QueriesText {
       .orderBy("label")
   }
 
-  val modalQualityByLabelSql: String = {
-    def grams(n: Int) = {
-      val parts = (0 until n).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
-      s"list_transform(range(1, len(ts) - ${n - 2}), j -> $parts)"
-    }
-    val dup3 =
-      s"""CASE WHEN len(ts) < 3 THEN 0.0 ELSE
-         | (len(${grams(3)}) - len(list_distinct(${grams(3)})))
-         |   / CAST(len(${grams(3)}) AS DOUBLE) END""".stripMargin
-    val topFrac =
-      """CASE WHEN len(ts) = 0 THEN 0.0 ELSE
-        | list_max(list_transform(list_distinct(ts),
-        |   u -> len(list_filter(ts, x -> x = u))))
-        |   / CAST(len(ts) AS DOUBLE) END""".stripMargin
+  val modalQualityByLabelSql: String =
     s"""WITH d AS (
        | SELECT doc_id,
        |   CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS q_u,
@@ -732,7 +720,8 @@ object QueriesText {
        |   CASE WHEN ${Frag.rt} = '' THEN [] ELSE ${Frag.toks} END AS ts
        | FROM documents),
        |m AS (SELECT doc_id, q_u, toks,
-       |   ($dup3) <= 0.3 AND ($topFrac) <= 0.2 AS rep_pass
+       |   (${Frag.dupFracSql(3)}) <= 0.3 AND
+       |   (${Frag.topTokenFracSql}) <= 0.2 AS rep_pass
        | FROM d),
        |e AS (SELECT vec_id AS doc_id, label FROM embeddings)
        |SELECT label, count(*) AS n_docs,
@@ -742,7 +731,6 @@ object QueriesText {
        |   AS n_rep_pass
        |FROM m JOIN e USING (doc_id)
        |GROUP BY label ORDER BY label""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "modal_quality_by_label" -> (modalQualityByLabel _),

@@ -475,9 +475,15 @@ object QueriesVector {
   // nearest-neighbor vote, the standard embedding-space sanity check
   // before trusting labels at corpus scale: each query vector's label
   // is predicted by majority vote of its 5 nearest neighbors
-  // (excluding itself; ties → most-similar wins via count desc then
-  // smallest label), and per-label accuracy comes back. Full DuckDB
-  // replay via the same bit-identical cosine fold.
+  // (excluding itself; vote ties resolve deterministically to the
+  // SMALLEST label — similarity is not consulted in the tie-break),
+  // and per-label accuracy comes back. Full DuckDB replay via the same
+  // bit-identical cosine fold.
+  //
+  // Broadcast direction matters at scale: the SMALL frames here are
+  // the top-k result (|queries|·k rows) and the predictions
+  // (|queries| rows) — those broadcast; the corpus-sized label map
+  // streams from its scan and never ships to the driver.
   // -------------------------------------------------------------------
   def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -486,16 +492,17 @@ object QueriesVector {
       col("label").as("nbr_label"))
     val queries = emb.where(col("vec_id") < 200)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val votes = Similarity.bruteForceTopK(corpus, queries, k = 5)
-      .join(broadcast(labels), "id")
+    val topk = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("qid", "id")
+    val votes = labels.join(broadcast(topk), "id")
       .groupBy("qid", "nbr_label").agg(count(lit(1)).as("nv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("nv").desc, col("nbr_label").asc)
     val pred = votes
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("qid"), col("nbr_label").as("pred"))
-    pred
-      .join(emb.select(col("vec_id").as("qid"), col("label").as("truth")), "qid")
+    emb.select(col("vec_id").as("qid"), col("label").as("truth"))
+      .join(broadcast(pred), "qid")
       .groupBy("truth")
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("pred") === col("truth"), 1L).otherwise(0L))

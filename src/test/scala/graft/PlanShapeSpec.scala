@@ -27,12 +27,20 @@ class PlanShapeSpec extends SparkSpec {
       s"chunk generation must not hash-shuffle:\n$plan")
   }
 
-  test("knn_label_eval: corpus side never shuffles before scoring (the " +
-      "broadcast top-k contract survives the vote/join composition)") {
-    val plan = QueriesVector.knnLabelEval(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"expected broadcast joins in kNN eval:\n$plan")
+  test("knn_label_eval: scoring runs as the broadcast nested-loop " +
+      "cross join (corpus streams), and the label/truth joins broadcast " +
+      "the SMALL side — no corpus-sized exchange anywhere") {
+    val df = QueriesVector.knnLabelEval(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // ONLY bruteForceTopK's scoring produces a BNLJ — a regression that
+    // shuffles the corpus for scoring removes it (a BroadcastHashJoin
+    // elsewhere cannot satisfy this)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"scoring lost its broadcast cross join:\n$plan")
+    // every hash exchange in the plan is over the SMALL frames
+    // (votes/pred aggregations keyed by qid/label) — none over the
+    // corpus id. Corpus-sized shuffles would partition on id#.
+    assert(!"Exchange hashpartitioning\\(id#".r.findFirstIn(plan).isDefined,
+      s"corpus-sized exchange appeared:\n$plan")
   }
 }
