@@ -467,10 +467,96 @@ object QueriesCurated {
       |   OR (a.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // CDC-driven SCD-2 (Merge.scd2Cdc) — history-tracking WITH deletes.
+  // One application carrying every transition: plain D (101-200 @200),
+  // plain U (201-300 @200), plain I (1001-1100 @200), delete-then-
+  // rebirth (150-170: D@200 + I@300), update-then-delete (250-260:
+  // U@200 + D@300). The oracle replays the EXACT window passes
+  // (same-from dedup, delete validity, change detection with the
+  // after-delete exception, tiling including D rows) so the chain
+  // semantics — not just this dataset's answer — are pinned.
+  // -------------------------------------------------------------------
+  def scd2Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      lit(100L).as("effective_from"),
+      lit(null).cast("long").as("effective_to"), lit(true).as("is_current"))
+    def nullStr = lit(null).cast("string")
+    val batch =
+      c.where(col("c_custkey").between(101, 200)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit(200L).as("eff"), lit("D").as("oper"))
+      .unionByName(c.where(col("c_custkey").between(201, 300)).select(
+        col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), lit(200L).as("eff"), lit("U").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(1001, 1100)).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(200L).as("eff"), lit("I").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(150, 170)).select(
+        col("c_custkey"), concat(col("c_name"), lit("-reborn")).as("c_name"),
+        lit("REBORN").as("c_mktsegment"), lit(300L).as("eff"),
+        lit("I").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(250, 260)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit(300L).as("eff"), lit("D").as("oper")))
+    Merge.scd2Cdc(target, batch, Seq("c_custkey"), "eff")
+      .orderBy("c_custkey", "effective_from")
+  }
+
+  val scd2CdcSql: String =
+    """WITH v0 AS (
+      | SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS sg,
+      |        CAST(100 AS BIGINT) AS eff, 0 AS src, FALSE AS del
+      | FROM customer WHERE c_custkey <= 1000),
+      |b AS (
+      | SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |        CAST(200 AS BIGINT), 1, TRUE
+      | FROM customer WHERE c_custkey BETWEEN 101 AND 200
+      | UNION ALL
+      | SELECT c_custkey, upper(c_name), c_mktsegment, 200, 1, FALSE
+      | FROM customer WHERE c_custkey BETWEEN 201 AND 300
+      | UNION ALL
+      | SELECT c_custkey, c_name, c_mktsegment, 200, 1, FALSE
+      | FROM customer WHERE c_custkey BETWEEN 1001 AND 1100
+      | UNION ALL
+      | SELECT c_custkey, c_name || '-reborn', 'REBORN', 300, 1, FALSE
+      | FROM customer WHERE c_custkey BETWEEN 150 AND 170
+      | UNION ALL
+      | SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |        300, 1, TRUE
+      | FROM customer WHERE c_custkey BETWEEN 250 AND 260),
+      |chain AS (SELECT * FROM v0 UNION ALL SELECT * FROM b),
+      |d1 AS (SELECT *, lag(eff) OVER w AS pe FROM chain
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |c1 AS (SELECT k, nm, sg, eff, src, del FROM d1
+      |       WHERE pe IS NULL OR pe <> eff),
+      |d2 AS (SELECT *, lag(del) OVER w AS pdel, lag(src) OVER w AS psrc
+      |       FROM c1
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |c2 AS (SELECT k, nm, sg, eff, src, del FROM d2
+      |       WHERE NOT del OR (psrc IS NOT NULL AND NOT pdel)),
+      |d3 AS (SELECT *, lag(del) OVER w AS pdel, lag(nm) OVER w AS pn,
+      |        lag(sg) OVER w AS ps, row_number() OVER w AS rn
+      |       FROM c2
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |c3 AS (SELECT k, nm, sg, eff, del FROM d3
+      |       WHERE del OR rn = 1 OR pdel
+      |          OR (nm IS DISTINCT FROM pn) OR (sg IS DISTINCT FROM ps)),
+      |d4 AS (SELECT *, lead(eff) OVER w AS eto FROM c3
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, del, nm, sg))
+      |SELECT k AS c_custkey, nm AS c_name, sg AS c_mktsegment,
+      | eff AS effective_from, eto AS effective_to,
+      | eto IS NULL AS is_current
+      |FROM d4 WHERE NOT del
+      |ORDER BY c_custkey, effective_from""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
     "scd2_lookup" -> (scd2Lookup _),
+    "scd2_cdc" -> (scd2Cdc _),
     "cdc_apply" -> (cdcApply _),
     "table_changelog" -> (tableChangelog _),
     "incremental_merge" -> (incrementalMerge _),
@@ -483,6 +569,7 @@ object QueriesCurated {
     "merge_upsert" -> mergeUpsertSql,
     "scd2_merge" -> scd2MergeSql,
     "scd2_lookup" -> scd2LookupSql,
+    "scd2_cdc" -> scd2CdcSql,
     "cdc_apply" -> cdcApplySql,
     "table_changelog" -> tableChangelogSql,
     "incremental_merge" -> incrementalMergeSql,

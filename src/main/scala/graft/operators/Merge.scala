@@ -323,6 +323,119 @@ object Merge {
       .unionByName(nullKeyUpd)
   }
 
+  /** CDC-driven SCD-2 — [[scd2]] extended with DELETES: change rows
+    * carry I/U/D in `operCol`, and a `D` CLOSES the key's open version
+    * at its `effCol` instant without inserting a successor — the key
+    * then has NO current row until a later I/U re-opens it (a rebirth
+    * is always a new version, even with identical data: the key's
+    * non-existence in between is real history). The full
+    * mutable-dimension matrix: [[upsert]] = SCD-1, [[Cdc.apply]] =
+    * SCD-1 + deletes, [[scd2]] = history, this = history + deletes.
+    *
+    * Delete semantics on the version chain:
+    *  - a D with no live predecessor (unknown key, or the key already
+    *    deleted) is a NO-OP — dropped before it can influence anything;
+    *  - consecutive D's collapse to the first;
+    *  - after a D, the "exactly one open version per key" invariant of
+    *    [[scd2]] relaxes to AT MOST one, and interval tiling allows a
+    *    GAP over the deleted span — both are the correct history;
+    *  - everything else ([[scd2]]'s no-change suppression, same-from
+    *    replay idempotence, late-change drop, NULL-key routing — a
+    *    null-keyed D deletes nothing) carries over.
+    *
+    * Scale shape identical to [[scd2]]: closed history never shuffles;
+    * one exchange of (open ∪ changes) serves every window pass.
+    */
+  def scd2Cdc(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      effCol: String,
+      operCol: String = "oper",
+      fromCol: String = "effective_from",
+      toCol: String = "effective_to",
+      currentCol: String = "is_current",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "SCD-2 needs at least one merge key")
+    val outCols = target.columns.toSeq
+    val scdCols = Seq(fromCol, toCol, currentCol)
+    scdCols.foreach(c => require(outCols.contains(c),
+      s"SCD-2 target must carry column '$c'"))
+    require(!outCols.contains(operCol),
+      s"target must not carry the CDC operation column '$operCol'")
+    val dataCols =
+      outCols.filterNot(c => keyCols.contains(c) || scdCols.contains(c))
+    require(dataCols.nonEmpty, "SCD-2 needs at least one tracked data column")
+    val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
+    val toType = target.schema(toCol).dataType
+    val isDel = upper(trim(col(operCol))) === "D"
+
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val nullKeyTarget = target.where(anyKeyNull)
+    val nullKeyUpd = changes.where(anyKeyNull && !isDel)
+      .withColumn(fromCol, col(effCol))
+      .withColumn(toCol, lit(null).cast(toType))
+      .withColumn(currentCol, lit(true))
+      .select(outCols.map(col): _*)
+
+    val isOpen = coalesce(col(currentCol), lit(false))
+    val hist = target.where(!anyKeyNull && !isOpen)
+
+    val chainCols = keyCols ++ dataCols :+ fromCol
+    val cur = target.where(!anyKeyNull && isOpen)
+      .select(chainCols.map(col) ++
+        Seq(lit(0).as("__src"), lit(false).as("__del")): _*)
+    val chg = changes.where(!anyKeyNull)
+      .select((keyCols ++ dataCols).map(col) ++
+        Seq(col(effCol).as(fromCol), lit(1).as("__src"),
+          isDel.as("__del")): _*)
+
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    // a non-delete precedes a delete at the same (from, src) so an
+    // open version survives a same-instant D (the replay rule)
+    val wSeq = wKey.orderBy(
+      Seq(col(fromCol).asc, col("__src").asc, col("__del").asc) ++
+        tb.map(col(_).asc): _*)
+    val dataStruct = struct(dataCols.map(col): _*)
+
+    val tiled = cur.unionByName(chg)
+      // late changes: strictly older than the open version's start
+      .withColumn("__anchor",
+        max(when(col("__src") === 0, col(fromCol))).over(wKey))
+      .where(col("__src") === 0 ||
+        col("__anchor").isNull || col(fromCol) >= col("__anchor"))
+      // same-from dedup (replay idempotence; target wins)
+      .withColumn("__same_from",
+        lag(col(fromCol), 1).over(wSeq) === col(fromCol))
+      .where(!coalesce(col("__same_from"), lit(false)))
+      // delete validity: a D needs a live (non-D) predecessor. One pass
+      // suffices: in a run of D's only the first can have a non-D
+      // predecessor, so every later D sees a D and drops
+      .withColumn("__pdel", lag(col("__del"), 1).over(wSeq))
+      .where(!col("__del") ||
+        (col("__pdel").isNotNull && !col("__pdel")))
+      // no-change suppression — EXCEPT after a delete (rebirth is a new
+      // version even with identical data) and never for D rows (they
+      // ride through to donate their instant to the predecessor's
+      // effective_to)
+      .withColumn("__pdel2", lag(col("__del"), 1).over(wSeq))
+      .withColumn("__prev", lag(dataStruct, 1).over(wSeq))
+      .where(col("__del") || col("__prev").isNull ||
+        coalesce(col("__pdel2"), lit(false)) ||
+        !(dataStruct <=> col("__prev")))
+      // tiling INCLUDING D rows: a version followed by a D closes at
+      // the D's instant; then the D row itself vanishes
+      .withColumn(toCol, lead(col(fromCol), 1).over(wSeq).cast(toType))
+      .where(!col("__del"))
+      .withColumn(currentCol, col(toCol).isNull)
+      .select(outCols.map(col): _*)
+
+    hist.select(outCols.map(col): _*)
+      .unionByName(tiled)
+      .unionByName(nullKeyTarget.select(outCols.map(col): _*))
+      .unionByName(nullKeyUpd)
+  }
+
   /** Metadata-driven SCD-2: merge keys from the declared schema
     * (`ColumnDef.isMergeKey`), same contract as [[upsertFor]].
     */

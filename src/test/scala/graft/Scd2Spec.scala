@@ -157,6 +157,75 @@ class Scd2Spec extends SparkSpec {
       .count() == facts.count()) // tiling ⇒ no fan-out
   }
 
+  test("scd2Cdc: a D closes the open version, leaves the key with no " +
+      "current row, and a later I re-opens as a NEW version across a gap") {
+    val b1 = Seq(
+      (2L, null, null, 200L, "D"), // delete beta
+      (3L, "gamma2", "APAC", 200L, "U")) // ordinary update
+      .toDF("id", "name", "seg", "eff", "oper")
+    val s1 = Merge.scd2Cdc(dim, b1, Seq("id"), "eff")
+    assert(rows(s1.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false))) // closed, none open
+    assert(rows(s1.where($"id" === 3L)) == Seq(
+      (3L, "gamma", "APAC", 100L, Some(200L), false),
+      (3L, "gamma2", "APAC", 200L, None, true)))
+    // rebirth with IDENTICAL data is still a new version; the deleted
+    // span [200, 300) stays a gap
+    val s2 = Merge.scd2Cdc(s1,
+      Seq((2L, "beta", "EU", 300L, "I")).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    assert(rows(s2.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "beta", "EU", 300L, None, true)))
+  }
+
+  test("scd2Cdc: D of an unknown/already-deleted key is a no-op; " +
+      "consecutive D's collapse; U-then-D in one batch closes the chain") {
+    val b = Seq(
+      (9L, null, null, 200L, "D"), // unknown key
+      (1L, null, null, 200L, "D"), (1L, null, null, 250L, "D"), // double D
+      (2L, "beta2", "EU", 200L, "U"), (2L, null, null, 300L, "D"))
+      .toDF("id", "name", "seg", "eff", "oper")
+    val out = Merge.scd2Cdc(dim, b, Seq("id"), "eff")
+    assert(out.where($"id" === 9L).count() == 0)
+    assert(rows(out.where($"id" === 1L)) == Seq(
+      (1L, "alpha", "NA", 100L, Some(200L), false))) // closed ONCE at 200
+    assert(rows(out.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "beta2", "EU", 200L, Some(300L), false))) // U applied, then closed
+    // at most one open version per key everywhere
+    val opens = out.groupBy("id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n"))
+      .where($"n" > 1).count()
+    assert(opens == 0)
+  }
+
+  test("scd2Cdc replay is a no-op, including for deleted and reborn keys") {
+    val b = Seq(
+      (1L, null, null, 200L, "D"),
+      (2L, null, null, 200L, "D"), (2L, "beta-re", "EU", 300L, "I"))
+      .toDF("id", "name", "seg", "eff", "oper")
+    val once = Merge.scd2Cdc(dim, b, Seq("id"), "eff")
+    val twice = Merge.scd2Cdc(once, b, Seq("id"), "eff")
+    assert(rows(twice) == rows(once))
+  }
+
+  test("scd2Cdc: null-keyed D deletes nothing; one exchange total") {
+    val b = Seq((Option.empty[Long], Option.empty[String], Option.empty[String],
+      200L, "D")).toDF("id", "name", "seg", "eff", "oper")
+    val t = dim.unionByName(Seq(
+      (Option.empty[Long], Option("nk"), Option("NA"), 100L,
+        Option.empty[Long], true))
+      .toDF("id", "name", "seg", "effective_from", "effective_to", "is_current"))
+    val out = Merge.scd2Cdc(t, b, Seq("id"), "eff")
+    assert(out.where($"id".isNull).count() == 1) // target null row survives
+    val plan = Merge.scd2Cdc(dim,
+      Seq((2L, null, null, 200L, "D")).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
   test("output keeps the target's column order even with non-leading keys") {
     val t = Seq(("alpha", 1L, 100L, Option.empty[Long], true))
       .toDF("name", "id", "effective_from", "effective_to", "is_current")
