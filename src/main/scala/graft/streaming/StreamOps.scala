@@ -238,6 +238,52 @@ object StreamOps {
       targetPath, batchId)
   }
 
+  /** One micro-batch of the streaming SCD-2 CDC apply: the full
+    * history-tracking merge ([[graft.operators.Merge.scd2Cdc]] —
+    * close-and-insert, deletes close the open version) under the same
+    * snapshot commit/skip replay contract. The streaming dimension
+    * pipeline endgame: an I/U/D feed materializes a FULL-HISTORY
+    * dimension exactly-once.
+    *
+    * First batch bootstraps an empty SCD-2 target (batch columns minus
+    * `operCol`/`effCol` plus the three SCD columns).
+    */
+  def scd2CdcBatch(
+      batch: DataFrame,
+      batchId: Long,
+      targetPath: String,
+      keyCols: Seq[String],
+      effCol: String,
+      operCol: String = "oper"): Unit = {
+    import graft.sinks.SnapshotTarget
+    val spark = batch.sparkSession
+    if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
+      return
+    val current = SnapshotTarget.read(spark, targetPath).getOrElse {
+      val dataCols = batch.columns.toSeq
+        .filterNot(c => c == operCol || c == effCol)
+      batch.select(dataCols.map(col) ++ Seq(
+        col(effCol).as("effective_from"),
+        col(effCol).cast(batch.schema(effCol).dataType).as("effective_to"),
+        lit(true).as("is_current")): _*).limit(0)
+    }
+    SnapshotTarget.commit(
+      graft.operators.Merge.scd2Cdc(current, batch, keyCols, effCol, operCol),
+      targetPath, batchId)
+  }
+
+  /** Streaming SCD-2 CDC sink — see [[scd2CdcBatch]]. */
+  def scd2CdcSink(
+      changes: DataFrame,
+      targetPath: String,
+      keyCols: Seq[String],
+      effCol: String,
+      checkpoint: String,
+      operCol: String = "oper"): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(changes, checkpoint) { (batch, id) =>
+      scd2CdcBatch(batch, id, targetPath, keyCols, effCol, operCol)
+    }
+
   /** Streaming CDC sink: a changelog stream (rows carrying I/U/D in
     * `operCol`) applied micro-batch by micro-batch to the snapshot
     * target — deletes included, exactly-once across crash-replay.

@@ -127,6 +127,34 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(state(root) == Seq(2L -> "b2", 3L -> "c"))
   }
 
+  test("streaming SCD-2 CDC sink: history accumulates across batches, " +
+      "deletes close versions, replay is a no-op") {
+    val dir = Files.createTempDirectory("graft-s2c").toString
+    val root = s"$dir/target"
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = StreamOps.scd2CdcSink(in.toDF().toDF("id", "v", "eff", "oper"),
+      root, Seq("id"), "eff", s"$dir/ckpt")
+    try {
+      in.addData((1L, "a", 100L, "I"), (2L, "b", 100L, "I"))
+      q.processAllAvailable()
+      in.addData((1L, "a2", 200L, "U"), (2L, "", 200L, "D"))
+      q.processAllAvailable()
+      val out = SnapshotTarget.read(spark, root).get
+        .orderBy("id", "effective_from")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+      assert(out == Seq(
+        (1L, "a", 100L, Some(200L), false),
+        (1L, "a2", 200L, None, true),
+        (2L, "b", 100L, Some(200L), false))) // deleted: closed, none open
+    } finally q.stop()
+    // replay of the last batch (crash after snapshot commit) is a no-op
+    StreamOps.scd2CdcBatch(
+      Seq((1L, "evil", 200L, "U")).toDF("id", "v", "eff", "oper"),
+      1L, root, Seq("id"), "eff")
+    assert(SnapshotTarget.committedIds(spark, root) == Seq(0L, 1L))
+  }
+
   test("newest-wins versioning applies inside a micro-batch") {
     val dir = Files.createTempDirectory("graft-supv").toString
     val root = s"$dir/target"
