@@ -529,23 +529,23 @@ object QueriesCurated {
       | FROM customer WHERE c_custkey BETWEEN 250 AND 260),
       |chain AS (SELECT * FROM v0 UNION ALL SELECT * FROM b),
       |d1 AS (SELECT *, lag(eff) OVER w AS pe FROM chain
-      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del DESC, nm, sg)),
       |c1 AS (SELECT k, nm, sg, eff, src, del FROM d1
       |       WHERE pe IS NULL OR pe <> eff),
       |d2 AS (SELECT *, lag(del) OVER w AS pdel, lag(src) OVER w AS psrc
       |       FROM c1
-      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del DESC, nm, sg)),
       |c2 AS (SELECT k, nm, sg, eff, src, del FROM d2
       |       WHERE NOT del OR (psrc IS NOT NULL AND NOT pdel)),
       |d3 AS (SELECT *, lag(del) OVER w AS pdel, lag(nm) OVER w AS pn,
       |        lag(sg) OVER w AS ps, row_number() OVER w AS rn
       |       FROM c2
-      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del, nm, sg)),
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, src, del DESC, nm, sg)),
       |c3 AS (SELECT k, nm, sg, eff, del FROM d3
       |       WHERE del OR rn = 1 OR pdel
       |          OR (nm IS DISTINCT FROM pn) OR (sg IS DISTINCT FROM ps)),
       |d4 AS (SELECT *, lead(eff) OVER w AS eto FROM c3
-      |       WINDOW w AS (PARTITION BY k ORDER BY eff, del, nm, sg))
+      |       WINDOW w AS (PARTITION BY k ORDER BY eff, del DESC, nm, sg))
       |SELECT k AS c_custkey, nm AS c_name, sg AS c_mktsegment,
       | eff AS effective_from, eto AS effective_to,
       | eto IS NULL AS is_current

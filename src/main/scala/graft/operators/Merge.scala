@@ -244,7 +244,25 @@ object Merge {
       fromCol: String = "effective_from",
       toCol: String = "effective_to",
       currentCol: String = "is_current",
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[String] = Nil): DataFrame =
+    scdCore(target, updates, keyCols, effCol, None,
+      fromCol, toCol, currentCol, tiebreak)
+
+  /** Shared SCD-2 engine behind [[scd2]] (operCol = None) and
+    * [[scd2Cdc]] (operCol = Some) — one body so the chain semantics
+    * (dedup, late-guard, suppression, tiling) can never diverge, the
+    * [[mergeCore]] precedent.
+    */
+  private def scdCore(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      effCol: String,
+      operCol: Option[String],
+      fromCol: String,
+      toCol: String,
+      currentCol: String,
+      tiebreak: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "SCD-2 needs at least one merge key")
     val outCols = target.columns.toSeq
     val scdCols = Seq(fromCol, toCol, currentCol)
@@ -252,68 +270,108 @@ object Merge {
       s"SCD-2 target must carry column '$c' (has ${outCols.mkString(", ")})"))
     require(!keyCols.exists(scdCols.contains),
       "merge keys cannot be SCD bookkeeping columns")
+    operCol.foreach(oc => require(!outCols.contains(oc),
+      s"target must not carry the CDC operation column '$oc'"))
     val dataCols =
       outCols.filterNot(c => keyCols.contains(c) || scdCols.contains(c))
     require(dataCols.nonEmpty, "SCD-2 needs at least one tracked data column")
     val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
     val toType = target.schema(toCol).dataType
+    // NULL/absent oper counts as an upsert, never a delete (matches
+    // Cdc.apply's coalesce — a malformed feed must not silently erase)
+    val isDel = operCol
+      .map(oc => coalesce(upper(trim(col(oc))) === "D", lit(false)))
+      .getOrElse(lit(false))
 
     val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    // NULL-keyed rows are routed around every window (see scaladoc)
+    // NULL-keyed rows are routed around every window (see scaladoc);
+    // null-keyed deletes can match nothing and vanish
     val nullKeyTarget = target.where(anyKeyNull)
-    val nullKeyUpd = updates.where(anyKeyNull)
+    val nullKeyUpd = changes.where(anyKeyNull && !isDel)
       .withColumn(fromCol, col(effCol))
       .withColumn(toCol, lit(null).cast(toType))
       .withColumn(currentCol, lit(true))
       .select(outCols.map(col): _*)
 
-    // closed history passes through VERBATIM — never shuffled, so cost
-    // is independent of history depth. NULL is_current counts as closed
-    // (a plain =!= would silently DROP such rows on both branches).
+    // closed history passes through VERBATIM — never shuffled row-wise.
+    // NULL is_current counts as closed (a plain =!= would silently DROP
+    // such rows on both branches).
     val isOpen = coalesce(col(currentCol), lit(false))
     val hist = target.where(!anyKeyNull && !isOpen)
+    // ...but history DOES contribute one aggregate: the per-key CLOSED
+    // FRONTIER (max effective_to). Without it, a key whose versions are
+    // all closed (deleted via scd2Cdc, or a hand-built target) has no
+    // open anchor row, and a LATE change older than the frontier would
+    // insert a version OVERLAPPING closed history. Partial aggregation
+    // makes this a per-key-sized shuffle, not a per-row one.
+    val frontier = hist.groupBy(keyCols.map(col): _*)
+      .agg(max(col(toCol)).as("__closedTo"))
 
     val chainCols = keyCols ++ dataCols :+ fromCol
     val cur = target.where(!anyKeyNull && isOpen)
-      .select(chainCols.map(col) :+ lit(0).as("__src"): _*)
-    val upd = updates.where(!anyKeyNull)
+      .select(chainCols.map(col) ++
+        Seq(lit(0).as("__src"), lit(false).as("__del")): _*)
+    val chg = changes.where(!anyKeyNull)
       .select((keyCols ++ dataCols).map(col) ++
-        Seq(col(effCol).as(fromCol), lit(1).as("__src")): _*)
+        Seq(col(effCol).as(fromCol), lit(1).as("__src"),
+          isDel.as("__del")): _*)
 
     val wKey = Window.partitionBy(keyCols.map(col): _*)
-    // one ordering drives every sequenced pass: (from, src, tiebreak) —
-    // the open target version precedes an update sharing its from, and
-    // duplicate (key, from) update rows order by the deterministic
-    // tiebreak. Keeping the FIRST row of each equal-from run (the lag
-    // rule below) then dedupes per (key, from) inside the (key)
-    // partitioning — a dedicated (key, from)-partitioned window would
-    // cost the updates side a second exchange.
+    // one ordering drives every sequenced pass: (from, src, ¬del, tb) —
+    // the open target version precedes any change sharing its from
+    // (replay rule: target wins), duplicate (key, from) change rows
+    // order deterministically, and among same-instant CHANGES a DELETE
+    // precedes a non-delete so the terminal state of an
+    // update+delete-at-one-timestamp feed is DELETED (conservative:
+    // without a log sequence number the data cannot be trusted either
+    // way, and a false survivor is worse than a false delete). Keeping
+    // the FIRST row of each equal-from run then dedupes per (key, from)
+    // inside the (key) partitioning — a dedicated (key, from) window
+    // would cost a second exchange.
     val wSeq = wKey.orderBy(
-      Seq(col(fromCol).asc, col("__src").asc) ++ tb.map(col(_).asc): _*)
+      Seq(col(fromCol).asc, col("__src").asc, col("__del").desc) ++
+        tb.map(col(_).asc): _*)
     val dataStruct = struct(dataCols.map(col): _*)
 
-    val tiled = cur.unionByName(upd)
-      // drop late updates: strictly older than the open version's start
+    val tiled = cur.unionByName(chg)
+      // per-key frontier join shares the (key) exchange with the windows
+      .join(frontier, keyCols, "left")
+      // drop LATE changes: older than the open version's start AND
+      // older than the closed frontier (greatest skips NULLs; NULL only
+      // when the key has no open row and no closed history)
       .withColumn("__anchor",
         max(when(col("__src") === 0, col(fromCol))).over(wKey))
+      .withColumn("__bound", greatest(col("__anchor"), col("__closedTo")))
       .where(col("__src") === 0 ||
-        col("__anchor").isNull || col(fromCol) >= col("__anchor"))
-      // keep only the first row of each equal-from run: collapses
-      // duplicate (key, eff) batch rows AND ignores an update sharing
-      // the open version's effective_from (target wins — the
-      // replay-idempotence rule)
+        col("__bound").isNull || col(fromCol) >= col("__bound"))
+      // keep only the first row of each equal-from run (dedup + the
+      // target-wins replay rule)
       .withColumn("__same_from",
         lag(col(fromCol), 1).over(wSeq) === col(fromCol))
       .where(!coalesce(col("__same_from"), lit(false)))
+      // delete validity: a D needs a live (non-D) predecessor. One pass
+      // suffices: in a run of D's only the first can have a non-D
+      // predecessor, so every later D sees a D and drops
+      .withColumn("__pdel", lag(col("__del"), 1).over(wSeq))
+      .where(!col("__del") ||
+        (col("__pdel").isNotNull && !col("__pdel")))
       // no-change suppression: data null-safe-equal to the previous
-      // surviving version ⇒ no new version. lag compares to the
-      // immediate predecessor, which is equivalent to comparing to the
-      // previous SURVIVOR: a dropped predecessor equals ITS predecessor,
-      // so equality runs are transitive
+      // surviving version ⇒ no new version (equality runs are
+      // transitive, so lag ≡ previous survivor) — EXCEPT right after a
+      // delete (rebirth is a new version even with identical data), and
+      // never for D rows (they ride through to donate their instant to
+      // the predecessor's effective_to). __prevDel is NOT __pdel reused:
+      // __pdel was the PRE-validity-filter lag; this one runs on the
+      // filtered frame, the same frame __prev sees
+      .withColumn("__prevDel", lag(col("__del"), 1).over(wSeq))
       .withColumn("__prev", lag(dataStruct, 1).over(wSeq))
-      .where(!(dataStruct <=> col("__prev")))
-      // interval tiling: close each version at its successor's start
+      .where(col("__del") || col("__prev").isNull ||
+        coalesce(col("__prevDel"), lit(false)) ||
+        !(dataStruct <=> col("__prev")))
+      // interval tiling INCLUDING D rows: a version followed by a D
+      // closes at the D's instant; then the D row itself vanishes
       .withColumn(toCol, lead(col(fromCol), 1).over(wSeq).cast(toType))
+      .where(!col("__del"))
       .withColumn(currentCol, col(toCol).isNull)
       .select(outCols.map(col): _*)
 
@@ -339,9 +397,19 @@ object Merge {
     *  - after a D, the "exactly one open version per key" invariant of
     *    [[scd2]] relaxes to AT MOST one, and interval tiling allows a
     *    GAP over the deleted span — both are the correct history;
+    *  - among same-instant CHANGES the delete wins (terminal state of
+    *    an update+delete within one timestamp granularity is DELETED —
+    *    conservative without a log sequence number); a change sharing
+    *    the OPEN TARGET version's instant still loses to the target
+    *    (the replay rule);
+    *  - the late-change guard covers deleted keys too: a change older
+    *    than the key's closed-history frontier is dropped, never
+    *    inserted overlapping closed intervals;
+    *  - a NULL/absent oper is an UPSERT, never a delete (malformed
+    *    feeds must not silently erase);
     *  - everything else ([[scd2]]'s no-change suppression, same-from
-    *    replay idempotence, late-change drop, NULL-key routing — a
-    *    null-keyed D deletes nothing) carries over.
+    *    replay idempotence, NULL-key routing — a null-keyed D deletes
+    *    nothing) carries over.
     *
     * Scale shape identical to [[scd2]]: closed history never shuffles;
     * one exchange of (open ∪ changes) serves every window pass.
@@ -355,86 +423,9 @@ object Merge {
       fromCol: String = "effective_from",
       toCol: String = "effective_to",
       currentCol: String = "is_current",
-      tiebreak: Seq[String] = Nil): DataFrame = {
-    require(keyCols.nonEmpty, "SCD-2 needs at least one merge key")
-    val outCols = target.columns.toSeq
-    val scdCols = Seq(fromCol, toCol, currentCol)
-    scdCols.foreach(c => require(outCols.contains(c),
-      s"SCD-2 target must carry column '$c'"))
-    require(!outCols.contains(operCol),
-      s"target must not carry the CDC operation column '$operCol'")
-    val dataCols =
-      outCols.filterNot(c => keyCols.contains(c) || scdCols.contains(c))
-    require(dataCols.nonEmpty, "SCD-2 needs at least one tracked data column")
-    val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
-    val toType = target.schema(toCol).dataType
-    val isDel = upper(trim(col(operCol))) === "D"
-
-    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
-    val nullKeyTarget = target.where(anyKeyNull)
-    val nullKeyUpd = changes.where(anyKeyNull && !isDel)
-      .withColumn(fromCol, col(effCol))
-      .withColumn(toCol, lit(null).cast(toType))
-      .withColumn(currentCol, lit(true))
-      .select(outCols.map(col): _*)
-
-    val isOpen = coalesce(col(currentCol), lit(false))
-    val hist = target.where(!anyKeyNull && !isOpen)
-
-    val chainCols = keyCols ++ dataCols :+ fromCol
-    val cur = target.where(!anyKeyNull && isOpen)
-      .select(chainCols.map(col) ++
-        Seq(lit(0).as("__src"), lit(false).as("__del")): _*)
-    val chg = changes.where(!anyKeyNull)
-      .select((keyCols ++ dataCols).map(col) ++
-        Seq(col(effCol).as(fromCol), lit(1).as("__src"),
-          isDel.as("__del")): _*)
-
-    val wKey = Window.partitionBy(keyCols.map(col): _*)
-    // a non-delete precedes a delete at the same (from, src) so an
-    // open version survives a same-instant D (the replay rule)
-    val wSeq = wKey.orderBy(
-      Seq(col(fromCol).asc, col("__src").asc, col("__del").asc) ++
-        tb.map(col(_).asc): _*)
-    val dataStruct = struct(dataCols.map(col): _*)
-
-    val tiled = cur.unionByName(chg)
-      // late changes: strictly older than the open version's start
-      .withColumn("__anchor",
-        max(when(col("__src") === 0, col(fromCol))).over(wKey))
-      .where(col("__src") === 0 ||
-        col("__anchor").isNull || col(fromCol) >= col("__anchor"))
-      // same-from dedup (replay idempotence; target wins)
-      .withColumn("__same_from",
-        lag(col(fromCol), 1).over(wSeq) === col(fromCol))
-      .where(!coalesce(col("__same_from"), lit(false)))
-      // delete validity: a D needs a live (non-D) predecessor. One pass
-      // suffices: in a run of D's only the first can have a non-D
-      // predecessor, so every later D sees a D and drops
-      .withColumn("__pdel", lag(col("__del"), 1).over(wSeq))
-      .where(!col("__del") ||
-        (col("__pdel").isNotNull && !col("__pdel")))
-      // no-change suppression — EXCEPT after a delete (rebirth is a new
-      // version even with identical data) and never for D rows (they
-      // ride through to donate their instant to the predecessor's
-      // effective_to)
-      .withColumn("__pdel2", lag(col("__del"), 1).over(wSeq))
-      .withColumn("__prev", lag(dataStruct, 1).over(wSeq))
-      .where(col("__del") || col("__prev").isNull ||
-        coalesce(col("__pdel2"), lit(false)) ||
-        !(dataStruct <=> col("__prev")))
-      // tiling INCLUDING D rows: a version followed by a D closes at
-      // the D's instant; then the D row itself vanishes
-      .withColumn(toCol, lead(col(fromCol), 1).over(wSeq).cast(toType))
-      .where(!col("__del"))
-      .withColumn(currentCol, col(toCol).isNull)
-      .select(outCols.map(col): _*)
-
-    hist.select(outCols.map(col): _*)
-      .unionByName(tiled)
-      .unionByName(nullKeyTarget.select(outCols.map(col): _*))
-      .unionByName(nullKeyUpd)
-  }
+      tiebreak: Seq[String] = Nil): DataFrame =
+    scdCore(target, changes, keyCols, effCol, Some(operCol),
+      fromCol, toCol, currentCol, tiebreak)
 
   /** Metadata-driven SCD-2: merge keys from the declared schema
     * (`ColumnDef.isMergeKey`), same contract as [[upsertFor]].

@@ -264,7 +264,7 @@ object StreamOps {
         .filterNot(c => c == operCol || c == effCol)
       batch.select(dataCols.map(col) ++ Seq(
         col(effCol).as("effective_from"),
-        col(effCol).cast(batch.schema(effCol).dataType).as("effective_to"),
+        lit(null).cast(batch.schema(effCol).dataType).as("effective_to"),
         lit(true).as("is_current")): _*).limit(0)
     }
     SnapshotTarget.commit(

@@ -200,6 +200,54 @@ class Scd2Spec extends SparkSpec {
     assert(opens == 0)
   }
 
+  test("scd2Cdc: a late change older than a DELETED key's closed " +
+      "frontier is dropped — never inserted overlapping closed history") {
+    val s1 = Merge.scd2Cdc(dim,
+      Seq((2L, null, null, 200L, "D")).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    // key 2 is now only closed history [100, 200); a change at 150
+    // must NOT open a version inside that interval
+    val s2 = Merge.scd2Cdc(s1,
+      Seq((2L, "late", "EU", 150L, "I")).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    assert(rows(s2.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false)))
+    // while a change AT/after the frontier re-opens cleanly
+    val s3 = Merge.scd2Cdc(s1,
+      Seq((2L, "ok", "EU", 200L, "I")).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    assert(rows(s3.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "ok", "EU", 200L, None, true)))
+  }
+
+  test("scd2Cdc: NULL oper is an upsert, never a silent delete") {
+    val out = Merge.scd2Cdc(dim,
+      Seq((2L, "beta2", "EU", 200L, null)).toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    assert(rows(out.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false),
+      (2L, "beta2", "EU", 200L, None, true)))
+  }
+
+  test("scd2Cdc: among same-instant changes the DELETE wins (terminal " +
+      "state without a sequence number is deleted, not resurrected)") {
+    val out = Merge.scd2Cdc(dim,
+      Seq((2L, "b2", "EU", 200L, "U"), (2L, null, null, 200L, "D"))
+        .toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    assert(rows(out.where($"id" === 2L)) == Seq(
+      (2L, "beta", "EU", 100L, Some(200L), false))) // closed, none open
+  }
+
+  test("scd2Cdc rejects merge keys that are SCD bookkeeping columns") {
+    intercept[IllegalArgumentException] {
+      Merge.scd2Cdc(dim,
+        Seq((2L, "x", "EU", 200L, "U")).toDF("id", "name", "seg", "eff", "oper"),
+        Seq("effective_from"), "eff")
+    }
+  }
+
   test("scd2Cdc replay is a no-op, including for deleted and reborn keys") {
     val b = Seq(
       (1L, null, null, 200L, "D"),
