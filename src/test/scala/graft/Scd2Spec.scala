@@ -240,6 +240,23 @@ class Scd2Spec extends SparkSpec {
       (2L, "beta", "EU", 100L, Some(200L), false))) // closed, none open
   }
 
+  test("point-in-time lookup over a deletion gap enriches to NULL — " +
+      "facts during the key's non-existence see no dimension row") {
+    val s1 = Merge.scd2Cdc(dim,
+      Seq((2L, null, null, 200L, "D"), (2L, "reborn", "EU", 300L, "I"))
+        .toDF("id", "name", "seg", "eff", "oper"),
+      Seq("id"), "eff")
+    val facts = Seq((10L, 2L, 150L), (11L, 2L, 250L), (12L, 2L, 350L))
+      .toDF("fid", "id", "ts")
+    val out = Merge.scd2Lookup(facts, s1.drop("is_current"), Seq("id"), "ts")
+      .select("fid", "name").orderBy("fid")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (10L, Some("beta")), // before deletion: original version
+      (11L, None), // inside the gap [200, 300): key did not exist
+      (12L, Some("reborn")))) // after rebirth
+  }
+
   test("scd2Cdc rejects merge keys that are SCD bookkeeping columns") {
     intercept[IllegalArgumentException] {
       Merge.scd2Cdc(dim,
