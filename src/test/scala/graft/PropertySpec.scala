@@ -54,4 +54,67 @@ class PropertySpec extends SparkSpec {
       assert(SqlRunner.substitute(once, Map(k -> v)) == once)
     }
   }
+
+  // random key-value table states over a SMALL key space (collisions
+  // guaranteed, so every diff has genuine I/U/D mix) with nullable
+  // values (exercises null-safe change detection)
+  private val stateGen: Gen[List[(Long, Option[String])]] =
+    Gen.listOfN(8,
+      Gen.zip(Gen.chooseNum(1L, 6L),
+        Gen.option(Gen.oneOf("x", "y", "z"))))
+      .map(_.distinctBy(_._1)) // one row per key: a valid table state
+
+  test("changelog round-trip: apply(before, changelog(before, after)) " +
+      "== after, for random states with NULL values") {
+    import graft.operators.Cdc
+    val pairs = samples(stateGen, 12).zip(samples(stateGen, 12).reverse)
+    for ((b, a) <- pairs) {
+      val before = b.toDF("id", "v")
+      val after = a.toDF("id", "v")
+      val tripped = Cdc
+        .apply(before, Cdc.changelog(before, after, Seq("id")), Seq("id"))
+        .as[(Long, Option[String])].collect().toSet
+      assert(tripped == a.toSet, s"before=$b after=$a got=$tripped")
+      // and the signed changelog retracts sums exactly: weighted count
+      // of the normalized log equals the cardinality delta
+      val log = Cdc.changelogSigned(before, after, Seq("id"))
+        .as[(Long, Option[String], String)].collect()
+      val delta = log.map(r => if (r._3 == "D") -1 else 1).sum
+      assert(delta == a.size - b.size, s"before=$b after=$a log=${log.toSeq}")
+    }
+  }
+
+  test("scd2 then scd2Cdc deletes: every surviving chain tiles without " +
+      "overlap and has at most one open version, for random batches") {
+    import graft.operators.Merge
+    val effs = Seq(100L, 200L, 300L)
+    for ((b0, b1) <- samples(stateGen, 6).zip(samples(stateGen, 6).reverse)) {
+      val target = b0.toDF("id", "v")
+        .withColumn("effective_from", org.apache.spark.sql.functions.lit(100L))
+        .withColumn("effective_to",
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+        .withColumn("is_current", org.apache.spark.sql.functions.lit(true))
+      // batch: every key of b1 updated @200, every ODD key deleted @300
+      val batch = b1.map { case (k, v) => (k, v, 200L, "U") } ++
+        b1.collect { case (k, _) if k % 2 == 1 => (k, None, 300L, "D") }
+      val out = Merge.scd2Cdc(target, batch.toDF("id", "v", "eff", "oper"),
+        Seq("id"), "eff")
+      val rows = out
+        .select("id", "effective_from", "effective_to", "is_current")
+        .as[(Long, Long, Option[Long], Boolean)].collect()
+      // at most one open per key
+      assert(rows.filter(_._4).groupBy(_._1).forall(_._2.length == 1))
+      // intervals within a key never overlap (sorted froms strictly
+      // increase and each close is <= successor's open)
+      rows.groupBy(_._1).values.foreach { vs =>
+        val sorted = vs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(x, y) =>
+            assert(x._3.exists(_ <= y._2),
+              s"overlap: $x then $y (batch=$batch)")
+          case _ => ()
+        }
+      }
+    }
+  }
 }
