@@ -732,7 +732,42 @@ object QueriesText {
        |FROM m JOIN e USING (doc_id)
        |GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Unigram LM commonness scoring (UnigramScore) — the CCNet-style
+  // corpus-distribution filter, log-free so the compare is exact: train
+  // a top-500 token vocabulary (count desc, token asc cut), then score
+  // each document's total vocabulary frequency mass in a scan-stage
+  // fold (the vocab rides as a broadcast map literal — zero shuffles in
+  // the scoring pass). The oracle retrains the vocabulary and rejoins
+  // per token; integer masses compare hash-exact.
+  // -------------------------------------------------------------------
+  def unigramCommonness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramScore
+    val docs = Tables.load(spark, dir, "documents")
+    val vocab = UnigramScore.collectVocabulary(
+      UnigramScore.vocabulary(docs, "text", topK = 500))
+    UnigramScore.scoreWith(docs.select(col("doc_id"), col("text")), "text", vocab)
+      .select("doc_id", "n_tokens", "common_u")
+      .orderBy("doc_id")
+  }
+
+  val unigramCommonnessSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(${Frag.toks}) AS token
+       | FROM documents WHERE ${Frag.rt} <> ''),
+       |vocab AS (
+       | SELECT token, count(*) AS freq FROM toks
+       | GROUP BY token ORDER BY freq DESC, token ASC LIMIT 500)
+       |SELECT d.doc_id,
+       | CAST(${Frag.nTok} AS BIGINT) AS n_tokens,
+       | CAST(coalesce((SELECT sum(v.freq)
+       |   FROM toks t JOIN vocab v ON v.token = t.token
+       |   WHERE t.doc_id = d.doc_id), 0) AS BIGINT) AS common_u
+       |FROM documents d
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_commonness" -> (unigramCommonness _),
     "modal_quality_by_label" -> (modalQualityByLabel _),
     "contamination_matrix" -> (contaminationMatrix _),
     "chunk_docs" -> (chunkDocs _),
@@ -752,6 +787,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "unigram_commonness" -> unigramCommonnessSql,
     "modal_quality_by_label" -> modalQualityByLabelSql,
     "contamination_matrix" -> contaminationMatrixSql,
     "chunk_docs" -> chunkDocsSql,

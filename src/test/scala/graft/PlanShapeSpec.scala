@@ -27,6 +27,27 @@ class PlanShapeSpec extends SparkSpec {
       s"chunk generation must not hash-shuffle:\n$plan")
   }
 
+  test("unigram scoring pass is scan-stage: the vocabulary rides as a " +
+      "map literal, zero shuffles and zero joins after training") {
+    import graft.operators.UnigramScore
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = UnigramScore.collectVocabulary(
+      UnigramScore.vocabulary(docs, "text", 100))
+    val scored = UnigramScore.scoreWith(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")), "text", vocab)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring pass shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"scoring pass joined:\n$plan")
+    // junk text scores zero mass; corpus text scores positive
+    import spark.implicits._
+    val junk = UnigramScore.scoreWith(
+      Seq((1L, "zzqqx vvkkw")).toDF("doc_id", "text"), "text", vocab)
+      .select("common_u").as[Long].head()
+    assert(junk == 0L)
+    assert(scored.where($"common_u" > 0).count() > 0)
+  }
+
   test("knn_label_eval: scoring runs as the broadcast nested-loop " +
       "cross join (corpus streams), and the label/truth joins broadcast " +
       "the SMALL side — no corpus-sized exchange anywhere") {
