@@ -552,11 +552,51 @@ object QueriesCurated {
       |FROM d4 WHERE NOT del
       |ORDER BY c_custkey, effective_from""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Point-in-time lookup against the GAPPED dimension scd2_cdc builds:
+  // facts timed inside a deleted span ([200,300) for keys deleted at
+  // 200 and not yet reborn) enrich to NULL — the key genuinely did not
+  // exist then. Composes the two oracles: the scd2_cdc chain wrapped as
+  // a CTE + the interval left join of scd2_lookup.
+  // -------------------------------------------------------------------
+  def scd2CdcLookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Cdc(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .drop("is_current")
+    val facts = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 350 + 1).cast("long").as("ts"))
+    Merge.scd2Lookup(facts, dim, Seq("o_custkey"), "ts")
+      .select("o_orderkey", "o_custkey", "ts", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+  }
+
+  val scd2CdcLookupSql: String = {
+    // the scd2_cdc chain, re-wrapped as a CTE (everything before its
+    // final SELECT), joined exactly like scd2_lookup
+    val ctes = scd2CdcSql
+      .substring(0, scd2CdcSql.indexOf("SELECT k AS c_custkey"))
+      .trim.stripSuffix(",")
+    s"""$ctes,
+       |scd2c AS (
+       | SELECT k AS c_custkey, nm AS c_name, sg AS c_mktsegment,
+       |  eff AS effective_from, eto AS effective_to
+       | FROM d4 WHERE NOT del),
+       |f AS (SELECT o_orderkey, o_custkey,
+       |        CAST(o_orderkey % 350 + 1 AS BIGINT) AS ts FROM orders)
+       |SELECT f.o_orderkey, f.o_custkey, f.ts, d.c_name, d.c_mktsegment
+       |FROM f LEFT JOIN scd2c d
+       |  ON d.c_custkey = f.o_custkey AND f.ts >= d.effective_from
+       | AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
     "scd2_lookup" -> (scd2Lookup _),
     "scd2_cdc" -> (scd2Cdc _),
+    "scd2_cdc_lookup" -> (scd2CdcLookup _),
     "cdc_apply" -> (cdcApply _),
     "table_changelog" -> (tableChangelog _),
     "incremental_merge" -> (incrementalMerge _),
@@ -570,6 +610,7 @@ object QueriesCurated {
     "scd2_merge" -> scd2MergeSql,
     "scd2_lookup" -> scd2LookupSql,
     "scd2_cdc" -> scd2CdcSql,
+    "scd2_cdc_lookup" -> scd2CdcLookupSql,
     "cdc_apply" -> cdcApplySql,
     "table_changelog" -> tableChangelogSql,
     "incremental_merge" -> incrementalMergeSql,
