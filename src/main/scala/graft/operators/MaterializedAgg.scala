@@ -15,13 +15,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * base. (The same partial-state shape Spark's own partial aggregation
   * uses inside one query, lifted across runs.)
   *
-  * Determinism: sums are carried as DECIMAL(25,6) — decimal addition
+  * Determinism: sums are carried as DECIMAL(38,6) — decimal addition
   * is associative, so the merged state is bit-identical to the direct
   * aggregate no matter how the data was split or partitioned
   * (property-pinned in `MaterializedAggSpec`, oracle-pinned by
   * `mv_incremental`). The state schema is stable under repeated
-  * merges (sums re-cast to DECIMAL(25,6) — Spark would otherwise
-  * widen the type every merge).
+  * merges (sums re-cast to DECIMAL(38,6) — Spark would otherwise
+  * widen the type every merge). Max precision leaves 32 integer
+  * digits of headroom: a narrower carry (say 25,6) would overflow to
+  * NULL without ANSI on a 100 TB sum of large values, silently
+  * breaking the merge contract — 1e32 is out of reach even summing
+  * 1e18 rows of 1e14-sized values.
   *
   * Insert-only by design: counts and sums could retract with signed
   * CDC deltas, but min/max cannot (a deleted extremum needs the base
@@ -30,7 +34,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object MaterializedAgg {
 
-  private val SumType = DecimalType(25, 6)
+  private val SumType = DecimalType(38, 6)
 
   private def stateCols(values: Seq[String]) =
     values.flatMap(c =>

@@ -465,6 +465,15 @@ object Merge {
       fromCol: String = "effective_from",
       toCol: String = "effective_to"): DataFrame = {
     require(keyCols.nonEmpty, "SCD-2 lookup needs at least one key")
+    // every non-key dim column (validity bounds included) lands in the
+    // output NEXT TO all fact columns — a shared name would produce
+    // duplicate output columns that break any later select-by-name, so
+    // fail loud here instead (callers rename or drop the clash)
+    val clash = dim.columns.toSeq.filterNot(keyCols.contains)
+      .intersect(facts.columns.toSeq)
+    require(clash.isEmpty,
+      s"scd2Lookup: dimension columns ${clash.mkString(", ")} collide " +
+        "with fact columns; rename or drop them on one side first")
     val f = facts.alias("__lf")
     val d = dim.alias("__ld")
     val keyEq = keyCols

@@ -53,7 +53,13 @@ final class MetricsListener extends QueryExecutionListener {
     case other => other
   }
 
-  private def sumMetric(root: SparkPlan, names: Set[String]): Long = {
+  /** Sum over the plan, taking per NODE the FIRST name in `names` that
+    * carries a positive value: a scan node may expose both "filesSize"
+    * and "bytesRead" for the same I/O (varies by Spark version and
+    * datasource), and summing both would double-count that node —
+    * `names` is a preference order, not a set.
+    */
+  private def sumMetric(root: SparkPlan, names: Seq[String]): Long = {
     var total = 0L
     def visit(p: SparkPlan): Unit = p match {
       // a reused exchange points BACK at an already-visited subtree
@@ -65,9 +71,10 @@ final class MetricsListener extends QueryExecutionListener {
         ()
       case _ =>
         val q = unwrap(p)
-        q.metrics.foreach { case (name, m) =>
-          if (names.contains(name) && m.value > 0) total += m.value
-        }
+        names.iterator
+          .flatMap(n => q.metrics.get(n))
+          .find(_.value > 0)
+          .foreach(m => total += m.value)
         q.children.foreach(visit)
     }
     visit(root)
@@ -99,10 +106,10 @@ final class MetricsListener extends QueryExecutionListener {
       action = funcName,
       durationMs = durationNs / 1000000L,
       outputRows = topMetric(plan, "numOutputRows"),
-      filesRead = sumMetric(plan, Set("numFiles")),
-      bytesRead = sumMetric(plan, Set("filesSize", "bytesRead")),
-      shuffleBytesWritten = sumMetric(plan, Set("shuffleBytesWritten")),
-      spillBytes = sumMetric(plan, Set("spillSize")),
+      filesRead = sumMetric(plan, Seq("numFiles")),
+      bytesRead = sumMetric(plan, Seq("filesSize", "bytesRead")),
+      shuffleBytesWritten = sumMetric(plan, Seq("shuffleBytesWritten")),
+      spillBytes = sumMetric(plan, Seq("spillSize")),
       error = ""))
   }
 

@@ -52,6 +52,24 @@ object Compaction {
   def tableBytes(spark: SparkSession, path: String): Long =
     listDataFiles(spark, path).map(_._2.getLen).sum
 
+  /** Recover from a crash inside [[compact]]'s rename window: if the
+    * table root is GONE but `<path>__old` exists, the crash happened
+    * between rename(root→old) and rename(staging→root) — restore the
+    * original by renaming it back (the staged rewrite is then re-run
+    * from scratch on the next compact; it was never visible). A no-op
+    * in every other state. Returns true if a repair was performed.
+    */
+  def repairAfterCrash(spark: SparkSession, path: String): Boolean = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(path.stripSuffix("/") + "__old")
+    if (!fs.exists(rootPath) && fs.exists(old)) {
+      require(fs.rename(old, rootPath),
+        s"crash repair failed: could not restore $old to $path")
+      true
+    } else false
+  }
+
   /** Compact the parquet table at `path` to ~`targetFileBytes` files.
     *
     * Partition columns are discovered from the `k=v` directory layout;
@@ -67,6 +85,7 @@ object Compaction {
       path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    repairAfterCrash(spark, path)
     val files = listDataFiles(spark, path)
     require(files.nonEmpty, s"no data files under $path")
     val partCols = files.head._1.split("/").filter(_.contains("="))
@@ -103,12 +122,23 @@ object Compaction {
       // null-safe join: NULL partition values must match their bin row
       val joinCond = partCols.map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
       val dataCols = df.columns.filterNot(partCols.contains)
+      // row→bin spread: hash the data columns PLUS a per-row position
+      // component (input-partition id + within-partition offset) — the
+      // position term keeps byte-identical duplicate rows (and the
+      // degenerate every-column-is-a-partition-column table, where
+      // dataCols is empty and a bare xxhash64() would fail analysis)
+      // spreading across bins instead of collapsing into one writer.
+      // Deterministic for a stable input file layout, which is all bin
+      // assignment needs — row CONTENT routing stays exact via the
+      // partition-column keys.
+      val spread = pmod(
+        xxhash64(dataCols.map(col) ++
+          Seq(spark_partition_id().cast("long"),
+            monotonically_increasing_id()): _*),
+        col("__nbins"))
       val binned = df.join(broadcast(binsDf), joinCond)
         .drop(partCols.map(c => s"__bk_$c"): _*)
-        // deterministic row→bin spread over the data columns: a skewed
-        // partition fans out across its bins' write tasks
-        .withColumn("__bin",
-          pmod(xxhash64(dataCols.map(col): _*), col("__nbins")))
+        .withColumn("__bin", spread)
       // EXPLICIT partition count: repartition-by-column without one is
       // subject to AQE coalescing, which would pack several bins into
       // one write task and defeat the bin targets. Range partitioning
@@ -131,8 +161,15 @@ object Compaction {
       s"compaction row count changed ($rowsBefore -> $rowsStaged); " +
         s"aborting before swap, original untouched, staging at $stagingPath")
 
-    // swap: old table aside, staging in, old dropped — two renames
-    // bracket the only non-atomic instant, and both states are readable
+    // swap: old table aside, staging in, old dropped. The instant
+    // BETWEEN the two renames is the protocol's one exposed window: the
+    // table path does not exist, so a reader racing the swap errors
+    // (retryable — the data was never lost), and a crash inside it
+    // leaves the table parked at `<path>__old`. [[repairAfterCrash]]
+    // (run automatically at the top of [[compact]], or standalone at
+    // job start) restores that parked state; the windows on either
+    // side are safe — before: original intact, after: compacted table
+    // live and `__old` is garbage.
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new Path(path.stripSuffix("/") + "__old")
