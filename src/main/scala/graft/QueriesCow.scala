@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.CowTable
+
+/** Oracle coverage for the partition-granular copy-on-write table
+  * ([[graft.sinks.CowTable]]) — the Delta-style manifest commit the
+  * reference provisions but never wires (commons/install-delta.sh:
+  * 10-21). Each query drives the FULL write path (commit → COW merge →
+  * manifest read-back) inside a scratch directory and returns the
+  * resulting table state, so the DuckDB oracle checks the end-to-end
+  * storage round-trip, not just the in-memory merge: a partition
+  * carried by reference that dropped rows, a manifest that listed a
+  * stale file, or a data-skipping read that pruned a live file would
+  * all hash-mismatch.
+  *
+  * The oracles are the SAME SQL as the non-COW merge/CDC queries
+  * ([[QueriesCurated.mergeUpsertSql]], [[QueriesCurated.cdcApplySql]])
+  * — deliberate: COW is a storage strategy, and its observable
+  * contract is "bit-identical table state to the full rewrite".
+  */
+object QueriesCow {
+
+  private def scratch(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** Key-derived bucket partitioning: the stable-partition contract
+    * [[CowTable.upsert]] requires, over 8 buckets so a sf0.01 dim
+    * exercises many partition dirs with several untouched per batch.
+    */
+  private val NBuckets = 8
+
+  // -------------------------------------------------------------------
+  // COW MERGE: same four-region merge as `merge_upsert` (untouched /
+  // v1-updated / v2-newest-wins / inserted) but applied through the
+  // bucket-partitioned COW table — only the buckets the delta's keys
+  // hash into are rewritten; the rest carry over by manifest reference
+  // (rewrite-avoidance itself is pinned in `CowTableSpec`; THIS query
+  // pins that the carried + rewritten union is the right table).
+  // -------------------------------------------------------------------
+  def cowUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_upsert")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.commitFull(target, root, 1L, Seq("pb"))
+    val v1 = c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), bucket.as("pb"), lit(1L).as("ver"))
+    val v2 = c.where(col("c_custkey").between(900, 1200))
+      .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+        lit("UPDATED").as("c_mktsegment"), bucket.as("pb"), lit(2L).as("ver"))
+    CowTable.upsert(spark, root, 2L, v1.unionByName(v2),
+      Seq("c_custkey"), Seq("pb"), versionCol = Some("ver"))
+    CowTable.read(spark, root).get
+      .drop("pb").orderBy("c_custkey")
+  }
+
+  val cowUpsertSql: String = QueriesCurated.mergeUpsertSql
+
+  // -------------------------------------------------------------------
+  // COW CDC: the full I/U/D + rebirth batch of `cdc_apply` through the
+  // COW table. D rows carry only the key — the bucket derives from it,
+  // so deletes route to the right partition without knowing the row.
+  // -------------------------------------------------------------------
+  def cowCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_cdc")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.commitFull(target, root, 1L, Seq("pb"))
+    def nullStr = lit(null).cast("string")
+    val batch =
+      c.where(col("c_custkey").between(101, 200)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit("D").as("oper"), lit(1L).as("ver"))
+      .unionByName(c.where(col("c_custkey").between(201, 300)).select(
+        col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), lit("U").as("oper"), lit(1L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(1001, 1100)).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("I").as("oper"), lit(1L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(150, 170)).select(
+        col("c_custkey"), concat(col("c_name"), lit("-reborn")).as("c_name"),
+        lit("REBORN").as("c_mktsegment"), lit("I").as("oper"), lit(2L).as("ver")))
+      .unionByName(c.where(col("c_custkey").between(250, 260)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit("D").as("oper"), lit(2L).as("ver")))
+    CowTable.applyCdc(spark, root, 2L,
+      batch.withColumn("pb", bucket),
+      Seq("c_custkey"), Seq("pb"), versionCol = Some("ver"))
+    CowTable.read(spark, root).get
+      .drop("pb").orderBy("c_custkey")
+  }
+
+  val cowCdcApplySql: String = QueriesCurated.cdcApplySql
+
+  // -------------------------------------------------------------------
+  // DATA SKIPPING under oracle: range-sorted layout (8 files with
+  // disjoint o_orderkey envelopes), then a selective range read through
+  // the manifest's min/max stats. The oracle is the plain WHERE — the
+  // compare fails if skipping ever drops a live file; the bytes-read
+  // reduction itself is asserted in `CowTableSpec` via the metrics
+  // listener.
+  // -------------------------------------------------------------------
+  def cowSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_skip")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority"))
+      .repartitionByRange(8, col("o_orderkey"))
+    CowTable.commitFull(o, root, 1L, Nil, sortCols = Seq("o_orderkey"))
+    CowTable.readWhereBetween(spark, root, "o_orderkey",
+      Some("1500"), Some("6000"))
+      .orderBy("o_orderkey")
+  }
+
+  val cowSkippingSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      | o_orderpriority
+      |FROM orders WHERE o_orderkey BETWEEN 1500 AND 6000
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_upsert" -> (cowUpsert _),
+    "cow_cdc_apply" -> (cowCdcApply _),
+    "cow_skipping" -> (cowSkipping _))
+
+  val oracles: Map[String, String] = Map(
+    "cow_upsert" -> cowUpsertSql,
+    "cow_cdc_apply" -> cowCdcApplySql,
+    "cow_skipping" -> cowSkippingSql)
+}

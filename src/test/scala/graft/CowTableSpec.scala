@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+import graft.pipeline.Metrics
+import graft.sinks.CowTable
+
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("cowtable").toString
+
+  /** (path, mtime) of every data file under root, from the FS. */
+  private def dataFileState(root: String): Map[String, Long] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def walk(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => walk(d.getPath)
+        case f if f.getPath.getName.endsWith(".parquet") =>
+          Seq(f.getPath.toString -> f.getModificationTime)
+        case _ => Nil
+      }
+    walk(new Path(root)).toMap
+  }
+
+  private def base3 = Seq(
+    (1L, "p1", "a", 10.0),
+    (2L, "p1", "b", 20.0),
+    (3L, "p2", "c", 30.0),
+    (4L, "p2", "d", 40.0),
+    (5L, "p3", "e", 50.0))
+    .toDF("id", "part", "name", "score")
+
+  test("COW upsert rewrites ONLY touched partitions: untouched files " +
+      "keep their exact paths and mtimes, content matches a full merge") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    val before = dataFileState(root)
+
+    // delta touches p1 only (update id=2, insert id=6)
+    val delta = Seq(
+      (2L, "p1", "b-new", 21.0),
+      (6L, "p1", "f", 60.0))
+      .toDF("id", "part", "name", "score")
+    CowTable.upsert(spark, root, 2L, delta, Seq("id"), Seq("part"))
+
+    val after = dataFileState(root)
+    // every batch-1 file outside p1 survives untouched (path AND mtime)
+    val untouched = before.filter(!_._1.contains("__gp_part=p1"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, t) =>
+      assert(after.contains(p), s"untouched file rewritten/removed: $p")
+      assert(after(p) == t, s"untouched file mtime changed: $p")
+    }
+    // and the manifest still REFERENCES those exact batch-1 files
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.files.exists(_.path.startsWith("batch-1/")))
+    assert(m.files.filter(_.part("part") == "p1")
+      .forall(_.path.startsWith("batch-2/")))
+
+    // content equals the full (non-COW) merge
+    val expected = Merge.upsert(base3, delta, Seq("id"))
+      .orderBy("id").collect().toSeq
+    val got = CowTable.read(spark, root).get
+      .orderBy("id").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("replaying a committed batch id is a no-op (exactly-once under " +
+      "crash-replay), and ids must be monotonic") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    val delta = Seq((2L, "p1", "redo", 0.0)).toDF("id", "part", "name", "score")
+    CowTable.upsert(spark, root, 2L, delta, Seq("id"), Seq("part"))
+    val state = dataFileState(root)
+    val content = CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+
+    // replay same id — and a stale lower id — both skip
+    CowTable.upsert(spark, root, 2L, delta, Seq("id"), Seq("part"))
+    CowTable.upsert(spark, root, 1L,
+      Seq((9L, "p9", "x", 9.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"))
+    assert(dataFileState(root) == state)
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+      == content)
+  }
+
+  test("CDC apply through COW: D empties a partition (entry dropped), " +
+      "I/U upsert; NULL partition value round-trips") {
+    val root = tmp()
+    val withNull = base3.unionByName(
+      Seq((7L, null.asInstanceOf[String], "n", 70.0))
+        .toDF("id", "part", "name", "score"))
+    CowTable.commitFull(withNull, root, 1L, Seq("part"))
+    assert(CowTable.read(spark, root).get.count() == 6)
+
+    val batch = Seq(
+      (5L, "p3", "e", 50.0, "D"),   // deletes p3's only row
+      (7L, null.asInstanceOf[String], "n-upd", 71.0, "U"),
+      (8L, "p1", "h", 80.0, "I"))
+      .toDF("id", "part", "name", "score", "oper")
+    CowTable.applyCdc(spark, root, 2L, batch, Seq("id"), Seq("part"))
+
+    val m = CowTable.currentManifest(spark, root).get
+    assert(!m.files.exists(_.part("part") == "p3"),
+      "emptied partition must drop out of the manifest")
+    val out = CowTable.read(spark, root).get
+    assert(out.count() == 6) // 6 - 1 deleted + 1 inserted
+    assert(out.where($"id" === 7L).select("name").as[String].head()
+      == "n-upd")
+    assert(out.where($"id" === 5L).count() == 0)
+    // p2 untouched by either batch — still served from batch-1
+    assert(m.files.filter(_.part("part") == "p2")
+      .forall(_.path.startsWith("batch-1/")))
+  }
+
+  test("time travel reads the highest committed snapshot <= id") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    CowTable.upsert(spark, root, 3L,
+      Seq((1L, "p1", "alpha-v3", 11.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 10)
+    assert(CowTable.readAt(spark, root, 2L).get
+      .where($"id" === 1L).select("name").as[String].head() == "a")
+    assert(CowTable.readAt(spark, root, 3L).get
+      .where($"id" === 1L).select("name").as[String].head() == "alpha-v3")
+  }
+
+  test("data skipping: a selective range over a sorted layout reads " +
+      "strictly fewer files AND bytes, with a hash-identical result") {
+    val root = tmp()
+    // 4 partitions x sorted ids => per-file id envelopes are disjoint
+    val df = spark.range(0, 4000)
+      .select($"id", (($"id" / 1000).cast("int")).as("bucket"),
+        ($"id" % 97).cast("double").as("v"))
+    CowTable.commitFull(df, root, 1L, Seq("bucket"), sortCols = Seq("id"))
+
+    val all = CowTable.currentManifest(spark, root).get.files
+    val kept = CowTable.filesForRange(spark, root, "id",
+      Some("1500"), Some("1600"))
+    assert(kept.size < all.size,
+      s"skipping kept ${kept.size} of ${all.size} files")
+    assert(kept.map(_.bytes).sum < all.map(_.bytes).sum)
+
+    val listener = Metrics.register(spark)
+    val skipped = CowTable.readWhereBetween(spark, root, "id",
+      Some("1500"), Some("1600")).orderBy("id").collect().toSeq
+    val mSkip = listener.drainWhen(_.exists(_.bytesRead > 0))
+    val full = CowTable.read(spark, root).get
+      .where($"id".between(1500L, 1600L)).orderBy("id").collect().toSeq
+    val mFull = listener.drainWhen(_.exists(_.bytesRead > 0))
+    assert(skipped == full)
+    val bytesSkip = mSkip.map(_.bytesRead).max
+    val bytesFull = mFull.map(_.bytesRead).max
+    assert(bytesSkip < bytesFull,
+      s"skipping read $bytesSkip bytes vs full $bytesFull")
+  }
+
+  test("data skipping never drops rows it shouldn't: files without " +
+      "stats for the column are kept") {
+    val root = tmp()
+    // array column is stat-ineligible; skipping on it keeps everything
+    val df = Seq((1L, Seq(1, 2)), (2L, Seq(3))).toDF("id", "xs")
+    CowTable.commitFull(df, root, 1L, Nil)
+    assert(CowTable.filesForRange(spark, root, "xs", Some("z"), Some("z"))
+      .size == CowTable.currentManifest(spark, root).get.files.size)
+  }
+
+  test("vacuum keeps every batch dir a retained manifest references " +
+      "and drops COW'd-away ones") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 1)
+    // touch p1 twice; after keep=1 vacuum, batch-2's p1 files are
+    // unreferenced but batch-1 still serves p2/p3
+    CowTable.upsert(spark, root, 2L,
+      Seq((2L, "p1", "x", 0.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 1)
+    CowTable.upsert(spark, root, 3L,
+      Seq((2L, "p1", "y", 1.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 1)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(s"$root/batch-1")), "still referenced")
+    assert(!fs.exists(new Path(s"$root/batch-2")), "fully COW'd away")
+    assert(fs.exists(new Path(s"$root/batch-3")))
+    assert(!fs.exists(new Path(s"$root/manifest-1")))
+    assert(!fs.exists(new Path(s"$root/manifest-2")))
+    // table still fully readable after vacuum
+    assert(CowTable.read(spark, root).get.count() == 5)
+  }
+
+  test("schema may grow (evolved columns NULL on old files) but never " +
+      "mutate a column's type") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    val widened = Seq((6L, "p1", "f", 60.0, "extra"))
+      .toDF("id", "part", "name", "score", "note")
+    CowTable.commitPartitions(
+      widened, Set(CowTable.partKey(Seq("part"), Map("part" -> "p1"))),
+      root, 2L, Seq("part"))
+    val out = CowTable.read(spark, root).get
+    assert(out.columns.contains("note"))
+    // old files (p2/p3) surface the evolved column as NULL
+    assert(out.where($"part" === "p2").select("note").as[String]
+      .collect().forall(_ == null))
+    val retyped = Seq((1L, "p1", "a", 1)).toDF("id", "part", "name", "score")
+    intercept[IllegalArgumentException] {
+      CowTable.commitPartitions(retyped,
+        Set(CowTable.partKey(Seq("part"), Map("part" -> "p1"))),
+        root, 3L, Seq("part"))
+    }
+  }
+}
