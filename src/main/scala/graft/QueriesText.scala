@@ -266,6 +266,47 @@ object QueriesText {
       .orderBy("id_a", "id_b")
 
   // -------------------------------------------------------------------
+  // INCREMENTAL near-dup against a persisted signature index — the
+  // daily-ingest shape: the corpus (doc_id % 5 != 0) is known only
+  // through its (id, band, bucket) minhash index, persisted to parquet
+  // and read back; the batch (doc_id % 5 == 0) is shingled fresh and
+  // probed against it. Oracle = the exact-Jaccard pair set RESTRICTED
+  // to pairs with at least one side in the batch — corpus-internal
+  // pairs must NOT reappear (they were emitted when their own batch
+  // landed), and cross pairs must all surface even though the corpus
+  // text is only touched for colliding candidates. Same banding
+  // parameters (and therefore the same ~1-6e-12 escape probability on
+  // planted pairs) as dedup_minhash_lsh above. The property identity
+  // "incremental == one-shot restricted to batch" is pinned
+  // deterministically in DedupSpec; this row pins it against the
+  // exact-SQL ground truth at the gate SF.
+  // -------------------------------------------------------------------
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx").toString + "/index"
+    Dedup.minhashIndex(corpus, "doc_id", "text",
+      shingleSize = 8, numHashes = 32, bands = 8)
+      .write.parquet(idxPath)
+    Dedup.minhashIncrementalPairs(
+      corpus, spark.read.parquet(idxPath), batch,
+      idCol = "doc_id", textCol = "text",
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
+      .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
+      .drop("jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH ${Frag.pairCtes}
+       |SELECT id_a, id_b, CAST(floor(jaccard * 1e4) AS BIGINT) AS jaccard_u
+       |FROM jpairs
+       |WHERE jaccard >= 0.9 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash-blocked near-dup detection — the production shape: SimHash
   // as the cheap candidate BLOCKER (64-bit signature, banded self-join,
   // hamming ≤ 6 gate), exact n-gram Jaccard as the VERIFIER over the
@@ -783,6 +824,7 @@ object QueriesText {
     "lang_id" -> (langId _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _))
 
@@ -803,6 +845,7 @@ object QueriesText {
     "lang_id" -> langIdSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_lsh" -> dedupNgramJaccardSql, // same exact answer — see scaladoc
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupNgramJaccardSql, // blocked+verified ⇒ same exact answer
     "dedup_canonical" -> dedupCanonicalSql)
 }

@@ -75,6 +75,23 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(hashAggs.head, hashAggs.tail: _*)
   }
 
+  /** The (id, band, bucket) rows of a signature set — the shape shared
+    * by the one-shot self-join ([[minhashLshPairs]]) and the PERSISTED
+    * index ([[minhashIndex]] / [[minhashIncrementalPairs]]).
+    */
+  private def bucketsOf(
+      sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
   /** LSH banding: signature of `numHashes` minhashes split into `bands`
     * bands; docs sharing any band bucket become candidate pairs, then
     * exact Jaccard over shingle sets filters to `threshold`.
@@ -88,22 +105,15 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // widen ONCE; signatures and verification share the widened frame
     // (widening each subtree independently would round-robin-shuffle
     // the corpus twice)
     val wide = Par.widen(docs)
     val sigs = minhashSignaturesOf(wide, idCol, textCol, shingleSize, numHashes)
 
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
-    }
     // pinned: the self-join references `buckets` twice — without
     // materialization the shingle→minhash pipeline executes twice
-    val buckets = Par.pin(sigs
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket")))
+    val buckets = Par.pin(bucketsOf(sigs, idCol, numHashes, bands))
 
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -116,6 +126,94 @@ object Dedup {
       .distinct()
 
     verifyJaccardOf(wide, candidates, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** The persistable LSH SIGNATURE INDEX of a corpus: one (id, band,
+    * bucket) row per document per band. This is the artifact that turns
+    * near-dup detection INCREMENTAL: real pipelines dedup a daily batch
+    * against an ever-growing corpus, and re-shingling + re-minhashing
+    * 100 TB per day ([[minhashLshPairs]] over corpus ∪ batch) is the
+    * cost ceiling this removes — the corpus's text is never touched
+    * again; only its index rows (3 longs per doc-band, ~thousands×
+    * smaller than the text) participate.
+    *
+    * Write it bucketed on (band, bucket) ([[graft.sinks.Bucketing]])
+    * and the incremental probe join needs no index-side exchange;
+    * append each batch's index rows after applying it
+    * ([[graft.operators.Similarity]]'s `appendIndex` pattern) and the
+    * index stays current for O(batch) work per day.
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bucketsOf(
+      minhashSignaturesOf(Par.widen(docs), idCol, textCol,
+        shingleSize, numHashes),
+      idCol, numHashes, bands)
+  }
+
+  /** Near-dup pairs INVOLVING A NEW BATCH, against a corpus known only
+    * through its [[minhashIndex]]: exactly the pairs
+    * [[minhashLshPairs]](corpus ∪ batch) would emit restricted to
+    * those with at least one side in the batch (property-pinned in
+    * `DedupSpec`) — corpus-internal pairs were already handled when
+    * their own batches arrived.
+    *
+    * Cost shape (100 TB corpus, GB-scale batch): shingle + minhash the
+    * BATCH only; join its bands against index ∪ batch-bands (the
+    * batch side is the small probe; candidates are confined to
+    * colliding buckets, as in the one-shot operator); exact-Jaccard
+    * verification touches only candidate docs' text — the corpus
+    * contributes text for its candidate members via a semi-join, never
+    * a full scan of the corpus text column (the scan reads `textCol`
+    * for matched docs only; with the documents table partitioned by
+    * doc-id range, partition pruning bounds even that).
+    *
+    * @param index (idCol, band, bucket) rows from [[minhashIndex]],
+    *              built with the SAME shingleSize/numHashes/bands
+    */
+  def minhashIncrementalPairs(
+      corpus: DataFrame,
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 8,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val batchWide = Par.widen(batch)
+    // pinned: probes the bucket join AND unions into its build side
+    val newBuckets = Par.pin(bucketsOf(
+      minhashSignaturesOf(batchWide, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands))
+    val all = index.select(col(idCol), col("band"), col("bucket"))
+      .unionByName(newBuckets)
+    val a = newBuckets.as("a")
+    val b = all.as("b")
+    // batch-vs-(corpus ∪ batch): cross pairs emit once (a = new side);
+    // batch-internal pairs emit twice and collapse via least/greatest
+    val candidates = a
+      .join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("id_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id_b"))
+      .distinct()
+    // verification pool: both sides' text — semi-joined down to
+    // candidate members inside verifyJaccard, so the corpus text is
+    // only read for docs that actually collided
+    val pool = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    verifyJaccard(pool, candidates, idCol, textCol, shingleSize, threshold)
   }
 
   /** Exact Jaccard over candidate pairs (the verification stage).

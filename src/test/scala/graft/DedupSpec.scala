@@ -104,4 +104,35 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").drop("doc_id").collect()
     assert(sigs(0) == sigs(1))
   }
+
+  test("incremental dedup against a persisted index == one-shot pairs " +
+      "over the full corpus, restricted to batch-involving pairs") {
+    val batch = docs.where($"doc_id" % 5 === 0)
+    val corpus = docs.where($"doc_id" % 5 =!= 0)
+    // the index is the PERSISTED artifact: storage round-trip included
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("dedup_idx").toString + "/index"
+    Dedup.minhashIndex(corpus, "doc_id", "text",
+      shingleSize = 8, numHashes = 16, bands = 4)
+      .write.parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    val incremental = Dedup
+      .minhashIncrementalPairs(corpus, index, batch, "doc_id", "text",
+        shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup
+      .minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 8, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(incremental == oneShot,
+      s"missing: ${oneShot -- incremental}; extra: ${incremental -- oneShot}")
+    // the split is non-degenerate: at least one CROSS pair (index hit)
+    // and the equality above covers batch-internal pairs too
+    assert(incremental.exists(p => (p._1 % 5 == 0) != (p._2 % 5 == 0)),
+      "no cross corpus/batch pair — split exercises nothing")
+  }
 }
