@@ -591,11 +591,84 @@ object QueriesCurated {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // SCD-2 RESTATEMENT over the gapped dimension scd2_cdc builds: two
+  // corrections the INCREMENTAL path cannot land — a late update at
+  // eff=150 for keys 120-130 (deleted at 200, so 150 is behind their
+  // closed frontier; scd2Cdc drops it, restate retiles [100,150)+
+  // [150,200) under the same deletion) and a same-instant replacement
+  // at eff=100 for keys 400-410 (restatement overrides what history
+  // recorded). The oracle replays the full rebuild: the scd2_cdc chain
+  // as a CTE, DECOMPILED back to events (version starts + a D at every
+  // close no successor starts at), corrections unioned at higher
+  // priority, then the collapse/validity/suppression/tiling chain —
+  // the same four passes the engine runs, so every restatement rule is
+  // under the hash.
+  // -------------------------------------------------------------------
+  def scd2Restate(spark: SparkSession, dir: String): DataFrame = {
+    val h = scd2Cdc(spark, dir)
+    val c = Tables.load(spark, dir, "customer")
+    val corr = c.where(col("c_custkey").between(120, 130)).select(
+      col("c_custkey"), concat(col("c_name"), lit("-late")).as("c_name"),
+      col("c_mktsegment"), lit(150L).as("eff"), lit("U").as("oper"))
+      .unionByName(c.where(col("c_custkey").between(400, 410)).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("-restated")).as("c_name"),
+        lit("RESTATED").as("c_mktsegment"), lit(100L).as("eff"),
+        lit("U").as("oper")))
+    Merge.scd2Restate(h, corr, Seq("c_custkey"), "eff")
+      .orderBy("c_custkey", "effective_from")
+  }
+
+  val scd2RestateSql: String = {
+    val ctes = scd2CdcSql
+      .substring(0, scd2CdcSql.indexOf("SELECT k AS c_custkey"))
+    s"""$ctes,
+       |tile AS (SELECT k, nm, sg, eff, eto FROM d4 WHERE NOT del),
+       |hvn AS (SELECT *, lead(eff) OVER (PARTITION BY k ORDER BY eff) AS nf
+       |        FROM tile),
+       |ev AS (
+       | SELECT k, nm, sg, eff, FALSE AS del, 1 AS prio FROM hvn
+       | UNION ALL
+       | SELECT k, nm, sg, eto, TRUE, 1 FROM hvn
+       | WHERE eto IS NOT NULL AND (nf IS NULL OR nf <> eto)
+       | UNION ALL
+       | SELECT c_custkey, c_name || '-late', c_mktsegment,
+       |        CAST(150 AS BIGINT), FALSE, 0
+       | FROM customer WHERE c_custkey BETWEEN 120 AND 130
+       | UNION ALL
+       | SELECT c_custkey, c_name || '-restated', 'RESTATED',
+       |        CAST(100 AS BIGINT), FALSE, 0
+       | FROM customer WHERE c_custkey BETWEEN 400 AND 410),
+       |r1 AS (SELECT *, lag(eff) OVER w AS pe FROM ev
+       |       WINDOW w AS (PARTITION BY k ORDER BY eff, prio, del DESC, nm, sg)),
+       |r1c AS (SELECT k, nm, sg, eff, del FROM r1 WHERE pe IS NULL OR pe <> eff),
+       |r2 AS (SELECT *, lag(del) OVER w AS pdel FROM r1c
+       |       WINDOW w AS (PARTITION BY k ORDER BY eff, del DESC, nm, sg)),
+       |r2c AS (SELECT k, nm, sg, eff, del FROM r2
+       |        WHERE NOT del OR (pdel IS NOT NULL AND NOT pdel)),
+       |r3 AS (SELECT *, lag(del) OVER w AS pdel, lag(nm) OVER w AS pn,
+       |        lag(sg) OVER w AS ps, row_number() OVER w AS rn
+       |       FROM r2c
+       |       WINDOW w AS (PARTITION BY k ORDER BY eff, del DESC, nm, sg)),
+       |r3c AS (SELECT k, nm, sg, eff, del FROM r3
+       |        WHERE del OR rn = 1 OR pdel
+       |           OR (nm IS DISTINCT FROM pn) OR (sg IS DISTINCT FROM ps)),
+       |r4 AS (SELECT *, lead(eff) OVER w AS eto FROM r3c
+       |       WINDOW w AS (PARTITION BY k ORDER BY eff, del DESC, nm, sg))
+       |SELECT k AS c_custkey, nm AS c_name, sg AS c_mktsegment,
+       | eff AS effective_from, eto AS effective_to,
+       | eto IS NULL AS is_current
+       |FROM r4 WHERE NOT del
+       |ORDER BY c_custkey, effective_from""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
     "scd2_lookup" -> (scd2Lookup _),
     "scd2_cdc" -> (scd2Cdc _),
+    "scd2_restate" -> (scd2Restate _),
     "scd2_cdc_lookup" -> (scd2CdcLookup _),
     "cdc_apply" -> (cdcApply _),
     "table_changelog" -> (tableChangelog _),
@@ -610,6 +683,7 @@ object QueriesCurated {
     "scd2_merge" -> scd2MergeSql,
     "scd2_lookup" -> scd2LookupSql,
     "scd2_cdc" -> scd2CdcSql,
+    "scd2_restate" -> scd2RestateSql,
     "scd2_cdc_lookup" -> scd2CdcLookupSql,
     "cdc_apply" -> cdcApplySql,
     "table_changelog" -> tableChangelogSql,

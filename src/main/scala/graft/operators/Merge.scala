@@ -427,6 +427,111 @@ object Merge {
     scdCore(target, changes, keyCols, effCol, Some(operCol),
       fromCol, toCol, currentCol, tiebreak)
 
+  /** SCD-2 RESTATEMENT — the offline completion of the merge family:
+    * [[scd2]]/[[scd2Cdc]] deliberately DROP late changes older than a
+    * key's closed frontier (history is immutable under incremental
+    * merge; see the late-guard in scdCore). When such a change must
+    * nevertheless land — a backfilled source, a corrected feed — the
+    * answer is not to mutate closed intervals in place but to REBUILD
+    * the key's tiling from the full event log:
+    *
+    *  1. the existing history is decompiled back into its events —
+    *     one upsert per version start, plus a DELETE at every closing
+    *     instant no successor starts at (tiling gaps and final closes
+    *     are real deletions and must survive the rebuild);
+    *  2. `corrections` (key + data + `effCol` + `operCol`) union in at
+    *     HIGHER priority: at the same (key, instant) a correction
+    *     REPLACES what history recorded — that is what "restatement"
+    *     means — while at fresh instants (including ones older than
+    *     the old frontier) it becomes a new version;
+    *  3. the combined log is re-tiled from an empty target through the
+    *     same scdCore engine, so every chain invariant (same-instant
+    *     D-wins, no-change suppression, delete validity, rebirth
+    *     across gaps) is shared with the incremental path by
+    *     construction rather than re-implemented.
+    *
+    * Idempotence (property-pinned): restating a restated table with no
+    * corrections is a fixed point, and re-applying the same
+    * corrections is a no-op. Note restatement CANONICALIZES: adjacent
+    * versions carrying identical data (which a well-formed incremental
+    * history never contains) merge under no-change suppression.
+    *
+    * Scale notes: this is the one SCD operator that intentionally
+    * shuffles the FULL history — the point is rewriting closed
+    * intervals, so that cost is inherent. Two key-partitioned
+    * exchanges total (plan-pinned): one for the decompile window over
+    * the history, one for the event union feeding the collapse — after
+    * which every scdCore window reuses the collapse's partitioning.
+    * Run it per affected PARTITION (e.g. [[graft.sinks.CowTable]]
+    * key-buckets of the corrected keys) and the rewrite is
+    * O(affected buckets), not O(dimension).
+    */
+  def scd2Restate(
+      history: DataFrame,
+      corrections: DataFrame,
+      keyCols: Seq[String],
+      effCol: String,
+      operCol: String = "oper",
+      fromCol: String = "effective_from",
+      toCol: String = "effective_to",
+      currentCol: String = "is_current",
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "SCD-2 restate needs at least one merge key")
+    val outCols = history.columns.toSeq
+    val scdCols = Seq(fromCol, toCol, currentCol)
+    scdCols.foreach(c => require(outCols.contains(c),
+      s"history must carry SCD column '$c'"))
+    require(corrections.columns.contains(operCol),
+      s"corrections must carry the operation column '$operCol'")
+    val dataCols =
+      outCols.filterNot(c => keyCols.contains(c) || scdCols.contains(c))
+    val tb = if (tiebreak.nonEmpty) tiebreak else dataCols
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+
+    // history → event log (non-null keys; null-keyed rows are
+    // standalone and ride through scdCore's target passthrough below)
+    val wFrom = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(fromCol).asc)
+    val hv = history.where(!anyKeyNull)
+      .withColumn("__nextFrom", lead(col(fromCol), 1).over(wFrom))
+    val verEvents = hv.select(
+      (keyCols ++ dataCols).map(col) ++ Seq(
+        col(fromCol).as(effCol), lit("U").as(operCol),
+        lit(1).as("__prio")): _*)
+    // a close no successor starts at = a real deletion at that instant
+    val delEvents = hv
+      .where(col(toCol).isNotNull &&
+        (col("__nextFrom").isNull || col("__nextFrom") =!= col(toCol)))
+      .select((keyCols ++ dataCols).map(col) ++ Seq(
+        col(toCol).as(effCol), lit("D").as(operCol),
+        lit(1).as("__prio")): _*)
+    val corrEvents = corrections.select(
+      (keyCols ++ dataCols).map(col) ++ Seq(
+        col(effCol), col(operCol), lit(0).as("__prio")): _*)
+
+    // collapse per (key, instant) with corrections beating history and
+    // (within a class) delete beating upsert — same keep-first-of-run
+    // trick as scdCore, inside the (key) partitioning so the exchange
+    // is REUSED by every scdCore window downstream
+    val isDel = coalesce(upper(trim(col(operCol))) === "D", lit(false))
+    val wSeq = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(Seq(col(effCol).asc, col("__prio").asc, isDel.desc) ++
+        tb.map(col(_).asc): _*)
+    val events = verEvents.unionByName(delEvents).unionByName(corrEvents)
+      .where(!anyKeyNull)
+      .withColumn("__same_eff",
+        lag(col(effCol), 1).over(wSeq) === col(effCol))
+      .where(!coalesce(col("__same_eff"), lit(false)))
+      .drop("__same_eff", "__prio")
+      // null-keyed corrections skip the collapse (each is standalone)
+      .unionByName(corrEvents.where(anyKeyNull).drop("__prio"))
+
+    // rebuild from scratch: target = only the null-keyed history rows
+    // (passthrough), so no frontier exists and nothing counts as late
+    scdCore(history.where(anyKeyNull), events, keyCols, effCol,
+      Some(operCol), fromCol, toCol, currentCol, tiebreak)
+  }
+
   /** Metadata-driven SCD-2: merge keys from the declared schema
     * (`ColumnDef.isMergeKey`), same contract as [[upsertFor]].
     */

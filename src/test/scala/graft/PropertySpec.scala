@@ -117,4 +117,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2Restate: fixed point on every scd2Cdc-built history, and " +
+      "idempotent under repeated application of the same corrections, " +
+      "for random states") {
+    import graft.operators.Merge
+    import org.apache.spark.sql.functions.lit
+    def tiles(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v", "effective_from", "effective_to", "is_current")
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    val noCorr = Seq.empty[(Long, Option[String], Long, String)]
+      .toDF("id", "v", "eff", "oper")
+    for ((b0, b1) <- samples(stateGen, 6).zip(samples(stateGen, 6).reverse)) {
+      val target = b0.toDF("id", "v")
+        .withColumn("effective_from", lit(100L))
+        .withColumn("effective_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val batch = b1.map { case (k, v) => (k, v, 200L, "U") } ++
+        b1.collect { case (k, _) if k % 2 == 1 => (k, None, 300L, "D") }
+      val h = Merge.scd2Cdc(target, batch.toDF("id", "v", "eff", "oper"),
+        Seq("id"), "eff")
+      // fixed point: decompile → retile reproduces the table exactly
+      assert(tiles(Merge.scd2Restate(h, noCorr, Seq("id"), "eff"))
+        == tiles(h), s"not a fixed point for batch=$batch")
+      // idempotence under a LATE correction (behind the 300 frontier
+      // for deleted keys — the case the incremental path drops)
+      val corr = b1.collect { case (k, _) if k % 2 == 1 =>
+        (k, Option("late"), 250L, "U") }
+      if (corr.nonEmpty) {
+        val once = Merge.scd2Restate(h,
+          corr.toDF("id", "v", "eff", "oper"), Seq("id"), "eff")
+        val twice = Merge.scd2Restate(once,
+          corr.toDF("id", "v", "eff", "oper"), Seq("id"), "eff")
+        assert(tiles(once) == tiles(twice),
+          s"not idempotent for batch=$batch corr=$corr")
+      }
+    }
+  }
 }

@@ -299,4 +299,90 @@ class Scd2Spec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("name", "id", "effective_from", "effective_to", "is_current"))
   }
+
+  // -------------------------------------------------------------------
+  // Restatement
+  // -------------------------------------------------------------------
+
+  private def cdcBatch(rs: (Long, String, String, Long, String)*): DataFrame =
+    rs.toDF("id", "name", "seg", "eff", "oper")
+
+  private def noCorrections: DataFrame = cdcBatch().limit(0)
+
+  test("restate lands a LATE change the incremental merge dropped, " +
+      "retiling around it") {
+    // key 1: [100,200) then deleted at 200 — closed frontier is 200
+    val h = Merge.scd2Cdc(dim, cdcBatch((1L, null, null, 200L, "D")),
+      Seq("id"), "eff")
+    // incremental path drops the late change entirely
+    val lateIncr = Merge.scd2Cdc(h,
+      cdcBatch((1L, "alpha-late", "NA", 150L, "U")), Seq("id"), "eff")
+    assert(rows(lateIncr.where($"id" === 1L)) == rows(h.where($"id" === 1L)))
+    // restatement rebuilds: [100,150) alpha, [150,200) alpha-late, gap
+    val restated = Merge.scd2Restate(h,
+      cdcBatch((1L, "alpha-late", "NA", 150L, "U")), Seq("id"), "eff")
+    assert(rows(restated.where($"id" === 1L)) == Seq(
+      (1L, "alpha", "NA", 100L, Some(150L), false),
+      (1L, "alpha-late", "NA", 150L, Some(200L), false)))
+    // the deletion at 200 survived the rebuild (no open version)
+    assert(restated.where($"id" === 1L && $"is_current").count() == 0)
+  }
+
+  test("a correction at an EXISTING instant replaces that version's " +
+      "data (restatement semantics), leaving the tiling intact") {
+    val h = Merge.scd2(dim, batch((2L, "beta2", "EU", 200L)), Seq("id"), "eff")
+    val restated = Merge.scd2Restate(h,
+      cdcBatch((2L, "beta-corrected", "EU", 100L, "U")), Seq("id"), "eff")
+    assert(rows(restated.where($"id" === 2L)) == Seq(
+      (2L, "beta-corrected", "EU", 100L, Some(200L), false),
+      (2L, "beta2", "EU", 200L, None, true)))
+  }
+
+  test("restate with no corrections is a FIXED POINT of a well-formed " +
+      "history (deleted keys, rebirth gaps and all); restate∘restate " +
+      "with the same corrections is idempotent") {
+    // build a gnarly history: update, delete, rebirth
+    val h = Merge.scd2Cdc(dim, cdcBatch(
+      (1L, "alpha2", "NA", 200L, "U"),
+      (2L, null, null, 200L, "D"),
+      (2L, "beta-reborn", "EU", 300L, "I"),
+      (3L, "gamma2", "APAC", 250L, "U")), Seq("id"), "eff")
+    assert(rows(Merge.scd2Restate(h, noCorrections, Seq("id"), "eff"))
+      == rows(h))
+    val corr = cdcBatch(
+      (1L, "alpha-corr", "NA", 150L, "U"),
+      (3L, null, null, 400L, "D"))
+    val once = Merge.scd2Restate(h, corr, Seq("id"), "eff")
+    val twice = Merge.scd2Restate(once, corr, Seq("id"), "eff")
+    val thrice = Merge.scd2Restate(twice, noCorrections, Seq("id"), "eff")
+    assert(rows(once) == rows(twice))
+    assert(rows(twice) == rows(thrice))
+  }
+
+  test("restate preserves null-keyed standalone rows and routes " +
+      "null-keyed corrections like scdCore") {
+    val t = dim.unionByName(Seq(
+      (Option.empty[Long], "orphan", "NA", 100L, Option.empty[Long], true))
+      .toDF("id", "name", "seg", "effective_from", "effective_to",
+        "is_current"))
+    val out = Merge.scd2Restate(t,
+      cdcBatch((0L, "zero", "NA", 200L, "I"))
+        .union(Seq((Option.empty[Long], "null-ins", "EU", 200L, "I"))
+          .toDF("id", "name", "seg", "eff", "oper"))
+        .union(Seq((Option.empty[Long], null.asInstanceOf[String],
+          null.asInstanceOf[String], 300L, "D"))
+          .toDF("id", "name", "seg", "eff", "oper")),
+      Seq("id"), "eff")
+    assert(out.where($"id".isNull).count() == 2) // orphan + inserted; D no-op
+    assert(out.where($"id" === 0L).count() == 1)
+  }
+
+  test("restate uses two exchanges (decompile + rebuild): the collapse " +
+      "and every scdCore window share the key partitioning") {
+    val plan = Merge.scd2Restate(dim,
+      cdcBatch((1L, "x", "NA", 150L, "U")), Seq("id"), "eff")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
 }
