@@ -200,6 +200,15 @@ object StreamOps {
     * completion of the `merge_column` contract ([[graft.operators
     * .Merge.upsert]]), with exactly-once table state across crashes
     * (crash-replay proof in `StreamingSpec`).
+    *
+    * `evolveSchema = true` lets a WIDER batch grow the target schema at
+    * its snapshot boundary ([[graft.operators.Merge.upsertEvolve]]) —
+    * old rows read NULL for the new columns, exactly-once under
+    * crash-replay (`StreamingUpsertSpec`). Redeploy recipe for a
+    * schema-widening job with a fresh checkpoint: offset the batch ids
+    * past `SnapshotTarget.committedIds(...).last` inside a
+    * [[foreachBatchSink]] writer — the replay-skip contract keys on the
+    * TARGET's monotonic id space, not the checkpoint's.
     */
   def upsertSink(
       updates: DataFrame,

@@ -155,6 +155,74 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(SnapshotTarget.committedIds(spark, root) == Seq(0L, 1L))
   }
 
+  test("schema EVOLVES through the streaming sink at a snapshot " +
+      "boundary, exactly-once under crash-replay: a redeployed stream " +
+      "with a widened schema grows the target, old rows read NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sevo").toString
+    val root = s"$dir/target"
+
+    // deployment 1: narrow schema (id, v)
+    val inA = MemoryStream[(Long, String)]
+    val qA = StreamOps.upsertSink(inA.toDF().toDF("id", "v"), root,
+      Seq("id"), s"$dir/ckptA", evolveSchema = true)
+    try {
+      inA.addData(1L -> "a", 2L -> "b")
+      qA.processAllAvailable()
+    } finally qA.stop()
+    assert(SnapshotTarget.read(spark, root).get.columns.toSeq ==
+      Seq("id", "v"))
+
+    // deployment 2: widened schema (id, v, w); fresh checkpoint, so the
+    // redeploy recipe offsets batch ids past the committed frontier —
+    // the id space stays monotonic per TARGET, which is what the
+    // replay-skip contract keys on
+    val offset = SnapshotTarget.committedIds(spark, root).last + 1
+    val inB = MemoryStream[(Long, String, Long)]
+    val updatesB = inB.toDF().toDF("id", "v", "w")
+    // worst-spot crash: AFTER the widening batch's snapshot commit,
+    // BEFORE the streaming checkpoint records it
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val qB = StreamOps.foreachBatchSink(updatesB, s"$dir/ckptB") {
+      (batch, id) =>
+        StreamOps.upsertBatch(batch, offset + id, root, Seq("id"),
+          evolveSchema = true)
+        if (id == 0 && failOnce.getAndSet(false))
+          throw new RuntimeException("injected crash after evolving commit")
+    }
+    inB.addData((2L, "b2", 20L), (3L, "c", 30L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qB.processAllAvailable()
+    }
+    assert(!qB.isActive)
+    // the widening landed despite the crash...
+    assert(SnapshotTarget.read(spark, root).get.columns.toSeq ==
+      Seq("id", "v", "w"))
+
+    // ...and the restart replays the widening batch as a NO-OP, then
+    // keeps flowing with the grown schema
+    val qB2 = StreamOps.foreachBatchSink(updatesB, s"$dir/ckptB") {
+      (batch, id) =>
+        StreamOps.upsertBatch(batch, offset + id, root, Seq("id"),
+          evolveSchema = true)
+    }
+    try {
+      qB2.processAllAvailable()
+      inB.addData((4L, "d", 40L))
+      qB2.processAllAvailable()
+    } finally qB2.stop()
+
+    val out = SnapshotTarget.read(spark, root).get.orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", None), // pre-evolution row reads NULL for w
+      (2L, "b2", Some(20L)),
+      (3L, "c", Some(30L)),
+      (4L, "d", Some(40L))))
+    // exactly-once: one snapshot per applied batch, no forked state
+    assert(SnapshotTarget.committedIds(spark, root).size == 2) // keep=2
+  }
+
   test("newest-wins versioning applies inside a micro-batch") {
     val dir = Files.createTempDirectory("graft-supv").toString
     val root = s"$dir/target"
