@@ -601,6 +601,50 @@ object QueriesExtra {
       .orderBy("o_orderstatus")
   }
 
+  // -------------------------------------------------------------------
+  // Approx-percentile winsorization (Normalize.winsorizeApprox) under
+  // the sketch-error-bounds pattern of approx_agg_bounds: the exact
+  // clip values are sketch-dependent, so the oracle pins the bounded-
+  // error CONTRACT instead — after clipping, min(out) IS the sketch's
+  // lower bound and max(out) its upper (sf0.01 has mass beyond both
+  // quantiles), and each must land inside the exact ±2-percentile
+  // band; row count and interior values ride through unchanged. With
+  // accuracy=10000 over 15k rows the rank error is ≤ ~2 ranks, far
+  // inside the band — a regression to a broken sketch or a clip that
+  // drops/fills rows flips a boolean and fails the hash.
+  // -------------------------------------------------------------------
+  def winsorizeApprox(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.load(spark, dir, "orders")
+    val w = graft.operators.Normalize
+      .winsorizeApprox(o, "o_totalprice", 0.05, 0.95, accuracy = 10000)
+    val exact = o.agg(
+      expr("percentile(o_totalprice, 0.03)").as("__lo3"),
+      expr("percentile(o_totalprice, 0.07)").as("__lo7"),
+      expr("percentile(o_totalprice, 0.93)").as("__hi93"),
+      expr("percentile(o_totalprice, 0.97)").as("__hi97"))
+    w.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("__min"),
+        max(col("o_totalprice")).as("__max"),
+        sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("__nnull"))
+      .crossJoin(broadcast(exact))
+      .select(
+        col("n_rows"),
+        col("__min").between(col("__lo3"), col("__lo7"))
+          .as("lo_within_band"),
+        col("__max").between(col("__hi93"), col("__hi97"))
+          .as("hi_within_band"),
+        (col("__nnull") === 0).as("no_nulls_introduced"))
+  }
+
+  val winsorizeApproxSql: String =
+    """SELECT count(*) AS n_rows,
+      | TRUE AS lo_within_band,
+      | TRUE AS hi_within_band,
+      | TRUE AS no_nulls_introduced
+      |FROM orders""".stripMargin
+
   val winsorizePricesSql: String =
     """WITH b AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
       |                  quantile_cont(o_totalprice, 0.95) AS hi
@@ -637,6 +681,7 @@ object QueriesExtra {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "winsorize_prices" -> (winsorizePrices _),
+    "winsorize_approx" -> (winsorizeApprox _),
     "profile_histogram" -> (profileHistogram _),
     "funnel_events" -> (funnelEvents _),
     "mv_cdc_update" -> (mvCdcUpdate _),
@@ -658,6 +703,7 @@ object QueriesExtra {
 
   val oracles: Map[String, String] = Map(
     "winsorize_prices" -> winsorizePricesSql,
+    "winsorize_approx" -> winsorizeApproxSql,
     "profile_histogram" -> profileHistogramSql,
     "funnel_events" -> funnelEventsSql,
     "mv_cdc_update" -> mvCdcUpdateSql,

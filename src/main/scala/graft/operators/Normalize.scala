@@ -57,14 +57,49 @@ object Normalize {
       loQ: Double = 0.05,
       hiQ: Double = 0.95): org.apache.spark.sql.DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
-    val bounds = df.agg(
+    clipToBounds(df, c, df.agg(
       org.apache.spark.sql.functions.expr(s"percentile($c, $loQ)").as("__wlo"),
-      org.apache.spark.sql.functions.expr(s"percentile($c, $hiQ)").as("__whi"))
+      org.apache.spark.sql.functions.expr(s"percentile($c, $hiQ)").as("__whi")))
+  }
+
+  /** [[winsorize]] with SKETCH-derived bounds — the promised 100 TB
+    * swap: `approx_percentile` builds a KLL-style sketch in one
+    * partial-aggregate pass (mergeable map-side state, no full sort of
+    * the column the exact `percentile` needs), with rank error bounded
+    * by n/`accuracy`. The clip plumbing is byte-identical to the exact
+    * variant; only the two bound scalars differ, by at most that rank
+    * error (gated by the `winsorize_approx` oracle row: both sketch
+    * bounds must land inside exact ±2-percentile bands).
+    */
+  def winsorizeApprox(
+      df: org.apache.spark.sql.DataFrame,
+      c: String,
+      loQ: Double = 0.05,
+      hiQ: Double = 0.95,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    require(accuracy > 0, "accuracy must be positive")
+    clipToBounds(df, c, df.agg(
+      org.apache.spark.sql.functions
+        .expr(s"CAST(approx_percentile($c, $loQ, $accuracy) AS DOUBLE)")
+        .as("__wlo"),
+      org.apache.spark.sql.functions
+        .expr(s"CAST(approx_percentile($c, $hiQ, $accuracy) AS DOUBLE)")
+        .as("__whi")))
+  }
+
+  /** Shared clip stage: bounds broadcast back, map-side clamp, NULLs
+    * preserved (see [[winsorize]]'s scaladoc for why the NULL branch
+    * is explicit).
+    */
+  private def clipToBounds(
+      df: org.apache.spark.sql.DataFrame,
+      c: String,
+      bounds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
       .withColumn(c,
         when(col(c).isNull, lit(null).cast(df.schema(c).dataType))
           .otherwise(least(greatest(col(c).cast("double"), col("__wlo")),
             col("__whi")).cast(df.schema(c).dataType)))
       .drop("__wlo", "__whi")
-  }
 }
