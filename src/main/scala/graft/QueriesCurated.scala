@@ -663,7 +663,41 @@ object QueriesCurated {
        |ORDER BY c_custkey, effective_from""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // MEDALLION END-TO-END under the oracle: the full raw → curated →
+  // semantic DAG (pipeline/Medallion — trim+mask raw ingest, key-map
+  // upsert, dimension build, fact enrichment with dynamic partitions,
+  // SqlRunner thin layer, audit trail) runs into a scratch root, and
+  // the SEMANTIC layer's rows are hashed against SQL that rebuilds
+  // them straight from the source tables. This gates the LAYERED
+  // pipeline, not just its operators: a row lost or duplicated in any
+  // landing write, a fan-out in the enrichment joins, or a partition
+  // dropped by the dynamic-partition fact write all shift sum_qty /
+  // n_rows / n_brands for some group. (Layer-local pruning behavior is
+  // asserted with the metrics listener in PipelineSpec.)
+  // -------------------------------------------------------------------
+  def medallionE2e(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_medallion_e2e").toString
+    val runs = graft.pipeline.Medallion.run(spark, dir, root, batchId = "e2e")
+    require(runs.forall(_.jobStatus == "Success"),
+      runs.filter(_.jobStatus != "Success").map(_.exception).mkString("; "))
+    spark.read.parquet(s"$root/semantic/thin_layer")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val medallionE2eSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows,
+      | COUNT(DISTINCT p_brand) AS n_brands,
+      | 'e2e' AS batch_id
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "medallion_e2e" -> (medallionE2e _),
     "merge_upsert" -> (mergeUpsert _),
     "scd2_merge" -> (scd2Merge _),
     "scd2_lookup" -> (scd2Lookup _),
@@ -679,6 +713,7 @@ object QueriesCurated {
     "keymap_scalable" -> (keymapScalable _))
 
   val oracles: Map[String, String] = Map(
+    "medallion_e2e" -> medallionE2eSql,
     "merge_upsert" -> mergeUpsertSql,
     "scd2_merge" -> scd2MergeSql,
     "scd2_lookup" -> scd2LookupSql,

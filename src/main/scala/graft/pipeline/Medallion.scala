@@ -96,7 +96,9 @@ object Medallion {
       val out = SqlRunner.run(spark,
         """SELECT l_returnflag, l_linestatus,
           | CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-          | COUNT(*) AS n_rows, '{batch_id}' AS batch_id
+          | COUNT(*) AS n_rows,
+          | COUNT(DISTINCT p_brand) AS n_brands,
+          | '{batch_id}' AS batch_id
           |FROM sales_fact GROUP BY l_returnflag, l_linestatus""".stripMargin,
         Map("batch_id" -> batchId))
       ParquetSink(s"$root/semantic/thin_layer").write(out)

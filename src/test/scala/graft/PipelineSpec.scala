@@ -31,6 +31,21 @@ class PipelineSpec extends SparkSpec {
     assert(runs2.forall(_.jobStatus == "Success"))
     assert(runs2.find(_.tblName == "event_type_map").get.rowsIngested == 0)
     assert(spark.read.parquet(s"$root/curated/event_type_map").count() == 5)
+
+    // the curated layout EARNS its partitioning: a returnflag-filtered
+    // read of sales_fact scans strictly fewer bytes than the full scan
+    // (partition pruning through the layered layout, measured — not
+    // assumed — via the physical metrics listener)
+    val listener = graft.pipeline.Metrics.register(spark)
+    spark.read.parquet(s"$root/curated/sales_fact")
+      .where(col("l_returnflag") === "R").count()
+    val pruned = listener.drainWhen(_.exists(_.bytesRead > 0))
+      .map(_.bytesRead).max
+    spark.read.parquet(s"$root/curated/sales_fact").count()
+    val full = listener.drainWhen(_.exists(_.bytesRead > 0))
+      .map(_.bytesRead).max
+    assert(pruned > 0 && pruned < full,
+      s"partition pruning not visible: pruned=$pruned full=$full")
   }
 
   test("audit records round-trip through a live JDBC store (embedded " +
