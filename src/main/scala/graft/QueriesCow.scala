@@ -131,13 +131,44 @@ object QueriesCow {
       |FROM orders WHERE o_orderkey BETWEEN 1500 AND 6000
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Z-ORDER clustering under oracle: orders clustered on the Morton
+  // interleave of (o_custkey, o_orderkey) — two decorrelated dimensions
+  // — then a skipping range read on o_custkey, the SECOND dimension a
+  // linear sort could not prune (CowTableSpec pins the both-columns-
+  // prune property; this row pins that the pruned read still returns
+  // exactly the plain WHERE's rows through the full write→manifest→
+  // skip→scan cycle).
+  // -------------------------------------------------------------------
+  def cowZorder(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_zorder")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      graft.sinks.ZOrder.cluster(o, Seq("o_custkey", "o_orderkey"),
+        nFiles = 16),
+      root, 1L, Nil)
+    CowTable.readWhereBetween(spark, root, "o_custkey",
+      Some("100"), Some("400"))
+      .orderBy("o_orderkey")
+  }
+
+  val cowZorderSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 400
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
-    "cow_skipping" -> (cowSkipping _))
+    "cow_skipping" -> (cowSkipping _),
+    "cow_zorder" -> (cowZorder _))
 
   val oracles: Map[String, String] = Map(
     "cow_upsert" -> cowUpsertSql,
     "cow_cdc_apply" -> cowCdcApplySql,
-    "cow_skipping" -> cowSkippingSql)
+    "cow_skipping" -> cowSkippingSql,
+    "cow_zorder" -> cowZorderSql)
 }

@@ -161,6 +161,44 @@ class CowTableSpec extends SparkSpec {
       s"skipping read $bytesSkip bytes vs full $bytesFull")
   }
 
+  test("Z-ORDER layout skips on BOTH clustered columns; a linear sort " +
+      "skips on one — results identical either way") {
+    import graft.sinks.ZOrder
+    // two independent dimensions: id and a decorrelated second key
+    val df = spark.range(0, 16384)
+      .select($"id", (($"id" * 2654435761L) % 16384L).as("k2"),
+        ($"id" % 7).as("v"))
+    val zRoot = tmp()
+    CowTable.commitFull(ZOrder.cluster(df, Seq("id", "k2"), nFiles = 16),
+      zRoot, 1L, Nil)
+    val linRoot = tmp()
+    CowTable.commitFull(
+      df.repartitionByRange(16, $"id").sortWithinPartitions("id"),
+      linRoot, 1L, Nil)
+
+    def kept(root: String, c: String, lo: Long, hi: Long) =
+      CowTable.filesForRange(spark, root, c,
+        Some(lo.toString), Some(hi.toString)).size
+    val total = CowTable.currentManifest(spark, zRoot).get.files.size
+    assert(total >= 8)
+    // selective range on each dimension (~1/16 of the space)
+    assert(kept(zRoot, "id", 1000, 2000) < total,
+      "z-layout must skip on id")
+    assert(kept(zRoot, "k2", 1000, 2000) < total,
+      "z-layout must skip on k2")
+    // the linear layout skips on its sort column but NOT the other
+    assert(kept(linRoot, "id", 1000, 2000) < total)
+    assert(kept(linRoot, "k2", 1000, 2000) ==
+      CowTable.currentManifest(spark, linRoot).get.files.size,
+      "a linear sort cannot skip on the second column")
+    // and skipping never changes results
+    val a = CowTable.readWhereBetween(spark, zRoot, "k2",
+      Some("1000"), Some("2000")).orderBy("id").collect().toSeq
+    val b = CowTable.read(spark, linRoot).get
+      .where($"k2".between(1000L, 2000L)).orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("data skipping never drops rows it shouldn't: files without " +
       "stats for the column are kept") {
     val root = tmp()
