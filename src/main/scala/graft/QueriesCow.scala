@@ -132,6 +132,51 @@ object QueriesCow {
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // SCD-2 CDC through COW buckets: the full gapped-dimension batch of
+  // scd2_cdc (I/U/D at eff 200, rebirths and second deletes at 300)
+  // applied as TWO incremental COW batches — bootstrap then changes —
+  // so bucket-granular history rewrites, the cross-batch closed
+  // frontier, and the manifest carry-over all sit under the oracle's
+  // hash. Oracle = the same chain SQL as scd2_cdc: COW is a storage
+  // strategy; the dimension's history must be bit-identical.
+  // -------------------------------------------------------------------
+  def cowScd2Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_scd2")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    val boot = c.where(col("c_custkey") <= 1000).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      bucket.as("pb"), lit(100L).as("eff"), lit("I").as("oper"))
+    CowTable.applyScd2Cdc(spark, root, 1L, boot,
+      Seq("c_custkey"), Seq("pb"), "eff")
+    def nullStr = lit(null).cast("string")
+    val changes =
+      c.where(col("c_custkey").between(101, 200)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit(200L).as("eff"), lit("D").as("oper"))
+      .unionByName(c.where(col("c_custkey").between(201, 300)).select(
+        col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), lit(200L).as("eff"), lit("U").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(1001, 1100)).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit(200L).as("eff"), lit("I").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(150, 170)).select(
+        col("c_custkey"), concat(col("c_name"), lit("-reborn")).as("c_name"),
+        lit("REBORN").as("c_mktsegment"), lit(300L).as("eff"),
+        lit("I").as("oper")))
+      .unionByName(c.where(col("c_custkey").between(250, 260)).select(
+        col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+        lit(300L).as("eff"), lit("D").as("oper")))
+    CowTable.applyScd2Cdc(spark, root, 2L,
+      changes.withColumn("pb", bucket),
+      Seq("c_custkey"), Seq("pb"), "eff")
+    CowTable.read(spark, root).get
+      .drop("pb").orderBy("c_custkey", "effective_from")
+  }
+
+  val cowScd2CdcSql: String = QueriesCurated.scd2CdcSql
+
+  // -------------------------------------------------------------------
   // Z-ORDER clustering under oracle: orders clustered on the Morton
   // interleave of (o_custkey, o_orderkey) — two decorrelated dimensions
   // — then a skipping range read on o_custkey, the SECOND dimension a
@@ -164,11 +209,13 @@ object QueriesCow {
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
+    "cow_scd2_cdc" -> (cowScd2Cdc _),
     "cow_zorder" -> (cowZorder _))
 
   val oracles: Map[String, String] = Map(
     "cow_upsert" -> cowUpsertSql,
     "cow_cdc_apply" -> cowCdcApplySql,
     "cow_skipping" -> cowSkippingSql,
+    "cow_scd2_cdc" -> cowScd2CdcSql,
     "cow_zorder" -> cowZorderSql)
 }

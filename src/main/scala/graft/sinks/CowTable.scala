@@ -530,6 +530,50 @@ object CowTable {
     commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
   }
 
+  /** COPY-ON-WRITE SCD-2 CDC: [[Merge.scd2Cdc]] (close-and-insert
+    * history, deletes, rebirths) over only the touched partitions.
+    *
+    * The partitioning contract is STRICTER than [[upsert]]'s: a key's
+    * ENTIRE version history must live in one partition, because the
+    * merge needs the key's open version and closed frontier. A
+    * [[keyBucket]] over the merge keys satisfies this; an
+    * effective-date partition does NOT (versions of one key span
+    * dates). First batch bootstraps an empty SCD-2 target from the
+    * change schema, like the streaming sink.
+    *
+    * This gives the SCD-2 dimension the same cost shape as the SCD-1
+    * table: a daily change batch rewrites O(touched buckets) of
+    * history, never the dimension — and [[Merge.scd2Restate]] composes
+    * the same way (restate the affected buckets, commit them as one
+    * batch via [[commitPartitions]]).
+    */
+  def applyScd2Cdc(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      effCol: String,
+      operCol: String = "oper",
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val touched = touchedKeys(changes, partCols)
+    val base = currentManifest(spark, root) match {
+      case None =>
+        val dataCols = changes.columns.toSeq
+          .filterNot(c => c == operCol || c == effCol)
+        changes.select(dataCols.map(col) ++ Seq(
+          col(effCol).as("effective_from"),
+          lit(null).cast(changes.schema(effCol).dataType).as("effective_to"),
+          lit(true).as("is_current")): _*).limit(0)
+      case Some(m) => baseFor(spark, root, m, touched)
+    }
+    val merged = Merge.scd2Cdc(base, changes, keyCols, effCol, operCol)
+    commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
+  }
+
   // -------------------------------------------------------------------
   // Retention
   // -------------------------------------------------------------------

@@ -308,6 +308,68 @@ object StreamOps {
       cdcBatch(batch, id, targetPath, keyCols, operCol, versionCol)
     }
 
+  // -------------------------------------------------------------------
+  // COPY-ON-WRITE streaming sinks — the [[graft.sinks.CowTable]]
+  // versions of the snapshot sinks above. Same exactly-once contract
+  // (CowTable's commit carries its own replay guard on the monotonic
+  // micro-batch id), different cost shape: a micro-batch rewrites only
+  // the PARTITIONS its keys touch instead of the whole table, so
+  // steady-state streaming merge cost is O(batch + touched buckets)
+  // per micro-batch — the property that makes a streamed 100 TB
+  // dimension sustainable. Partition columns must be key-derived
+  // (CowTable.keyBucket) per the contracts on CowTable.upsert /
+  // applyScd2Cdc; crash-replay + no-rewrite-of-untouched-partitions
+  // proven in `StreamingUpsertSpec`.
+  // -------------------------------------------------------------------
+
+  /** Streaming SCD-1 upsert into a COW table — [[upsertSink]] at
+    * partition-granular write cost.
+    */
+  def cowUpsertSink(
+      updates: DataFrame,
+      targetRoot: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      checkpoint: String,
+      versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(updates, checkpoint) { (batch, id) =>
+      graft.sinks.CowTable.upsert(batch.sparkSession, targetRoot, id,
+        batch, keyCols, partCols, versionCol)
+    }
+
+  /** Streaming CDC apply into a COW table — [[cdcSink]] at
+    * partition-granular write cost (D rows route to their key's
+    * bucket).
+    */
+  def cowCdcSink(
+      changelog: DataFrame,
+      targetRoot: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      checkpoint: String,
+      operCol: String = "oper",
+      versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(changelog, checkpoint) { (batch, id) =>
+      graft.sinks.CowTable.applyCdc(batch.sparkSession, targetRoot, id,
+        batch, keyCols, partCols, operCol, versionCol)
+    }
+
+  /** Streaming SCD-2 CDC into a COW table — [[scd2CdcSink]] with
+    * per-bucket history rewrites instead of full-dimension snapshots.
+    */
+  def cowScd2CdcSink(
+      changes: DataFrame,
+      targetRoot: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      effCol: String,
+      checkpoint: String,
+      operCol: String = "oper"): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(changes, checkpoint) { (batch, id) =>
+      graft.sinks.CowTable.applyScd2Cdc(batch.sparkSession, targetRoot, id,
+        batch, keyCols, partCols, effCol, operCol)
+    }
+
   /** Streaming raw-layer ingest: file-source stream → trim → parquet
     * sink with checkpointed exactly-once progress (the readStream
     * version of the reference's raw job).

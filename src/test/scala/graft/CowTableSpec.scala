@@ -209,6 +209,45 @@ class CowTableSpec extends SparkSpec {
       .size == CowTable.currentManifest(spark, root).get.files.size)
   }
 
+  test("SCD-2 CDC through COW buckets: history accumulates per key's " +
+      "bucket, untouched buckets never rewrite, replay is a no-op") {
+    val root = tmp()
+    val bucket = CowTable.keyBucket(Seq("id"), 4)
+    def batch(rs: (Long, String, Long, String)*) =
+      rs.toDF("id", "v", "eff", "oper").withColumn("pb", bucket)
+    // bootstrap: 8 keys spread over 4 buckets
+    CowTable.applyScd2Cdc(spark, root, 1L,
+      batch((1L to 8L).map(k => (k, s"v$k", 100L, "I")): _*),
+      Seq("id"), Seq("pb"), "eff")
+    val before = dataFileState(root)
+    // batch 2 touches ONLY key 3's bucket: update + later delete
+    CowTable.applyScd2Cdc(spark, root, 2L,
+      batch((3L, "v3b", 200L, "U"), (3L, "", 300L, "D")),
+      Seq("id"), Seq("pb"), "eff")
+    // untouched buckets: byte-identical files, same paths
+    val touchedBucket = batch((3L, "x", 0L, "I"))
+      .select(col("pb").cast("string")).first().getString(0)
+    val untouched = before.filterNot(_._1.contains(s"__gp_pb=$touchedBucket"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, t) =>
+      assert(dataFileState(root).get(p).contains(t),
+        s"untouched bucket file rewritten: $p")
+    }
+    // history of key 3: [100,200) v3, [200,300) v3b, deleted at 300
+    val h3 = CowTable.read(spark, root).get.where($"id" === 3L)
+      .orderBy("effective_from")
+      .select("v", "effective_from", "effective_to", "is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(h3 == Seq(
+      ("v3", 100L, Some(200L), false),
+      ("v3b", 200L, Some(300L), false)))
+    // replay of batch 2 (different content!) must be a no-op
+    val state = dataFileState(root)
+    CowTable.applyScd2Cdc(spark, root, 2L,
+      batch((5L, "evil", 999L, "U")), Seq("id"), Seq("pb"), "eff")
+    assert(dataFileState(root) == state)
+  }
+
   test("vacuum keeps every batch dir a retained manifest references " +
       "and drops COW'd-away ones") {
     val root = tmp()

@@ -223,6 +223,80 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(SnapshotTarget.committedIds(spark, root).size == 2) // keep=2
   }
 
+  test("COW streaming upsert: micro-batches rewrite only touched " +
+      "buckets, survive a worst-spot crash exactly-once, and untouched " +
+      "bucket files persist across batches") {
+    import graft.sinks.CowTable
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cowstream").toString
+    val root = s"$dir/target"
+    val in = MemoryStream[(Long, String)]
+    val updates = in.toDF().toDF("id", "v")
+      .withColumn("pb", CowTable.keyBucket(Seq("id"), 4))
+
+    def cowState = CowTable.read(spark, root)
+      .map(_.orderBy("id").select("id", "v")
+        .as[(Long, String)].collect().toSeq).getOrElse(Nil)
+    def fileState: Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq.flatMap {
+          case d if d.isDirectory => walk(d.getPath)
+          case f if f.getPath.getName.endsWith(".parquet") &&
+            f.getPath.toString.contains("/batch-") =>
+            Seq(f.getPath.toString -> f.getModificationTime)
+          case _ => Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(root)).toMap
+    }
+
+    // crash injected AFTER the COW commit of batch 1, BEFORE checkpoint
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = StreamOps.foreachBatchSink(updates, s"$dir/ckpt") {
+      (batch, id) =>
+        CowTable.upsert(batch.sparkSession, root, id, batch,
+          Seq("id"), Seq("pb"))
+        if (id == 1 && failOnce.getAndSet(false))
+          throw new RuntimeException("injected crash after COW commit")
+    }
+    in.addData((1L to 8L).map(k => k -> s"v$k"): _*)
+    q1.processAllAvailable() // batch 0: 8 keys across 4 buckets
+    val afterB0 = fileState
+    in.addData(3L -> "v3b")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(!q1.isActive)
+    assert(cowState.contains(3L -> "v3b"), "batch-1 commit landed")
+
+    // restart: batch 1 replays as a no-op, stream continues
+    val q2 = StreamOps.cowUpsertSink(updates, root, Seq("id"), Seq("pb"),
+      s"$dir/ckpt")
+    try {
+      q2.processAllAvailable()
+      in.addData(9L -> "v9")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(cowState ==
+      ((1L to 8L).map(k => k -> (if (k == 3) "v3b" else s"v$k")) :+
+        (9L -> "v9")).sortBy(_._1))
+    // every batch-0 file whose bucket later batches never touched is
+    // still the ORIGINAL file (path + mtime)
+    val touchedBuckets = Seq(3L, 9L).map(k =>
+      Seq(k -> "x").toDF("id", "v")
+        .select(CowTable.keyBucket(Seq("id"), 4).cast("string"))
+        .first().getString(0)).toSet
+    val untouched = afterB0.filterNot { case (p, _) =>
+      touchedBuckets.exists(b => p.contains(s"__gp_pb=$b")) }
+    assert(untouched.nonEmpty)
+    val now = fileState
+    untouched.foreach { case (p, t) =>
+      assert(now.get(p).contains(t), s"untouched bucket rewritten: $p")
+    }
+  }
+
   test("newest-wins versioning applies inside a micro-batch") {
     val dir = Files.createTempDirectory("graft-supv").toString
     val root = s"$dir/target"
