@@ -177,6 +177,31 @@ object QueriesCow {
   val cowScd2CdcSql: String = QueriesCurated.scd2CdcSql
 
   // -------------------------------------------------------------------
+  // Keyed point lookup through bucket pruning: fetch a scattered key
+  // set from the bucket-partitioned table, reading only the keys'
+  // buckets (byte-wise proof in CowTableSpec; THIS row proves the
+  // pruned semi-join returns exactly the plain IN-filter's rows).
+  // -------------------------------------------------------------------
+  def cowLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_lookup")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    CowTable.commitFull(
+      c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb")),
+      root, 1L, Seq("pb"))
+    val keys = c.where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"), bucket.as("pb"))
+    CowTable.lookupKeys(spark, root, keys, Seq("c_custkey"), Seq("pb"))
+      .drop("pb").orderBy("c_custkey")
+  }
+
+  val cowLookupSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey % 97 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Z-ORDER clustering under oracle: orders clustered on the Morton
   // interleave of (o_custkey, o_orderkey) — two decorrelated dimensions
   // — then a skipping range read on o_custkey, the SECOND dimension a
@@ -210,6 +235,7 @@ object QueriesCow {
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
     "cow_scd2_cdc" -> (cowScd2Cdc _),
+    "cow_lookup" -> (cowLookup _),
     "cow_zorder" -> (cowZorder _))
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +243,6 @@ object QueriesCow {
     "cow_cdc_apply" -> cowCdcApplySql,
     "cow_skipping" -> cowSkippingSql,
     "cow_scd2_cdc" -> cowScd2CdcSql,
+    "cow_lookup" -> cowLookupSql,
     "cow_zorder" -> cowZorderSql)
 }

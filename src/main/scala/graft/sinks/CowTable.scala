@@ -530,6 +530,31 @@ object CowTable {
     commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
   }
 
+  /** KEYED POINT LOOKUP: the rows of `keys` (which must carry the
+    * table's `partCols`, computed with the same key-derived expression
+    * the writes use — e.g. [[keyBucket]]) joined against ONLY the
+    * partitions those keys land in. The read cost is O(touched
+    * buckets + keys), not O(table): the manifest prunes the file list
+    * to the keys' buckets before Spark lists anything, and the
+    * semi-join inside those buckets broadcasts the (small) key set.
+    * This is the serving-path read a 100 TB keyed table needs —
+    * "fetch these 10k customers" touches 10k/bucket-count of the
+    * table's partitions, proven byte-wise in `CowTableSpec`.
+    */
+  def lookupKeys(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String]): DataFrame = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val touched = touchedKeys(keys, partCols)
+    baseFor(spark, root, m, touched)
+      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
+  }
+
   /** COPY-ON-WRITE SCD-2 CDC: [[Merge.scd2Cdc]] (close-and-insert
     * history, deletes, rebirths) over only the touched partitions.
     *

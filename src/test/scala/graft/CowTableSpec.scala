@@ -248,6 +248,43 @@ class CowTableSpec extends SparkSpec {
     assert(dataFileState(root) == state)
   }
 
+  test("keyed point lookup prunes to the keys' buckets: fewer bytes " +
+      "than the full scan, same rows as a plain filter") {
+    val root = tmp()
+    val bucket = CowTable.keyBucket(Seq("id"), 8)
+    val df = spark.range(0, 4096)
+      .select($"id", ($"id" % 13).cast("double").as("v"))
+      .withColumn("pb", bucket)
+    CowTable.commitFull(df, root, 1L, Seq("pb"))
+
+    val wanted = Seq(5L, 17L, 1000L)
+    val keys = wanted.toDF("id").withColumn("pb", bucket)
+    val m = CowTable.currentManifest(spark, root).get
+    val touched = keys.select($"pb".cast("string")).distinct()
+      .as[String].collect().toSet
+    val prunedBytes = m.files
+      .filter(f => touched.contains(f.part("pb"))).map(_.bytes).sum
+    assert(prunedBytes < m.files.map(_.bytes).sum)
+
+    val got = CowTable.lookupKeys(spark, root, keys, Seq("id"), Seq("pb"))
+      .orderBy("id").select("id", "v").as[(Long, Double)].collect().toSeq
+    val want = CowTable.read(spark, root).get
+      .where($"id".isin(wanted: _*)).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == want && got.size == wanted.size)
+
+    // the physical plan reads only the touched buckets' files
+    val listener = Metrics.register(spark)
+    CowTable.lookupKeys(spark, root, keys, Seq("id"), Seq("pb")).count()
+    val lookupBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
+      .map(_.bytesRead).max
+    CowTable.read(spark, root).get.count()
+    val fullBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
+      .map(_.bytesRead).max
+    assert(lookupBytes < fullBytes,
+      s"lookup read $lookupBytes vs full $fullBytes")
+  }
+
   test("vacuum keeps every batch dir a retained manifest references " +
       "and drops COW'd-away ones") {
     val root = tmp()
