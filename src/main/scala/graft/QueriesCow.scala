@@ -177,6 +177,40 @@ object QueriesCow {
   val cowScd2CdcSql: String = QueriesCurated.scd2CdcSql
 
   // -------------------------------------------------------------------
+  // Merge-on-read delete under oracle: tombstone a key slice (no data
+  // rewrite — pinned in CowTableSpec), then prove the MOR read and the
+  // post-fold COW read are the SAME table before hashing it against
+  // the plain NOT-BETWEEN filter. Read-path subtraction, fold
+  // equivalence, and manifest carry-over all sit under one row.
+  // -------------------------------------------------------------------
+  def cowMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_mor")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    CowTable.commitFull(
+      c.where(col("c_custkey") <= 1000).select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb")),
+      root, 1L, Seq("pb"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      c.where(col("c_custkey").between(101, 200))
+        .select(col("c_custkey"), bucket.as("pb")),
+      Seq("c_custkey"), Seq("pb"))
+    val mor = CowTable.read(spark, root).get.drop("pb")
+    require(CowTable.foldTombstones(spark, root, 3L))
+    val folded = CowTable.read(spark, root).get.drop("pb")
+    require(mor.exceptAll(folded).isEmpty && folded.exceptAll(mor).isEmpty,
+      "merge-on-read state diverged from the folded copy-on-write state")
+    folded.orderBy("c_custkey")
+  }
+
+  val cowMorDeleteSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey <= 1000 AND c_custkey NOT BETWEEN 101 AND 200
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Keyed point lookup through bucket pruning: fetch a scattered key
   // set from the bucket-partitioned table, reading only the keys'
   // buckets (byte-wise proof in CowTableSpec; THIS row proves the
@@ -236,6 +270,7 @@ object QueriesCow {
     "cow_skipping" -> (cowSkipping _),
     "cow_scd2_cdc" -> (cowScd2Cdc _),
     "cow_lookup" -> (cowLookup _),
+    "cow_mor_delete" -> (cowMorDelete _),
     "cow_zorder" -> (cowZorder _))
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +279,6 @@ object QueriesCow {
     "cow_skipping" -> cowSkippingSql,
     "cow_scd2_cdc" -> cowScd2CdcSql,
     "cow_lookup" -> cowLookupSql,
+    "cow_mor_delete" -> cowMorDeleteSql,
     "cow_zorder" -> cowZorderSql)
 }

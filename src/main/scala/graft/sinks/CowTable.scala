@@ -19,7 +19,8 @@ final case class CowFile(
     rows: Long,
     bytes: Long,
     mins: Map[String, String],
-    maxs: Map[String, String])
+    maxs: Map[String, String],
+    kind: String = CowTable.KindData)
 
 /** A committed [[CowTable]] snapshot: the authoritative file list (a
   * file NOT listed here does not exist, whatever the directory says),
@@ -29,9 +30,14 @@ final case class CowManifest(
     id: Long,
     partCols: Seq[String],
     schemaDdl: String,
-    files: Seq[CowFile]) {
+    allFiles: Seq[CowFile]) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def partKeyOf(f: CowFile): String = CowTable.partKey(partCols, f.part)
+  /** Live DATA files (what a scan reads). */
+  def files: Seq[CowFile] = allFiles.filter(_.kind == CowTable.KindData)
+  /** Outstanding merge-on-read TOMBSTONE files (what a scan subtracts). */
+  def tombstones: Seq[CowFile] =
+    allFiles.filter(_.kind == CowTable.KindTombstone)
 }
 
 /** Internal persisted shape of one manifest row (one per data file,
@@ -46,7 +52,8 @@ private[sinks] final case class CowManifestRow(
     mins: Map[String, String],
     maxs: Map[String, String],
     part_cols: Seq[String],
-    schema_ddl: String)
+    schema_ddl: String,
+    kind: String)
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -109,6 +116,9 @@ object CowTable {
 
   private val BatchPrefix = "batch-"
   private val ManifestPrefix = "manifest-"
+  /** Manifest entry kinds: live data vs merge-on-read tombstones. */
+  val KindData = "data"
+  val KindTombstone = "tombstone"
 
   /** Stable key-hash bucket column: `pmod(xxhash64(keys), n)`. Bucket-
     * partitioning a keyed table with this makes ANY key's partition a
@@ -159,7 +169,8 @@ object CowTable {
         rows = r.getAs[Long]("rows"),
         bytes = r.getAs[Long]("bytes"),
         mins = Option(r.getAs[Map[String, String]]("mins")).getOrElse(Map.empty),
-        maxs = Option(r.getAs[Map[String, String]]("maxs")).getOrElse(Map.empty))
+        maxs = Option(r.getAs[Map[String, String]]("maxs")).getOrElse(Map.empty),
+        kind = r.getAs[String]("kind"))
     }
     CowManifest(id, partCols, ddl, files)
   }
@@ -168,14 +179,34 @@ object CowTable {
   def currentManifest(spark: SparkSession, root: String): Option[CowManifest] =
     committedIds(spark, root).lastOption.map(manifest(spark, root, _))
 
-  /** The current table state. */
+  /** The current table state (merge-on-read tombstones applied). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentManifest(spark, root).map(m => dfFor(spark, root, m, m.files))
+    currentManifest(spark, root).map(m => resolved(spark, root, m, m.files))
 
   /** TIME TRAVEL: highest committed snapshot ≤ `id` (ids ARE versions). */
   def readAt(spark: SparkSession, root: String, id: Long): Option[DataFrame] =
     committedIds(spark, root).filter(_ <= id).lastOption
-      .map(i => { val m = manifest(spark, root, i); dfFor(spark, root, m, m.files) })
+      .map(i => { val m = manifest(spark, root, i)
+        resolved(spark, root, m, m.files) })
+
+  /** MERGE-ON-READ resolution: the data files' rows minus any row a
+    * tombstone of the same partitions names. The anti-join is on every
+    * tombstone column (merge keys + partition values) and broadcasts
+    * the tombstone side — outstanding tombstones are delete-batch-
+    * sized, never table-sized, and [[foldTombstones]] retires them.
+    */
+  private def resolved(
+      spark: SparkSession, root: String,
+      m: CowManifest, dataFiles: Seq[CowFile]): DataFrame = {
+    val df = dfFor(spark, root, m, dataFiles)
+    val wanted = dataFiles.map(m.partKeyOf).toSet
+    val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
+    if (tombs.isEmpty) df
+    else {
+      val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
+      df.join(broadcast(t), t.columns.toSeq, "left_anti")
+    }
+  }
 
   /** DataFrame over an explicit subset of a manifest's files, read
     * under the MANIFEST's schema — older files missing newly-evolved
@@ -247,7 +278,7 @@ object CowTable {
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val schema = m.schema
     val kept = m.files.filter(mayMatch(schema, _, colName, lo, hi))
-    val df = dfFor(spark, root, m, kept)
+    val df = resolved(spark, root, m, kept)
     // residual filter in the COLUMN's type (casting the column to
     // string would both break numeric ordering and block parquet
     // pushdown); the string bound round-trips through the same cast
@@ -377,9 +408,10 @@ object CowTable {
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
-          partCols, ddl))
+          partCols, ddl, KindData))
       else files.map(f => CowManifestRow(
-        f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl))
+        f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
+        f.kind))
     rows.toDS().repartition(1).write.mode("overwrite")
       .parquet(s"$root/$ManifestPrefix$id")
   }
@@ -422,8 +454,11 @@ object CowTable {
     val batchDir = s"$root/$BatchPrefix$id"
     writeBatch(rewrite, batchDir, partCols, sortCols)
     val fresh = collectEntries(spark, batchDir, id, rewrite.schema, partCols)
+    // carry untouched DATA files and untouched partitions' tombstones;
+    // a touched partition's tombstones retire here — its rewrite was
+    // computed from the RESOLVED base, so they are folded in
     val carried = prev.map(p =>
-      p.files.filterNot(f => touched.contains(p.partKeyOf(f)))
+      p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
     ).getOrElse(Nil)
     writeManifest(spark, root, id, partCols, rewrite.schema.toDDL,
       fresh ++ carried)
@@ -437,7 +472,7 @@ object CowTable {
       df: DataFrame, root: String, id: Long, partCols: Seq[String],
       keep: Int = 2, sortCols: Seq[String] = Nil): Unit = {
     val allTouched = currentManifest(df.sparkSession, root)
-      .map(p => p.files.map(p.partKeyOf).toSet).getOrElse(Set.empty)
+      .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
     commitPartitions(df, allTouched, root, id, partCols, keep, sortCols)
   }
 
@@ -461,7 +496,8 @@ object CowTable {
   private def baseFor(
       spark: SparkSession, root: String,
       m: CowManifest, touched: Set[String]): DataFrame =
-    dfFor(spark, root, m, m.files.filter(f => touched.contains(m.partKeyOf(f))))
+    resolved(spark, root, m,
+      m.files.filter(f => touched.contains(m.partKeyOf(f))))
 
   /** COPY-ON-WRITE MERGE: [[Merge.upsert]] of `delta` into the table,
     * rewriting ONLY the partitions the delta touches.
@@ -600,6 +636,75 @@ object CowTable {
   }
 
   // -------------------------------------------------------------------
+  // Merge-on-read deletes
+  // -------------------------------------------------------------------
+
+  /** MERGE-ON-READ delete — the write-amplification escape hatch
+    * copy-on-write lacks: deleting k rows from a partition holding
+    * millions costs a k-row TOMBSTONE file, not a partition rewrite
+    * (Delta's deletion vectors / Iceberg's merge-on-read, at key
+    * granularity). Readers subtract tombstones via a broadcast
+    * anti-join ([[resolved]]); the debt retires automatically when the
+    * partition next rewrites (COW folds the resolved base) or
+    * explicitly via [[foldTombstones]].
+    *
+    * `keys` must carry the merge keys AND the table's `partCols`
+    * (key-derived, as everywhere in this API) — a tombstone names its
+    * partition so reads outside it never pay the anti-join. NULL-keyed
+    * rows never match (ANSI), so they cannot be MOR-deleted.
+    *
+    * Trade-off, stated plainly: every read between the delete and the
+    * next fold pays a broadcast anti-join against the outstanding
+    * tombstones. That is delete-batch-sized work; fold when
+    * tombstone bytes grow past a few percent of their partitions.
+    */
+  def deleteKeysMor(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      keep: Int = 2): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.partCols == partCols,
+      s"partitioning mismatch: table has ${m.partCols}, got $partCols")
+    val cols = (keyCols ++ partCols).distinct
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"tombstone column $c is not a table column"))
+    val tombSchema = StructType(cols.map(c => m.schema(c)))
+    val tombDir = s"$root/$BatchPrefix$id/__tomb"
+    writeBatch(keys.select(cols.map(col): _*).distinct(),
+      tombDir, partCols, Nil)
+    val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols)
+      .map(_.copy(kind = KindTombstone))
+    // deletes only ADD: every previous entry (data and tombstones)
+    // carries over verbatim
+    writeManifest(spark, root, id, partCols, m.schemaDdl,
+      m.allFiles ++ fresh)
+    vacuum(spark, root, keep)
+  }
+
+  /** Retire all outstanding tombstones by rewriting exactly the
+    * partitions that have any: the COW state afterwards is tombstone-
+    * free and scans stop paying the anti-join. Returns false (no
+    * commit, id unconsumed) when there is nothing to fold.
+    */
+  def foldTombstones(
+      spark: SparkSession, root: String, id: Long, keep: Int = 2): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(return false)
+    val touched = m.tombstones.map(m.partKeyOf).toSet
+    if (touched.isEmpty) return false
+    val rewrite = resolved(spark, root, m,
+      m.files.filter(f => touched.contains(m.partKeyOf(f))))
+    commitPartitions(rewrite, touched, root, id, m.partCols, keep)
+    true
+  }
+
+  // -------------------------------------------------------------------
   // Retention
   // -------------------------------------------------------------------
 
@@ -621,9 +726,11 @@ object CowTable {
       .filter(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption
         .exists(i => if (committed(i)) i < cutoff else i < newest))
       .foreach(s => fs.delete(s.getPath, true))
-    // batch dirs: referenced-by-any-retained-manifest is the liveness rule
+    // batch dirs: referenced-by-any-retained-manifest is the liveness
+    // rule — tombstone references count (a batch dir may hold only
+    // tombstones)
     val liveBatches = retained
-      .flatMap(i => manifest(spark, root, i).files.map(_.path))
+      .flatMap(i => manifest(spark, root, i).allFiles.map(_.path))
       .flatMap(p => p.split("/").headOption
         .flatMap(_.stripPrefix(BatchPrefix).toLongOption))
       .toSet

@@ -307,6 +307,73 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.read(spark, root).get.count() == 5)
   }
 
+  test("merge-on-read delete: a tombstone hides rows WITHOUT rewriting " +
+      "any data file; reads, skipping reads and lookups all subtract it; " +
+      "time travel still sees the pre-delete state") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    val before = dataFileState(root)
+
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq((2L, "p1"), (3L, "p2")).toDF("id", "part"),
+      Seq("id"), Seq("part"), keep = 10)
+    // every data file untouched — the delete wrote only a tombstone
+    val after = dataFileState(root)
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"data file rewritten by MOR: $p")
+    }
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.tombstones.nonEmpty &&
+      m.files.size == before.count(_._1.contains("/batch-1/")))
+
+    assert(CowTable.read(spark, root).get.orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(1L, 4L, 5L))
+    // skipping read within a tombstoned partition subtracts too
+    assert(CowTable.readWhereBetween(spark, root, "id",
+      Some("2"), Some("3")).count() == 0)
+    // keyed lookup of a deleted key finds nothing
+    assert(CowTable.lookupKeys(spark, root,
+      Seq((2L, "p1")).toDF("id", "part"), Seq("id"), Seq("part"))
+      .count() == 0)
+    // time travel to the pre-delete snapshot still sees the rows
+    assert(CowTable.readAt(spark, root, 1L).get.count() == 5)
+  }
+
+  test("tombstones retire when their partition rewrites (upsert folds " +
+      "the resolved base) and foldTombstones clears the rest") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq((1L, "p1"), (3L, "p2")).toDF("id", "part"),
+      Seq("id"), Seq("part"))
+
+    // upsert touching p1 folds p1's tombstone; p2's remains
+    CowTable.upsert(spark, root, 3L,
+      Seq((6L, "p1", "f", 60.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"))
+    val m1 = CowTable.currentManifest(spark, root).get
+    assert(m1.tombstones.map(_.part("part")).toSet == Set("p2"))
+    // deleted id=1 must NOT resurrect through the rewrite
+    assert(CowTable.read(spark, root).get.where($"id" === 1L).count() == 0)
+
+    // fold retires the rest; content unchanged; p3 untouched on disk
+    val p3files = dataFileState(root).filter(_._1.contains("__gp_part=p3"))
+    val want = CowTable.read(spark, root).get
+      .orderBy("id").collect().toSeq
+    assert(CowTable.foldTombstones(spark, root, 4L))
+    val m2 = CowTable.currentManifest(spark, root).get
+    assert(m2.tombstones.isEmpty)
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+      == want)
+    p3files.foreach { case (p, t) =>
+      assert(dataFileState(root).get(p).contains(t),
+        s"fold rewrote a tombstone-free partition: $p")
+    }
+    // nothing left to fold → no-op, id unconsumed
+    assert(!CowTable.foldTombstones(spark, root, 5L))
+    assert(CowTable.committedIds(spark, root).last == 4L)
+  }
+
   test("schema may grow (evolved columns NULL on old files) but never " +
       "mutate a column's type") {
     val root = tmp()
