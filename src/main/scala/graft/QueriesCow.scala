@@ -236,6 +236,31 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // Bloom-filtered point lookup: hash-scattered layout (every file's
+  // min/max envelope spans ~the whole key space, so envelope skipping
+  // is useless by construction) + per-file Bloom filters on the lookup
+  // column. CowTableSpec proves the file-count reduction; this row
+  // proves the bloom never drops the file actually holding the value —
+  // a false NEGATIVE (the only correctness hazard a bloom can have)
+  // would lose the row and break the hash.
+  // -------------------------------------------------------------------
+  def cowBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_bloom")
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .repartition(8, xxhash64(col("c_custkey")))
+    CowTable.commitFull(c, root, 1L, Nil, bloomCols = Seq("c_name"))
+    CowTable.readWhereBetween(spark, root, "c_name",
+      Some("Customer#000000042"), Some("Customer#000000042"))
+      .orderBy("c_custkey")
+  }
+
+  val cowBloomLookupSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_name = 'Customer#000000042'
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Z-ORDER clustering under oracle: orders clustered on the Morton
   // interleave of (o_custkey, o_orderkey) — two decorrelated dimensions
   // — then a skipping range read on o_custkey, the SECOND dimension a
@@ -271,6 +296,7 @@ object QueriesCow {
     "cow_scd2_cdc" -> (cowScd2Cdc _),
     "cow_lookup" -> (cowLookup _),
     "cow_mor_delete" -> (cowMorDelete _),
+    "cow_bloom_lookup" -> (cowBloomLookup _),
     "cow_zorder" -> (cowZorder _))
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +306,6 @@ object QueriesCow {
     "cow_scd2_cdc" -> cowScd2CdcSql,
     "cow_lookup" -> cowLookupSql,
     "cow_mor_delete" -> cowMorDeleteSql,
+    "cow_bloom_lookup" -> cowBloomLookupSql,
     "cow_zorder" -> cowZorderSql)
 }

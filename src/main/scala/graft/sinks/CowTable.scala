@@ -20,7 +20,8 @@ final case class CowFile(
     bytes: Long,
     mins: Map[String, String],
     maxs: Map[String, String],
-    kind: String = CowTable.KindData)
+    kind: String = CowTable.KindData,
+    blooms: Map[String, Seq[Long]] = Map.empty)
 
 /** A committed [[CowTable]] snapshot: the authoritative file list (a
   * file NOT listed here does not exist, whatever the directory says),
@@ -53,7 +54,8 @@ private[sinks] final case class CowManifestRow(
     maxs: Map[String, String],
     part_cols: Seq[String],
     schema_ddl: String,
-    kind: String)
+    kind: String,
+    blooms: Map[String, Seq[Long]])
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -170,7 +172,10 @@ object CowTable {
         bytes = r.getAs[Long]("bytes"),
         mins = Option(r.getAs[Map[String, String]]("mins")).getOrElse(Map.empty),
         maxs = Option(r.getAs[Map[String, String]]("maxs")).getOrElse(Map.empty),
-        kind = r.getAs[String]("kind"))
+        kind = r.getAs[String]("kind"),
+        blooms = Option(
+          r.getAs[Map[String, scala.collection.Seq[Long]]]("blooms"))
+          .map(_.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty))
     }
     CowManifest(id, partCols, ddl, files)
   }
@@ -277,7 +282,7 @@ object CowTable {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val schema = m.schema
-    val kept = m.files.filter(mayMatch(schema, _, colName, lo, hi))
+    val kept = keptFiles(spark, m, colName, lo, hi)
     val df = resolved(spark, root, m, kept)
     // residual filter in the COLUMN's type (casting the column to
     // string would both break numeric ordering and block parquet
@@ -296,12 +301,32 @@ object CowTable {
     }
   }
 
+  /** Skipping file selection: min/max envelope test always; for a
+    * POINT lookup (lo == hi) additionally the per-file Bloom filter
+    * when the column carries one — the pruner for unsorted
+    * high-cardinality columns whose envelopes span everything. Files
+    * without a bloom are kept (skipping stays purely an optimization).
+    */
+  private def keptFiles(
+      spark: SparkSession, m: CowManifest, colName: String,
+      lo: Option[String], hi: Option[String]): Seq[CowFile] = {
+    val byStats = m.files.filter(mayMatch(m.schema, _, colName, lo, hi))
+    val point = lo.zip(hi).collectFirst { case (l, h) if l == h => l }
+    point match {
+      case Some(v) if byStats.exists(_.blooms.contains(colName)) =>
+        val hashes = bloomHashesOf(spark, v)
+        byStats.filter(f => f.blooms.get(colName)
+          .forall(words => bloomHasValue(words, hashes)))
+      case _ => byStats
+    }
+  }
+
   /** Files the skipping read would keep — for asserting skip counts. */
   def filesForRange(
       spark: SparkSession, root: String, colName: String,
       lo: Option[String], hi: Option[String]): Seq[CowFile] = {
     val m = currentManifest(spark, root).getOrElse(return Nil)
-    m.files.filter(mayMatch(m.schema, _, colName, lo, hi))
+    keptFiles(spark, m, colName, lo, hi)
   }
 
   // -------------------------------------------------------------------
@@ -324,14 +349,86 @@ object CowTable {
 
   private val MaxStatLen = 64
 
+  // Per-file Bloom filter geometry: 2^17 bits (16 KiB as 2048 longs)
+  // per column per file, 4 hashes — false-positive rate < 1e-6 up to
+  // ~4k distinct values/file and still a useful ~5% at ~40k. An
+  // oversaturated filter on a huge file degrades to "keep the file":
+  // wasted read, never wrong results. The geometry is SELF-DESCRIBING
+  // on read (m = stored word count × 64), so it can change between
+  // commits without invalidating older files' filters.
+  private val BloomBits = 1 << 17
+  private val BloomWords = BloomBits / 64
+  private val BloomHashes = 4
+
+  /** The raw `xxhash64(k, value)` hashes of a lookup value — computed
+    * BY SPARK (one 1-row job) so the read side can never drift from
+    * the write side's `xxhash64(k, cast(col as string))`; reduced
+    * modulo each FILE's own filter size at check time.
+    */
+  private def bloomHashesOf(spark: SparkSession, value: String): Seq[Long] = {
+    val row = spark.range(1).select(
+      (0 until BloomHashes).map(k => xxhash64(lit(k), lit(value))): _*)
+      .first()
+    (0 until BloomHashes).map(row.getLong)
+  }
+
+  private def bloomHasValue(words: Seq[Long], hashes: Seq[Long]): Boolean = {
+    val m = words.size.toLong * 64
+    m > 0 && hashes.forall { h =>
+      val p = java.lang.Math.floorMod(h, m)
+      ((words((p / 64).toInt) >>> (p % 64).toInt) & 1L) == 1L
+    }
+  }
+
   /** Collect per-file (path, bytes, rows, min/max, partition values)
     * for everything under `batchDir` — ONE Spark job over the files
     * just written, using the `_metadata` column so path and size come
     * from the same source (no listing-string join to mismatch).
     */
+  /** One bloom word: the bit_or over the file's rows of each row's
+    * contributions to word `w` — a row sets `BloomHashes` bits, each
+    * lands in some word; this expression collects word `w`'s share.
+    * Pure scan-stage arithmetic inside the same grouped aggregate as
+    * the min/max stats — no extra pass.
+    */
+  /** Per-file Bloom words for `bloomCols`, one extra delta-sized pass
+    * per column: explode each row's `BloomHashes` bit positions, OR
+    * them per (file, word) — sparse, so the shuffle carries at most
+    * min(4·rows, BloomWords) entries per file — then densify driver-
+    * side. Separate from the min/max aggregate because a per-word CASE
+    * in that one grouped agg would mean BloomWords×BloomHashes codegen
+    * terms.
+    */
+  private def collectBlooms(
+      spark: SparkSession, batchDir: String, schema: StructType,
+      bloomCols: Seq[String]): Map[(String, String), Seq[Long]] =
+    bloomCols.flatMap { c =>
+      val positions = array((0 until BloomHashes).map(k =>
+        pmod(xxhash64(lit(k), col(c).cast("string")),
+          lit(BloomBits.toLong))): _*)
+      spark.read.schema(schema).parquet(batchDir)
+        .where(col(c).isNotNull)
+        .select(col("_metadata.file_path").as("__fp"),
+          explode(positions).as("__pos"))
+        .groupBy(col("__fp"),
+          expr("CAST(__pos div 64 AS INT)").as("__w"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT)))")
+          .as("__bits"))
+        .collect()
+        .groupBy(_.getAs[String]("__fp"))
+        .map { case (fp, rs) =>
+          val words = Array.fill(BloomWords)(0L)
+          rs.foreach(r =>
+            words(r.getAs[Int]("__w")) |= r.getAs[Long]("__bits"))
+          (fp, c) -> words.toSeq
+        }
+    }.toMap
+
   private def collectEntries(
       spark: SparkSession, batchDir: String, id: Long,
-      schema: StructType, partCols: Seq[String]): Seq[CowFile] = {
+      schema: StructType, partCols: Seq[String],
+      bloomCols: Seq[String] = Nil): Seq[CowFile] = {
     val fs = hfs(spark, batchDir)
     val anyData = fs.exists(new Path(batchDir)) &&
       Compaction.tableBytes(spark, batchDir) > 0
@@ -340,6 +437,8 @@ object CowTable {
     val sc = statCols(schema)
     partCols.foreach(c => require(sc.contains(c),
       s"partition column $c must be an orderable atomic type"))
+    bloomCols.foreach(c => require(cols.contains(c),
+      s"bloom column $c is not a table column"))
     val aggs = count(lit(1)).as("__rows") +:
       max(col("_metadata.file_size")).as("__bytes") +:
       sc.flatMap(c => Seq(
@@ -350,6 +449,7 @@ object CowTable {
       .groupBy(col("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val bloomsByFile = collectBlooms(spark, batchDir, schema, bloomCols)
     val marker = s"/$BatchPrefix$id/"
     rows.toSeq.map { r =>
       val full = r.getAs[String]("__fp")
@@ -367,13 +467,16 @@ object CowTable {
           .filter(v => !isStr(c) || v.length <= MaxStatLen)
           .map(c -> _)
       }.toMap
+      val blooms = bloomCols.flatMap(c =>
+        bloomsByFile.get((full, c)).map(c -> _)).toMap
       CowFile(
         path = full.substring(cut + 1),
         part = partCols.map(c => c -> r.getAs[String](s"__min_$c")).toMap,
         rows = r.getAs[Long]("__rows"),
         bytes = r.getAs[Long]("__bytes"),
         mins = mins,
-        maxs = maxs)
+        maxs = maxs,
+        blooms = blooms)
     }
   }
 
@@ -408,10 +511,10 @@ object CowTable {
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
-          partCols, ddl, KindData))
+          partCols, ddl, KindData, Map.empty))
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
-        f.kind))
+        f.kind, f.blooms))
     rows.toDS().repartition(1).write.mode("overwrite")
       .parquet(s"$root/$ManifestPrefix$id")
   }
@@ -430,7 +533,8 @@ object CowTable {
       id: Long,
       partCols: Seq[String],
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = rewrite.sparkSession
     val prev = currentManifest(spark, root)
@@ -453,7 +557,8 @@ object CowTable {
     }
     val batchDir = s"$root/$BatchPrefix$id"
     writeBatch(rewrite, batchDir, partCols, sortCols)
-    val fresh = collectEntries(spark, batchDir, id, rewrite.schema, partCols)
+    val fresh = collectEntries(spark, batchDir, id, rewrite.schema, partCols,
+      bloomCols)
     // carry untouched DATA files and untouched partitions' tombstones;
     // a touched partition's tombstones retire here — its rewrite was
     // computed from the RESOLVED base, so they are folded in
@@ -470,10 +575,12 @@ object CowTable {
     */
   def commitFull(
       df: DataFrame, root: String, id: Long, partCols: Seq[String],
-      keep: Int = 2, sortCols: Seq[String] = Nil): Unit = {
+      keep: Int = 2, sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val allTouched = currentManifest(df.sparkSession, root)
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
-    commitPartitions(df, allTouched, root, id, partCols, keep, sortCols)
+    commitPartitions(df, allTouched, root, id, partCols, keep, sortCols,
+      bloomCols)
   }
 
   // -------------------------------------------------------------------

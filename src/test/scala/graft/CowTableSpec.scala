@@ -285,6 +285,43 @@ class CowTableSpec extends SparkSpec {
       s"lookup read $lookupBytes vs full $fullBytes")
   }
 
+  test("Bloom filters prune POINT lookups on an unsorted high-card " +
+      "column where min/max envelopes span every file") {
+    val root = tmp()
+    // hash-scattered layout: every file's [min,max] covers ~the whole
+    // id range, so envelope skipping keeps everything
+    val df = spark.range(0, 8192)
+      .select($"id", concat(lit("user-"), $"id").as("uid"))
+      .repartition(8, xxhash64($"id"))
+    CowTable.commitFull(df, root, 1L, Nil, bloomCols = Seq("uid"))
+
+    val total = CowTable.currentManifest(spark, root).get.files.size
+    assert(total >= 4)
+    // envelopes are useless here — without blooms every file survives
+    val statsOnly = CowTable.currentManifest(spark, root).get.files
+      .count(f => { // min <= v <= max for the scattered layout
+        val v = "user-4711"
+        f.mins.get("uid").forall(_ <= v) && f.maxs.get("uid").forall(_ >= v)
+      })
+    assert(statsOnly == total, "test premise: envelopes can't prune")
+    // the bloom keeps (almost certainly) just the one file holding it
+    val kept = CowTable.filesForRange(spark, root, "uid",
+      Some("user-4711"), Some("user-4711"))
+    assert(kept.size < total, s"bloom kept ${kept.size} of $total")
+    // correctness: exact row back, nothing lost
+    val got = CowTable.readWhereBetween(spark, root, "uid",
+      Some("user-4711"), Some("user-4711"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(4711L))
+    // an absent value prunes everything or nearly so (false positives
+    // allowed, false negatives never) — and returns zero rows
+    assert(CowTable.readWhereBetween(spark, root, "uid",
+      Some("user-999999"), Some("user-999999")).count() == 0)
+    // range predicates ignore blooms (they only apply to points)
+    assert(CowTable.filesForRange(spark, root, "uid",
+      Some("user-1"), Some("user-2")).size == total)
+  }
+
   test("vacuum keeps every batch dir a retained manifest references " +
       "and drops COW'd-away ones") {
     val root = tmp()
