@@ -70,6 +70,11 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_ONLY", name)
     pb.environment().remove("SPARK_GRAFT_ISOLATE")
+    // the settle gate runs ONCE for the battery (in this parent);
+    // children must not each wait out the load the battery itself
+    // generates — that would add minutes per query and make the
+    // per-query loadavg telemetry read post-settle instead of truth
+    pb.environment().put("SPARK_GRAFT_SETTLE", "0")
     forcedReps.foreach(r =>
       pb.environment().put("SPARK_GRAFT_REPS", r.toString))
     // child stderr (Spark logs) flows through; an un-drained pipe would

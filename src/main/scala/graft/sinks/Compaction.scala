@@ -132,9 +132,7 @@ object Compaction {
       // assignment needs — row CONTENT routing stays exact via the
       // partition-column keys.
       val spread = pmod(
-        xxhash64(dataCols.map(col) ++
-          Seq(spark_partition_id().cast("long"),
-            monotonically_increasing_id()): _*),
+        xxhash64(dataCols.map(col) :+ monotonically_increasing_id(): _*),
         col("__nbins"))
       val binned = df.join(broadcast(binsDf), joinCond)
         .drop(partCols.map(c => s"__bk_$c"): _*)

@@ -237,14 +237,34 @@ object CowTable {
     * everything else in its Spark string form (date / timestamp /
     * boolean string forms are order-preserving). None = incomparable
     * (NaN, malformed) — callers must treat as "cannot skip".
+    *
+    * Strings compare as UNSIGNED UTF-8 BYTES, not Java chars: Spark's
+    * UTF8String ordering is binary, and Java's UTF-16 code-unit
+    * compareTo disagrees with it for supplementary characters (an
+    * emoji sorts below U+FFFD in UTF-16 but above it in UTF-8) — a
+    * char-order comparison here could prune a file whose rows the
+    * residual filter would have kept.
     */
   private def statCompare(dt: DataType, a: String, b: String): Option[Int] =
     dt match {
       case _: NumericType =>
         try Some(BigDecimal(a).compare(BigDecimal(b)))
         catch { case _: NumberFormatException => None }
-      case _ => Some(a.compareTo(b))
+      case _ => Some(utf8Compare(a, b))
     }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** Can any row of `f` satisfy `lo <= colName <= hi`? (Either bound
     * optional.) Missing stats ⇒ true — skipping is only ever an
@@ -314,8 +334,11 @@ object CowTable {
     val point = lo.zip(hi).collectFirst { case (l, h) if l == h => l }
     point match {
       case Some(v) if byStats.exists(_.blooms.contains(colName)) =>
-        val hashes = bloomHashesOf(spark, v)
-        byStats.filter(f => f.blooms.get(colName)
+        val dt = m.schema.fields.find(_.name == colName)
+          .map(_.dataType).getOrElse(StringType)
+        val hashes = bloomHashesOf(spark, v, dt)
+        if (hashes.isEmpty) byStats
+        else byStats.filter(f => f.blooms.get(colName)
           .forall(words => bloomHasValue(words, hashes)))
       case _ => byStats
     }
@@ -353,9 +376,11 @@ object CowTable {
   // per column per file, 4 hashes — false-positive rate < 1e-6 up to
   // ~4k distinct values/file and still a useful ~5% at ~40k. An
   // oversaturated filter on a huge file degrades to "keep the file":
-  // wasted read, never wrong results. The geometry is SELF-DESCRIBING
-  // on read (m = stored word count × 64), so it can change between
-  // commits without invalidating older files' filters.
+  // wasted read, never wrong results. The BIT COUNT is self-describing
+  // on read (m = stored word count × 64) and may change between
+  // commits; the HASH COUNT is not stored — BloomHashes may only ever
+  // be LOWERED (old files set bits for the original k; requiring more
+  // would false-negative on them, the one hazard this design forbids).
   private val BloomBits = 1 << 17
   private val BloomWords = BloomBits / 64
   private val BloomHashes = 4
@@ -364,12 +389,23 @@ object CowTable {
     * BY SPARK (one 1-row job) so the read side can never drift from
     * the write side's `xxhash64(k, cast(col as string))`; reduced
     * modulo each FILE's own filter size at check time.
+    *
+    * The bound is CANONICALIZED through the column's own type first
+    * (`cast(cast(v as dt) as string)`): the write side hashed the
+    * column's cast-to-string form, so a numerically-equal but
+    * non-canonical bound ("1500" probing a DOUBLE column that stores
+    * "1500.0") must be normalized or the bloom would wrongly prune the
+    * live file — the envelope layer's BigDecimal compare is tolerant
+    * of exactly this, and the two pruners must agree.
     */
-  private def bloomHashesOf(spark: SparkSession, value: String): Seq[Long] = {
+  private def bloomHashesOf(
+      spark: SparkSession, value: String, dt: DataType): Seq[Long] = {
+    val canon = lit(value).cast(dt).cast("string")
     val row = spark.range(1).select(
-      (0 until BloomHashes).map(k => xxhash64(lit(k), lit(value))): _*)
+      (0 until BloomHashes).map(k => xxhash64(lit(k), canon)): _*)
       .first()
-    (0 until BloomHashes).map(row.getLong)
+    if (row.anyNull) Nil // uncastable bound: no bloom pruning
+    else (0 until BloomHashes).map(row.getLong)
   }
 
   private def bloomHasValue(words: Seq[Long], hashes: Seq[Long]): Boolean = {
@@ -451,12 +487,12 @@ object CowTable {
       .collect()
     val bloomsByFile = collectBlooms(spark, batchDir, schema, bloomCols)
     val marker = s"/$BatchPrefix$id/"
+    val isStr = sc.filter(c =>
+      schema.fields.find(_.name == c).exists(_.dataType == StringType)).toSet
     rows.toSeq.map { r =>
       val full = r.getAs[String]("__fp")
       val cut = full.indexOf(marker)
       require(cut >= 0, s"file $full not under $BatchPrefix$id")
-      val isStr = sc.filter(c =>
-        schema.fields.find(_.name == c).exists(_.dataType == StringType)).toSet
       val mins = sc.flatMap { c =>
         Option(r.getAs[String](s"__min_$c")).map { v =>
           c -> (if (isStr(c) && v.length > MaxStatLen) v.take(MaxStatLen) else v)
@@ -557,8 +593,16 @@ object CowTable {
     }
     val batchDir = s"$root/$BatchPrefix$id"
     writeBatch(rewrite, batchDir, partCols, sortCols)
+    // bloom columns INHERIT from the previous snapshot when the caller
+    // doesn't name any: a table committed with blooms must not quietly
+    // lose its point-lookup pruning every time a merge or fold
+    // rewrites a partition
+    val effBloomCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
+        .filter(rewrite.schema.fieldNames.contains)
     val fresh = collectEntries(spark, batchDir, id, rewrite.schema, partCols,
-      bloomCols)
+      effBloomCols)
     // carry untouched DATA files and untouched partitions' tombstones;
     // a touched partition's tombstones retire here — its rewrite was
     // computed from the RESOLVED base, so they are folded in

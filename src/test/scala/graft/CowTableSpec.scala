@@ -322,6 +322,49 @@ class CowTableSpec extends SparkSpec {
       Some("user-1"), Some("user-2")).size == total)
   }
 
+  test("skipping comparisons match Spark's orderings: UTF-8 byte order " +
+      "for strings (supplementary chars) and numeric-canonical bloom " +
+      "bounds — neither layer may prune a live file") {
+    // supplementary char: UTF-16 compareTo says emoji < U+FFFD,
+    // UTF-8 bytes (what Spark sorts by) say emoji > U+FFFD
+    val root = tmp()
+    val emoji = new String(Character.toChars(0x1F600))
+    CowTable.commitFull(
+      Seq((1L, emoji), (2L, "aaa")).toDF("id", "s"), root, 1L, Nil)
+    val got = CowTable.readWhereBetween(spark, root, "s",
+      Some("�"), None).select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L), "emoji row must survive a lo=U+FFFD range")
+
+    // numeric bloom bound: "1500" must canonicalize to the double's
+    // "1500.0" string form before hashing, as the envelope layer does
+    val root2 = tmp()
+    CowTable.commitFull(
+      spark.range(0, 2000).select($"id", $"id".cast("double").as("d")),
+      root2, 1L, Nil, bloomCols = Seq("d"))
+    val hit = CowTable.readWhereBetween(spark, root2, "d",
+      Some("1500"), Some("1500")).select("id").as[Long].collect().toSeq
+    assert(hit == Seq(1500L),
+      "non-canonical numeric bound must not be bloom-pruned")
+  }
+
+  test("bloom columns INHERIT through merges and folds: a COW rewrite " +
+      "keeps stamping the previously bloom'd columns") {
+    val root = tmp()
+    val df = spark.range(0, 2048)
+      .select($"id", concat(lit("u-"), $"id").as("uid"),
+        ($"id" % 4).cast("int").as("pb"))
+    CowTable.commitFull(df, root, 1L, Seq("pb"), bloomCols = Seq("uid"))
+    // a merge that does NOT name bloomCols rewrites partition pb=1
+    CowTable.upsert(spark, root, 2L,
+      Seq((1L, "u-1-updated", 1)).toDF("id", "uid", "pb"),
+      Seq("id"), Seq("pb"))
+    val m = CowTable.currentManifest(spark, root).get
+    val rewritten = m.files.filter(_.path.startsWith("batch-2/"))
+    assert(rewritten.nonEmpty)
+    assert(rewritten.forall(_.blooms.contains("uid")),
+      "rewritten partition lost its bloom filters")
+  }
+
   test("vacuum keeps every batch dir a retained manifest references " +
       "and drops COW'd-away ones") {
     val root = tmp()
