@@ -786,6 +786,43 @@ object CowTable {
     commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
   }
 
+  /** BUCKET-SCOPED SCD-2 RESTATEMENT — [[Merge.scd2Restate]] composed
+    * with the COW table, the composition its scaladoc promises: only
+    * the buckets holding corrected keys decompile + rebuild their
+    * history; every other bucket's files carry over untouched. This is
+    * what makes restatement operable at dimension scale — a correction
+    * batch touching 100 keys costs O(their buckets' history), not a
+    * full-history rewrite.
+    */
+  def restateScd2(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      corrections: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      effCol: String,
+      operCol: String = "oper",
+      keep: Int = 2): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val touched = touchedKeys(corrections, partCols)
+    val restated = Merge.scd2Restate(
+      baseFor(spark, root, m, touched), corrections, keyCols, effCol, operCol)
+    commitPartitions(restated, touched, root, id, partCols, keep)
+  }
+
+  /** Metadata-only row count: the manifest already knows every data
+    * file's row count, so a tombstone-free table answers `count(*)`
+    * without touching a single data file — the aggregate-pushdown
+    * trick table formats use. None when tombstones are outstanding
+    * (their matched-row counts are unknown until a read or fold).
+    */
+  def countRows(spark: SparkSession, root: String): Option[Long] =
+    currentManifest(spark, root).flatMap(m =>
+      if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum))
+
   // -------------------------------------------------------------------
   // Merge-on-read deletes
   // -------------------------------------------------------------------

@@ -454,6 +454,46 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.committedIds(spark, root).last == 4L)
   }
 
+  test("bucket-scoped SCD-2 restatement: a late correction rebuilds " +
+      "ONLY its key's bucket; other buckets' history files untouched; " +
+      "metadata count answers without reading data") {
+    val root = tmp()
+    val bucket = CowTable.keyBucket(Seq("id"), 4)
+    def ch(rs: (Long, String, Long, String)*) =
+      rs.toDF("id", "v", "eff", "oper").withColumn("pb", bucket)
+    CowTable.applyScd2Cdc(spark, root, 1L,
+      ch((1L to 8L).map(k => (k, s"v$k", 100L, "I")): _*),
+      Seq("id"), Seq("pb"), "eff")
+    CowTable.applyScd2Cdc(spark, root, 2L,
+      ch((3L, "", 200L, "D")), Seq("id"), Seq("pb"), "eff")
+    val before = dataFileState(root)
+
+    // late correction at 150 — behind key 3's closed frontier (200)
+    CowTable.restateScd2(spark, root, 3L,
+      ch((3L, "v3-late", 150L, "U")), Seq("id"), Seq("pb"), "eff")
+    val touchedBucket = ch((3L, "x", 0L, "I"))
+      .select($"pb".cast("string")).first().getString(0)
+    val untouched = before.filterNot(_._1.contains(s"__gp_pb=$touchedBucket"))
+      .filter(_._1.contains("/batch-"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, t) =>
+      assert(dataFileState(root).get(p).contains(t),
+        s"restatement rewrote an unaffected bucket: $p")
+    }
+    val h3 = CowTable.read(spark, root).get.where($"id" === 3L)
+      .orderBy("effective_from")
+      .select("v", "effective_from", "effective_to")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(h3 == Seq(("v3", 100L, Some(150L)),
+      ("v3-late", 150L, Some(200L))))
+    // untouched keys' history intact
+    assert(CowTable.read(spark, root).get
+      .where($"id" === 5L).count() == 1)
+    // metadata-only count == actual count (no tombstones outstanding)
+    assert(CowTable.countRows(spark, root)
+      .contains(CowTable.read(spark, root).get.count()))
+  }
+
   test("schema may grow (evolved columns NULL on old files) but never " +
       "mutate a column's type") {
     val root = tmp()
