@@ -297,6 +297,45 @@ class StreamingUpsertSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup detection: cross-batch pairs surface via " +
+      "the growing index, per-batch cost never reprobes the corpus " +
+      "text, and replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val root = s"$dir/dedup"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupSink(in.toDF().toDF("doc_id", "text"), root,
+      "doc_id", "text", s"$dir/ckpt",
+      shingleSize = 4, numHashes = 16, bands = 4, threshold = 0.9)
+    try {
+      in.addData(1L -> "the quick brown fox jumps over it",
+        2L -> "completely different document body")
+      q.processAllAvailable() // batch 0: no pairs possible
+      in.addData(3L -> "the quick brown fox jumps over it", // dup of 1
+        4L -> "another unrelated piece of text here")
+      q.processAllAvailable() // batch 1: cross-batch pair (1,3)
+    } finally q.stop()
+
+    def pairs = spark.read.parquet(s"$root/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(1L -> 3L),
+      s"expected exactly the cross-batch dup pair, got $pairs")
+
+    // crash-replay of batch 1 (its appends already landed): the
+    // rewritten directories carry the same content — no duplicate
+    // pairs, no self-pairs from the corpus copy of the same ids
+    StreamOps.nearDupBatch(
+      Seq(3L -> "the quick brown fox jumps over it",
+        4L -> "another unrelated piece of text here")
+        .toDF("doc_id", "text"),
+      1L, root, "doc_id", "text",
+      shingleSize = 4, numHashes = 16, bands = 4, threshold = 0.9)
+    assert(pairs == Set(1L -> 3L))
+    // index grew per batch (batch-dir discipline)
+    assert(spark.read.parquet(s"$root/index")
+      .select("doc_id").distinct().count() == 4)
+  }
+
   test("newest-wins versioning applies inside a micro-batch") {
     val dir = Files.createTempDirectory("graft-supv").toString
     val root = s"$dir/target"
