@@ -258,6 +258,45 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // Incremental embedding near-dup against a persisted hyperplane
+  // signature index — the vector twin of dedup_incremental: the
+  // corpus (vec_id % 5 != 0) is known only through its 8-byte-per-
+  // vector (id, sig) index, persisted and read back; the batch
+  // (vec_id % 5 == 0) is hashed fresh and band-probed against it;
+  // corpus VECTORS are fetched only for colliding candidates. Oracle =
+  // the full hyperplane replay of sim_lsh_pairs restricted to pairs
+  // with at least one side in the batch — corpus-internal pairs must
+  // not reappear, cross pairs must all surface.
+  // -------------------------------------------------------------------
+  def simLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = slice.where(col("id") % 5 === 0)
+    val prior = slice.where(col("id") % 5 =!= 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_hp_idx").toString + "/index"
+    Similarity.hyperplaneIndex(prior, dim = 64, bits = 16)
+      .write.parquet(idxPath)
+    Similarity.cosineNearDupIncremental(
+      prior, spark.read.parquet(idxPath), batch,
+      dim = 64, threshold = 0.45, bits = 16, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The one-shot replay restricted to batch-involving pairs — string
+    * surgery on [[simLshPairsSql]]'s candidate CTE, kept adjacent so
+    * the two stay in sync.
+    */
+  val simLshIncrementalSql: String = {
+    val anchor = "ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id)"
+    require(simLshPairsSql.contains(anchor), "sim_lsh_pairs SQL changed")
+    simLshPairsSql.replace(anchor,
+      anchor.stripSuffix(")") +
+        "\n  WHERE x.id % 5 = 0 OR y.id % 5 = 0)")
+  }
+
+  // -------------------------------------------------------------------
   // End-to-end embedding dedup: cosine near-dup pairs → connected
   // components → one canonical vector per cluster (the embedding
   // analog of dedup_canonical). Pairs come from the exact baseline
@@ -545,6 +584,7 @@ object QueriesVector {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
     "sim_lsh_pairs" -> (simLshPairs _),
+    "sim_lsh_incremental" -> (simLshIncremental _),
     "kmeans_centroids" -> (kmeansCentroids _),
     "embed_canonical" -> (embedCanonical _),
     "sim_ivf_exact" -> (simIvfExact _),
@@ -560,6 +600,7 @@ object QueriesVector {
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "sim_cosine_pairs" -> simCosinePairsExactSql,
     "sim_lsh_pairs" -> simLshPairsSql,
+    "sim_lsh_incremental" -> simLshIncrementalSql,
     "kmeans_centroids" -> kmeansCentroidsSql,
     "embed_canonical" -> embedCanonicalSql,
     "embed_label_stats" -> embedLabelStatsSql,

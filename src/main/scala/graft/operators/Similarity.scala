@@ -390,6 +390,85 @@ object Similarity {
     * same canonical-cell trick as RangeJoin.intervalOverlap). One
     * cosine per pair, zero post-join Aggregate.
     */
+  /** Persistable hyperplane SIGNATURE INDEX: one (id, sig) row per
+    * vector — 8 bytes of signature per embedding, the artifact that
+    * makes cosine near-dup detection incremental
+    * ([[cosineNearDupIncremental]]), mirroring the text side's
+    * minhash index ([[Dedup.minhashIndex]]): a daily batch probes the
+    * index instead of re-hashing the corpus, and appends its own rows
+    * after ([[appendIndex]]-style).
+    */
+  def hyperplaneIndex(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      bits: Int = 16): DataFrame =
+    Par.widen(corpus).select(col("id"),
+      hyperplaneSignature(col("vec"), dim, bits).as("sig"))
+
+  /** Cosine near-dup pairs INVOLVING A NEW BATCH, against a corpus
+    * known only through its [[hyperplaneIndex]]: exactly
+    * [[cosineNearDupPairs]] over corpus ∪ batch restricted to pairs
+    * with at least one side in the batch (property-pinned in
+    * `SimilaritySpec`). Cost shape mirrors the text twin: hash the
+    * BATCH only; band-join its chunks against index ∪ batch (8-byte
+    * index rows, never vectors); fetch VECTORS only for candidate
+    * members via a semi-join — the corpus embedding column is read
+    * for colliding ids, not scanned.
+    *
+    * Pair multiplicity differs from the one-shot operator: the
+    * asymmetric probe emits batch-internal pairs in both orders and
+    * the canonical-band trick only dedups across BANDS, so pairs
+    * normalize via least/greatest + distinct before the single
+    * cosine per pair.
+    */
+  def cosineNearDupIncremental(
+      corpusVecs: DataFrame, // (id, vec)
+      index: DataFrame, // (id, sig) from hyperplaneIndex, same dim/bits
+      batch: DataFrame, // (id, vec)
+      dim: Int,
+      threshold: Double,
+      bits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val perBand = bits / bands
+    def chunk(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftright(sig, b * perBand).bitwiseAND(lit((1L << perBand) - 1))
+    // pinned: probes the band join AND unions into its build side
+    val newSigs = Par.pin(Par.widen(batch).select(col("id"),
+      hyperplaneSignature(col("vec"), dim, bits).as("sig")))
+    val allSigs = index.select(col("id"), col("sig")).unionByName(newSigs)
+    def banded(df: DataFrame) = df.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), chunk(col("sig"), b).as("chunk"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.chunk"))
+    val earlierShared = (0 until bands - 1)
+      .map(j => (col("a.band") > j) &&
+        (chunk(col("a.sig"), j) === chunk(col("b.sig"), j)))
+      .foldLeft(lit(false))(_ || _)
+    val candidates = Par.pin(banded(newSigs).as("a")
+      .join(banded(allSigs).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") =!= col("b.id") &&
+          !earlierShared)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct())
+    val ids = candidates.select(col("id_a").as("__cid"))
+      .union(candidates.select(col("id_b").as("__cid"))).distinct()
+    val pool = corpusVecs.select(col("id"), col("vec"))
+      .unionByName(batch.select(col("id"), col("vec")))
+    val vecs = Par.pin(
+      pool.join(ids, pool("id") === ids("__cid"), "left_semi"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   def cosineNearDupPairs(
       corpus: DataFrame, // (id, vec)
       dim: Int,

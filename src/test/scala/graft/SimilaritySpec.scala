@@ -333,4 +333,29 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(VectorFunctions.hamming64(col("a"), col("b")))
       .head().get(0).toString.toLong == 3L)
   }
+
+  test("incremental cosine near-dup against a persisted hyperplane " +
+      "index == one-shot pairs restricted to batch-involving pairs") {
+    val slice = corpus.where(col("id") < 600)
+    val batch = slice.where(col("id") % 5 === 0)
+    val prior = slice.where(col("id") % 5 =!= 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("hp_idx").toString + "/index"
+    Similarity.hyperplaneIndex(prior, dim = 64, bits = 16)
+      .write.parquet(idxPath)
+    val incremental = Similarity.cosineNearDupIncremental(
+      prior, spark.read.parquet(idxPath), batch,
+      dim = 64, threshold = 0.4, bits = 16, bands = 4)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Similarity.cosineNearDupPairs(
+      slice, dim = 64, threshold = 0.4, bits = 16, bands = 4)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(incremental == oneShot,
+      s"missing: ${oneShot -- incremental}; extra: ${incremental -- oneShot}")
+    assert(incremental.exists(p => (p._1 % 5 == 0) != (p._2 % 5 == 0)),
+      "no cross corpus/batch pair — split exercises nothing")
+  }
 }
