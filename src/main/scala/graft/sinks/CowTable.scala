@@ -823,6 +823,35 @@ object CowTable {
     currentManifest(spark, root).flatMap(m =>
       if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum))
 
+  /** Metadata-only global (min, max) of a column, in Spark string
+    * form: the fold of the per-file envelopes. An absent per-file
+    * stat means UNKNOWN, so the fold is only sound when every file
+    * reports — None when any file lacks the stat (unsupported type,
+    * long-string max dropped, all-NULL file), when any pair is
+    * incomparable (NaN), or when tombstones are outstanding (a
+    * deleted row may BE the extreme).
+    */
+  def minMaxOf(
+      spark: SparkSession, root: String, colName: String): Option[(String, String)] =
+    currentManifest(spark, root).flatMap { m =>
+      val dtOpt = m.schema.fields.find(_.name == colName).map(_.dataType)
+      (dtOpt, m.tombstones.isEmpty && m.files.nonEmpty) match {
+        case (Some(dt), true) =>
+          def fold(vals: Seq[Option[String]], keepLeft: Int => Boolean) =
+            if (vals.exists(_.isEmpty)) None
+            else vals.flatten.foldLeft(Option(vals.flatten.head)) {
+              case (Some(a), b) =>
+                statCompare(dt, a, b).map(c => if (keepLeft(c)) a else b)
+              case (None, _) => None
+            }
+          for {
+            lo <- fold(m.files.map(_.mins.get(colName)), _ <= 0)
+            hi <- fold(m.files.map(_.maxs.get(colName)), _ >= 0)
+          } yield (lo, hi)
+        case _ => None
+      }
+    }
+
   // -------------------------------------------------------------------
   // Merge-on-read deletes
   // -------------------------------------------------------------------

@@ -365,6 +365,37 @@ class CowTableSpec extends SparkSpec {
       "rewritten partition lost its bloom filters")
   }
 
+  test("metadata aggregates and plan shape: countRows/minMaxOf answer " +
+      "from the manifest (and refuse when tombstones make them unsound); " +
+      "the skipping read's residual filter reaches the parquet scan") {
+    val root = tmp()
+    val df = spark.range(0, 1000)
+      .select($"id", ($"id" % 10).cast("double").as("v"))
+      .repartitionByRange(4, $"id")
+    CowTable.commitFull(df, root, 1L, Nil, sortCols = Seq("id"))
+    assert(CowTable.countRows(spark, root).contains(1000L))
+    assert(CowTable.minMaxOf(spark, root, "id").contains(("0", "999")))
+    assert(CowTable.minMaxOf(spark, root, "v").contains(("0.0", "9.0")))
+    assert(CowTable.minMaxOf(spark, root, "nope").isEmpty)
+
+    // outstanding tombstones make both unsound → both refuse
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq(999L).toDF("id"), Seq("id"), Nil)
+    assert(CowTable.countRows(spark, root).isEmpty)
+    assert(CowTable.minMaxOf(spark, root, "id").isEmpty)
+    // ...and come back after a fold
+    assert(CowTable.foldTombstones(spark, root, 3L))
+    assert(CowTable.countRows(spark, root).contains(999L))
+    assert(CowTable.minMaxOf(spark, root, "id").contains(("0", "998")))
+
+    // the typed residual predicate is PUSHED to the parquet scan
+    val plan = CowTable.readWhereBetween(spark, root, "id",
+      Some("100"), Some("200")).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,100)"),
+      s"range not pushed to scan:\n$plan")
+  }
+
   test("vacuum keeps every batch dir a retained manifest references " +
       "and drops COW'd-away ones") {
     val root = tmp()
