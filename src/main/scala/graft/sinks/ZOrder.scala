@@ -35,6 +35,11 @@ object ZOrder {
 
   /** The z-value column for `cols`, given per-column sorted bucket
     * boundaries (length 2^bits - 1 each, from [[boundariesFor]]).
+    * Bucketing runs through the codegen'd
+    * [[graft.functions.QuantileBucketExpr]] binary search (O(bits)
+    * comparisons/row, stays in whole-stage codegen) rather than a
+    * higher-order filter over the literal array (O(2^bits)
+    * interpreted comparisons, codegen-breaking); NULLs take bucket 0.
     */
   def zvalue(cols: Seq[Column], boundaries: Seq[Seq[Double]], bits: Int): Column = {
     require(cols.nonEmpty && cols.size == boundaries.size)
@@ -43,11 +48,9 @@ object ZOrder {
     val bucketExprs = cols.zip(boundaries).map { case (c, bs) =>
       require(bs.size == (1 << bits) - 1,
         s"need ${(1 << bits) - 1} boundaries, got ${bs.size}")
-      // bucket = #boundaries <= value; NULL comparisons are never true
-      // so NULL rows take bucket 0
-      size(filter(
-        lit(bs.toArray),
-        b => c.cast("double") >= b)).cast("long")
+      coalesce(
+        graft.functions.QuantileBucketExpr.bucket(c.cast("double"), bs.sorted),
+        lit(0L))
     }
     (0 until bits).flatMap { i =>
       bucketExprs.zipWithIndex.map { case (b, j) =>

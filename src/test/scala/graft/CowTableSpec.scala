@@ -199,6 +199,31 @@ class CowTableSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("quantile-bucket expression: bit-equal to the HOF count " +
+      "(duplicates, NaN, nulls) and stays in whole-stage codegen") {
+    import graft.functions.QuantileBucketExpr
+    val bs = Seq(1.0, 2.0, 2.0, 5.5, 9.0) // duplicate boundary counts twice
+    val vals = Seq(0.0, 1.0, 1.5, 2.0, 3.0, 5.5, 9.0, 100.0,
+      Double.NaN, -1e300)
+    val df = vals.toDF("v")
+    val native = df.select(
+      coalesce(QuantileBucketExpr.bucket($"v", bs), lit(0L))).as[Long]
+      .collect().toSeq
+    val hof = df.select(
+      size(filter(lit(bs.toArray), b => $"v" >= b)).cast("long")).as[Long]
+      .collect().toSeq
+    assert(native == hof, s"native=$native hof=$hof")
+    // null input → bucket 0 through the coalesce, like the HOF
+    assert(Seq(Option.empty[Double]).toDF("v")
+      .select(coalesce(QuantileBucketExpr.bucket($"v", bs), lit(0L)))
+      .as[Long].head() == 0L)
+    // the bucketing projection keeps its whole-stage-codegen marker
+    val plan = spark.range(100).select(
+      QuantileBucketExpr.bucket($"id".cast("double"), (1 to 255).map(_.toDouble)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("data skipping never drops rows it shouldn't: files without " +
       "stats for the column are kept") {
     val root = tmp()
