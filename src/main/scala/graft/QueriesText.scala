@@ -226,6 +226,54 @@ object QueriesText {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------------------
+  // Temperature-flattened corpus mixing (Sample.temperatureMix):
+  // per-source keep rates ∝ n^0.5 / n toward a 500-doc target, applied
+  // through the content-addressed permille gate. α = 0.5 is
+  // deliberately sqrt (IEEE correctly-rounded in both engines — a
+  // libm pow could differ by an ULP and flip a floor at a rate
+  // boundary), and the share denominator folds per-source weights in
+  // SORTED source order on both sides (double addition is
+  // order-sensitive; the oracle uses DuckDB's ordered aggregate).
+  // The compare covers the rate DERIVATION and the exact sample
+  // membership per source.
+  // -------------------------------------------------------------------
+  def temperatureMixQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val (sampled, rates) = graft.operators.Sample
+      .temperatureMix(docs, "source", col("text"), alpha = 0.5,
+        targetTotal = 500L)
+    val kept = sampled.groupBy("source").agg(count(lit(1)).as("__kn"))
+    val rateCol = rates.foldLeft(lit(0)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        rateCol.cast("long").as("rate"),
+        coalesce(col("__kn"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(sqrt(CAST(n AS DOUBLE)) ORDER BY source) AS s
+       |        FROM c),
+       |r AS (SELECT source, n,
+       |  CAST(least(1000, floor(
+       |    1000.0 * 500 * sqrt(CAST(n AS DOUBLE)) / s / CAST(n AS DOUBLE)))
+       |    AS BIGINT) AS rate
+       |  FROM c CROSS JOIN tot),
+       |k AS (SELECT d.source, count(*) AS kn
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE ${Frag.fp} % 1000 < r.rate
+       |  GROUP BY d.source)
+       |SELECT r.source, r.n AS n_docs, r.rate,
+       | CAST(coalesce(k.kn, 0) AS BIGINT) AS n_kept
+       |FROM r LEFT JOIN k ON k.source = r.source
+       |ORDER BY r.source""".stripMargin
+
+  // -------------------------------------------------------------------
   // Exact n-gram Jaccard near-dup pairs (shingle-inverted-index join;
   // shuffle key = shingle). Expected: the 25 planted pairs.
   // -------------------------------------------------------------------
@@ -816,6 +864,7 @@ object QueriesText {
     "bpe_encode" -> (bpeEncode _),
     "vocab_bpe_merges" -> (vocabBpeMerges _),
     "sample_stratified" -> (sampleStratified _),
+    "temperature_mix" -> (temperatureMixQ _),
     "curate_corpus" -> (curateCorpus _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
@@ -837,6 +886,7 @@ object QueriesText {
     "bpe_encode" -> bpeEncodeSql,
     "vocab_bpe_merges" -> vocabBpeMergesSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "temperature_mix" -> temperatureMixSql,
     "curate_corpus" -> curateCorpusSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,
