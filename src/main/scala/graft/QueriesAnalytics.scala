@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Par
+
+/** Third-wave analytics surface: time-series gap-filling, a
+  * declarative data-quality expectation report, and fixed-iteration
+  * PageRank over the supplier↔part shipment graph — the warehouse-side
+  * operators a reference user reaches for right after the ETL layer
+  * (reference scope: jobs/semantic/ builds reporting marts; these are
+  * the standard next queries over such marts).
+  */
+object QueriesAnalytics {
+
+  // -------------------------------------------------------------------
+  // Time-series gap-fill + forward-fill: daily order revenue per
+  // priority on a complete date spine, missing days filled with 0
+  // counts and last-observation-carried-forward revenue.
+  //
+  // 100 TB shape: the only full-data pass is the (prio, day) partial
+  // aggregation — one shuffle whose output is bounded by |days|×|groups|
+  // (thousands of rows regardless of fact size). The spine is built
+  // RELATIONALLY from a 1-row bounds aggregate (`sequence` + explode) —
+  // no driver-side date loop, no collect. Spine⋈daily and the
+  // forward-fill window both run on that bounded aggregate, so the
+  // window's per-group ordering never touches fact-table volume.
+  // -------------------------------------------------------------------
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+    val daily = o.groupBy("prio", "day")
+      .agg(count(lit(1)).as("n_orders"),
+        Queries.dsum(col("o_totalprice")).as("revenue"))
+    val days = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val spine = days.crossJoin(broadcast(o.select("prio").distinct()))
+    val w = Window.partitionBy("prio").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(broadcast(daily), Seq("prio", "day"), "left")
+      .select(col("prio"),
+        date_format(col("day"), "yyyy-MM-dd").as("d"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("revenue").isNull.as("is_gap"),
+        coalesce(last(col("revenue"), ignoreNulls = true).over(w), lit(0.0))
+          .as("ffill_revenue"))
+      .orderBy("prio", "d")
+  }
+
+  val gapFillSql: String =
+    """WITH o AS (SELECT o_orderpriority AS prio,
+      |  CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+      |daily AS (SELECT prio, day, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      | FROM o GROUP BY 1, 2),
+      |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      | FROM (SELECT min(day) AS d0, max(day) AS d1 FROM o)),
+      |spine AS (SELECT p.prio, days.day
+      | FROM days CROSS JOIN (SELECT DISTINCT prio FROM o) p)
+      |SELECT s.prio AS prio, strftime(s.day, '%Y-%m-%d') AS d,
+      | coalesce(daily.n_orders, 0) AS n_orders,
+      | daily.revenue IS NULL AS is_gap,
+      | coalesce(last_value(daily.revenue IGNORE NULLS) OVER (
+      |   PARTITION BY s.prio ORDER BY s.day
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS ffill_revenue
+      |FROM spine s LEFT JOIN daily ON daily.prio = s.prio AND daily.day = s.day
+      |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Declarative data-quality expectation report (deequ-style): each
+  // rule emits (rule, table, n_checked, n_violations, pass). Rules over
+  // one table share ONE scan via conditional aggregation; uniqueness is
+  // a count-vs-count-distinct on the same aggregate; referential
+  // integrity is a left-anti join on the key.
+  //
+  // 100 TB shape: lineitem and orders are each scanned exactly once for
+  // their conditional-aggregate rules (a single partial-agg shuffle of
+  // 1 row per partition). The referential rule's anti-join shuffles
+  // both sides on the key — the standard distributed set-difference;
+  // with a dimension-sized right side Spark's AQE flips it to broadcast
+  // automatically. Nothing here collects, and adding a rule to an
+  // existing table adds ZERO scans.
+  // -------------------------------------------------------------------
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    def viol(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+    // one scan of lineitem for all its row-level rules; the 1-row
+    // aggregate is pinned so the seven union branches below reference
+    // the materialized row instead of re-planning (and re-scanning)
+    // the aggregate once per branch
+    val liAgg = Par.pinLocal(li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_orderkey").isNull).as("v_null"),
+      viol(!col("l_quantity").between(1.0, 50.0)).as("v_range"),
+      viol(col("l_quantity") > 30.0).as("v_qty30"),
+      viol(col("l_extendedprice") <= 0.0).as("v_price")))
+    // one scan of orders: accepted values + key uniqueness
+    val oAgg = Par.pinLocal(o.agg(
+      count(lit(1)).as("n"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dupkey")))
+    val orphans = li.join(o.select(col("o_orderkey")),
+        li("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+
+    def row(agg: DataFrame, rule: String, table: String, n: Column,
+        v: Column): DataFrame =
+      agg.select(lit(rule).as("rule"), lit(table).as("table_name"),
+        n.cast("long").as("n_checked"), v.cast("long").as("n_violations"),
+        (v === 0L).as("pass"))
+
+    row(liAgg, "not_null:l_orderkey", "lineitem", col("n"), col("v_null"))
+      .unionByName(row(liAgg, "range:l_quantity:1-50", "lineitem",
+        col("n"), col("v_range")))
+      .unionByName(row(liAgg, "range:l_quantity:<=30", "lineitem",
+        col("n"), col("v_qty30")))
+      .unionByName(row(liAgg, "positive:l_extendedprice", "lineitem",
+        col("n"), col("v_price")))
+      .unionByName(row(oAgg, "accepted:o_orderstatus", "orders",
+        col("n"), col("v_status")))
+      .unionByName(row(oAgg, "unique:o_orderkey", "orders",
+        col("n"), col("v_dupkey")))
+      .unionByName(row(liAgg.select(col("n")).crossJoin(orphans),
+        "ref:l_orderkey->orders", "lineitem", col("n"), col("v")))
+      .orderBy("rule")
+  }
+
+  val dqExpectationsSql: String =
+    """WITH li AS (SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+      |  CAST(sum(CASE WHEN l_quantity > 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty30,
+      |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+      | FROM lineitem),
+      |o AS (SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+      |  count(*) - count(DISTINCT o_orderkey) AS v_dupkey
+      | FROM orders),
+      |orph AS (SELECT count(*) AS v FROM lineitem l
+      | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT * FROM (
+      | SELECT 'not_null:l_orderkey' AS rule, 'lineitem' AS table_name,
+      |   n AS n_checked, v_null AS n_violations, v_null = 0 AS pass FROM li
+      | UNION ALL SELECT 'range:l_quantity:1-50', 'lineitem', n, v_range, v_range = 0 FROM li
+      | UNION ALL SELECT 'range:l_quantity:<=30', 'lineitem', n, v_qty30, v_qty30 = 0 FROM li
+      | UNION ALL SELECT 'positive:l_extendedprice', 'lineitem', n, v_price, v_price = 0 FROM li
+      | UNION ALL SELECT 'accepted:o_orderstatus', 'orders', n, v_status, v_status = 0 FROM o
+      | UNION ALL SELECT 'unique:o_orderkey', 'orders', n, v_dupkey, v_dupkey = 0 FROM o
+      | UNION ALL SELECT 'ref:l_orderkey->orders', 'lineitem',
+      |   (SELECT n FROM li), v, v = 0 FROM orph
+      |) ORDER BY rule""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Fixed-iteration PageRank over the undirected supplier↔part shipment
+  // graph (edge = "supplier shipped part", both directions so no
+  // dangling nodes). ALL arithmetic is 64-bit integer in 1e-12 units —
+  // contribution = pr DIV degree, damping = (sum*85) DIV 100 — so the
+  // result is bit-exact regardless of partial-aggregation order (double
+  // summation over an arbitrary partition order is not associative;
+  // integer summation is). Total mass ≤ |V|·1e12 keeps every
+  // intermediate far below 2^63 under ANSI overflow checking.
+  //
+  // 100 TB shape: edges are co-partitioned on src ONCE and pinned; each
+  // of the 3 rounds is one co-partitioned join edges⋈pr (pr re-shuffles
+  // on node — |V| rows, small relative to |E|) plus one partial-agg
+  // shuffle on dst. Per-round pin() bounds lineage exactly like
+  // ConnectedComponents (operators/ConnectedComponents.scala), so a
+  // round never silently recomputes its predecessors.
+  // -------------------------------------------------------------------
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Par.widen(Tables.load(spark, dir, "lineitem"))
+    val e0 = li.select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = e0.select(
+        concat(lit("s"), col("s").cast("string")).as("src"),
+        concat(lit("p"), col("p").cast("string")).as("dst"))
+      .unionByName(e0.select(
+        concat(lit("p"), col("p").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst")))
+    val ep = Par.pin(edges.repartition(col("src")))
+    val deg = ep.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = Par.pin(ep.join(deg, "src")) // (src, dst, deg) reused 3×
+    var pr = deg.select(col("src").as("node"),
+      lit(1000000000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = Par.pin(ed.join(pr, ed("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(150000000000L) + expr("sc * 85 div 100")).as("pr")))
+    }
+    pr.select(col("node"), col("pr").as("pr_units"))
+      .orderBy(col("pr_units").desc, col("node").asc)
+      .limit(20)
+  }
+
+  val pageRankSql: String =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |edges AS (
+      | SELECT 's' || CAST(s AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM e0
+      | UNION ALL
+      | SELECT 'p' || CAST(p AS VARCHAR), 's' || CAST(s AS VARCHAR) FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      |pr0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+      |it1 AS (SELECT e.dst AS node,
+      |  150000000000 + (CAST(sum(p.pr // d.deg) AS BIGINT) * 85) // 100 AS pr
+      | FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+      | GROUP BY 1),
+      |it2 AS (SELECT e.dst AS node,
+      |  150000000000 + (CAST(sum(p.pr // d.deg) AS BIGINT) * 85) // 100 AS pr
+      | FROM edges e JOIN it1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+      | GROUP BY 1),
+      |it3 AS (SELECT e.dst AS node,
+      |  150000000000 + (CAST(sum(p.pr // d.deg) AS BIGINT) * 85) // 100 AS pr
+      | FROM edges e JOIN it2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+      | GROUP BY 1)
+      |SELECT node, CAST(pr AS BIGINT) AS pr_units FROM it3
+      |ORDER BY pr_units DESC, node ASC LIMIT 20""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_fill" -> (gapFill _),
+    "dq_expectations" -> (dqExpectations _),
+    "pagerank" -> (pageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "gap_fill" -> gapFillSql,
+    "dq_expectations" -> dqExpectationsSql,
+    "pagerank" -> pageRankSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Gap-fill, data-quality expectations, and integer-exact PageRank
+  * (QueriesAnalytics). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFill emits a complete date spine per group, zero-count gaps " +
+      "and carried-forward revenue") {
+    val out = QueriesAnalytics.gapFill(spark, sfDir)
+    val rows = out.collect()
+    val prios = rows.map(_.getString(0)).distinct
+    val days = rows.map(_.getString(1)).distinct
+    // complete cross product: every (prio, day) appears exactly once
+    assert(rows.length == prios.length * days.length)
+    // the spine is contiguous: consecutive day strings differ by one day
+    val sorted = days.sorted
+    assert(java.time.LocalDate.parse(sorted.head)
+      .plusDays(sorted.length - 1) ==
+      java.time.LocalDate.parse(sorted.last))
+    // gap rows have zero orders; their ffill equals the previous
+    // non-gap revenue within the group
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val byDay = g.sortBy(_.getString(1))
+      var lastRev = 0.0
+      byDay.foreach { r =>
+        val (n, isGap, ffill) = (r.getLong(2), r.getBoolean(3), r.getDouble(4))
+        if (isGap) {
+          assert(n == 0L)
+          assert(ffill == lastRev, s"gap ffill $ffill != carried $lastRev")
+        } else lastRev = ffill
+      }
+    }
+  }
+
+  test("dqExpectations reports the seeded pass/fail pattern and scans " +
+      "lineitem at most twice (agg rules share one scan)") {
+    val out = QueriesAnalytics.dqExpectations(spark, sfDir)
+    val byRule = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(byRule.size == 7)
+    // testdata invariants: keys are clean, quantity in [1,50] but
+    // frequently above 30, statuses in {O,F,P}, no orphan lineitems
+    assert(byRule("not_null:l_orderkey") == ((0L, true)))
+    assert(byRule("range:l_quantity:1-50") == ((0L, true)))
+    assert(byRule("unique:o_orderkey") == ((0L, true)))
+    assert(byRule("accepted:o_orderstatus") == ((0L, true)))
+    assert(byRule("ref:l_orderkey->orders") == ((0L, true)))
+    val (v30, pass30) = byRule("range:l_quantity:<=30")
+    assert(v30 > 0L && !pass30, "the <=30 canary rule should fail")
+    // adding N agg rules must not add N scans: lineitem appears once
+    // for the shared conditional aggregate + once for the anti-join
+    val plan = out.queryExecution.executedPlan.toString
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(liScans <= 2, s"expected <=2 lineitem scans, got $liScans")
+  }
+
+  test("pageRank is integer-exact: rerun is bit-identical, mass stays " +
+      "bounded, and hub suppliers outrank leaf parts") {
+    val a = QueriesAnalytics.pageRank(spark, sfDir).collect()
+    val b = QueriesAnalytics.pageRank(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "reruns must be bit-identical")
+    assert(a.length == 20)
+    val prs = a.map(_.getLong(1))
+    assert(prs.sameElements(prs.sorted.reverse), "not sorted desc")
+    // every pr positive and below total mass
+    assert(prs.forall(_ > 0L))
+    // suppliers aggregate the mass of their many parts, so they form
+    // the head of the ranking (the tail is uniform tied part nodes,
+    // deterministically ordered by the node-asc tiebreak)
+    assert(a.take(10).forall(_.getString(0).startsWith("s")),
+      s"expected supplier hubs on top, got ${a.map(_.getString(0)).toSeq}")
+  }
+}
