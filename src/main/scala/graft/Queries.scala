@@ -56,11 +56,11 @@ object Queries {
       ((s: SparkSession, d: String) => a2ThinLayerAgg(s, d))) ++
       QueriesCore.all ++ QueriesText.all ++ QueriesVector.all ++
       QueriesExtra.all ++ QueriesCurated.all ++ QueriesCow.all ++
-      QueriesAnalytics.all
+      QueriesAnalytics.all ++ QueriesCorpus.all
 
   def oracles: Map[String, String] =
     Map("a2_thin_layer_agg" -> a2ThinLayerAggSql) ++
       QueriesCore.oracles ++ QueriesText.oracles ++ QueriesVector.oracles ++
       QueriesExtra.oracles ++ QueriesCurated.oracles ++ QueriesCow.oracles ++
-      QueriesAnalytics.oracles
+      QueriesAnalytics.oracles ++ QueriesCorpus.oracles
 }
