@@ -223,13 +223,124 @@ object QueriesAnalytics {
       |SELECT node, CAST(pr AS BIGINT) AS pr_units FROM it3
       |ORDER BY pr_units DESC, node ASC LIMIT 20""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Wide→long unpivot (melt) of the lineitem measure columns via
+  // Dataset.unpivot — ONE scan through a Catalyst Expand (4 output rows
+  // per input row, no self-union re-scan), then per-(flag, metric)
+  // stats. The oracle replays it as the portable UNION ALL form; the
+  // Spark plan is the one that matters at scale: n metrics cost one
+  // Expand, not n scans.
+  // -------------------------------------------------------------------
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), Queries.dsum(col("v")).as("sum_v"))
+      .orderBy("l_returnflag", "metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH long AS (
+      | SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      | UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, metric, count(*) AS n,
+      | CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+      |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-group z-score anomaly detection over events.value, with the
+  // group mean/variance derived from EXACT integer sums (Σv, Σv² in
+  // micro-units; Σv² through DECIMAL(38,0) — at 100 TB the squared sum
+  // leaves int64 range). Partial aggregation order therefore cannot
+  // perturb the statistics (float Welford merges are order-dependent;
+  // integer/decimal sums are not), and the z expression is the same
+  // double expression tree in both engines. The anomaly cut compares
+  // the ROUNDED z so the filter boundary is engine-stable.
+  //
+  // 100 TB shape: one partial-agg shuffle for the per-type sums (rows =
+  // |event types|), broadcast back into a map-side scoring pass —
+  // the fact table never shuffles.
+  // -------------------------------------------------------------------
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Par.widen(Tables.load(spark, dir, "events"))
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1e6).cast("long").as("vu"))
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("vu")).as("s1"),
+      sum(col("vu").cast("decimal(38,0)") * col("vu")).as("s2"))
+    val scored = ev.join(broadcast(st), "event_type")
+      .withColumn("z", round(expr(
+        """(cast(vu as double) - cast(s1 as double) / cast(n as double))
+          |/ sqrt((cast(s2 as double)
+          |        - cast(s1 as double) * cast(s1 as double) / cast(n as double))
+          |       / cast(n as double))""".stripMargin), 6))
+    scored.where(abs(col("z")) >= 3.0)
+      .select(col("event_type"), col("event_id"), col("vu"), col("z"))
+      .orderBy("event_type", "event_id")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH ev AS (SELECT event_id, event_type,
+      |  CAST(floor(value * 1e6) AS BIGINT) AS vu FROM events),
+      |st AS (SELECT event_type, count(*) AS n,
+      |  CAST(sum(vu) AS BIGINT) AS s1,
+      |  sum(CAST(vu AS DECIMAL(38,0)) * vu) AS s2
+      | FROM ev GROUP BY 1),
+      |sc AS (SELECT ev.event_type, ev.event_id, ev.vu,
+      |  round((CAST(vu AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / sqrt((CAST(s2 AS DOUBLE)
+      |                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |               / CAST(n AS DOUBLE)), 6) AS z
+      | FROM ev JOIN st USING (event_type))
+      |SELECT event_type, event_id, vu, z FROM sc
+      |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact equi-depth histogram of order totals: 10 equal-count buckets
+  // in (price, key) order through Profile.equidepth — the two-phase
+  // global rank (coarse-bucket row_numbers + broadcast offsets), never
+  // a single-partition window. The oracle replays the semantics with
+  // DuckDB's global row_number; the decomposition must be invisible in
+  // the result, which is exactly what this row proves.
+  // -------------------------------------------------------------------
+  def histogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.operators.Profile.equidepth(
+      o, "o_totalprice", "o_orderkey", k = 10, coarseWidth = 10000.0)
+  }
+
+  val histogramEquidepthSql: String =
+    """WITH r AS (SELECT o_totalprice AS v,
+      |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |  count(*) OVER () AS n
+      | FROM orders WHERE o_totalprice IS NOT NULL)
+      |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+      | count(*) AS n, min(v) AS lo, max(v) AS hi
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gap_fill" -> (gapFill _),
     "dq_expectations" -> (dqExpectations _),
-    "pagerank" -> (pageRank _))
+    "pagerank" -> (pageRank _),
+    "unpivot_metrics" -> (unpivotMetrics _),
+    "anomaly_zscore" -> (anomalyZscore _),
+    "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
     "gap_fill" -> gapFillSql,
     "dq_expectations" -> dqExpectationsSql,
-    "pagerank" -> pageRankSql)
+    "pagerank" -> pageRankSql,
+    "unpivot_metrics" -> unpivotMetricsSql,
+    "anomaly_zscore" -> anomalyZscoreSql,
+    "histogram_equidepth" -> histogramEquidepthSql)
 }

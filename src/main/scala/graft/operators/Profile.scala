@@ -96,4 +96,51 @@ object Profile {
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .orderBy("bin")
   }
+
+  /** Exact equi-depth histogram: k buckets of (near-)equal row count in
+    * `(value, tie)` order, each reporting its count and value bounds.
+    * Bucket of global rank r (1-based) is `(r-1)·k div n` — pure
+    * integer arithmetic, so bucket boundaries are engine-exact.
+    *
+    * The global rank is NEVER a single-partition window. Same
+    * decomposition as [[graft.operators.Pack.packGreedy]]: a coarse
+    * value bucket (`floor(value/coarseWidth)` — monotone in value)
+    * scopes parallel within-bucket row_numbers; per-coarse-bucket
+    * counts (tiny: one row per occupied coarse bucket) cumsum into
+    * exclusive offsets on the driver-side-free broadcast path; global
+    * rank = offset + local rank. No stage materializes more than one
+    * coarse bucket per task, so the op survives a value column whose
+    * total order would never fit one machine. `tie` must make
+    * `(value, tie)` unique or ranks — and therefore bucket counts —
+    * would be nondeterministic.
+    */
+  def equidepth(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      k: Int,
+      coarseWidth: Double): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(coarseWidth > 0, "coarseWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol)
+    val b = df.where(v.isNotNull)
+      .withColumn("__cb", floor(v / lit(coarseWidth)).cast("long"))
+    val wLocal = Window.partitionBy(col("__cb"))
+      .orderBy(v.asc, col(tieCol).asc)
+    val local = b.withColumn("__lr", row_number().over(wLocal).cast("long"))
+    val wB = Window.orderBy(col("__cb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = b.groupBy(col("__cb")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", sum(col("__bn")).over(wB) - col("__bn"))
+    val total = offs.agg(sum(col("__bn")).as("__n")) // no second fact scan
+    local
+      .join(broadcast(offs.select(col("__cb").as("__ob"), col("__off"))),
+        col("__cb") === col("__ob"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"(__off + __lr - 1) * $k div __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy("bucket")
+  }
 }

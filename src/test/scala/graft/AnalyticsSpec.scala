@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Executed-plan string truncated to AQE's final plan (the full
+    * toString repeats every node once more under "== Initial Plan ==",
+    * which would double every occurrence count). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
   test("gapFill emits a complete date spine per group, zero-count gaps " +
       "and carried-forward revenue") {
     val out = QueriesAnalytics.gapFill(spark, sfDir)
@@ -52,9 +61,9 @@ class AnalyticsSpec extends SparkSpec {
     assert(v30 > 0L && !pass30, "the <=30 canary rule should fail")
     // adding N agg rules must not add N scans: lineitem appears once
     // for the shared conditional aggregate + once for the anti-join
-    val plan = out.queryExecution.executedPlan.toString
-    val liScans = "lineitem\\.parquet".r.findAllIn(plan).size
-    assert(liScans <= 2, s"expected <=2 lineitem scans, got $liScans")
+    val liScans = "lineitem\\.parquet".r.findAllIn(finalPlan(out)).size
+    assert(liScans <= 1, s"expected <=1 lineitem scan in the final " +
+      s"report plan (agg rules are pinned), got $liScans")
   }
 
   test("pageRank is integer-exact: rerun is bit-identical, mass stays " +
@@ -72,5 +81,51 @@ class AnalyticsSpec extends SparkSpec {
     // deterministically ordered by the node-asc tiebreak)
     assert(a.take(10).forall(_.getString(0).startsWith("s")),
       s"expected supplier hubs on top, got ${a.map(_.getString(0)).toSeq}")
+  }
+
+  test("unpivotMetrics melts 4 measures through ONE scan (Expand), " +
+      "not a 4-way self-union") {
+    val df = QueriesAnalytics.unpivotMetrics(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    // every (flag, metric) cell has the same n: the melt is lossless
+    assert(rows.map(_.getLong(2)).groupBy(identity).size ==
+      rows.map(_.getString(0)).distinct.length)
+    val plan = finalPlan(df)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly 1 lineitem scan:\n$plan")
+    assert(plan.contains("Expand"), "unpivot should plan as Expand")
+  }
+
+  test("anomalyZscore: stats shuffle only |event_type| rows, the fact " +
+      "table is scored map-side") {
+    val df = QueriesAnalytics.anomalyZscore(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the skewed value distribution has outliers")
+    assert(rows.forall(r => math.abs(r.getDouble(3)) >= 3.0))
+    // one hash exchange (the per-type aggregate); the scoring join is
+    // broadcast, so the events scan is never hash-repartitioned
+    val plan = finalPlan(df)
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"expected 1 hash exchange (stats agg), got $ex:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "stats must broadcast")
+  }
+
+  test("equidepth buckets are balanced to within one row and tile the " +
+      "value range in order") {
+    val out = QueriesAnalytics.histogramEquidepth(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+    val counts = out.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1L,
+      s"equi-depth violated: ${counts.toSeq}")
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(counts.sum == total)
+    // bucket value ranges are non-overlapping and ascending
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"bucket overlap: ${a.getDouble(3)} > ${b.getDouble(2)}")
+    }
   }
 }
