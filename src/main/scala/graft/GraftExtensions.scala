@@ -18,8 +18,12 @@ import graft.functions.{DotProductExpr, FingerprintExpr, HyperplaneSigExpr}
   * (rolling-hash doc fingerprint), `graft_dot` (vector dot product),
   * `graft_hyperplane_sig(vec, dim, bits)` (hyperplane-LSH signature;
   * dim/bits must be integer literals — they shape the generated code).
-  * Custom Rules/Strategies are deliberately absent — every operator
-  * here plans well with stock Catalyst (SURVEY §4 conclusion).
+  * Custom physical Strategies are deliberately absent — every operator
+  * here plans well with stock Catalyst (SURVEY §4 conclusion). The one
+  * custom optimizer rule, the materialized-view rewrite
+  * ([[graft.plans.MvRewrite]]), is opt-in per session via
+  * `MvRewrite.install` (ExperimentalMethods) because it consults a
+  * registration catalog rather than the plan alone.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

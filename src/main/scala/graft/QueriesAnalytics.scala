@@ -328,7 +328,48 @@ object QueriesAnalytics {
       | count(*) AS n, min(v) AS lo, max(v) AS hi
       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Materialized-view transparent rewrite (plans/MvRewrite.scala): a
+  // (l_returnflag, l_linestatus) aggregate view is built once, the
+  // rewrite rule is installed, and then a COARSER rollup (by
+  // l_returnflag alone) is issued against the RAW lineitem path — the
+  // optimizer re-points it at the view, so the executed plan reads
+  // |groups| rows instead of the fact table (plan-asserted in
+  // MvRewriteSpec; here the oracle proves the rewrite is bit-exact,
+  // which only holds because eligible sums travel as DECIMAL(25,6)).
+  // -------------------------------------------------------------------
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.MvRewrite
+    val factPath = s"$dir/lineitem.parquet"
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft_mv").toString + "/li_flag_status"
+    MvRewrite.createView(spark, "li_flag_status", factPath, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity", "l_extendedprice"),
+      minMaxCols = Seq("l_quantity"))
+    MvRewrite.install(spark)
+    spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(25,6)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).cast("long").as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val mvRewriteSql: String =
+    """SELECT l_returnflag,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+      | count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_rewrite" -> (mvRewrite _),
     "gap_fill" -> (gapFill _),
     "dq_expectations" -> (dqExpectations _),
     "pagerank" -> (pageRank _),
@@ -337,6 +378,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "mv_rewrite" -> mvRewriteSql,
     "gap_fill" -> gapFillSql,
     "dq_expectations" -> dqExpectationsSql,
     "pagerank" -> pageRankSql,

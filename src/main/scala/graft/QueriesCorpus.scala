@@ -206,13 +206,45 @@ object QueriesCorpus {
        |FROM d, st WHERE tf1 > 0 OR tf2 > 0
        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Persisted inverted index + conjunctive probe
+  // (operators/InvertedIndex.scala): the index is built once (two
+  // partial-agg shuffles, posting arrays blocked at 10k entries even
+  // for stopwords), then the AND-query is answered from |terms|
+  // partition-pruned index buckets — the corpus itself is NEVER
+  // rescanned at query time (scan-bytes-proved in InvertedIndexSpec).
+  // The oracle recomputes the membership directly from the documents
+  // table: index-served answers must be indistinguishable from corpus
+  // scans.
+  // -------------------------------------------------------------------
+  def searchAnd(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.InvertedIndex
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_invidx").toString + "/index"
+    InvertedIndex.build(
+      Par.widen(Tables.load(spark, dir, "documents")),
+      "doc_id", "text", idx)
+    InvertedIndex.searchAnd(spark, idx, Seq("spark", "vector"))
+  }
+
+  val searchAndSql: String =
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS ts FROM documents),
+       |d AS (SELECT doc_id,
+       |  CAST(len(list_filter(ts, x -> x = 'spark')) AS BIGINT) AS tf_0,
+       |  CAST(len(list_filter(ts, x -> x = 'vector')) AS BIGINT) AS tf_1
+       | FROM tok)
+       |SELECT doc_id, tf_0, tf_1 FROM d
+       |WHERE tf_0 > 0 AND tf_1 > 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boilerplate_strip" -> (boilerplateStrip _),
     "decontaminate" -> (decontaminate _),
-    "bm25_topk" -> (bm25TopK _))
+    "bm25_topk" -> (bm25TopK _),
+    "search_and" -> (searchAnd _))
 
   val oracles: Map[String, String] = Map(
     "boilerplate_strip" -> boilerplateStripSql,
     "decontaminate" -> decontaminateSql,
-    "bm25_topk" -> bm25TopKSql)
+    "bm25_topk" -> bm25TopKSql,
+    "search_and" -> searchAndSql)
 }

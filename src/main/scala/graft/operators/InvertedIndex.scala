@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Persisted inverted index over a document corpus: token → posting
+  * blocks, partitioned so a term probe reads only its hash bucket —
+  * the serving-path complement of the scan-side BM25 query
+  * (QueriesCorpus.bm25TopK). A standing corpus-search deployment
+  * builds this once per corpus drop and answers conjunctive queries
+  * from the index alone; the corpus is never rescanned.
+  *
+  * Layout (parquet, partitioned by `tb`):
+  *   tb      = pmod(xxhash64(token), nBuckets)   — partition column
+  *   token   = the term
+  *   block   = doc_id div blockSize
+  *   posting = array<struct<doc_id, tf>> sorted by doc_id, max
+  *             blockSize entries
+  *
+  * 100 TB shape:
+  *   - Build is two partial-agg shuffles: (token, doc)→tf, then
+  *     (token, block)→posting array. Blocking by `doc_id div
+  *     blockSize` bounds EVERY row's array at blockSize entries —
+  *     including stopwords — without any per-token window (a
+  *     row_number() over a stopword's billion postings would put one
+  *     token's postings in one task; the block key is computable
+  *     map-side).
+  *   - A probe filters `tb isin (term buckets)` — partition pruning
+  *     reads |terms| directories of the index, nothing else (proved
+  *     via scan-bytes in InvertedIndexSpec) — then `token isin terms`
+  *     row-filters within the bucket.
+  *   - Conjunctive (AND) search explodes the probed postings and
+  *     keeps doc_ids seen |terms| times: one shuffle over posting
+  *     rows of the QUERIED terms only, independent of corpus size.
+  */
+object InvertedIndex {
+
+  val DefaultBuckets = 64
+  val DefaultBlockSize = 10000L
+
+  /** Tokenize, count, block and persist the index. Multi-occurrence
+    * tokens collapse to (doc, tf); empty docs contribute nothing. */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      nBuckets: Int = DefaultBuckets,
+      blockSize: Long = DefaultBlockSize): Unit = {
+    require(nBuckets >= 1 && blockSize >= 1, "nBuckets/blockSize >= 1")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("block", expr(s"doc_id div ${blockSize}L"))
+      .groupBy("token", "block")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("posting"))
+      .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(indexPath)
+  }
+
+  /** Index frame filtered to `terms`' hash buckets (partition-pruned)
+    * and rows. The bucket of each term is computed by SPARK
+    * (xxhash64 over a literal — same function instance the build side
+    * used), never reimplemented driver-side. */
+  def probe(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val idx = spark.read.parquet(indexPath)
+    val bucketOf = terms.map(t =>
+      pmod(xxhash64(lit(t)), lit(nBuckets)).cast("long"))
+    idx.where(bucketOf.map(col("tb") === _).reduce(_ || _))
+      .where(col("token").isin(terms: _*))
+  }
+
+  /** Conjunctive search: doc_ids containing EVERY term, with each
+    * term's tf pivoted to a column `tf_<i>` (query-term order). */
+  def searchAnd(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val exploded = probe(spark, indexPath, terms, nBuckets)
+      .select(col("token"), explode(col("posting")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"))
+    val termCol = terms.zipWithIndex
+      .map { case (t, i) => (t, s"tf_$i") }
+    val agg = exploded.groupBy("doc_id")
+      .pivot("token", terms)
+      .agg(first(col("tf")))
+    val renamed = termCol.foldLeft(agg) { case (df, (t, n)) =>
+      df.withColumnRenamed(t, n) }
+    renamed
+      .where(termCol.map { case (_, n) => col(n).isNotNull }
+        .reduce(_ && _))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.InvertedIndex
+import graft.pipeline.Metrics
+
+/** Persisted inverted index: build, blocked postings, pruned probes
+  * (operators/InvertedIndex.scala). */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshIndex(blockSize: Long = 10000L): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString + "/index"
+    InvertedIndex.build(Tables.load(spark, sfDir, "documents"),
+      "doc_id", "text", p, blockSize = blockSize)
+    p
+  }
+
+  test("searchAnd equals a direct corpus scan, and posting blocks are " +
+      "bounded even for corpus-wide tokens") {
+    // blockSize=64 forces every frequent token into MANY bounded rows
+    val idx = freshIndex(blockSize = 64L)
+    val got = InvertedIndex.searchAnd(spark, idx, Seq("spark", "vector"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val want = docs.select($"doc_id",
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> x = 'spark')"))
+          .cast("long").as("a"),
+        size(expr("filter(split(trim(text), '\\\\s+'), x -> x = 'vector')"))
+          .cast("long").as("b"))
+      .where($"a" > 0 && $"b" > 0).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+    // no posting row exceeds the block bound
+    val maxPosting = spark.read.parquet(idx)
+      .select(max(size($"posting"))).first().getInt(0)
+    assert(maxPosting <= 64, s"posting block overflowed: $maxPosting")
+  }
+
+  test("a probe partition-prunes to the terms' hash buckets: fewer " +
+      "bytes than a full index scan, plan shows the partition filter") {
+    val idx = freshIndex()
+    val listener = Metrics.register(spark)
+    val probed = InvertedIndex.probe(spark, idx, Seq("spark"))
+    probed.collect()
+    val mProbe = listener.drainWhen(_.exists(_.bytesRead > 0))
+    spark.read.parquet(idx).collect()
+    val mFull = listener.drainWhen(_.exists(_.bytesRead > 0))
+    val (bProbe, bFull) =
+      (mProbe.map(_.bytesRead).max, mFull.map(_.bytesRead).max)
+    assert(bProbe < bFull,
+      s"probe read $bProbe bytes, full scan $bFull — no pruning")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("(tb#"),
+      s"expected a tb partition filter:\n$plan")
+  }
+
+  test("the corpus is never rescanned at query time") {
+    val idx = freshIndex()
+    val q = InvertedIndex.searchAnd(spark, idx, Seq("spark", "vector"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"query-time plan touches the corpus:\n$plan")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+import graft.plans.MvRewrite.MvCatalog
+
+/** Transparent materialized-view rewrite (plans/MvRewrite.scala). */
+class MvRewriteSpec extends SparkSpec {
+
+  private val factPath = s"$sfDir/lineitem.parquet"
+
+  private def freshView(): Unit = {
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft_mv_spec").toString + "/mv"
+    MvRewrite.createView(spark, "spec_mv", factPath, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      sumCols = Seq("l_quantity"),
+      minMaxCols = Seq("l_quantity"))
+    MvRewrite.install(spark)
+  }
+
+  private def rollup() =
+    spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(25,6)")).cast("double").as("s"),
+        count(lit(1)).cast("long").as("n"),
+        min(col("l_quantity")).as("mn"),
+        max(col("l_quantity")).as("mx"))
+      .orderBy("l_returnflag")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a coarser rollup over the fact path is re-pointed at the view " +
+      "and the results are bit-identical to the un-rewritten query") {
+    MvCatalog.clear()
+    val direct = rollup().collect() // catalog empty -> no rewrite
+    assert(plan(rollup()).contains("lineitem.parquet"))
+    freshView()
+    val rewritten = rollup()
+    val p = plan(rewritten)
+    assert(!p.contains("lineitem.parquet"),
+      s"fact table still scanned after rewrite:\n$p")
+    assert(p.contains("graft_mv_spec"), s"view not scanned:\n$p")
+    assert(rewritten.collect().toSeq == direct.toSeq)
+    // view-granularity grouping rewrites too
+    val fine = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    assert(!plan(fine).contains("lineitem.parquet"))
+  }
+
+  test("ineligible queries are left untouched: filters, distinct " +
+      "aggregates, unregistered measures, non-subset grouping") {
+    MvCatalog.clear(); freshView()
+    val filtered = spark.read.parquet(factPath)
+      .where(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(plan(filtered).contains("lineitem.parquet"),
+      "a filtered query must not use the unfiltered view")
+    val distinctAgg = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+    assert(plan(distinctAgg).contains("lineitem.parquet"))
+    val otherMeasure = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(25,6)")).as("s"))
+    assert(plan(otherMeasure).contains("lineitem.parquet"),
+      "a measure outside the registered set must not rewrite")
+    val otherGroup = spark.read.parquet(factPath)
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("n"))
+    assert(plan(otherGroup).contains("lineitem.parquet"))
+    // double-sum (non-decimal) must NOT rewrite: float re-association
+    val floatSum = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(plan(floatSum).contains("lineitem.parquet"))
+  }
+
+  test("other tables and joins are never touched by the rule") {
+    MvCatalog.clear(); freshView()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    assert(plan(orders).contains("orders.parquet"))
+    val joined = spark.read.parquet(factPath)
+      .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(plan(joined).contains("lineitem.parquet"))
+  }
+}
