@@ -483,6 +483,82 @@ object QueriesVector {
   // replay (same fold for the norm, same floor, same integer sums) is
   // hash-exact on the quantized answer itself.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // Product-quantization ANN (operators/Pq.scala): 8 subspaces × 16
+  // codes, ADC scoring through broadcast per-query lookup tables,
+  // exact-cosine rescoring of the 100-deep shortlist. FULL-replay
+  // oracle in the sim_ivf_topk style: the codebook is a deterministic
+  // slice (vec_id < 16) so DuckDB re-derives the whole approximate
+  // path — subspace argmin codes, lookup tables, approx ranking,
+  // shortlist cut, exact rescore — and the compare is hash-exact on
+  // the APPROXIMATE answer, misses included (this synthetic corpus's
+  // neighbors sit at the noise floor, so recall itself is data-bound;
+  // what the gate pins is that the PQ pipeline computes exactly what
+  // it claims). All distances/dots are left-to-right double folds in
+  // both engines. The production hash-sampled codebook stays covered
+  // by PqSpec.
+  // -------------------------------------------------------------------
+  def simPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cb = graft.operators.Pq.codebookFrom(
+      emb.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("vec")),
+      dim = 64, m = 8)
+    val enc = graft.operators.Pq.encode(corpus, cb, dim = 64, m = 8)
+    graft.operators.Pq.topK(enc, queries, cb, dim = 64, m = 8,
+      kCodes = 16, k = 5, shortlist = 100)
+      .orderBy("qid", "rank")
+  }
+
+  val simPqTopkSql: String = {
+    def dot64(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+       |subs AS (SELECT unnest(range(0, 8)) AS sub),
+       |cb AS (SELECT sub, id AS cid,
+       |  list_transform(range(sub*8 + 1, sub*8 + 9),
+       |                 i -> CAST(vec[i] AS DOUBLE)) AS cvec
+       | FROM e, subs WHERE id < 16),
+       |dists AS (SELECT x.id, c.sub, c.cid,
+       |  list_sum(list_transform(range(1, 9),
+       |    i -> (c.cvec[i] - CAST(x.vec[c.sub*8 + i] AS DOUBLE))
+       |       * (c.cvec[i] - CAST(x.vec[c.sub*8 + i] AS DOUBLE)))) AS d
+       | FROM e x CROSS JOIN cb c),
+       |codes AS (SELECT id, list(cid ORDER BY sub) AS codes FROM (
+       |  SELECT id, sub, cid, row_number() OVER (PARTITION BY id, sub
+       |    ORDER BY d ASC, cid ASC) AS rn FROM dists) WHERE rn = 1
+       | GROUP BY id),
+       |nr AS (SELECT id, sqrt(${dot64("vec", "vec")}) AS nrm FROM e),
+       |q AS (SELECT id AS qid, vec AS qvec FROM e WHERE id < 8),
+       |qt AS (SELECT qid, list(dotv ORDER BY sub, cid) AS qt FROM (
+       |  SELECT q.qid, c.sub, c.cid,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> c.cvec[i] * CAST(q.qvec[c.sub*8 + i] AS DOUBLE))) AS dotv
+       |  FROM q CROSS JOIN cb c) GROUP BY qid),
+       |ap AS (SELECT qt.qid, cd.id,
+       |  list_sum(list_transform(range(0, 8),
+       |    s -> qt.qt[s*16 + cd.codes[s + 1] + 1]))
+       |  / nullif(nr.nrm, 0.0) AS approx
+       | FROM codes cd CROSS JOIN qt JOIN nr ON nr.id = cd.id
+       | WHERE qt.qid <> cd.id),
+       |sl AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |   ORDER BY approx DESC, id ASC) AS srank FROM ap),
+       |ex AS (SELECT s.qid, s.id,
+       |  round(${dot64("q.qvec", "x.vec")}
+       |        / (sqrt(${dot64("q.qvec", "q.qvec")})
+       |           * sqrt(${dot64("x.vec", "x.vec")})), 6) AS cosine
+       | FROM sl s JOIN q ON q.qid = s.qid JOIN e x ON x.id = s.id
+       | WHERE s.srank <= 100),
+       |r AS (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid
+       |   ORDER BY cosine DESC, id ASC) AS rank FROM ex)
+       |SELECT qid, id, cosine, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def simQuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -579,6 +655,7 @@ object QueriesVector {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_label_eval" -> (knnLabelEval _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
+    "sim_pq_topk" -> (simPqTopk _),
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -598,6 +675,7 @@ object QueriesVector {
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql, // full replay: see simIvfTopk notes
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
+    "sim_pq_topk" -> simPqTopkSql, // full replay: see simPqTopk notes
     "sim_cosine_pairs" -> simCosinePairsExactSql,
     "sim_lsh_pairs" -> simLshPairsSql,
     "sim_lsh_incremental" -> simLshIncrementalSql,
