@@ -236,13 +236,65 @@ object QueriesCorpus {
        |SELECT doc_id, tf_0, tf_1 FROM d
        |WHERE tf_0 > 0 AND tf_1 > 0 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Heavy hitters (tokens above 2% of corpus mass) via sample-then-
+  // verify: a content-addressed 1/8 occurrence sample nominates
+  // candidates at HALF the scaled threshold (slack 2), then a second
+  // pass counts ONLY the candidates exactly and applies the exact
+  // integer cut (cnt*50 >= total). Reported counts are exact; the
+  // sample can only cost recall, and with ≥4σ of slack at the
+  // threshold it deterministically doesn't on this corpus — the same
+  // "probabilistic blocker, exact verify, oracle pins recall" contract
+  // as the MinHash dedup family.
+  //
+  // 100 TB shape: phase 1 shuffles an eighth of the occurrence mass
+  // (map-side combined); phase 2's shuffle is bounded by candidate
+  // occurrences (heavy tokens only). The exact baseline shuffles every
+  // distinct token — the win grows with tail cardinality (web-scale
+  // n-grams), which is exactly when heavy-hitter queries matter. The
+  // corpus-total is a pinned 1-row aggregate; nothing collects.
+  // -------------------------------------------------------------------
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Par.widen(Tables.load(spark, dir, "documents"))
+    val toks = docs.select(posexplode(
+        TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "g")),
+        col("doc_id"))
+    val total = Par.pinLocal(toks.agg(count(lit(1)).as("total")))
+    val cand = toks
+      .where(pmod(xxhash64(col("doc_id"), col("pos"), col("g")), lit(8))
+        === 0)
+      .groupBy("g").agg(count(lit(1)).as("sc"))
+      .crossJoin(broadcast(total))
+      // est*2 >= total/50  ⇔  sc*8*2*50 >= total
+      .where(col("sc") * 800 >= col("total"))
+      .select("g")
+    toks.join(broadcast(cand), "g")
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * 50 >= col("total"))
+      .select(col("g"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double"))
+          .as("frac"))
+      .orderBy("g")
+  }
+
+  val heavyHittersSql: String =
+    """WITH tok AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS g
+      | FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
+      |t AS (SELECT count(*) AS total FROM tok),
+      |c AS (SELECT g, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT g, cnt, CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS frac
+      |FROM c, t WHERE cnt * 50 >= t.total ORDER BY g""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "boilerplate_strip" -> (boilerplateStrip _),
     "decontaminate" -> (decontaminate _),
     "bm25_topk" -> (bm25TopK _),
     "search_and" -> (searchAnd _))
 
   val oracles: Map[String, String] = Map(
+    "heavy_hitters" -> heavyHittersSql,
     "boilerplate_strip" -> boilerplateStripSql,
     "decontaminate" -> decontaminateSql,
     "bm25_topk" -> bm25TopKSql,

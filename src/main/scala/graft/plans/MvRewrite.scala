@@ -79,6 +79,25 @@ object MvRewrite {
     fact.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
+    registerView(spark, name, factPath, mvPath, groupCols, sumCols,
+      minMaxCols)
+  }
+
+  /** Register an EXTERNALLY-maintained view for rewriting, without
+    * rebuilding it from the fact — the seam for incremental upkeep:
+    * maintain the view's mergeable state with
+    * [[graft.operators.MaterializedAgg]] (delta-sized work per batch),
+    * publish it in this layout (`cnt`, `sum_<c>` DECIMAL(25,6),
+    * `min_<c>`/`max_<c>`), then re-register after each refresh.
+    * Registration asserts freshness exactly as [[createView]] does. */
+  def registerView(
+      spark: SparkSession,
+      name: String,
+      factPath: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String]): Unit = {
     val key = factKeyOf(spark.read.parquet(factPath).queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"$factPath did not plan as a single file-source relation"))

@@ -78,6 +78,57 @@ class MvRewriteSpec extends SparkSpec {
     assert(plan(floatSum).contains("lineitem.parquet"))
   }
 
+  test("an incrementally-maintained view (MaterializedAgg state merge, " +
+      "no fact rescan) serves rewrites bit-identically after the fact " +
+      "grows") {
+    import graft.operators.MaterializedAgg
+    MvCatalog.clear()
+    val dirRoot = java.nio.file.Files
+      .createTempDirectory("graft_mv_inc").toString
+    val (fact, mv) = (s"$dirRoot/fact", s"$dirRoot/mv")
+    val li = spark.read.parquet(factPath)
+    val base = li.where(col("l_orderkey") % 5 =!= 0)
+    val delta = li.where(col("l_orderkey") % 5 === 0)
+    base.write.parquet(fact)
+    val keys = Seq("l_returnflag")
+    val vals = Seq("l_quantity")
+
+    def publish(state: org.apache.spark.sql.DataFrame): Unit = {
+      state.select(col("l_returnflag"), col("mv_n").as("cnt"),
+          col("mv_sum_l_quantity").cast("decimal(25,6)")
+            .as("sum_l_quantity"),
+          col("mv_min_l_quantity").as("min_l_quantity"),
+          col("mv_max_l_quantity").as("max_l_quantity"))
+        .write.mode("overwrite").parquet(mv)
+      MvRewrite.registerView(spark, "inc_mv", fact, mv, keys, vals, vals)
+    }
+    def query() = spark.read.parquet(fact)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).cast("double")
+        .as("s"), count(lit(1)).cast("long").as("n"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"))
+      .orderBy("l_returnflag")
+
+    val s1 = MaterializedAgg.state(base, keys, vals).cache()
+    publish(s1); MvRewrite.install(spark)
+    assert(!plan(query()).contains("/fact"), "v1 rewrite missed")
+    val v1 = query().collect()
+
+    // the fact grows; the view refreshes by MERGING the delta's state —
+    // the base is never rescanned
+    delta.write.mode("append").parquet(fact)
+    publish(MaterializedAgg.merge(keys, vals, s1,
+      MaterializedAgg.state(delta, keys, vals)))
+    val served = query()
+    assert(!plan(served).contains("/fact"), "v2 rewrite missed")
+    val got = served.collect()
+    MvCatalog.clear() // direct recompute over the grown fact
+    val want = query().collect()
+    assert(got.toSeq == want.toSeq,
+      "incrementally-refreshed view diverged from direct recompute")
+    assert(got.toSeq != v1.toSeq, "delta should have changed the answer")
+  }
+
   test("other tables and joins are never touched by the rule") {
     MvCatalog.clear(); freshView()
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
