@@ -348,7 +348,7 @@ object QueriesAnalytics {
       sumCols = Seq("l_quantity", "l_extendedprice"),
       minMaxCols = Seq("l_quantity"))
     MvRewrite.install(spark)
-    spark.read.parquet(factPath)
+    val served = spark.read.parquet(factPath)
       .groupBy(col("l_returnflag"))
       .agg(
         sum(col("l_quantity").cast("decimal(25,6)")).cast("double")
@@ -359,6 +359,13 @@ object QueriesAnalytics {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
+    // materialize the rewritten answer NOW, then de-register: the
+    // registration maps this session-shared fact path to a temp-dir
+    // view, and leaving it installed would let LATER queries in the
+    // same session be served from a snapshot they know nothing about
+    val out = Par.pinLocal(served)
+    graft.plans.MvRewrite.MvCatalog.clear()
+    out
   }
 
   val mvRewriteSql: String =

@@ -42,12 +42,8 @@ object QueriesCorpus {
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Par.widen(Tables.load(spark, dir, "documents"))
     val seg = docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), posexplode(expr(
-        """CASE WHEN size(ts) = 0 THEN array()
-          |ELSE transform(sequence(0, cast(ceil(size(ts) / 10.0) as int) - 1),
-          |               i -> concat_ws(' ', slice(ts, i * 10 + 1, 10)))
-          |END""".stripMargin)))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.chunkTokens(col("text"), 10, 0)))
       .withColumnRenamed("col", "seg")
     val cnt = seg.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -99,12 +95,8 @@ object QueriesCorpus {
       .select(col("doc_id"),
         (FingerprintExpr.fingerprint(coalesce(col("text"), lit(""))) % 100 < 90)
           .as("is_train"),
-        TextFunctions.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("is_train"), explode(expr(
-        """array_distinct(CASE WHEN size(ts) < 5 THEN array()
-          |ELSE transform(sequence(1, size(ts) - 4),
-          |               j -> concat_ws(' ', slice(ts, j, 5))) END)"""
-          .stripMargin)).as("g"))
+        explode(array_distinct(
+          TextFunctions.wordNgrams(col("text"), 5))).as("g"))
     val ev = g.filter(!col("is_train")).select("g").distinct()
     g.filter(col("is_train"))
       .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("g"), "left")
@@ -279,7 +271,8 @@ object QueriesCorpus {
   }
 
   val heavyHittersSql: String =
-    """WITH tok AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS g
+    """WITH tok AS (SELECT unnest(str_split_regex(
+      |   regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS g
       | FROM documents WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''),
       |t AS (SELECT count(*) AS total FROM tok),
       |c AS (SELECT g, count(*) AS cnt FROM tok GROUP BY 1)

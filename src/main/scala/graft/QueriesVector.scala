@@ -510,7 +510,7 @@ object QueriesVector {
       dim = 64, m = 8)
     val enc = graft.operators.Pq.encode(corpus, cb, dim = 64, m = 8)
     graft.operators.Pq.topK(enc, queries, cb, dim = 64, m = 8,
-      kCodes = 16, k = 5, shortlist = 100)
+      k = 5, shortlist = 100)
       .orderBy("qid", "rank")
   }
 

@@ -81,25 +81,27 @@ object InvertedIndex {
   }
 
   /** Conjunctive search: doc_ids containing EVERY term, with each
-    * term's tf pivoted to a column `tf_<i>` (query-term order). */
+    * term's tf in column `tf_<i>` (query-term order). Positional
+    * conditional aggregation, not `pivot`: a term that happens to
+    * collide with a column name ("doc_id") or another term must not
+    * be able to break name resolution. */
   def searchAnd(
       spark: SparkSession,
       indexPath: String,
       terms: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
     val exploded = probe(spark, indexPath, terms, nBuckets)
       .select(col("token"), explode(col("posting")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"))
-    val termCol = terms.zipWithIndex
-      .map { case (t, i) => (t, s"tf_$i") }
-    val agg = exploded.groupBy("doc_id")
-      .pivot("token", terms)
-      .agg(first(col("tf")))
-    val renamed = termCol.foldLeft(agg) { case (df, (t, n)) =>
-      df.withColumnRenamed(t, n) }
-    renamed
-      .where(termCol.map { case (_, n) => col(n).isNotNull }
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      first(when(col("token") === lit(t), col("tf")), ignoreNulls = true)
+        .as(s"tf_$i")
+    }
+    exploded.groupBy("doc_id")
+      .agg(tfCols.head, tfCols.tail: _*)
+      .where(terms.indices.map(i => col(s"tf_$i").isNotNull)
         .reduce(_ && _))
       .orderBy("doc_id")
   }

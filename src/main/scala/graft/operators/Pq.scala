@@ -106,7 +106,6 @@ object Pq {
       codebook: DataFrame,
       dim: Int,
       m: Int,
-      kCodes: Int, // codebook centroids per subspace
       k: Int,
       shortlist: Int): DataFrame = {
     require(shortlist >= k, "shortlist must cover k")
@@ -124,11 +123,15 @@ object Pq {
       .where(!(col("qid") <=> col("id")))
       // approx cosine: quantized numerator over the EXACT stored norm
       // (ranking by raw ADC dot would systematically mis-rank
-      // unnormalized corpora however good the codebook is)
+      // unnormalized corpora however good the codebook is). The
+      // per-subspace code count is derived from the table itself
+      // (size(qt) div m) — a caller-supplied count could silently
+      // misindex the flat table.
       .withColumn("approx", expr(
         s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
-           |  (acc, s) -> acc +
-           |    element_at(qt, s * $kCodes + element_at(codes, s + 1) + 1))
+           |  (acc, s) -> acc + element_at(qt, cast(
+           |    s * (size(qt) div $m) + element_at(codes, s + 1) + 1
+           |    as int)))
            |/ nullif(nrm, 0.0)""".stripMargin))
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("id").asc)

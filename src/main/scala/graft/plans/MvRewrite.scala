@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -42,13 +42,18 @@ object MvRewrite {
 
   /** Registered view: fact root path (canonical FileIndex form) →
     * (view parquet path, grouping columns, summed columns, min/max
-    * columns). */
+    * columns, and the view's analyzed relation — resolved ONCE at
+    * registration so the rule's bail-out path never pays file listing
+    * or schema inference inside the optimizer; each rewrite embeds a
+    * fresh `newInstance()` so two rewrites in one plan cannot collide
+    * on attribute ids). */
   final case class MvDef(
       name: String,
       mvPath: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      minMaxCols: Seq[String])
+      minMaxCols: Seq[String],
+      relation: LogicalRelation)
 
   object MvCatalog {
     private val views = new ConcurrentHashMap[String, MvDef]()
@@ -73,7 +78,12 @@ object MvRewrite {
     val aggs =
       (count(lit(1)).as("cnt") +:
         sumCols.map(c =>
-          sum(col(c).cast(DecimalType(25, 6))).as(s"sum_$c"))) ++
+          // partial sums re-cast to the (25,6) layout contract so the
+          // rewritten Sum's result type equals the original query's
+          // (sum over (25,6) → (35,6) both ways); an overflowing
+          // partial errors loudly under ANSI, never silently
+          sum(col(c).cast(DecimalType(25, 6))).cast(DecimalType(25, 6))
+            .as(s"sum_$c"))) ++
         minMaxCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     fact.groupBy(groupCols.map(col): _*)
@@ -101,7 +111,20 @@ object MvRewrite {
     val key = factKeyOf(spark.read.parquet(factPath).queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"$factPath did not plan as a single file-source relation"))
-    MvCatalog.register(key, MvDef(name, mvPath, groupCols, sumCols, minMaxCols))
+    val rel = spark.read.parquet(mvPath).queryExecution.analyzed match {
+      case lr: LogicalRelation => lr
+      case other => throw new IllegalArgumentException(
+        s"$mvPath did not plan as a LogicalRelation: ${other.getClass}")
+    }
+    for (c <- sumCols) {
+      val f = rel.schema(s"sum_$c")
+      require(f.dataType == DecimalType(25, 6),
+        s"view $name: sum_$c must be DECIMAL(25,6) (the layout contract" +
+          s" — rewritten Sum result types must match the original), " +
+          s"got ${f.dataType}")
+    }
+    MvCatalog.register(key,
+      MvDef(name, mvPath, groupCols, sumCols, minMaxCols, rel))
   }
 
   /** Install the rewrite rule on the session (idempotent). */
@@ -138,8 +161,9 @@ object MvRewrite {
       }
 
     private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-      val spark = SparkSession.active
-      val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+      // fresh attribute ids per rewrite: two rewritten aggregates in
+      // one plan must not share output ids
+      val mvPlan = mv.relation.newInstance()
       val mvAttr: Map[String, Attribute] =
         mvPlan.output.map(a => a.name -> a).toMap
 
@@ -156,7 +180,8 @@ object MvRewrite {
           case _ => None
         }
         case c: Count => c.children match {
-          case Seq(Literal(_, _)) => Some(Sum(mvAttr("cnt")))
+          // non-null literal only: count(NULL) is 0, not the row count
+          case Seq(Literal(v, _)) if v != null => Some(Sum(mvAttr("cnt")))
           case _ => None
         }
         case m: Min => m.child match {
@@ -178,7 +203,15 @@ object MvRewrite {
       // partially-matching query is never half-rewritten.
       def rw(e: Expression): Option[Expression] = e match {
         case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-          aggFn(ae.aggregateFunction).map(f => ae.copy(aggregateFunction = f))
+          aggFn(ae.aggregateFunction).map { f =>
+            val repl = ae.copy(aggregateFunction = f)
+            ae.aggregateFunction match {
+              // a GLOBAL count over an empty fact (hence empty view)
+              // must stay 0 — Sum over zero rows is NULL
+              case _: Count => Coalesce(Seq(repl, Literal(0L)))
+              case _ => repl
+            }
+          }
         case _: AggregateExpression => None
         case a: AttributeReference =>
           if (mv.groupCols.contains(a.name)) mvAttr.get(a.name) else None

@@ -58,6 +58,20 @@ class InvertedIndexSpec extends SparkSpec {
       s"expected a tb partition filter:\n$plan")
   }
 
+  test("a query term colliding with an output column name cannot " +
+      "break resolution (positional tf columns, no pivot)") {
+    val idx = freshIndex()
+    // 'doc_id' is a plausible corpus token; here it simply matches no
+    // postings — the query must return empty, not throw on duplicate
+    // column names
+    val out = InvertedIndex.searchAnd(spark, idx, Seq("doc_id", "spark"))
+    assert(out.columns.toSeq == Seq("doc_id", "tf_0", "tf_1"))
+    assert(out.count() == 0L)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.searchAnd(spark, idx, Seq("spark", "spark"))
+    }
+  }
+
   test("the corpus is never rescanned at query time") {
     val idx = freshIndex()
     val q = InvertedIndex.searchAnd(spark, idx, Seq("spark", "vector"))

@@ -129,6 +129,36 @@ class MvRewriteSpec extends SparkSpec {
     assert(got.toSeq != v1.toSeq, "delta should have changed the answer")
   }
 
+  test("count(NULL) stays 0 per group, and a global count over an " +
+      "EMPTY fact stays 0 through the rewrite") {
+    MvCatalog.clear(); freshView()
+    // count of an always-null expression is 0, not the row count.
+    // Catalyst usually constant-folds it away before this rule runs
+    // (leaving a groups-only aggregate that rewrites legitimately);
+    // whichever path planned it, the VALUES must stay 0 — the rule's
+    // own non-null-literal guard covers orderings where the fold
+    // hasn't happened yet
+    val nullCount = spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag")).agg(count(lit(null)).as("n"))
+    assert(nullCount.collect().forall(_.getLong(1) == 0L),
+      "count(NULL) must be 0 per group")
+    // empty fact: Sum over the empty view is NULL; the rewritten
+    // global count must still be 0
+    MvCatalog.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mv_empty").toString
+    val (ef, emv) = (s"$dir/fact", s"$dir/mv")
+    spark.read.parquet(factPath).where(lit(false)).write.parquet(ef)
+    MvRewrite.createView(spark, "empty_mv", ef, emv,
+      groupCols = Seq("l_returnflag"), sumCols = Seq("l_quantity"),
+      minMaxCols = Nil)
+    val cnt = spark.read.parquet(ef).agg(count(lit(1)).cast("long").as("n"))
+    assert(!plan(cnt).contains("/fact"), "global count should rewrite")
+    assert(cnt.first().getLong(0) == 0L,
+      "rewritten count over an empty fact must be 0, not NULL")
+    MvCatalog.clear()
+  }
+
   test("other tables and joins are never touched by the rule") {
     MvCatalog.clear(); freshView()
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -43,7 +43,7 @@ class PqSpec extends SparkSpec {
     val cb = Pq.codebook(c, dim = 64, m = 8, k = 16)
     val enc = Pq.encode(c, cb, dim = 64, m = 8)
     val n = c.count().toInt
-    val pq = Pq.topK(enc, queries(), cb, dim = 64, m = 8, kCodes = 16,
+    val pq = Pq.topK(enc, queries(), cb, dim = 64, m = 8,
       k = 5, shortlist = n)
       .orderBy("qid", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
