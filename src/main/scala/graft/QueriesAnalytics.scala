@@ -375,7 +375,126 @@ object QueriesAnalytics {
       | count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // GROUPING SETS — the general form behind rollup/cube (both already
+  // covered): three explicit granularities in ONE pass via Catalyst's
+  // Expand, not three scans. Data statuses/priorities are non-null, so
+  // output NULLs unambiguously mark rolled-up levels.
+  // -------------------------------------------------------------------
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(1) AS n,
+        | sum(cast(floor(o_totalprice * 100) as bigint)) AS cents
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | count(1) AS n,
+      | CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      .stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-user EWMA (alpha = 0.5) over event values in time order — the
+  // decayed-average feature of behavioral pipelines. The fold runs
+  // over each user's TS-ORDERED COLLECTED ARRAY (sort_array of
+  // (ts, id, v) structs), because array folds are left-to-right in
+  // both engines; a windowed running aggregate would be at the mercy
+  // of the engine's internal evaluation order (DuckDB's segment trees
+  // re-associate float sums). One shuffle on user_id; per-user arrays
+  // are session-sized. Dyadic alpha keeps every decay weight an exact
+  // double.
+  // -------------------------------------------------------------------
+  def ewmaUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Par.widen(Tables.load(spark, dir, "events"))
+    ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), // micro ticks, not cast-to-seconds
+        col("value").cast("double").as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        expr(
+          """aggregate(
+            |  sort_array(collect_list(struct(tsu, event_id, v))),
+            |  cast(0.0 as double),
+            |  (acc, e) -> acc * 0.5 + e.v * 0.5)""".stripMargin)
+          .as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val ewmaUserSql: String =
+    """SELECT user_id, count(*) AS n,
+      | list_reduce(
+      |   list_prepend(CAST(0.0 AS DOUBLE),
+      |     list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id)),
+      |   (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Exact-sums Pearson correlation per group: Spark's corr() merges
+  // float moments in partition order (results drift with parallelism);
+  // here the five sufficient statistics are EXACT integer/decimal sums
+  // (values in cents, cross/square terms through DECIMAL(38,0)), so
+  // the correlation is one deterministic double expression over exact
+  // inputs — identical at any parallelism, and replayable by the
+  // oracle. One partial-agg shuffle; nothing else.
+  // -------------------------------------------------------------------
+  def corrExact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Par.widen(Tables.load(spark, dir, "lineitem"))
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        expr(
+          """(cast(n as double) * cast(sxy as double)
+            | - cast(sx as double) * cast(sy as double))
+            |/ sqrt((cast(n as double) * cast(sxx as double)
+            |        - cast(sx as double) * cast(sx as double))
+            |       * (cast(n as double) * cast(syy as double)
+            |          - cast(sy as double) * cast(sy as double)))"""
+            .stripMargin).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
+  val corrExactSql: String =
+    """WITH b AS (SELECT l_returnflag,
+      |  CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+      |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      | FROM lineitem),
+      |s AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+      |  sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |  sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      | FROM b GROUP BY 1)
+      |SELECT l_returnflag, n,
+      | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      | / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "ewma_user" -> (ewmaUser _),
+    "corr_exact" -> (corrExact _),
     "mv_rewrite" -> (mvRewrite _),
     "gap_fill" -> (gapFill _),
     "dq_expectations" -> (dqExpectations _),
@@ -385,6 +504,9 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "ewma_user" -> ewmaUserSql,
+    "corr_exact" -> corrExactSql,
     "mv_rewrite" -> mvRewriteSql,
     "gap_fill" -> gapFillSql,
     "dq_expectations" -> dqExpectationsSql,

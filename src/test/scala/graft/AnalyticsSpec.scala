@@ -83,6 +83,38 @@ class AnalyticsSpec extends SparkSpec {
       s"expected supplier hubs on top, got ${a.map(_.getString(0)).toSeq}")
   }
 
+  test("grouping sets compute three granularities in one scan via " +
+      "Expand") {
+    val df = QueriesAnalytics.aggGroupingSets(spark, sfDir)
+    val rows = df.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val byStatus = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val fine = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1 && byStatus.nonEmpty && fine.nonEmpty)
+    assert(grand.head.getLong(2) == fine.map(_.getLong(2)).sum)
+    val plan = finalPlan(df)
+    assert(plan.contains("Expand"), "grouping sets should plan as Expand")
+    assert("orders\\.parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("ewma and corr are bit-identical at any parallelism (exact " +
+      "sufficient statistics / ordered-array folds)") {
+    val e1 = QueriesAnalytics.ewmaUser(spark, sfDir).collect()
+    val c1 = QueriesAnalytics.corrExact(spark, sfDir).collect()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(QueriesAnalytics.ewmaUser(spark, sfDir).collect()
+        .toSeq == e1.toSeq, "ewma drifted with parallelism")
+      assert(QueriesAnalytics.corrExact(spark, sfDir).collect()
+        .toSeq == c1.toSeq, "corr drifted with parallelism")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    c1.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+    }
+  }
+
   test("unpivotMetrics melts 4 measures through ONE scan (Expand), " +
       "not a 4-way self-union") {
     val df = QueriesAnalytics.unpivotMetrics(spark, sfDir)
