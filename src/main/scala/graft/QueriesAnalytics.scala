@@ -491,7 +491,49 @@ object QueriesAnalytics {
       |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Incremental distinct-count MV via mergeable HLL states
+  // (MaterializedAgg.distinctState/Merge/Finish): the base splits into
+  // disjoint batches whose sketch states MERGE register-exactly into
+  // the single-pass state — the lone classic aggregate with no exact
+  // mergeable form. The emitted row proves both halves of the
+  // contract: merged estimate == single-pass estimate (exact register
+  // identity, engine-side) and estimate within 5% of the true distinct
+  // count (sketch accuracy, oracle-side — the oracle emits the exact
+  // count and expects both flags TRUE).
+  // -------------------------------------------------------------------
+  def hllMvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg
+    val o = Par.widen(Tables.load(spark, dir, "orders"))
+      .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+    val keys = Seq("prio")
+    // three disjoint ingest batches, split on a key-derived residue
+    val parts = (0 until 3).map(r => o.where(pmod(col("o_custkey"), lit(3))
+      === r))
+    val merged = MaterializedAgg.distinctMerge(keys,
+      parts.map(MaterializedAgg.distinctState(_, keys, "o_custkey")): _*)
+    val single = MaterializedAgg.distinctState(o, keys, "o_custkey")
+      .withColumnRenamed("mv_hll", "hll_single")
+    val exact = o.groupBy("prio")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    MaterializedAgg.distinctFinish(merged)
+      .join(single, keys).join(exact, keys)
+      .select(col("prio"), col("n_exact"),
+        (col("n_est") === hll_sketch_estimate(col("hll_single")))
+          .as("merge_exact"),
+        (abs(col("n_est") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_5pct"))
+      .orderBy("prio")
+  }
+
+  val hllMvDistinctSql: String =
+    """SELECT o_orderpriority AS prio,
+      | count(DISTINCT o_custkey) AS n_exact,
+      | TRUE AS merge_exact, TRUE AS within_5pct
+      |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_mv_distinct" -> (hllMvDistinct _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "ewma_user" -> (ewmaUser _),
     "corr_exact" -> (corrExact _),
@@ -504,6 +546,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "hll_mv_distinct" -> hllMvDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "ewma_user" -> ewmaUserSql,
     "corr_exact" -> corrExactSql,

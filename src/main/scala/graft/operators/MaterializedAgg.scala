@@ -87,6 +87,38 @@ object MaterializedAgg {
   }
 
   // ---------------------------------------------------------------------
+  // DISTINCT-COUNT state: the one classic aggregate that has NO exact
+  // mergeable state (count(distinct) over a 100 TB base cannot keep the
+  // value set) — the standard answer is a sketch whose REGISTERS are
+  // mergeable. HLL register merge is max-per-register, so
+  // union(state(a), state(b)) has byte-identical registers to
+  // state(a ∪ b): the merge is deterministic and split-invariant (not
+  // just approximately right), only the final ESTIMATE is approximate.
+  // Estimate error at the default lgConfigK is ~1.6%; callers gate on
+  // their own tolerance (see the hll_mv_distinct oracle row).
+  // ---------------------------------------------------------------------
+
+  /** Mergeable distinct-count sketch state per group: keys ++ mv_hll. */
+  def distinctState(
+      df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(value)).as("mv_hll"))
+
+  /** Merge distinct-count states (associative, commutative,
+    * register-exact). */
+  def distinctMerge(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty)
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("mv_hll")).as("mv_hll"))
+  }
+
+  /** Present a distinct-count state as its estimate column `n_est`. */
+  def distinctFinish(state: DataFrame): DataFrame =
+    state.withColumn("n_est", hll_sketch_estimate(col("mv_hll")))
+      .drop("mv_hll")
+
+  // ---------------------------------------------------------------------
   // RETRACTABLE (CDC-aware) variant: counts and sums under ±1 weights,
   // so a normalized changelog (U expressed as D-old + I-new, see
   // Cdc.changelogSigned) updates the rollup under deletes and updates

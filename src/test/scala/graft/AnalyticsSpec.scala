@@ -115,6 +115,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("HLL distinct states merge split-invariantly: any partition of " +
+      "the base yields the single-pass estimate") {
+    import graft.operators.MaterializedAgg
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+    val single = MaterializedAgg.distinctFinish(
+      MaterializedAgg.distinctState(o, Seq("prio"), "o_custkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (ways <- Seq(2, 5)) {
+      val parts = (0 until ways).map(r =>
+        o.where(pmod(col("o_custkey"), lit(ways)) === r))
+      val merged = MaterializedAgg.distinctFinish(
+        MaterializedAgg.distinctMerge(Seq("prio"),
+          parts.map(MaterializedAgg.distinctState(_, Seq("prio"),
+            "o_custkey")): _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(merged == single, s"$ways-way merge drifted")
+    }
+  }
+
   test("unpivotMetrics melts 4 measures through ONE scan (Expand), " +
       "not a 4-way self-union") {
     val df = QueriesAnalytics.unpivotMetrics(spark, sfDir)
