@@ -532,7 +532,58 @@ object QueriesAnalytics {
       | TRUE AS merge_exact, TRUE AS within_5pct
       |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Format round-trip (sources/Sources.scala: JsonSource, OrcSource,
+  // CsvSource): the derived fact (integer-ized values and epoch ticks —
+  // JSON and CSV are lossy timestamp carriers, so timestamps travel as
+  // integers by design, see JsonSource scaladoc) is written to CSV,
+  // JSON-lines and ORC, read back through the declarative Source
+  // descriptors, and checksummed per format. All three rows must carry
+  // the SAME checksums, and the oracle recomputes them from the
+  // original table — a lossy writer/reader pair cannot hide.
+  // -------------------------------------------------------------------
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CsvSource, JsonSource, OrcSource}
+    import org.apache.spark.sql.types._
+    val base = Tables.load(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      floor(col("value") * 1e6).cast("long").as("value_u"),
+      (unix_micros(col("ts")) % 1000000007L).as("tsu_mod"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fmt").toString
+    base.write.option("header", "true").csv(s"$root/csv")
+    base.write.json(s"$root/json")
+    base.write.orc(s"$root/orc")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value_u", LongType), StructField("tsu_mod", LongType)))
+    val reads = Seq(
+      "csv" -> CsvSource(s"$root/csv", schema = Some(schema)).read(spark),
+      "json" -> JsonSource(s"$root/json", Some(schema)).read(spark),
+      "orc" -> OrcSource(s"$root/orc").read(spark))
+    reads.map { case (fmt, df) =>
+      df.agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("s_id"), sum(col("user_id")).as("s_uid"),
+        sum(col("value_u")).as("s_val"), sum(col("tsu_mod")).as("s_ts"))
+        .select(lit(fmt).as("format"), col("n"), col("s_id"),
+          col("s_uid"), col("s_val"), col("s_ts"))
+    }.reduce(_.unionByName(_)).orderBy("format")
+  }
+
+  val formatRoundtripSql: String =
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS s_id,
+      |  CAST(sum(user_id) AS BIGINT) AS s_uid,
+      |  CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS s_val,
+      |  CAST(sum(epoch_us(ts) % 1000000007) AS BIGINT) AS s_ts
+      | FROM events)
+      |SELECT f.format, s.n, s.s_id, s.s_uid, s.s_val, s.s_ts
+      |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), s
+      |ORDER BY format""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "format_roundtrip" -> (formatRoundtrip _),
     "hll_mv_distinct" -> (hllMvDistinct _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "ewma_user" -> (ewmaUser _),
@@ -546,6 +597,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "format_roundtrip" -> formatRoundtripSql,
     "hll_mv_distinct" -> hllMvDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "ewma_user" -> ewmaUserSql,

@@ -39,6 +39,27 @@ final case class CsvSource(
   }
 }
 
+/** JSON-lines scan. Schema should be DECLARED for production reads —
+  * inference costs an extra full pass and, for timestamp-bearing data,
+  * JSON is a lossy carrier (the default writer format truncates
+  * sub-millisecond precision); ship timestamps as integer epoch columns
+  * through JSON, or use a columnar format.
+  */
+final case class JsonSource(path: String, schema: Option[StructType] = None)
+    extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+}
+
+/** ORC columnar scan — same pushdown/pruning contract as parquet
+  * (PushedFilters / ReadSchema reach the stripe footers).
+  */
+final case class OrcSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** JDBC scan with generated SELECT from the table definition (reference:
   * jobs/raw/dl_rw_job.py:59-66,86-96). `numPartitions`+bounds enable
   * parallel extraction — the reference read single-threaded; at scale the

@@ -20,6 +20,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(df.count() == 0 && df.schema == schema)
   }
 
+  test("JsonSource and OrcSource round-trip a typed frame losslessly " +
+      "(schema declared for JSON — no inference pass)") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 10L), (2L, "b", -5L), (3L, "c\"quoted", 0L))
+      .toDF("id", "s", "v")
+    df.write.json(s"$dir/j")
+    df.write.orc(s"$dir/o")
+    val schema = df.schema
+    val j = graft.sources.JsonSource(s"$dir/j", Some(schema)).read(spark)
+    val o = graft.sources.OrcSource(s"$dir/o").read(spark)
+    // file reads are nullable; compare names+types
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(j.schema) == shape(schema) &&
+      shape(o.schema) == shape(schema))
+    val want = df.collect().map(_.toSeq).toSet
+    assert(j.collect().map(_.toSeq).toSet == want)
+    assert(o.collect().map(_.toSeq).toSet == want)
+  }
+
   test("parquet sink append + overwrite modes round-trip") {
     val dir = tmp() + "/t"
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
