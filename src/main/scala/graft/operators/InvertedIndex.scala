@@ -48,20 +48,48 @@ object InvertedIndex {
       textCol: String,
       indexPath: String,
       nBuckets: Int = DefaultBuckets,
-      blockSize: Long = DefaultBlockSize): Unit = {
+      blockSize: Long = DefaultBlockSize): Unit =
+    postings(docs, idCol, textCol, nBuckets, blockSize)
+      .write.mode("overwrite").partitionBy("tb").parquet(indexPath)
+
+  private def postings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+      blockSize: Long): DataFrame = {
     require(nBuckets >= 1 && blockSize >= 1, "nBuckets/blockSize >= 1")
-    val tf = docs
+    docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"))
-    tf.withColumn("block", expr(s"doc_id div ${blockSize}L"))
+      .withColumn("block", expr(s"doc_id div ${blockSize}L"))
       .groupBy("token", "block")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
         .as("posting"))
       .withColumn("tb", pmod(xxhash64(col("token")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tb").parquet(indexPath)
   }
+
+  /** Incrementally index a NEW batch of documents: compute the delta's
+    * posting blocks and APPEND them — O(batch) work, the existing index
+    * is never read or rewritten. Correct because posting rows are
+    * additive for disjoint documents: a token's postings may span many
+    * rows and probes explode them all; each (token, doc) pair lives in
+    * exactly one batch, so per-doc tfs never conflict. (Re-ingesting a
+    * CHANGED document needs the merge-on-read tombstone pattern of
+    * CowTable instead — out of scope for an append-only corpus index.)
+    * Same maintenance contract as Similarity.appendIndex: daily
+    * pipelines index deltas, not corpora. */
+  def append(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      nBuckets: Int = DefaultBuckets,
+      blockSize: Long = DefaultBlockSize): Unit =
+    postings(docs, idCol, textCol, nBuckets, blockSize)
+      .write.mode("append").partitionBy("tb").parquet(indexPath)
 
   /** Index frame filtered to `terms`' hash buckets (partition-pruned)
     * and rows. The bucket of each term is computed by SPARK

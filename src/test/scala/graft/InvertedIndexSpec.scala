@@ -72,6 +72,25 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: indexing a delta batch O(batch) serves " +
+      "searches identically to a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val delta = docs.where(col("doc_id") % 3 === 0)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_idx_inc").toString
+    InvertedIndex.build(base, "doc_id", "text", s"$p/inc")
+    InvertedIndex.append(delta, "doc_id", "text", s"$p/inc")
+    InvertedIndex.build(docs, "doc_id", "text", s"$p/full")
+    val got = InvertedIndex.searchAnd(spark, s"$p/inc",
+      Seq("spark", "vector")).collect().map(_.toSeq).toSeq
+    val want = InvertedIndex.searchAnd(spark, s"$p/full",
+      Seq("spark", "vector")).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      "appended index diverged from full rebuild")
+  }
+
   test("the corpus is never rescanned at query time") {
     val idx = freshIndex()
     val q = InvertedIndex.searchAnd(spark, idx, Seq("spark", "vector"))
