@@ -623,8 +623,11 @@ object QueriesAnalytics {
           .as("conf_ab"),
         (col("n_ab").cast("double") / col("n_b").cast("double"))
           .as("conf_ba"),
-        ((col("n_ab") * col("n_orders")).cast("double")
-          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        // operands cast BEFORE multiplying: long products of corpus-
+        // scale counts overflow int64 (ANSI would throw)
+        ((col("n_ab").cast("double") * col("n_orders").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
       .orderBy("pa", "pb")
   }
 
@@ -640,8 +643,8 @@ object QueriesAnalytics {
       |SELECT pa, pb, n_ab,
       | CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE) AS conf_ab,
       | CAST(n_ab AS DOUBLE) / CAST(fb2.n_item AS DOUBLE) AS conf_ba,
-      | CAST(n_ab * t.n_orders AS DOUBLE)
-      |   / CAST(fa.n_item * fb2.n_item AS DOUBLE) AS lift
+      | (CAST(n_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+      |   / (CAST(fa.n_item AS DOUBLE) * CAST(fb2.n_item AS DOUBLE)) AS lift
       |FROM pairs JOIN freq fa ON fa.p = pairs.pa
       |JOIN freq fb2 ON fb2.p = pairs.pb, t
       |ORDER BY pa, pb""".stripMargin

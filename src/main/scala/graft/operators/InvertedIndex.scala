@@ -41,16 +41,32 @@ object InvertedIndex {
   val DefaultBlockSize = 10000L
 
   /** Tokenize, count, block and persist the index. Multi-occurrence
-    * tokens collapse to (doc, tf); empty docs contribute nothing. */
+    * tokens collapse to (doc, tf); empty docs contribute nothing.
+    * The layout parameters are persisted under `_meta` (underscore
+    * prefix — invisible to partition discovery) and every later
+    * append/probe reads them from there: a caller cannot hand `append`
+    * a different bucket count than the build used and silently plant
+    * postings where pruned probes never look. */
   def build(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       indexPath: String,
       nBuckets: Int = DefaultBuckets,
-      blockSize: Long = DefaultBlockSize): Unit =
+      blockSize: Long = DefaultBlockSize): Unit = {
     postings(docs, idCol, textCol, nBuckets, blockSize)
       .write.mode("overwrite").partitionBy("tb").parquet(indexPath)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nBuckets, blockSize)).toDF("n_buckets", "block_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_meta")
+  }
+
+  /** The layout parameters the index was built with. */
+  def meta(spark: SparkSession, indexPath: String): (Int, Long) = {
+    val r = spark.read.parquet(s"$indexPath/_meta").head()
+    (r.getAs[Int]("n_buckets"), r.getAs[Long]("block_size"))
+  }
 
   private def postings(
       docs: DataFrame,
@@ -85,22 +101,23 @@ object InvertedIndex {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      indexPath: String,
-      nBuckets: Int = DefaultBuckets,
-      blockSize: Long = DefaultBlockSize): Unit =
+      indexPath: String): Unit = {
+    val (nBuckets, blockSize) = meta(docs.sparkSession, indexPath)
     postings(docs, idCol, textCol, nBuckets, blockSize)
       .write.mode("append").partitionBy("tb").parquet(indexPath)
+  }
 
   /** Index frame filtered to `terms`' hash buckets (partition-pruned)
     * and rows. The bucket of each term is computed by SPARK
     * (xxhash64 over a literal — same function instance the build side
-    * used), never reimplemented driver-side. */
+    * used) with the PERSISTED bucket count, never reimplemented
+    * driver-side or re-guessed by the caller. */
   def probe(
       spark: SparkSession,
       indexPath: String,
-      terms: Seq[String],
-      nBuckets: Int = DefaultBuckets): DataFrame = {
+      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
+    val (nBuckets, _) = meta(spark, indexPath)
     val idx = spark.read.parquet(indexPath)
     val bucketOf = terms.map(t =>
       pmod(xxhash64(lit(t)), lit(nBuckets)).cast("long"))
@@ -116,10 +133,9 @@ object InvertedIndex {
   def searchAnd(
       spark: SparkSession,
       indexPath: String,
-      terms: Seq[String],
-      nBuckets: Int = DefaultBuckets): DataFrame = {
+      terms: Seq[String]): DataFrame = {
     require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
-    val exploded = probe(spark, indexPath, terms, nBuckets)
+    val exploded = probe(spark, indexPath, terms)
       .select(col("token"), explode(col("posting")).as("p"))
       .select(col("token"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"))

@@ -26,14 +26,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * A hit reads the cached parquet and touches no source bytes
   * (spec-proved via MetricsListener and plan inspection). A miss
-  * computes, persists under `<root>/<key>/` (atomic via parquet's
-  * `_SUCCESS`), and serves the just-written copy so hit and miss paths
-  * return byte-identical frames. Concurrent misses of the same key
-  * both write the same content — last overwrite wins, both correct.
+  * computes into a private staging dir and renames it into
+  * `<root>/<key>/`; a concurrent miss that loses the rename discards
+  * its staging copy and serves the winner's (both computed the same
+  * content, and no writer can interleave inside another's directory).
   *
-  * Scope, stated plainly: plans containing non-file sources (JDBC,
-  * views over temp data) or non-deterministic expressions are REFUSED
-  * (fail-loud), not silently mis-cached.
+  * Scope, stated plainly: a plan with ANY non-file leaf — JDBC,
+  * LocalRelation (whose data the canonicalized plan string omits),
+  * views over temp data — or a non-deterministic expression is
+  * REFUSED (fail-loud), not silently mis-cached.
   */
 object ResultCache {
 
@@ -42,18 +43,26 @@ object ResultCache {
     val plan = df.queryExecution.optimizedPlan
     require(plan.deterministic,
       "refusing to cache a non-deterministic plan")
-    val relations = plan.collect { case lr: LogicalRelation => lr }
+    // EVERY leaf must be a file-backed relation: a LocalRelation's data
+    // is invisible in the canonicalized plan string, so letting one
+    // through (even alongside file sources) would let two queries over
+    // different local data share a key and serve each other's results
+    val leaves = plan.collectLeaves()
+    val relations = leaves.map {
+      case lr: LogicalRelation => lr
+      case other => throw new IllegalArgumentException(
+        s"refusing to cache a non-file source: ${other.getClass.getName}")
+    }
     require(relations.nonEmpty, "plan reads no file source — nothing to key on")
-    val spark = df.sparkSession
-    val hadoop = spark.sessionState.newHadoopConf()
     val inventory = relations.flatMap { lr =>
       lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.inputFiles.toSeq.sorted.map { p =>
-            val path = new Path(p)
-            val st = path.getFileSystem(hadoop).getFileStatus(path)
-            s"$p|${st.getLen}|${st.getModificationTime}"
-          }
+          // the FileIndex already holds cached statuses from the scan's
+          // own planning — no per-file getFileStatus round-trips
+          fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(st =>
+              s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+            .sorted: Seq[String]
         case other => throw new IllegalArgumentException(
           s"refusing to cache a non-file source: ${other.getClass.getName}")
       }
@@ -66,11 +75,24 @@ object ResultCache {
   }
 
   /** Serve `df` through the cache at `cacheRoot`: hit → read the
-    * cached parquet; miss → compute once, persist, serve the copy. */
+    * cached parquet; miss → compute into a private staging dir and
+    * RENAME into place, so two concurrent misses of the same key can
+    * never interleave inside one output directory (an in-place
+    * mode-overwrite would let writer A's prepare delete writer B's
+    * in-flight task files and then commit a mixed file set under
+    * `_SUCCESS`). Rename losing the race just discards its staging
+    * copy and serves the winner's — both computed the same content. */
   def through(df: DataFrame, cacheRoot: String): DataFrame = {
     val spark = df.sparkSession
     val dir = s"$cacheRoot/${fingerprint(df)}"
-    if (!isCommitted(spark, dir)) df.write.mode("overwrite").parquet(dir)
+    if (!isCommitted(spark, dir)) {
+      val staging = s"$dir.staging-${java.util.UUID.randomUUID()}"
+      df.write.parquet(staging)
+      val fs = new Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.rename(new Path(staging), new Path(dir)))
+        fs.delete(new Path(staging), true) // lost the race; winner serves
+    }
     spark.read.parquet(dir)
   }
 

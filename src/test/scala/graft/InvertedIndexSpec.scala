@@ -80,9 +80,11 @@ class InvertedIndexSpec extends SparkSpec {
     val delta = docs.where(col("doc_id") % 3 === 0)
     val p = java.nio.file.Files
       .createTempDirectory("graft_idx_inc").toString
-    InvertedIndex.build(base, "doc_id", "text", s"$p/inc")
+    // non-default layout: append and probe must take it from the
+    // persisted _meta, not re-guess defaults
+    InvertedIndex.build(base, "doc_id", "text", s"$p/inc", nBuckets = 8)
     InvertedIndex.append(delta, "doc_id", "text", s"$p/inc")
-    InvertedIndex.build(docs, "doc_id", "text", s"$p/full")
+    InvertedIndex.build(docs, "doc_id", "text", s"$p/full", nBuckets = 8)
     val got = InvertedIndex.searchAnd(spark, s"$p/inc",
       Seq("spark", "vector")).collect().map(_.toSeq).toSeq
     val want = InvertedIndex.searchAnd(spark, s"$p/full",

@@ -30,6 +30,13 @@ class ResultCacheSpec extends SparkSpec {
     assert(!plan.contains("orders.parquet"),
       s"hit still reads the source:\n$plan")
     assert(plan.contains("graft_rescache"))
+    // the hit's ENTIRE read (fingerprint inventory included) touched
+    // only cache bytes: far less than the source table's size
+    val hitBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
+      .map(_.bytesRead).max
+    val sourceBytes = new java.io.File(s"$sfDir/orders.parquet").length()
+    assert(hitBytes < sourceBytes,
+      s"hit read $hitBytes bytes vs source $sourceBytes")
   }
 
   test("logically identical but syntactically different queries share " +
