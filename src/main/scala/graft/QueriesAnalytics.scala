@@ -649,7 +649,52 @@ object QueriesAnalytics {
       |JOIN freq fb2 ON fb2.p = pairs.pb, t
       |ORDER BY pa, pb""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Mergeable-histogram percentile MV (MaterializedAgg.histState/
+  // Merge/Percentiles): the OTHER classic non-mergeable aggregate,
+  // carried as exact per-bucket integer counts whose merge is
+  // element-wise sum — split-invariant by construction, and unlike a
+  // sketch the interpolated estimate is a deterministic double
+  // expression over exact counts, so the oracle REPLAYS it bit-for-bit
+  // (no tolerance band needed). Three disjoint ingest batches merge
+  // into the p50/p95 of order totals per priority.
+  // -------------------------------------------------------------------
+  def histMvPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg
+    val (lo, hi, nb) = (0.0, 500000.0, 64)
+    val o = Par.widen(Tables.load(spark, dir, "orders"))
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice"))
+    val parts = (0 until 3).map(r =>
+      o.where(pmod(col("o_totalprice").cast("long"), lit(3)) === r))
+    val merged = MaterializedAgg.histMerge(Seq("prio"),
+      parts.map(MaterializedAgg.histState(_, Seq("prio"),
+        "o_totalprice", lo, hi, nb)): _*)
+    MaterializedAgg.histPercentiles(merged, Seq("prio"), lo, hi, nb,
+      Seq(0.5, 0.95))
+      .orderBy("prio", "p")
+  }
+
+  val histMvPercentileSql: String =
+    """WITH b AS (SELECT o_orderpriority AS prio,
+      |  CAST(least(greatest(floor((o_totalprice - 0.0) / 7812.5), 0.0),
+      |             63.0) AS INT) AS bk
+      | FROM orders WHERE o_totalprice IS NOT NULL),
+      |c AS (SELECT prio, bk, count(*) AS n FROM b GROUP BY 1, 2),
+      |cum AS (SELECT prio, bk, n,
+      |  sum(n) OVER (PARTITION BY prio ORDER BY bk) AS cum,
+      |  sum(n) OVER (PARTITION BY prio) AS tot FROM c),
+      |ps AS (SELECT unnest([0.5, 0.95]) AS p)
+      |SELECT prio, p, CAST(tot AS BIGINT) AS n_rows,
+      | 0.0 + 7812.5 * (CAST(bk AS DOUBLE)
+      |   + CAST(CAST(ceil(p * tot) AS BIGINT) - (cum - n) AS DOUBLE)
+      |     / CAST(n AS DOUBLE)) AS estimate
+      |FROM cum, ps
+      |WHERE cum >= CAST(ceil(p * tot) AS BIGINT)
+      |  AND (cum - n) < CAST(ceil(p * tot) AS BIGINT)
+      |ORDER BY prio, p""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
     "format_roundtrip" -> (formatRoundtrip _),
     "hll_mv_distinct" -> (hllMvDistinct _),
@@ -665,6 +710,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,
     "format_roundtrip" -> formatRoundtripSql,
     "hll_mv_distinct" -> hllMvDistinctSql,

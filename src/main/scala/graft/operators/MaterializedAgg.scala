@@ -119,6 +119,79 @@ object MaterializedAgg {
       .drop("mv_hll")
 
   // ---------------------------------------------------------------------
+  // PERCENTILE state: exact percentiles are the other classic
+  // non-mergeable aggregate (they need the sorted values). The
+  // mergeable form is a fixed-width HISTOGRAM of exact integer counts:
+  // merge = element-wise sum (associative, bit-exact), and the
+  // percentile ESTIMATE — linear interpolation inside the target
+  // bucket — is a deterministic double expression over those exact
+  // counts, so unlike a sketch the estimate is REPLAYABLE by the
+  // oracle and split-invariant by construction. Resolution is
+  // (hi-lo)/nBuckets; out-of-range values clamp into the edge buckets
+  // (callers pick bounds from domain knowledge or a profiling pass).
+  // ---------------------------------------------------------------------
+
+  /** Mergeable histogram state per group: keys ++ mv_hist
+    * (array<long>[nBuckets] of exact counts; NULL values excluded). */
+  def histState(
+      df: DataFrame, keys: Seq[String], value: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, "need hi > lo and nBuckets >= 1")
+    val w = (hi - lo) / nBuckets
+    val bk = least(greatest(
+      floor((col(value) - lit(lo)) / lit(w)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    val counts = (0 until nBuckets).map(i =>
+      sum(when(bk === i, 1L).otherwise(0L)))
+    df.where(col(value).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array(counts: _*).as("mv_hist"))
+  }
+
+  /** Merge histogram states element-wise (associative, exact). */
+  def histMerge(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty)
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(expr(
+        """aggregate(collect_list(mv_hist),
+          |  CAST(NULL AS ARRAY<BIGINT>),
+          |  (acc, h) -> CASE WHEN acc IS NULL THEN h
+          |              ELSE zip_with(acc, h, (a, b) -> a + b) END)"""
+          .stripMargin).as("mv_hist"))
+  }
+
+  /** Percentile estimates from a histogram state: one row per (group,
+    * requested p) with the interpolated estimate. The arithmetic is
+    * the SAME expression the oracle replays — rank target
+    * ceil(p·total), containing bucket by cumulative count, linear
+    * interpolation within it. */
+  def histPercentiles(
+      state: DataFrame, keys: Seq[String],
+      lo: Double, hi: Double, nBuckets: Int,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBuckets
+    val rows = state.select(keys.map(col) :+
+      posexplode(col("mv_hist")).as(Seq("bk", "n")): _*)
+    val win = Window.partitionBy(keys.map(col): _*).orderBy(col("bk"))
+    val cum = rows
+      .withColumn("cum", sum(col("n")).over(win))
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(keys.map(col): _*)))
+    val pdf = state.sparkSession
+      .createDataFrame(ps.map(Tuple1(_))).toDF("p")
+    cum.crossJoin(broadcast(pdf))
+      .withColumn("target", ceil(col("p") * col("tot")).cast("long"))
+      .where(col("cum") >= col("target") &&
+        (col("cum") - col("n")) < col("target"))
+      .select(keys.map(col) :+ col("p") :+ col("tot").as("n_rows") :+
+        (lit(lo) + lit(w) * (col("bk").cast("double") +
+          (col("target") - (col("cum") - col("n"))).cast("double")
+            / col("n").cast("double"))).as("estimate"): _*)
+  }
+
+  // ---------------------------------------------------------------------
   // RETRACTABLE (CDC-aware) variant: counts and sums under ±1 weights,
   // so a normalized changelog (U expressed as D-old + I-new, see
   // Cdc.changelogSigned) updates the rollup under deletes and updates

@@ -135,6 +135,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("histogram percentile states are split-invariant and the " +
+      "estimate lands within one bucket width of the exact percentile") {
+    import graft.operators.MaterializedAgg
+    val (lo, hi, nb) = (0.0, 500000.0, 64)
+    val w = (hi - lo) / nb
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice"))
+    def est(states: Seq[org.apache.spark.sql.DataFrame]) =
+      MaterializedAgg.histPercentiles(
+        MaterializedAgg.histMerge(Seq("prio"), states: _*),
+        Seq("prio"), lo, hi, nb, Seq(0.5, 0.95))
+        .orderBy("prio", "p").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val single = est(Seq(
+      MaterializedAgg.histState(o, Seq("prio"), "o_totalprice", lo, hi, nb)))
+    val fiveWay = est((0 until 5).map(r =>
+      MaterializedAgg.histState(
+        o.where(pmod(col("o_totalprice").cast("long"), lit(5)) === r),
+        Seq("prio"), "o_totalprice", lo, hi, nb)))
+    assert(single == fiveWay, "merge must be split-invariant")
+    // accuracy contract: estimate within one bucket width of exact
+    val exact = o.groupBy("prio").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .collect().flatMap(r => Seq(
+        (r.getString(0), 0.5) -> r.getDouble(1),
+        (r.getString(0), 0.95) -> r.getDouble(2))).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(single(k) - v) <= w,
+        s"$k: estimate ${single(k)} vs exact $v exceeds bucket width $w")
+    }
+  }
+
   test("unpivotMetrics melts 4 measures through ONE scan (Expand), " +
       "not a 4-way self-union") {
     val df = QueriesAnalytics.unpivotMetrics(spark, sfDir)
