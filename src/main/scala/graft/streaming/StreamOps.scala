@@ -221,6 +221,53 @@ object StreamOps {
       upsertBatch(batch, id, targetPath, keyCols, versionCol, evolveSchema)
     }
 
+  /** One micro-batch of the streaming MATERIALIZED-AGGREGATE refresh:
+    * merge the batch's mergeable state ([[graft.operators
+    * .MaterializedAgg]] — exact decimal sums/min/max, associative) into
+    * the snapshot-committed state table. [[upsertBatch]]'s replay
+    * contract verbatim: a committed snapshot at-or-past `batchId`
+    * means this batch is already folded in, so crash-replay is
+    * exactly-once — which is precisely the property an incrementally-
+    * maintained aggregate cannot live without (double-folding a batch
+    * would silently double its sums; the decimal state makes the
+    * correctly-folded result BIT-equal to a from-scratch recompute,
+    * spec-proved under a mid-stream crash in StreamingUpsertSpec).
+    * Serve the rollup with `MaterializedAgg.finish(read(stateDir))`,
+    * or register the finished view for [[graft.plans.MvRewrite]].
+    */
+  def mvBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String,
+      keys: Seq[String],
+      values: Seq[String]): Unit = {
+    import graft.operators.MaterializedAgg
+    import graft.sinks.SnapshotTarget
+    val spark = batch.sparkSession
+    if (SnapshotTarget.committedIds(spark, stateDir).exists(_ >= batchId))
+      return
+    val delta = MaterializedAgg.state(batch, keys, values)
+    val merged = SnapshotTarget.read(spark, stateDir)
+      .map(cur => MaterializedAgg.merge(keys, values, cur, delta))
+      .getOrElse(delta)
+    SnapshotTarget.commit(merged, stateDir, batchId)
+  }
+
+  /** Streaming materialized-aggregate sink: every micro-batch folds
+    * its state into the snapshot-versioned rollup at `stateDir` with
+    * delta-sized work — the streaming completion of the
+    * `mv_incremental` contract.
+    */
+  def mvSink(
+      updates: DataFrame,
+      stateDir: String,
+      keys: Seq[String],
+      values: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(updates, checkpoint) { (batch, id) =>
+      mvBatch(batch, id, stateDir, keys, values)
+    }
+
   /** One micro-batch of the streaming CDC apply — [[upsertBatch]]'s
     * skeleton (same snapshot commit/skip replay contract) with
     * [[graft.operators.Cdc.apply]] as the merge, so a streamed I/U/D
