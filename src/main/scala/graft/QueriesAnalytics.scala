@@ -693,7 +693,60 @@ object QueriesAnalytics {
       |  AND (cum - n) < CAST(ceil(p * tot) AS BIGINT)
       |ORDER BY prio, p""".stripMargin
 
+  // -------------------------------------------------------------------
+  // TPC-H Q1, the canonical pricing summary, faithful shape: returned/
+  // status grouping over shipped-before-cutoff lineitems with the
+  // three derived charge sums, three averages and a count. One scan,
+  // one partial-agg shuffle; sums via the associative decimal idiom,
+  // averages as double divisions of those exact sums (the engine-
+  // portable form of Q1's avg columns).
+  // -------------------------------------------------------------------
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def dsum(c: Column) = Queries.dsum(c)
+    val agg = li.where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        dsum(col("l_discount")).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+    agg.select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+        col("sum_charge"),
+        (col("sum_qty") / col("count_order").cast("double")).as("avg_qty"),
+        (col("sum_base_price") / col("count_order").cast("double"))
+          .as("avg_price"),
+        (col("sum_disc") / col("count_order").cast("double"))
+          .as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val tpchQ1Sql: String =
+    """WITH a AS (SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+      | CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc,
+      | count(*) AS count_order
+      | FROM lineitem WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+      | GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+      | sum_disc_price, sum_charge,
+      | sum_qty / CAST(count_order AS DOUBLE) AS avg_qty,
+      | sum_base_price / CAST(count_order AS DOUBLE) AS avg_price,
+      | sum_disc / CAST(count_order AS DOUBLE) AS avg_disc,
+      | count_order
+      |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> (tpchQ1 _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
     "format_roundtrip" -> (formatRoundtrip _),
@@ -710,6 +763,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "tpch_q1" -> tpchQ1Sql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,
     "format_roundtrip" -> formatRoundtripSql,
