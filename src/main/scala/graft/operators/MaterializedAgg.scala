@@ -132,18 +132,22 @@ object MaterializedAgg {
   // ---------------------------------------------------------------------
 
   /** Mergeable histogram state per group: keys ++ mv_hist
-    * (array<long>[nBuckets] of exact counts; NULL values excluded). */
+    * (array<long>[nBuckets] of exact counts). NULL *and NaN* values
+    * are excluded — floor(NaN) plus Spark's NaN-above-everything
+    * least/greatest would otherwise clamp NaNs silently into an edge
+    * bucket and skew every downstream percentile. */
   def histState(
       df: DataFrame, keys: Seq[String], value: String,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && hi > lo, "need hi > lo and nBuckets >= 1")
     val w = (hi - lo) / nBuckets
+    val v = col(value).cast("double")
     val bk = least(greatest(
-      floor((col(value) - lit(lo)) / lit(w)), lit(0.0)),
+      floor((v - lit(lo)) / lit(w)), lit(0.0)),
       lit((nBuckets - 1).toDouble)).cast("int")
     val counts = (0 until nBuckets).map(i =>
       sum(when(bk === i, 1L).otherwise(0L)))
-    df.where(col(value).isNotNull)
+    df.where(v.isNotNull && !isnan(v))
       .groupBy(keys.map(col): _*)
       .agg(array(counts: _*).as("mv_hist"))
   }
@@ -171,6 +175,12 @@ object MaterializedAgg {
       lo: Double, hi: Double, nBuckets: Int,
       ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // p = 0 would make the containing-bucket predicate unsatisfiable
+    // (rank target 0) and the group's row silently vanish — refuse
+    // instead; p=0's answer is the minimum, which a histogram cannot
+    // give exactly anyway
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must lie in (0, 1], got $ps")
     val w = (hi - lo) / nBuckets
     val rows = state.select(keys.map(col) :+
       posexplode(col("mv_hist")).as(Seq("bk", "n")): _*)

@@ -8,10 +8,18 @@ import org.apache.spark.sql.types._
   * given a reader's current schema and a producer's proposed one,
   * classify every change and say whether readers keep working.
   *
-  * BACKWARD compatibility (new data readable by code compiled against
-  * the old schema — the mode append-only lakes need):
-  *   - adding a nullable column: OK (old readers ignore it; old rows
-  *     read NULL through evolving sinks)
+  * The contract checked — stated precisely, because "backward" means
+  * different things in different ecosystems: the PROPOSED schema
+  * becomes the table schema, and it must (a) read every EXISTING file
+  * (new-reader/old-data, Avro's BACKWARD) and (b) keep the table
+  * grow-only (drops/renames flagged, matching CowTable's commit
+  * check) — the lake-table convention, where widenings are safe
+  * because old files upcast into the new schema on read. A
+  * static-typed consumer pinned to the OLD schema reading NEW files
+  * (FORWARD compatibility) is a different gate this checker does not
+  * claim to cover.
+  *   - adding a nullable column: OK (old rows read NULL through
+  *     evolving sinks)
   *   - widening a numeric type along the safe lattice
   *     byte→short→int→long and float→double, plus decimal growing to
   *     a strictly-containing (precision, scale): OK
@@ -95,9 +103,21 @@ object SchemaCompat {
       case (c, p) if c == p => Nil
       case (c: StructType, p: StructType) => diff(c, p, s"$path.")
       case (c: ArrayType, p: ArrayType) =>
-        typeDiff(c.elementType, p.elementType, s"$path[]")
+        // element-nullability narrowing breaks exactly like a struct
+        // field's nullable -> required
+        (if (c.containsNull && !p.containsNull)
+          Seq(Change(s"$path[]", "requiredness", breaking = true,
+            "array elements nullable -> required: existing NULL " +
+              "elements become invalid"))
+        else Nil) ++
+          typeDiff(c.elementType, p.elementType, s"$path[]")
       case (c: MapType, p: MapType) =>
-        typeDiff(c.keyType, p.keyType, s"$path{key}") ++
+        (if (c.valueContainsNull && !p.valueContainsNull)
+          Seq(Change(s"$path{value}", "requiredness", breaking = true,
+            "map values nullable -> required: existing NULL values " +
+              "become invalid"))
+        else Nil) ++
+          typeDiff(c.keyType, p.keyType, s"$path{key}") ++
           typeDiff(c.valueType, p.valueType, s"$path{value}")
       case (c, p) if isWidening(c, p) =>
         Seq(Change(path, "widened", breaking = false,

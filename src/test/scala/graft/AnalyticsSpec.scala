@@ -166,6 +166,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(single(k) - v) <= w,
         s"$k: estimate ${single(k)} vs exact $v exceeds bucket width $w")
     }
+    // NaN values are excluded from the state, not clamped into a bucket
+    val withNan = o.unionByName(spark.createDataFrame(Seq(
+      ("1-URGENT", Double.NaN))).toDF("prio", "o_totalprice"))
+    val cleanTotals = MaterializedAgg.histState(
+      withNan, Seq("prio"), "o_totalprice", lo, hi, nb)
+      .select(expr("aggregate(mv_hist, 0L, (a, x) -> a + x)")).collect()
+      .map(_.getLong(0)).sum
+    assert(cleanTotals == o.count(), "NaN leaked into the histogram")
+    // p outside (0,1] is refused, not silently dropped
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.histPercentiles(
+        MaterializedAgg.histState(o, Seq("prio"), "o_totalprice",
+          lo, hi, nb), Seq("prio"), lo, hi, nb, Seq(0.0))
+    }
   }
 
   test("unpivotMetrics melts 4 measures through ONE scan (Expand), " +

@@ -65,5 +65,15 @@ class SchemaCompatSpec extends AnyFunSuite {
       s(StructField("x", DecimalType(10, 4))),
       s(StructField("x", DecimalType(20, 2))))
     assert(!d.compatible && d.breaking.head.kind == "retyped")
+    // element/value nullability narrowing breaks like struct fields
+    val en = SchemaCompat.check(
+      s(StructField("a", ArrayType(LongType, containsNull = true)),
+        StructField("m", MapType(StringType, LongType,
+          valueContainsNull = true))),
+      s(StructField("a", ArrayType(LongType, containsNull = false)),
+        StructField("m", MapType(StringType, LongType,
+          valueContainsNull = false))))
+    assert(!en.compatible)
+    assert(en.breaking.map(_.path).sorted == Seq("a[]", "m{value}"))
   }
 }
