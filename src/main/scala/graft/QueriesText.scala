@@ -193,6 +193,113 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // METADATA-DRIVEN curation: per-language quality/repetition
+  // thresholds come from a POLICY TABLE, not code — the reference's
+  // defining idiom (its whole pipeline is driven by control-plane
+  // tables, commons/utilities.py) applied to corpus hygiene. A
+  // language with no policy row is dropped (explicit allow-list).
+  // Thresholds are integer micro-units so the gate compares longs,
+  // never floats; the policy side is broadcast (it is metadata-sized
+  // by definition), the corpus is gated map-side, and the only
+  // shuffle is the per-language report aggregate.
+  // -------------------------------------------------------------------
+  def curatePolicy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val policy = Seq(
+      ("en", 700000L, 300000L),
+      ("de", 600000L, 350000L),
+      ("fr", 650000L, 350000L)).toDF("lang", "min_q_u", "max_dup3_u")
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    val scored = docs.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang"),
+      floor(qualityScore(col("text")) * 1e6).cast("long").as("q_u"),
+      floor(dupNgramFraction(col("text"), 3) * 1e6).cast("long")
+        .as("dup3_u"),
+      tokenCount(col("text")).cast("long").as("toks"))
+    scored.join(broadcast(policy), Seq("lang"), "left")
+      .withColumn("keep", col("min_q_u").isNotNull &&
+        col("q_u") >= col("min_q_u") && col("dup3_u") <= col("max_dup3_u"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val curatePolicySql: String =
+    s"""WITH p(lang, min_q_u, max_dup3_u) AS (VALUES
+       |  ('en', 700000, 300000), ('de', 600000, 350000),
+       |  ('fr', 650000, 350000)),
+       |d AS (SELECT doc_id, ${Frag.langPick} AS lang,
+       |  CAST(floor((${Frag.quality}) * 1e6) AS BIGINT) AS q_u,
+       |  CAST(floor(dup3 * 1e6) AS BIGINT) AS dup3_u,
+       |  CAST(n_tok AS BIGINT) AS toks
+       | FROM (SELECT doc_id, ${Frag.langScores}, text,
+       |         ${Frag.dupFracSql(3)} AS dup3,
+       |         ${Frag.nTok} AS n_tok
+       |       FROM (SELECT doc_id, text,
+       |               CASE WHEN ${Frag.rt} = '' THEN []
+       |                    ELSE ${Frag.toks} END AS ts
+       |             FROM documents))),
+       |g AS (SELECT d.lang, d.toks,
+       |  (p.lang IS NOT NULL AND d.q_u >= p.min_q_u
+       |   AND d.dup3_u <= p.max_dup3_u) AS keep
+       | FROM d LEFT JOIN p ON p.lang = d.lang)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // EXACT-QUOTA stratified split: each source contributes exactly
+  // n_source div 10 documents to the val split — the hash-permille
+  // gate (dataset_split) gives expected proportions; this gives exact
+  // ones, which eval-set curation often demands. Selection is the
+  // quota-many docs with smallest (fingerprint, doc_id) per source:
+  // content-addressed, so re-runs and re-partitionings cannot move a
+  // doc between splits, and byte-identical dups sort adjacently. The
+  // per-source ranking is a window over (source); at 100 TB per-source
+  // volumes, swap in the two-phase global-rank decomposition
+  // (Profile.equidepth's coarse-bucket + broadcast-offset pattern) —
+  // semantics identical, which is exactly what this oracle row pins.
+  // -------------------------------------------------------------------
+  def splitQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        FingerprintExpr.fingerprint(coalesce(col("text"), lit("")))
+          .as("fp"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("fp").asc, col("doc_id").asc)
+    val quotas = docs.groupBy("source")
+      .agg(expr("count(1) div 10").as("q"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .withColumn("is_val", col("rn") <= col("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("is_val"), col("doc_id")).otherwise(0L))
+          .as("val_id_sum"))
+      .orderBy("source")
+  }
+
+  val splitQuotaSql: String =
+    s"""WITH d AS (SELECT doc_id, source, ${Frag.fp} AS fp FROM documents),
+       |r AS (SELECT doc_id, source, fp,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY fp ASC, doc_id ASC) AS rn
+       | FROM d),
+       |q AS (SELECT source, count(1) // 10 AS q FROM d GROUP BY 1)
+       |SELECT r.source AS source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN rn <= q.q THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       | CAST(sum(CASE WHEN rn <= q.q THEN doc_id ELSE 0 END) AS BIGINT)
+       |   AS val_id_sum
+       |FROM r JOIN q ON q.source = r.source
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
   // Deterministic stratified sampling (operators.Sample): downsample
   // the dominant language to 250‰ by content fingerprint, keep the
   // rest whole — corpus rebalancing with zero RNG. The oracle replays
@@ -866,6 +973,8 @@ object QueriesText {
     "sample_stratified" -> (sampleStratified _),
     "temperature_mix" -> (temperatureMixQ _),
     "curate_corpus" -> (curateCorpus _),
+    "curate_policy" -> (curatePolicy _),
+    "split_quota" -> (splitQuota _),
     "dataset_split" -> (datasetSplit _),
     "pack_shards" -> (packShards _),
     "vocab_top_ngrams" -> (vocabTopNgrams _),
@@ -888,6 +997,8 @@ object QueriesText {
     "sample_stratified" -> sampleStratifiedSql,
     "temperature_mix" -> temperatureMixSql,
     "curate_corpus" -> curateCorpusSql,
+    "curate_policy" -> curatePolicySql,
+    "split_quota" -> splitQuotaSql,
     "dataset_split" -> datasetSplitSql,
     "pack_shards" -> packShardsSql,
     "vocab_top_ngrams" -> vocabTopNgramsSql,
