@@ -46,6 +46,12 @@ object QueriesText {
          | + greatest(0.0, 1.0 - ($punct) * 5) * 0.2
          | + (CASE WHEN $mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
          | + least(($stopRatio) * 4, 1.0) * 0.3""".stripMargin
+    /** Quality in integer micro-units — the ONE replay of the Spark
+      * side's round-then-floor (TextFunctions.qualityScore rounds to
+      * 6dp; flooring the unrounded double instead shifts q_u by one
+      * for values within 5e-7 below a micro boundary). Use this, never
+      * an inline floor(quality * 1e6). */
+    val qualityU = s"CAST(floor(round($quality, 6) * 1e6) AS BIGINT)"
     // coalesce matches Sample.stratifiedPermille's NULL-as-empty-doc
     // addressing (a NULL fp would make the permille predicate NULL and
     // silently drop the row on the oracle side only)
@@ -174,7 +180,7 @@ object QueriesText {
        | CAST(floor((${Frag.punct}) * 1e6) AS BIGINT) AS punct_u,
        | CAST(floor((${Frag.stopRatio}) * 1e6) AS BIGINT) AS stop_u,
        | CAST(floor((${Frag.mwl}) * 1e6) AS BIGINT) AS mwl_u,
-       | CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS quality_u,
+       | ${Frag.qualityU} AS quality_u,
        | ${Frag.fp} AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -232,7 +238,7 @@ object QueriesText {
        |  ('en', 700000, 300000), ('de', 600000, 350000),
        |  ('fr', 650000, 350000)),
        |d AS (SELECT doc_id, ${Frag.langPick} AS lang,
-       |  CAST(floor((${Frag.quality}) * 1e6) AS BIGINT) AS q_u,
+       |  ${Frag.qualityU} AS q_u,
        |  CAST(floor(dup3 * 1e6) AS BIGINT) AS dup3_u,
        |  CAST(n_tok AS BIGINT) AS toks
        | FROM (SELECT doc_id, ${Frag.langScores}, text,
@@ -557,7 +563,7 @@ object QueriesText {
     s"""WITH RECURSIVE kept AS (
        | SELECT doc_id, text FROM (
        |   SELECT doc_id, text, ${Frag.langPick} AS lang,
-       |     CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS qu
+       |     ${Frag.qualityU} AS qu
        |   FROM (SELECT doc_id, text, ${Frag.langScores} FROM documents))
        | WHERE lang = 'en' AND qu >= 700000),
        |${Frag.canonicalCtes("kept")}
@@ -911,7 +917,7 @@ object QueriesText {
   val modalQualityByLabelSql: String =
     s"""WITH d AS (
        | SELECT doc_id,
-       |   CAST(floor(round(${Frag.quality}, 6) * 1e6) AS BIGINT) AS q_u,
+       |   ${Frag.qualityU} AS q_u,
        |   CAST(${Frag.nTok} AS BIGINT) AS toks,
        |   CASE WHEN ${Frag.rt} = '' THEN [] ELSE ${Frag.toks} END AS ts
        | FROM documents),
