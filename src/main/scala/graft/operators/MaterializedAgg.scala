@@ -90,12 +90,19 @@ object MaterializedAgg {
   // DISTINCT-COUNT state: the one classic aggregate that has NO exact
   // mergeable state (count(distinct) over a 100 TB base cannot keep the
   // value set) — the standard answer is a sketch whose REGISTERS are
-  // mergeable. HLL register merge is max-per-register, so
-  // union(state(a), state(b)) has byte-identical registers to
-  // state(a ∪ b): the merge is deterministic and split-invariant (not
-  // just approximately right), only the final ESTIMATE is approximate.
-  // Estimate error at the default lgConfigK is ~1.6%; callers gate on
-  // their own tolerance (see the hll_mv_distinct oracle row).
+  // mergeable. HLL register union is max-per-register: associative and
+  // commutative, so the MERGE ORDER of states never changes the result
+  // — merge(a, merge(b, c)) and merge(merge(a, b), c) estimate
+  // identically, which is the invariant an incremental MV needs.
+  // What is NOT invariant: a union-built sketch vs the sketch built by
+  // streaming all the values through one accumulator. DataSketches HLL
+  // carries a per-stream HIP estimator that a union cannot preserve,
+  // so the union result may estimate (slightly) differently than the
+  // single-pass sketch — and the single-pass sketch itself depends on
+  // partition count. Never assert merged == single-pass; assert merge-
+  // order independence plus a tolerance vs the exact count instead
+  // (see the hll_mv_distinct oracle row). Estimate error at the
+  // default lgConfigK is ~1.6%.
   // ---------------------------------------------------------------------
 
   /** Mergeable distinct-count sketch state per group: keys ++ mv_hll. */
@@ -104,8 +111,10 @@ object MaterializedAgg {
     df.groupBy(keys.map(col): _*)
       .agg(hll_sketch_agg(col(value)).as("mv_hll"))
 
-  /** Merge distinct-count states (associative, commutative,
-    * register-exact). */
+  /** Merge distinct-count states. Register union is max-per-register:
+    * associative and commutative, so any merge grouping of the same
+    * states estimates identically (the estimate still differs from a
+    * single-stream sketch's — see the class note on HIP). */
   def distinctMerge(keys: Seq[String], states: DataFrame*): DataFrame = {
     require(states.nonEmpty)
     states.reduce(_.unionByName(_))
