@@ -20,6 +20,21 @@ object Bench {
   /** First-rep duration above which a query earns a second rep. */
   val HeavyCutoffSec = 2.0
 
+  /** Emit the battery's ONE JSON line: stdout (flushed immediately, so
+    * it lands before sbt's epilogue) AND `bench_out.json` in cwd. The
+    * file copy exists because a 118-query line outgrows log tail
+    * captures — round 8's driver artifact lost its per-query payload to
+    * exactly that truncation; a file has no tail.
+    */
+  private def emit(line: String): Unit = {
+    println(line)
+    Console.out.flush()
+    try {
+      val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // stdout copy already out
+  }
+
   private def loadavg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -163,7 +178,7 @@ object Bench {
       val nFailed = results.count(_._4.isDefined)
       val total = results.collect { case (_, v, _, None, _) => v }.sum
       val ratio = if (wallSec > 0) cpuSec / wallSec else -1.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","isolated":true,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","isolated":true,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
       return
     }
     // measured BEFORE session bring-up + warmup: those are this
@@ -264,7 +279,7 @@ object Bench {
     // failed queries are EXCLUDED from total (they contribute no honest
     // seconds); n_failed + errors make the breakage unmissable
     val total = results.collect { case (_, v, _, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","isolated":false,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","isolated":false,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
     spark.stop()
   }
 }
