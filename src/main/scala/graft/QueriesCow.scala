@@ -289,6 +289,231 @@ object QueriesCow {
       |FROM orders WHERE o_custkey BETWEEN 100 AND 400
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // MULTI-COLUMN data skipping on the z-ordered layout: the range
+  // CONJUNCTION over both clustering dimensions — each dimension's
+  // envelope test prunes independently and the kept file set is the
+  // intersection (engine-pinned here: no larger than either 1-D prune
+  // and strictly smaller than the table; the strictly-fewer-than-both
+  // property is pinned in CowTableSpec). The oracle is the plain
+  // two-predicate WHERE — pruning on the second dimension must never
+  // cost a row.
+  // -------------------------------------------------------------------
+  def cowZorder2d(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.CowRange
+    val root = scratch("cow_z2d")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      graft.sinks.ZOrder.cluster(o, Seq("o_custkey", "o_orderkey"),
+        nFiles = 16),
+      root, 1L, Nil)
+    val r1 = CowRange("o_custkey", Some("100"), Some("400"))
+    val r2 = CowRange("o_orderkey", Some("10000"), Some("30000"))
+    val k1 = CowTable.filesFor(spark, root, Seq(r1)).size
+    val k2 = CowTable.filesFor(spark, root, Seq(r2)).size
+    val both = CowTable.filesFor(spark, root, Seq(r1, r2)).size
+    val total = CowTable.currentManifest(spark, root).get.files.size
+    require(both <= k1 && both <= k2 && both < total,
+      s"2-D prune kept $both of $total files vs 1-D prunes $k1/$k2")
+    CowTable.readWhere(spark, root, Seq(r1, r2)).orderBy("o_orderkey")
+  }
+
+  val cowZorder2dSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 400
+      |  AND o_orderkey BETWEEN 10000 AND 30000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // WRITE-TIME CHANGE FEED: every commit emits its signed changelog
+  // sidecar, and changeFeed(1, 3) nets them into the I/U/D diff feed
+  // WITHOUT diffing snapshots (O(sum of batches), the 100 TB path).
+  // Sidecar-vs-diff equivalence is asserted ENGINE-SIDE (exceptAll both
+  // ways) before returning the sidecar-served feed; the oracle then
+  // hashes the feed against the expected I/U/D rows computed straight
+  // from the source table. The delete range deliberately overlaps the
+  // update ranges: a key updated in batch 2 and deleted in batch 3 must
+  // net to D carrying its ORIGINAL (fromId-time) image — the case that
+  // proves the signed-log netting, not just concatenation.
+  // -------------------------------------------------------------------
+  def cowChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_feed")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    CowTable.commitFull(
+      c.where(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          bucket.as("pb")),
+      root, 1L, Seq("pb"), keep = 10)
+    val v1 = c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_mktsegment"), bucket.as("pb"), lit(1L).as("ver"))
+    val v2 = c.where(col("c_custkey").between(900, 1200))
+      .select(col("c_custkey"), concat(col("c_name"), lit("-v2")).as("c_name"),
+        lit("UPDATED").as("c_mktsegment"), bucket.as("pb"), lit(2L).as("ver"))
+    CowTable.upsert(spark, root, 2L, v1.unionByName(v2),
+      Seq("c_custkey"), Seq("pb"), versionCol = Some("ver"),
+      keep = 10, changeLog = true)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      c.where(col("c_custkey").between(101, 150) ||
+          col("c_custkey").between(850, 950))
+        .select(col("c_custkey"), bucket.as("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10, changeLog = true)
+    val log = CowTable.changeFeedFromLog(spark, root, 1L, 3L,
+      Seq("c_custkey")).getOrElse(
+      throw new IllegalStateException("sidecar feed unavailable"))
+    val diff = CowTable.changeFeedByDiff(spark, root, 1L, 3L,
+      Seq("c_custkey"))
+    require(log.exceptAll(diff).isEmpty && diff.exceptAll(log).isEmpty,
+      "sidecar-served feed diverged from the snapshot diff")
+    log.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowChangeFeedSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, oper FROM (
+      |  SELECT c_custkey, c_name, c_mktsegment, 'D' AS oper
+      |  FROM customer
+      |  WHERE c_custkey BETWEEN 101 AND 150 OR c_custkey BETWEEN 850 AND 950
+      |  UNION ALL
+      |  SELECT c_custkey, upper(c_name) AS c_name, c_mktsegment, 'U'
+      |  FROM customer WHERE c_custkey BETWEEN 501 AND 849
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '-v2' AS c_name,
+      |         'UPDATED' AS c_mktsegment, 'U'
+      |  FROM customer WHERE c_custkey BETWEEN 951 AND 1000
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '-v2' AS c_name,
+      |         'UPDATED' AS c_mktsegment, 'I'
+      |  FROM customer WHERE c_custkey BETWEEN 1001 AND 1200
+      |  UNION ALL
+      |  SELECT c_custkey, upper(c_name) AS c_name, c_mktsegment, 'I'
+      |  FROM customer WHERE c_custkey BETWEEN 1201 AND 1500
+      |) ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // APPEND ingest + COMPACTION repair: three insert-only batches land
+  // as append commits (no partition rewrite — each costs its own bytes,
+  // the write path for event/fact ingest), fragmenting every bucket
+  // into one file per batch; compactPartitions then rewrites each
+  // bucket into the file count its bytes warrant. Engine-pinned here:
+  // appends touched no existing file, compaction shrank the file list,
+  // and the table content is identical before and after. The oracle
+  // hashes the final table against the plain source projection — an
+  // append that dropped rows, a compaction that lost a bucket, or a
+  // carried manifest entry gone stale would all mismatch.
+  // -------------------------------------------------------------------
+  def cowAppendCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_append")
+    val bucket = CowTable.keyBucket(Seq("o_orderkey"), 4)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        bucket.as("pb"))
+    (0 until 3).foreach { r =>
+      CowTable.commitAppend(o.where(pmod(col("o_orderkey"), lit(3)) === r),
+        root, r + 1L, Seq("pb"), keep = 10)
+    }
+    val m = CowTable.currentManifest(spark, root).get
+    require(m.files.size == 12, // 4 buckets × 3 appends
+      s"appends fragmented to ${m.files.size} files, expected 12")
+    val before = CowTable.read(spark, root).get
+    require(CowTable.compactPartitions(spark, root, 4L,
+      targetFileBytes = 1L << 30, keep = 10))
+    val after = CowTable.read(spark, root).get
+    val mc = CowTable.currentManifest(spark, root).get
+    require(mc.files.size < m.files.size,
+      s"compaction did not shrink: ${m.files.size} -> ${mc.files.size}")
+    require(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+      "compaction changed table content")
+    after.drop("pb").orderBy("o_orderkey")
+  }
+
+  val cowAppendCompactSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // IN-LIST bloom lookup: fetch a scattered set of values on a
+  // NON-key column over a hash-scattered layout (envelopes span
+  // everything by construction — only the per-file blooms prune).
+  // Engine-pinned: the probed file list is smaller than the table;
+  // oracle-pinned: exactly the plain IN-filter's rows come back (a
+  // bloom false NEGATIVE — the one correctness hazard — would lose a
+  // row and break the hash).
+  // -------------------------------------------------------------------
+  def cowInLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_in")
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .repartition(8, xxhash64(col("c_custkey")))
+    CowTable.commitFull(c, root, 1L, Nil, bloomCols = Seq("c_name"))
+    val wanted = Seq(42, 133, 263, 707, 1001)
+      .map(i => f"Customer#$i%09d")
+    val kept = CowTable.filesForIn(spark, root, "c_name", wanted).size
+    val total = CowTable.currentManifest(spark, root).get.files.size
+    require(kept < total, s"IN-list bloom kept $kept of $total files")
+    CowTable.readWhereIn(spark, root, "c_name", wanted)
+      .orderBy("c_custkey")
+  }
+
+  val cowInLookupSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_name IN ('Customer#000000042', 'Customer#000000133',
+      |  'Customer#000000263', 'Customer#000000707', 'Customer#000001001')
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SNAPSHOT HISTORY under oracle: a known commit sequence (load 500,
+  // append to 1000, MOR-delete 100, fold) whose per-snapshot row
+  // counts and tombstone state are computable exactly from the source
+  // table — the metadata-only history() must report them without
+  // reading a data byte. n_rows at the tombstoned snapshot is the
+  // documented upper bound (tombstones' matched counts are unknown
+  // until the fold).
+  // -------------------------------------------------------------------
+  def cowHistory(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_hist")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 500),
+      root, 1L, Seq("pb"), keep = 10)
+    CowTable.commitAppend(c.where(col("c_custkey").between(501, 1000)),
+      root, 2L, Seq("pb"), keep = 10)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      c.where(col("c_custkey") <= 100).select(col("c_custkey"), col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10)
+    require(CowTable.foldTombstones(spark, root, 4L, keep = 10))
+    CowTable.history(spark, root)
+      .select(col("snapshot_id"), col("n_rows"),
+        (col("tombstone_files") > 0).as("has_tombstones"))
+      .orderBy("snapshot_id")
+  }
+
+  val cowHistorySql: String =
+    """WITH c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |            WHERE c_custkey <= 500),
+      |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |       WHERE c_custkey <= 1000),
+      |cd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |       WHERE c_custkey <= 100)
+      |SELECT CAST(t.snapshot_id AS BIGINT) AS snapshot_id,
+      | CAST(t.n_rows AS BIGINT) AS n_rows, t.has_tombstones
+      |FROM (VALUES
+      |  (1, (SELECT n FROM c1), false),
+      |  (2, (SELECT n FROM c2), false),
+      |  (3, (SELECT n FROM c2), true),
+      |  (4, (SELECT n FROM c2) - (SELECT n FROM cd), false))
+      | t(snapshot_id, n_rows, has_tombstones)
+      |ORDER BY snapshot_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
@@ -297,7 +522,12 @@ object QueriesCow {
     "cow_lookup" -> (cowLookup _),
     "cow_mor_delete" -> (cowMorDelete _),
     "cow_bloom_lookup" -> (cowBloomLookup _),
-    "cow_zorder" -> (cowZorder _))
+    "cow_zorder" -> (cowZorder _),
+    "cow_zorder_2d" -> (cowZorder2d _),
+    "cow_change_feed" -> (cowChangeFeed _),
+    "cow_append_compact" -> (cowAppendCompact _),
+    "cow_in_lookup" -> (cowInLookup _),
+    "cow_history" -> (cowHistory _))
 
   val oracles: Map[String, String] = Map(
     "cow_upsert" -> cowUpsertSql,
@@ -307,5 +537,10 @@ object QueriesCow {
     "cow_lookup" -> cowLookupSql,
     "cow_mor_delete" -> cowMorDeleteSql,
     "cow_bloom_lookup" -> cowBloomLookupSql,
-    "cow_zorder" -> cowZorderSql)
+    "cow_zorder" -> cowZorderSql,
+    "cow_zorder_2d" -> cowZorder2dSql,
+    "cow_change_feed" -> cowChangeFeedSql,
+    "cow_append_compact" -> cowAppendCompactSql,
+    "cow_in_lookup" -> cowInLookupSql,
+    "cow_history" -> cowHistorySql)
 }

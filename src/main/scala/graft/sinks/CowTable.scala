@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Cdc, Merge}
+import graft.types.SchemaCompat
+
+/** Thrown when a [[CowTable]] commit loses the optimistic-concurrency
+  * race: another writer holds the commit lease for the same id, or the
+  * snapshot this commit was computed against is no longer current.
+  * The losing commit wrote NO manifest — the table is exactly the
+  * winner's state; the caller retries by recomputing from the new
+  * current snapshot.
+  */
+final class CowConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** One column's inclusive range predicate for data-skipping reads,
+  * bounds in Spark string form (`cast(col as string)`); either bound
+  * optional, `lo == hi` = point lookup.
+  */
+final case class CowRange(
+    colName: String, lo: Option[String], hi: Option[String])
 
 /** One data file of a [[CowTable]] snapshot. `path` is table-root-
   * relative (`batch-<id>/…/part-….parquet`); `part` maps each
@@ -118,9 +136,20 @@ object CowTable {
 
   private val BatchPrefix = "batch-"
   private val ManifestPrefix = "manifest-"
+  /** Write-time changelog sidecars live under `root/_changes/<id>/`. */
+  private val ChangesDir = "_changes"
+  /** The sidecars' operation column (signed form: D/I). */
+  private val ChangeOper = "_oper"
   /** Manifest entry kinds: live data vs merge-on-read tombstones. */
   val KindData = "data"
   val KindTombstone = "tombstone"
+
+  /** Persist the signed changelog of one commit into its sidecar. */
+  private def writeChangeLog(
+      spark: SparkSession, root: String, id: Long,
+      before: DataFrame, after: DataFrame, keyCols: Seq[String]): Unit =
+    Cdc.changelogSigned(before, after, keyCols, ChangeOper)
+      .write.mode("overwrite").parquet(s"$root/$ChangesDir/$id")
 
   /** Stable key-hash bucket column: `pmod(xxhash64(keys), n)`. Bucket-
     * partitioning a keyed table with this makes ANY key's partition a
@@ -196,16 +225,21 @@ object CowTable {
 
   /** CHANGE DATA FEED between two committed snapshots: the I/U/D
     * changelog that replays snapshot `fromId` into snapshot `toId`
-    * (Delta's table_changes / Iceberg's changelog scan). Pure
-    * composition of time travel with the snapshot-diff generator
-    * ([[Cdc.changelog]]) — round-trip (apply(feed) == destination) is
-    * already property-pinned at the operator level in CdcSpec.
+    * (Delta's table_changes / Iceberg's changelog scan).
     *
-    * Cost note, stated plainly: this DIFFS the two snapshots (a
-    * full-outer join over them), which is the honest fallback when the
-    * writes between the ids were arbitrary. Pipelines that need
-    * delta-sized feeds should emit their own changelogs at write time
-    * (the batches they committed ARE the feed).
+    * Served two ways, cheapest first:
+    *  1. WRITE-TIME SIDECARS — when every commit in the range emitted
+    *     its signed changelog (`changeLogKeys` at commit), the feed is
+    *     the NET of the concatenated sidecars ([[changeFeedFromLog]]):
+    *     O(sum of batch sizes), never touching table data. This is the
+    *     100 TB path — a day of commits against a 100 TB table reads
+    *     only that day's deltas.
+    *  2. SNAPSHOT DIFF — the honest fallback when any commit in the
+    *     range lacks a sidecar: time travel + [[Cdc.changelog]], a
+    *     full-outer join of the two snapshots. Round-trip
+    *     (apply(feed) == destination) is property-pinned in CdcSpec;
+    *     sidecar ≡ diff equivalence is oracle-pinned
+    *     (`cow_change_feed`).
     */
   def changeFeed(
       spark: SparkSession,
@@ -215,6 +249,14 @@ object CowTable {
       keyCols: Seq[String],
       operCol: String = "oper"): DataFrame = {
     require(fromId <= toId, s"fromId $fromId > toId $toId")
+    changeFeedFromLog(spark, root, fromId, toId, keyCols, operCol)
+      .getOrElse(changeFeedByDiff(spark, root, fromId, toId, keyCols, operCol))
+  }
+
+  /** The diff-serving path of [[changeFeed]], always available. */
+  def changeFeedByDiff(
+      spark: SparkSession, root: String, fromId: Long, toId: Long,
+      keyCols: Seq[String], operCol: String = "oper"): DataFrame = {
     val before = readAt(spark, root, fromId).getOrElse(
       throw new IllegalArgumentException(
         s"no committed snapshot at or before $fromId under $root"))
@@ -224,22 +266,115 @@ object CowTable {
     Cdc.changelog(before, after, keyCols, operCol)
   }
 
+  /** The sidecar-serving path of [[changeFeed]]: None unless EVERY
+    * commit in `(fromId, toId]` (snapped to committed ids) wrote a
+    * `_changes/<id>/` sidecar with one schema. Vacuum retains the
+    * newest manifests as a SUFFIX of history, so the committed-id
+    * enumeration over a servable range is complete — a vacuumed-away
+    * commit forces `fromId` itself out of range rather than silently
+    * dropping its changes.
+    *
+    * The net of the signed per-batch logs reproduces the snapshot diff
+    * EXACTLY: a key's first signed record in range, if `D`, carries
+    * its `fromId`-time image (every batch logs the before-image it
+    * displaced), and its last record, if `I`, carries its final image —
+    * so existed/exists at the range edges plus those two images decide
+    * I/U/D/nothing with no table read.
+    */
+  def changeFeedFromLog(
+      spark: SparkSession, root: String, fromId: Long, toId: Long,
+      keyCols: Seq[String], operCol: String = "oper"): Option[DataFrame] = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    val ids = committedIds(spark, root)
+    val effFrom = ids.filter(_ <= fromId).lastOption.getOrElse(return None)
+    val effTo = ids.filter(_ <= toId).lastOption.getOrElse(return None)
+    val range = ids.filter(i => i > effFrom && i <= effTo)
+    if (range.isEmpty) return None
+    val fs = hfs(spark, root)
+    val dirs = range.map(i => s"$root/$ChangesDir/$i")
+    if (!dirs.forall(d => fs.exists(new Path(s"$d/_SUCCESS")))) return None
+    // nullability varies with the writer (an empty fold sidecar vs a
+    // delete's semi-join) — compare and read under the relaxed form
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(
+        s.fields.map(f => f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(relax(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(relax(m.keyType), relax(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val schemas = dirs
+      .map(d => relax(spark.read.parquet(d).schema).asInstanceOf[StructType])
+      .distinct
+    if (schemas.size > 1) return None // schema evolved mid-range
+    val log = dirs.zip(range).map { case (d, i) =>
+      spark.read.schema(schemas.head).parquet(d).withColumn("__cid", lit(i))
+    }.reduce(_.unionByName(_))
+    Some(netSignedLog(log, keyCols, operCol))
+  }
+
+  /** Net a concatenation of per-batch SIGNED changelogs down to the
+    * I/U/D diff feed — one shuffle on the keys, log-sized.
+    */
+  private def netSignedLog(
+      log: DataFrame, keyCols: Seq[String], operCol: String): DataFrame = {
+    val outCols = log.columns.toSeq
+      .filterNot(c => c == ChangeOper || c == "__cid")
+    val dataCols = outCols.filterNot(keyCols.contains)
+    // chronological order: commit id, then D-before-I inside one batch
+    // (an in-batch update logs D(old) then I(new))
+    val seqNo = col("__cid") * 2 +
+      when(col(ChangeOper) === "D", lit(0)).otherwise(lit(1))
+    val rec = struct(col(ChangeOper).as("o"),
+      struct(dataCols.map(col): _*).as("v"))
+    log.groupBy(keyCols.map(col): _*)
+      .agg(min_by(rec, seqNo).as("__first"), max_by(rec, seqNo).as("__last"))
+      .withColumn(operCol,
+        when(col("__first.o") === "D" && col("__last.o") === "I",
+          when(col("__first.v") <=> col("__last.v"), lit(null))
+            .otherwise(lit("U")))
+          .when(col("__first.o") === "D", lit("D"))
+          .when(col("__last.o") === "I", lit("I")))
+      .where(col(operCol).isNotNull)
+      .select(outCols.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else when(col(operCol) === "D", col(s"__first.v.$c"))
+          .otherwise(col(s"__last.v.$c")).as(c)
+      } :+ col(operCol): _*)
+  }
+
   /** MERGE-ON-READ resolution: the data files' rows minus any row a
     * tombstone of the same partitions names. The anti-join is on every
     * tombstone column (merge keys + partition values) and broadcasts
     * the tombstone side — outstanding tombstones are delete-batch-
     * sized, never table-sized, and [[foldTombstones]] retires them.
+    *
+    * `ranges` (from a skipping read) prune TOMBSTONE files with the
+    * same min/max envelope test applied to data files: a tombstone row
+    * outside `[lo, hi]` on a pruning column can only delete data rows
+    * that are equally outside it (the anti-join equates every tombstone
+    * column), and those rows are removed by the caller's residual
+    * filter anyway — so a point lookup outside a tombstone's key range
+    * reads zero tombstone bytes (pinned in `CowTableSpec`). Sound ONLY
+    * because the caller applies the ranges as a residual filter; plain
+    * reads pass no ranges.
     */
   private def resolved(
       spark: SparkSession, root: String,
-      m: CowManifest, dataFiles: Seq[CowFile]): DataFrame = {
+      m: CowManifest, dataFiles: Seq[CowFile],
+      ranges: Seq[CowRange] = Nil): DataFrame = {
     val df = dfFor(spark, root, m, dataFiles)
     val wanted = dataFiles.map(m.partKeyOf).toSet
     val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
+      .filter(t => ranges.forall(r =>
+        mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
     if (tombs.isEmpty) df
     else {
       val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
+      // the using-column anti-join moves the join keys first; restore
+      // the manifest's column order so downstream schemas stay stable
       df.join(broadcast(t), t.columns.toSeq, "left_anti")
+        .select(df.columns.map(col).toSeq: _*)
     }
   }
 
@@ -328,58 +463,138 @@ object CowTable {
     */
   def readWhereBetween(
       spark: SparkSession, root: String, colName: String,
-      lo: Option[String], hi: Option[String]): DataFrame = {
+      lo: Option[String], hi: Option[String]): DataFrame =
+    readWhere(spark, root, Seq(CowRange(colName, lo, hi)))
+
+  /** Multi-column data-skipping read: the CONJUNCTION of per-column
+    * ranges. A file survives only if EVERY range's envelope test keeps
+    * it, so a z-ordered table queried on both clustering dimensions
+    * prunes on both — each dimension's test independently removes the
+    * files whose envelope misses it, and the kept set is the
+    * intersection (strictly smaller than either 1-D prune on
+    * decorrelated dimensions; `CowTableSpec` pins exactly that on the
+    * z-ordered layout). Every range is then re-applied as a residual
+    * filter, so the result is exactly the full scan's.
+    */
+  def readWhere(
+      spark: SparkSession, root: String,
+      ranges: Seq[CowRange]): DataFrame = {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val schema = m.schema
-    val kept = keptFiles(spark, m, colName, lo, hi)
-    val df = resolved(spark, root, m, kept)
-    // residual filter in the COLUMN's type (casting the column to
+    val kept = keptFiles(spark, m, ranges)
+    val df = resolved(spark, root, m, kept, ranges)
+    // residual filters in each COLUMN's type (casting the column to
     // string would both break numeric ordering and block parquet
     // pushdown); the string bound round-trips through the same cast
     // that produced the stats
-    val dt = schema.fields.find(_.name == colName)
-      .map(_.dataType).getOrElse(StringType)
-    val c = col(colName)
-    def b(v: String) = lit(v).cast(dt)
-    (lo, hi) match {
-      case (Some(l), Some(h)) if l == h => df.where(c === b(l))
-      case (Some(l), Some(h)) => df.where(c >= b(l) && c <= b(h))
-      case (Some(l), None) => df.where(c >= b(l))
-      case (None, Some(h)) => df.where(c <= b(h))
-      case (None, None) => df
+    ranges.foldLeft(df) { (acc, r) =>
+      val dt = m.schema.fields.find(_.name == r.colName)
+        .map(_.dataType).getOrElse(StringType)
+      val c = col(r.colName)
+      def b(v: String) = lit(v).cast(dt)
+      (r.lo, r.hi) match {
+        case (Some(l), Some(h)) if l == h => acc.where(c === b(l))
+        case (Some(l), Some(h)) => acc.where(c >= b(l) && c <= b(h))
+        case (Some(l), None) => acc.where(c >= b(l))
+        case (None, Some(h)) => acc.where(c <= b(h))
+        case (None, None) => acc
+      }
     }
   }
 
-  /** Skipping file selection: min/max envelope test always; for a
-    * POINT lookup (lo == hi) additionally the per-file Bloom filter
-    * when the column carries one — the pruner for unsorted
-    * high-cardinality columns whose envelopes span everything. Files
-    * without a bloom are kept (skipping stays purely an optimization).
+  /** Skipping file selection: per-range min/max envelope conjunction
+    * always; for each POINT range (lo == hi) additionally the per-file
+    * Bloom filter when the column carries one — the pruner for
+    * unsorted high-cardinality columns whose envelopes span
+    * everything. Files without a bloom are kept (skipping stays purely
+    * an optimization).
     */
   private def keptFiles(
-      spark: SparkSession, m: CowManifest, colName: String,
-      lo: Option[String], hi: Option[String]): Seq[CowFile] = {
-    val byStats = m.files.filter(mayMatch(m.schema, _, colName, lo, hi))
-    val point = lo.zip(hi).collectFirst { case (l, h) if l == h => l }
-    point match {
-      case Some(v) if byStats.exists(_.blooms.contains(colName)) =>
-        val dt = m.schema.fields.find(_.name == colName)
-          .map(_.dataType).getOrElse(StringType)
-        val hashes = bloomHashesOf(spark, v, dt)
-        if (hashes.isEmpty) byStats
-        else byStats.filter(f => f.blooms.get(colName)
-          .forall(words => bloomHasValue(words, hashes)))
-      case _ => byStats
+      spark: SparkSession, m: CowManifest,
+      ranges: Seq[CowRange]): Seq[CowFile] = {
+    val byStats = m.files.filter(f =>
+      ranges.forall(r => mayMatch(m.schema, f, r.colName, r.lo, r.hi)))
+    ranges.foldLeft(byStats) { (files, r) =>
+      val point = r.lo.zip(r.hi).collectFirst { case (l, h) if l == h => l }
+      point match {
+        case Some(v) if files.exists(_.blooms.contains(r.colName)) =>
+          val dt = m.schema.fields.find(_.name == r.colName)
+            .map(_.dataType).getOrElse(StringType)
+          val hashes = bloomHashesOf(spark, v, dt)
+          if (hashes.isEmpty) files
+          else files.filter(f => f.blooms.get(r.colName)
+            .forall(words => bloomHasValue(words, hashes)))
+        case _ => files
+      }
     }
+  }
+
+  /** IN-LIST skipping read: the rows whose `colName` is any of
+    * `values` (Spark string form). A file survives when AT LEAST ONE
+    * value could live in it — inside its min/max envelope AND, when
+    * the column carries Bloom filters, bloom-positive for that value.
+    * This is the multi-key serving read for NON-key columns (the keyed
+    * path is [[lookupKeys]]): "fetch these 50 order ids" probes each
+    * file's bloom 50 times on the driver and reads only the files that
+    * can answer — on a hash-scattered layout where every envelope
+    * spans everything, the blooms alone cut the file list to ~the
+    * files actually holding the values. The residual `IN` filter makes
+    * the result exactly the full scan's.
+    */
+  def readWhereIn(
+      spark: SparkSession, root: String, colName: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "empty IN-list")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val kept = keptFilesIn(spark, m, colName, values)
+    // tombstones prune by the values' overall [min, max] envelope —
+    // sound for the same residual-filter reason as ranges
+    val dt = m.schema.fields.find(_.name == colName)
+      .map(_.dataType).getOrElse(StringType)
+    val sorted = values.sortWith((a, b) =>
+      statCompare(dt, a, b).exists(_ < 0))
+    val df = resolved(spark, root, m, kept,
+      Seq(CowRange(colName, sorted.headOption, sorted.lastOption)))
+    df.where(col(colName).isin(values.map(v => lit(v).cast(dt)): _*))
+  }
+
+  private def keptFilesIn(
+      spark: SparkSession, m: CowManifest, colName: String,
+      values: Seq[String]): Seq[CowFile] = {
+    val dt = m.schema.fields.find(_.name == colName)
+      .map(_.dataType).getOrElse(StringType)
+    val byStats = m.files.filter(f =>
+      values.exists(v => mayMatch(m.schema, f, colName, Some(v), Some(v))))
+    if (!byStats.exists(_.blooms.contains(colName))) byStats
+    else {
+      val hashes = values.map(v => bloomHashesOf(spark, v, dt))
+      byStats.filter(f => f.blooms.get(colName).forall(words =>
+        hashes.exists(h => h.nonEmpty && bloomHasValue(words, h)) ||
+          hashes.exists(_.isEmpty)))
+    }
+  }
+
+  /** Files an IN-list read would keep — for asserting skip counts. */
+  def filesForIn(
+      spark: SparkSession, root: String, colName: String,
+      values: Seq[String]): Seq[CowFile] = {
+    val m = currentManifest(spark, root).getOrElse(return Nil)
+    keptFilesIn(spark, m, colName, values)
   }
 
   /** Files the skipping read would keep — for asserting skip counts. */
   def filesForRange(
       spark: SparkSession, root: String, colName: String,
-      lo: Option[String], hi: Option[String]): Seq[CowFile] = {
+      lo: Option[String], hi: Option[String]): Seq[CowFile] =
+    filesFor(spark, root, Seq(CowRange(colName, lo, hi)))
+
+  /** Files a multi-range skipping read would keep. */
+  def filesFor(
+      spark: SparkSession, root: String,
+      ranges: Seq[CowRange]): Seq[CowFile] = {
     val m = currentManifest(spark, root).getOrElse(return Nil)
-    keptFiles(spark, m, colName, lo, hi)
+    keptFiles(spark, m, ranges)
   }
 
   // -------------------------------------------------------------------
@@ -546,12 +761,27 @@ object CowTable {
     }
   }
 
+  /** `split`, when set, is a (column, totalBins) pair: the column (NOT
+    * part of the table) participates in the repartitioning so one
+    * partition value fans out over several write tasks → several
+    * files, and is dropped before the write. The EXPLICIT bin count
+    * pins the shuffle width — range partitioning maps the distinct
+    * (partition, bin) groups onto tasks nearly 1:1 and an explicit
+    * count keeps AQE from coalescing the bins back into one writer
+    * (exactly [[Compaction]]'s reasoning). [[compactPartitions]] uses
+    * it to hit a target file size inside large partitions.
+    */
   private def writeBatch(
       rewrite: DataFrame, batchDir: String,
-      partCols: Seq[String], sortCols: Seq[String]): Unit = {
+      partCols: Seq[String], sortCols: Seq[String],
+      split: Option[(String, Int)] = None): Unit = {
     if (partCols.isEmpty) {
+      val shaped = split match {
+        case Some((s, n)) => rewrite.repartitionByRange(n, col(s)).drop(s)
+        case None => rewrite
+      }
       val out = if (sortCols.nonEmpty)
-        rewrite.sortWithinPartitions(sortCols.map(col): _*) else rewrite
+        shaped.sortWithinPartitions(sortCols.map(col): _*) else shaped
       out.write.mode("overwrite").parquet(batchDir)
     } else {
       val gp = partCols.map(c => s"__gp_$c")
@@ -559,10 +789,13 @@ object CowTable {
       // stay in the files (self-contained reads, no dir-name parsing)
       val dup = rewrite.select(
         col("*") +: partCols.map(c => col(c).as(s"__gp_$c")): _*)
-      // one task per touched partition value: a delta-sized batch
-      // writes one file per partition (compaction handles the
-      // long-run file-count story, Compaction.scala)
-      val shaped = dup.repartition(gp.map(col): _*)
+      // one task per touched partition value (or per (value, bin) when
+      // splitting): a delta-sized batch writes one file per partition
+      val shaped = split match {
+        case Some((s, n)) =>
+          dup.repartitionByRange(n, (gp :+ s).map(col): _*).drop(s)
+        case None => dup.repartition(gp.map(col): _*)
+      }
       val sorted = if (sortCols.nonEmpty)
         shaped.sortWithinPartitions((gp ++ sortCols).map(col): _*)
       else shaped
@@ -585,12 +818,99 @@ object CowTable {
       .parquet(s"$root/$ManifestPrefix$id")
   }
 
+  // -------------------------------------------------------------------
+  // Commit concurrency: per-id lease + based-on verification
+  // -------------------------------------------------------------------
+
+  private def lockPath(root: String, id: Long) =
+    new Path(s"$root/_commit-$id.lock")
+
+  /** Acquire the commit lease for `id` — an ATOMIC create-if-absent of
+    * `_commit-<id>.lock`. On a local filesystem this is NIO
+    * `createFile` (O_CREAT|O_EXCL, kernel-atomic); other schemes use
+    * Hadoop `create(overwrite=false)` (atomic on HDFS; an object store
+    * would want a conditional put here). Exactly one of two racing
+    * same-id writers wins the create; the loser throws
+    * [[CowConcurrentCommitException]] BEFORE touching the batch
+    * directory — which is what protects the winner's data files from a
+    * concurrent overwrite-mode write into the same `batch-<id>/`.
+    */
+  private def acquireCommitLock(
+      spark: SparkSession, root: String, id: Long): Unit = {
+    val p = lockPath(root, id)
+    val conflict = new CowConcurrentCommitException(
+      s"commit $id at $root: another writer holds ${p.getName} — " +
+        "lost the commit race (or a crashed commit leaked the lock; " +
+        "repair via breakCommitLock)")
+    if (Option(p.toUri.getScheme).forall(_ == "file")) {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      try { java.nio.file.Files.createFile(nio); () }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => throw conflict
+      }
+    } else {
+      val fs = hfs(spark, root)
+      try fs.create(p, false).close()
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.io.IOException => throw conflict
+      }
+    }
+  }
+
+  private def releaseCommitLock(
+      spark: SparkSession, root: String, id: Long): Unit =
+    hfs(spark, root).delete(lockPath(root, id), false)
+
+  /** Crash repair: remove a commit lease leaked by a writer that died
+    * mid-commit (lock present, no `manifest-<id>/_SUCCESS`). The
+    * operator invokes this manually after confirming the writer is
+    * dead — the lease protocol itself cannot distinguish a crashed
+    * writer from a slow one. Locks for ids at or behind the commit
+    * frontier are dead by construction and [[vacuum]] sweeps them.
+    */
+  def breakCommitLock(spark: SparkSession, root: String, id: Long): Boolean =
+    hfs(spark, root).delete(lockPath(root, id), false)
+
   /** Commit `rewrite` as the FULL new content of the partitions whose
     * canonical keys are in `touched`; every other partition carries
     * over from the previous snapshot by reference. A touched partition
     * with no rows in `rewrite` is thereby DELETED. Initial commit
     * (no previous snapshot): `touched` is ignored, `rewrite` is the
     * whole table.
+    *
+    * Schema evolution is gated by [[SchemaCompat]]: safe changes
+    * (adding nullable columns, widening along byte→short→int→long,
+    * float→double, decimal growth, required→nullable) commit, and
+    * carried-over old files upcast into the new schema at read (the
+    * parquet reader's widening promotions); breaking changes (drops,
+    * renames, narrowing, nullable→required) are refused loudly.
+    * Partition columns are stricter — their STRING form is partition
+    * identity, so their types may not change at all. Carried files'
+    * min/max envelopes stay sound under widening (numeric stats
+    * compare as decimals), but Bloom filters hash the value's exact
+    * string form, which float→double / decimal-rescale widenings
+    * change — carried blooms on such columns are dropped (pruning
+    * degrades, correctness holds; integer widenings keep theirs).
+    *
+    * CONCURRENCY: commits are optimistic. The per-id lease
+    * ([[acquireCommitLock]]) makes same-id races one-winner — the
+    * loser throws [[CowConcurrentCommitException]] before writing
+    * anything. Cross-id races (two writers committing different ids
+    * against the same base snapshot) are detected by re-reading the
+    * current manifest immediately before the manifest write: if it no
+    * longer matches the snapshot this rewrite was computed against,
+    * the commit aborts with the same exception and the caller
+    * recomputes against the new base — the lost-update this prevents
+    * is a manifest that silently drops the interleaved commit's files.
+    *
+    * `changeLogKeys` (non-empty = enabled) emits the batch's signed
+    * row-level changelog ([[Cdc.changelogSigned]] of the touched
+    * partitions' before vs after state, keyed by these columns) into
+    * the `_changes/<id>/` sidecar BEFORE the manifest commits — the
+    * write-time feed [[changeFeed]] serves without diffing snapshots.
+    * Cost: one delta-sized join over the touched partitions.
     */
   def commitPartitions(
       rewrite: DataFrame,
@@ -600,48 +920,275 @@ object CowTable {
       partCols: Seq[String],
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil,
+      split: Option[(String, Int)] = None): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = rewrite.sparkSession
+    // the split column (see writeBatch) is routing-only — the table's
+    // schema is the rewrite WITHOUT it
+    val payload = split.map { case (s, _) => rewrite.drop(s) }
+      .getOrElse(rewrite)
     val prev = currentManifest(spark, root)
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
+    // the COMMITTED schema's nullability is the grow-only union: a
+    // column nullable in ANY retained state stays nullable (carried
+    // files may hold NULLs the rewrite doesn't — a manifest claiming
+    // required would lie about them), and a stricter rewrite always
+    // satisfies the looser contract
+    // ...and its column ORDER is the previous schema's (new columns
+    // append), so a rewrite whose plan happened to reorder columns
+    // cannot flap the manifest DDL between commits
+    val effSchema = prev match {
+      case None => payload.schema
+      case Some(p) =>
+        val byName = payload.schema.fields.map(f => f.name -> f).toMap
+        val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
+          .map(f => f.copy(nullable = pf.nullable || f.nullable)))
+        val added = payload.schema.fields
+          .filterNot(f => p.schema.fieldNames.contains(f.name))
+        StructType(kept ++ added)
+    }
     prev.foreach { p =>
       require(p.partCols == partCols,
         s"partitioning changed: ${p.partCols} -> $partCols (rewrite the " +
           "table via a fresh root to repartition)")
-      val missing = p.schema.fieldNames.toSeq
-        .filterNot(rewrite.schema.fieldNames.contains)
-      require(missing.isEmpty,
-        s"schema may only grow: previous columns $missing absent from rewrite")
-      p.schema.fields.foreach { f =>
-        rewrite.schema.fields.find(_.name == f.name).foreach(nf =>
-          require(nf.dataType == f.dataType,
-            s"column ${f.name} changed type ${f.dataType} -> ${nf.dataType}"))
+      val report = SchemaCompat.check(p.schema, effSchema)
+      require(report.compatible,
+        "breaking schema evolution refused: " +
+          report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
+      partCols.foreach { c =>
+        val was = p.schema(c).dataType
+        val now = effSchema(c).dataType
+        require(was == now,
+          s"partition column $c may not change type ($was -> $now): its " +
+            "string form is the partition identity carried files are keyed by")
       }
     }
-    val batchDir = s"$root/$BatchPrefix$id"
-    writeBatch(rewrite, batchDir, partCols, sortCols)
-    // bloom columns INHERIT from the previous snapshot when the caller
-    // doesn't name any: a table committed with blooms must not quietly
-    // lose its point-lookup pruning every time a merge or fold
-    // rewrites a partition
-    val effBloomCols =
-      if (bloomCols.nonEmpty) bloomCols
-      else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
-        .filter(rewrite.schema.fieldNames.contains)
-    val fresh = collectEntries(spark, batchDir, id, rewrite.schema, partCols,
-      effBloomCols)
-    // carry untouched DATA files and untouched partitions' tombstones;
-    // a touched partition's tombstones retire here — its rewrite was
-    // computed from the RESOLVED base, so they are folded in
-    val carried = prev.map(p =>
-      p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
-    ).getOrElse(Nil)
-    writeManifest(spark, root, id, partCols, rewrite.schema.toDDL,
-      fresh ++ carried)
+    acquireCommitLock(spark, root, id)
+    try {
+      // post-lease recheck: a racer (or replay) may have committed this
+      // id while we raced for the lease — same no-op as the replay guard
+      val cur = currentManifest(spark, root)
+      if (cur.exists(_.id >= id)) return
+      val batchDir = s"$root/$BatchPrefix$id"
+      writeBatch(rewrite, batchDir, partCols, sortCols, split)
+      // bloom columns INHERIT from the previous snapshot when the caller
+      // doesn't name any: a table committed with blooms must not quietly
+      // lose its point-lookup pruning every time a merge or fold
+      // rewrites a partition
+      val effBloomCols =
+        if (bloomCols.nonEmpty) bloomCols
+        else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
+          .filter(effSchema.fieldNames.contains)
+      val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
+        effBloomCols)
+      // carry untouched DATA files and untouched partitions' tombstones;
+      // a touched partition's tombstones retire here — its rewrite was
+      // computed from the RESOLVED base, so they are folded in. Widened
+      // columns whose string form changed lose their carried blooms
+      // (see scaladoc).
+      val bloomUnsafe = prev.map(p => p.schema.fields.toSeq.collect {
+        case f if effSchema.fieldNames.contains(f.name) &&
+          effSchema(f.name).dataType != f.dataType &&
+          !integerWidening(f.dataType, effSchema(f.name).dataType) =>
+          f.name
+      }.toSet).getOrElse(Set.empty)
+      val carried = prev.map(p =>
+        p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
+          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe))
+      ).getOrElse(Nil)
+      if (changeLogKeys.nonEmpty) {
+        val newDdl = effSchema.toDDL
+        // before-state read under the NEW schema (old files upcast), so
+        // the signed changelog is well-typed across an evolving commit
+        val before = prev.map(p => resolved(spark, root,
+          p.copy(schemaDdl = newDdl),
+          p.files.filter(f => touched.contains(p.partKeyOf(f)))))
+        val stub = CowManifest(id, partCols, newDdl, fresh)
+        val after = dfFor(spark, root, stub, stub.files)
+        writeChangeLog(spark, root, id,
+          before.getOrElse(after.limit(0)), after, changeLogKeys)
+      }
+      // based-on verification (cross-id lost-update guard): the current
+      // manifest must still be the snapshot `carried` was computed from
+      val latest = currentManifest(spark, root)
+      if (latest.map(_.id) != prev.map(_.id))
+        throw new CowConcurrentCommitException(
+          s"commit $id at $root: based on snapshot ${prev.map(_.id)} but " +
+            s"current is ${latest.map(_.id)} — recompute against the new " +
+            "base and retry (no manifest was written)")
+      writeManifest(spark, root, id, partCols, effSchema.toDDL,
+        fresh ++ carried)
+    } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep)
+  }
+
+  /** Integer-chain widenings preserve a value's Spark string form
+    * (42: Int and 42: Long both cast to "42"), so carried Bloom words
+    * stay valid; float→double and decimal growth do not.
+    */
+  private def integerWidening(from: DataType, to: DataType): Boolean = {
+    val chain = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    chain.indexOf(from) >= 0 && chain.indexOf(to) > chain.indexOf(from)
+  }
+
+  /** APPEND commit: `batch`'s files ADD to the table — no partition is
+    * rewritten, every previous file (data and tombstones) carries over
+    * verbatim. This is the write path for insert-only fact/event
+    * ingest, where [[commitPartitions]]' rewrite-the-touched-partition
+    * contract would cost a partition rewrite per micro-batch for zero
+    * benefit: an append costs exactly the batch's own bytes, whatever
+    * the table or partition size. The flip side, stated plainly:
+    * appends never collapse duplicate keys (the table is a multiset —
+    * use [[upsert]] for keyed tables), and repeated appends FRAGMENT
+    * partitions into one file per batch — [[compactPartitions]] is the
+    * periodic repair, and the per-file manifest stats keep skipping
+    * sharp in between.
+    *
+    * Same lease + based-on verification as [[commitPartitions]]; same
+    * [[SchemaCompat]] evolution gate. `changeLogKeys` emits the
+    * sidecar feed as pure `I` rows of the batch (no diff join — an
+    * append IS its own changelog); the keyed [[changeFeed]] contract
+    * assumes appended keys are new, which insert-only ingest
+    * guarantees.
+    */
+  def commitAppend(
+      batch: DataFrame,
+      root: String,
+      id: Long,
+      partCols: Seq[String],
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val spark = batch.sparkSession
+    val prev = currentManifest(spark, root)
+    if (prev.exists(_.id >= id)) return
+    prev match {
+      case None =>
+        // first commit: an append to nothing is the initial snapshot
+        commitPartitions(batch, Set.empty, root, id, partCols, keep,
+          sortCols, bloomCols, changeLogKeys)
+      case Some(p) =>
+        require(p.partCols == partCols,
+          s"partitioning mismatch: table has ${p.partCols}, got $partCols")
+        val effSchema = {
+          val byName = batch.schema.fields.map(f => f.name -> f).toMap
+          val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
+            .map(f => f.copy(nullable = pf.nullable || f.nullable)))
+          val added = batch.schema.fields
+            .filterNot(f => p.schema.fieldNames.contains(f.name))
+          StructType(kept ++ added)
+        }
+        val report = SchemaCompat.check(p.schema, effSchema)
+        require(report.compatible,
+          "breaking schema evolution refused: " +
+            report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
+        acquireCommitLock(spark, root, id)
+        try {
+          if (currentManifest(spark, root).exists(_.id >= id)) return
+          val batchDir = s"$root/$BatchPrefix$id"
+          writeBatch(batch, batchDir, partCols, sortCols)
+          val effBloomCols =
+            if (bloomCols.nonEmpty) bloomCols
+            else p.files.flatMap(_.blooms.keys).distinct
+              .filter(effSchema.fieldNames.contains)
+          val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
+            effBloomCols)
+          if (changeLogKeys.nonEmpty) {
+            val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+            val after = dfFor(spark, root, stub, stub.files)
+            writeChangeLog(spark, root, id, after.limit(0), after,
+              changeLogKeys)
+          }
+          if (currentManifest(spark, root).map(_.id) != Some(p.id))
+            throw new CowConcurrentCommitException(
+              s"append $id at $root: based on snapshot ${p.id} but it is " +
+                "no longer current — recompute and retry")
+          writeManifest(spark, root, id, partCols, effSchema.toDDL,
+            fresh ++ p.allFiles)
+        } finally releaseCommitLock(spark, root, id)
+        vacuum(spark, root, keep)
+    }
+  }
+
+  /** COMPACTION as a COW commit: rewrite exactly the partitions whose
+    * file count exceeds what their bytes need at `targetFileBytes`
+    * (the fragmentation [[commitAppend]] accrues — one file per append
+    * per partition) or that carry outstanding tombstones (folded for
+    * free by the rewrite), binning rows so each compacted partition
+    * lands in ~ceil(bytes / target) files. Bin sizing comes from the
+    * MANIFEST's per-file byte counts — no data pass — and the bin
+    * assignment is a pure hash of the row, so task retries route
+    * identically. Untouched partitions carry over by reference;
+    * time travel, the replay guard and the lease all apply because
+    * this IS [[commitPartitions]]. Content is byte-for-byte the same
+    * table (spec-pinned). Returns false (id unconsumed) when nothing
+    * needs compacting.
+    */
+  def compactPartitions(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(return false)
+    val tombParts = m.tombstones.map(m.partKeyOf).toSet
+    val wantByPart: Map[String, Long] = m.files.groupBy(m.partKeyOf)
+      .flatMap { case (pk, fs) =>
+        val bytes = fs.map(_.bytes).sum
+        val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        if (fs.size > want || tombParts.contains(pk)) Some(pk -> want)
+        else None
+      }
+    if (wantByPart.isEmpty) return false
+    val touched = wantByPart.keySet
+    val rewrite = resolved(spark, root, m,
+      m.files.filter(f => touched.contains(m.partKeyOf(f))))
+    // per-partition bin counts ride in on a tiny broadcast table keyed
+    // by the partition values' Spark string forms (the same cast that
+    // stamps manifest entries); null-safe join so NULL partitions bin
+    val salted =
+      if (m.partCols.isEmpty) {
+        val want = wantByPart.values.head
+        rewrite.withColumn("__cw_bin", pmod(binHash(rewrite), lit(want)))
+      } else {
+        import spark.implicits._
+        val wantRows = wantByPart.toSeq.map { case (pk, want) =>
+          val part = m.files.find(f => m.partKeyOf(f) == pk).get.part
+          (m.partCols.map(c => part.getOrElse(c, null)), want)
+        }
+        val wantDf = wantRows.toDF("__cw_vals", "__cw_want").select(
+          m.partCols.zipWithIndex.map { case (c, i) =>
+            col("__cw_vals").getItem(i).as(s"__cw_$c")
+          } :+ col("__cw_want"): _*)
+        val cond = m.partCols.map(c =>
+          col(c).cast("string") <=> col(s"__cw_$c")).reduce(_ && _)
+        rewrite.join(broadcast(wantDf), cond)
+          .withColumn("__cw_bin", pmod(binHash(rewrite), col("__cw_want")))
+          .drop(m.partCols.map(c => s"__cw_$c") :+ "__cw_want": _*)
+      }
+    val totalBins = math.min(wantByPart.values.sum, 1L << 20).toInt
+    commitPartitions(salted, touched, root, id, m.partCols, keep,
+      changeLogKeys = changeLogKeys, split = Some(("__cw_bin", totalBins)))
+    true
+  }
+
+  /** Deterministic row hash for compaction binning: every hashable
+    * column (maps aren't) — duplicates co-binning is a skew concern,
+    * never a correctness one.
+    */
+  private def binHash(df: DataFrame): Column = {
+    val hashable = df.schema.fields.toSeq
+      .filterNot(f => f.dataType.isInstanceOf[MapType]).map(f => col(f.name))
+    if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
   }
 
   /** Commit `df` as a complete snapshot (initial load, restatement, or
@@ -704,7 +1251,8 @@ object CowTable {
       partCols: Seq[String],
       versionCol: Option[String] = None,
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      changeLog: Boolean = false): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     val touched = touchedKeys(delta, partCols)
     val outCols = delta.columns.toSeq.filterNot(versionCol.contains)
@@ -716,7 +1264,8 @@ object CowTable {
         Merge.upsert(baseFor(spark, root, m, touched), delta,
           keyCols, versionCol)
     }
-    commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
+    commitPartitions(merged, touched, root, id, partCols, keep, sortCols,
+      changeLogKeys = if (changeLog) keyCols else Nil)
   }
 
   /** COPY-ON-WRITE CDC apply: [[Cdc.apply]] (I/U/D, newest-wins) over
@@ -734,7 +1283,8 @@ object CowTable {
       operCol: String = "oper",
       versionCol: Option[String] = None,
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      changeLog: Boolean = false): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     val touched = touchedKeys(batch, partCols)
     val outCols = batch.columns.toSeq
@@ -744,7 +1294,8 @@ object CowTable {
       case Some(m) => baseFor(spark, root, m, touched)
     }
     val merged = Cdc.apply(base, batch, keyCols, operCol, versionCol)
-    commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
+    commitPartitions(merged, touched, root, id, partCols, keep, sortCols,
+      changeLogKeys = if (changeLog) keyCols else Nil)
   }
 
   /** KEYED POINT LOOKUP: the rows of `keys` (which must carry the
@@ -843,6 +1394,31 @@ object CowTable {
     commitPartitions(restated, touched, root, id, partCols, keep)
   }
 
+  /** SNAPSHOT HISTORY, metadata-only: one row per retained committed
+    * snapshot — data-file / tombstone-file counts, manifest row and
+    * byte totals, and the file-level churn vs the previous retained
+    * snapshot (files added = paths new in this manifest, removed =
+    * paths it dropped). `n_rows` is the DATA files' count sum — exact
+    * when the snapshot has no tombstones (`tombstone_files == 0`),
+    * an upper bound otherwise, same caveat as [[countRows]]. Reads
+    * only manifests: O(retained snapshots × files), zero data bytes.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val ids = committedIds(spark, root)
+    val ms = ids.map(manifest(spark, root, _))
+    val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prevOpt) =>
+      val prevPaths = prevOpt.map(_.allFiles.map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      val paths = m.allFiles.map(_.path).toSet
+      (m.id, m.files.size.toLong, m.tombstones.size.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+        (paths -- prevPaths).size.toLong, (prevPaths -- paths).size.toLong)
+    }
+    rows.toDF("snapshot_id", "data_files", "tombstone_files",
+      "n_rows", "bytes", "files_added", "files_removed")
+  }
+
   /** Metadata-only row count: the manifest already knows every data
     * file's row count, so a tombstone-free table answers `count(*)`
     * without touching a single data file — the aggregate-pushdown
@@ -912,7 +1488,8 @@ object CowTable {
       keys: DataFrame,
       keyCols: Seq[String],
       partCols: Seq[String],
-      keep: Int = 2): Unit = {
+      keep: Int = 2,
+      changeLog: Boolean = false): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -921,16 +1498,40 @@ object CowTable {
     val cols = (keyCols ++ partCols).distinct
     cols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"tombstone column $c is not a table column"))
-    val tombSchema = StructType(cols.map(c => m.schema(c)))
-    val tombDir = s"$root/$BatchPrefix$id/__tomb"
-    writeBatch(keys.select(cols.map(col): _*).distinct(),
-      tombDir, partCols, Nil)
-    val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols)
-      .map(_.copy(kind = KindTombstone))
-    // deletes only ADD: every previous entry (data and tombstones)
-    // carries over verbatim
-    writeManifest(spark, root, id, partCols, m.schemaDdl,
-      m.allFiles ++ fresh)
+    acquireCommitLock(spark, root, id)
+    try {
+      if (currentManifest(spark, root).exists(_.id >= id)) return
+      val tombSchema = StructType(cols.map(c => m.schema(c)))
+      val tombDir = s"$root/$BatchPrefix$id/__tomb"
+      val distinctKeys = keys.select(cols.map(col): _*).distinct()
+      writeBatch(distinctKeys, tombDir, partCols, Nil)
+      val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols)
+        .map(_.copy(kind = KindTombstone))
+      if (changeLog) {
+        // the batch's changelog is pure D rows: the CURRENT visible
+        // state of the keys being tombstoned (before-images), read from
+        // only the touched partitions
+        val touched = touchedKeys(keys, partCols)
+        val before = resolved(spark, root, m,
+          m.files.filter(f => touched.contains(m.partKeyOf(f))))
+        before
+          .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi")
+          .withColumn(ChangeOper, lit("D"))
+          // canonical sidecar column order: table schema then _oper
+          .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+          .write.mode("overwrite").parquet(s"$root/$ChangesDir/$id")
+      }
+      // based-on verification, as in commitPartitions
+      if (currentManifest(spark, root).map(_.id) != Some(m.id))
+        throw new CowConcurrentCommitException(
+          s"delete $id at $root: based on snapshot ${m.id} but it is no " +
+            "longer current — recompute and retry (no manifest was written)")
+      // deletes only ADD: every previous entry (data and tombstones)
+      // carries over verbatim
+      writeManifest(spark, root, id, partCols, m.schemaDdl,
+        m.allFiles ++ fresh)
+    } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep)
   }
 
@@ -940,14 +1541,19 @@ object CowTable {
     * commit, id unconsumed) when there is nothing to fold.
     */
   def foldTombstones(
-      spark: SparkSession, root: String, id: Long, keep: Int = 2): Boolean = {
+      spark: SparkSession, root: String, id: Long, keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(return false)
     val touched = m.tombstones.map(m.partKeyOf).toSet
     if (touched.isEmpty) return false
     val rewrite = resolved(spark, root, m,
       m.files.filter(f => touched.contains(m.partKeyOf(f))))
-    commitPartitions(rewrite, touched, root, id, m.partCols, keep)
+    // a fold changes no visible rows, so its sidecar (when the table
+    // keeps a write-time feed) is the EMPTY changelog — the feed range
+    // stays servable across folds
+    commitPartitions(rewrite, touched, root, id, m.partCols, keep,
+      changeLogKeys = changeLogKeys)
     true
   }
 
@@ -986,5 +1592,21 @@ object CowTable {
       .filter(_.getPath.getName.stripPrefix(BatchPrefix).toLongOption
         .exists(i => i < newest && !liveBatches.contains(i)))
       .foreach(s => fs.delete(s.getPath, true))
+    // dead commit leases: an id at or behind the frontier can never
+    // commit again (replay guard), so its lock is a crash leftover
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory && s.getPath.getName.startsWith("_commit-"))
+      .filter(_.getPath.getName.stripPrefix("_commit-").stripSuffix(".lock")
+        .toLongOption.exists(_ <= newest))
+      .foreach(s => fs.delete(s.getPath, false))
+    // changelog sidecars age out with their manifests: the feed serves
+    // ranges starting at a RETAINED snapshot, so sidecars behind the
+    // retention cutoff are unreachable
+    val changes = new Path(root, ChangesDir)
+    if (fs.exists(changes))
+      fs.listStatus(changes).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.toLongOption.exists(_ < cutoff))
+        .foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -573,6 +573,341 @@ class CowTableSpec extends SparkSpec {
       .contains(CowTable.read(spark, root).get.count()))
   }
 
+  test("multi-column skipping on a z-ordered layout: the range " +
+      "CONJUNCTION keeps fewer files than either single-column prune, " +
+      "result identical to the plain double filter") {
+    import graft.sinks.{CowRange, ZOrder}
+    val df = spark.range(0, 16384)
+      .select($"id", (($"id" * 2654435761L) % 16384L).as("k2"),
+        ($"id" % 7).as("v"))
+    val root = tmp()
+    CowTable.commitFull(ZOrder.cluster(df, Seq("id", "k2"), nFiles = 16),
+      root, 1L, Nil)
+    val r1 = CowRange("id", Some("1000"), Some("3000"))
+    val r2 = CowRange("k2", Some("1000"), Some("3000"))
+    val k1 = CowTable.filesFor(spark, root, Seq(r1)).size
+    val k2 = CowTable.filesFor(spark, root, Seq(r2)).size
+    val both = CowTable.filesFor(spark, root, Seq(r1, r2)).size
+    assert(both < k1 && both < k2,
+      s"2-D prune kept $both files vs 1-D prunes $k1 / $k2")
+    val got = CowTable.readWhere(spark, root, Seq(r1, r2))
+      .orderBy("id").collect().toSeq
+    val want = CowTable.read(spark, root).get
+      .where($"id".between(1000L, 3000L) && $"k2".between(1000L, 3000L))
+      .orderBy("id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("commit lease: two racing same-id commits have exactly one " +
+      "winner — the loser throws before writing, table is the winner's; " +
+      "a leaked lock is repairable and dead locks are vacuumed") {
+    import graft.sinks.CowConcurrentCommitException
+    val root = tmp()
+    // heavy enough that the winner holds the lease for seconds
+    val big = spark.range(0, 200000)
+      .select($"id", ($"id" % 8).cast("int").as("pb"),
+        ($"id" % 97).cast("double").as("v"))
+    @volatile var winnerDone = false
+    val winner = new Thread(() => {
+      CowTable.commitFull(big, root, 1L, Seq("pb"))
+      winnerDone = true
+    })
+    winner.start()
+    // wait until the winner demonstrably holds the lease
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new Path(s"$root/_commit-1.lock")
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!fs.exists(lock) && System.nanoTime() < deadline)
+      Thread.sleep(2)
+    assert(fs.exists(lock), "winner never acquired the lease")
+    intercept[CowConcurrentCommitException] {
+      CowTable.commitFull(
+        Seq((1L, 0, 0.0)).toDF("id", "pb", "v"), root, 1L, Seq("pb"))
+    }
+    winner.join(120000)
+    assert(winnerDone)
+    assert(CowTable.read(spark, root).get.count() == 200000L,
+      "table must be exactly the winner's state")
+
+    // leaked lock (crashed writer): next commit of that id refuses...
+    fs.create(new Path(s"$root/_commit-2.lock"), false).close()
+    intercept[CowConcurrentCommitException] {
+      CowTable.upsert(spark, root, 2L,
+        Seq((1L, 0, 9.9)).toDF("id", "pb", "v"), Seq("id"), Seq("pb"))
+    }
+    // ...until repaired
+    assert(CowTable.breakCommitLock(spark, root, 2L))
+    CowTable.upsert(spark, root, 2L,
+      Seq((1L, 0, 9.9)).toDF("id", "pb", "v"), Seq("id"), Seq("pb"))
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+    // dead locks (id <= frontier) are swept by the commit's vacuum
+    fs.create(new Path(s"$root/_commit-1.lock"), false).close()
+    CowTable.upsert(spark, root, 3L,
+      Seq((2L, 0, 1.0)).toDF("id", "pb", "v"), Seq("id"), Seq("pb"))
+    assert(!fs.exists(new Path(s"$root/_commit-1.lock")),
+      "dead lease not vacuumed")
+  }
+
+  test("skipping reads prune TOMBSTONE files by envelope: a point " +
+      "lookup outside the tombstoned key range pays no anti-join; " +
+      "inside it, the subtraction still applies") {
+    val root = tmp()
+    val df = spark.range(0, 4000)
+      .select($"id", ($"id" % 13).cast("double").as("v"))
+      .repartitionByRange(4, $"id")
+    CowTable.commitFull(df, root, 1L, Nil, sortCols = Seq("id"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      spark.range(0, 11).select($"id"), Seq("id"), Nil)
+
+    def plan(lo: String, hi: String) =
+      CowTable.readWhereBetween(spark, root, "id", Some(lo), Some(hi))
+        .queryExecution.executedPlan.toString
+    // outside [0,10]: every tombstone file's envelope misses → no anti-join
+    assert(!plan("3000", "3000").contains("LeftAnti"),
+      "tombstone files must be pruned from an out-of-range lookup")
+    assert(plan("5", "5").contains("LeftAnti"))
+    assert(CowTable.readWhereBetween(spark, root, "id",
+      Some("3000"), Some("3000")).select("id").as[Long].collect().toSeq
+      == Seq(3000L))
+    assert(CowTable.readWhereBetween(spark, root, "id",
+      Some("5"), Some("5")).count() == 0)
+  }
+
+  test("SAFE widening commits (int->long: old files upcast on read); " +
+      "breaking changes refuse; carried blooms drop when the string " +
+      "form changes (float->double) but survive integer widening") {
+    val root = tmp()
+    val v1 = spark.range(0, 100)
+      .select($"id", $"id".cast("int").as("n"),
+        ($"id" % 7).cast("float").as("f"),
+        ($"id" % 4).cast("int").as("pb"))
+    CowTable.commitFull(v1, root, 1L, Seq("pb"), bloomCols = Seq("n", "f"))
+
+    // widen n to long and f to double, touching ONLY partition pb=0 —
+    // pb 1..3's files carry over and must upcast at read
+    val v2 = spark.range(100, 110)
+      .select($"id", $"id".cast("long").as("n"),
+        ($"id" % 7).cast("double").as("f"), lit(0).as("pb"))
+    CowTable.commitPartitions(v2,
+      Set(CowTable.partKey(Seq("pb"), Map("pb" -> "0"))),
+      root, 2L, Seq("pb"))
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.schema("n").dataType.simpleString == "bigint")
+    assert(m.schema("f").dataType.simpleString == "double")
+    val out = CowTable.read(spark, root).get
+    // carried (old, int32/float) files read under the widened schema
+    assert(out.where($"pb" === 1).agg(sum($"n")).as[Long].head() ==
+      (0L until 100L).filter(_ % 4 == 1).sum)
+    // integer-widened column keeps carried blooms; float->double drops
+    val carried = m.files.filterNot(_.path.startsWith("batch-2/"))
+    assert(carried.nonEmpty)
+    assert(carried.forall(_.blooms.contains("n")),
+      "integer widening must keep carried blooms")
+    assert(carried.forall(!_.blooms.contains("f")),
+      "float->double must drop carried blooms (string form changed)")
+    // fresh files bloom both columns again
+    assert(m.files.filter(_.path.startsWith("batch-2/"))
+      .forall(f => f.blooms.contains("n") && f.blooms.contains("f")))
+    // point lookup on the integer-widened column still bloom-safe
+    assert(CowTable.readWhereBetween(spark, root, "n", Some("57"), Some("57"))
+      .count() == 1)
+
+    // narrowing and column drops refuse loudly
+    intercept[IllegalArgumentException] {
+      CowTable.commitPartitions(
+        spark.range(0, 5).select($"id", $"id".cast("int").as("n"),
+          $"id".cast("double").as("f"), lit(0).as("pb")),
+        Set(CowTable.partKey(Seq("pb"), Map("pb" -> "0"))),
+        root, 3L, Seq("pb"))
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.commitPartitions(
+        spark.range(0, 5).select($"id", lit(0).as("pb")),
+        Set(CowTable.partKey(Seq("pb"), Map("pb" -> "0"))),
+        root, 3L, Seq("pb"))
+    }
+  }
+
+  test("write-time change feed: netted sidecars reproduce the snapshot " +
+      "diff exactly (including a D whose key was updated in between), " +
+      "and a fold keeps the range servable") {
+    val root = tmp()
+    val mk = (rs: Seq[(Long, String, Double)]) =>
+      rs.toDF("id", "name", "score")
+        .withColumn("pb", CowTable.keyBucket(Seq("id"), 4))
+    CowTable.commitFull(mk((1L to 20L).map(k => (k, s"n$k", k * 1.0))),
+      root, 1L, Seq("pb"), keep = 10)
+    // batch 2: update 1..5, insert 21..22 — WITH changelog
+    CowTable.upsert(spark, root, 2L,
+      mk((1L to 5L).map(k => (k, s"n$k-v2", k * 2.0)) ++
+        Seq((21L, "n21", 21.0), (22L, "n22", 22.0))),
+      Seq("id"), Seq("pb"), changeLog = true, keep = 10)
+    // batch 3: MOR-delete 3..8 (3..5 were updated in batch 2!)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      mk((3L to 8L).map(k => (k, "", 0.0))).select("id", "pb"),
+      Seq("id"), Seq("pb"), changeLog = true, keep = 10)
+    // batch 4: fold (no logical change, empty sidecar)
+    assert(CowTable.foldTombstones(spark, root, 4L, keep = 10,
+      changeLogKeys = Seq("id")))
+
+    val log = CowTable.changeFeedFromLog(spark, root, 1L, 4L, Seq("id"))
+    assert(log.isDefined, "every commit in range has a sidecar")
+    val diff = CowTable.changeFeedByDiff(spark, root, 1L, 4L, Seq("id"))
+    val key = Seq("id", "name", "score", "pb", "oper")
+    val a = log.get.select(key.map(col): _*).orderBy("id", "oper")
+      .collect().toSeq
+    val b = diff.select(key.map(col): _*).orderBy("id", "oper")
+      .collect().toSeq
+    assert(a == b, s"sidecar feed diverged from diff feed:\n$a\nvs\n$b")
+    // the interesting case: 3..5 net to D with their ORIGINAL image
+    val d3 = log.get.where($"id" === 3L)
+      .select("oper", "name").as[(String, String)].collect().toSeq
+    assert(d3 == Seq(("D", "n3")),
+      "net D must carry the fromId-time before-image")
+    // the public API serves from sidecars here (same result either way)
+    assert(CowTable.changeFeed(spark, root, 1L, 4L, Seq("id"))
+      .count() == diff.count())
+    // batch 5 skips the changelog → a range covering it cannot serve
+    // from sidecars and the public API falls back to the diff
+    CowTable.upsert(spark, root, 5L,
+      mk(Seq((9L, "n9-v5", 99.0))), Seq("id"), Seq("pb"), keep = 10)
+    assert(CowTable.changeFeedFromLog(spark, root, 1L, 5L, Seq("id")).isEmpty)
+    val full = CowTable.changeFeed(spark, root, 1L, 5L, Seq("id"))
+    assert(full.where($"id" === 9L).select("oper").as[String].head() == "U")
+  }
+
+  test("append commits: no existing file is touched, content " +
+      "accumulates, the sidecar feed is pure I, and a later upsert " +
+      "still consolidates the key's partition") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    val before = dataFileState(root)
+    CowTable.commitAppend(
+      Seq((6L, "p1", "f", 60.0), (7L, "p9", "g", 70.0))
+        .toDF("id", "part", "name", "score"),
+      root, 2L, Seq("part"), keep = 10, changeLogKeys = Seq("id"))
+    // every pre-append file untouched (append wrote only new files)
+    before.foreach { case (p, t) =>
+      assert(dataFileState(root).get(p).contains(t),
+        s"append rewrote an existing file: $p")
+    }
+    val m = CowTable.currentManifest(spark, root).get
+    // p1 now has files from BOTH batches (fragmentation, by design)
+    assert(m.files.count(_.part("part") == "p1") == 2)
+    assert(CowTable.read(spark, root).get.count() == 7)
+    // the append's sidecar feed is exactly its I rows
+    val feed = CowTable.changeFeedFromLog(spark, root, 1L, 2L, Seq("id")).get
+    assert(feed.select("id", "oper").as[(Long, String)].collect().toSet
+      == Set((6L, "I"), (7L, "I")))
+    // an upsert touching p1 rewrites the WHOLE partition (both files
+    // retire) — append fragmentation never survives a keyed rewrite
+    CowTable.upsert(spark, root, 3L,
+      Seq((6L, "p1", "f-v2", 61.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 10)
+    val m3 = CowTable.currentManifest(spark, root).get
+    assert(m3.files.filter(_.part("part") == "p1")
+      .forall(_.path.startsWith("batch-3/")))
+    assert(CowTable.read(spark, root).get.where($"id" === 6L)
+      .select("name").as[String].head() == "f-v2")
+  }
+
+  test("compaction: fragmented partitions rewrite to their byte-need " +
+      "file count, non-fragmented partitions carry over untouched, " +
+      "content is identical, and a big partition splits to multiple " +
+      "files via the bin column") {
+    val root = tmp()
+    val df = spark.range(0, 3000)
+      .select($"id", ($"id" % 3).cast("int").as("pb"),
+        ($"id" % 97).cast("double").as("v"))
+    // three appends → every bucket holds 3 files
+    (0 until 3).foreach(r => CowTable.commitAppend(
+      df.where($"id" % 3 === r).withColumn("pb", ($"id" % 2).cast("int")),
+      root, r + 1L, Seq("pb"), keep = 10))
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.files.size == 6) // 2 buckets × 3 appends
+    val want = CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+    assert(CowTable.compactPartitions(spark, root, 4L,
+      targetFileBytes = 1L << 30, keep = 10))
+    val mc = CowTable.currentManifest(spark, root).get
+    assert(mc.files.size == 2, s"expected 1 file/bucket, got ${mc.files}")
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+      == want)
+    // nothing left to compact → false, id unconsumed
+    assert(!CowTable.compactPartitions(spark, root, 5L,
+      targetFileBytes = 1L << 30))
+
+    // a table whose single partition exceeds the target splits into
+    // ~ceil(bytes/target) files
+    val root2 = tmp()
+    CowTable.commitAppend(spark.range(0, 2000).select($"id"),
+      root2, 1L, Nil, keep = 10)
+    CowTable.commitAppend(spark.range(2000, 4000).select($"id"),
+      root2, 2L, Nil, keep = 10)
+    val bytes = CowTable.currentManifest(spark, root2).get
+      .files.map(_.bytes).sum
+    assert(CowTable.compactPartitions(spark, root2, 3L,
+      targetFileBytes = math.max(1L, bytes / 3)))
+    val n2 = CowTable.currentManifest(spark, root2).get.files.size
+    assert(n2 >= 2, s"large partition must split, got $n2 file(s)")
+    assert(CowTable.read(spark, root2).get.count() == 4000)
+    // compaction folds outstanding tombstones as a side effect
+    val root3 = tmp()
+    CowTable.commitFull(base3, root3, 1L, Seq("part"), keep = 10)
+    CowTable.deleteKeysMor(spark, root3, 2L,
+      Seq((1L, "p1")).toDF("id", "part"), Seq("id"), Seq("part"),
+      keep = 10)
+    assert(CowTable.compactPartitions(spark, root3, 3L))
+    val m3 = CowTable.currentManifest(spark, root3).get
+    assert(m3.tombstones.isEmpty)
+    assert(CowTable.read(spark, root3).get.count() == 4)
+  }
+
+  test("IN-list reads prune by bloom per value and return exactly the " +
+      "plain IN-filter's rows; absent values prune everything") {
+    val root = tmp()
+    val df = spark.range(0, 8192)
+      .select($"id", concat(lit("user-"), $"id").as("uid"))
+      .repartition(8, xxhash64($"id"))
+    CowTable.commitFull(df, root, 1L, Nil, bloomCols = Seq("uid"))
+    val total = CowTable.currentManifest(spark, root).get.files.size
+    val wanted = Seq("user-17", "user-4711", "user-8000")
+    val kept = CowTable.filesForIn(spark, root, "uid", wanted)
+    assert(kept.size < total, s"kept ${kept.size} of $total")
+    assert(CowTable.readWhereIn(spark, root, "uid", wanted)
+      .select("id").as[Long].collect().toSeq.sorted
+      == Seq(17L, 4711L, 8000L))
+    assert(CowTable.readWhereIn(spark, root, "uid",
+      Seq("user-999999", "user-888888")).count() == 0)
+    // numeric canonicalization applies per value
+    val root2 = tmp()
+    CowTable.commitFull(
+      spark.range(0, 2000).select($"id", $"id".cast("double").as("d")),
+      root2, 1L, Nil, bloomCols = Seq("d"))
+    assert(CowTable.readWhereIn(spark, root2, "d", Seq("1500", "3"))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(3L, 1500L))
+  }
+
+  test("history() reports per-snapshot file/row/churn metadata without " +
+      "reading data") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    CowTable.commitAppend(
+      Seq((6L, "p1", "f", 60.0)).toDF("id", "part", "name", "score"),
+      root, 2L, Seq("part"), keep = 10)
+    CowTable.upsert(spark, root, 3L,
+      Seq((2L, "p1", "x", 0.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 10)
+    val h = CowTable.history(spark, root)
+      .orderBy("snapshot_id")
+      .select("snapshot_id", "n_rows", "files_added", "files_removed")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(_._2) == Seq(5L, 6L, 6L))
+    // append only adds; the upsert rewrote p1 (2 files out, 1 in)
+    assert(h(1)._3 == 1L && h(1)._4 == 0L)
+    assert(h(2)._3 == 1L && h(2)._4 == 2L)
+  }
+
   test("schema may grow (evolved columns NULL on old files) but never " +
       "mutate a column's type") {
     val root = tmp()
