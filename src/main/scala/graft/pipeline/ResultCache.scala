@@ -13,11 +13,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * file-backed tables.
   *
   * Key = sha256 of:
-  *   - `optimizedPlan.canonicalized.toString` — Catalyst normalizes
+  *   - `optimizedPlan.canonicalized.toJSON` — Catalyst normalizes
   *     exprIds positionally and folds cosmetic differences, so two
   *     SYNTACTICALLY different but logically identical DataFrames
   *     (filter written before or after a select, reordered
-  *     conjunctions) key to the same entry after optimization;
+  *     conjunctions) key to the same entry after optimization. JSON,
+  *     not toString: the tree STRING elides expression lists past
+  *     `spark.sql.debug.maxToStringFields` (default 25) as "... N more
+  *     fields", so two wide plans differing only in the elided tail
+  *     would key identically and serve each other's results — the
+  *     exact wrong-results failure this class exists to refuse
+  *     (spec-pinned with two 30-column selects differing in the tail);
   *   - every input file's (path, size, mtime), read from the plan's
   *     FileIndexes — a rewritten, appended or compacted source changes
   *     the inventory and MISSES, so staleness is structural, not
@@ -68,7 +74,7 @@ object ResultCache {
       }
     }
     val digest = MessageDigest.getInstance("SHA-256")
-    digest.update(plan.canonicalized.toString.getBytes(StandardCharsets.UTF_8))
+    digest.update(plan.canonicalized.toJSON.getBytes(StandardCharsets.UTF_8))
     inventory.foreach(l =>
       digest.update(l.getBytes(StandardCharsets.UTF_8)))
     digest.digest().map("%02x".format(_)).mkString

@@ -116,7 +116,20 @@ object MvRewrite {
       case other => throw new IllegalArgumentException(
         s"$mvPath did not plan as a LogicalRelation: ${other.getClass}")
     }
+    // validate the FULL layout contract at registration (fail loud
+    // here, not with a NoSuchElementException inside the optimizer
+    // that would poison every query over the fact): cnt, every
+    // sum_/min_/max_ measure, and every grouping column must exist
+    val have = rel.schema.fieldNames.toSet
+    def need(c: String, why: String): Unit = require(have.contains(c),
+      s"view $name: missing column $c ($why) — refusing to register")
+    need("cnt", "count measure")
+    groupCols.foreach(c => need(c, "grouping column"))
+    minMaxCols.foreach { c =>
+      need(s"min_$c", "min measure"); need(s"max_$c", "max measure")
+    }
     for (c <- sumCols) {
+      need(s"sum_$c", "sum measure")
       val f = rel.schema(s"sum_$c")
       require(f.dataType == DecimalType(25, 6),
         s"view $name: sum_$c must be DECIMAL(25,6) (the layout contract" +
@@ -167,31 +180,34 @@ object MvRewrite {
       val mvAttr: Map[String, Attribute] =
         mvPlan.output.map(a => a.name -> a).toMap
 
+      // mvAttr.get throughout (never apply): registration validates the
+      // layout, but a view whose files changed underneath an old MvDef
+      // must degrade to no-rewrite, not throw inside the optimizer
       def aggFn(fn: AggregateFunction): Option[AggregateFunction] = fn match {
         // sum(cast(x as decimal(25,6))) — the engine's exact-sum idiom;
         // withNewChildren keeps the Sum's evalMode (ANSI) intact
         case s: Sum => s.child match {
           case c: Cast if c.dataType == DecimalType(25, 6) => c.child match {
             case a: AttributeReference if mv.sumCols.contains(a.name) =>
-              Some(s.withNewChildren(Seq(mvAttr(s"sum_${a.name}")))
-                .asInstanceOf[AggregateFunction])
+              mvAttr.get(s"sum_${a.name}").map(m =>
+                s.withNewChildren(Seq(m)).asInstanceOf[AggregateFunction])
             case _ => None
           }
           case _ => None
         }
         case c: Count => c.children match {
           // non-null literal only: count(NULL) is 0, not the row count
-          case Seq(Literal(v, _)) if v != null => Some(Sum(mvAttr("cnt")))
+          case Seq(Literal(v, _)) if v != null => mvAttr.get("cnt").map(Sum(_))
           case _ => None
         }
         case m: Min => m.child match {
           case a: AttributeReference if mv.minMaxCols.contains(a.name) =>
-            Some(Min(mvAttr(s"min_${a.name}")))
+            mvAttr.get(s"min_${a.name}").map(Min(_))
           case _ => None
         }
         case m: Max => m.child match {
           case a: AttributeReference if mv.minMaxCols.contains(a.name) =>
-            Some(Max(mvAttr(s"max_${a.name}")))
+            mvAttr.get(s"max_${a.name}").map(Max(_))
           case _ => None
         }
         case _ => None

@@ -123,20 +123,26 @@ object Compaction {
       val joinCond = partCols.map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
       val dataCols = df.columns.filterNot(partCols.contains)
       // row→bin spread: hash the data columns PLUS a per-row position
-      // component (input-partition id + within-partition offset) — the
-      // position term keeps byte-identical duplicate rows (and the
-      // degenerate every-column-is-a-partition-column table, where
-      // dataCols is empty and a bare xxhash64() would fail analysis)
-      // spreading across bins instead of collapsing into one writer.
-      // Deterministic for a stable input file layout, which is all bin
-      // assignment needs — row CONTENT routing stays exact via the
+      // component — the position term keeps byte-identical duplicate
+      // rows (and the degenerate every-column-is-a-partition-column
+      // table, where dataCols is empty and a bare xxhash64() would fail
+      // analysis) spreading across bins instead of collapsing into one
+      // writer. The position is (file path, row index in file) from the
+      // scan's `_metadata` struct — a pure function of the input FILES,
+      // so a retried or recomputed task routes every row to the same
+      // bin (monotonically_increasing_id would not: it shifts with
+      // partition re-splits, the SPARK-23207 class of shuffle-retry row
+      // loss/duplication). Row CONTENT routing stays exact via the
       // partition-column keys.
-      val spread = pmod(
-        xxhash64(dataCols.map(col) :+ monotonically_increasing_id(): _*),
-        col("__nbins"))
-      val binned = df.join(broadcast(binsDf), joinCond)
+      val pos = xxhash64(col("_metadata.file_path"),
+        col("_metadata.row_index"))
+      val binned = df.withColumn("__pos", pos)
+        .join(broadcast(binsDf), joinCond)
         .drop(partCols.map(c => s"__bk_$c"): _*)
-        .withColumn("__bin", spread)
+        .withColumn("__bin",
+          pmod(xxhash64(dataCols.map(col) :+ col("__pos"): _*),
+            col("__nbins")))
+        .drop("__pos")
       // EXPLICIT partition count: repartition-by-column without one is
       // subject to AQE coalescing, which would pack several bins into
       // one write task and defeat the bin targets. Range partitioning

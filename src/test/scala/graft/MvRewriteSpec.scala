@@ -159,6 +159,28 @@ class MvRewriteSpec extends SparkSpec {
     MvCatalog.clear()
   }
 
+  test("registering a view with a missing layout column fails LOUD at " +
+      "registration, not inside the optimizer") {
+    MvCatalog.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mv_bad").toString
+    // a "view" lacking cnt and the min_/max_ measures
+    spark.read.parquet(factPath)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)"))
+        .cast("decimal(25,6)").as("sum_l_quantity"))
+      .write.mode("overwrite").parquet(s"$dir/mv")
+    val e = intercept[IllegalArgumentException] {
+      MvRewrite.registerView(spark, "bad_mv", factPath, s"$dir/mv",
+        groupCols = Seq("l_returnflag", "l_linestatus"),
+        sumCols = Seq("l_quantity"), minMaxCols = Seq("l_quantity"))
+    }
+    assert(e.getMessage.contains("missing column"))
+    assert(MvCatalog.isEmpty, "a refused view must not register")
+    // queries over the fact keep working, un-rewritten
+    assert(plan(rollup()).contains("lineitem.parquet"))
+  }
+
   test("other tables and joins are never touched by the rule") {
     MvCatalog.clear(); freshView()
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -61,6 +61,26 @@ class ResultCacheSpec extends SparkSpec {
     assert(k1 != k2, "appended source must invalidate")
   }
 
+  test("wide plans differing only past maxToStringFields (default 25) " +
+      "get DIFFERENT keys — the tree string elides the tail, the JSON " +
+      "key must not") {
+    // two 30-column projections identical in the first 29 expressions,
+    // different only in the last — a toString-based key elides
+    // everything past field 25 and would collide them
+    def wide(last: org.apache.spark.sql.Column) =
+      spark.read.parquet(s"$sfDir/orders.parquet").select(
+        (0 until 29).map(i => ($"o_orderkey" + lit(i)).as(s"c$i")) :+
+          last.as("c29"): _*)
+    val a = wide($"o_orderkey" * 2)
+    val b = wide($"o_orderkey" * 3)
+    // sanity: the truncated STRING forms collide (the bug ADVICE named)
+    val sa = a.queryExecution.optimizedPlan.canonicalized.toString
+    val sb = b.queryExecution.optimizedPlan.canonicalized.toString
+    assert(sa == sb, "premise: tree strings elide the differing tail")
+    assert(ResultCache.fingerprint(a) != ResultCache.fingerprint(b),
+      "full-fidelity key must distinguish the elided tail")
+  }
+
   test("non-deterministic plans and non-file sources are refused") {
     intercept[IllegalArgumentException] {
       ResultCache.fingerprint(
