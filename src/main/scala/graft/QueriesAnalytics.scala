@@ -753,8 +753,90 @@ object QueriesAnalytics {
       | count_order
       |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // TPC-H Q3 (shipping priority), adapted to this schema
+  // (o_orderpriority for the absent o_shippriority): the canonical
+  // 3-way star join + group + top-k. Plan shape at scale: customer
+  // (filtered to one segment) BROADCASTS into orders, the filtered
+  // join result shuffles once on l_orderkey for the aggregate, and the
+  // top-10 is a TakeOrdered, never a global sort. Revenue sums ride
+  // the DECIMAL(25,6) associative carrier (Queries.dsum); ordering is
+  // fully deterministic (revenue desc, date, orderkey).
+  // -------------------------------------------------------------------
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val c = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q6 (forecasting revenue change): the canonical selective
+  // scan-and-sum. Every predicate reaches the parquet scan as a pushed
+  // filter; the revenue product sums through the decimal carrier. The
+  // 100 TB story is the SCAN, not the agg: shipdate range + discount
+  // band + quantity cut prune row groups via parquet min/max before a
+  // single value is decoded.
+  // -------------------------------------------------------------------
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        Queries.dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val tpchQ6Sql: String =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+      |      AS DOUBLE) AS revenue,
+      | count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (tpchQ1 _),
+    "tpch_q3" -> (tpchQ3 _),
+    "tpch_q6" -> (tpchQ6 _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
     "format_roundtrip" -> (formatRoundtrip _),
@@ -772,6 +854,8 @@ object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> tpchQ1Sql,
+    "tpch_q3" -> tpchQ3Sql,
+    "tpch_q6" -> tpchQ6Sql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,
     "format_roundtrip" -> formatRoundtripSql,

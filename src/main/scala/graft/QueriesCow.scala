@@ -514,6 +514,71 @@ object QueriesCow {
       | t(snapshot_id, n_rows, has_tombstones)
       |ORDER BY snapshot_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // MV MAINTAINED FROM THE TABLE'S OWN WRITE-TIME FEED: every commit's
+  // signed sidecar (D/I rows) feeds MaterializedAgg's retractable
+  // state with ±1 weights, so the per-group aggregate is maintained
+  // with O(sum of batches) work and ZERO table rescans — the closing
+  // of the loop between the storage layer's change feed and the MV
+  // layer's retraction algebra. The upsert deliberately MOVES keys
+  // between groups (segment rewrite), which only retraction can track:
+  // the D-old row cancels the old group's contribution exactly, the
+  // I-new row credits the new group. Engine-pinned: feed-built MV ==
+  // direct aggregate over the final table; oracle-pinned: both equal
+  // the expected groups computed straight from the source.
+  // -------------------------------------------------------------------
+  def cowMvFromFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg
+    val root = scratch("cow_mvfeed")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 1000),
+      root, 1L, Seq("pb"), keep = 10, changeLogKeys = Seq("c_custkey"))
+    CowTable.upsert(spark, root, 2L,
+      c.where(col("c_custkey").between(501, 1500))
+        .select(col("c_custkey"), lit("SEGMENT-X").as("c_mktsegment"),
+          col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10, changeLog = true)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      c.where(col("c_custkey").between(101, 150) ||
+          col("c_custkey").between(850, 950))
+        .select(col("c_custkey"), col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10, changeLog = true)
+    val keys = Seq("c_mktsegment")
+    val vals = Seq("c_custkey")
+    val states = (1L to 3L).map { i =>
+      val log = CowTable.changeLogFor(spark, root, i).getOrElse(
+        throw new IllegalStateException(s"commit $i wrote no sidecar"))
+      MaterializedAgg.retractStateOf(log, keys, vals)
+    }
+    val mv = MaterializedAgg.mergeRetract(keys, vals, states: _*)
+      .select(col("c_mktsegment"), col("mv_n").as("n"),
+        col("mv_sum_c_custkey").cast("long").as("sum_key"))
+    val direct = CowTable.read(spark, root).get
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
+          .as("sum_key"))
+    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+      "feed-maintained MV diverged from the direct aggregate")
+    mv.orderBy("c_mktsegment")
+  }
+
+  val cowMvFromFeedSql: String =
+    """WITH final AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 501 AND 1500 THEN 'SEGMENT-X'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |  WHERE c_custkey <= 1500
+      |    AND NOT (c_custkey BETWEEN 101 AND 150
+      |          OR c_custkey BETWEEN 850 AND 950)
+      |)
+      |SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      |FROM final GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
@@ -527,7 +592,8 @@ object QueriesCow {
     "cow_change_feed" -> (cowChangeFeed _),
     "cow_append_compact" -> (cowAppendCompact _),
     "cow_in_lookup" -> (cowInLookup _),
-    "cow_history" -> (cowHistory _))
+    "cow_history" -> (cowHistory _),
+    "cow_mv_from_feed" -> (cowMvFromFeed _))
 
   val oracles: Map[String, String] = Map(
     "cow_upsert" -> cowUpsertSql,
@@ -542,5 +608,6 @@ object QueriesCow {
     "cow_change_feed" -> cowChangeFeedSql,
     "cow_append_compact" -> cowAppendCompactSql,
     "cow_in_lookup" -> cowInLookupSql,
-    "cow_history" -> cowHistorySql)
+    "cow_history" -> cowHistorySql,
+    "cow_mv_from_feed" -> cowMvFromFeedSql)
 }

@@ -313,6 +313,21 @@ object CowTable {
     Some(netSignedLog(log, keyCols, operCol))
   }
 
+  /** One commit's SIGNED changelog sidecar (D-before/I-after rows, the
+    * [[Cdc.changelogSigned]] form), if the commit emitted one. This is
+    * the feed RETRACTABLE aggregation consumes
+    * ([[graft.operators.MaterializedAgg.retractStateOf]]): a downstream
+    * MV applies each commit's sidecar with ±1 weights and never
+    * rescans the table — oracle-pinned in `cow_mv_from_feed`.
+    */
+  def changeLogFor(
+      spark: SparkSession, root: String, id: Long,
+      operCol: String = "oper"): Option[DataFrame] = {
+    val d = s"$root/$ChangesDir/$id"
+    if (!hfs(spark, root).exists(new Path(s"$d/_SUCCESS"))) None
+    else Some(spark.read.parquet(d).withColumnRenamed(ChangeOper, operCol))
+  }
+
   /** Net a concatenation of per-batch SIGNED changelogs down to the
     * I/U/D diff feed — one shuffle on the keys, log-sized.
     */
@@ -1197,11 +1212,12 @@ object CowTable {
   def commitFull(
       df: DataFrame, root: String, id: Long, partCols: Seq[String],
       keep: Int = 2, sortCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
     val allTouched = currentManifest(df.sparkSession, root)
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
     commitPartitions(df, allTouched, root, id, partCols, keep, sortCols,
-      bloomCols)
+      bloomCols, changeLogKeys)
   }
 
   // -------------------------------------------------------------------
