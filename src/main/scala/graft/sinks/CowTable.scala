@@ -144,12 +144,35 @@ object CowTable {
   val KindData = "data"
   val KindTombstone = "tombstone"
 
-  /** Persist the signed changelog of one commit into its sidecar. */
-  private def writeChangeLog(
+  /** Compute + persist one commit's signed changelog into a STAGING
+    * directory (the expensive join runs here, outside any lock);
+    * [[publishChangeLog]] renames it into `_changes/<id>/` only after
+    * the commit's based-on verification passes — an aborted commit
+    * must never leave a servable sidecar for an id that never
+    * committed (a feed consumer would apply changes that never took
+    * effect).
+    */
+  private def stageChangeLog(
       spark: SparkSession, root: String, id: Long,
-      before: DataFrame, after: DataFrame, keyCols: Seq[String]): Unit =
+      before: DataFrame, after: DataFrame, keyCols: Seq[String]): Path = {
+    val staging = new Path(
+      s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
     Cdc.changelogSigned(before, after, keyCols, ChangeOper)
-      .write.mode("overwrite").parquet(s"$root/$ChangesDir/$id")
+      .write.mode("overwrite").parquet(staging.toString)
+    staging
+  }
+
+  private def publishChangeLog(
+      spark: SparkSession, root: String, id: Long, staging: Path): Unit = {
+    val fs = hfs(spark, root)
+    val dst = new Path(s"$root/$ChangesDir/$id")
+    if (fs.exists(dst)) fs.delete(dst, true) // a crashed attempt's leftover
+    require(fs.rename(staging, dst), s"could not publish changelog $dst")
+  }
+
+  private def discardChangeLog(
+      spark: SparkSession, root: String, staging: Option[Path]): Unit =
+    staging.foreach(p => hfs(spark, root).delete(p, true))
 
   /** Stable key-hash bucket column: `pmod(xxhash64(keys), n)`. Bucket-
     * partitioning a keyed table with this makes ANY key's partition a
@@ -323,9 +346,15 @@ object CowTable {
   def changeLogFor(
       spark: SparkSession, root: String, id: Long,
       operCol: String = "oper"): Option[DataFrame] = {
-    val d = s"$root/$ChangesDir/$id"
-    if (!hfs(spark, root).exists(new Path(s"$d/_SUCCESS"))) None
-    else Some(spark.read.parquet(d).withColumnRenamed(ChangeOper, operCol))
+    // the id must have actually COMMITTED: a crash between sidecar
+    // publish and manifest write can orphan a sidecar, and serving it
+    // would hand consumers changes that never took effect
+    if (!committedIds(spark, root).contains(id)) None
+    else {
+      val d = s"$root/$ChangesDir/$id"
+      if (!hfs(spark, root).exists(new Path(s"$d/_SUCCESS"))) None
+      else Some(spark.read.parquet(d).withColumnRenamed(ChangeOper, operCol))
+    }
   }
 
   /** Net a concatenation of per-batch SIGNED changelogs down to the
@@ -563,14 +592,24 @@ object CowTable {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val kept = keptFilesIn(spark, m, colName, values)
-    // tombstones prune by the values' overall [min, max] envelope —
-    // sound for the same residual-filter reason as ranges
+    // tombstones prune by the values' overall [min, max] envelope — an
+    // explicit fold that surrenders (no pruning, never a wrong prune)
+    // if ANY pair is incomparable: statCompare is partial (NaN,
+    // malformed numerics), and a sort under a partial comparator could
+    // emit an inverted envelope that wrongly drops a live tombstone
     val dt = m.schema.fields.find(_.name == colName)
       .map(_.dataType).getOrElse(StringType)
-    val sorted = values.sortWith((a, b) =>
-      statCompare(dt, a, b).exists(_ < 0))
-    val df = resolved(spark, root, m, kept,
-      Seq(CowRange(colName, sorted.headOption, sorted.lastOption)))
+    def fold(keepLeft: Int => Boolean): Option[String] =
+      values.foldLeft(Option(values.head)) {
+        case (Some(a), b) =>
+          statCompare(dt, a, b).map(c => if (keepLeft(c)) a else b)
+        case (None, _) => None
+      }
+    val ranges = (fold(_ <= 0), fold(_ >= 0)) match {
+      case (lo @ Some(_), hi @ Some(_)) => Seq(CowRange(colName, lo, hi))
+      case _ => Nil
+    }
+    val df = resolved(spark, root, m, kept, ranges)
     df.where(col(colName).isin(values.map(v => lit(v).cast(dt)): _*))
   }
 
@@ -583,10 +622,33 @@ object CowTable {
       values.exists(v => mayMatch(m.schema, f, colName, Some(v), Some(v))))
     if (!byStats.exists(_.blooms.contains(colName))) byStats
     else {
-      val hashes = values.map(v => bloomHashesOf(spark, v, dt))
+      // ONE 1-row job for every value's hashes (a job per value would
+      // put |values| sequential scheduler round-trips on the serving
+      // path this API exists for)
+      val hashes = bloomHashesOfAll(spark, values, dt)
       byStats.filter(f => f.blooms.get(colName).forall(words =>
         hashes.exists(h => h.nonEmpty && bloomHasValue(words, h)) ||
           hashes.exists(_.isEmpty)))
+    }
+  }
+
+  /** The [[bloomHashesOf]] canonicalize-and-hash for a whole value
+    * list in ONE 1-row Spark job. Uncastable values yield Nil (no
+    * bloom pruning for them), like the single-value form.
+    */
+  private def bloomHashesOfAll(
+      spark: SparkSession, values: Seq[String],
+      dt: DataType): Seq[Seq[Long]] = {
+    val row = spark.range(1).select(values.zipWithIndex.map { case (v, i) =>
+      val canon = lit(v).cast(dt).cast("string")
+      struct(canon.isNull.as("nul"),
+        array((0 until BloomHashes).map(k =>
+          xxhash64(lit(k), coalesce(canon, lit("")))): _*).as("hs"))
+        .as(s"v$i")
+    }: _*).first()
+    values.indices.map { i =>
+      val s = row.getStruct(i)
+      if (s.getBoolean(0)) Nil else s.getSeq[Long](1).toSeq
     }
   }
 
@@ -850,22 +912,25 @@ object CowTable {
     * directory — which is what protects the winner's data files from a
     * concurrent overwrite-mode write into the same `batch-<id>/`.
     */
-  private def acquireCommitLock(
-      spark: SparkSession, root: String, id: Long): Unit = {
-    val p = lockPath(root, id)
-    val conflict = new CowConcurrentCommitException(
-      s"commit $id at $root: another writer holds ${p.getName} — " +
-        "lost the commit race (or a crashed commit leaked the lock; " +
-        "repair via breakCommitLock)")
-    if (Option(p.toUri.getScheme).forall(_ == "file")) {
-      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+  private def atomicCreate(
+      spark: SparkSession, root: String, p: Path,
+      conflict: => CowConcurrentCommitException): Unit = {
+    val fs = hfs(spark, root)
+    // locality decided by the RESOLVED filesystem, not the raw URI: a
+    // scheme-less root on a cluster resolves to fs.defaultFS (HDFS,
+    // object store) — creating the lock via local NIO there would put
+    // it on the driver's own disk, breaking mutual exclusion AND
+    // making release (which goes through the resolved fs) miss it
+    if (fs.getUri.getScheme == "file") {
+      val nio = java.nio.file.Paths.get(
+        Path.getPathWithoutSchemeAndAuthority(
+          fs.makeQualified(p)).toString)
       java.nio.file.Files.createDirectories(nio.getParent)
-      try { java.nio.file.Files.createFile(nio); () }
+      try { java.nio.file.Files.createFile(nio); () } // O_CREAT|O_EXCL
       catch {
         case _: java.nio.file.FileAlreadyExistsException => throw conflict
       }
     } else {
-      val fs = hfs(spark, root)
       try fs.create(p, false).close()
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -874,9 +939,58 @@ object CowTable {
     }
   }
 
+  private def acquireCommitLock(
+      spark: SparkSession, root: String, id: Long): Unit =
+    atomicCreate(spark, root, lockPath(root, id),
+      new CowConcurrentCommitException(
+        s"commit $id at $root: another writer holds the id lease — " +
+          "lost the commit race (or a crashed commit leaked the lock; " +
+          "repair via breakCommitLock)"))
+
   private def releaseCommitLock(
       spark: SparkSession, root: String, id: Long): Unit =
     hfs(spark, root).delete(lockPath(root, id), false)
+
+  private def manifestLockPath(root: String) = new Path(s"$root/_commit.lock")
+
+  /** The TABLE-WIDE manifest lock: held only around
+    * [based-on verification → sidecar publish → manifest write], the
+    * short critical section that makes cross-id lost-updates
+    * impossible — without it, two writers of DIFFERENT ids could both
+    * pass the based-on check in the window before either manifest's
+    * `_SUCCESS` lands, and the later manifest would silently drop the
+    * earlier commit's files (which vacuum would then delete). The
+    * expensive work (batch write, stats, changelog join) happens
+    * OUTSIDE this lock; contention is bounded by a manifest write.
+    * Acquisition retries briefly (another writer's critical section),
+    * then throws — a leak from a crashed writer is repaired with
+    * [[breakManifestLock]].
+    */
+  private def acquireManifestLock(
+      spark: SparkSession, root: String, id: Long): Unit = {
+    val waitSec = sys.props.get("graft.cow.manifestLockWaitSec")
+      .flatMap(_.toLongOption).getOrElse(60L)
+    val deadline = System.nanoTime() + waitSec * 1000000000L
+    while (true) {
+      try {
+        atomicCreate(spark, root, manifestLockPath(root),
+          new CowConcurrentCommitException(
+            s"commit $id at $root: manifest lock busy"))
+        return
+      } catch {
+        case e: CowConcurrentCommitException =>
+          if (System.nanoTime() >= deadline)
+            throw new CowConcurrentCommitException(
+              s"commit $id at $root: manifest lock held for >60s — a " +
+                "crashed writer may have leaked it; repair via " +
+                "breakManifestLock after confirming no writer is live")
+          Thread.sleep(50)
+      }
+    }
+  }
+
+  private def releaseManifestLock(spark: SparkSession, root: String): Unit =
+    hfs(spark, root).delete(manifestLockPath(root), false)
 
   /** Crash repair: remove a commit lease leaked by a writer that died
     * mid-commit (lock present, no `manifest-<id>/_SUCCESS`). The
@@ -887,6 +1001,71 @@ object CowTable {
     */
   def breakCommitLock(spark: SparkSession, root: String, id: Long): Boolean =
     hfs(spark, root).delete(lockPath(root, id), false)
+
+  /** Crash repair for the table-wide manifest lock. */
+  def breakManifestLock(spark: SparkSession, root: String): Boolean =
+    hfs(spark, root).delete(manifestLockPath(root), false)
+
+  // ---- shared commit-protocol pieces (commitPartitions/commitAppend
+  // must never drift apart on these) ----
+
+  /** The committed schema: proposed fields with nullability widened to
+    * the grow-only union (carried files may hold NULLs a stricter
+    * batch doesn't — the manifest must not lie about them) and column
+    * order anchored to the previous schema (new columns append), so a
+    * batch whose plan reordered columns cannot flap the manifest DDL.
+    */
+  private def effSchemaOf(
+      prev: Option[CowManifest], proposed: StructType): StructType =
+    prev match {
+      case None => proposed
+      case Some(p) =>
+        val byName = proposed.fields.map(f => f.name -> f).toMap
+        val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
+          .map(f => f.copy(nullable = pf.nullable || f.nullable)))
+        val added = proposed.fields
+          .filterNot(f => p.schema.fieldNames.contains(f.name))
+        StructType(kept ++ added)
+    }
+
+  /** The evolution gate every commit path runs: same partitioning,
+    * [[SchemaCompat]]-compatible change, and partition columns frozen
+    * at their exact type (their STRING form is the partition identity
+    * carried files are keyed by — even a "safe" widening would change
+    * it and strand carried rows in unmatchable partitions).
+    */
+  private def validateEvolution(
+      p: CowManifest, effSchema: StructType, partCols: Seq[String]): Unit = {
+    require(p.partCols == partCols,
+      s"partitioning changed: ${p.partCols} -> $partCols (rewrite the " +
+        "table via a fresh root to repartition)")
+    val report = SchemaCompat.check(p.schema, effSchema)
+    require(report.compatible,
+      "breaking schema evolution refused: " +
+        report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
+    partCols.foreach { c =>
+      val was = p.schema(c).dataType
+      val now = effSchema(c).dataType
+      require(was == now,
+        s"partition column $c may not change type ($was -> $now): its " +
+          "string form is the partition identity carried files are keyed by")
+    }
+  }
+
+  /** Columns whose carried Bloom words went stale in this commit: the
+    * type changed in a way that changes a value's cast-to-string form
+    * (float→double, decimal growth), so probes hashed under the new
+    * schema would false-NEGATIVE against the old words. Integer-chain
+    * widenings preserve the string form and keep their blooms.
+    */
+  private def bloomUnsafeCols(
+      p: CowManifest, effSchema: StructType): Set[String] =
+    p.schema.fields.toSeq.collect {
+      case f if effSchema.fieldNames.contains(f.name) &&
+        effSchema(f.name).dataType != f.dataType &&
+        !integerWidening(f.dataType, effSchema(f.name).dataType) =>
+        f.name
+    }.toSet
 
   /** Commit `rewrite` as the FULL new content of the partitions whose
     * canonical keys are in `touched`; every other partition carries
@@ -913,19 +1092,21 @@ object CowTable {
     * ([[acquireCommitLock]]) makes same-id races one-winner — the
     * loser throws [[CowConcurrentCommitException]] before writing
     * anything. Cross-id races (two writers committing different ids
-    * against the same base snapshot) are detected by re-reading the
-    * current manifest immediately before the manifest write: if it no
-    * longer matches the snapshot this rewrite was computed against,
-    * the commit aborts with the same exception and the caller
-    * recomputes against the new base — the lost-update this prevents
-    * is a manifest that silently drops the interleaved commit's files.
+    * against the same base snapshot) are excluded by the table-wide
+    * [[acquireManifestLock]]: based-on verification (current manifest
+    * still the snapshot `carried` was computed from) and the manifest
+    * write sit in one short critical section, so the window where two
+    * different-id writers both pass the check cannot exist. A failed
+    * verification aborts with the same exception, sidecar unpublished,
+    * and the caller recomputes against the new base.
     *
     * `changeLogKeys` (non-empty = enabled) emits the batch's signed
     * row-level changelog ([[Cdc.changelogSigned]] of the touched
     * partitions' before vs after state, keyed by these columns) into
-    * the `_changes/<id>/` sidecar BEFORE the manifest commits — the
-    * write-time feed [[changeFeed]] serves without diffing snapshots.
-    * Cost: one delta-sized join over the touched partitions.
+    * the `_changes/<id>/` sidecar, published atomically only when the
+    * commit's verification passes — the write-time feed [[changeFeed]]
+    * then serves without diffing snapshots. Cost: one delta-sized join
+    * over the touched partitions, outside every lock.
     */
   def commitPartitions(
       rewrite: DataFrame,
@@ -948,40 +1129,8 @@ object CowTable {
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
-    // the COMMITTED schema's nullability is the grow-only union: a
-    // column nullable in ANY retained state stays nullable (carried
-    // files may hold NULLs the rewrite doesn't — a manifest claiming
-    // required would lie about them), and a stricter rewrite always
-    // satisfies the looser contract
-    // ...and its column ORDER is the previous schema's (new columns
-    // append), so a rewrite whose plan happened to reorder columns
-    // cannot flap the manifest DDL between commits
-    val effSchema = prev match {
-      case None => payload.schema
-      case Some(p) =>
-        val byName = payload.schema.fields.map(f => f.name -> f).toMap
-        val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
-          .map(f => f.copy(nullable = pf.nullable || f.nullable)))
-        val added = payload.schema.fields
-          .filterNot(f => p.schema.fieldNames.contains(f.name))
-        StructType(kept ++ added)
-    }
-    prev.foreach { p =>
-      require(p.partCols == partCols,
-        s"partitioning changed: ${p.partCols} -> $partCols (rewrite the " +
-          "table via a fresh root to repartition)")
-      val report = SchemaCompat.check(p.schema, effSchema)
-      require(report.compatible,
-        "breaking schema evolution refused: " +
-          report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
-      partCols.foreach { c =>
-        val was = p.schema(c).dataType
-        val now = effSchema(c).dataType
-        require(was == now,
-          s"partition column $c may not change type ($was -> $now): its " +
-            "string form is the partition identity carried files are keyed by")
-      }
-    }
+    val effSchema = effSchemaOf(prev, payload.schema)
+    prev.foreach(validateEvolution(_, effSchema, partCols))
     acquireCommitLock(spark, root, id)
     try {
       // post-lease recheck: a racer (or replay) may have committed this
@@ -1004,41 +1153,61 @@ object CowTable {
       // a touched partition's tombstones retire here — its rewrite was
       // computed from the RESOLVED base, so they are folded in. Widened
       // columns whose string form changed lose their carried blooms
-      // (see scaladoc).
-      val bloomUnsafe = prev.map(p => p.schema.fields.toSeq.collect {
-        case f if effSchema.fieldNames.contains(f.name) &&
-          effSchema(f.name).dataType != f.dataType &&
-          !integerWidening(f.dataType, effSchema(f.name).dataType) =>
-          f.name
-      }.toSet).getOrElse(Set.empty)
+      // (see bloomUnsafeCols).
+      val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
+        .getOrElse(Set.empty[String])
       val carried = prev.map(p =>
         p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
           .map(f => f.copy(blooms = f.blooms -- bloomUnsafe))
       ).getOrElse(Nil)
-      if (changeLogKeys.nonEmpty) {
-        val newDdl = effSchema.toDDL
-        // before-state read under the NEW schema (old files upcast), so
-        // the signed changelog is well-typed across an evolving commit
-        val before = prev.map(p => resolved(spark, root,
-          p.copy(schemaDdl = newDdl),
-          p.files.filter(f => touched.contains(p.partKeyOf(f)))))
-        val stub = CowManifest(id, partCols, newDdl, fresh)
-        val after = dfFor(spark, root, stub, stub.files)
-        writeChangeLog(spark, root, id,
-          before.getOrElse(after.limit(0)), after, changeLogKeys)
+      // the changelog JOIN runs here, outside the manifest lock; only
+      // the rename publishes it
+      val stagedLog =
+        if (changeLogKeys.isEmpty) None
+        else {
+          val newDdl = effSchema.toDDL
+          // before-state read under the NEW schema (old files upcast),
+          // so the signed changelog is well-typed across evolution
+          val before = prev.map(p => resolved(spark, root,
+            p.copy(schemaDdl = newDdl),
+            p.files.filter(f => touched.contains(p.partKeyOf(f)))))
+          val stub = CowManifest(id, partCols, newDdl, fresh)
+          val after = dfFor(spark, root, stub, stub.files)
+          Some(stageChangeLog(spark, root, id,
+            before.getOrElse(after.limit(0)), after, changeLogKeys))
+        }
+      commitManifest(spark, root, id, prev.map(_.id), stagedLog) {
+        writeManifest(spark, root, id, partCols, effSchema.toDDL,
+          fresh ++ carried)
       }
-      // based-on verification (cross-id lost-update guard): the current
-      // manifest must still be the snapshot `carried` was computed from
-      val latest = currentManifest(spark, root)
-      if (latest.map(_.id) != prev.map(_.id))
-        throw new CowConcurrentCommitException(
-          s"commit $id at $root: based on snapshot ${prev.map(_.id)} but " +
-            s"current is ${latest.map(_.id)} — recompute against the new " +
-            "base and retry (no manifest was written)")
-      writeManifest(spark, root, id, partCols, effSchema.toDDL,
-        fresh ++ carried)
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep)
+  }
+
+  /** The shared critical section every commit path ends with: under
+    * the table-wide manifest lock, verify the current manifest is
+    * still `basedOn` (cross-id lost-update guard — see
+    * [[acquireManifestLock]]), publish the staged changelog sidecar if
+    * any, and run the manifest write. On a failed verification the
+    * staged sidecar is discarded and nothing was published.
+    */
+  private def commitManifest(
+      spark: SparkSession, root: String, id: Long,
+      basedOn: Option[Long], stagedLog: Option[Path])(
+      writeManifestBody: => Unit): Unit = {
+    acquireManifestLock(spark, root, id)
+    try {
+      val latest = currentManifest(spark, root)
+      if (latest.map(_.id) != basedOn) {
+        discardChangeLog(spark, root, stagedLog)
+        throw new CowConcurrentCommitException(
+          s"commit $id at $root: based on snapshot $basedOn but current " +
+            s"is ${latest.map(_.id)} — recompute against the new base " +
+            "and retry (nothing was published)")
+      }
+      stagedLog.foreach(publishChangeLog(spark, root, id, _))
+      writeManifestBody
+    } finally releaseManifestLock(spark, root)
   }
 
   /** Integer-chain widenings preserve a value's Spark string form
@@ -1089,20 +1258,8 @@ object CowTable {
         commitPartitions(batch, Set.empty, root, id, partCols, keep,
           sortCols, bloomCols, changeLogKeys)
       case Some(p) =>
-        require(p.partCols == partCols,
-          s"partitioning mismatch: table has ${p.partCols}, got $partCols")
-        val effSchema = {
-          val byName = batch.schema.fields.map(f => f.name -> f).toMap
-          val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
-            .map(f => f.copy(nullable = pf.nullable || f.nullable)))
-          val added = batch.schema.fields
-            .filterNot(f => p.schema.fieldNames.contains(f.name))
-          StructType(kept ++ added)
-        }
-        val report = SchemaCompat.check(p.schema, effSchema)
-        require(report.compatible,
-          "breaking schema evolution refused: " +
-            report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
+        val effSchema = effSchemaOf(prev, batch.schema)
+        validateEvolution(p, effSchema, partCols)
         acquireCommitLock(spark, root, id)
         try {
           if (currentManifest(spark, root).exists(_.id >= id)) return
@@ -1114,18 +1271,24 @@ object CowTable {
               .filter(effSchema.fieldNames.contains)
           val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
             effBloomCols)
-          if (changeLogKeys.nonEmpty) {
-            val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
-            val after = dfFor(spark, root, stub, stub.files)
-            writeChangeLog(spark, root, id, after.limit(0), after,
-              changeLogKeys)
+          // carried files lose blooms on string-form-changing widenings
+          // exactly as in commitPartitions (a stale bloom would false-
+          // negative against probes hashed under the new schema)
+          val bloomUnsafe = bloomUnsafeCols(p, effSchema)
+          val carried = p.allFiles
+            .map(f => f.copy(blooms = f.blooms -- bloomUnsafe))
+          val stagedLog =
+            if (changeLogKeys.isEmpty) None
+            else {
+              val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+              val after = dfFor(spark, root, stub, stub.files)
+              Some(stageChangeLog(spark, root, id, after.limit(0), after,
+                changeLogKeys))
+            }
+          commitManifest(spark, root, id, Some(p.id), stagedLog) {
+            writeManifest(spark, root, id, partCols, effSchema.toDDL,
+              fresh ++ carried)
           }
-          if (currentManifest(spark, root).map(_.id) != Some(p.id))
-            throw new CowConcurrentCommitException(
-              s"append $id at $root: based on snapshot ${p.id} but it is " +
-                "no longer current — recompute and retry")
-          writeManifest(spark, root, id, partCols, effSchema.toDDL,
-            fresh ++ p.allFiles)
         } finally releaseCommitLock(spark, root, id)
         vacuum(spark, root, keep)
     }
@@ -1523,30 +1686,32 @@ object CowTable {
       writeBatch(distinctKeys, tombDir, partCols, Nil)
       val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols)
         .map(_.copy(kind = KindTombstone))
-      if (changeLog) {
-        // the batch's changelog is pure D rows: the CURRENT visible
-        // state of the keys being tombstoned (before-images), read from
-        // only the touched partitions
-        val touched = touchedKeys(keys, partCols)
-        val before = resolved(spark, root, m,
-          m.files.filter(f => touched.contains(m.partKeyOf(f))))
-        before
-          .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
-            keyCols, "left_semi")
-          .withColumn(ChangeOper, lit("D"))
-          // canonical sidecar column order: table schema then _oper
-          .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
-          .write.mode("overwrite").parquet(s"$root/$ChangesDir/$id")
+      val stagedLog =
+        if (!changeLog) None
+        else {
+          // the batch's changelog is pure D rows: the CURRENT visible
+          // state of the keys being tombstoned (before-images), read
+          // from only the touched partitions
+          val touched = touchedKeys(keys, partCols)
+          val before = resolved(spark, root, m,
+            m.files.filter(f => touched.contains(m.partKeyOf(f))))
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          before
+            .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+              keyCols, "left_semi")
+            .withColumn(ChangeOper, lit("D"))
+            // canonical sidecar column order: table schema then _oper
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        // deletes only ADD: every previous entry (data and tombstones)
+        // carries over verbatim
+        writeManifest(spark, root, id, partCols, m.schemaDdl,
+          m.allFiles ++ fresh)
       }
-      // based-on verification, as in commitPartitions
-      if (currentManifest(spark, root).map(_.id) != Some(m.id))
-        throw new CowConcurrentCommitException(
-          s"delete $id at $root: based on snapshot ${m.id} but it is no " +
-            "longer current — recompute and retry (no manifest was written)")
-      // deletes only ADD: every previous entry (data and tombstones)
-      // carries over verbatim
-      writeManifest(spark, root, id, partCols, m.schemaDdl,
-        m.allFiles ++ fresh)
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep)
   }
@@ -1617,12 +1782,16 @@ object CowTable {
       .foreach(s => fs.delete(s.getPath, false))
     // changelog sidecars age out with their manifests: the feed serves
     // ranges starting at a RETAINED snapshot, so sidecars behind the
-    // retention cutoff are unreachable
+    // retention cutoff are unreachable. Staging leftovers (.tmp-<id>-*)
+    // from aborted/crashed attempts of already-decided ids go too.
     val changes = new Path(root, ChangesDir)
     if (fs.exists(changes))
       fs.listStatus(changes).toSeq
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.toLongOption.exists(_ < cutoff))
+        .filter(s => s.isDirectory && (
+          s.getPath.getName.toLongOption.exists(_ < cutoff) ||
+            s.getPath.getName.stripPrefix(".tmp-").takeWhile(_ != '-')
+              .toLongOption.exists(i =>
+                s.getPath.getName.startsWith(".tmp-") && i <= newest)))
         .foreach(s => fs.delete(s.getPath, true))
   }
 }

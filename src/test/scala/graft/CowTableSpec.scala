@@ -908,6 +908,38 @@ class CowTableSpec extends SparkSpec {
     assert(h(2)._3 == 1L && h(2)._4 == 2L)
   }
 
+  test("an orphaned sidecar (id never committed) is never served; a " +
+      "leaked table-wide manifest lock blocks commits until repaired") {
+    import graft.sinks.CowConcurrentCommitException
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10,
+      changeLogKeys = Seq("id"))
+    assert(CowTable.changeLogFor(spark, root, 1L).isDefined)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // fabricate an orphan: a sidecar dir for an id with no manifest
+    fs.mkdirs(new Path(s"$root/_changes/9"))
+    fs.create(new Path(s"$root/_changes/9/_SUCCESS"), false).close()
+    assert(CowTable.changeLogFor(spark, root, 9L).isEmpty,
+      "sidecar for an uncommitted id must not be served")
+
+    // leaked table-wide lock: commits refuse (bounded wait), repair works
+    fs.create(new Path(s"$root/_commit.lock"), false).close()
+    sys.props("graft.cow.manifestLockWaitSec") = "1"
+    try {
+      intercept[CowConcurrentCommitException] {
+        CowTable.upsert(spark, root, 2L,
+          Seq((1L, "p1", "x", 0.0)).toDF("id", "part", "name", "score"),
+          Seq("id"), Seq("part"), keep = 10)
+      }
+    } finally sys.props -= "graft.cow.manifestLockWaitSec"
+    assert(CowTable.committedIds(spark, root) == Seq(1L))
+    assert(CowTable.breakManifestLock(spark, root))
+    CowTable.upsert(spark, root, 2L,
+      Seq((1L, "p1", "x", 0.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 10)
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+  }
+
   test("schema may grow (evolved columns NULL on old files) but never " +
       "mutate a column's type") {
     val root = tmp()
