@@ -833,10 +833,104 @@ object QueriesAnalytics {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  // -------------------------------------------------------------------
+  // TPC-H Q5 (local supplier volume): the full six-table star — the
+  // only query family touching nation/region — with the canonical
+  // same-nation customer⋈supplier condition. Plan shape at scale:
+  // region/nation/supplier/customer all broadcast (each orders of
+  // magnitude under the fact); lineitem⋈orders is the one real
+  // shuffle; the same-nation predicate rides the join, never a
+  // post-filter over a wider product.
+  // -------------------------------------------------------------------
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val r = Tables.load(spark, dir, "region")
+      .where(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val s = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |              AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Distribution window functions (ntile / percent_rank / cume_dist)
+  // over a per-group total ordering — the analytic trio w2_rank_funcs
+  // doesn't cover. The window ordering includes the key so it is
+  // TOTAL: percent_rank and cume_dist become exact rational values
+  // (rank-1)/(n-1) and rank/n that both engines evaluate identically
+  // as doubles. One exchange on the partition key, no global sort.
+  // -------------------------------------------------------------------
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "orders")
+      .where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("tile4", ntile(4).over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("pct_rank", percent_rank().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("cume", cume_dist().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("cents"), col("o_orderkey"))))
+      .orderBy("o_orderkey")
+  }
+
+  val windowDistributionSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      | CAST(ntile(4) OVER w AS INT) AS tile4,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cume
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+      |                      o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (tpchQ1 _),
     "tpch_q3" -> (tpchQ3 _),
+    "tpch_q5" -> (tpchQ5 _),
     "tpch_q6" -> (tpchQ6 _),
+    "window_distribution" -> (windowDistribution _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
     "format_roundtrip" -> (formatRoundtrip _),
@@ -855,7 +949,9 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> tpchQ1Sql,
     "tpch_q3" -> tpchQ3Sql,
+    "tpch_q5" -> tpchQ5Sql,
     "tpch_q6" -> tpchQ6Sql,
+    "window_distribution" -> windowDistributionSql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,
     "format_roundtrip" -> formatRoundtripSql,
