@@ -645,6 +645,68 @@ object QueriesText {
   }
 
   // -------------------------------------------------------------------
+  // LEAKAGE-FREE train/val split: assignment by NEAR-DUP CLUSTER, not
+  // by document. A per-doc hash split (dataset_split) puts two
+  // near-duplicates on opposite sides of the train/val fence with
+  // probability ~2·p·(1−p) each — test-set contamination by
+  // construction. Here the split key is the document's connected-
+  // component label (MinHash-LSH pairs → pointer-jumping CC; singleton
+  // docs are their own component), so every near-dup cluster lands
+  // whole in exactly one split — zero leakage is STRUCTURAL, and the
+  // engine require()s it on the candidate pairs. The oracle replays
+  // the whole path (shingles → exact-Jaccard pairs → recursive-CTE
+  // components → the same deterministic gate) and pins the per-split
+  // doc and cluster counts. 100 TB shape: the pair stage is the
+  // LSH-bucketed shuffle, CC is O(log diameter) rounds over PAIRS
+  // (not docs), and the gate itself is one map-side expression + one
+  // agg shuffle.
+  // -------------------------------------------------------------------
+  def splitLeakFree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Par.widen(Tables.load(spark, dir, "documents"))
+    val pairs = graft.operators.Par.pin(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
+        .select("id_a", "id_b"))
+    val comp = graft.operators.ConnectedComponents.components(pairs)
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    // deterministic 90/10 gate on the GROUP label (Knuth multiplicative
+    // scramble — replayable in both engines on int64, no overflow at
+    // any realistic doc count)
+    val split = labeled.withColumn("split",
+      when(pmod(col("grp") * lit(2654435761L), lit(100)) < 90, lit("train"))
+        .otherwise(lit("val")))
+    // structural-leakage proof: no candidate near-dup pair straddles
+    // the fence (same component ⇒ same grp ⇒ same split)
+    val sides = split.select(col("doc_id").as("d"), col("split").as("s"))
+    val leaks = pairs
+      .join(sides.withColumnRenamed("d", "id_a")
+        .withColumnRenamed("s", "s_a"), "id_a")
+      .join(sides.withColumnRenamed("d", "id_b")
+        .withColumnRenamed("s", "s_b"), "id_b")
+      .where(col("s_a") =!= col("s_b")).count()
+    require(leaks == 0L, s"cluster split leaked $leaks near-dup pairs")
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+      .orderBy("split")
+  }
+
+  val splitLeakFreeSql: String =
+    s"""WITH RECURSIVE ${Frag.canonicalCtes("documents")},
+       |grp AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS grp
+       |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+       |s AS (SELECT doc_id, grp,
+       |        CASE WHEN (grp * 2654435761) % 100 < 90 THEN 'train'
+       |             ELSE 'val' END AS split
+       |      FROM grp)
+       |SELECT split, count(*) AS n_docs,
+       | count(DISTINCT grp) AS n_groups
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
   // Greedy sequence packing into ~2000-token shards over the global
   // doc_id order — the scalable two-phase prefix sum (Pack.packGreedy):
   // within-bucket window cumsums in parallel + a tiny bucket-offset
@@ -982,6 +1044,7 @@ object QueriesText {
     "curate_policy" -> (curatePolicy _),
     "split_quota" -> (splitQuota _),
     "dataset_split" -> (datasetSplit _),
+    "split_leak_free" -> (splitLeakFree _),
     "pack_shards" -> (packShards _),
     "vocab_top_ngrams" -> (vocabTopNgrams _),
     "text_quality" -> (textQuality _),
@@ -1006,6 +1069,7 @@ object QueriesText {
     "curate_policy" -> curatePolicySql,
     "split_quota" -> splitQuotaSql,
     "dataset_split" -> datasetSplitSql,
+    "split_leak_free" -> splitLeakFreeSql,
     "pack_shards" -> packShardsSql,
     "vocab_top_ngrams" -> vocabTopNgramsSql,
     "text_quality" -> textQualitySql,

@@ -30,10 +30,16 @@ class ResultCacheSpec extends SparkSpec {
     assert(!plan.contains("orders.parquet"),
       s"hit still reads the source:\n$plan")
     assert(plan.contains("graft_rescache"))
-    // the hit's ENTIRE read (fingerprint inventory included) touched
-    // only cache bytes: far less than the source table's size
+    // the hit's read touched only cache bytes — far less than the
+    // source table. The SMALLEST drained measurement is the hit's own:
+    // suites share one SparkContext and run in parallel, so the
+    // listener can also catch another suite's big concurrent scan
+    // (comparing the max against a static size flaked exactly that way)
     val hitBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
-      .map(_.bytesRead).max
+      .map(_.bytesRead).filter(_ > 0) match {
+      case Nil => 0L
+      case xs => xs.min
+    }
     val sourceBytes = new java.io.File(s"$sfDir/orders.parquet").length()
     assert(hitBytes < sourceBytes,
       s"hit read $hitBytes bytes vs source $sourceBytes")
