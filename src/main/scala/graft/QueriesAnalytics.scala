@@ -888,6 +888,56 @@ object QueriesAnalytics {
       |ORDER BY revenue DESC, n_name""".stripMargin
 
   // -------------------------------------------------------------------
+  // TPC-H Q10 (returned item reporting): revenue lost to returned
+  // items per customer over a quarter, top 20. The quarter-filtered
+  // orders⋈lineitem(R) is the one real shuffle; customer and nation
+  // broadcast; the top-20 is a TakeOrdered with a deterministic
+  // (revenue desc, custkey) order.
+  // -------------------------------------------------------------------
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey",
+        "c_mktsegment")
+    val n = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("n_name"), col("c_mktsegment"))
+      .agg(Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      | CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      | n_name, c_mktsegment,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, acctbal_cents, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // Distribution window functions (ntile / percent_rank / cume_dist)
   // over a per-group total ordering — the analytic trio w2_rank_funcs
   // doesn't cover. The window ordering includes the key so it is
@@ -930,6 +980,7 @@ object QueriesAnalytics {
     "tpch_q3" -> (tpchQ3 _),
     "tpch_q5" -> (tpchQ5 _),
     "tpch_q6" -> (tpchQ6 _),
+    "tpch_q10" -> (tpchQ10 _),
     "window_distribution" -> (windowDistribution _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
@@ -951,6 +1002,7 @@ object QueriesAnalytics {
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q5" -> tpchQ5Sql,
     "tpch_q6" -> tpchQ6Sql,
+    "tpch_q10" -> tpchQ10Sql,
     "window_distribution" -> windowDistributionSql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,

@@ -240,6 +240,27 @@ object CowTable {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentManifest(spark, root).map(m => resolved(spark, root, m, m.files))
 
+  /** TIME TRAVEL by wall clock (Delta's TIMESTAMP AS OF): the highest
+    * snapshot whose manifest COMMITTED (its `_SUCCESS` marker's mtime)
+    * at or before `tsMillis`. Commit time is the marker file's mtime —
+    * the same authority the commit protocol uses for the commit point
+    * itself; retention applies (a vacuumed snapshot is not
+    * addressable). None when no snapshot had committed by then.
+    */
+  def readAtTime(
+      spark: SparkSession, root: String, tsMillis: Long): Option[DataFrame] = {
+    val fs = hfs(spark, root)
+    committedIds(spark, root)
+      .filter(i => fs.getFileStatus(
+        new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
+        .getModificationTime <= tsMillis)
+      .lastOption
+      .map { i =>
+        val m = manifest(spark, root, i)
+        resolved(spark, root, m, m.files)
+      }
+  }
+
   /** TIME TRAVEL: highest committed snapshot ≤ `id` (ids ARE versions). */
   def readAt(spark: SparkSession, root: String, id: Long): Option[DataFrame] =
     committedIds(spark, root).filter(_ <= id).lastOption

@@ -154,6 +154,24 @@ class CowTableSpec extends SparkSpec {
       .where($"id" === 1L).select("name").as[String].head() == "alpha-v3")
   }
 
+  test("time travel by TIMESTAMP reads the snapshot current at that " +
+      "wall-clock instant") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"), keep = 10)
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    CowTable.upsert(spark, root, 2L,
+      Seq((1L, "p1", "a-v2", 11.0)).toDF("id", "part", "name", "score"),
+      Seq("id"), Seq("part"), keep = 10)
+    assert(CowTable.readAtTime(spark, root, between).get
+      .where($"id" === 1L).select("name").as[String].head() == "a")
+    assert(CowTable.readAtTime(spark, root, System.currentTimeMillis()).get
+      .where($"id" === 1L).select("name").as[String].head() == "a-v2")
+    assert(CowTable.readAtTime(spark, root, 1000L).isEmpty,
+      "before the first commit there is no snapshot")
+  }
+
   test("data skipping: a selective range over a sorted layout reads " +
       "strictly fewer files AND bytes, with a hash-identical result") {
     val root = tmp()
