@@ -39,7 +39,11 @@ final case class ActionMetrics(
   */
 final class MetricsListener extends QueryExecutionListener {
 
-  private val buf = new ConcurrentLinkedQueue[ActionMetrics]()
+  // each record keeps the QueryExecution it came from (identity only,
+  // never dereferenced) so callers can attribute an action's metrics
+  // to THEIR query on a shared, concurrently-used session — min/max
+  // heuristics over a shared bus latch other workloads' actions
+  private val buf = new ConcurrentLinkedQueue[(AnyRef, ActionMetrics)]()
 
   // AQE wraps (and nests) the real plan: AdaptiveSparkPlanExec at the
   // root, and LEAF QueryStageExec wrappers (Result/Shuffle/Broadcast
@@ -102,7 +106,7 @@ final class MetricsListener extends QueryExecutionListener {
       qe: org.apache.spark.sql.execution.QueryExecution,
       durationNs: Long): Unit = {
     val plan = unwrap(qe.executedPlan)
-    buf.add(ActionMetrics(
+    buf.add(qe -> ActionMetrics(
       action = funcName,
       durationMs = durationNs / 1000000L,
       outputRows = topMetric(plan, "numOutputRows"),
@@ -117,12 +121,14 @@ final class MetricsListener extends QueryExecutionListener {
       funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution,
       exception: Exception): Unit =
-    buf.add(ActionMetrics(funcName, -1L, -1L, -1L, -1L, -1L, -1L,
+    buf.add(qe -> ActionMetrics(funcName, -1L, -1L, -1L, -1L, -1L, -1L,
       graft.meta.JobRun.sanitize(Option(exception.getMessage).getOrElse(""))))
 
   /** Remove and return everything recorded so far. */
-  def drain(): Seq[ActionMetrics] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[ActionMetrics]
+  def drain(): Seq[ActionMetrics] = drainAll().map(_._2)
+
+  private def drainAll(): Seq[(AnyRef, ActionMetrics)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(AnyRef, ActionMetrics)]
     var m = buf.poll()
     while (m != null) { out += m; m = buf.poll() }
     out.toSeq
@@ -136,10 +142,28 @@ final class MetricsListener extends QueryExecutionListener {
       timeoutMs: Long = 10000): Seq[ActionMetrics] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (System.nanoTime() < deadline &&
-      !pred(buf.toArray(Array.empty[ActionMetrics]).toSeq)) {
+      !pred(buf.toArray(Array.empty[(AnyRef, ActionMetrics)])
+        .toSeq.map(_._2))) {
       Thread.sleep(50)
     }
     drain()
+  }
+
+  /** Poll until an action for EXACTLY this QueryExecution (a
+    * `df.queryExecution` reference — actions pass their Dataset's own
+    * instance to the listener) lands, then drain and return only that
+    * execution's metrics. This is the attribution-safe way to assert
+    * on one query's I/O while other suites share the session.
+    */
+  def drainFor(
+      qe: AnyRef, timeoutMs: Long = 10000): Seq[ActionMetrics] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline &&
+      !buf.toArray(Array.empty[(AnyRef, ActionMetrics)])
+        .exists(_._1 eq qe)) {
+      Thread.sleep(50)
+    }
+    drainAll().filter(_._1 eq qe).map(_._2)
   }
 }
 

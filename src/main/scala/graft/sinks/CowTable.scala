@@ -955,7 +955,22 @@ object CowTable {
       try fs.create(p, false).close()
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException => throw conflict
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw conflict
+        // Some FileSystem impls (RawLocal, older connectors) signal
+        // create-if-absent failure as a bare IOException naming the
+        // existing path — map ONLY those to the lost-race exception.
+        // Any other IOException (network, permission, quota) is a real
+        // I/O failure: rethrow it as itself, with nothing swallowed —
+        // reporting it as a commit race would mislead callers into a
+        // doomed recompute-and-retry loop.
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase(java.util.Locale.ROOT)
+                .contains("exist") =>
+          val c = conflict
+          c.initCause(e)
+          throw c
       }
     }
   }
@@ -1139,6 +1154,35 @@ object CowTable {
       sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
+      split: Option[(String, Int)] = None): Unit =
+    commitPartitionsFrom(currentManifest(rewrite.sparkSession, root),
+      rewrite, touched, root, id, partCols, keep, sortCols, bloomCols,
+      changeLogKeys, split)
+
+  /** [[commitPartitions]] against an EXPLICIT base manifest — the one
+    * the caller computed `rewrite`/`touched` from. Every derived entry
+    * point (upsert, applyCdc, fold, compact, …) reads the manifest
+    * once, computes its rewrite from it, and passes that SAME manifest
+    * here, so the based-on verification in [[commitManifest]] checks
+    * against the snapshot the rewrite actually used. Re-reading
+    * `currentManifest` at commit time instead would open a lost-update
+    * window: a concurrent commit landing between the caller's read and
+    * the re-read would pass verification and have its changes to the
+    * touched partitions silently overwritten. Carried files and the
+    * changelog before-state come from this same manifest for the same
+    * reason.
+    */
+  private[graft] def commitPartitionsFrom(
+      base: Option[CowManifest],
+      rewrite: DataFrame,
+      touched: Set[String],
+      root: String,
+      id: Long,
+      partCols: Seq[String],
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil,
       split: Option[(String, Int)] = None): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = rewrite.sparkSession
@@ -1146,7 +1190,7 @@ object CowTable {
     // schema is the rewrite WITHOUT it
     val payload = split.map { case (s, _) => rewrite.drop(s) }
       .getOrElse(rewrite)
-    val prev = currentManifest(spark, root)
+    val prev = base
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
@@ -1256,9 +1300,14 @@ object CowTable {
     * Same lease + based-on verification as [[commitPartitions]]; same
     * [[SchemaCompat]] evolution gate. `changeLogKeys` emits the
     * sidecar feed as pure `I` rows of the batch (no diff join — an
-    * append IS its own changelog); the keyed [[changeFeed]] contract
-    * assumes appended keys are new, which insert-only ingest
-    * guarantees.
+    * append IS its own changelog). The pure-I form is only correct
+    * when appended keys are NEW, which insert-only ingest guarantees —
+    * and the commit VERIFIES it cheaply (batch keys semi-joined
+    * against the touched partitions' visible rows): a batch that
+    * appends an already-present key skips the sidecar, so
+    * [[changeFeed]] serves that range by snapshot diff (always
+    * correct) instead of a sidecar that would report I where the
+    * truth is U.
     */
   def commitAppend(
       batch: DataFrame,
@@ -1276,8 +1325,8 @@ object CowTable {
     prev match {
       case None =>
         // first commit: an append to nothing is the initial snapshot
-        commitPartitions(batch, Set.empty, root, id, partCols, keep,
-          sortCols, bloomCols, changeLogKeys)
+        commitPartitionsFrom(None, batch, Set.empty, root, id, partCols,
+          keep, sortCols, bloomCols, changeLogKeys)
       case Some(p) =>
         val effSchema = effSchemaOf(prev, batch.schema)
         validateEvolution(p, effSchema, partCols)
@@ -1301,10 +1350,22 @@ object CowTable {
           val stagedLog =
             if (changeLogKeys.isEmpty) None
             else {
-              val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
-              val after = dfFor(spark, root, stub, stub.files)
-              Some(stageChangeLog(spark, root, id, after.limit(0), after,
-                changeLogKeys))
+              // pure-I guard (see scaladoc): batch keys must be absent
+              // from the partitions the batch lands in. O(touched
+              // partitions + batch), paid only on change-logged appends.
+              val touched = touchedKeys(batch, partCols)
+              val overlaps = !baseFor(spark, root, p, touched)
+                .join(broadcast(
+                  batch.select(changeLogKeys.map(col): _*).distinct()),
+                  changeLogKeys, "left_semi")
+                .isEmpty
+              if (overlaps) None
+              else {
+                val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+                val after = dfFor(spark, root, stub, stub.files)
+                Some(stageChangeLog(spark, root, id, after.limit(0), after,
+                  changeLogKeys))
+              }
             }
           commitManifest(spark, root, id, Some(p.id), stagedLog) {
             writeManifest(spark, root, id, partCols, effSchema.toDDL,
@@ -1375,8 +1436,9 @@ object CowTable {
           .drop(m.partCols.map(c => s"__cw_$c") :+ "__cw_want": _*)
       }
     val totalBins = math.min(wantByPart.values.sum, 1L << 20).toInt
-    commitPartitions(salted, touched, root, id, m.partCols, keep,
-      changeLogKeys = changeLogKeys, split = Some(("__cw_bin", totalBins)))
+    commitPartitionsFrom(Some(m), salted, touched, root, id, m.partCols,
+      keep, changeLogKeys = changeLogKeys,
+      split = Some(("__cw_bin", totalBins)))
     true
   }
 
@@ -1398,10 +1460,11 @@ object CowTable {
       keep: Int = 2, sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil): Unit = {
-    val allTouched = currentManifest(df.sparkSession, root)
+    val base = currentManifest(df.sparkSession, root)
+    val allTouched = base
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
-    commitPartitions(df, allTouched, root, id, partCols, keep, sortCols,
-      bloomCols, changeLogKeys)
+    commitPartitionsFrom(base, df, allTouched, root, id, partCols, keep,
+      sortCols, bloomCols, changeLogKeys)
   }
 
   // -------------------------------------------------------------------
@@ -1456,7 +1519,8 @@ object CowTable {
     if (committedIds(spark, root).exists(_ >= id)) return
     val touched = touchedKeys(delta, partCols)
     val outCols = delta.columns.toSeq.filterNot(versionCol.contains)
-    val merged = currentManifest(spark, root) match {
+    val base = currentManifest(spark, root)
+    val merged = base match {
       case None =>
         Merge.upsert(delta.select(outCols.map(col): _*).limit(0), delta,
           keyCols, versionCol)
@@ -1464,8 +1528,8 @@ object CowTable {
         Merge.upsert(baseFor(spark, root, m, touched), delta,
           keyCols, versionCol)
     }
-    commitPartitions(merged, touched, root, id, partCols, keep, sortCols,
-      changeLogKeys = if (changeLog) keyCols else Nil)
+    commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
+      sortCols, changeLogKeys = if (changeLog) keyCols else Nil)
   }
 
   /** COPY-ON-WRITE CDC apply: [[Cdc.apply]] (I/U/D, newest-wins) over
@@ -1489,13 +1553,14 @@ object CowTable {
     val touched = touchedKeys(batch, partCols)
     val outCols = batch.columns.toSeq
       .filterNot(c => c == operCol || versionCol.contains(c))
-    val base = currentManifest(spark, root) match {
+    val baseM = currentManifest(spark, root)
+    val base = baseM match {
       case None => batch.select(outCols.map(col): _*).limit(0)
       case Some(m) => baseFor(spark, root, m, touched)
     }
     val merged = Cdc.apply(base, batch, keyCols, operCol, versionCol)
-    commitPartitions(merged, touched, root, id, partCols, keep, sortCols,
-      changeLogKeys = if (changeLog) keyCols else Nil)
+    commitPartitionsFrom(baseM, merged, touched, root, id, partCols, keep,
+      sortCols, changeLogKeys = if (changeLog) keyCols else Nil)
   }
 
   /** KEYED POINT LOOKUP: the rows of `keys` (which must carry the
@@ -1553,7 +1618,8 @@ object CowTable {
       sortCols: Seq[String] = Nil): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     val touched = touchedKeys(changes, partCols)
-    val base = currentManifest(spark, root) match {
+    val baseM = currentManifest(spark, root)
+    val base = baseM match {
       case None =>
         val dataCols = changes.columns.toSeq
           .filterNot(c => c == operCol || c == effCol)
@@ -1564,7 +1630,8 @@ object CowTable {
       case Some(m) => baseFor(spark, root, m, touched)
     }
     val merged = Merge.scd2Cdc(base, changes, keyCols, effCol, operCol)
-    commitPartitions(merged, touched, root, id, partCols, keep, sortCols)
+    commitPartitionsFrom(baseM, merged, touched, root, id, partCols, keep,
+      sortCols)
   }
 
   /** BUCKET-SCOPED SCD-2 RESTATEMENT — [[Merge.scd2Restate]] composed
@@ -1591,7 +1658,7 @@ object CowTable {
     val touched = touchedKeys(corrections, partCols)
     val restated = Merge.scd2Restate(
       baseFor(spark, root, m, touched), corrections, keyCols, effCol, operCol)
-    commitPartitions(restated, touched, root, id, partCols, keep)
+    commitPartitionsFrom(Some(m), restated, touched, root, id, partCols, keep)
   }
 
   /** SNAPSHOT HISTORY, metadata-only: one row per retained committed
@@ -1754,8 +1821,8 @@ object CowTable {
     // a fold changes no visible rows, so its sidecar (when the table
     // keeps a write-time feed) is the EMPTY changelog — the feed range
     // stays servable across folds
-    commitPartitions(rewrite, touched, root, id, m.partCols, keep,
-      changeLogKeys = changeLogKeys)
+    commitPartitionsFrom(Some(m), rewrite, touched, root, id, m.partCols,
+      keep, changeLogKeys = changeLogKeys)
     true
   }
 

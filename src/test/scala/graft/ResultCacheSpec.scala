@@ -31,15 +31,12 @@ class ResultCacheSpec extends SparkSpec {
       s"hit still reads the source:\n$plan")
     assert(plan.contains("graft_rescache"))
     // the hit's read touched only cache bytes — far less than the
-    // source table. The SMALLEST drained measurement is the hit's own:
-    // suites share one SparkContext and run in parallel, so the
-    // listener can also catch another suite's big concurrent scan
-    // (comparing the max against a static size flaked exactly that way)
-    val hitBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
-      .map(_.bytesRead).filter(_ > 0) match {
-      case Nil => 0L
-      case xs => xs.min
-    }
+    // source table. Attribute by the hit's OWN QueryExecution (suites
+    // share one SparkContext and run in parallel, so min/max over the
+    // shared listener bus can latch another suite's action instead)
+    val hitMetrics = listener.drainFor(served.queryExecution)
+    assert(hitMetrics.nonEmpty, "no metrics recorded for the hit's collect")
+    val hitBytes = hitMetrics.map(_.bytesRead).max
     val sourceBytes = new java.io.File(s"$sfDir/orders.parquet").length()
     assert(hitBytes < sourceBytes,
       s"hit read $hitBytes bytes vs source $sourceBytes")
