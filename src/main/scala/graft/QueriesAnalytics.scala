@@ -938,6 +938,215 @@ object QueriesAnalytics {
       |LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // TPC-H Q4 (order priority checking), the correlated-EXISTS shape:
+  // count a quarter's orders having at least one qualifying lineitem.
+  // The canonical commit/receipt-date lateness predicate is re-expressed
+  // over this dataset's columns (l_shipdate > o_orderdate — shipped
+  // after the order was placed) keeping the EXACT subquery form: an
+  // EXISTS correlated on the join key PLUS a non-equi comparison
+  // between the two tables. The plan this must (and does) produce is a
+  // LEFT SEMI hash join on l_orderkey with the non-equi predicate as
+  // the join's extra condition — never a cartesian, never an aggregate-
+  // then-join-back. At 100 TB the semi join is the whole story: the
+  // probe stops at a lineitem's FIRST match per order (no fan-out, no
+  // dedup), and the quarter filter prunes orders at the parquet scan
+  // before the shuffle. Pinned in PlanShapeSpec.
+  // -------------------------------------------------------------------
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q21 (suppliers who kept orders waiting), the DOUBLE
+  // correlation: EXISTS + NOT EXISTS against the same fact at
+  // different predicates. Canonical form: on finished multi-supplier
+  // orders, find the supplier whose lineitem was the SOLE fault.
+  // "Late" is re-expressed as l_returnflag = 'R' (the dataset has no
+  // receipt/commit dates): l1 is a returned line, EXISTS another
+  // supplier's line on the same order (multi-supplier), NOT EXISTS
+  // another supplier's RETURNED line (sole fault). Plan shape: one
+  // LEFT SEMI + one LEFT ANTI hash join on l_orderkey — Catalyst keeps
+  // the `l2_suppkey <> l_suppkey` disequality as the join's extra
+  // condition, so neither subquery becomes a cartesian or a per-order
+  // aggregate. At 100 TB all three lineitem legs partition on
+  // l_orderkey (one co-partitioned shuffle family); supplier and the
+  // nation filter broadcast. Pinned in PlanShapeSpec.
+  // -------------------------------------------------------------------
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "nation")
+      .where(col("n_name") === "NATION_3").select("n_nationkey")
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    val l1 = Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val l2 = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    l1.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l1.l_orderkey
+      |                AND o_orderstatus = 'F')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q22 (global sales opportunity), NOT EXISTS + scalar-average
+  // subquery: well-funded customers (balance above the positive-balance
+  // average of their segment pool) with no OPEN order. The canonical
+  // "never ordered" predicate is empty on this dataset (every customer
+  // has orders), so the NOT EXISTS carries the o_orderstatus='O'
+  // condition instead — same correlated-anti shape, non-trivial answer.
+  // The phone-prefix filter is re-expressed over c_mktsegment.
+  // Cross-engine
+  // exactness: balances travel as integer CENTS and the average
+  // comparison is cleared of division entirely — `cents * n > sum`
+  // over BIGINTs is exact in both engines where `cents > avg` would
+  // hinge on a double's final ulp. Plan shape: the threshold is a
+  // 1-row broadcast (scalar agg, J4 pattern), the NOT EXISTS is a
+  // LEFT ANTI hash join on o_custkey, and at 100 TB that anti join is
+  // the only shuffle — customer-sized, not orders-sized, since the
+  // orders side projects to the single join column at the scan.
+  // Pinned in PlanShapeSpec.
+  // -------------------------------------------------------------------
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+    val pool = Tables.load(spark, dir, "customer")
+      .where(col("c_mktsegment").isin(segs: _*))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val thresh = pool.where(col("cents") > 0)
+      .agg(sum(col("cents")).cast("long").as("s"),
+        count(lit(1)).as("n"))
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderstatus") === "O").select("o_custkey")
+    pool.crossJoin(broadcast(thresh))
+      .where(col("cents") * col("n") > col("s"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("cents")).cast("long").as("totacctbal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tpchQ22Sql: String =
+    """WITH pool AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |  WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')),
+      |thresh AS (
+      |  SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+      |  FROM pool WHERE cents > 0)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+      |FROM pool, thresh
+      |WHERE cents * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q13 (customer distribution), aggregate-of-aggregate over a
+  // LEFT OUTER join with an ON-clause filter on the NULLABLE side —
+  // the shape where pushing the predicate into WHERE would be WRONG
+  // (it would drop order-less customers instead of zeroing their
+  // count). The comment-pattern exclusion is re-expressed as
+  // o_orderpriority <> '1-URGENT'. count(o_orderkey) counts non-NULL
+  // matches, so excluded-only customers land in the c_count=0 bucket.
+  // Plan shape at scale: the outer join shuffles both sides on the
+  // custkey ONCE and the per-customer count reuses that partitioning
+  // (no second customer-sized exchange — Catalyst sees the groupBy key
+  // equals the join key); the distribution agg is priority-bucket
+  // sized. Exchange count pinned in PlanShapeSpec.
+  // -------------------------------------------------------------------
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select("c_custkey")
+    // the ON-clause filter: restrict the RIGHT side before the outer
+    // join (equivalent to AND in ON for a left join, and lets the
+    // predicate reach the orders scan)
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val tpchQ13Sql: String =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey
+      |   AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -------------------------------------------------------------------
   // Distribution window functions (ntile / percent_rank / cume_dist)
   // over a per-group total ordering — the analytic trio w2_rank_funcs
   // doesn't cover. The window ordering includes the key so it is
@@ -978,9 +1187,13 @@ object QueriesAnalytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q1" -> (tpchQ1 _),
     "tpch_q3" -> (tpchQ3 _),
+    "tpch_q4" -> (tpchQ4 _),
     "tpch_q5" -> (tpchQ5 _),
+    "tpch_q21" -> (tpchQ21 _),
+    "tpch_q22" -> (tpchQ22 _),
     "tpch_q6" -> (tpchQ6 _),
     "tpch_q10" -> (tpchQ10 _),
+    "tpch_q13" -> (tpchQ13 _),
     "window_distribution" -> (windowDistribution _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
@@ -1000,9 +1213,13 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "tpch_q1" -> tpchQ1Sql,
     "tpch_q3" -> tpchQ3Sql,
+    "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
+    "tpch_q21" -> tpchQ21Sql,
+    "tpch_q22" -> tpchQ22Sql,
     "tpch_q6" -> tpchQ6Sql,
     "tpch_q10" -> tpchQ10Sql,
+    "tpch_q13" -> tpchQ13Sql,
     "window_distribution" -> windowDistributionSql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,

@@ -48,6 +48,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(scored.where($"common_u" > 0).count() > 0)
   }
 
+  /** Executed-plan string truncated before AQE's "== Initial Plan =="
+    * echo (it repeats every node and would double-count).
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("tpch_q4: the correlated EXISTS runs as a LEFT SEMI hash join " +
+      "with the non-equi lateness predicate riding it — no cartesian, " +
+      "no aggregate-then-join-back") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ4(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS degenerated to a product:\n$plan")
+    // the lateness comparison is the semi join's extra condition, not
+    // a post-join filter over a fanned-out product
+    assert(plan.contains("l_shipdate") && plan.contains("LeftSemi"),
+      s"non-equi predicate lost:\n$plan")
+  }
+
+  test("tpch_q21: double correlation = one LEFT SEMI + one LEFT ANTI " +
+      "hash join on l_orderkey, disequality as join condition") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ21(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"correlation degenerated to a product:\n$plan")
+  }
+
+  test("tpch_q22: NOT EXISTS is a LEFT ANTI hash join; the scalar " +
+      "threshold broadcasts (single 1-row BNLJ), never a cartesian") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ22(spark, sfDir))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar subquery became a cartesian:\n$plan")
+  }
+
+  test("tpch_q13: the per-customer count REUSES the outer join's " +
+      "custkey partitioning — exactly one c_custkey exchange, and the " +
+      "ON-clause filter reaches the orders scan") {
+    val df = QueriesAnalytics.tpchQ13(spark, sfDir)
+    val plan = finalPlan(df)
+    val cEx = "Exchange hashpartitioning\\(c_custkey".r.findAllIn(plan).size
+    assert(cEx == 1,
+      s"expected 1 c_custkey exchange (join reused by groupBy), " +
+        s"got $cEx:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), " +
+      "Not(EqualTo(o_orderpriority,1-URGENT))]") ||
+      plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"ON-clause filter not pushed to the orders scan:\n$plan")
+  }
+
   test("knn_label_eval: scoring runs as the broadcast nested-loop " +
       "cross join (corpus streams), and the label/truth joins broadcast " +
       "the SMALL side — no corpus-sized exchange anywhere") {
