@@ -20,19 +20,39 @@ object Bench {
   /** First-rep duration above which a query earns a second rep. */
   val HeavyCutoffSec = 2.0
 
-  /** Emit the battery's ONE JSON line: stdout (flushed immediately, so
-    * it lands before sbt's epilogue) AND `bench_out.json` in cwd. The
-    * file copy exists because a 118-query line outgrows log tail
-    * captures — round 8's driver artifact lost its per-query payload to
-    * exactly that truncation; a file has no tail.
+  /** Emit the battery's result: the FULL line (per-query seconds,
+    * loadavg, errors) goes to `bench_out.json` in cwd; stdout gets a
+    * SHORT summary line (total, failures, top-5 slowest, telemetry).
+    * Split because a 130-query line outgrows log tail captures — the
+    * round 8 and 9 driver artifacts both lost their payload to exactly
+    * that truncation (`parsed: null`); the short line survives any
+    * tail, and the file has no tail at all.
+    *
+    * SPARK_GRAFT_FULL_STDOUT=1 restores the full line on stdout (the
+    * per-query isolation harness parses its children that way).
     */
-  private def emit(line: String): Unit = {
-    println(line)
+  private def emit(fullLine: String, shortLine: String): Unit = {
+    val full = sys.env.get("SPARK_GRAFT_FULL_STDOUT")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    println(if (full) fullLine else shortLine)
     Console.out.flush()
     try {
       val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
-      try w.println(line) finally w.close()
+      try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () } // stdout copy already out
+  }
+
+  /** The short stdout line: everything a round-over-round compare
+    * needs without the per-query payload.
+    */
+  private def shortLineOf(
+      total: Double, nFailed: Int, nQueries: Int,
+      perQuery: Seq[(String, Double)], isolated: Boolean, sfDir: String,
+      loadBefore: Double, loadAfter: Double, ratio: Double): String = {
+    val top5 = perQuery.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","isolated":$isolated,"n_queries":$nQueries,"n_failed":$nFailed,"top5":$top5,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"cpu_wall_ratio":$ratio,"detail":"bench_out.json"}"""
   }
 
   private def loadavg(): Double =
@@ -85,6 +105,8 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_ONLY", name)
     pb.environment().remove("SPARK_GRAFT_ISOLATE")
+    // the parent parses the child's FULL line off its stdout
+    pb.environment().put("SPARK_GRAFT_FULL_STDOUT", "1")
     // the settle gate runs ONCE for the battery (in this parent);
     // children must not each wait out the load the battery itself
     // generates — that would add minutes per query and make the
@@ -178,7 +200,12 @@ object Bench {
       val nFailed = results.count(_._4.isDefined)
       val total = results.collect { case (_, v, _, None, _) => v }.sum
       val ratio = if (wallSec > 0) cpuSec / wallSec else -1.0
-      emit(s"""{"metric":"total","value":$total,"unit":"sec","isolated":true,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":${loadavg()},"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+      val loadAfterI = loadavg()
+      emit(
+        s"""{"metric":"total","value":$total,"unit":"sec","isolated":true,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfterI,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""",
+        shortLineOf(total, nFailed, results.size,
+          results.map(r => (r._1, r._2)), isolated = true, sfDir,
+          loadBefore, loadAfterI, ratio))
       return
     }
     // measured BEFORE session bring-up + warmup: those are this
@@ -279,7 +306,11 @@ object Bench {
     // failed queries are EXCLUDED from total (they contribute no honest
     // seconds); n_failed + errors make the breakage unmissable
     val total = results.collect { case (_, v, _, None) => v }.sum
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","isolated":false,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""")
+    emit(
+      s"""{"metric":"total","value":$total,"unit":"sec","isolated":false,"n_failed":$nFailed,"errors":$errs,"queries":$qs,"query_loadavg":$qload,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"battery_wall_sec":$wallSec,"battery_cpu_sec":$cpuSec,"cpu_wall_ratio":$ratio}""",
+      shortLineOf(total, nFailed, results.size,
+        results.map(r => (r._1, r._2)), isolated = false, sfDir,
+        loadBefore, loadAfter, ratio))
     spark.stop()
   }
 }
