@@ -136,10 +136,13 @@ object CowTable {
 
   private val BatchPrefix = "batch-"
   private val ManifestPrefix = "manifest-"
-  /** Write-time changelog sidecars live under `root/_changes/<id>/`. */
-  private val ChangesDir = "_changes"
+  /** Write-time changelog sidecars live under `root/_changes/<id>/`.
+    * Package-visible for [[graft.streaming.CowStream]], which serves
+    * them as a Structured Streaming source.
+    */
+  private[graft] val ChangesDir = "_changes"
   /** The sidecars' operation column (signed form: D/I). */
-  private val ChangeOper = "_oper"
+  private[graft] val ChangeOper = "_oper"
   /** Manifest entry kinds: live data vs merge-on-read tombstones. */
   val KindData = "data"
   val KindTombstone = "tombstone"
@@ -770,39 +773,46 @@ object CowTable {
     * Pure scan-stage arithmetic inside the same grouped aggregate as
     * the min/max stats — no extra pass.
     */
-  /** Per-file Bloom words for `bloomCols`, one extra delta-sized pass
-    * per column: explode each row's `BloomHashes` bit positions, OR
-    * them per (file, word) — sparse, so the shuffle carries at most
-    * min(4·rows, BloomWords) entries per file — then densify driver-
-    * side. Separate from the min/max aggregate because a per-word CASE
-    * in that one grouped agg would mean BloomWords×BloomHashes codegen
-    * terms.
+  /** Per-file Bloom words for ALL `bloomCols` in ONE delta-sized scan:
+    * each row contributes a (column, positions) struct per bloom
+    * column; two explodes fan those to (file, column, position) and
+    * one grouped bit_or ORs them per (file, column, word) — sparse, so
+    * the shuffle carries at most min(4·rows, BloomWords) entries per
+    * (file, column) — then densify driver-side. One scan regardless of
+    * bloom column count (was one full batch read PER column). Separate
+    * from the min/max aggregate because a per-word CASE in that one
+    * grouped agg would mean BloomWords×BloomHashes codegen terms.
     */
   private def collectBlooms(
       spark: SparkSession, batchDir: String, schema: StructType,
-      bloomCols: Seq[String]): Map[(String, String), Seq[Long]] =
-    bloomCols.flatMap { c =>
-      val positions = array((0 until BloomHashes).map(k =>
-        pmod(xxhash64(lit(k), col(c).cast("string")),
-          lit(BloomBits.toLong))): _*)
-      spark.read.schema(schema).parquet(batchDir)
-        .where(col(c).isNotNull)
-        .select(col("_metadata.file_path").as("__fp"),
-          explode(positions).as("__pos"))
-        .groupBy(col("__fp"),
-          expr("CAST(__pos div 64 AS INT)").as("__w"))
-        .agg(expr(
-          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT)))")
-          .as("__bits"))
-        .collect()
-        .groupBy(_.getAs[String]("__fp"))
-        .map { case (fp, rs) =>
-          val words = Array.fill(BloomWords)(0L)
-          rs.foreach(r =>
-            words(r.getAs[Int]("__w")) |= r.getAs[Long]("__bits"))
-          (fp, c) -> words.toSeq
-        }
-    }.toMap
+      bloomCols: Seq[String]): Map[(String, String), Seq[Long]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val perCol = array(bloomCols.map { c =>
+      struct(lit(c).as("__c"),
+        when(col(c).isNotNull, array((0 until BloomHashes).map(k =>
+          pmod(xxhash64(lit(k), col(c).cast("string")),
+            lit(BloomBits.toLong))): _*)).as("__ps"))
+    }: _*)
+    spark.read.schema(schema).parquet(batchDir)
+      .select(col("_metadata.file_path").as("__fp"),
+        explode(perCol).as("__cp"))
+      .where(col("__cp.__ps").isNotNull)
+      .select(col("__fp"), col("__cp.__c").as("__c"),
+        explode(col("__cp.__ps")).as("__pos"))
+      .groupBy(col("__fp"), col("__c"),
+        expr("CAST(__pos div 64 AS INT)").as("__w"))
+      .agg(expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT)))")
+        .as("__bits"))
+      .collect()
+      .groupBy(r => (r.getAs[String]("__fp"), r.getAs[String]("__c")))
+      .map { case (key, rs) =>
+        val words = Array.fill(BloomWords)(0L)
+        rs.foreach(r =>
+          words(r.getAs[Int]("__w")) |= r.getAs[Long]("__bits"))
+        key -> words.toSeq
+      }
+  }
 
   private def collectEntries(
       spark: SparkSession, batchDir: String, id: Long,
@@ -920,6 +930,24 @@ object CowTable {
   // Commit concurrency: per-id lease + based-on verification
   // -------------------------------------------------------------------
 
+  /** Opt-in SINGLE-WRITER fast path (-Dgraft.cow.singleWriter=true):
+    * the operator guarantees exactly one writer process per table, so
+    * the per-id lease and the table-wide manifest lock — whose only
+    * job is excluding CONCURRENT writers — are skipped, saving four
+    * filesystem round-trips per commit (two create-if-absent, two
+    * deletes; each ~50-100 ms on an object store, where they dominate
+    * a small commit's latency). Based-on verification still runs (it
+    * is a pure listing), so a VIOLATED promise — two writers despite
+    * the flag — still fails loud on any interleaving the listing
+    * observes; only the narrow verify→publish window the lock closes
+    * is reopened, which is exactly the contract the flag's name
+    * states. Default off; the oracle queries and specs exercise the
+    * locked path.
+    */
+  private def singleWriter: Boolean =
+    sys.props.get("graft.cow.singleWriter")
+      .exists(v => v == "true" || v == "1")
+
   private def lockPath(root: String, id: Long) =
     new Path(s"$root/_commit-$id.lock")
 
@@ -976,16 +1004,20 @@ object CowTable {
   }
 
   private def acquireCommitLock(
-      spark: SparkSession, root: String, id: Long): Unit =
+      spark: SparkSession, root: String, id: Long): Unit = {
+    if (singleWriter) return
     atomicCreate(spark, root, lockPath(root, id),
       new CowConcurrentCommitException(
         s"commit $id at $root: another writer holds the id lease — " +
           "lost the commit race (or a crashed commit leaked the lock; " +
           "repair via breakCommitLock)"))
+  }
 
   private def releaseCommitLock(
-      spark: SparkSession, root: String, id: Long): Unit =
+      spark: SparkSession, root: String, id: Long): Unit = {
+    if (singleWriter) return
     hfs(spark, root).delete(lockPath(root, id), false)
+  }
 
   private def manifestLockPath(root: String) = new Path(s"$root/_commit.lock")
 
@@ -1004,6 +1036,7 @@ object CowTable {
     */
   private def acquireManifestLock(
       spark: SparkSession, root: String, id: Long): Unit = {
+    if (singleWriter) return
     val waitSec = sys.props.get("graft.cow.manifestLockWaitSec")
       .flatMap(_.toLongOption).getOrElse(60L)
     val deadline = System.nanoTime() + waitSec * 1000000000L
@@ -1025,8 +1058,10 @@ object CowTable {
     }
   }
 
-  private def releaseManifestLock(spark: SparkSession, root: String): Unit =
+  private def releaseManifestLock(spark: SparkSession, root: String): Unit = {
+    if (singleWriter) return
     hfs(spark, root).delete(manifestLockPath(root), false)
+  }
 
   /** Crash repair: remove a commit lease leaked by a writer that died
     * mid-commit (lock present, no `manifest-<id>/_SUCCESS`). The
@@ -1191,6 +1226,9 @@ object CowTable {
     val payload = split.map { case (s, _) => rewrite.drop(s) }
       .getOrElse(rewrite)
     val prev = base
+    // filled on commit success: the manifests this writer holds in
+    // memory, so the post-commit vacuum re-reads none (see vacuum)
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
@@ -1199,9 +1237,11 @@ object CowTable {
     acquireCommitLock(spark, root, id)
     try {
       // post-lease recheck: a racer (or replay) may have committed this
-      // id while we raced for the lease — same no-op as the replay guard
-      val cur = currentManifest(spark, root)
-      if (cur.exists(_.id >= id)) return
+      // id while we raced for the lease — same no-op as the replay
+      // guard. Only the ID matters, so this is a pure FS listing
+      // (committedIds), not a manifest read — keeping a Spark job out
+      // of every commit
+      if (committedIds(spark, root).exists(_ >= id)) return
       val batchDir = s"$root/$BatchPrefix$id"
       writeBatch(rewrite, batchDir, partCols, sortCols, split)
       // bloom columns INHERIT from the previous snapshot when the caller
@@ -1245,8 +1285,10 @@ object CowTable {
         writeManifest(spark, root, id, partCols, effSchema.toDDL,
           fresh ++ carried)
       }
+      vacuumKnown = Map(id -> (fresh ++ carried).map(_.path)) ++
+        prev.map(p => p.id -> p.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
-    vacuum(spark, root, keep)
+    vacuum(spark, root, keep, vacuumKnown)
   }
 
   /** The shared critical section every commit path ends with: under
@@ -1262,12 +1304,15 @@ object CowTable {
       writeManifestBody: => Unit): Unit = {
     acquireManifestLock(spark, root, id)
     try {
-      val latest = currentManifest(spark, root)
-      if (latest.map(_.id) != basedOn) {
+      // only the latest ID is compared, so the verification is a pure
+      // FS listing — no manifest parquet read (a Spark job) inside the
+      // critical section
+      val latest = committedIds(spark, root).lastOption
+      if (latest != basedOn) {
         discardChangeLog(spark, root, stagedLog)
         throw new CowConcurrentCommitException(
           s"commit $id at $root: based on snapshot $basedOn but current " +
-            s"is ${latest.map(_.id)} — recompute against the new base " +
+            s"is $latest — recompute against the new base " +
             "and retry (nothing was published)")
       }
       stagedLog.foreach(publishChangeLog(spark, root, id, _))
@@ -1330,9 +1375,10 @@ object CowTable {
       case Some(p) =>
         val effSchema = effSchemaOf(prev, batch.schema)
         validateEvolution(p, effSchema, partCols)
+        var vacuumKnown: Map[Long, Seq[String]] = Map.empty
         acquireCommitLock(spark, root, id)
         try {
-          if (currentManifest(spark, root).exists(_.id >= id)) return
+          if (committedIds(spark, root).exists(_ >= id)) return // ID-only recheck: FS listing, no Spark job
           val batchDir = s"$root/$BatchPrefix$id"
           writeBatch(batch, batchDir, partCols, sortCols)
           val effBloomCols =
@@ -1371,8 +1417,11 @@ object CowTable {
             writeManifest(spark, root, id, partCols, effSchema.toDDL,
               fresh ++ carried)
           }
+          vacuumKnown = Map(
+            id -> (fresh ++ carried).map(_.path),
+            p.id -> p.allFiles.map(_.path))
         } finally releaseCommitLock(spark, root, id)
-        vacuum(spark, root, keep)
+        vacuum(spark, root, keep, vacuumKnown)
     }
   }
 
@@ -1765,9 +1814,10 @@ object CowTable {
     val cols = (keyCols ++ partCols).distinct
     cols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"tombstone column $c is not a table column"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     acquireCommitLock(spark, root, id)
     try {
-      if (currentManifest(spark, root).exists(_.id >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return // ID-only recheck: FS listing, no Spark job
       val tombSchema = StructType(cols.map(c => m.schema(c)))
       val tombDir = s"$root/$BatchPrefix$id/__tomb"
       val distinctKeys = keys.select(cols.map(col): _*).distinct()
@@ -1800,8 +1850,11 @@ object CowTable {
         writeManifest(spark, root, id, partCols, m.schemaDdl,
           m.allFiles ++ fresh)
       }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ fresh).map(_.path),
+        m.id -> m.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
-    vacuum(spark, root, keep)
+    vacuum(spark, root, keep, vacuumKnown)
   }
 
   /** Retire all outstanding tombstones by rewriting exactly the
@@ -1835,7 +1888,8 @@ object CowTable {
     * retained manifest references (old COW'd-away files AND crash-
     * orphaned uncommitted batches behind the frontier).
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
+  def vacuum(spark: SparkSession, root: String, keep: Int,
+      knownFiles: Map[Long, Seq[String]] = Map.empty): Unit = {
     val ids = committedIds(spark, root)
     val newest = ids.lastOption.getOrElse(return)
     val retained = ids.takeRight(keep)
@@ -1850,9 +1904,13 @@ object CowTable {
       .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
-    // tombstones)
+    // tombstones). `knownFiles` lets a just-committed writer hand over
+    // the manifests it already holds in memory (its own and its base):
+    // with the default keep=2 that makes the post-commit vacuum zero
+    // manifest reads (each is a Spark parquet job) instead of `keep`.
     val liveBatches = retained
-      .flatMap(i => manifest(spark, root, i).allFiles.map(_.path))
+      .flatMap(i => knownFiles.getOrElse(i,
+        manifest(spark, root, i).allFiles.map(_.path)))
       .flatMap(p => p.split("/").headOption
         .flatMap(_.stripPrefix(BatchPrefix).toLongOption))
       .toSet

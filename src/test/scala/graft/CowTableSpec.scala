@@ -1009,6 +1009,31 @@ class CowTableSpec extends SparkSpec {
       "the interleaved commit's update must survive the stale writer")
   }
 
+  test("single-writer fast path: commits work without lock files and " +
+      "based-on verification still rejects a stale base") {
+    import graft.sinks.CowConcurrentCommitException
+    val root = tmp()
+    System.setProperty("graft.cow.singleWriter", "true")
+    try {
+      CowTable.commitFull(base3, root, 1L, Seq("part"))
+      val stale = CowTable.currentManifest(spark, root)
+      CowTable.upsert(spark, root, 2L,
+        Seq((1L, "p1", "a", 77.0)).toDF("id", "part", "name", "score"),
+        Seq("id"), Seq("part"))
+      // the flag only removes lock-file round-trips; the listing-based
+      // verification still fails a commit built from a stale manifest
+      intercept[CowConcurrentCommitException] {
+        CowTable.commitPartitionsFrom(stale,
+          Seq((1L, "p1", "a", 10.0)).toDF("id", "part", "name", "score"),
+          Set(CowTable.partKey(Seq("part"), Map("part" -> "p1"))),
+          root, 3L, Seq("part"))
+      }
+      assert(CowTable.read(spark, root).get.where($"id" === 1L)
+        .select("score").as[Double].head() == 77.0)
+      assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+    } finally System.clearProperty("graft.cow.singleWriter")
+  }
+
   test("change-logged append of an EXISTING key skips the pure-I " +
       "sidecar; the feed falls back to the snapshot diff") {
     val root = tmp()
