@@ -579,6 +579,67 @@ object QueriesCow {
       | CAST(sum(c_custkey) AS BIGINT) AS sum_key
       |FROM final GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // STREAM-MAINTAINED MV: the same feed→retraction loop as
+  // cow_mv_from_feed, but through the REAL Structured Streaming
+  // source ([[graft.streaming.CowStream]]): readStream over the
+  // table's `_changes/` sidecar dirs, one micro-batch per discovery,
+  // exactly-once MV commits keyed by micro-batch id. The engine pin is
+  // the require (stream-built MV == direct rescan); the oracle pins
+  // both against the expected groups computed straight from the
+  // source. At 100 TB the stream does what the batch variant does —
+  // O(batch) per commit, zero table rescans — while surviving
+  // crash-replay (CowStreamSpec).
+  // -------------------------------------------------------------------
+  def cowStreamMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MaterializedAgg // referenced by scaladoc
+    import graft.sinks.SnapshotTarget
+    import graft.streaming.CowStream
+    val root = scratch("cow_streammv")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 800),
+      root, 1L, Seq("pb"), keep = 10, changeLogKeys = Seq("c_custkey"))
+    CowTable.upsert(spark, root, 2L,
+      c.where(col("c_custkey").between(401, 1200))
+        .select(col("c_custkey"), lit("SEGMENT-S").as("c_mktsegment"),
+          col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10, changeLog = true)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      c.where(col("c_custkey").between(51, 120))
+        .select(col("c_custkey"), col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10, changeLog = true)
+    val mvPath = scratch("cow_streammv_mv")
+    val q = CowStream.mvSink(spark, root, mvPath, Seq("c_mktsegment"),
+      Seq("c_custkey"), checkpoint = scratch("cow_streammv_ck"))
+    try q.processAllAvailable() finally q.stop()
+    val mv = SnapshotTarget.read(spark, mvPath).get
+      .select(col("c_mktsegment"), col("mv_n").as("n"),
+        col("mv_sum_c_custkey").cast("long").as("sum_key"))
+    val direct = CowTable.read(spark, root).get
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
+          .as("sum_key"))
+    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+      "stream-maintained MV diverged from the direct aggregate")
+    mv.orderBy("c_mktsegment")
+  }
+
+  val cowStreamMvSql: String =
+    """WITH final AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 401 AND 1200 THEN 'SEGMENT-S'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |  WHERE c_custkey <= 1200
+      |    AND NOT (c_custkey BETWEEN 51 AND 120)
+      |)
+      |SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      |FROM final GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
@@ -593,7 +654,8 @@ object QueriesCow {
     "cow_append_compact" -> (cowAppendCompact _),
     "cow_in_lookup" -> (cowInLookup _),
     "cow_history" -> (cowHistory _),
-    "cow_mv_from_feed" -> (cowMvFromFeed _))
+    "cow_mv_from_feed" -> (cowMvFromFeed _),
+    "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
     "cow_upsert" -> cowUpsertSql,
@@ -609,5 +671,6 @@ object QueriesCow {
     "cow_append_compact" -> cowAppendCompactSql,
     "cow_in_lookup" -> cowInLookupSql,
     "cow_history" -> cowHistorySql,
-    "cow_mv_from_feed" -> cowMvFromFeedSql)
+    "cow_mv_from_feed" -> cowMvFromFeedSql,
+    "cow_stream_mv" -> cowStreamMvSql)
 }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StringType
+
+import graft.operators.MaterializedAgg
+import graft.sinks.{CowTable, SnapshotTarget}
+
+/** STREAMING CHANGE-FEED SOURCE over a [[CowTable]]'s write-time
+  * changelog sidecars — the storage→streaming closure of the write-time
+  * feed: every commit with `changeLogKeys` publishes a signed D/I
+  * changelog under `_changes/<id>/`, and those directories are exactly
+  * a file-stream source. A downstream materialized view then maintains
+  * itself with O(batch) work per commit via [[MaterializedAgg]]'s ±1
+  * retraction algebra and NEVER rescans the table — at 100 TB, a day of
+  * commits costs the MV a day of deltas, not a table read. (The
+  * reference's watermark-column incremental reads — utilities.py's
+  * metadata-driven SELECTs — gesture at this loop; the sidecar stream
+  * completes it with deletes and updates included.)
+  *
+  * TRANSPORT: `readStream.parquet(root/_changes/[0-9]*)`. Publishes are
+  * atomic directory renames, and the `[0-9]*` glob skips `.tmp-*`
+  * staging dirs, so the source only ever lists complete sidecars. Each
+  * row carries its commit id (parsed from the file path) so the sink
+  * can enforce commit semantics.
+  *
+  * COMMIT FRONTIER RULE (the publish→manifest race, [[mvBatch]]): a
+  * sidecar is published instants BEFORE its manifest write, so the
+  * stream can list one whose commit hasn't landed yet. A sidecar id is
+  * servable iff it is COMMITTED; an uncommitted id with a LATER
+  * committed id is dead forever (the replay guard forbids committing
+  * behind the frontier) and its rows are dropped as the orphan they
+  * are; an uncommitted id AT the frontier is waited for (bounded) —
+  * timeout fails the micro-batch, which replays: the exactly-once-
+  * preserving outcome.
+  *
+  * EXACTLY-ONCE: the MV target is a [[SnapshotTarget]] committed at
+  * the micro-batch id — a crash-replayed batch whose snapshot already
+  * committed is a no-op (same contract as [[StreamOps.upsertBatch]];
+  * crash-replay spec-pinned in `CowStreamSpec`).
+  */
+object CowStream {
+
+  /** The sidecar stream: table columns + `_oper` (D/I) + `_commit_id`.
+    * The schema is fixed at stream construction from the CURRENT
+    * manifest; older sidecars written under a narrower (integer-chain)
+    * schema upcast on read, a WIDENING commit mid-stream needs a
+    * stream restart to pick up the new schema.
+    */
+  def changeFeed(spark: SparkSession, root: String): DataFrame = {
+    val m = CowTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $root — start the stream after the " +
+          "initial commit"))
+    val schema = m.schema.add(CowTable.ChangeOper, StringType)
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$root/${CowTable.ChangesDir}/[0-9]*")
+      .withColumn("_commit_id",
+        regexp_extract(col("_metadata.file_path"),
+          s"/${CowTable.ChangesDir}/([0-9]+)/", 1).cast("long"))
+  }
+
+  /** One micro-batch of the stream-maintained MV: frontier-filter the
+    * batch (see scaladoc), fold the survivors' signed rows into a
+    * retractable count/sum state, merge with the MV's current state,
+    * commit at `batchId`. Exposed separately from [[mvSink]] so the
+    * crash-replay contract is directly testable without a harness.
+    */
+  def mvBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tableRoot: String,
+      mvPath: String,
+      keys: Seq[String],
+      values: Seq[String],
+      waitMs: Long = 30000): Unit = {
+    val spark = batch.sparkSession
+    // replay guard: this micro-batch's MV snapshot already committed
+    if (SnapshotTarget.committedIds(spark, mvPath).exists(_ >= batchId))
+      return
+    val ids = batch.select(col("_commit_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (ids.isEmpty) return
+    var committed = CowTable.committedIds(spark, tableRoot).toSet
+    def stillPending() = ids.filter(i =>
+      !committed(i) && committed.forall(_ < i))
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (stillPending().nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      committed = CowTable.committedIds(spark, tableRoot).toSet
+    }
+    if (stillPending().nonEmpty)
+      throw new IllegalStateException(
+        s"sidecar ids ${stillPending()} at $tableRoot published but not " +
+          s"committed after ${waitMs}ms — failing the micro-batch so the " +
+          "stream replays it (a crashed writer's orphan resolves once a " +
+          "later commit moves the frontier)")
+    val live = ids.filter(committed)
+    val delta = MaterializedAgg.retractStateOf(
+      batch.where(col("_commit_id").isin(live: _*)).drop("_commit_id"),
+      keys, values, CowTable.ChangeOper)
+    val merged = SnapshotTarget.read(spark, mvPath) match {
+      case Some(cur) => MaterializedAgg.mergeRetract(keys, values, cur, delta)
+      case None => delta.where(col("mv_n") =!= 0)
+    }
+    SnapshotTarget.commit(merged, mvPath, batchId)
+  }
+
+  /** The stream-maintained MV sink: [[changeFeed]] → [[mvBatch]] per
+    * micro-batch. Run with `Trigger.AvailableNow` for catch-up-and-stop
+    * or the default for continuous maintenance.
+    */
+  def mvSink(
+      spark: SparkSession,
+      tableRoot: String,
+      mvPath: String,
+      keys: Seq[String],
+      values: Seq[String],
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val writer = changeFeed(spark, tableRoot).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => mvBatch(b, id, tableRoot, mvPath, keys, values))
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+}

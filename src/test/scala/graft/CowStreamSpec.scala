@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.{CowTable, SnapshotTarget}
+import graft.streaming.CowStream
+
+/** Streaming change-feed source over CowTable sidecars
+  * (streaming/CowStream.scala): transport, MV maintenance, frontier
+  * rule, crash-replay exactly-once.
+  */
+class CowStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_cowstream_$tag").toString
+
+  private def table(root: String): Unit = {
+    val base = spark.range(1, 1001)
+      .select($"id", ($"id" % 5).cast("int").as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb"))
+    CowTable.commitFull(base, root, 1L, Seq("pb"), keep = 10,
+      changeLogKeys = Seq("id"))
+    // moves keys between groups — only retraction tracks this
+    CowTable.upsert(spark, root, 2L,
+      spark.range(200, 401).select($"id", lit(9).as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      Seq("id"), Seq("pb"), keep = 10, changeLog = true)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      spark.range(900, 951).select($"id",
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      Seq("id"), Seq("pb"), keep = 10, changeLog = true)
+  }
+
+  test("stream-maintained MV over the sidecar feed equals a direct " +
+      "rescan after full+upsert+delete commits, without table reads") {
+    val root = tmp("e2e")
+    table(root)
+    val mv = tmp("e2e_mv")
+    val q = CowStream.mvSink(spark, root, mv, Seq("seg"), Seq("id"),
+      checkpoint = tmp("e2e_ck"))
+    try q.processAllAvailable() finally q.stop()
+    val got = SnapshotTarget.read(spark, mv).get
+      .select($"seg", $"mv_n".as("n"),
+        $"mv_sum_id".cast("long").as("sum_id"))
+      .orderBy("seg").collect().toSeq
+    val want = CowTable.read(spark, root).get
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"),
+        sum($"id".cast("decimal(38,0)")).cast("long").as("sum_id"))
+      .orderBy("seg").collect().toSeq
+    assert(got == want, s"MV diverged:\n got=$got\nwant=$want")
+  }
+
+  test("a LATER commit's sidecar arriving in a later micro-batch " +
+      "updates the MV incrementally") {
+    val root = tmp("inc")
+    table(root)
+    val mv = tmp("inc_mv")
+    val ck = tmp("inc_ck")
+    val q1 = CowStream.mvSink(spark, root, mv, Seq("seg"), Seq("id"), ck)
+    try q1.processAllAvailable() finally q1.stop()
+    // a fourth commit AFTER the stream drained
+    CowTable.upsert(spark, root, 4L,
+      spark.range(1001, 1101).select($"id", lit(7).as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      Seq("id"), Seq("pb"), keep = 10, changeLog = true)
+    val q2 = CowStream.mvSink(spark, root, mv, Seq("seg"), Seq("id"), ck)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = SnapshotTarget.read(spark, mv).get
+      .select($"seg", $"mv_n".as("n"))
+      .orderBy("seg").collect().toSeq
+    val want = CowTable.read(spark, root).get
+      .groupBy($"seg").agg(count(lit(1)).as("n"))
+      .orderBy("seg").collect().toSeq
+    assert(got == want)
+  }
+
+  test("crash-replay is exactly-once: a replayed micro-batch whose MV " +
+      "snapshot committed is a no-op; an uncommitted orphan behind the " +
+      "frontier is dropped") {
+    val root = tmp("replay")
+    table(root)
+    val mv = tmp("replay_mv")
+    def feedOf(ids: Long*) = ids.map(i =>
+      CowTable.changeLogFor(spark, root, i).getOrElse(
+        fail(s"commit $i wrote no sidecar"))
+        .withColumnRenamed("oper", "_oper")
+        .withColumn("_commit_id", lit(i)))
+      .reduce(_.unionByName(_))
+    CowStream.mvBatch(feedOf(1L, 2L), 0L, root, mv, Seq("seg"), Seq("id"))
+    val after0 = SnapshotTarget.read(spark, mv).get.orderBy("seg")
+      .collect().toSeq
+    // crash BETWEEN MV commit and checkpoint write → the SAME batch id
+    // replays with the same content: must change nothing
+    CowStream.mvBatch(feedOf(1L, 2L), 0L, root, mv, Seq("seg"), Seq("id"))
+    assert(SnapshotTarget.read(spark, mv).get.orderBy("seg")
+      .collect().toSeq == after0, "replayed batch mutated the MV")
+    // next batch applies exactly once too
+    CowStream.mvBatch(feedOf(3L), 1L, root, mv, Seq("seg"), Seq("id"))
+    CowStream.mvBatch(feedOf(3L), 1L, root, mv, Seq("seg"), Seq("id"))
+    val got = SnapshotTarget.read(spark, mv).get
+      .select($"seg", $"mv_n".as("n")).orderBy("seg").collect().toSeq
+    val want = CowTable.read(spark, root).get
+      .groupBy($"seg").agg(count(lit(1)).as("n"))
+      .orderBy("seg").collect().toSeq
+    assert(got == want)
+
+    // frontier rule, dead orphan: rows claiming commit id 0 — never
+    // committed, behind the frontier (3), so it can never commit
+    // (replay guard) — are DROPPED; the MV's content is unchanged
+    val before = SnapshotTarget.read(spark, mv).get.orderBy("seg")
+      .collect().toSeq
+    val dead = feedOf(1L).withColumn("_commit_id", lit(0L))
+    CowStream.mvBatch(dead, 2L, root, mv, Seq("seg"), Seq("id"),
+      waitMs = 200)
+    assert(SnapshotTarget.read(spark, mv).get.orderBy("seg")
+      .collect().toSeq == before,
+      "dead orphan's rows leaked into the MV")
+    // frontier rule, in-flight: an uncommitted id AT/ABOVE the
+    // frontier might still land — the batch must FAIL (for replay)
+    // after the bounded wait, never guess
+    intercept[IllegalStateException] {
+      CowStream.mvBatch(
+        feedOf(1L).withColumn("_commit_id", lit(99L)),
+        3L, root, mv, Seq("seg"), Seq("id"), waitMs = 200)
+    }
+    assert(SnapshotTarget.read(spark, mv).get.orderBy("seg")
+      .collect().toSeq == before)
+  }
+}
