@@ -26,6 +26,46 @@ object FactEnrich {
       normalize: Option[Column => Column] = None,
       broadcastDim: Boolean = true)
 
+  /** A dimension stored as a [[graft.sinks.CowTable]], with the
+    * broadcast-vs-shuffle decision taken from the table's MANIFEST —
+    * the snapshot's live-data byte count, metadata the commit already
+    * computed — instead of a static flag. Planning therefore costs
+    * ZERO data I/O and no collect: the one manifest read yields both
+    * the DataFrame and the size. The static decision this replaces is
+    * exactly the thing that rots at scale — a dimension that was
+    * broadcast-sized at launch grows past the executor-memory budget
+    * and the job starts OOMing executors; sized from the manifest, the
+    * same pipeline flips that dimension to a shuffle join at the next
+    * snapshot, unprompted. `broadcastOverride` keeps the operator's
+    * explicit word as the final one (e.g. force-broadcast a table of
+    * skewed hot keys regardless of size).
+    *
+    * `maxBroadcastBytes` compares against the manifest's PARQUET bytes
+    * — compressed, so an in-memory hash relation is typically 2-5×
+    * larger; the 32 MB default leaves that headroom under Spark's own
+    * broadcast limits.
+    */
+  def dimFromCow(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      keys: Seq[(String, String)],
+      select: Seq[(String, String)],
+      joinType: String = "left",
+      normalize: Option[Column => Column] = None,
+      broadcastOverride: Option[Boolean] = None,
+      maxBroadcastBytes: Long = 32L * 1024 * 1024): Dim = {
+    import graft.sinks.CowTable
+    val m = CowTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $root — a dimension must exist " +
+          "before the fact enrich plans against it"))
+    val bytes = m.files.map(_.bytes).sum
+    val df = CowTable.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"unreadable snapshot at $root"))
+    Dim(df, keys, select, joinType, normalize,
+      broadcastDim = broadcastOverride.getOrElse(bytes <= maxBroadcastBytes))
+  }
+
   def enrich(fact: DataFrame, dims: Seq[Dim]): DataFrame =
     dims.zipWithIndex.foldLeft(fact) { case (acc, (d, i)) =>
       val alias = s"__dim$i"

@@ -315,7 +315,9 @@ object CowTable {
 
   /** The sidecar-serving path of [[changeFeed]]: None unless EVERY
     * commit in `(fromId, toId]` (snapped to committed ids) wrote a
-    * `_changes/<id>/` sidecar with one schema. Vacuum retains the
+    * `_changes/<id>/` sidecar whose schemas agree up to WIDENING
+    * (older sidecars upcast into the newest — a safely-evolved range
+    * stays on the O(batch) path). Vacuum retains the
     * newest manifests as a SUFFIX of history, so the committed-id
     * enumeration over a servable range is complete — a vacuumed-away
     * commit forces `fromId` itself out of range rather than silently
@@ -352,10 +354,20 @@ object CowTable {
     }
     val schemas = dirs
       .map(d => relax(spark.read.parquet(d).schema).asInstanceOf[StructType])
-      .distinct
-    if (schemas.size > 1) return None // schema evolved mid-range
+    // schema evolved mid-range: servable anyway when every older
+    // sidecar's schema UPCASTS into the newest (the same SchemaCompat
+    // widening gate the table's carried data files passed at commit) —
+    // the parquet reader then widens narrow columns (SPARK-40876) and
+    // fills added ones with NULL, exactly as carried data files read
+    // under the evolved table schema. A non-widening mix (dropped or
+    // retyped column — impossible for sidecars of committed evolution,
+    // but this layer doesn't assume) keeps the honest None →
+    // snapshot-diff fallback. Newest is widest: evolution is grow-only.
+    val target = schemas.last
+    if (!schemas.forall(s => s == target ||
+        graft.types.SchemaCompat.check(s, target).compatible)) return None
     val log = dirs.zip(range).map { case (d, i) =>
-      spark.read.schema(schemas.head).parquet(d).withColumn("__cid", lit(i))
+      spark.read.schema(target).parquet(d).withColumn("__cid", lit(i))
     }.reduce(_.unionByName(_))
     Some(netSignedLog(log, keyCols, operCol))
   }

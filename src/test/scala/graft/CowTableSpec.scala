@@ -1009,6 +1009,86 @@ class CowTableSpec extends SparkSpec {
       "the interleaved commit's update must survive the stale writer")
   }
 
+  test("change feed sidecars serve across a WIDENING schema evolution " +
+      "mid-range: int→long upcasts, an added column reads NULL on older " +
+      "sidecars, and the O(batch) path is kept (no diff fallback)") {
+    val root = tmp()
+    val pk = Set(CowTable.partKey(Seq("part"), Map("part" -> "p1")))
+    CowTable.commitFull(
+      Seq((1L, "p1", 10), (2L, "p1", 20), (3L, "p2", 30))
+        .toDF("id", "part", "v"),
+      root, 1L, Seq("part"), keep = 10, changeLogKeys = Seq("id"))
+    CowTable.upsert(spark, root, 2L,
+      Seq((2L, "p1", 21)).toDF("id", "part", "v"),
+      Seq("id"), Seq("part"), keep = 10, changeLog = true)
+    // widened rewrite of p1: v int→long, new nullable column `note`
+    CowTable.commitPartitions(
+      Seq((1L, "p1", 100L, "x"), (2L, "p1", 21L, "y"))
+        .toDF("id", "part", "v", "note"),
+      pk, root, 3L, Seq("part"), keep = 10, changeLogKeys = Seq("id"))
+    val fed = CowTable.changeFeedFromLog(spark, root, 1L, 3L, Seq("id"))
+    assert(fed.isDefined,
+      "a widening-only schema mix must stay on the sidecar path")
+    val got = fed.get
+      .select($"id", $"part", $"v", $"note", $"oper")
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // id 1 changed only in commit 3 (10→100, note x); id 2 changed in
+    // both (20→21 then note y) and nets to its final image; id 3 never
+    assert(got == Seq(
+      (1L, "p1", 100L, "x", "U"),
+      (2L, "p1", 21L, "y", "U")), s"unexpected feed: $got")
+    // a genuinely incompatible mix still falls back honestly: fake a
+    // sidecar whose column RETYPED (long→string) cannot upcast
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val bad = Seq((9L, "p1", "not-a-number", "z", "I"))
+      .toDF("id", "part", "v", "note", "_oper")
+    val tmpDir = s"$root/_changes/.tmp-fake"
+    bad.write.mode("overwrite").parquet(tmpDir)
+    fs.delete(new Path(s"$root/_changes/3"), true)
+    fs.rename(new Path(tmpDir), new Path(s"$root/_changes/3"))
+    assert(CowTable.changeFeedFromLog(spark, root, 1L, 3L, Seq("id"))
+      .isEmpty, "retyped sidecar must force the diff fallback")
+  }
+
+  test("vacuum vs reader: keep=2 retains the PREVIOUS snapshot's files " +
+      "for in-flight readers — a reader holding manifest m collects " +
+      "identical rows after the next commit's vacuum; past retention " +
+      "its files are gone and the read fails LOUD, and readAt of a " +
+      "vacuumed id returns None, never an empty frame") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    // reader pins manifest 1 (the DataFrame holds its file list)
+    val reader = CowTable.readAt(spark, root, 1L).get
+    val want = reader.orderBy("id").collect().toSeq
+    // commit 2 (full rewrite) lands; vacuum(keep=2) retains manifest 1
+    // and, transitively, every batch-1 file it references
+    CowTable.commitFull(
+      base3.withColumn("score", col("score") + 1), root, 2L, Seq("part"))
+    assert(reader.orderBy("id").collect().toSeq == want,
+      "in-flight reader must see its pinned snapshot unchanged")
+    // commit 3 (full rewrite): snapshot 1 falls past retention; no
+    // retained manifest references batch-1, so its files are deleted
+    CowTable.commitFull(
+      base3.withColumn("score", col("score") + 2), root, 3L, Seq("part"))
+    assert(CowTable.readAt(spark, root, 1L).isEmpty,
+      "a vacuumed id must be un-addressable (None), not empty data")
+    // the stale reader's p1 files are gone: the read must THROW, not
+    // silently return partial/empty rows
+    intercept[Throwable] {
+      val got = reader.orderBy("id").collect().toSeq
+      assert(got != want && got.nonEmpty,
+        "stale reader returned silently wrong data") // unreachable on throw
+      fail(s"stale reader silently served $got")
+    }
+    // retained snapshots keep serving exactly
+    assert(CowTable.readAt(spark, root, 2L).get
+      .where($"id" === 1L).select("score").as[Double].head() == 11.0)
+    assert(CowTable.read(spark, root).get
+      .where($"id" === 1L).select("score").as[Double].head() == 12.0)
+  }
+
   test("single-writer fast path: commits work without lock files and " +
       "based-on verification still rejects a stale base") {
     import graft.sinks.CowConcurrentCommitException

@@ -103,6 +103,47 @@ class PlanShapeSpec extends SparkSpec {
       s"ON-clause filter not pushed to the orders scan:\n$plan")
   }
 
+  test("dimFromCow: the broadcast decision comes from the MANIFEST's " +
+      "byte count (no data read, no collect) — small dim plans a " +
+      "BroadcastHashJoin, a dim past the byte budget falls back to a " +
+      "shuffle join, the override wins") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.FactEnrich
+    import graft.sinks.CowTable
+    val dimRoot = java.nio.file.Files
+      .createTempDirectory("graft_dimcow").toString
+    CowTable.commitFull(
+      spark.range(0, 500).select(col("id").as("d_key"),
+        concat(lit("n"), col("id")).as("d_name")),
+      dimRoot, 1L, Nil)
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 500).as("f_key"), col("id").as("v"))
+    def mkDim(maxBytes: Long, over: Option[Boolean] = None) =
+      FactEnrich.dimFromCow(spark, dimRoot,
+        Seq("f_key" -> "d_key"), Seq("d_name" -> "name"),
+        broadcastOverride = over, maxBroadcastBytes = maxBytes)
+    val small = mkDim(32L * 1024 * 1024)
+    val big = mkDim(1L)
+    val forced = mkDim(1L, over = Some(true))
+    assert(small.broadcastDim, "under-budget dim must broadcast")
+    assert(!big.broadcastDim, "over-budget dim must not broadcast")
+    assert(forced.broadcastDim, "explicit override must win over size")
+    // plan under auto-broadcast OFF so only the manifest-driven hint
+    // decides; window kept to plan construction only
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (pSmall, pBig) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (finalPlan(FactEnrich.enrich(fact, Seq(small))),
+          finalPlan(FactEnrich.enrich(fact, Seq(big))))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"small dim lost its broadcast:\n$pSmall")
+    assert(!pBig.contains("BroadcastHashJoin") &&
+      (pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin")),
+      s"oversized dim did not fall back to a shuffle join:\n$pBig")
+  }
+
   test("knn_label_eval: scoring runs as the broadcast nested-loop " +
       "cross join (corpus streams), and the label/truth joins broadcast " +
       "the SMALL side — no corpus-sized exchange anywhere") {
