@@ -1147,6 +1147,341 @@ object QueriesAnalytics {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   // -------------------------------------------------------------------
+  // TPC-H Q7 (volume shipping): bidirectional two-nation trade by ship
+  // year. Plan shape at scale: the nation filter COLLAPSES the
+  // supplier and customer dims before they touch the facts — supplier
+  // joined to its (2-row) nation slice broadcasts into lineitem,
+  // customer's slice broadcasts into orders, so the only real shuffle
+  // is lineitem⋈orders, and the either-direction pair disjunction runs
+  // over rows already restricted to the two nations. Revenue rides the
+  // DECIMAL(25,6) carrier; year() is engine-identical on timestamps.
+  // -------------------------------------------------------------------
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val nats = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.load(spark, dir, "nation")
+      .where(col("n_name").isin(nats: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .where(col("n_name").isin(nats: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .select("s_suppkey", "supp_nation")
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .select("c_custkey", "cust_nation")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === "NATION_1" &&
+        col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val tpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INT) AS l_year,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q8 (national market share): one nation's share of a region's
+  // volume in one part type, by order year. The share is a ratio of
+  // two decimal-carried sums turned into ONE double division — both
+  // engines divide identical operands, so the doubles match bitwise
+  // (the [[Queries.dsum]] discipline applied to a CASE'd numerator).
+  // Plan shape: the part-type slice, the region's customers and the
+  // supplier→nation attribution all broadcast; lineitem⋈orders is the
+  // one shuffle.
+  // -------------------------------------------------------------------
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(25,6)")
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_type") === "ECONOMY").select("p_partkey")
+    val r = Tables.load(spark, dir, "region")
+      .where(col("r_name") === "AFRICA").select("r_regionkey")
+    val n1 = Tables.load(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("n1_key"))
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .select("c_custkey")
+    val n2 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(25,6)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", vol).otherwise(dec0))
+          .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val tpchQ8Sql: String =
+    """WITH vol AS (
+      | SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |   CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+      |     AS volume,
+      |   n2.n_name AS supp_nation
+      | FROM part
+      | JOIN lineitem ON p_partkey = l_partkey
+      | JOIN supplier ON s_suppkey = l_suppkey
+      | JOIN orders ON o_orderkey = l_orderkey
+      | JOIN customer ON c_custkey = o_custkey
+      | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      | JOIN region ON n1.n_regionkey = r_regionkey
+      | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      | WHERE r_name = 'AFRICA' AND p_type = 'ECONOMY'
+      |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |   AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT o_year,
+      | CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+      |                    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+      |   / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q14 (promotion effect): the percentage of a month's revenue
+  // from PROMO parts — a CASE'd numerator over one join, the same
+  // decimal-carrier-then-one-division discipline as Q8. No broadcast
+  // hint on part: it scales with the fact (AQE broadcasts it at small
+  // SF, shuffles on p_partkey when it outgrows the threshold — the
+  // adaptive decision IS the 100 TB plan).
+  // -------------------------------------------------------------------
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(25,6)")
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(25,6)")
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_type")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", vol).otherwise(dec0))
+          .cast("double") / sum(vol).cast("double")).as("promo_revenue"))
+  }
+
+  val tpchQ14Sql: String =
+    """SELECT
+      | CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))
+      |     ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+      |   / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |                   AS DECIMAL(25,6))) AS DOUBLE) AS DOUBLE)
+      |   AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q15 (top supplier): suppliers whose quarter revenue EQUALS
+  // the maximum — a scalar subquery over a derived view. The equality
+  // is taken on the DECIMAL sums (exact; casting to double first could
+  // merge near-ties), presented as double after. Plan shape: one
+  // shuffle builds the supplier-revenue view, its 1-row max broadcasts
+  // back (J4 pattern), and the supplier join is supplier-sized.
+  // -------------------------------------------------------------------
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(25,6)")).as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val s = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(top))
+      .where(col("total_revenue") === col("max_revenue"))
+      .join(s, col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+      | SELECT l_suppkey AS supplier_no,
+      |   sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)))
+      |     AS total_revenue
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      | CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
+  // their part's average quantity — the correlated-scalar-average
+  // shape. The 0.2·avg comparison is cleared of division AND floats:
+  // quantities are integer-valued, so `qty * 5 * n < sum_qty` over
+  // BIGINTs is the exact equivalent both engines compute identically.
+  // Spark plans it as aggregate-then-join-back on l_partkey (the
+  // scalable decorrelation); the oracle keeps the canonical correlated
+  // subqueries and DuckDB decorrelates to the same shape.
+  // -------------------------------------------------------------------
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = l.groupBy(col("l_partkey").as("q_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_qty"))
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_brand") === "Brand#3" && col("p_size") <= 25)
+      .select("p_partkey")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("q_partkey"))
+      .where(col("l_quantity").cast("long") * 5 * col("n_qty") <
+        col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6)))
+      |     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      | count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3' AND p_size <= 25
+      |  AND CAST(l_quantity AS BIGINT) * 5 *
+      |      (SELECT count(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = p_partkey)
+      |    < (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q18 (large-volume customers): orders whose total quantity
+  // exceeds a threshold, with customer attribution, top 100 by price.
+  // Spark-first shape: ONE aggregation of lineitem by order (its
+  // result carries sum_qty), filtered and joined to orders+customer —
+  // the canonical SQL's join-back-and-reaggregate second lineitem pass
+  // is algebraically redundant and the oracle keeps it (results are
+  // equal; the engine just doesn't pay the second scan). Quantities
+  // sum exactly as BIGINTs; the top-100 ordering ties break on the
+  // unique order key.
+  // -------------------------------------------------------------------
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > 150)
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long")
+          .as("totalprice_cents"),
+        col("sum_qty"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+      | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY totalprice_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q19 (discounted revenue): the DISJUNCTION of conjunctive
+  // cross-table predicates — the shape that punishes planners which
+  // evaluate the OR after a full join product. The join key is common
+  // to all three arms, so the correct plan joins on p_partkey ONCE and
+  // evaluates the disjunction as the join's residual condition;
+  // per-arm single-table conjuncts (brand, size, quantity bands) still
+  // prune their own scans via OR-factoring. Container/shipmode arms
+  // are re-expressed over this dataset's brand/size/quantity columns,
+  // preserving the three-arm structure. Decimal-carried revenue.
+  // -------------------------------------------------------------------
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val arm1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey") &&
+        (arm1 || arm2 || arm3))
+      .agg(Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val tpchQ19Sql: String =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // -------------------------------------------------------------------
   // Distribution window functions (ntile / percent_rank / cume_dist)
   // over a per-group total ordering — the analytic trio w2_rank_funcs
   // doesn't cover. The window ordering includes the key so it is
@@ -1192,8 +1527,15 @@ object QueriesAnalytics {
     "tpch_q21" -> (tpchQ21 _),
     "tpch_q22" -> (tpchQ22 _),
     "tpch_q6" -> (tpchQ6 _),
+    "tpch_q7" -> (tpchQ7 _),
+    "tpch_q8" -> (tpchQ8 _),
     "tpch_q10" -> (tpchQ10 _),
     "tpch_q13" -> (tpchQ13 _),
+    "tpch_q14" -> (tpchQ14 _),
+    "tpch_q15" -> (tpchQ15 _),
+    "tpch_q17" -> (tpchQ17 _),
+    "tpch_q18" -> (tpchQ18 _),
+    "tpch_q19" -> (tpchQ19 _),
     "window_distribution" -> (windowDistribution _),
     "hist_mv_percentile" -> (histMvPercentile _),
     "assoc_rules" -> (assocRules _),
@@ -1218,8 +1560,15 @@ object QueriesAnalytics {
     "tpch_q21" -> tpchQ21Sql,
     "tpch_q22" -> tpchQ22Sql,
     "tpch_q6" -> tpchQ6Sql,
+    "tpch_q7" -> tpchQ7Sql,
+    "tpch_q8" -> tpchQ8Sql,
     "tpch_q10" -> tpchQ10Sql,
     "tpch_q13" -> tpchQ13Sql,
+    "tpch_q14" -> tpchQ14Sql,
+    "tpch_q15" -> tpchQ15Sql,
+    "tpch_q17" -> tpchQ17Sql,
+    "tpch_q18" -> tpchQ18Sql,
+    "tpch_q19" -> tpchQ19Sql,
     "window_distribution" -> windowDistributionSql,
     "hist_mv_percentile" -> histMvPercentileSql,
     "assoc_rules" -> assocRulesSql,

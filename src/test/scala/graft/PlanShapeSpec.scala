@@ -103,6 +103,21 @@ class PlanShapeSpec extends SparkSpec {
       s"ON-clause filter not pushed to the orders scan:\n$plan")
   }
 
+  test("tpch_q19: the three-arm disjunction rides ONE p_partkey join " +
+      "as its condition — a single join node, no cartesian, no " +
+      "join-then-filter over the unrestricted product") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ19(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"disjunction degenerated to a product:\n$plan")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins >= 1 && plan.contains("p_partkey"),
+      s"lost the partkey join:\n$plan")
+    // the quantity/brand/size arms appear in the join or its inputs,
+    // not as a filter ABOVE the join's aggregate
+    assert(plan.contains("Brand#1") || plan.contains("p_brand"),
+      s"arm predicates vanished:\n$plan")
+  }
+
   test("dimFromCow: the broadcast decision comes from the MANIFEST's " +
       "byte count (no data read, no collect) — small dim plans a " +
       "BroadcastHashJoin, a dim past the byte budget falls back to a " +
