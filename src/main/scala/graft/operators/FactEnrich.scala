@@ -60,8 +60,10 @@ object FactEnrich {
         s"no committed snapshot at $root — a dimension must exist " +
           "before the fact enrich plans against it"))
     val bytes = m.files.map(_.bytes).sum
-    val df = CowTable.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"unreadable snapshot at $root"))
+    // data frame from the SAME manifest the size came from — a second
+    // currentManifest read could land on a newer snapshot and size one
+    // commit while joining another
+    val df = CowTable.readSnapshot(spark, root, m)
     Dim(df, keys, select, joinType, normalize,
       broadcastDim = broadcastOverride.getOrElse(bytes <= maxBroadcastBytes))
   }

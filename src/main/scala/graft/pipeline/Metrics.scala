@@ -39,11 +39,15 @@ final case class ActionMetrics(
   */
 final class MetricsListener extends QueryExecutionListener {
 
-  // each record keeps the QueryExecution it came from (identity only,
-  // never dereferenced) so callers can attribute an action's metrics
-  // to THEIR query on a shared, concurrently-used session — min/max
-  // heuristics over a shared bus latch other workloads' actions
-  private val buf = new ConcurrentLinkedQueue[(AnyRef, ActionMetrics)]()
+  // each record keeps a WEAK reference to the QueryExecution it came
+  // from (identity only, never dereferenced) so callers can attribute
+  // an action's metrics to THEIR query on a shared, concurrently-used
+  // session — min/max heuristics over a shared bus latch other
+  // workloads' actions. Weak because a listener lives as long as the
+  // session: a strong reference would pin every action's full plan
+  // tree in the buffer and grow the heap without bound
+  private val buf =
+    new ConcurrentLinkedQueue[(java.lang.ref.WeakReference[AnyRef], ActionMetrics)]()
 
   // AQE wraps (and nests) the real plan: AdaptiveSparkPlanExec at the
   // root, and LEAF QueryStageExec wrappers (Result/Shuffle/Broadcast
@@ -106,7 +110,7 @@ final class MetricsListener extends QueryExecutionListener {
       qe: org.apache.spark.sql.execution.QueryExecution,
       durationNs: Long): Unit = {
     val plan = unwrap(qe.executedPlan)
-    buf.add(qe -> ActionMetrics(
+    buf.add(new java.lang.ref.WeakReference[AnyRef](qe) -> ActionMetrics(
       action = funcName,
       durationMs = durationNs / 1000000L,
       outputRows = topMetric(plan, "numOutputRows"),
@@ -121,14 +125,15 @@ final class MetricsListener extends QueryExecutionListener {
       funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution,
       exception: Exception): Unit =
-    buf.add(qe -> ActionMetrics(funcName, -1L, -1L, -1L, -1L, -1L, -1L,
+    buf.add(new java.lang.ref.WeakReference[AnyRef](qe) -> ActionMetrics(funcName, -1L, -1L, -1L, -1L, -1L, -1L,
       graft.meta.JobRun.sanitize(Option(exception.getMessage).getOrElse(""))))
 
   /** Remove and return everything recorded so far. */
   def drain(): Seq[ActionMetrics] = drainAll().map(_._2)
 
-  private def drainAll(): Seq[(AnyRef, ActionMetrics)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(AnyRef, ActionMetrics)]
+  private def drainAll(): Seq[(java.lang.ref.WeakReference[AnyRef], ActionMetrics)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.lang.ref.WeakReference[AnyRef], ActionMetrics)]
     var m = buf.poll()
     while (m != null) { out += m; m = buf.poll() }
     out.toSeq
@@ -142,7 +147,8 @@ final class MetricsListener extends QueryExecutionListener {
       timeoutMs: Long = 10000): Seq[ActionMetrics] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (System.nanoTime() < deadline &&
-      !pred(buf.toArray(Array.empty[(AnyRef, ActionMetrics)])
+      !pred(buf.toArray(
+        Array.empty[(java.lang.ref.WeakReference[AnyRef], ActionMetrics)])
         .toSeq.map(_._2))) {
       Thread.sleep(50)
     }
@@ -159,11 +165,12 @@ final class MetricsListener extends QueryExecutionListener {
       qe: AnyRef, timeoutMs: Long = 10000): Seq[ActionMetrics] = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     while (System.nanoTime() < deadline &&
-      !buf.toArray(Array.empty[(AnyRef, ActionMetrics)])
-        .exists(_._1 eq qe)) {
+      !buf.toArray(
+        Array.empty[(java.lang.ref.WeakReference[AnyRef], ActionMetrics)])
+        .exists(_._1.get eq qe)) {
       Thread.sleep(50)
     }
-    drainAll().filter(_._1 eq qe).map(_._2)
+    drainAll().filter(_._1.get eq qe).map(_._2)
   }
 }
 

@@ -243,6 +243,15 @@ object CowTable {
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentManifest(spark, root).map(m => resolved(spark, root, m, m.files))
 
+  /** The table state of an ALREADY-LOADED manifest — for callers that
+    * read the manifest once for its metadata (size, schema, history)
+    * and need the matching data frame from the SAME snapshot, without
+    * a second manifest read that could land on a newer commit.
+    */
+  private[graft] def readSnapshot(
+      spark: SparkSession, root: String, m: CowManifest): DataFrame =
+    resolved(spark, root, m, m.files)
+
   /** TIME TRAVEL by wall clock (Delta's TIMESTAMP AS OF): the highest
     * snapshot whose manifest COMMITTED (its `_SUCCESS` marker's mtime)
     * at or before `tsMillis`. Commit time is the marker file's mtime —
@@ -997,17 +1006,19 @@ object CowTable {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.nio.file.FileAlreadyExistsException =>
           throw conflict
-        // Some FileSystem impls (RawLocal, older connectors) signal
-        // create-if-absent failure as a bare IOException naming the
-        // existing path — map ONLY those to the lost-race exception.
-        // Any other IOException (network, permission, quota) is a real
-        // I/O failure: rethrow it as itself, with nothing swallowed —
-        // reporting it as a commit race would mislead callers into a
-        // doomed recompute-and-retry loop.
+        // Some FileSystem impls (RawLocal via ChecksumFileSystem, older
+        // connectors) signal create-if-absent failure as a bare
+        // IOException saying the path "already exists" — map ONLY that
+        // phrasing to the lost-race exception. A bare "exist" match
+        // would also catch "does not exist" (missing parent, missing
+        // bucket) and send the caller into a doomed recompute-and-retry
+        // loop against a root that isn't there. Any other IOException
+        // (network, permission, quota, not-found) is a real I/O
+        // failure: rethrow it as itself, with nothing swallowed.
         case e: java.io.IOException
             if e.getMessage != null &&
               e.getMessage.toLowerCase(java.util.Locale.ROOT)
-                .contains("exist") =>
+                .matches(".*(already|file)\\s+exists.*") =>
           val c = conflict
           c.initCause(e)
           throw c
@@ -1408,15 +1419,33 @@ object CowTable {
           val stagedLog =
             if (changeLogKeys.isEmpty) None
             else {
-              // pure-I guard (see scaladoc): batch keys must be absent
-              // from the partitions the batch lands in. O(touched
-              // partitions + batch), paid only on change-logged appends.
-              val touched = touchedKeys(batch, partCols)
-              val overlaps = !baseFor(spark, root, p, touched)
-                .join(broadcast(
-                  batch.select(changeLogKeys.map(col): _*).distinct()),
-                  changeLogKeys, "left_semi")
-                .isEmpty
+              // pure-I guard (see scaladoc): NO appended key may be
+              // visible anywhere in the table — a duplicate landing in
+              // a DIFFERENT partition than its incumbent would
+              // otherwise still get a pure-I sidecar. The check scopes
+              // itself with the manifest's own stats: only files whose
+              // [min, max] envelope on the first key column intersects
+              // the batch's key range (plus stat-less files) are read;
+              // for the monotonically-growing keys insert-only ingest
+              // appends, that prunes to nothing. Tombstoned incumbents
+              // may false-positive the overlap, which only SKIPS the
+              // sidecar — the diff fallback stays correct. No broadcast
+              // hint: the batch's distinct keys can be arbitrarily
+              // large; AQE broadcasts when they are in fact small.
+              val keyCol = changeLogKeys.head
+              val bounds = batch.agg(
+                min(col(keyCol).cast("string")),
+                max(col(keyCol).cast("string"))).first()
+              val candidates =
+                if (bounds.isNullAt(0)) Nil
+                else keptFiles(spark, p, Seq(CowRange(keyCol,
+                  Option(bounds.getString(0)), Option(bounds.getString(1)))))
+              val overlaps = candidates.nonEmpty &&
+                !dfFor(spark, root, p, candidates)
+                  .select(changeLogKeys.map(col): _*)
+                  .join(batch.select(changeLogKeys.map(col): _*).distinct(),
+                    changeLogKeys, "left_semi")
+                  .isEmpty
               if (overlaps) None
               else {
                 val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
