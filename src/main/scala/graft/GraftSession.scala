@@ -22,6 +22,10 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS) which the parquet
       // reader rejects; read as long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are timezone-less micros; read them as the
+      // session-UTC TIMESTAMP (matching the DuckDB oracle, which treats
+      // them as naive-UTC) instead of TIMESTAMP_NTZ.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
