@@ -1015,10 +1015,15 @@ object CowTable {
         // loop against a root that isn't there. Any other IOException
         // (network, permission, quota, not-found) is a real I/O
         // failure: rethrow it as itself, with nothing swallowed.
+        // find(), not matches(): connector messages can span lines
+        // (HDFS RemoteException embeds the server stack) and a
+        // whole-string '.*' match stops at '\n', misreporting a benign
+        // lost race as a hard I/O failure
         case e: java.io.IOException
             if e.getMessage != null &&
-              e.getMessage.toLowerCase(java.util.Locale.ROOT)
-                .matches(".*(already|file)\\s+exists.*") =>
+              java.util.regex.Pattern.compile("(already|file)\\s+exists")
+                .matcher(e.getMessage.toLowerCase(java.util.Locale.ROOT))
+                .find() =>
           val c = conflict
           c.initCause(e)
           throw c
@@ -1432,23 +1437,61 @@ object CowTable {
               // sidecar — the diff fallback stays correct. No broadcast
               // hint: the batch's distinct keys can be arbitrarily
               // large; AQE broadcasts when they are in fact small.
+              //
+              // The batch's key bounds come from the JUST-COLLECTED
+              // per-file stats in `fresh` (native-order min/max cast to
+              // string — the exact form the envelope layer compares):
+              // zero extra jobs over the batch, and correctly ordered
+              // for numerics where a cast-then-aggregate would be
+              // lexicographic ("999" > "1000" as strings, inverting the
+              // interval and pruning the very files that hold the
+              // duplicates). A file with an absent stat (all-null keys,
+              // or an over-long string max dropped at collect) makes
+              // that side unbounded — conservative: more candidates,
+              // never fewer. The probe side reads the batch's WRITTEN
+              // files, not its input lineage (which may be an arbitrary
+              // uncached upstream DAG).
               val keyCol = changeLogKeys.head
-              val bounds = batch.agg(
-                min(col(keyCol).cast("string")),
-                max(col(keyCol).cast("string"))).first()
+              val keyDt = effSchema.fields.find(_.name == keyCol)
+                .map(_.dataType).getOrElse(StringType)
+              val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+              val mins = fresh.map(_.mins.get(keyCol))
+              def fold(side: Seq[Option[String]],
+                  takeMax: Boolean): Option[String] =
+                if (side.exists(_.isEmpty)) None // a stat-less file → unbounded
+                else {
+                  val vs = side.flatten
+                  var acc = vs.head
+                  var ok = true
+                  var i = 1
+                  while (ok && i < vs.length) {
+                    statCompare(keyDt, vs(i), acc) match {
+                      case Some(c) => if ((c > 0) == takeMax) acc = vs(i)
+                      case None => ok = false // incomparable (NaN) → unbounded
+                    }
+                    i += 1
+                  }
+                  if (ok) Some(acc) else None
+                }
               val candidates =
-                if (bounds.isNullAt(0)) Nil
+                // an all-absent min on a STAT column means every batch
+                // key is NULL — null keys match no incumbent, so no
+                // overlap is possible and the probe is skipped entirely
+                if (fresh.isEmpty ||
+                    (statCols(effSchema).contains(keyCol) &&
+                      mins.forall(_.isEmpty))) Nil
                 else keptFiles(spark, p, Seq(CowRange(keyCol,
-                  Option(bounds.getString(0)), Option(bounds.getString(1)))))
+                  fold(mins, takeMax = false),
+                  fold(fresh.map(_.maxs.get(keyCol)), takeMax = true))))
               val overlaps = candidates.nonEmpty &&
                 !dfFor(spark, root, p, candidates)
                   .select(changeLogKeys.map(col): _*)
-                  .join(batch.select(changeLogKeys.map(col): _*).distinct(),
+                  .join(dfFor(spark, root, stub, fresh)
+                      .select(changeLogKeys.map(col): _*).distinct(),
                     changeLogKeys, "left_semi")
                   .isEmpty
               if (overlaps) None
               else {
-                val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
                 val after = dfFor(spark, root, stub, stub.files)
                 Some(stageChangeLog(spark, root, id, after.limit(0), after,
                   changeLogKeys))

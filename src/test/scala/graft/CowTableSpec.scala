@@ -1136,4 +1136,46 @@ class CowTableSpec extends SparkSpec {
     // the table itself holds both rows (appends are multiset semantics)
     assert(CowTable.read(spark, root).get.where($"id" === 6L).count() == 2L)
   }
+
+  test("the pure-I overlap guard orders numeric key bounds numerically: " +
+      "a duplicate whose batch spans a digit-length boundary is caught") {
+    // incumbent key 999; the appended batch holds {999, 1000}. As
+    // STRINGS min/max invert ("1000" < "999"), an empty interval that
+    // would prune the incumbent's file and wrongly publish a pure-I
+    // sidecar for a batch that UPDATES an existing key.
+    val root = tmp()
+    CowTable.commitFull(
+      Seq((999L, "p1", "a", 1.0)).toDF("id", "part", "name", "score"),
+      root, 1L, Seq("part"), changeLogKeys = Seq("id"))
+    CowTable.commitAppend(
+      Seq((999L, "p1", "a2", 2.0), (1000L, "p1", "b", 3.0))
+        .toDF("id", "part", "name", "score"),
+      root, 2L, Seq("part"), changeLogKeys = Seq("id"))
+    assert(CowTable.changeLogFor(spark, root, 2L).isEmpty,
+      "duplicate key 999 must suppress the pure-I sidecar even when " +
+        "lexicographic bounds would invert the probe interval")
+    // negative keys invert the other way ("-5" > "-10" as strings)
+    val root2 = tmp()
+    CowTable.commitFull(
+      Seq((-5L, "p1", "a", 1.0)).toDF("id", "part", "name", "score"),
+      root2, 1L, Seq("part"), changeLogKeys = Seq("id"))
+    CowTable.commitAppend(
+      Seq((-5L, "p1", "a2", 2.0), (-10L, "p1", "b", 3.0))
+        .toDF("id", "part", "name", "score"),
+      root2, 2L, Seq("part"), changeLogKeys = Seq("id"))
+    assert(CowTable.changeLogFor(spark, root2, 2L).isEmpty,
+      "duplicate negative key must suppress the pure-I sidecar")
+    // and a genuinely fresh batch across the same boundary still
+    // publishes (the guard must not become always-skip)
+    val root3 = tmp()
+    CowTable.commitFull(
+      Seq((999L, "p1", "a", 1.0)).toDF("id", "part", "name", "score"),
+      root3, 1L, Seq("part"), changeLogKeys = Seq("id"))
+    CowTable.commitAppend(
+      Seq((1000L, "p1", "b", 3.0), (1001L, "p1", "c", 4.0))
+        .toDF("id", "part", "name", "score"),
+      root3, 2L, Seq("part"), changeLogKeys = Seq("id"))
+    assert(CowTable.changeLogFor(spark, root3, 2L).isDefined,
+      "a fresh-key batch must still publish its pure-I sidecar")
+  }
 }
