@@ -1519,7 +1519,89 @@ object QueriesAnalytics {
       |                      o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // DYNAMIC PARTITION PRUNING: lineitem laid out partitioned by ship
+  // month (the canonical 100 TB layout for a date-sliced fact), joined
+  // ON THE PARTITION COLUMN to a dim whose qualifying months are known
+  // only at runtime — an aggregate-plus-threshold over orders, where
+  // the threshold is itself a computed scalar (months busier than the
+  // monthly average), so no static pushdown can resolve it. Catalyst's
+  // PartitionPruning rule inserts a DynamicPruningExpression into the
+  // fact scan's partition filters (reusing the dim's broadcast): only
+  // the qualifying months' directories are listed and read. At 100 TB
+  // this is the difference between scanning every month of a fact and
+  // the handful that qualify — without it, the filter applies only
+  // AFTER a full scan. Plan shape (the dynamicpruning partition
+  // filter) is pinned in PlanShapeSpec; this row pins the answer. The
+  // above-average threshold keeps the predicate scale-free: it selects
+  // a proper subset of months at every SF.
+  // -------------------------------------------------------------------
+  def dppPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    factByShipMonth(spark, dir).join(broadcast(busyMonths(spark, dir)),
+        col("l_sm") === col("om"))
+      .groupBy(col("l_sm"))
+      .agg(
+        Queries.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        max(col("n_orders")).as("n_orders"))
+      .orderBy(col("l_sm"))
+  }
+
+  /** The lineitem fact re-laid-out hive-partitioned by ship month into
+    * a scratch dir — the layout under which runtime pruning can skip
+    * whole directories. Shared by the oracle row and the plan pin.
+    */
+  def factByShipMonth(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_discount"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("l_sm"))
+      .write.mode("overwrite").partitionBy("l_sm").parquet(s"$root/fact")
+    spark.read.parquet(s"$root/fact")
+  }
+
+  /** Months with above-average order volume — the runtime-only dim.
+    * The threshold rides as a SCALAR SUBQUERY (not the crossJoin
+    * idiom): the comparison then survives as a genuine Filter node on
+    * the dim subtree, which is what the PartitionPruning rule requires
+    * to classify this side as selective — a cross-join threshold fuses
+    * into a join condition and the rule sees no filter at all.
+    */
+  def busyMonths(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView("graft_dpp_orders")
+    spark.sql(
+      """WITH m AS (
+        |  SELECT date_format(o_orderdate, 'yyyy-MM') AS om,
+        |         count(*) AS n_orders
+        |  FROM graft_dpp_orders GROUP BY 1
+        |)
+        |SELECT om, n_orders FROM m
+        |WHERE n_orders > (SELECT avg(n_orders) FROM m)""".stripMargin)
+  }
+
+  val dppPartitionPruneSql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS om,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), dim AS (
+      |  SELECT * FROM m
+      |  WHERE n_orders > (SELECT avg(n_orders) FROM m)
+      |)
+      |SELECT strftime(l_shipdate, '%Y-%m') AS l_sm,
+      | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items,
+      | max(n_orders) AS n_orders
+      |FROM lineitem
+      |JOIN dim ON strftime(l_shipdate, '%Y-%m') = dim.om
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dpp_partition_prune" -> (dppPartitionPrune _),
     "tpch_q1" -> (tpchQ1 _),
     "tpch_q3" -> (tpchQ3 _),
     "tpch_q4" -> (tpchQ4 _),
@@ -1553,6 +1635,7 @@ object QueriesAnalytics {
     "histogram_equidepth" -> (histogramEquidepth _))
 
   val oracles: Map[String, String] = Map(
+    "dpp_partition_prune" -> dppPartitionPruneSql,
     "tpch_q1" -> tpchQ1Sql,
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q4" -> tpchQ4Sql,

