@@ -202,4 +202,45 @@ class PlanShapeSpec extends SparkSpec {
       s"premise broken: dim keeps $monthsBusy of $monthsTotal months")
     assert(joined.count() > 0, "join must produce rows")
   }
+
+  test("runtime row-level filtering: a selective dim filter injects a " +
+      "bloom_filter_might_contain onto the fact side of a shuffle join, " +
+      "so non-qualifying fact rows die at the scan instead of riding " +
+      "the exchange") {
+    import org.apache.spark.sql.functions.col
+    // the production thresholds target 10GB+ probe scans; scale them to
+    // the test SF so the rule fires here, and restore after. Broadcast
+    // is disabled because the bloom filter exists precisely for joins
+    // too big to broadcast — the 100 TB case.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part").where(col("p_size") === 1)
+      val plan = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_size")).count()
+        .queryExecution.executedPlan.toString
+      // the injected filter renders as might_contain(<bloom subquery>)
+      // over the probe key, with bloom_filter_agg building the filter
+      // from the dim's qualifying keys
+      assert(plan.contains("might_contain") &&
+          plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter on the probe side:\n$plan")
+      // and it guards the PROBE scan (tree prints parent-first, so the
+      // filter's text precedes its child scan): rows die before the
+      // l_partkey exchange, not after the join
+      assert("might_contain[\\s\\S]*FileScan parquet \\[l_partkey".r
+          .findFirstIn(plan).isDefined,
+        s"bloom filter must guard the probe-side scan:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
