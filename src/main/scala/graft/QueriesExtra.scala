@@ -679,7 +679,68 @@ object QueriesExtra {
       |WHERE o_totalprice IS NOT NULL
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // -------------------------------------------------------------------
+  // RECURSIVE CTE (Spark 4 WITH RECURSIVE): bounded transitive closure
+  // over the supplier↔part shipment graph — BFS levels from the
+  // smallest supplier in a deterministic edge slice, parts counted at
+  // their MINIMUM level. Iterative graph reach is a shape the
+  // reference's SQL surface (and pre-4.x Spark) cannot express in one
+  // statement; the driver-side loop alternative (ConnectedComponents'
+  // pointer-jumping) exists for the unbounded case — this is the
+  // in-engine bounded form. The edge slice (2% of parts × 10% of
+  // suppliers) keeps each iteration's join linear in the slice at
+  // every SF; SELECT DISTINCT inside the recursive term caps a level
+  // at |parts| rows, so depth×|slice| bounds the whole evaluation.
+  // -------------------------------------------------------------------
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(recursiveCteSql)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+      |  FROM lineitem
+      |  WHERE l_partkey % 50 = 0 AND l_suppkey % 10 = 0
+      |), reach(part, lvl) AS (
+      |  SELECT p, 1 FROM edges
+      |  WHERE s = (SELECT min(s) FROM edges)
+      |  UNION ALL
+      |  SELECT DISTINCT e2.p, r.lvl + 1
+      |  FROM reach r
+      |  JOIN edges e1 ON e1.p = r.part
+      |  JOIN edges e2 ON e2.s = e1.s
+      |  WHERE r.lvl < 3
+      |)
+      |SELECT lvl, count(*) AS n_parts
+      |FROM (SELECT part, min(lvl) AS lvl FROM reach GROUP BY part)
+      |GROUP BY lvl ORDER BY lvl""".stripMargin
+
+  // -------------------------------------------------------------------
+  // LATERAL correlated subquery with LIMIT: per-nation top-2 customers
+  // by balance. The other decorrelation family next to `subqueries`
+  // (scalar + IN): a per-row dependent TABLE subquery, which Catalyst
+  // rewrites into a ranked join rather than N index probes — the same
+  // WindowGroupLimit plan `topk_per_group` pins, reached from SQL the
+  // reference's BigQuery layer could not write.
+  // -------------------------------------------------------------------
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(lateralTopkSql)
+  }
+
+  val lateralTopkSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "recursive_cte" -> (recursiveCte _),
+    "lateral_topk" -> (lateralTopk _),
     "winsorize_prices" -> (winsorizePrices _),
     "winsorize_approx" -> (winsorizeApprox _),
     "profile_histogram" -> (profileHistogram _),
@@ -702,6 +763,8 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "recursive_cte" -> recursiveCteSql,
+    "lateral_topk" -> lateralTopkSql,
     "winsorize_prices" -> winsorizePricesSql,
     "winsorize_approx" -> winsorizeApproxSql,
     "profile_histogram" -> profileHistogramSql,
