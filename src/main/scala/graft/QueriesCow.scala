@@ -640,7 +640,54 @@ object QueriesCow {
       | CAST(sum(c_custkey) AS BIGINT) AS sum_key
       |FROM final GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // -------------------------------------------------------------------
+  // STREAMING SINK end-to-end: two waves of keyed customer updates run
+  // through [[graft.streaming.CowSink.upsert]] — a real StreamingQuery
+  // over a file source, one COW merge commit per micro-batch, commit
+  // ids derived from the checkpoint — and the final table state must
+  // equal the batch-SQL application of the same waves. The write half
+  // of the storage↔streaming loop (`cow_stream_mv` is the read half).
+  // -------------------------------------------------------------------
+  def cowSinkStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CowSink
+    val root = scratch("cow_sinktbl")
+    val in = scratch("cow_sinkin")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        bucket.as("pb"))
+    c.where(col("c_custkey") <= 1000)
+      .coalesce(1).write.parquet(s"$in/w1")
+    c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), lit("SEGMENT-S").as("seg"), col("pb"))
+      .coalesce(1).write.parquet(s"$in/w2")
+    // maxFilesPerTrigger=1 → one micro-batch per wave, in write order
+    // (the file source orders by modification time, path-tiebroken)
+    val stream = spark.readStream
+      .schema("c_custkey BIGINT, seg STRING, pb INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/w*")
+    val q = CowSink.upsert(stream, root, Seq("c_custkey"), Seq("pb"),
+      checkpoint = scratch("cow_sinkck"), changeLog = true, keep = 10)
+    try q.processAllAvailable() finally q.stop()
+    require(CowTable.committedIds(spark, root) == Seq(1L, 2L),
+      "expected exactly one commit per wave")
+    CowTable.read(spark, root).get
+      .select(col("c_custkey"), col("seg")).orderBy("c_custkey")
+  }
+
+  val cowSinkStreamSql: String =
+    """WITH final AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey BETWEEN 501 AND 1500 THEN 'SEGMENT-S'
+      |         ELSE c_mktsegment END AS seg
+      |  FROM customer
+      |  WHERE c_custkey <= 1500
+      |)
+      |SELECT c_custkey, seg FROM final ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_sink_stream" -> (cowSinkStream _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
@@ -672,5 +719,6 @@ object QueriesCow {
     "cow_in_lookup" -> cowInLookupSql,
     "cow_history" -> cowHistorySql,
     "cow_mv_from_feed" -> cowMvFromFeedSql,
-    "cow_stream_mv" -> cowStreamMvSql)
+    "cow_stream_mv" -> cowStreamMvSql,
+    "cow_sink_stream" -> cowSinkStreamSql)
 }

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sinks.CowTable
+
+/** EXACTLY-ONCE STREAMING SINK into a [[CowTable]] — the write half of
+  * the storage↔streaming loop ([[CowStream]] is the read half): a
+  * `foreachBatch` writer that maps the checkpoint's micro-batch id to
+  * the table's commit id (`batchId + 1`, ids start at 1). Exactly-once
+  * falls out of the table's own commit protocol, with NO sink-side
+  * state: every commit path first checks the committed-id frontier and
+  * returns without writing when `id <= frontier`, so a crash-replayed
+  * micro-batch (same id, same deterministic source slice) is a no-op —
+  * the same contract the MV sink and [[StreamOps.upsertBatch]] pin.
+  *
+  * ID-SPACE OWNERSHIP: the sink derives commit ids from the stream's
+  * checkpoint, so the sink OWNS the table's id space — interleaving
+  * other writers would collide ids (the commit lease makes the loser
+  * fail loudly, never corrupt). Run maintenance (compaction, vacuum)
+  * between stream runs, or from the stream itself.
+  *
+  * At 100 TB this is the ingestion front door: each micro-batch lands
+  * as one O(batch) append commit (optionally publishing its changelog
+  * sidecar, so downstream [[CowStream]] MVs update in O(batch) too),
+  * and the keyed variant runs the O(delta + touched buckets) COW merge
+  * — table size never enters the per-batch cost.
+  */
+object CowSink {
+
+  /** Micro-batch ids start at 0; table commit ids at 1. */
+  private def idOf(batchId: Long): Long = batchId + 1L
+
+  /** One micro-batch appended as one table commit. Empty batches are
+    * skipped (no empty commits; ids need not be contiguous — the
+    * replay guard compares against the frontier, not a successor).
+    */
+  def appendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      partCols: Seq[String],
+      changeLogKeys: Seq[String] = Nil,
+      keep: Int = 2): Unit =
+    if (!batch.isEmpty)
+      CowTable.commitAppend(batch, root, idOf(batchId), partCols,
+        keep = keep, changeLogKeys = changeLogKeys)
+
+  /** One micro-batch upserted (newest-wins on `keyCols`) as one COW
+    * merge commit — the streaming CDC-apply path.
+    */
+  def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      changeLog: Boolean = false,
+      keep: Int = 2): Unit =
+    if (!batch.isEmpty)
+      CowTable.upsert(batch.sparkSession, root, idOf(batchId), batch,
+        keyCols, partCols, keep = keep, changeLog = changeLog)
+
+  /** Append-mode streaming writer: every micro-batch becomes one
+    * append commit (insert-only ingest — event logs, sensor feeds).
+    */
+  def append(
+      stream: DataFrame,
+      root: String,
+      partCols: Seq[String],
+      checkpoint: String,
+      changeLogKeys: Seq[String] = Nil,
+      keep: Int = 2,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => appendBatch(b, id, root, partCols, changeLogKeys,
+          keep))
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+
+  /** Keyed streaming writer: every micro-batch COW-merges into the
+    * table (streaming upsert — CDC tail, mutable-entity feeds). The
+    * usual [[CowTable.upsert]] contract applies: `partCols` must be a
+    * pure function of `keyCols`.
+    */
+  def upsert(
+      stream: DataFrame,
+      root: String,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      checkpoint: String,
+      changeLog: Boolean = false,
+      keep: Int = 2,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => upsertBatch(b, id, root, keyCols, partCols,
+          changeLog, keep))
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+}
