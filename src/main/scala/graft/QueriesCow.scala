@@ -686,7 +686,42 @@ object QueriesCow {
       |)
       |SELECT c_custkey, seg FROM final ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // MANIFEST-SERVED AGGREGATES: count/min/max answered from the
+  // manifest's per-file stats — zero data files listed, opened, or
+  // read (the Delta/Iceberg AddFile-stats trick). The scratch table is
+  // built from two commits so the answer must fold stats across
+  // batches; the oracle recomputes the same aggregates from the raw
+  // source in DuckDB. At 100 TB this serves the most common health
+  // probes from kilobytes.
+  // -------------------------------------------------------------------
+  def cowAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_aggpd")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 800),
+      root, 1L, Seq("pb"), keep = 10)
+    CowTable.commitAppend(c.where(col("c_custkey").between(801, 1200)),
+      root, 2L, Seq("pb"), keep = 10)
+    val n = CowTable.countFast(spark, root).getOrElse(
+      sys.error("countFast refused a tombstone-free table"))
+    val (lo, hi) = CowTable.minMaxFast(spark, root, "c_custkey").getOrElse(
+      sys.error("minMaxFast refused a fully-statted numeric column"))
+    spark.sql(
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         |       CAST($lo AS BIGINT) AS min_key,
+         |       CAST($hi AS BIGINT) AS max_key""".stripMargin)
+  }
+
+  val cowAggPushdownSql: String =
+    """SELECT count(*) AS n,
+      | min(c_custkey) AS min_key,
+      | max(c_custkey) AS max_key
+      |FROM customer WHERE c_custkey <= 1200""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_agg_pushdown" -> (cowAggPushdown _),
     "cow_sink_stream" -> (cowSinkStream _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
@@ -720,5 +755,6 @@ object QueriesCow {
     "cow_history" -> cowHistorySql,
     "cow_mv_from_feed" -> cowMvFromFeedSql,
     "cow_stream_mv" -> cowStreamMvSql,
-    "cow_sink_stream" -> cowSinkStreamSql)
+    "cow_sink_stream" -> cowSinkStreamSql,
+    "cow_agg_pushdown" -> cowAggPushdownSql)
 }

@@ -520,6 +520,75 @@ object CowTable {
     x.length - y.length
   }
 
+  /** Fold per-file stat values into one bound. None when any file
+    * lacks the stat (all-null column, or a string max dropped for
+    * length at collect) or when two stats are incomparable (NaN) —
+    * callers must treat None as "unknown", never as a value.
+    */
+  private def foldStat(
+      dt: DataType, side: Seq[Option[String]],
+      takeMax: Boolean): Option[String] =
+    if (side.isEmpty || side.exists(_.isEmpty)) None
+    else {
+      val vs = side.flatten
+      var acc = vs.head
+      var ok = true
+      var i = 1
+      while (ok && i < vs.length) {
+        statCompare(dt, vs(i), acc) match {
+          case Some(c) => if ((c > 0) == takeMax) acc = vs(i)
+          case None => ok = false
+        }
+        i += 1
+      }
+      if (ok) Some(acc) else None
+    }
+
+  // -------------------------------------------------------------------
+  // Manifest-served aggregates: answers from KILOBYTES of manifest
+  // instead of the table. At 100 TB, `SELECT count(*)` and min/max
+  // health probes are the most common queries a table gets — serving
+  // them without listing, opening, or scanning a single data file is
+  // the table format's cheapest big win (the same trick Delta/Iceberg
+  // pull from their AddFile stats).
+  // -------------------------------------------------------------------
+
+  /** O(manifest) COUNT(*): the sum of the live data files' row counts.
+    * EXACT only while no merge-on-read tombstones are outstanding (a
+    * tombstone subtracts rows its data file still carries) — returns
+    * None then; callers fall back to a scan or [[foldTombstones]]
+    * first. Never guesses.
+    */
+  def countFast(spark: SparkSession, root: String): Option[Long] = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum)
+  }
+
+  /** O(manifest) MIN/MAX of a NON-STRING orderable column, in Spark
+    * string form (the caller casts back — numeric/date/timestamp
+    * string forms are exact). Strings are refused outright: their
+    * collected stats may be length-truncated, so a string extreme
+    * cannot be certified from the manifest. None under the same
+    * no-tombstone rule as [[countFast]] (a delete may have removed the
+    * extreme row), or when any live file lacks the stat.
+    */
+  def minMaxFast(
+      spark: SparkSession, root: String,
+      colName: String): Option[(String, String)] = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val dt = m.schema.fields.find(_.name == colName).map(_.dataType)
+    if (dt.isEmpty || dt.contains(StringType) ||
+        m.tombstones.nonEmpty || m.files.isEmpty) None
+    else for {
+      lo <- foldStat(dt.get, m.files.map(_.mins.get(colName)),
+        takeMax = false)
+      hi <- foldStat(dt.get, m.files.map(_.maxs.get(colName)),
+        takeMax = true)
+    } yield (lo, hi)
+  }
+
   /** Can any row of `f` satisfy `lo <= colName <= hi`? (Either bound
     * optional.) Missing stats ⇒ true — skipping is only ever an
     * optimization, never a filter.
@@ -1456,23 +1525,6 @@ object CowTable {
                 .map(_.dataType).getOrElse(StringType)
               val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
               val mins = fresh.map(_.mins.get(keyCol))
-              def fold(side: Seq[Option[String]],
-                  takeMax: Boolean): Option[String] =
-                if (side.exists(_.isEmpty)) None // a stat-less file → unbounded
-                else {
-                  val vs = side.flatten
-                  var acc = vs.head
-                  var ok = true
-                  var i = 1
-                  while (ok && i < vs.length) {
-                    statCompare(keyDt, vs(i), acc) match {
-                      case Some(c) => if ((c > 0) == takeMax) acc = vs(i)
-                      case None => ok = false // incomparable (NaN) → unbounded
-                    }
-                    i += 1
-                  }
-                  if (ok) Some(acc) else None
-                }
               val candidates =
                 // an all-absent min on a STAT column means every batch
                 // key is NULL — null keys match no incumbent, so no
@@ -1481,8 +1533,9 @@ object CowTable {
                     (statCols(effSchema).contains(keyCol) &&
                       mins.forall(_.isEmpty))) Nil
                 else keptFiles(spark, p, Seq(CowRange(keyCol,
-                  fold(mins, takeMax = false),
-                  fold(fresh.map(_.maxs.get(keyCol)), takeMax = true))))
+                  foldStat(keyDt, mins, takeMax = false),
+                  foldStat(keyDt, fresh.map(_.maxs.get(keyCol)),
+                    takeMax = true))))
               val overlaps = candidates.nonEmpty &&
                 !dfFor(spark, root, p, candidates)
                   .select(changeLogKeys.map(col): _*)

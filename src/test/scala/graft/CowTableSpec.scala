@@ -1178,4 +1178,40 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.changeLogFor(spark, root3, 2L).isDefined,
       "a fresh-key batch must still publish its pure-I sidecar")
   }
+
+  test("manifest-served aggregates: countFast/minMaxFast answer from " +
+      "the manifest, refuse while tombstones are outstanding, and " +
+      "recover after the fold") {
+    val root = tmp()
+    val base = spark.range(1, 1001)
+      .select($"id", concat(lit("name-"), $"id").as("name"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb"))
+    CowTable.commitFull(base, root, 1L, Seq("pb"), keep = 10)
+    CowTable.commitAppend(
+      spark.range(1001, 1201).select($"id",
+        concat(lit("name-"), $"id").as("name"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      root, 2L, Seq("pb"), keep = 10)
+    assert(CowTable.countFast(spark, root) == Some(1200L))
+    assert(CowTable.minMaxFast(spark, root, "id") == Some(("1", "1200")))
+    // strings refused (stats may be length-truncated)
+    assert(CowTable.minMaxFast(spark, root, "name").isEmpty)
+    // unknown column refused
+    assert(CowTable.minMaxFast(spark, root, "nope").isEmpty)
+    // outstanding MOR tombstones poison both (the data files still
+    // carry the deleted rows)
+    CowTable.deleteKeysMor(spark, root, 3L,
+      spark.range(1150, 1201).select($"id",
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      Seq("id"), Seq("pb"), keep = 10)
+    assert(CowTable.countFast(spark, root).isEmpty,
+      "countFast must refuse under outstanding tombstones")
+    assert(CowTable.minMaxFast(spark, root, "id").isEmpty)
+    // folding restores exactness with the post-delete values
+    assert(CowTable.foldTombstones(spark, root, 4L, keep = 10))
+    assert(CowTable.countFast(spark, root) == Some(1149L))
+    assert(CowTable.minMaxFast(spark, root, "id") == Some(("1", "1149")))
+    assert(CowTable.read(spark, root).get.count() == 1149L,
+      "manifest count must agree with the scan")
+  }
 }
