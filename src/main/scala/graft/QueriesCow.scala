@@ -720,7 +720,44 @@ object QueriesCow {
       | max(c_custkey) AS max_key
       |FROM customer WHERE c_custkey <= 1200""".stripMargin
 
+  // -------------------------------------------------------------------
+  // PARTITION LAYOUT EVOLUTION: key-bucket layout → mktsegment layout
+  // in one COW commit at the same root, with an outstanding MOR delete
+  // folded by the rewrite for free. The oracle pins that the relaid
+  // table is exactly the logical content; the spec layer pins layout
+  // metadata, old-layout time travel, and the partial-commit refusal.
+  // -------------------------------------------------------------------
+  def cowRepartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_repart")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 1000),
+      root, 1L, Seq("pb"), keep = 10)
+    CowTable.deleteKeysMor(spark, root, 2L,
+      c.where(col("c_custkey").between(101, 200))
+        .select(col("c_custkey"), col("pb")),
+      Seq("c_custkey"), Seq("pb"), keep = 10)
+    CowTable.repartitionTable(spark, root, 3L, Seq("c_mktsegment"),
+      keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    require(m.partCols == Seq("c_mktsegment"),
+      s"relayout did not take: ${m.partCols}")
+    require(m.tombstones.isEmpty,
+      "the full rewrite must fold outstanding tombstones")
+    CowTable.read(spark, root).get
+      .select(col("c_custkey"), col("c_mktsegment")).orderBy("c_custkey")
+  }
+
+  val cowRepartitionSql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey <= 1000
+      |  AND NOT (c_custkey BETWEEN 101 AND 200)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_repartition" -> (cowRepartition _),
     "cow_agg_pushdown" -> (cowAggPushdown _),
     "cow_sink_stream" -> (cowSinkStream _),
     "cow_upsert" -> (cowUpsert _),
@@ -756,5 +793,6 @@ object QueriesCow {
     "cow_mv_from_feed" -> cowMvFromFeedSql,
     "cow_stream_mv" -> cowStreamMvSql,
     "cow_sink_stream" -> cowSinkStreamSql,
-    "cow_agg_pushdown" -> cowAggPushdownSql)
+    "cow_agg_pushdown" -> cowAggPushdownSql,
+    "cow_repartition" -> cowRepartitionSql)
 }

@@ -1203,15 +1203,21 @@ object CowTable {
     * it and strand carried rows in unmatchable partitions).
     */
   private def validateEvolution(
-      p: CowManifest, effSchema: StructType, partCols: Seq[String]): Unit = {
-    require(p.partCols == partCols,
-      s"partitioning changed: ${p.partCols} -> $partCols (rewrite the " +
-        "table via a fresh root to repartition)")
+      p: CowManifest, effSchema: StructType, partCols: Seq[String],
+      fullRewrite: Boolean = false): Unit = {
+    // a FULL rewrite (every partition touched, nothing carried) may
+    // change the partitioning — no carried file can straddle the two
+    // layouts, which is the only thing the equality protects. Partial
+    // commits must keep the layout: carried files are keyed by the old
+    // partition identity.
+    require(fullRewrite || p.partCols == partCols,
+      s"partitioning changed: ${p.partCols} -> $partCols (only a full " +
+        "rewrite may repartition — see repartitionTable)")
     val report = SchemaCompat.check(p.schema, effSchema)
     require(report.compatible,
       "breaking schema evolution refused: " +
         report.breaking.map(c => s"${c.path}: ${c.detail}").mkString("; "))
-    partCols.foreach { c =>
+    if (!fullRewrite) partCols.foreach { c =>
       val was = p.schema(c).dataType
       val now = effSchema(c).dataType
       require(was == now,
@@ -1330,7 +1336,8 @@ object CowTable {
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
     val effSchema = effSchemaOf(prev, payload.schema)
-    prev.foreach(validateEvolution(_, effSchema, partCols))
+    prev.foreach(p => validateEvolution(p, effSchema, partCols,
+      fullRewrite = p.allFiles.map(p.partKeyOf).toSet.subsetOf(touched)))
     acquireCommitLock(spark, root, id)
     try {
       // post-lease recheck: a racer (or replay) may have committed this
@@ -1651,6 +1658,32 @@ object CowTable {
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
     commitPartitionsFrom(base, df, allTouched, root, id, partCols, keep,
       sortCols, bloomCols, changeLogKeys)
+  }
+
+  /** PARTITION LAYOUT EVOLUTION as one COW commit: the current content
+    * rewritten under `newPartCols` at the SAME root — history, time
+    * travel, skipping stats and the commit protocol all carry over.
+    * Reads of OLDER snapshots keep the old layout (every data file is
+    * self-contained: partition values live inside the files, so a
+    * mixed-layout history is safe); partial commits after this one key
+    * off the new layout. Allowed precisely because the rewrite touches
+    * every partition — no carried file can straddle two layouts, which
+    * is what the partial-commit layout check protects. Outstanding
+    * tombstones fold into the rewrite for free. The full-rewrite cost
+    * is the honest price of relayout at any scale; what the format
+    * buys is doing it IN history (readers never see a half-moved
+    * table, and a crashed relayout is invisible).
+    */
+  def repartitionTable(
+      spark: SparkSession, root: String, id: Long,
+      newPartCols: Seq[String],
+      keep: Int = 2, sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
+    val df = read(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $root"))
+    commitFull(df, root, id, newPartCols, keep, sortCols, bloomCols,
+      changeLogKeys)
   }
 
   // -------------------------------------------------------------------

@@ -1214,4 +1214,42 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.read(spark, root).get.count() == 1149L,
       "manifest count must agree with the scan")
   }
+
+  test("partition layout evolution: repartitionTable moves the table " +
+      "to a new layout in one commit; time travel keeps the old " +
+      "layout; partial commits with a changed layout stay refused") {
+    val root = tmp()
+    val base = spark.range(1, 1001)
+      .select($"id", ($"id" % 5).cast("int").as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb"))
+    CowTable.commitFull(base, root, 1L, Seq("pb"), keep = 10)
+    // partial commit under a DIFFERENT layout: refused (carried files
+    // would straddle two layouts)
+    intercept[IllegalArgumentException] {
+      CowTable.upsert(spark, root, 2L,
+        spark.range(1, 11).select($"id", lit(9).as("seg"),
+          CowTable.keyBucket(Seq("id"), 4).as("pb")),
+        Seq("id"), Seq("seg"), keep = 10)
+    }
+    // full relayout pb → seg
+    CowTable.repartitionTable(spark, root, 2L, Seq("seg"), keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.partCols == Seq("seg"))
+    // content identical across the relayout
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq
+      == base.orderBy("id").collect().toSeq)
+    // time travel to the OLD layout still reads correctly
+    assert(CowTable.readAt(spark, root, 1L).get.orderBy("id").collect()
+      .toSeq == base.orderBy("id").collect().toSeq)
+    // partial commits now key off the NEW layout: an upsert partitioned
+    // by seg touches only seg partitions
+    CowTable.upsert(spark, root, 3L,
+      spark.range(2000, 2011).select($"id", lit(2).cast("int").as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      Seq("id"), Seq("seg"), keep = 10)
+    assert(CowTable.read(spark, root).get.count() == 1011)
+    // and skipping stats survived the relayout
+    assert(CowTable.readWhereBetween(spark, root, "id",
+      Some("2000"), Some("2010")).count() == 11)
+  }
 }
