@@ -670,7 +670,7 @@ object QueriesCow {
     val q = CowSink.upsert(stream, root, Seq("c_custkey"), Seq("pb"),
       checkpoint = scratch("cow_sinkck"), changeLog = true, keep = 10)
     try q.processAllAvailable() finally q.stop()
-    require(CowTable.committedIds(spark, root) == Seq(1L, 2L),
+    require(CowTable.committedIds(spark, root) == Seq(2L, 4L),
       "expected exactly one commit per wave")
     CowTable.read(spark, root).get
       .select(col("c_custkey"), col("seg")).orderBy("c_custkey")

@@ -29,8 +29,36 @@ import graft.sinks.CowTable
   */
 object CowSink {
 
-  /** Micro-batch ids start at 0; table commit ids at 1. */
-  private def idOf(batchId: Long): Long = batchId + 1L
+  /** Micro-batch `b` commits data at id `2b+2` and (when scheduled)
+    * compaction at `2b+3` — the even/odd split gives in-band
+    * maintenance its own id after every batch without ever colliding
+    * with a later batch's data commit, and keeps ids strictly
+    * monotonic across batches. Ids are opaque to readers; only
+    * monotonicity matters to the protocol.
+    */
+  private def idOf(batchId: Long): Long = 2L * batchId + 2L
+  private def compactIdOf(batchId: Long): Long = 2L * batchId + 3L
+
+  /** In-band small-file repair: streaming appends accrue one file per
+    * partition per micro-batch — at one commit a minute that is 1,440
+    * files per partition per day, the classic streaming small-files
+    * problem. With `compactEvery = N`, every Nth micro-batch is
+    * followed by a [[CowTable.compactPartitions]] commit at the odd
+    * maintenance id: manifest-sized planning, rewrites only the
+    * partitions whose file count exceeds what their bytes need, no-op
+    * (id unconsumed) otherwise. Crash-replay safe like everything
+    * else: a replayed batch's data commit no-ops on the frontier and
+    * its compaction re-runs only if it never committed.
+    */
+  private def maybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long, compactEvery: Int,
+      targetFileBytes: Long, keep: Int): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      CowTable.compactPartitions(spark, root, compactIdOf(batchId),
+        targetFileBytes, keep)
+      ()
+    }
 
   /** One micro-batch appended as one table commit. Empty batches are
     * skipped (no empty commits; ids need not be contiguous — the
@@ -72,13 +100,18 @@ object CowSink {
       checkpoint: String,
       changeLogKeys: Seq[String] = Nil,
       keep: Int = 2,
+      compactEvery: Int = 0,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         id: Long) => appendBatch(b, id, root, partCols, changeLogKeys,
-          keep))
+         id: Long) => {
+          appendBatch(b, id, root, partCols, changeLogKeys, keep)
+          maybeCompact(b.sparkSession, root, id, compactEvery,
+            targetFileBytes, keep)
+        })
     trigger.foreach(writer.trigger)
     writer.start()
   }
@@ -96,13 +129,18 @@ object CowSink {
       checkpoint: String,
       changeLog: Boolean = false,
       keep: Int = 2,
+      compactEvery: Int = 0,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         id: Long) => upsertBatch(b, id, root, keyCols, partCols,
-          changeLog, keep))
+         id: Long) => {
+          upsertBatch(b, id, root, keyCols, partCols, changeLog, keep)
+          maybeCompact(b.sparkSession, root, id, compactEvery,
+            targetFileBytes, keep)
+        })
     trigger.foreach(writer.trigger)
     writer.start()
   }

@@ -90,13 +90,45 @@ class CowSinkSpec extends SparkSpec {
     CowSink.appendBatch(
       withPb(spark.range(0, 0).select($"id", lit(1).as("seg"))),
       1L, root, Seq("pb"))
-    assert(CowTable.committedIds(spark, root) == Seq(1L),
+    assert(CowTable.committedIds(spark, root) == Seq(2L),
       "an empty micro-batch must not commit")
     // and a later non-empty batch commits fine over the gap
     CowSink.appendBatch(
       withPb(spark.range(10, 20).select($"id", lit(1).as("seg"))),
       2L, root, Seq("pb"))
     assert(CowTable.read(spark, root).get.count() == 20)
+  }
+
+  test("compactEvery repairs streaming small files in-band: data " +
+      "commits on even ids, compactions on odd ids, content identical") {
+    val in = tmp("comp_in")
+    val root = tmp("comp_tbl")
+    def file(n: Int): Unit = withPb(
+      spark.range(n * 100L, n * 100L + 100)
+        .select($"id", ($"id" % 3).cast("int").as("seg")))
+      .coalesce(1).write.parquet(s"$in/f$n")
+    (0 to 5).foreach(file)
+    val q = CowSink.append(spark.readStream
+      .schema("id BIGINT, seg INT, pb INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/f*"), root, Seq("pb"), tmp("comp_ck"),
+      keep = 20, compactEvery = 3)
+    try q.processAllAvailable() finally q.stop()
+    val ids = CowTable.committedIds(spark, root)
+    // 6 data commits (even) + compactions after batches 2 and 5 (odd)
+    assert(ids.filter(_ % 2 == 0).size == 6, s"data commits: $ids")
+    assert(ids.contains(7L) && ids.contains(13L),
+      s"expected compaction commits at 7 and 13: $ids")
+    // content is exactly the union of the files
+    assert(CowTable.read(spark, root).get.count() == 600)
+    assert(CowTable.read(spark, root).get.select(sum($"id")).as[Long]
+      .head() == (0L until 600L).sum)
+    // and the live file count is the compacted one: after the batch-5
+    // compaction each bucket holds ONE file plus the post-compaction
+    // appends (none here — compaction ran last)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.files.size == 4,
+      s"expected one compacted file per bucket, got ${m.files.size}")
   }
 
   test("stream→table→stream loop: a change-logged upsert sink feeds a " +
