@@ -499,7 +499,7 @@ object CowTable {
     * char-order comparison here could prune a file whose rows the
     * residual filter would have kept.
     */
-  private def statCompare(dt: DataType, a: String, b: String): Option[Int] =
+  private[graft] def statCompare(dt: DataType, a: String, b: String): Option[Int] =
     dt match {
       case _: NumericType =>
         try Some(BigDecimal(a).compare(BigDecimal(b)))
@@ -525,7 +525,7 @@ object CowTable {
     * length at collect) or when two stats are incomparable (NaN) —
     * callers must treat None as "unknown", never as a value.
     */
-  private def foldStat(
+  private[graft] def foldStat(
       dt: DataType, side: Seq[Option[String]],
       takeMax: Boolean): Option[String] =
     if (side.isEmpty || side.exists(_.isEmpty)) None
@@ -593,7 +593,7 @@ object CowTable {
     * optional.) Missing stats ⇒ true — skipping is only ever an
     * optimization, never a filter.
     */
-  private def mayMatch(
+  private[graft] def mayMatch(
       schema: StructType, f: CowFile, colName: String,
       lo: Option[String], hi: Option[String]): Boolean = {
     val dt = schema.fields.find(_.name == colName).map(_.dataType)

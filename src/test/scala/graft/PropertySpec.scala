@@ -155,4 +155,71 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // -----------------------------------------------------------------
+  // Data-skipping stats layer (sinks/CowTable.scala): the invariants
+  // every pruning decision rests on. A violation here silently DROPS
+  // ROWS at scale — the highest-consequence pure logic in the repo
+  // (round 10's overlap-guard bug was exactly a violation of the
+  // fold-returns-an-element property, via lexicographic ordering).
+  // -----------------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+  import graft.sinks.{CowFile, CowTable}
+
+  test("foldStat: returns an ELEMENT of its input, is permutation-" +
+      "invariant, orders numerically for numeric types, and goes " +
+      "unknown (None) the moment any file's stat is unknown") {
+    val longs: Gen[List[Long]] = Gen.nonEmptyListOf(
+      Gen.chooseNum(-1000000L, 1000000L))
+    for (vs <- samples(longs, 120)) {
+      val side = vs.map(v => Option(v.toString))
+      val lo = CowTable.foldStat(LongType, side, takeMax = false)
+      val hi = CowTable.foldStat(LongType, side, takeMax = true)
+      assert(lo == Some(vs.min.toString) && hi == Some(vs.max.toString),
+        s"numeric fold wrong for $vs: lo=$lo hi=$hi")
+      // permutation invariance (the merge-order property)
+      val shuffled = scala.util.Random.shuffle(side)
+      assert(CowTable.foldStat(LongType, shuffled, takeMax = true) == hi)
+      // one unknown stat poisons the bound — never a guess
+      assert(CowTable.foldStat(LongType, None +: side, takeMax = true)
+        .isEmpty)
+    }
+    // NaN in a double column: incomparable → unknown, not an answer
+    assert(CowTable.foldStat(DoubleType,
+      Seq(Some("1.5"), Some("NaN"), Some("2.5")), takeMax = true).isEmpty)
+  }
+
+  test("mayMatch never false-skips: any value inside a file's envelope " +
+      "and the probe range keeps the file (numeric and string forms)") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val cases: Gen[(List[Long], Long, Long)] = for {
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-999L, 9999L))
+      a <- Gen.chooseNum(-999L, 9999L)
+      b <- Gen.chooseNum(-999L, 9999L)
+    } yield (vs, math.min(a, b), math.max(a, b))
+    for ((vs, lo, hi) <- samples(cases, 150)) {
+      val f = CowFile("p", Map.empty, vs.size.toLong, 1L,
+        mins = Map("k" -> vs.min.toString, "s" -> vs.map(_.toString).min),
+        maxs = Map("k" -> vs.max.toString, "s" -> vs.map(_.toString).max))
+      val hit = vs.exists(v => v >= lo && v <= hi)
+      val kept = CowTable.mayMatch(schema, f, "k",
+        Some(lo.toString), Some(hi.toString))
+      // soundness: a file holding a qualifying value MUST be kept.
+      // (keeping a non-qualifying file is allowed — skipping is only
+      // an optimization — so no assertion the other way.)
+      if (hit) assert(kept,
+        s"false skip: vs=$vs range=[$lo,$hi] — rows would be DROPPED")
+      // a stat-less file is always kept
+      assert(CowTable.mayMatch(schema, f.copy(mins = Map.empty,
+        maxs = Map.empty), "k", Some(lo.toString), Some(hi.toString)))
+    }
+    // string form: UTF-8 byte order, where lexicographic-on-chars and
+    // numeric intuition both fail ("10" < "9" as strings)
+    val sf = CowFile("p", Map.empty, 2L, 1L,
+      mins = Map("s" -> "10"), maxs = Map("s" -> "9"))
+    assert(CowTable.mayMatch(schema, sf, "s", Some("5"), Some("50")),
+      "string envelope must compare as strings, not numbers")
+  }
 }
