@@ -532,7 +532,10 @@ object CowTable {
     else {
       val vs = side.flatten
       var acc = vs.head
-      var ok = true
+      // self-compare screens a single incomparable element (NaN) —
+      // without it a one-file table would answer "NaN" where the same
+      // table split across two files refuses
+      var ok = statCompare(dt, acc, acc).isDefined
       var i = 1
       while (ok && i < vs.length) {
         statCompare(dt, vs(i), acc) match {
@@ -1321,7 +1324,8 @@ object CowTable {
       sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
-      split: Option[(String, Int)] = None): Unit = {
+      split: Option[(String, Int)] = None,
+      relayout: Boolean = false): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = rewrite.sparkSession
     // the split column (see writeBatch) is routing-only — the table's
@@ -1336,8 +1340,17 @@ object CowTable {
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
     val effSchema = effSchemaOf(prev, payload.schema)
+    // layout change is legal ONLY via the explicit relayout flag
+    // (commitFull → repartitionTable): the flag's caller constructs
+    // `touched` = every previous partition FROM the previous manifest
+    // itself, so nothing can be carried. Inferring "full rewrite" from
+    // touched ⊇ prev-keys here would be layout-BLIND — partition keys
+    // are bare value strings, and a partial commit under a new layout
+    // whose values coincide with the old layout's (pb 0..3 vs seg
+    // 0..3) would silently drop every row it didn't re-supply.
     prev.foreach(p => validateEvolution(p, effSchema, partCols,
-      fullRewrite = p.allFiles.map(p.partKeyOf).toSet.subsetOf(touched)))
+      fullRewrite = relayout &&
+        p.allFiles.map(p.partKeyOf).toSet.subsetOf(touched)))
     acquireCommitLock(spark, root, id)
     try {
       // post-lease recheck: a racer (or replay) may have committed this
@@ -1361,13 +1374,18 @@ object CowTable {
       // carry untouched DATA files and untouched partitions' tombstones;
       // a touched partition's tombstones retire here — its rewrite was
       // computed from the RESOLVED base, so they are folded in. Widened
-      // columns whose string form changed lose their carried blooms
-      // (see bloomUnsafeCols).
+      // columns whose string form changed lose their carried blooms AND
+      // min/max stats (see bloomUnsafeCols): a float-era stat "0.1"
+      // understates the upcast double 0.10000000149…, so an envelope
+      // test against it could FALSE-SKIP the file, and a manifest-served
+      // extreme would disagree with the scan. A dropped stat only
+      // widens (the file is kept, the aggregate refuses) — never wrong.
       val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
         .getOrElse(Set.empty[String])
       val carried = prev.map(p =>
         p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
-          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe))
+          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
+            mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
       ).getOrElse(Nil)
       // the changelog JOIN runs here, outside the manifest lock; only
       // the rename publishes it
@@ -1491,12 +1509,14 @@ object CowTable {
               .filter(effSchema.fieldNames.contains)
           val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
             effBloomCols)
-          // carried files lose blooms on string-form-changing widenings
-          // exactly as in commitPartitions (a stale bloom would false-
-          // negative against probes hashed under the new schema)
+          // carried files lose blooms AND min/max stats on string-form-
+          // changing widenings exactly as in commitPartitions (a stale
+          // bloom would false-negative against probes hashed under the
+          // new schema; a stale stat would false-skip the envelope test)
           val bloomUnsafe = bloomUnsafeCols(p, effSchema)
           val carried = p.allFiles
-            .map(f => f.copy(blooms = f.blooms -- bloomUnsafe))
+            .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
+              mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
           val stagedLog =
             if (changeLogKeys.isEmpty) None
             else {
@@ -1657,7 +1677,7 @@ object CowTable {
     val allTouched = base
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
     commitPartitionsFrom(base, df, allTouched, root, id, partCols, keep,
-      sortCols, bloomCols, changeLogKeys)
+      sortCols, bloomCols, changeLogKeys, relayout = true)
   }
 
   /** PARTITION LAYOUT EVOLUTION as one COW commit: the current content

@@ -7,8 +7,9 @@ import graft.sinks.CowTable
 
 /** EXACTLY-ONCE STREAMING SINK into a [[CowTable]] — the write half of
   * the storage↔streaming loop ([[CowStream]] is the read half): a
-  * `foreachBatch` writer that maps the checkpoint's micro-batch id to
-  * the table's commit id (`batchId + 1`, ids start at 1). Exactly-once
+  * `foreachBatch` writer that maps the checkpoint's micro-batch id
+  * into the table's id space (see [[idOf]]: data commits on EVEN ids
+  * `2b+2`, in-band maintenance on odd ids `2b+3`). Exactly-once
   * falls out of the table's own commit protocol, with NO sink-side
   * state: every commit path first checks the committed-id frontier and
   * returns without writing when `id <= frontier`, so a crash-replayed
@@ -53,10 +54,16 @@ object CowSink {
   private def maybeCompact(
       spark: org.apache.spark.sql.SparkSession,
       root: String, batchId: Long, compactEvery: Int,
-      targetFileBytes: Long, keep: Int): Unit =
+      targetFileBytes: Long, keep: Int,
+      changeLogKeys: Seq[String]): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      // thread the feed keys: a compaction is content-neutral, but on
+      // a changelog-enabled table it must still publish its (empty)
+      // sidecar — changeFeedFromLog serves a range only when EVERY
+      // commit in it has one, so a keyless compaction would knock the
+      // feed back to the O(table) snapshot diff at every interval
       CowTable.compactPartitions(spark, root, compactIdOf(batchId),
-        targetFileBytes, keep)
+        targetFileBytes, keep, changeLogKeys)
       ()
     }
 
@@ -110,7 +117,7 @@ object CowSink {
          id: Long) => {
           appendBatch(b, id, root, partCols, changeLogKeys, keep)
           maybeCompact(b.sparkSession, root, id, compactEvery,
-            targetFileBytes, keep)
+            targetFileBytes, keep, changeLogKeys)
         })
     trigger.foreach(writer.trigger)
     writer.start()
@@ -139,7 +146,7 @@ object CowSink {
          id: Long) => {
           upsertBatch(b, id, root, keyCols, partCols, changeLog, keep)
           maybeCompact(b.sparkSession, root, id, compactEvery,
-            targetFileBytes, keep)
+            targetFileBytes, keep, if (changeLog) keyCols else Nil)
         })
     trigger.foreach(writer.trigger)
     writer.start()

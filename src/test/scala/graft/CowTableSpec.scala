@@ -1252,4 +1252,33 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.readWhereBetween(spark, root, "id",
       Some("2000"), Some("2010")).count() == 11)
   }
+
+  test("a string-form-changing widening (float→double) drops carried " +
+      "stats with the blooms: minMaxFast refuses, the envelope read " +
+      "keeps the stat-less files and stays exact") {
+    val root = tmp()
+    CowTable.commitFull(
+      spark.range(1, 101).select($"id", $"id".cast("float").as("x"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      root, 1L, Seq("pb"), keep = 10)
+    // widen x to double via an append — carried files keep float-era
+    // data; their "0.1"-style stats would understate the upcast values
+    CowTable.commitAppend(
+      spark.range(101, 121).select($"id",
+        ($"id" + 0.5).cast("double").as("x"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb")),
+      root, 2L, Seq("pb"), keep = 10)
+    assert(CowTable.minMaxFast(spark, root, "x").isEmpty,
+      "widened column must refuse manifest-served extremes (carried " +
+        "stats are float-era)")
+    // untouched columns keep serving
+    assert(CowTable.minMaxFast(spark, root, "id") == Some(("1", "120")))
+    // envelope reads on the widened column stay EXACT: carried files
+    // lost their stats, so they are kept and filtered residually
+    val got = CowTable.readWhereBetween(spark, root, "x",
+      Some("10"), Some("50")).count()
+    val want = CowTable.read(spark, root).get
+      .where($"x" >= 10.0 && $"x" <= 50.0).count()
+    assert(got == want, s"envelope read $got vs direct $want")
+  }
 }

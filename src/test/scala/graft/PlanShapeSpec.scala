@@ -194,13 +194,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r
         .findFirstIn(plan).isDefined,
       s"dynamicpruning is not a partition filter:\n$plan")
-    // and it prunes for real: after execution, the scan's partition
-    // count is the dim's qualifying-month count, not the layout's
+    // and it prunes for REAL: execute and read the fact scan's
+    // partitions-read metric — it must equal the dim's qualifying
+    // months, not the layout's total (AQE off so the executed plan is
+    // directly traversable; DPP is an optimizer rule and unaffected)
     val monthsTotal = fact.select("l_sm").distinct().count()
     val monthsBusy = dim.count()
     assert(monthsBusy < monthsTotal,
       s"premise broken: dim keeps $monthsBusy of $monthsTotal months")
-    assert(joined.count() > 0, "join must produce rows")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val agg = fact.join(
+        org.apache.spark.sql.functions.broadcast(dim),
+        org.apache.spark.sql.functions.col("l_sm") ===
+          org.apache.spark.sql.functions.col("om"))
+        .groupBy().count()
+      assert(agg.collect().head.getLong(0) > 0, "join must produce rows")
+      val scan = agg.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("graft_dpp"))
+          => s
+      }.headOption.getOrElse(fail("no fact scan in the executed plan"))
+      val partsRead = scan.metrics.get("numPartitions").map(_.value)
+        .getOrElse(fail(
+          s"no numPartitions metric; keys=${scan.metrics.keys}"))
+      assert(partsRead == monthsBusy,
+        s"runtime pruning read $partsRead partitions, expected the " +
+          s"$monthsBusy qualifying months (of $monthsTotal)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   test("runtime row-level filtering: a selective dim filter injects a " +
