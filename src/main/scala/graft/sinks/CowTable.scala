@@ -1484,7 +1484,8 @@ object CowTable {
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
+      changeLogKeys: Seq[String] = Nil,
+      changeLogRequired: Boolean = false): Unit = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = batch.sparkSession
     val prev = currentManifest(spark, root)
@@ -1570,8 +1571,19 @@ object CowTable {
                       .select(changeLogKeys.map(col): _*).distinct(),
                     changeLogKeys, "left_semi")
                   .isEmpty
-              if (overlaps) None
-              else {
+              if (overlaps) {
+                // a sidecar-REQUIRED append (streaming feed consumers
+                // have no snapshot-diff fallback) must not commit a
+                // sidecar-less batch — downstream MVs would silently
+                // miss every row of it. Fail the batch loudly: dedupe
+                // upstream or use the upsert sink for mutable keys.
+                if (changeLogRequired) throw new IllegalStateException(
+                  s"append batch $id updates keys already present in " +
+                    s"$root; a pure-I changelog sidecar would be wrong " +
+                    "and changeLogRequired forbids committing without " +
+                    "one — deduplicate upstream or upsert instead")
+                None
+              } else {
                 val after = dfFor(spark, root, stub, stub.files)
                 Some(stageChangeLog(spark, root, id, after.limit(0), after,
                   changeLogKeys))
@@ -2078,6 +2090,27 @@ object CowTable {
     * retained manifest references (old COW'd-away files AND crash-
     * orphaned uncommitted batches behind the frontier).
     */
+  private val VacuumHwmPrefix = "_vacuum-hwm-"
+
+  /** The highest COMMITTED id whose manifest a vacuum has removed, or
+    * None if no committed manifest was ever vacuumed. An id at or
+    * below this mark that is absent from [[committedIds]] is
+    * AMBIGUOUS — it may have been committed and since vacuumed, or
+    * never committed at all — and consumers (the streaming change-feed
+    * frontier rule) must treat it as an error, never drop it as an
+    * orphan.
+    */
+  def vacuumHwm(spark: SparkSession, root: String): Option[Long] = {
+    val fs = hfs(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(VacuumHwmPrefix))
+      .flatMap(_.getPath.getName.stripPrefix(VacuumHwmPrefix).toLongOption)
+      .maxOption
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int,
       knownFiles: Map[Long, Seq[String]] = Map.empty): Unit = {
     val ids = committedIds(spark, root)
@@ -2086,12 +2119,34 @@ object CowTable {
     val cutoff = retained.head
     val committed = ids.toSet
     val fs = hfs(spark, root)
-    // manifests: same pruning rule as SnapshotTarget
-    fs.listStatus(new Path(root)).toSeq
+    // manifests: same pruning rule as SnapshotTarget. Record the
+    // highest COMMITTED id whose manifest this vacuum removes as a
+    // create-only `_vacuum-hwm-<id>` marker BEFORE deleting: consumers
+    // that see an unknown id at-or-below the high-water mark cannot
+    // tell "committed then vacuumed" from "never committed" and must
+    // fail loud instead of guessing (see [[vacuumHwm]]). Markers are
+    // create-only (no overwrite race); older ones are pruned after the
+    // new one exists, so the max survives any crash point.
+    val deletable = fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(ManifestPrefix))
       .filter(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption
         .exists(i => if (committed(i)) i < cutoff else i < newest))
-      .foreach(s => fs.delete(s.getPath, true))
+    val vacuumedCommitted = deletable
+      .flatMap(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption)
+      .filter(committed)
+    vacuumedCommitted.maxOption.foreach { hwm =>
+      if (!vacuumHwm(spark, root).exists(_ >= hwm)) {
+        try fs.create(new Path(root, s"$VacuumHwmPrefix$hwm"), false).close()
+        catch { case _: java.io.IOException => () } // racer already wrote it
+        fs.listStatus(new Path(root)).toSeq
+          .filter(s => !s.isDirectory &&
+            s.getPath.getName.startsWith(VacuumHwmPrefix))
+          .filter(_.getPath.getName.stripPrefix(VacuumHwmPrefix)
+            .toLongOption.exists(_ < hwm))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+    }
+    deletable.foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
     // tombstones). `knownFiles` lets a just-committed writer hand over

@@ -37,8 +37,33 @@ object CowSink {
     * monotonic across batches. Ids are opaque to readers; only
     * monotonicity matters to the protocol.
     */
-  private def idOf(batchId: Long): Long = 2L * batchId + 2L
-  private def compactIdOf(batchId: Long): Long = 2L * batchId + 3L
+  private def idOf(batchId: Long, baseId: Long = 0L): Long =
+    baseId + 2L * batchId + 2L
+  private def compactIdOf(batchId: Long, baseId: Long = 0L): Long =
+    baseId + 2L * batchId + 3L
+
+  /** Loud guard for the silent-drop hazard: if the table's committed
+    * frontier is ahead of this micro-batch's commit id by more than
+    * the one in-band compaction slot, the table holds commits this
+    * sink's checkpoint never made — a fresh checkpoint attached to an
+    * existing table, or a foreign writer. Every such batch would
+    * no-op on the replay guard and its data would be silently lost;
+    * refuse instead. Attach to a pre-existing table with
+    * `baseId >= current frontier`, or resume the original checkpoint.
+    */
+  private def guardFrontier(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, dataId: Long): Unit = {
+    val frontier = CowTable.committedIds(spark, root).lastOption
+      .getOrElse(0L)
+    require(frontier <= dataId + 1,
+      s"table frontier $frontier at $root is ahead of this micro-" +
+        s"batch's commit id $dataId: the table has commits this " +
+        "sink's checkpoint never made (fresh checkpoint on an " +
+        "existing table, or a foreign writer) — the batch would be " +
+        "silently dropped as a replay. Attach with baseId >= the " +
+        "current frontier, or resume the original checkpoint.")
+  }
 
   /** In-band small-file repair: streaming appends accrue one file per
     * partition per micro-batch — at one commit a minute that is 1,440
@@ -55,15 +80,16 @@ object CowSink {
       spark: org.apache.spark.sql.SparkSession,
       root: String, batchId: Long, compactEvery: Int,
       targetFileBytes: Long, keep: Int,
-      changeLogKeys: Seq[String]): Unit =
+      changeLogKeys: Seq[String], baseId: Long): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       // thread the feed keys: a compaction is content-neutral, but on
       // a changelog-enabled table it must still publish its (empty)
       // sidecar — changeFeedFromLog serves a range only when EVERY
       // commit in it has one, so a keyless compaction would knock the
       // feed back to the O(table) snapshot diff at every interval
-      CowTable.compactPartitions(spark, root, compactIdOf(batchId),
-        targetFileBytes, keep, changeLogKeys)
+      CowTable.compactPartitions(spark, root,
+        compactIdOf(batchId, baseId), targetFileBytes, keep,
+        changeLogKeys)
       ()
     }
 
@@ -77,10 +103,18 @@ object CowSink {
       root: String,
       partCols: Seq[String],
       changeLogKeys: Seq[String] = Nil,
-      keep: Int = 2): Unit =
-    if (!batch.isEmpty)
-      CowTable.commitAppend(batch, root, idOf(batchId), partCols,
-        keep = keep, changeLogKeys = changeLogKeys)
+      keep: Int = 2,
+      baseId: Long = 0L): Unit =
+    if (!batch.isEmpty) {
+      val id = idOf(batchId, baseId)
+      guardFrontier(batch.sparkSession, root, id)
+      // changeLogRequired: the streaming feed has no snapshot-diff
+      // fallback, so a batch that cannot carry its sidecar (key
+      // overlap) must fail the micro-batch, not silently starve MVs
+      CowTable.commitAppend(batch, root, id, partCols,
+        keep = keep, changeLogKeys = changeLogKeys,
+        changeLogRequired = changeLogKeys.nonEmpty)
+    }
 
   /** One micro-batch upserted (newest-wins on `keyCols`) as one COW
     * merge commit — the streaming CDC-apply path.
@@ -92,10 +126,14 @@ object CowSink {
       keyCols: Seq[String],
       partCols: Seq[String],
       changeLog: Boolean = false,
-      keep: Int = 2): Unit =
-    if (!batch.isEmpty)
-      CowTable.upsert(batch.sparkSession, root, idOf(batchId), batch,
+      keep: Int = 2,
+      baseId: Long = 0L): Unit =
+    if (!batch.isEmpty) {
+      val id = idOf(batchId, baseId)
+      guardFrontier(batch.sparkSession, root, id)
+      CowTable.upsert(batch.sparkSession, root, id, batch,
         keyCols, partCols, keep = keep, changeLog = changeLog)
+    }
 
   /** Append-mode streaming writer: every micro-batch becomes one
     * append commit (insert-only ingest — event logs, sensor feeds).
@@ -109,15 +147,16 @@ object CowSink {
       keep: Int = 2,
       compactEvery: Int = 0,
       targetFileBytes: Long = 128L * 1024 * 1024,
+      baseId: Long = 0L,
       trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: Long) => {
-          appendBatch(b, id, root, partCols, changeLogKeys, keep)
+          appendBatch(b, id, root, partCols, changeLogKeys, keep, baseId)
           maybeCompact(b.sparkSession, root, id, compactEvery,
-            targetFileBytes, keep, changeLogKeys)
+            targetFileBytes, keep, changeLogKeys, baseId)
         })
     trigger.foreach(writer.trigger)
     writer.start()
@@ -138,15 +177,18 @@ object CowSink {
       keep: Int = 2,
       compactEvery: Int = 0,
       targetFileBytes: Long = 128L * 1024 * 1024,
+      baseId: Long = 0L,
       trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          id: Long) => {
-          upsertBatch(b, id, root, keyCols, partCols, changeLog, keep)
+          upsertBatch(b, id, root, keyCols, partCols, changeLog, keep,
+            baseId)
           maybeCompact(b.sparkSession, root, id, compactEvery,
-            targetFileBytes, keep, if (changeLog) keyCols else Nil)
+            targetFileBytes, keep, if (changeLog) keyCols else Nil,
+            baseId)
         })
     trigger.foreach(writer.trigger)
     writer.start()

@@ -40,6 +40,20 @@ import graft.sinks.{CowTable, SnapshotTarget}
   * the micro-batch id — a crash-replayed batch whose snapshot already
   * committed is a no-op (same contract as [[StreamOps.upsertBatch]];
   * crash-replay spec-pinned in `CowStreamSpec`).
+  *
+  * RETENTION CONTRACT (operational): the writer's vacuum retention
+  * (`keep`) must exceed the stream's worst-case lag in commits.
+  * Sidecars age out with their manifests, and once an id's manifest is
+  * vacuumed, `committedIds` no longer lists it — a lagging stream that
+  * still holds that id's rows cannot tell committed-then-vacuumed from
+  * never-committed. [[mvBatch]] detects this via the table's vacuum
+  * high-water mark and FAILS the batch loudly (never guesses); the
+  * recovery is an MV rebuild from a rescan, or a higher `keep`.
+  * Similarly, if a WRITER crashed between sidecar publish and manifest
+  * commit and then replays, it republishes `_changes/<id>` with fresh
+  * file names; a stream that pinned the old paths in its checkpoint
+  * fails on missing files — restart the MV stream from a fresh
+  * checkpoint after the table recovers.
   */
 object CowStream {
 
@@ -98,7 +112,24 @@ object CowStream {
           s"committed after ${waitMs}ms — failing the micro-batch so the " +
           "stream replays it (a crashed writer's orphan resolves once a " +
           "later commit moves the frontier)")
+    // RETENTION AMBIGUITY: an unknown id at or below the vacuum
+    // high-water mark may have been committed and since vacuumed —
+    // dropping it as an orphan would silently diverge the MV from the
+    // table. committedIds only lists RETAINED manifests, so the
+    // hwm marker is the only witness. Loud failure; the operator
+    // rebuilds the MV or raises the writer's retention (`keep` must
+    // exceed the stream's worst-case lag in commits).
+    val hwm = CowTable.vacuumHwm(spark, tableRoot)
+    val ambiguous = ids.filter(i => !committed(i) && hwm.exists(i <= _))
+    if (ambiguous.nonEmpty)
+      throw new IllegalStateException(
+        s"sidecar ids $ambiguous at $tableRoot precede the vacuum " +
+          s"high-water mark ($hwm): committed-then-vacuumed cannot be " +
+          "told from never-committed. The stream lagged past the " +
+          "writer's retention — rebuild the MV from a rescan, or raise " +
+          "the writer's keep above the stream's worst-case commit lag")
     val live = ids.filter(committed)
+    if (live.isEmpty) return // every id was a provable orphan — no-op
     val delta = MaterializedAgg.retractStateOf(
       batch.where(col("_commit_id").isin(live: _*)).drop("_commit_id"),
       keys, values, CowTable.ChangeOper)

@@ -180,6 +180,10 @@ object StreamOps {
     // successor) is already applied — replay must be a no-op
     if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
       return
+    // a no-data micro-batch (watermark advance, idle trigger) must not
+    // pay a full snapshot rewrite of the target — skip the commit; the
+    // replay guard keys off the frontier, not a contiguous id chain
+    if (batch.isEmpty) return
     val targetCols = batch.columns.toSeq.filterNot(versionCol.contains)
     val current = SnapshotTarget.read(spark, targetPath)
       .getOrElse(batch.select(targetCols.map(col): _*).limit(0))
@@ -246,6 +250,10 @@ object StreamOps {
     val spark = batch.sparkSession
     if (SnapshotTarget.committedIds(spark, stateDir).exists(_ >= batchId))
       return
+    // a no-data micro-batch (watermark advance, idle trigger) must not
+    // pay a full snapshot rewrite of the target — skip the commit; the
+    // replay guard keys off the frontier, not a contiguous id chain
+    if (batch.isEmpty) return
     val delta = MaterializedAgg.state(batch, keys, values)
     val merged = SnapshotTarget.read(spark, stateDir)
       .map(cur => MaterializedAgg.merge(keys, values, cur, delta))
@@ -285,6 +293,10 @@ object StreamOps {
     val spark = batch.sparkSession
     if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
       return
+    // a no-data micro-batch (watermark advance, idle trigger) must not
+    // pay a full snapshot rewrite of the target — skip the commit; the
+    // replay guard keys off the frontier, not a contiguous id chain
+    if (batch.isEmpty) return
     val targetCols = batch.columns.toSeq
       .filterNot(c => c == operCol || versionCol.contains(c))
     val current = SnapshotTarget.read(spark, targetPath)
@@ -315,6 +327,10 @@ object StreamOps {
     val spark = batch.sparkSession
     if (SnapshotTarget.committedIds(spark, targetPath).exists(_ >= batchId))
       return
+    // a no-data micro-batch (watermark advance, idle trigger) must not
+    // pay a full snapshot rewrite of the target — skip the commit; the
+    // replay guard keys off the frontier, not a contiguous id chain
+    if (batch.isEmpty) return
     val current = SnapshotTarget.read(spark, targetPath).getOrElse {
       val dataCols = batch.columns.toSeq
         .filterNot(c => c == operCol || c == effCol)
@@ -380,8 +396,9 @@ object StreamOps {
       checkpoint: String,
       versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(updates, checkpoint) { (batch, id) =>
-      graft.sinks.CowTable.upsert(batch.sparkSession, targetRoot, id,
-        batch, keyCols, partCols, versionCol)
+      if (!batch.isEmpty) // idle trigger: don't burn a commit id
+        graft.sinks.CowTable.upsert(batch.sparkSession, targetRoot, id,
+          batch, keyCols, partCols, versionCol)
     }
 
   /** Streaming CDC apply into a COW table — [[cdcSink]] at
@@ -397,8 +414,9 @@ object StreamOps {
       operCol: String = "oper",
       versionCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(changelog, checkpoint) { (batch, id) =>
-      graft.sinks.CowTable.applyCdc(batch.sparkSession, targetRoot, id,
-        batch, keyCols, partCols, operCol, versionCol)
+      if (!batch.isEmpty)
+        graft.sinks.CowTable.applyCdc(batch.sparkSession, targetRoot, id,
+          batch, keyCols, partCols, operCol, versionCol)
     }
 
   /** Streaming SCD-2 CDC into a COW table — [[scd2CdcSink]] with
@@ -413,8 +431,9 @@ object StreamOps {
       checkpoint: String,
       operCol: String = "oper"): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(changes, checkpoint) { (batch, id) =>
-      graft.sinks.CowTable.applyScd2Cdc(batch.sparkSession, targetRoot, id,
-        batch, keyCols, partCols, effCol, operCol)
+      if (!batch.isEmpty)
+        graft.sinks.CowTable.applyScd2Cdc(batch.sparkSession, targetRoot,
+          id, batch, keyCols, partCols, effCol, operCol)
     }
 
   /** One micro-batch of STREAMING NEAR-DUP DETECTION against a
@@ -457,7 +476,17 @@ object StreamOps {
       .getFileSystem(spark.sessionState.newHadoopConf())
     def readAll(path: String, empty: => DataFrame): DataFrame =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path) else empty
+        try spark.read.parquet(path)
+        catch {
+          // a crashed FIRST batch leaves the dir holding only
+          // _temporary — no footers to infer from. Treat as empty so
+          // the replay overwrites it instead of wedging every restart
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getMessage).exists(_.toLowerCase(
+                java.util.Locale.ROOT).contains("unable to infer")) =>
+            empty
+        }
+      else empty
     val docs = batch.select(col(idCol), col(textCol))
     val index = readAll(s"$root/index",
       Dedup.minhashIndex(docs.limit(0), idCol, textCol,

@@ -99,6 +99,52 @@ class CowSinkSpec extends SparkSpec {
     assert(CowTable.read(spark, root).get.count() == 20)
   }
 
+  test("a fresh checkpoint on a pre-existing table refuses loudly " +
+      "instead of silently dropping batches; baseId attaches cleanly") {
+    val root = tmp("foreign")
+    // a batch job bootstrapped this table up to id 50
+    CowTable.commitFull(
+      withPb(spark.range(0, 100).select($"id", lit(1).as("seg"))),
+      root, 50L, Seq("pb"), keep = 10)
+    // fresh checkpoint → batch 0 → id 2, far behind the frontier: the
+    // replay guard would silently no-op it — the sink must refuse
+    intercept[IllegalArgumentException] {
+      CowSink.appendBatch(
+        withPb(spark.range(100, 150).select($"id", lit(2).as("seg"))),
+        0L, root, Seq("pb"))
+    }
+    assert(CowTable.read(spark, root).get.count() == 100,
+      "refused batch must not have committed")
+    // attaching with baseId >= frontier works
+    CowSink.appendBatch(
+      withPb(spark.range(100, 150).select($"id", lit(2).as("seg"))),
+      0L, root, Seq("pb"), keep = 10, baseId = 50L)
+    assert(CowTable.read(spark, root).get.count() == 150)
+    assert(CowTable.committedIds(spark, root) == Seq(50L, 52L))
+  }
+
+  test("a change-logged append whose batch updates an existing key " +
+      "FAILS the micro-batch (the streaming feed has no diff fallback)") {
+    val root = tmp("overlap")
+    CowSink.appendBatch(
+      withPb(spark.range(0, 50).select($"id", lit(1).as("seg"))),
+      0L, root, Seq("pb"), changeLogKeys = Seq("id"), keep = 10)
+    // duplicate key 10 in the next batch: a pure-I sidecar would lie,
+    // and committing WITHOUT one would silently starve downstream MVs
+    intercept[IllegalStateException] {
+      CowSink.appendBatch(
+        withPb(spark.range(10, 60).select($"id", lit(2).as("seg"))),
+        1L, root, Seq("pb"), changeLogKeys = Seq("id"), keep = 10)
+    }
+    assert(CowTable.read(spark, root).get.count() == 50,
+      "failed batch must not have committed")
+    // a clean batch sails through and publishes its sidecar
+    CowSink.appendBatch(
+      withPb(spark.range(50, 60).select($"id", lit(2).as("seg"))),
+      1L, root, Seq("pb"), changeLogKeys = Seq("id"), keep = 10)
+    assert(CowTable.changeLogFor(spark, root, 4L).isDefined)
+  }
+
   test("compactEvery repairs streaming small files in-band: data " +
       "commits on even ids, compactions on odd ids, content identical") {
     val in = tmp("comp_in")

@@ -128,4 +128,33 @@ class CowStreamSpec extends SparkSpec {
     assert(SnapshotTarget.read(spark, mv).get.orderBy("seg")
       .collect().toSeq == before)
   }
+
+  test("retention ambiguity fails LOUD: an unknown id at or below the " +
+      "vacuum high-water mark may be committed-then-vacuumed and must " +
+      "never be dropped as an orphan") {
+    val root = tmp("hwm")
+    def bucketed(lo: Long, hi: Long, seg: Int) =
+      spark.range(lo, hi).select($"id", lit(seg).as("seg"),
+        CowTable.keyBucket(Seq("id"), 4).as("pb"))
+    // keep=2: commits 1..4 leave {3,4} retained, manifests 1-2 vacuumed
+    CowTable.commitFull(bucketed(1, 100, 1), root, 1L, Seq("pb"),
+      keep = 2, changeLogKeys = Seq("id"))
+    (2L to 4L).foreach(i => CowTable.upsert(spark, root, i,
+      bucketed(i * 1000, i * 1000 + 10, i.toInt), Seq("id"), Seq("pb"),
+      keep = 2, changeLog = true))
+    assert(CowTable.committedIds(spark, root) == Seq(3L, 4L))
+    assert(CowTable.vacuumHwm(spark, root) == Some(2L),
+      "vacuum must record the highest committed id it removed")
+    // a lagging stream still holding id 1's rows: ambiguous → loud
+    val mv = tmp("hwm_mv")
+    val rows = CowTable.changeLogFor(spark, root, 4L).get
+      .withColumnRenamed("oper", "_oper")
+      .withColumn("_commit_id", lit(1L))
+    val e = intercept[IllegalStateException] {
+      CowStream.mvBatch(rows, 0L, root, mv, Seq("seg"), Seq("id"),
+        waitMs = 200)
+    }
+    assert(e.getMessage.contains("high-water mark"),
+      s"wrong failure: ${e.getMessage}")
+  }
 }
