@@ -339,15 +339,20 @@ class CowTableSpec extends SparkSpec {
       .select("id", "v").as[(Long, Double)].collect().toSeq
     assert(got == want && got.size == wanted.size)
 
-    // the physical plan reads only the touched buckets' files
+    // the physical plan reads only the touched buckets' files —
+    // attributed to each action's OWN QueryExecution (suites share the
+    // session; a max over the listener bus can latch another suite's
+    // scan into both sides and spuriously equalize them)
     val listener = Metrics.register(spark)
-    CowTable.lookupKeys(spark, root, keys, Seq("id"), Seq("pb")).count()
-    val lookupBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
-      .map(_.bytesRead).max
-    CowTable.read(spark, root).get.count()
-    val fullBytes = listener.drainWhen(_.exists(_.bytesRead > 0))
-      .map(_.bytesRead).max
-    assert(lookupBytes < fullBytes,
+    val look = CowTable.lookupKeys(spark, root, keys, Seq("id"), Seq("pb"))
+    look.collect()
+    val lookupBytes = listener.drainFor(look.queryExecution)
+      .map(_.bytesRead).sum
+    val full = CowTable.read(spark, root).get
+    full.collect()
+    val fullBytes = listener.drainFor(full.queryExecution)
+      .map(_.bytesRead).sum
+    assert(lookupBytes > 0 && lookupBytes < fullBytes,
       s"lookup read $lookupBytes vs full $fullBytes")
   }
 
