@@ -468,32 +468,32 @@ object QueriesText {
        |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
-  // SimHash-blocked near-dup detection — the production shape: SimHash
-  // as the cheap candidate BLOCKER (64-bit signature, banded self-join,
-  // hamming ≤ 6 gate), exact n-gram Jaccard as the VERIFIER over the
-  // candidates only. Precision is exact by construction (every emitted
-  // pair carries a verified J ≥ 0.9), so the oracle is the exact-pair
-  // answer and a green row proves simhash RECALL on the planted pairs:
-  // a near-dup the blocker missed would show up as a missing row in
-  // the hash compare. Only candidate docs get shingled — at scale the
-  // verify stage is proportional to candidates, not corpus.
-  //
-  // Determinism of the green row: 8 bands of 8 bits make candidate
-  // recall GUARANTEED (pigeonhole) for hamming ≤ 7, and the gate
-  // dataset's planted pairs measure hamming ≤ 5 (sf0.01, measured this
-  // round) — so no probabilistic banding assumption remains at the
-  // correctness SF. Data caveat, measured and accepted: at sf0.1 the
-  // generator's planted pairs reach hamming 11, beyond the ≤ 6 gate —
-  // the operator semantics (hamming ≤ 6 AND J ≥ 0.9) hold at every
-  // scale, but the oracle identity "= all J ≥ 0.9 pairs" is a property
-  // of the gate SF's data.
+  // SimHash-blocked near-dup detection with an LSH recall backstop —
+  // the production shape: SimHash as the cheap first blocker (64-bit
+  // signature, banded self-join, hamming ≤ 6 gate; 8 bands of 8 bits
+  // give pigeonhole-GUARANTEED candidate recall for hamming ≤ 7), and
+  // MinHash-LSH as the recall backstop for the pairs 64-bit hamming no
+  // longer separates — on real corpora some J ≥ 0.9 pairs measure
+  // hamming well above any cheap gate (the regenerated sf0.1 data
+  // plants pairs at hamming 11), so a simhash-only blocker is a
+  // data-dependent recall bet. The UNION of both candidate sets goes
+  // through one exact n-gram Jaccard verify, so precision is exact by
+  // construction and the oracle identity "= all J ≥ 0.9 pairs" holds
+  // at every SF (LSH at 32 hashes / 8 bands misses a J≈0.99 planted
+  // pair with P≈6e-12). Only candidate docs get shingled — both
+  // blockers shuffle on band buckets, never all-pairs, and the verify
+  // stage is proportional to candidates, not corpus.
   // -------------------------------------------------------------------
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val candidates = Dedup.simhashPairs(
+    val simhashCands = Dedup.simhashPairs(
       docs, idCol = "doc_id", textCol = "text", maxHamming = 6, bands = 8)
       .select("id_a", "id_b")
-    Dedup.verifyJaccard(docs, candidates,
+    val lshCands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 8, numHashes = 32, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b")
+    Dedup.verifyJaccard(docs,
+      simhashCands.unionByName(lshCands).distinct(),
       idCol = "doc_id", textCol = "text", shingleSize = 8, threshold = 0.9)
       .withColumn("jaccard_u", floor(col("jaccard") * 1e4).cast("long"))
       .drop("jaccard")
