@@ -1147,6 +1147,52 @@ object QueriesAnalytics {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   // -------------------------------------------------------------------
+  // TPC-H Q12 (shipping modes and order priority): conditional
+  // aggregation (CASE WHEN sums) over the orders⋈lineitem fact join.
+  // The dataset has no l_shipmode/l_commitdate/l_receiptdate, so the
+  // mode column is re-expressed as l_returnflag and the late-delivery
+  // predicate as a one-year l_shipdate window — the SHAPE is what
+  // matters: both CASE branches ride one join, not two passes.
+  // Plan shape at scale: the l_shipdate + returnflag filters reach the
+  // lineitem scan (PushedFilters), lineitem projects to two columns
+  // before the shuffle, and orders projects to (o_orderkey,
+  // o_orderpriority) — the join shuffles only those thin sides on
+  // o_orderkey, and the final agg is 2 groups. The CASE WHEN pair
+  // costs zero extra passes over the fact.
+  // -------------------------------------------------------------------
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val l = Tables.load(spark, dir, "lineitem")
+      .where(col("l_returnflag").isin("R", "A") &&
+        col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |          THEN 1 ELSE 0 END) AS high_line_count,
+      | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |          THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('R','A')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
   // TPC-H Q7 (volume shipping): bidirectional two-nation trade by ship
   // year. Plan shape at scale: the nation filter COLLAPSES the
   // supplier and customer dims before they touch the facts — supplier
@@ -1612,6 +1658,7 @@ object QueriesAnalytics {
     "tpch_q7" -> (tpchQ7 _),
     "tpch_q8" -> (tpchQ8 _),
     "tpch_q10" -> (tpchQ10 _),
+    "tpch_q12" -> (tpchQ12 _),
     "tpch_q13" -> (tpchQ13 _),
     "tpch_q14" -> (tpchQ14 _),
     "tpch_q15" -> (tpchQ15 _),
@@ -1646,6 +1693,7 @@ object QueriesAnalytics {
     "tpch_q7" -> tpchQ7Sql,
     "tpch_q8" -> tpchQ8Sql,
     "tpch_q10" -> tpchQ10Sql,
+    "tpch_q12" -> tpchQ12Sql,
     "tpch_q13" -> tpchQ13Sql,
     "tpch_q14" -> tpchQ14Sql,
     "tpch_q15" -> tpchQ15Sql,
