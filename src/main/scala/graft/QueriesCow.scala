@@ -756,7 +756,40 @@ object QueriesCow {
       |  AND NOT (c_custkey BETWEEN 101 AND 200)
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // COW RESTORE: Delta's RESTORE TO VERSION as a by-reference commit.
+  // A "bad" upsert corrupts a key slice; restore(1) commits a new
+  // snapshot that re-references snapshot 1's files — zero data I/O —
+  // and retention (keep=2) then prunes the target's own manifest while
+  // the restored snapshot keeps serving its content through the
+  // re-referenced batch dirs. The oracle is the UNCORRUPTED projection:
+  // a restore that leaked any of commit 2's rows, or that lost carried
+  // files to vacuum, hash-mismatches.
+  // -------------------------------------------------------------------
+  def cowRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_restore")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.commitFull(target, root, 1L, Seq("pb"))
+    val bad = c.where(col("c_custkey").between(200, 600))
+      .select(col("c_custkey"), lit("CORRUPT").as("c_name"),
+        lit("BAD").as("c_mktsegment"), bucket.as("pb"))
+    CowTable.upsert(spark, root, 2L, bad, Seq("c_custkey"), Seq("pb"))
+    val restored = CowTable.restore(spark, root, 1L, keep = 2)
+    require(restored == 3L, s"restore must commit a new snapshot: $restored")
+    CowTable.read(spark, root).get.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowRestoreSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey <= 1000
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_restore" -> (cowRestore _),
     "cow_repartition" -> (cowRepartition _),
     "cow_agg_pushdown" -> (cowAggPushdown _),
     "cow_sink_stream" -> (cowSinkStream _),
@@ -777,6 +810,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_restore" -> cowRestoreSql,
     "cow_upsert" -> cowUpsertSql,
     "cow_cdc_apply" -> cowCdcApplySql,
     "cow_skipping" -> cowSkippingSql,

@@ -279,6 +279,67 @@ object CowTable {
       .map(i => { val m = manifest(spark, root, i)
         resolved(spark, root, m, m.files) })
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): commit a
+    * NEW snapshot whose content is identical to committed snapshot
+    * `toId`, BY REFERENCE — the new manifest lists exactly `toId`'s
+    * files (data AND outstanding MOR tombstones), so no data file is
+    * read, copied or rewritten and the whole operation costs one
+    * manifest write whatever the table size. Restore is an UNDO that
+    * PRESERVES history: the undone commits stay addressable for time
+    * travel until retention removes them, and the feed range crossing
+    * the restore is served by snapshot diff (no sidecar is emitted —
+    * the restore's net change is "whatever undoes the bad commits",
+    * which only the diff can state).
+    *
+    * Vacuum safety: [[vacuum]]'s batch-dir liveness rule is
+    * referenced-by-a-RETAINED-MANIFEST, so the old batch dirs the
+    * restored manifest re-references survive retention for as long as
+    * the restored snapshot does — even after `toId`'s own manifest is
+    * pruned.
+    *
+    * Schema: the restored manifest carries `toId`'s schema and
+    * partitioning verbatim, WITHOUT the forward-evolution gate — undo
+    * of a bad schema change is half of restore's point, and the gate's
+    * invariant (no carried file straddling two layouts) holds
+    * trivially because the file list IS one previously-committed
+    * consistent snapshot.
+    *
+    * Concurrency: the same per-id lease + manifest-lock critical
+    * section as every commit; `basedOn` is the current snapshot
+    * observed at entry, so a commit racing the restore makes exactly
+    * one of the two win ([[CowConcurrentCommitException]] for the
+    * other). Restoring to the CURRENT snapshot is a no-op (returns
+    * `toId` with no new commit).
+    *
+    * Returns the new snapshot's id.
+    */
+  def restore(
+      spark: SparkSession, root: String, toId: Long, keep: Int = 2): Long = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val ids = committedIds(spark, root)
+    require(ids.contains(toId),
+      s"restore target $toId is not a committed snapshot at $root" +
+        vacuumHwm(spark, root).filter(toId <= _)
+          .map(h => s" (vacuumed: retention high-water mark is $h)")
+          .getOrElse(""))
+    val cur = ids.last
+    if (toId == cur) return cur
+    val newId = cur + 1
+    val target = manifest(spark, root, toId)
+    val base = manifest(spark, root, cur)
+    acquireCommitLock(spark, root, newId)
+    try {
+      commitManifest(spark, root, newId, Some(cur), None) {
+        writeManifest(spark, root, newId, target.partCols,
+          target.schemaDdl, target.allFiles)
+      }
+    } finally releaseCommitLock(spark, root, newId)
+    vacuum(spark, root, keep, Map(
+      newId -> target.allFiles.map(_.path),
+      cur -> base.allFiles.map(_.path)))
+    newId
+  }
+
   /** CHANGE DATA FEED between two committed snapshots: the I/U/D
     * changelog that replays snapshot `fromId` into snapshot `toId`
     * (Delta's table_changes / Iceberg's changelog scan).

@@ -1286,4 +1286,79 @@ class CowTableSpec extends SparkSpec {
       .where($"x" >= 10.0 && $"x" <= 50.0).count()
     assert(got == want, s"envelope read $got vs direct $want")
   }
+
+  test("restore commits the target snapshot BY REFERENCE: no batch dir " +
+      "is written, content returns to the target, history is preserved, " +
+      "and the bad commits stay addressable until retention") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    val filesAfterV1 = dataFileState(root)
+    // the "bad" commit mangles p1
+    val bad = Seq((1L, "p1", "CORRUPT", -1.0), (2L, "p1", "CORRUPT", -1.0))
+      .toDF("id", "part", "name", "score")
+    CowTable.upsert(spark, root, 2L, bad, Seq("id"), Seq("part"), keep = 10)
+    val newId = CowTable.restore(spark, root, 1L, keep = 10)
+    assert(newId == 3L, s"restore must commit the next id, got $newId")
+    // content is exactly snapshot 1's, and no new DATA file was written:
+    // batch-3 does not exist, and every v1 file survives path+mtime
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(s"$root/batch-3")),
+      "restore must not write data files — it re-references the target's")
+    val after = dataFileState(root)
+    filesAfterV1.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"v1 file rewritten or removed: $p")
+    }
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq ==
+      base3.orderBy("id").collect().toSeq)
+    // history preserved: the bad snapshot still time-travels
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L, 3L))
+    assert(CowTable.readAt(spark, root, 2L).get
+      .where($"id" === 1L).select("name").as[String].head() == "CORRUPT")
+    // restore to the current snapshot is a no-op (no commit 4)
+    assert(CowTable.restore(spark, root, 3L, keep = 10) == 3L)
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L, 3L))
+  }
+
+  test("restore under retention: keep=2 prunes the target's own " +
+      "manifest, but the restored snapshot keeps serving its content " +
+      "(batch dirs live by reference); a vacuumed restore target is " +
+      "refused with the retention hint") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    CowTable.commitFull(
+      base3.withColumn("score", col("score") + 1), root, 2L, Seq("part"))
+    // restore(keep=2) retains manifests [2, 3]; manifest-1 is pruned,
+    // yet batch-1's files live on via manifest-3's references
+    CowTable.restore(spark, root, 1L, keep = 2)
+    assert(CowTable.readAt(spark, root, 1L).isEmpty,
+      "the pruned manifest must be un-addressable")
+    assert(CowTable.read(spark, root).get.orderBy("id").collect().toSeq ==
+      base3.orderBy("id").collect().toSeq,
+      "restored snapshot must serve the target's content after vacuum")
+    // restoring TO a vacuumed id fails loud, naming retention
+    val e = intercept[IllegalArgumentException] {
+      CowTable.restore(spark, root, 1L, keep = 2)
+    }
+    assert(e.getMessage.contains("vacuumed"),
+      s"refusal must cite retention: ${e.getMessage}")
+  }
+
+  test("restore undoes a schema evolution: after a widening + added " +
+      "column commit, restore returns the table to the old schema") {
+    val root = tmp()
+    val v1 = Seq((1L, "p1", 10), (2L, "p2", 20)).toDF("id", "part", "v")
+    CowTable.commitFull(v1, root, 1L, Seq("part"))
+    // evolution: v widens int->long, new nullable column `tag`
+    val v2 = Seq((1L, "p1", 11L, "t"), (2L, "p2", 21L, "t"))
+      .toDF("id", "part", "v", "tag")
+    CowTable.commitFull(v2, root, 2L, Seq("part"), keep = 10)
+    CowTable.restore(spark, root, 1L, keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.schema.fieldNames.toSeq == Seq("id", "part", "v"),
+      s"restored schema must be v1's: ${m.schema.toDDL}")
+    assert(m.schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(CowTable.read(spark, root).get.orderBy("id")
+      .select("v").as[Int].collect().toSeq == Seq(10, 20))
+  }
 }
