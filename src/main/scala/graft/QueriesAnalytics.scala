@@ -1193,6 +1193,299 @@ object QueriesAnalytics {
       |ORDER BY l_returnflag""".stripMargin
 
   // -------------------------------------------------------------------
+  // Derived PARTSUPP: the test tables omit TPC-H's partsupp, so the
+  // five queries that need it (Q2, Q9, Q11, Q16, Q20) DERIVE it —
+  // identically in Spark and in the DuckDB oracle — from the distinct
+  // (l_partkey, l_suppkey) pairs lineitem actually references (the
+  // same FK closure dbgen guarantees: every pair resolves to a part
+  // and a supplier, verified 0 orphans), with availqty / supplycost as
+  // pure integer arithmetic on the keys. No randomness and no
+  // engine-specific function: the derivation is PART OF THE QUERY on
+  // both sides, so the strict hash oracle still gates every output
+  // row. Cost: one two-column distinct with map-side combine; a real
+  // deployment would materialize it once.
+  // -------------------------------------------------------------------
+  private def partsuppOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 11) % 9999 + 1)
+      .withColumn("ps_supplycost_cents",
+        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 100000 + 100)
+
+  private val PartsuppCte: String =
+    """partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |         (ps_partkey*7 + ps_suppkey*11) % 9999 + 1 AS ps_availqty,
+      |         (ps_partkey*31 + ps_suppkey*17) % 100000 + 100 AS ps_supplycost_cents
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |               l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q2 (minimum-cost supplier): the correlated scalar-MIN
+  // subquery, decorrelated Spark-side into a per-part MIN aggregate
+  // joined back on (part, cost) — Catalyst's own rewrite for this
+  // shape, stated explicitly so the regional slice is computed ONCE
+  // and reused for both legs. Plan shape at scale: region→nation→
+  // supplier collapses to a broadcast before touching partsupp, the
+  // filtered part slice broadcasts, and the only real shuffle is the
+  // per-part MIN + its join back — both keyed on ps_partkey, so AQE
+  // coalesces them into one exchange family. The full ORDER BY key
+  // (acctbal, nation, supplier, part) is a total order — LIMIT 100 is
+  // deterministic.
+  // -------------------------------------------------------------------
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region")
+      .where(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.load(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val regional = partsuppOf(spark, dir)
+      .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = regional
+      .groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost_cents")).as("mc_cents"))
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    regional
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost_cents") === col("mc_cents"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    s"""WITH $PartsuppCte,
+      |eu AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier, nation, region
+      |  WHERE s_nationkey = n_nationkey
+      |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |regional AS (
+      |  SELECT * FROM partsupp JOIN eu ON ps_suppkey = s_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |       ps_supplycost_cents
+      |FROM part, regional
+      |WHERE p_partkey = ps_partkey
+      |  AND p_size <= 10 AND p_type = 'STANDARD'
+      |  AND ps_supplycost_cents = (
+      |    SELECT min(ps_supplycost_cents) FROM regional r2
+      |    WHERE r2.ps_partkey = regional.ps_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q9 (product-type profit): the six-table star on BOTH fact
+  // foreign keys — lineitem joins partsupp on the COMPOSITE
+  // (partkey, suppkey). Profit decomposes into two exact sums instead
+  // of one divided value (revenue via the DECIMAL(25,6) carrier, cost
+  // as BIGINT cents×quantity — quantities are integral), so no
+  // division ever happens inside the aggregate and the hash compare
+  // is exact. Plan shape at scale: the part-name slice broadcasts
+  // into BOTH lineitem and partsupp before their composite-key
+  // shuffle; supplier→nation broadcasts; lineitem⋈orders is the one
+  // fact-fact shuffle.
+  // -------------------------------------------------------------------
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_name").like("red%")).select("p_partkey")
+    val ps = partsuppOf(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(p).withColumnRenamed("p_partkey", "pp"),
+        col("l_partkey") === col("pp"))
+      .select("l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    val s = Tables.load(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val n = Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+    li.join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Queries.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_revenue"),
+        sum(col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+          .as("cost_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val tpchQ9Sql: String =
+    s"""WITH $PartsuppCte
+      |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |               AS DECIMAL(25,6))) AS DOUBLE) AS sum_revenue,
+      | sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS cost_cents
+      |FROM lineitem
+      |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE 'red%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q11 (important stock): GROUP BY + HAVING against a scalar
+  // subquery over the SAME aggregate. The fraction threshold is
+  // integer-exact: part_value*10000 > nation_total instead of
+  // total*0.0001 — no float ever enters the comparison. Plan shape:
+  // the nation's suppliers broadcast into partsupp; the per-part SUM
+  // and the grand total share one scan (the total is a 1-row
+  // broadcast, the J4 idiom); one shuffle on ps_partkey.
+  // -------------------------------------------------------------------
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "nation")
+      .where(col("n_name") === "NATION_3").select("n_nationkey")
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val scoped = partsuppOf(spark, dir)
+      .join(broadcast(s), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("v", col("ps_supplycost_cents") * col("ps_availqty"))
+    val total = scoped.agg(sum(col("v")).as("total_cents"))
+    scoped.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("value_cents"))
+      .crossJoin(broadcast(total))
+      .where(col("value_cents") * 10000 > col("total_cents"))
+      .select("ps_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  val tpchQ11Sql: String =
+    s"""WITH $PartsuppCte,
+      |scoped AS (
+      |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+      |  FROM partsupp, supplier, nation
+      |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3')
+      |SELECT ps_partkey, sum(v) AS value_cents
+      |FROM scoped
+      |GROUP BY ps_partkey
+      |HAVING sum(v) * 10000 > (SELECT sum(v) FROM scoped)
+      |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per
+  // attribute group with a NOT IN anti-subquery on the supplier dim
+  // (canonical "complaints" predicate re-expressed as s_acctbal < 0 —
+  // the dataset has no s_comment; negative balances exist). Plan
+  // shape: the excluded-supplier set is tiny and broadcasts as a
+  // LEFT ANTI; part attributes broadcast into partsupp; the distinct
+  // count shuffles once on the (brand, type, size) group key.
+  // -------------------------------------------------------------------
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.load(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsuppOf(spark, dir)
+      .join(broadcast(excluded),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"),
+        col("p_type"), col("p_size"))
+  }
+
+  val tpchQ16Sql: String =
+    s"""WITH $PartsuppCte
+      |SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp, part
+      |WHERE p_partkey = ps_partkey
+      |  AND p_brand <> 'Brand#45'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // -------------------------------------------------------------------
+  // TPC-H Q20 (potential part promotion): the nested IN chain with a
+  // correlated scalar-SUM subquery — suppliers of 'red' parts whose
+  // stock exceeds half of one year's shipped quantity for that exact
+  // (part, supplier) pair. The half is integer-exact:
+  // 2*ps_availqty > sum(qty) instead of availqty > 0.5*sum. Spark-side
+  // the correlation decorrelates into a per-(part,supplier) aggregate
+  // of the year's lineitems joined back on the composite key; the
+  // outer IN chains become LEFT SEMI joins. Plan shape: part slice
+  // and region's suppliers broadcast; the shipped-quantity aggregate
+  // and its join share the composite-key partitioning.
+  // -------------------------------------------------------------------
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val p = Tables.load(spark, dir, "part")
+      .where(col("p_name").like("red%")).select("p_partkey")
+    val shipped = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("shipped_qty"))
+    val qualifying = partsuppOf(spark, dir)
+      .join(broadcast(p).withColumnRenamed("p_partkey", "pp"),
+        col("ps_partkey") === col("pp"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty") * 2 > col("shipped_qty"))
+      .select("ps_suppkey")
+    val r = Tables.load(spark, dir, "region")
+      .where(col("r_name") === "EUROPE").select("r_regionkey")
+    val n = Tables.load(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name"),
+        floor(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .orderBy(col("s_name"))
+  }
+
+  val tpchQ20Sql: String =
+    s"""WITH $PartsuppCte
+      |SELECT s_name, n_name,
+      |       CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |FROM supplier, nation, region
+      |WHERE s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT ps_suppkey FROM partsupp
+      |    WHERE ps_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND ps_availqty * 2 > (
+      |        SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem
+      |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_name""".stripMargin
+
+  // -------------------------------------------------------------------
   // TPC-H Q7 (volume shipping): bidirectional two-nation trade by ship
   // year. Plan shape at scale: the nation filter COLLAPSES the
   // supplier and customer dims before they touch the facts — supplier
@@ -1649,7 +1942,12 @@ object QueriesAnalytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dpp_partition_prune" -> (dppPartitionPrune _),
     "tpch_q1" -> (tpchQ1 _),
+    "tpch_q2" -> (tpchQ2 _),
     "tpch_q3" -> (tpchQ3 _),
+    "tpch_q9" -> (tpchQ9 _),
+    "tpch_q11" -> (tpchQ11 _),
+    "tpch_q16" -> (tpchQ16 _),
+    "tpch_q20" -> (tpchQ20 _),
     "tpch_q4" -> (tpchQ4 _),
     "tpch_q5" -> (tpchQ5 _),
     "tpch_q21" -> (tpchQ21 _),
@@ -1684,7 +1982,12 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "dpp_partition_prune" -> dppPartitionPruneSql,
     "tpch_q1" -> tpchQ1Sql,
+    "tpch_q2" -> tpchQ2Sql,
     "tpch_q3" -> tpchQ3Sql,
+    "tpch_q9" -> tpchQ9Sql,
+    "tpch_q11" -> tpchQ11Sql,
+    "tpch_q16" -> tpchQ16Sql,
+    "tpch_q20" -> tpchQ20Sql,
     "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
     "tpch_q21" -> tpchQ21Sql,

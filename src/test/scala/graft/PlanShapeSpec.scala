@@ -103,6 +103,50 @@ class PlanShapeSpec extends SparkSpec {
       s"ON-clause filter not pushed to the orders scan:\n$plan")
   }
 
+  test("tpch_q2: dims collapse to broadcasts before partsupp; the " +
+      "min-cost scalar subquery decorrelates to an aggregate joined " +
+      "back — no cartesian anywhere") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ2(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"min-cost correlation degenerated to a product:\n$plan")
+  }
+
+  test("tpch_q9: the part-name slice broadcasts into BOTH fact legs; " +
+      "no cartesian; the composite-key partsupp join stays a hash join") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ9(spark, sfDir))
+    val bc = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bc >= 2, s"expected >=2 broadcast joins (part slice into " +
+      s"both legs + dims), got $bc:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in q9:\n$plan")
+  }
+
+  test("tpch_q11: the grand total is a 1-row broadcast (J4 idiom) and " +
+      "the HAVING threshold is integer-exact — no cartesian, one " +
+      "ps_partkey aggregate") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ11(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar total became a product:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"total not broadcast:\n$plan")
+  }
+
+  test("tpch_q16: the excluded-supplier NOT IN runs as a broadcast " +
+      "anti join, never a product") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ16(spark, sfDir))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in q16:\n$plan")
+  }
+
+  test("tpch_q20: the supplier IN chain is a LEFT SEMI join; the " +
+      "correlated shipped-quantity sum decorrelates to a composite-key " +
+      "aggregate join — no cartesian") {
+    val plan = finalPlan(QueriesAnalytics.tpchQ20(spark, sfDir))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"product in q20:\n$plan")
+  }
+
   test("tpch_q19: the three-arm disjunction rides ONE p_partkey join " +
       "as its condition — a single join node, no cartesian, no " +
       "join-then-filter over the unrestricted product") {
