@@ -788,7 +788,46 @@ object QueriesCow {
       |FROM customer WHERE c_custkey <= 1000
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // COW CHECK CONSTRAINTS: Delta's ADD CONSTRAINT as a write-time
+  // gate. Registration validates existing data; a violating upsert is
+  // refused BEFORE anything publishes (the commit id stays free); a
+  // valid one lands. The oracle is the base + valid-insert union — a
+  // constraint layer that let the bad batch through, or that blocked
+  // the good one, hash-mismatches.
+  // -------------------------------------------------------------------
+  def cowConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_checks")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    val target = c.where(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.commitFull(target, root, 1L, Seq("pb"))
+    CowTable.setCheckConstraints(spark, root, Map(
+      "custkey_pos" -> "c_custkey >= 0",
+      "name_nn" -> "c_name IS NOT NULL"))
+    val bad = c.where(col("c_custkey").between(1101, 1200))
+      .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
+        col("c_mktsegment"), bucket.as("pb"))
+    val refused =
+      try { CowTable.upsert(spark, root, 2L, bad, Seq("c_custkey"), Seq("pb")); false }
+      catch { case _: graft.sinks.CowConstraintException => true }
+    require(refused, "the violating batch must be refused")
+    val good = c.where(col("c_custkey").between(1001, 1100))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.upsert(spark, root, 3L, good, Seq("c_custkey"), Seq("pb"))
+    CowTable.read(spark, root).get.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowConstraintsSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey <= 1100
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_constraints" -> (cowConstraints _),
     "cow_restore" -> (cowRestore _),
     "cow_repartition" -> (cowRepartition _),
     "cow_agg_pushdown" -> (cowAggPushdown _),
@@ -810,6 +849,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_constraints" -> cowConstraintsSql,
     "cow_restore" -> cowRestoreSql,
     "cow_upsert" -> cowUpsertSql,
     "cow_cdc_apply" -> cowCdcApplySql,

@@ -18,6 +18,13 @@ import graft.types.SchemaCompat
 final class CowConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a [[CowTable]] commit's batch violates a registered
+  * CHECK constraint ([[CowTable.setCheckConstraints]]). The commit
+  * wrote no manifest — the table is unchanged.
+  */
+final class CowConstraintException(msg: String)
+  extends RuntimeException(msg)
+
 /** One column's inclusive range predicate for data-skipping reads,
   * bounds in Spark string form (`cast(col as string)`); either bound
   * optional, `lo == hi` = point lookup.
@@ -338,6 +345,116 @@ object CowTable {
       newId -> target.allFiles.map(_.path),
       cur -> base.allFiles.map(_.path)))
     newId
+  }
+
+  // -------------------------------------------------------------------
+  // CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): named SQL
+  // boolean expressions every commit's written data must satisfy.
+  // -------------------------------------------------------------------
+
+  private def checksPath(root: String) = new Path(s"$root/_checks.tsv")
+
+  private def tsvEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private def tsvUnesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'
+          case 't' => b += '\t'
+          case 'n' => b += '\n'
+          case 'r' => b += '\r'
+          case o => b += '\\' += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** Register the table's CHECK constraints (`name -> SQL boolean
+    * expression`), REPLACING the previous set. Delta's ADD CONSTRAINT
+    * semantics: the CURRENT table state is validated against the new
+    * set first (one scan), so a registered constraint is a real
+    * invariant — every row that was ever visible under it passed it.
+    * Subsequent commits validate their written data in one extra
+    * batch-sized pass ([[CowConstraintException]] on violation, before
+    * anything is published); SQL-standard NULL semantics — a row
+    * violates only when the expression is FALSE, NULL passes (state
+    * `x IS NOT NULL` explicitly for NOT NULL enforcement). The set is
+    * a tiny flat file read with plain filesystem I/O — constraint
+    * lookup costs a commit no Spark job. [[restore]] is exempt: it
+    * republishes a previously-committed snapshot, which may predate
+    * the constraint.
+    */
+  def setCheckConstraints(
+      spark: SparkSession, root: String, checks: Map[String, String]): Unit = {
+    currentManifest(spark, root).foreach { m =>
+      enforceChecks(readSnapshot(spark, root, m), checks,
+        s"existing data at $root refuses the new constraint set")
+    }
+    val fs = hfs(spark, root)
+    fs.mkdirs(new Path(root))
+    val tmp = new Path(s"$root/_checks.tsv.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(checks.toSeq.sortBy(_._1)
+      .map { case (n, e) => tsvEsc(n) + "\t" + tsvEsc(e) }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(checksPath(root), false)
+    require(fs.rename(tmp, checksPath(root)),
+      s"could not publish constraint set at $root")
+  }
+
+  /** The registered CHECK constraints (empty when none). */
+  def checkConstraints(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = hfs(spark, root)
+    val p = checksPath(root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+      new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
+        val cut = line.indexOf('\t')
+        tsvUnesc(line.substring(0, cut)) -> tsvUnesc(line.substring(cut + 1))
+      }.toMap
+    }
+  }
+
+  /** One batch-sized job: evaluate every constraint as a violation
+    * flag, surface the FIRST offending row with the names of every
+    * constraint it breaks and its content — the error a data engineer
+    * debugs from, not a bare boolean.
+    */
+  private def enforceChecks(
+      df: DataFrame, checks: Map[String, String], what: String): Unit = {
+    if (checks.isEmpty) return
+    val names = checks.keys.toSeq.sorted
+    val flags = names.map(n =>
+      (!coalesce(expr(checks(n)), lit(true))).as(n))
+    val rowJson = to_json(struct(df.columns.map(col): _*)).as("__row")
+    val bad = df.select(flags :+ rowJson: _*)
+      .where(names.map(col).reduce(_ || _))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val broken = names.filter(n => r.getAs[Boolean](n))
+      throw new CowConstraintException(
+        s"$what: CHECK constraint${if (broken.size > 1) "s" else ""} " +
+          s"${broken.map(n => s"$n (${checks(n)})").mkString(", ")} " +
+          s"violated by row ${r.getAs[String]("__row")}")
+    }
   }
 
   /** CHANGE DATA FEED between two committed snapshots: the I/U/D
@@ -1400,6 +1517,9 @@ object CowTable {
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return
+    // CHECK constraints: one batch-sized pass, outside every lock
+    enforceChecks(payload, checkConstraints(spark, root),
+      s"commit $id at $root")
     val effSchema = effSchemaOf(prev, payload.schema)
     // layout change is legal ONLY via the explicit relayout flag
     // (commitFull → repartitionTable): the flag's caller constructs
@@ -1557,6 +1677,8 @@ object CowTable {
         commitPartitionsFrom(None, batch, Set.empty, root, id, partCols,
           keep, sortCols, bloomCols, changeLogKeys)
       case Some(p) =>
+        enforceChecks(batch, checkConstraints(spark, root),
+          s"append $id at $root")
         val effSchema = effSchemaOf(prev, batch.schema)
         validateEvolution(p, effSchema, partCols)
         var vacuumKnown: Map[Long, Seq[String]] = Map.empty

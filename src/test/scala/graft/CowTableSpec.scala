@@ -1343,6 +1343,45 @@ class CowTableSpec extends SparkSpec {
       s"refusal must cite retention: ${e.getMessage}")
   }
 
+  test("CHECK constraints: registration validates EXISTING data; a " +
+      "violating commit throws naming the constraint and the row, " +
+      "publishing nothing; NULL passes (SQL CHECK semantics); both " +
+      "the partition-rewrite and append paths enforce") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    CowTable.setCheckConstraints(spark, root, Map(
+      "score_pos" -> "score > 0", "name_nn" -> "name IS NOT NULL"))
+    // violating upsert: refused, nothing published
+    val bad = Seq((9L, "p1", "x", -5.0)).toDF("id", "part", "name", "score")
+    val e = intercept[graft.sinks.CowConstraintException] {
+      CowTable.upsert(spark, root, 2L, bad, Seq("id"), Seq("part"))
+    }
+    assert(e.getMessage.contains("score_pos") &&
+      e.getMessage.contains("-5"), s"undiagnostic error: ${e.getMessage}")
+    assert(CowTable.committedIds(spark, root) == Seq(1L),
+      "refused commit must publish nothing")
+    // NULL passes: `score > 0` evaluates NULL for a NULL score
+    val nullScore = Seq((9L, "p1", "x", Option.empty[Double]))
+      .toDF("id", "part", "name", "score")
+    CowTable.upsert(spark, root, 2L, nullScore, Seq("id"), Seq("part"))
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+    // a set the EXISTING data violates is refused at registration and
+    // the previous set stays in force
+    intercept[graft.sinks.CowConstraintException] {
+      CowTable.setCheckConstraints(spark, root, Map("low" -> "score < 40"))
+    }
+    assert(CowTable.checkConstraints(spark, root).keySet ==
+      Set("score_pos", "name_nn"))
+    // the append path enforces the same set
+    intercept[graft.sinks.CowConstraintException] {
+      CowTable.commitAppend(
+        Seq((10L, "p2", null.asInstanceOf[String], 7.0))
+          .toDF("id", "part", "name", "score"),
+        root, 3L, Seq("part"))
+    }
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+  }
+
   test("restore undoes a schema evolution: after a widening + added " +
       "column commit, restore returns the table to the old schema") {
     val root = tmp()
