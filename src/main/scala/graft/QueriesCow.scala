@@ -826,7 +826,83 @@ object QueriesCow {
       |FROM customer WHERE c_custkey <= 1100
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Planner-integrated read (CowV2/CowFileIndex): the whole table is
+  // ONE DataFrame whose scan consults the manifest at planning time —
+  // the range predicate below reaches the scan as an ordinary Catalyst
+  // filter and still prunes files through min/max envelopes, and the
+  // outstanding MOR tombstones are subtracted. Pruning itself is
+  // byte/metric-pinned in CowV2Spec; THIS row proves the planner path
+  // returns exactly the plain filtered table.
+  // -------------------------------------------------------------------
+  def cowV2Read(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_v2")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    CowTable.commitFull(
+      c.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb")),
+      root, 1L, Seq("pb"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      c.where(col("c_custkey").between(101, 200))
+        .select(col("c_custkey"), bucket.as("pb")),
+      Seq("c_custkey"), Seq("pb"))
+    graft.sinks.CowV2.read(spark, root).get
+      .where(col("c_custkey") <= 600)
+      .drop("pb").orderBy("c_custkey")
+  }
+
+  val cowV2ReadSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey <= 600 AND c_custkey NOT BETWEEN 101 AND 200
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Write-audit-publish: a bad batch stages, audits red, and is
+  // discarded; a good batch stages, audits green, and publishes as one
+  // metadata write. The staged-but-unpublished state is require()d
+  // invisible in the middle — the oracle sees only base + good batch.
+  // -------------------------------------------------------------------
+  def cowWap(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_wap")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+    CowTable.commitFull(
+      c.where(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          bucket.as("pb")),
+      root, 1L, Seq("pb"))
+    // bad batch: names nulled out — the audit gate catches it
+    val bad = c.where(col("c_custkey").between(1001, 1100))
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        col("c_mktsegment"), bucket.as("pb"))
+    CowTable.stageAppend(bad, root, 2L, Seq("pb"))
+    require(CowTable.read(spark, root).get.count() ==
+      CowTable.readStaged(spark, root, 2L).count() - 100,
+      "staged batch must be invisible to the current snapshot")
+    val badRows = CowTable.readStaged(spark, root, 2L)
+      .where(col("c_name").isNull).count()
+    require(badRows == 100, "audit must see the staged nulls")
+    CowTable.discardStaged(spark, root, 2L)
+    val good = c.where(col("c_custkey").between(1001, 1100))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        bucket.as("pb"))
+    CowTable.stageAppend(good, root, 2L, Seq("pb"))
+    require(CowTable.readStaged(spark, root, 2L)
+      .where(col("c_name").isNull).isEmpty, "audit must pass")
+    CowTable.publishStaged(spark, root, 2L)
+    CowTable.read(spark, root).get.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowWapSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey <= 1100
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_wap" -> (cowWap _),
+    "cow_v2_read" -> (cowV2Read _),
     "cow_constraints" -> (cowConstraints _),
     "cow_restore" -> (cowRestore _),
     "cow_repartition" -> (cowRepartition _),
@@ -849,6 +925,8 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_wap" -> cowWapSql,
+    "cow_v2_read" -> cowV2ReadSql,
     "cow_constraints" -> cowConstraintsSql,
     "cow_restore" -> cowRestoreSql,
     "cow_upsert" -> cowUpsertSql,

@@ -1,0 +1,229 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A manifest-driven [[FileIndex]] over one [[CowTable]] snapshot — the
+  * integration point that puts the table format INSIDE Spark's native
+  * scan planning instead of in front of it. `spark.read.parquet(paths)`
+  * (what [[CowTable.dfFor]] does) fixes the file list at DataFrame
+  * construction, so each predicate needs its own entry point
+  * (`readWhere`, `readWhereIn`, …). This class instead hands Catalyst a
+  * listing source it consults AT PLANNING TIME: `FileSourceStrategy`
+  * splits the query's conjuncts into partition filters and data filters
+  * and passes both to [[listFiles]], where
+  *
+  *  - partition filters evaluate against each file's manifest partition
+  *    values (static pruning; Spark's dynamic partition pruning filters
+  *    the same `PartitionDirectory` rows at runtime, so a join on the
+  *    partition column prunes too — no `cell=N` directory parsing, the
+  *    values come from the manifest), and
+  *  - data filters run the SAME min/max-envelope + Bloom skipping as
+  *    [[CowTable.readWhere]]/[[CowTable.readWhereIn]]
+  *    ([[CowTable.keptFilesAmong]]), so `df.where($"k" === 7)` skips
+  *    files for ANY predicate Catalyst can normalize to ranges/IN-lists
+  *    — composed with the ordinary residual `Filter` node, parquet
+  *    row-group pushdown, and the vectorized columnar reader, none of
+  *    which this class re-implements.
+  *
+  * One instance pins ONE manifest (snapshot isolation, same contract as
+  * every other CowTable reader): [[refresh]] is a no-op and later
+  * commits are invisible. Reads at 100 TB: the driver filters a cached
+  * in-memory file list (no filesystem listing — the manifest is the
+  * listing), and only surviving files are opened.
+  *
+  * Partition columns are declared in [[partitionSchema]] even though
+  * CowTable data files are self-contained (the real columns stay in the
+  * files — `CowTable.writeBatch` duplicates them into `__gp_*` for the
+  * directory layout): `HadoopFsRelation` treats the overlap as
+  * hive-style, sourcing those columns from the manifest's partition
+  * values and never decoding them from the files.
+  */
+final class CowFileIndex(
+    spark: SparkSession,
+    root: String,
+    m: CowManifest) extends FileIndex {
+
+  private val schema: StructType = m.schema
+
+  override val partitionSchema: StructType =
+    StructType(m.partCols.map(c => schema(c)))
+
+  /** Full file schema (partition columns included — the files carry
+    * them); `HadoopFsRelation` dedupes the overlap.
+    */
+  def dataSchema: StructType = schema
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override lazy val sizeInBytes: Long = m.files.map(_.bytes).sum
+
+  override def inputFiles: Array[String] =
+    m.files.map(f => s"$root/${f.path}").toArray
+
+  /** Snapshot-pinned by design: the manifest IS the listing. */
+  override def refresh(): Unit = ()
+
+  private lazy val qualify: Path => Path = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    p => fs.makeQualified(p)
+  }
+
+  /** Manifest partition-value string → Catalyst internal value, via the
+    * inverse of the cast that produced it (`cast(col as string)` in
+    * `CowTable.collectEntries`).
+    */
+  private def partValue(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+    if (s == null) null
+    else Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+
+  private def rowFor(part: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map(f =>
+      partValue(part.getOrElse(f.name, null), f.dataType)))
+
+  /** One data-filter conjunct → the manifest pruning it supports, or
+    * None (unsupported shape: keep all files — skipping is only ever an
+    * optimization; the residual filter preserves exactness). Strict
+    * inequalities prune with their inclusive envelope (sound superset).
+    */
+  private def pruningOf(e: Expression): Option[Either[CowRange, (String, Seq[String])]] = {
+    def statStr(l: Literal): Option[String] =
+      Option(Cast(l, StringType,
+        Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+        .map(_.toString)
+    def named(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) => for {
+        n <- named(a); v <- statStr(l)
+      } yield Left(CowRange(n, Some(v), Some(v)))
+      case EqualTo(l: Literal, a) => pruningOf(EqualTo(a, l))
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        pruningOf(EqualTo(a, l))
+      case GreaterThan(a, l: Literal) => for {
+        n <- named(a); v <- statStr(l)
+      } yield Left(CowRange(n, Some(v), None))
+      case GreaterThanOrEqual(a, l: Literal) => pruningOf(GreaterThan(a, l))
+      case LessThan(a, l: Literal) => for {
+        n <- named(a); v <- statStr(l)
+      } yield Left(CowRange(n, None, Some(v)))
+      case LessThanOrEqual(a, l: Literal) => pruningOf(LessThan(a, l))
+      // literal-on-the-left inequalities flip the bound side
+      case GreaterThan(l: Literal, a) => pruningOf(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a) => pruningOf(LessThan(a, l))
+      case LessThan(l: Literal, a) => pruningOf(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a) => pruningOf(GreaterThan(a, l))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        for {
+          n <- named(a)
+          ss <- Some(vs.collect { case l: Literal => statStr(l) })
+          if ss.forall(_.isDefined)
+        } yield Right((n, ss.flatten))
+      case InSet(a, hset) if hset.nonEmpty =>
+        named(a).flatMap { n =>
+          val ss = hset.toSeq.map(v =>
+            statStr(Literal(v, a.dataType)))
+          if (ss.forall(_.isDefined)) Some(Right((n, ss.flatten.map(_.toString))))
+          else None
+        }
+      case _ => None
+    }
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // 1. static partition pruning: bind the filters to the partition
+    //    schema by name and evaluate per distinct partition value
+    val groups: Seq[(Map[String, String], Seq[CowFile])] =
+      m.files.groupBy(_.part).toSeq
+    val afterPart =
+      if (partitionFilters.isEmpty) groups
+      else {
+        val fields = partitionSchema.fields
+        val resolver = spark.sessionState.analyzer.resolver
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = fields.indexWhere(f => resolver(f.name, a.name))
+            require(i >= 0, s"partition filter on non-partition column $a")
+            BoundReference(i, fields(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        groups.filter { case (part, _) => pred.eval(rowFor(part)) }
+      }
+    // 2. data skipping: translate supported conjuncts and intersect
+    val (ranges, ins) = dataFilters.flatMap(pruningOf).partitionMap(identity)
+    afterPart.flatMap { case (part, files) =>
+      var kept = files
+      if (ranges.nonEmpty)
+        kept = CowTable.keptFilesAmong(spark, m, kept, ranges)
+      ins.foreach { case (n, vs) =>
+        if (kept.nonEmpty)
+          kept = CowTable.keptFilesInAmong(spark, m, kept, n, vs)
+      }
+      if (kept.isEmpty) None
+      else Some(PartitionDirectory(rowFor(part), kept.map { f =>
+        FileStatusWithMetadata(new FileStatus(
+          f.bytes, false, 1, 128L * 1024 * 1024, 0L,
+          qualify(new Path(s"$root/${f.path}"))))
+      }))
+    }
+  }
+}
+
+/** Planner-integrated CowTable reads: ONE DataFrame whose scan prunes
+  * files per-query via [[CowFileIndex]] — `CowV2.read(spark, root)`
+  * then `.where(...)` anything; partition pruning (static AND dynamic),
+  * manifest min/max + Bloom skipping, parquet pushdown, and the
+  * vectorized reader all compose through Spark's own file-source
+  * machinery (`HadoopFsRelation` + `ParquetFileFormat`), exactly the
+  * architecture Delta's batch read path uses.
+  */
+object CowV2 {
+
+  /** The current snapshot as a planner-pruned DataFrame. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    CowTable.currentManifest(spark, root).map(readManifest(spark, root, _))
+
+  /** Time travel: snapshot `id` as a planner-pruned DataFrame. */
+  def readAt(spark: SparkSession, root: String, id: Long): DataFrame =
+    readManifest(spark, root, CowTable.manifest(spark, root, id))
+
+  private def readManifest(
+      spark: SparkSession, root: String, m: CowManifest): DataFrame = {
+    val index = new CowFileIndex(spark, root, m)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    val df = spark.baseRelationToDataFrame(relation)
+    // outstanding merge-on-read tombstones subtract rows exactly as in
+    // CowTable.resolved; a folded table (the steady state) skips this
+    val tombs = m.tombstones
+    if (tombs.isEmpty) df
+    else {
+      val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
+      df.join(broadcast(t), t.columns.toSeq, "left_anti")
+        .select(df.columns.map(col).toSeq: _*)
+    }
+  }
+}

@@ -220,9 +220,14 @@ object CowTable {
   }
 
   /** Load the manifest of snapshot `id` (must be committed). */
-  def manifest(spark: SparkSession, root: String, id: Long): CowManifest = {
-    val rows = spark.read.parquet(s"$root/$ManifestPrefix$id").collect()
-    require(rows.nonEmpty, s"manifest $id at $root is empty — corrupt commit")
+  def manifest(spark: SparkSession, root: String, id: Long): CowManifest =
+    manifestAt(spark, s"$root/$ManifestPrefix$id", id)
+
+  /** Parse a manifest from an explicit directory (committed or staged). */
+  private def manifestAt(
+      spark: SparkSession, dir: String, id: Long): CowManifest = {
+    val rows = spark.read.parquet(dir).collect()
+    require(rows.nonEmpty, s"manifest $id at $dir is empty — corrupt commit")
     val head = rows.head
     val partCols = head.getAs[scala.collection.Seq[String]]("part_cols").toSeq
     val ddl = head.getAs[String]("schema_ddl")
@@ -850,8 +855,17 @@ object CowTable {
     */
   private def keptFiles(
       spark: SparkSession, m: CowManifest,
+      ranges: Seq[CowRange]): Seq[CowFile] =
+    keptFilesAmong(spark, m, m.files, ranges)
+
+  /** [[keptFiles]] over an EXPLICIT starting set — the composable form
+    * [[CowFileIndex]] uses to intersect range pruning with the file
+    * survivors of earlier conjuncts (IN-list, partition pruning).
+    */
+  private[sinks] def keptFilesAmong(
+      spark: SparkSession, m: CowManifest, from: Seq[CowFile],
       ranges: Seq[CowRange]): Seq[CowFile] = {
-    val byStats = m.files.filter(f =>
+    val byStats = from.filter(f =>
       ranges.forall(r => mayMatch(m.schema, f, r.colName, r.lo, r.hi)))
     ranges.foldLeft(byStats) { (files, r) =>
       val point = r.lo.zip(r.hi).collectFirst { case (l, h) if l == h => l }
@@ -910,10 +924,18 @@ object CowTable {
 
   private def keptFilesIn(
       spark: SparkSession, m: CowManifest, colName: String,
-      values: Seq[String]): Seq[CowFile] = {
+      values: Seq[String]): Seq[CowFile] =
+    keptFilesInAmong(spark, m, m.files, colName, values)
+
+  /** [[keptFilesIn]] over an EXPLICIT starting set (see
+    * [[keptFilesAmong]]).
+    */
+  private[sinks] def keptFilesInAmong(
+      spark: SparkSession, m: CowManifest, from: Seq[CowFile],
+      colName: String, values: Seq[String]): Seq[CowFile] = {
     val dt = m.schema.fields.find(_.name == colName)
       .map(_.dataType).getOrElse(StringType)
-    val byStats = m.files.filter(f =>
+    val byStats = from.filter(f =>
       values.exists(v => mayMatch(m.schema, f, colName, Some(v), Some(v))))
     if (!byStats.exists(_.blooms.contains(colName))) byStats
     else {
@@ -1184,6 +1206,11 @@ object CowTable {
 
   private def writeManifest(
       spark: SparkSession, root: String, id: Long,
+      partCols: Seq[String], ddl: String, files: Seq[CowFile]): Unit =
+    writeManifestAt(spark, s"$root/$ManifestPrefix$id", partCols, ddl, files)
+
+  private def writeManifestAt(
+      spark: SparkSession, dir: String,
       partCols: Seq[String], ddl: String, files: Seq[CowFile]): Unit = {
     import spark.implicits._
     val rows =
@@ -1193,8 +1220,7 @@ object CowTable {
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
         f.kind, f.blooms))
-    rows.toDS().repartition(1).write.mode("overwrite")
-      .parquet(s"$root/$ManifestPrefix$id")
+    rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
   }
 
   // -------------------------------------------------------------------
@@ -1782,6 +1808,153 @@ object CowTable {
         } finally releaseCommitLock(spark, root, id)
         vacuum(spark, root, keep, vacuumKnown)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // Write-audit-publish (staged commits)
+  // -------------------------------------------------------------------
+
+  private def stagedManifestDir(root: String, id: Long) =
+    s"$root/${ManifestPrefix}staged-$id"
+  private def stagedMetaPath(root: String, id: Long) =
+    new Path(s"$root/_staged-$id.meta")
+
+  /** STAGE an append without publishing it — the write half of the
+    * write-audit-publish pattern (Iceberg's WAP): the batch's data
+    * files land under `batch-<id>/` and a full manifest (fresh +
+    * carried files) is written under a STAGED name that
+    * [[committedIds]] cannot parse, so every reader — [[read]],
+    * [[readAt]], [[changeFeed]], concurrent writers — still sees the
+    * pre-stage table. An auditor reads the WOULD-BE snapshot via
+    * [[readStaged]] (data-quality gates, row counts, reconciliation)
+    * and then either [[publishStaged]] — one manifest write, zero data
+    * I/O, under the same lock + based-on verification as every commit
+    * — or [[discardStaged]].
+    *
+    * Append shape only (insert-only batches; the WAP audit use case):
+    * every previous file carries over, CHECK constraints and the
+    * [[SchemaCompat]] evolution gate run at STAGE time so a doomed
+    * batch fails before the audit. No changelog sidecar is emitted —
+    * a published WAP range serves its feed by snapshot diff.
+    *
+    * Concurrency: the staged manifest records the base snapshot id it
+    * carried files from; a commit landing between stage and publish
+    * fails the publish's based-on verification (the carried list is
+    * stale) — discard and re-stage. Vacuum safety falls out of the id
+    * ordering: a publishable staged batch has `id > newest committed`,
+    * which [[vacuum]]'s `i < newest` batch rule never deletes; once a
+    * later commit supersedes it the staged batch is doomed anyway and
+    * ages out like any dead batch.
+    */
+  def stageAppend(
+      batch: DataFrame,
+      root: String,
+      id: Long,
+      partCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val prev = currentManifest(spark, root)
+    require(!prev.exists(_.id >= id),
+      s"stage id $id at $root is not ahead of committed ${prev.map(_.id)}")
+    enforceChecks(batch, checkConstraints(spark, root),
+      s"stage $id at $root")
+    val effSchema = effSchemaOf(prev, batch.schema)
+    prev.foreach(p => validateEvolution(p, effSchema, partCols))
+    val batchDir = s"$root/$BatchPrefix$id"
+    writeBatch(batch, batchDir, partCols, sortCols)
+    val effBloomCols =
+      if (bloomCols.nonEmpty) bloomCols
+      else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
+        .filter(effSchema.fieldNames.contains)
+    val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
+      effBloomCols)
+    val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
+      .getOrElse(Set.empty[String])
+    val carried = prev.map(_.allFiles
+        .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
+          mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
+      .getOrElse(Nil)
+    writeManifestAt(spark, stagedManifestDir(root, id), partCols,
+      effSchema.toDDL, fresh ++ carried)
+    val fs = hfs(spark, root)
+    val out = fs.create(stagedMetaPath(root, id), true)
+    try out.write(prev.map(_.id.toString).getOrElse("none")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The WOULD-BE snapshot of staged commit `id` — what the table will
+    * serve if [[publishStaged]] succeeds (carried MOR tombstones
+    * applied). This is the audit surface.
+    */
+  def readStaged(spark: SparkSession, root: String, id: Long): DataFrame = {
+    val m = manifestAt(spark, stagedManifestDir(root, id), id)
+    resolved(spark, root, m, m.files)
+  }
+
+  /** Staged (unpublished) commit ids at `root`. */
+  def stagedIds(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    val fs = hfs(spark, root)
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${ManifestPrefix}staged-"))
+      .flatMap(_.getPath.getName.stripPrefix(s"${ManifestPrefix}staged-")
+        .toLongOption)
+      .sorted
+  }
+
+  /** PUBLISH staged commit `id`: verify (under the table-wide manifest
+    * lock) that the current snapshot is still the base the stage
+    * carried files from, then write the real manifest — the staged
+    * rows verbatim, one metadata write, no data touched. Throws
+    * [[CowConcurrentCommitException]] when a commit landed since the
+    * stage; the stage is then unpublishable — [[discardStaged]] it and
+    * re-stage against the new base.
+    */
+  def publishStaged(
+      spark: SparkSession, root: String, id: Long, keep: Int = 2): Unit = {
+    val fs = hfs(spark, root)
+    val metaP = stagedMetaPath(root, id)
+    require(fs.exists(metaP), s"no staged commit $id at $root")
+    val basedOn = {
+      val in = fs.open(metaP)
+      val s = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      s.trim.toLongOption
+    }
+    val m = manifestAt(spark, stagedManifestDir(root, id), id)
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id))
+        throw new CowConcurrentCommitException(
+          s"staged commit $id at $root: a commit with id >= $id already " +
+            "exists — discard the stage and re-stage with a fresh id")
+      commitManifest(spark, root, id, basedOn, None) {
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl, m.allFiles)
+      }
+    } finally releaseCommitLock(spark, root, id)
+    fs.delete(new Path(stagedManifestDir(root, id)), true)
+    fs.delete(metaP, false)
+    vacuum(spark, root, keep, Map(id -> m.allFiles.map(_.path)))
+  }
+
+  /** DISCARD staged commit `id`: remove the staged manifest, its meta
+    * marker, and — when `id` was never published — its batch data dir.
+    */
+  def discardStaged(spark: SparkSession, root: String, id: Long): Unit = {
+    val fs = hfs(spark, root)
+    fs.delete(new Path(stagedManifestDir(root, id)), true)
+    fs.delete(stagedMetaPath(root, id), false)
+    if (!committedIds(spark, root).contains(id))
+      fs.delete(new Path(s"$root/$BatchPrefix$id"), true)
   }
 
   /** COMPACTION as a COW commit: rewrite exactly the partitions whose
