@@ -184,6 +184,59 @@ object QueriesCurated {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // Multi-clause ANSI MERGE (operators/MergeInto): conditional DELETE,
+  // two ordered WHEN MATCHED updates (first-wins), a guarded INSERT,
+  // and the NOT MATCHED BY SOURCE extension — the general form whose
+  // special case is merge_upsert above. Money rides as integer cents so
+  // the arithmetic clause is bit-exact under the hash gate.
+  // -------------------------------------------------------------------
+  def mergeMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val target = c.where(col("c_custkey") <= 1000)
+    val source = c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), lower(col("c_name")).as("c_name"),
+        col("c_mktsegment"), (col("cents") + 5000L).as("cents"))
+    MergeInto(target, source, Seq("c_custkey"), Seq(
+      MatchedDelete(condition = Some("s.cents < 0")),
+      MatchedUpdate(
+        Map("c_name" -> "s.c_name", "cents" -> "t.cents + s.cents"),
+        condition = Some("s.c_mktsegment = t.c_mktsegment")),
+      MatchedUpdate(Map("cents" -> "s.cents")),
+      NotMatchedInsert(condition = Some("s.cents >= 0")),
+      NotMatchedBySourceUpdate(Map("c_mktsegment" -> "'DORMANT'"),
+        condition = Some("t.cents < 0"))))
+      .orderBy("c_custkey")
+  }
+
+  val mergeMultiSql: String =
+    """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment,
+      |                    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |             FROM customer WHERE c_custkey <= 1000),
+      |src AS (SELECT c_custkey, lower(c_name) AS c_name, c_mktsegment,
+      |               CAST(floor(c_acctbal * 100) AS BIGINT) + 5000 AS cents
+      |        FROM customer WHERE c_custkey BETWEEN 501 AND 1500),
+      |j AS (SELECT t.c_custkey AS tk, t.c_name AS tn, t.c_mktsegment AS tg,
+      |             t.cents AS tc, s.c_custkey AS sk, s.c_name AS sn,
+      |             s.c_mktsegment AS sg, s.cents AS sc
+      |      FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+      |SELECT coalesce(tk, sk) AS c_custkey,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+      |         CASE WHEN sg = tg THEN sn ELSE tn END
+      |       WHEN tk IS NULL THEN sn ELSE tn END AS c_name,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN tg
+      |       WHEN tk IS NULL THEN sg
+      |       WHEN tc < 0 THEN 'DORMANT' ELSE tg END AS c_mktsegment,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+      |         CASE WHEN sg = tg THEN tc + sc ELSE sc END
+      |       WHEN tk IS NULL THEN sc ELSE tc END AS cents
+      |FROM j
+      |WHERE CASE WHEN sk IS NOT NULL THEN sc >= 0 ELSE TRUE END
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // The reference's two reserved-but-unwired metadata contracts
   // COMPOSED: watermark incremental extraction (watermark_col_name_1,
   // commons/utilities.py:162) feeding the SCD-1 MERGE (merge_column,
@@ -699,6 +752,7 @@ object QueriesCurated {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "medallion_e2e" -> (medallionE2e _),
     "merge_upsert" -> (mergeUpsert _),
+    "merge_multi" -> (mergeMulti _),
     "scd2_merge" -> (scd2Merge _),
     "scd2_lookup" -> (scd2Lookup _),
     "scd2_cdc" -> (scd2Cdc _),
@@ -715,6 +769,7 @@ object QueriesCurated {
   val oracles: Map[String, String] = Map(
     "medallion_e2e" -> medallionE2eSql,
     "merge_upsert" -> mergeUpsertSql,
+    "merge_multi" -> mergeMultiSql,
     "scd2_merge" -> scd2MergeSql,
     "scd2_lookup" -> scd2LookupSql,
     "scd2_cdc" -> scd2CdcSql,
