@@ -1030,7 +1030,32 @@ object QueriesText {
        |FROM documents d
        |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Exact edit-distance join (operators/FuzzyJoin): deletion-
+  // neighborhood blocking generates O(n·len) candidates instead of the
+  // O(n²) cross join, then the built-in levenshtein verifies each —
+  // recall 1 by the FastSS theorem. Supplier names differ in single
+  // digits, so the distance-1 pair set is rich and fully checkable by
+  // DuckDB's own levenshtein over the (tiny at sf) all-pairs oracle.
+  // -------------------------------------------------------------------
+  def fuzzyJoinEdit(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+    graft.operators.FuzzyJoin
+      .editDistancePairs(s, "s_suppkey", "s_name", maxDist = 1)
+      .select(col("s_a").as("s_name_a"), col("s_b").as("s_name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("s_name_a", "s_name_b")
+  }
+
+  val fuzzyJoinEditSql: String =
+    """SELECT a.s_name AS s_name_a, b.s_name AS s_name_b,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY s_name_a, s_name_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_edit" -> (fuzzyJoinEdit _),
     "unigram_commonness" -> (unigramCommonness _),
     "modal_quality_by_label" -> (modalQualityByLabel _),
     "contamination_matrix" -> (contaminationMatrix _),
@@ -1056,6 +1081,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_join_edit" -> fuzzyJoinEditSql,
     "unigram_commonness" -> unigramCommonnessSql,
     "modal_quality_by_label" -> modalQualityByLabelSql,
     "contamination_matrix" -> contaminationMatrixSql,
