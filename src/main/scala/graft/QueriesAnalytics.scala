@@ -224,6 +224,80 @@ object QueriesAnalytics {
       |ORDER BY pr_units DESC, node ASC LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // Triangle counting with DEGREE-ORDERED orientation over the parts-
+  // co-ordered-together graph (edge = two parts in one order). The
+  // orientation makes wedge generation O(sum outdeg²) with outdeg
+  // bounded by ~sqrt(2m) — the standard distributed-triangle trick;
+  // hub nodes (high degree) become wedge SINKS, not sources, so no
+  // task enumerates a hub's neighbor pairs. The COUNT is orientation-
+  // independent (each triangle closes exactly once under any total
+  // order), so the oracle replays it with the simpler natural u<v
+  // orientation and must agree exactly. n_wedges is the undirected
+  // open-triad count (sum d·(d−1)/2), also orientation-free.
+  // -------------------------------------------------------------------
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Par.widen(Tables.load(spark, dir, "lineitem"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = Par.pin(
+      li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct())
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) -> high-(degree, id)
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    // oriented edge carries the DST's (degree, id) so wedge pairs can
+    // be ordered under the SAME total order the orientation uses — a
+    // wedge ordered by raw node id would look for half its closing
+    // edges in the direction the orientation never stored
+    val uLow = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = Par.pin(e.join(du, "u").join(dv, "v")
+      .select(
+        when(uLow, col("u")).otherwise(col("v")).as("src"),
+        when(uLow, col("v")).otherwise(col("u")).as("dst"),
+        when(uLow, col("dv")).otherwise(col("du")).as("dd")))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst")))
+      .select(col("e1.dst").as("wa"), col("e2.dst").as("wb"))
+    val tri = wedges.as("w").join(o.as("e3"),
+        col("w.wa") === col("e3.src") && col("w.wb") === col("e3.dst"),
+        "left_semi")
+      .count()
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges")).collect().head
+    spark.range(1).select(
+      lit(stats.getLong(0)).as("n_nodes"),
+      lit(stats.getLong(1)).as("n_edges"),
+      lit(stats.getLong(2)).as("n_wedges"),
+      lit(tri).as("n_triangles"))
+  }
+
+  val graphTrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) t
+      | GROUP BY node)
+      |SELECT
+      | (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      | (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      | (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      | (SELECT CAST(count(*) AS BIGINT)
+      |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // -------------------------------------------------------------------
   // Wide→long unpivot (melt) of the lineitem measure columns via
   // Dataset.unpivot — ONE scan through a Catalyst Expand (4 output rows
   // per input row, no self-union re-scan), then per-(flag, metric)
@@ -1975,6 +2049,7 @@ object QueriesAnalytics {
     "gap_fill" -> (gapFill _),
     "dq_expectations" -> (dqExpectations _),
     "pagerank" -> (pageRank _),
+    "graph_triangles" -> (graphTriangles _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "anomaly_zscore" -> (anomalyZscore _),
     "histogram_equidepth" -> (histogramEquidepth _))
@@ -2015,6 +2090,7 @@ object QueriesAnalytics {
     "gap_fill" -> gapFillSql,
     "dq_expectations" -> dqExpectationsSql,
     "pagerank" -> pageRankSql,
+    "graph_triangles" -> graphTrianglesSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "anomaly_zscore" -> anomalyZscoreSql,
     "histogram_equidepth" -> histogramEquidepthSql)

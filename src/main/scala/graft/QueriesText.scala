@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{FingerprintExpr, TextFunctions}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Par}
 
 /** Text-analysis + deduplication queries over the `documents` table —
   * the training-data-pipeline operator surface. The testdata plants 25
@@ -1031,6 +1031,64 @@ object QueriesText {
        |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Cross-document duplicate SPAN detection — the exact-substring
+  // signal of training-data dedup (a doc pair can be far below any
+  // whole-doc Jaccard threshold and still share a verbatim 8-token
+  // span; span-level dedup catches boilerplate, quotes and templated
+  // text that document-level near-dup misses). Relational formulation:
+  // positioned token 8-grams → grams seen in >=2 distinct docs → per
+  // doc, the duplicated-span starts and the UNION of their token
+  // intervals (dup_tokens = how many tokens span-removal would cut).
+  // One shuffle on the gram; at 100 TB the gram travels as a 64-bit
+  // rolling-hash fingerprint (functions/Fingerprint) instead of the
+  // string — here it stays the string so the oracle is exact.
+  // -------------------------------------------------------------------
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val d = Tables.load(spark, dir, "documents")
+    val grams = Par.pin(d.select(col("doc_id"),
+        posexplode(TextFunctions.wordNgrams(col("text"), W))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram")))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val dg = Par.pin(grams.join(dup, Seq("gram"), "left_semi")
+      .select("doc_id", "pos"))
+    val spans = dg.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val cov = dg.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tokens"))
+    val nt = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    nt.join(spans, "doc_id").join(cov, "doc_id").orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String = {
+    val gram = (0 until 8).map(k => s"ts[j + $k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       | SELECT doc_id, ${Frag.toks} AS ts
+       | FROM documents WHERE ${Frag.rt} <> ''),
+       |p AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS j
+       |      FROM toks WHERE len(ts) >= 8),
+       |g AS (SELECT doc_id, j AS pos, $gram AS gram FROM p),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |dg AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+       |          FROM dg GROUP BY doc_id),
+       |cov AS (SELECT doc_id, CAST(count(DISTINCT tp) AS BIGINT) AS dup_tokens
+       |        FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp
+       |              FROM dg) GROUP BY doc_id),
+       |nt AS (SELECT doc_id, CAST(${Frag.nTok} AS BIGINT) AS n_tokens
+       |       FROM documents)
+       |SELECT n.doc_id, n.n_tokens, s.n_dup_spans, c.dup_tokens
+       |FROM nt n JOIN spans s USING (doc_id) JOIN cov c USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Exact edit-distance join (operators/FuzzyJoin): deletion-
   // neighborhood blocking generates O(n·len) candidates instead of the
   // O(n²) cross join, then the built-in levenshtein verifies each —
@@ -1055,6 +1113,7 @@ object QueriesText {
       |ORDER BY s_name_a, s_name_b""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (dedupSpans _),
     "fuzzy_join_edit" -> (fuzzyJoinEdit _),
     "unigram_commonness" -> (unigramCommonness _),
     "modal_quality_by_label" -> (modalQualityByLabel _),
@@ -1081,6 +1140,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> dedupSpansSql,
     "fuzzy_join_edit" -> fuzzyJoinEditSql,
     "unigram_commonness" -> unigramCommonnessSql,
     "modal_quality_by_label" -> modalQualityByLabelSql,
