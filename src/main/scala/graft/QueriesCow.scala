@@ -827,6 +827,91 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // The `partitions` metadata table: per-partition file/row/byte totals
+  // served from the manifest alone — zero data files opened. The oracle
+  // replays the ROW counts with a plain GROUP BY over the data (files
+  // and bytes are storage-layout facts the oracle cannot see; the query
+  // require()s their internal consistency instead: n_files >= 1 per
+  // partition and totals summing to the manifest's table count).
+  // -------------------------------------------------------------------
+  def cowPartitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_pstats")
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    CowTable.commitFull(c, root, 1L, Seq("c_mktsegment"))
+    val stats = CowTable.partitionStats(spark, root).get
+    val rows = stats.collect()
+    require(rows.forall(_.getAs[Long]("n_files") >= 1))
+    require(rows.map(_.getAs[Long]("n_rows")).sum ==
+      CowTable.countFast(spark, root).get,
+      "partition totals must sum to the manifest table count")
+    stats.select(col("c_mktsegment"), col("n_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  val cowPartitionStatsSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Multi-clause MERGE through the partition-granular commit: the same
+  // clause set as merge_multi's matched/not-matched half, but executed
+  // as CowTable.mergeInto — only the source's bucket partitions are
+  // read and rewritten (rewrite-avoidance pinned in CowMergeIntoSpec;
+  // THIS row pins that the carried + merged union equals the plain
+  // full-outer CASE oracle).
+  // -------------------------------------------------------------------
+  def cowMergeMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators._
+    val root = scratch("cow_mergeinto")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      c.where(col("c_custkey") <= 1000).select(col("*"), bucket.as("pb")),
+      root, 1L, Seq("pb"))
+    val source = c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), lower(col("c_name")).as("c_name"),
+        col("c_mktsegment"), (col("cents") + 5000L).as("cents"),
+        bucket.as("pb"))
+    CowTable.mergeInto(spark, root, 2L, source, Seq("c_custkey"),
+      Seq("pb"), Seq(
+        MatchedDelete(condition = Some("s.cents < 0")),
+        MatchedUpdate(
+          Map("c_name" -> "s.c_name", "cents" -> "t.cents + s.cents"),
+          condition = Some("s.c_mktsegment = t.c_mktsegment")),
+        MatchedUpdate(Map("cents" -> "s.cents")),
+        NotMatchedInsert(condition = Some("s.cents >= 0"))))
+    CowTable.read(spark, root).get.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowMergeMultiSql: String =
+    """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment,
+      |                    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |             FROM customer WHERE c_custkey <= 1000),
+      |src AS (SELECT c_custkey, lower(c_name) AS c_name, c_mktsegment,
+      |               CAST(floor(c_acctbal * 100) AS BIGINT) + 5000 AS cents
+      |        FROM customer WHERE c_custkey BETWEEN 501 AND 1500),
+      |j AS (SELECT t.c_custkey AS tk, t.c_name AS tn, t.c_mktsegment AS tg,
+      |             t.cents AS tc, s.c_custkey AS sk, s.c_name AS sn,
+      |             s.c_mktsegment AS sg, s.cents AS sc
+      |      FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
+      |SELECT coalesce(tk, sk) AS c_custkey,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+      |         CASE WHEN sg = tg THEN sn ELSE tn END
+      |       WHEN tk IS NULL THEN sn ELSE tn END AS c_name,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN tg
+      |       WHEN tk IS NULL THEN sg ELSE tg END AS c_mktsegment,
+      |  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN
+      |         CASE WHEN sg = tg THEN tc + sc ELSE sc END
+      |       WHEN tk IS NULL THEN sc ELSE tc END AS cents
+      |FROM j
+      |WHERE CASE WHEN sk IS NOT NULL THEN sc >= 0 ELSE TRUE END
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Planner-integrated read (CowV2/CowFileIndex): the whole table is
   // ONE DataFrame whose scan consults the manifest at planning time —
   // the range predicate below reaches the scan as an ordinary Catalyst
@@ -901,6 +986,8 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_merge_multi" -> (cowMergeMulti _),
+    "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
     "cow_constraints" -> (cowConstraints _),
@@ -925,6 +1012,8 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_merge_multi" -> cowMergeMultiSql,
+    "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
     "cow_constraints" -> cowConstraintsSql,

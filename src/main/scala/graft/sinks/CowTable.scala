@@ -751,6 +751,33 @@ object CowTable {
     if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum)
   }
 
+  /** The `partitions` METADATA TABLE (Iceberg's `table$partitions`):
+    * one row per live partition with its file/row/byte totals, served
+    * ENTIRELY from the manifest — zero data files opened, whatever the
+    * table size. Exactness-gated like [[countFast]]: outstanding MOR
+    * tombstones make per-partition row counts overstatements, so the
+    * call returns None until a [[foldTombstones]] (the caller can
+    * always fall back to a grouped count over [[read]]).
+    * Partition values come back in their Spark string form (the
+    * manifest's own representation); NULL partitions stay NULL.
+    */
+  def partitionStats(
+      spark: SparkSession, root: String): Option[DataFrame] = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    if (m.tombstones.nonEmpty) return None
+    import spark.implicits._
+    val rows = m.files.groupBy(f => m.partCols.map(c => f.part.getOrElse(c, null)))
+      .toSeq.map { case (vals, fs) =>
+        (vals, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
+      }
+    val df = rows.toDF("__part", "n_files", "n_rows", "n_bytes")
+    Some(df.select(
+      m.partCols.zipWithIndex.map { case (c, i) =>
+        col("__part").getItem(i).as(c) } ++
+        Seq(col("n_files"), col("n_rows"), col("n_bytes")): _*))
+  }
+
   /** O(manifest) MIN/MAX of a NON-STRING orderable column, in Spark
     * string form (the caller casts back — numeric/date/timestamp
     * string forms are exact). Strings are refused outright: their
@@ -2137,6 +2164,59 @@ object CowTable {
     }
     commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
       sortCols, changeLogKeys = if (changeLog) keyCols else Nil)
+  }
+
+  /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
+    * applied through the partition-granular commit — conditional
+    * MATCHED UPDATE/DELETE and guarded NOT MATCHED INSERT run against
+    * ONLY the partitions the source touches (same key-stable
+    * partitioning contract as [[upsert]]), so the cost is O(source +
+    * touched partitions) whatever the table size.
+    *
+    * NOT MATCHED BY SOURCE clauses act on rows the source does NOT
+    * carry — they force reading AND rewriting every partition (the
+    * clause's semantics need the whole table), so they flip this into
+    * a full-table commit; the scaladoc price is stated rather than
+    * hidden. SET expressions may not assign partition columns (a row
+    * that migrated partitions would land outside the touched set and
+    * duplicate against its carried incumbent — the same hazard the
+    * upsert contract excludes).
+    */
+  def mergeInto(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      clauses: Seq[graft.operators.MergeClause],
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil): Unit = {
+    import graft.operators.{NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val sets = clauses.collect {
+      case u: graft.operators.MatchedUpdate => u.set.keySet
+      case u: NotMatchedBySourceUpdate => u.set.keySet
+    }.flatten.toSet
+    partCols.foreach(p => require(!sets.contains(p),
+      s"MERGE SET must not assign partition column '$p'"))
+    val hasBySource = clauses.exists {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    val base = currentManifest(spark, root)
+    val (target, touched) = base match {
+      case None => (source.limit(0), touchedKeys(source, partCols))
+      case Some(m) if hasBySource =>
+        (resolved(spark, root, m, m.files),
+          m.allFiles.map(m.partKeyOf).toSet ++ touchedKeys(source, partCols))
+      case Some(m) =>
+        val t = touchedKeys(source, partCols)
+        (baseFor(spark, root, m, t), t)
+    }
+    val merged = graft.operators.MergeInto(target, source, keyCols, clauses)
+    commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
+      sortCols)
   }
 
   /** COPY-ON-WRITE CDC apply: [[Cdc.apply]] (I/U/D, newest-wins) over

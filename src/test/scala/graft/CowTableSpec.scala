@@ -1400,4 +1400,26 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.read(spark, root).get.orderBy("id")
       .select("v").as[Int].collect().toSeq == Seq(10, 20))
   }
+
+  test("partitionStats serves the partitions metadata table from the " +
+      "manifest (no data read), refuses under outstanding tombstones, " +
+      "and recovers after a fold") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    val st = CowTable.partitionStats(spark, root).get
+      .orderBy("part").collect()
+    assert(st.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
+      Seq(("p1", 2L), ("p2", 2L), ("p3", 1L)))
+    assert(st.forall(r => r.getAs[Long]("n_files") == 1L))
+    assert(st.forall(r => r.getAs[Long]("n_bytes") > 0L))
+    // a MOR delete makes per-partition counts overstatements -> None
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq((1L, "p1")).toDF("id", "part"), Seq("id"), Seq("part"))
+    assert(CowTable.partitionStats(spark, root).isEmpty)
+    assert(CowTable.foldTombstones(spark, root, 3L))
+    val folded = CowTable.partitionStats(spark, root).get
+      .orderBy("part").collect()
+    assert(folded.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
+      Seq(("p1", 1L), ("p2", 2L), ("p3", 1L)))
+  }
 }
