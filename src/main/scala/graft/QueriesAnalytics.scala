@@ -236,40 +236,52 @@ object QueriesAnalytics {
   // open-triad count (sum d·(d−1)/2), also orientation-free.
   // -------------------------------------------------------------------
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // per-order sorted part lists, then ordered pairs generated MAP-SIDE
+    // from each list (array combinatorics) — one groupBy shuffle instead
+    // of a lineitem self-join, and the pair stream is already u < v
     val li = Par.widen(Tables.load(spark, dir, "lineitem"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val parts = li.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+    val pairs = parts.select(explode(flatten(
+      transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
     val e = Par.pin(
-      li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
-          col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct())
+      pairs.select(col("p.u").as("u"), col("p.v").as("v")).distinct())
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // orient low-(degree, id) -> high-(degree, id)
     val du = deg.select(col("node").as("u"), col("d").as("du"))
     val dv = deg.select(col("node").as("v"), col("d").as("dv"))
-    // oriented edge carries the DST's (degree, id) so wedge pairs can
-    // be ordered under the SAME total order the orientation uses — a
-    // wedge ordered by raw node id would look for half its closing
-    // edges in the direction the orientation never stored
     val uLow = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val o = Par.pin(e.join(du, "u").join(dv, "v")
+    // deg is |V|-sized (small vs |E|) — AQE broadcasts both sides, so
+    // `o` is a map-side projection of the pinned edge list: cheaper to
+    // recompute for its two consumers than to materialize 1M+ rows
+    val o = e.join(broadcast(du), "u").join(broadcast(dv), "v")
       .select(
         when(uLow, col("u")).otherwise(col("v")).as("src"),
-        when(uLow, col("v")).otherwise(col("u")).as("dst"),
-        when(uLow, col("dv")).otherwise(col("du")).as("dd")))
-    val wedges = o.as("e1").join(o.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          struct(col("e1.dd"), col("e1.dst")) <
-            struct(col("e2.dd"), col("e2.dst")))
-      .select(col("e1.dst").as("wa"), col("e2.dst").as("wb"))
-    val tri = wedges.as("w").join(o.as("e3"),
-        col("w.wa") === col("e3.src") && col("w.wb") === col("e3.dst"),
-        "left_semi")
-      .count()
+        when(uLow, col("v")).otherwise(col("u")).as("dst"))
+    // EDGE-ITERATOR count: per-node oriented adjacency lists, then per
+    // edge (u,v) the triangles through it are |N+(u) ∩ N+(v)| — each
+    // triangle's two lowest nodes point at the apex, so it is counted
+    // exactly once. This never MATERIALIZES the wedge set (41M rows at
+    // sf0.1 on this dense co-purchase graph); the intersection runs as
+    // array math inside the scan of the edge list, and the orientation
+    // bounds every adjacency list by ~sqrt(2m), so no row is huge and
+    // no task is skewed.
+    val adj = o.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("ns"))
+    val emptyNs = array().cast("array<bigint>")
+    val tri = o
+      .join(adj.select(col("src").as("ju"), col("ns").as("nu")),
+        col("src") === col("ju"))
+      .join(adj.select(col("src").as("jv"), col("ns").as("nv")),
+        col("dst") === col("jv"), "left")
+      .select(size(array_intersect(col("nu"),
+        coalesce(col("nv"), emptyNs))).cast("long").as("t"))
+      .agg(sum(col("t"))).collect().head.getLong(0)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum(col("d")) / 2).cast("long").as("n_edges"),

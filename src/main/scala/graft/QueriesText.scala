@@ -1045,15 +1045,31 @@ object QueriesText {
   // -------------------------------------------------------------------
   def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val d = Tables.load(spark, dir, "documents")
-    val grams = Par.pin(d.select(col("doc_id"),
+    // widen: the doc table is a handful of files — without a spread the
+    // whole gram explode runs on that many tasks
+    val d = Par.widen(Tables.load(spark, dir, "documents"))
+    // the corpus-sized shuffle ships an 8-byte xxhash64 of the gram,
+    // not the ~50-byte string; only HASH-duplicated candidates (a tiny
+    // fraction) re-group on the full string, so a hash collision can
+    // only ADD a candidate that the string-level confirm then rejects
+    // — exactness is unconditional, the hash is purely a bandwidth cut
+    // NOT pinned: the gram stream is a map-side explode off the doc
+    // scan — recomputing it for its two consumers is pure parallel CPU,
+    // while checkpointing millions of 50-byte strings is serial I/O
+    // that measured SLOWER than the recompute
+    val grams = d.select(col("doc_id"),
         posexplode(TextFunctions.wordNgrams(col("text"), W))
           .as(Seq("p0", "gram")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram")))
-    val dup = grams.groupBy("gram")
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"),
+        xxhash64(col("gram")).as("gh"))
+    val dupHash = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("gh")
+    val cand = grams.join(dupHash, Seq("gh"), "left_semi")
+    val dup = cand.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("gram")
-    val dg = Par.pin(grams.join(dup, Seq("gram"), "left_semi")
+    val dg = Par.pin(cand.join(dup, Seq("gram"), "left_semi")
       .select("doc_id", "pos"))
     val spans = dg.groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
     val cov = dg.select(col("doc_id"),
