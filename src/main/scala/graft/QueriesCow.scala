@@ -827,6 +827,88 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // Incremental JOIN-view maintenance (operators/JoinMv): the multiset
+  // delta rule ΔA⋈B_old + A_new⋈ΔB applied from CowTable's write-time
+  // SIGNED sidecars, with time travel supplying each step's snapshot —
+  // the view follows two independently-committing tables with
+  // O(Δ ⋈ side) work per commit and zero full-join recomputes. The
+  // customer delta exercises U (retract+insert), I and D; the orders
+  // delta is a pure-I append. The query require()s maintained ≡
+  // recomputed before returning; the oracle replays the final join.
+  // -------------------------------------------------------------------
+  def cowJoinMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinMv
+    val rootA = scratch("cow_jmv_a")
+    val rootB = scratch("cow_jmv_b")
+    val bucket = CowTable.keyBucket(Seq("custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_name"), col("c_mktsegment"))
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      c.where(col("custkey") <= 800).select(col("*"), bucket.as("pb")),
+      rootA, 1L, Seq("pb"), changeLogKeys = Seq("custkey"))
+    CowTable.commitFull(
+      o.where(col("o_orderkey") % 3 === 0).select(col("*"), bucket.as("pb")),
+      rootB, 1L, Seq("pb"), changeLogKeys = Seq("o_orderkey"))
+    val keys = Seq("custkey")
+    var mv = JoinMv.init(
+      CowTable.read(spark, rootA).get.drop("pb"),
+      CowTable.read(spark, rootB).get.drop("pb"), keys)
+
+    // customer commit 2: U 101-200 (PROMO rename), I 801-900, D 791-800
+    def nullStr = lit(null).cast("string")
+    val dU = c.where(col("custkey").between(101, 200)).select(
+      col("custkey"), upper(col("c_name")).as("c_name"),
+      lit("PROMO").as("c_mktsegment"), bucket.as("pb"), lit("U").as("oper"))
+    val dI = c.where(col("custkey").between(801, 900)).select(
+      col("custkey"), col("c_name"), col("c_mktsegment"), bucket.as("pb"),
+      lit("I").as("oper"))
+    val dD = c.where(col("custkey").between(791, 800)).select(
+      col("custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+      bucket.as("pb"), lit("D").as("oper"))
+    CowTable.applyCdc(spark, rootA, 2L, dU.unionByName(dI).unionByName(dD),
+      keys, Seq("pb"), changeLog = true)
+    val sidecarA = CowTable.changeLogFor(spark, rootA, 2L).get.drop("pb")
+    mv = JoinMv.applyDelta(mv, sidecarA,
+      CowTable.readAt(spark, rootB, 1L).get.drop("pb"),
+      keys, deltaIsLeft = true)
+
+    // orders commit 2: pure-I append of the %3==1 slice
+    CowTable.commitAppend(
+      o.where(col("o_orderkey") % 3 === 1).select(col("*"), bucket.as("pb")),
+      rootB, 2L, Seq("pb"), changeLogKeys = Seq("o_orderkey"))
+    val sidecarB = CowTable.changeLogFor(spark, rootB, 2L).get.drop("pb")
+    mv = JoinMv.applyDelta(mv, sidecarB,
+      CowTable.read(spark, rootA).get.drop("pb"),
+      keys, deltaIsLeft = false)
+
+    val expect = JoinMv.init(
+      CowTable.read(spark, rootA).get.drop("pb"),
+      CowTable.read(spark, rootB).get.drop("pb"), keys)
+    require(mv.exceptAll(expect).isEmpty && expect.exceptAll(mv).isEmpty,
+      "maintained join view diverged from the recomputed join")
+    JoinMv.finish(mv).orderBy("custkey", "o_orderkey")
+  }
+
+  val cowJoinMvSql: String =
+    """WITH a AS (
+      | SELECT c_custkey AS custkey,
+      |   CASE WHEN c_custkey BETWEEN 101 AND 200
+      |        THEN upper(c_name) ELSE c_name END AS c_name,
+      |   CASE WHEN c_custkey BETWEEN 101 AND 200
+      |        THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment
+      | FROM customer
+      | WHERE c_custkey <= 900 AND c_custkey NOT BETWEEN 791 AND 800),
+      |b AS (SELECT o_orderkey, o_custkey AS custkey,
+      |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |SELECT a.custkey, a.c_name, a.c_mktsegment, b.o_orderkey, b.cents
+      |FROM a JOIN b USING (custkey)
+      |ORDER BY custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // The `partitions` metadata table: per-partition file/row/byte totals
   // served from the manifest alone — zero data files opened. The oracle
   // replays the ROW counts with a plain GROUP BY over the data (files
@@ -987,6 +1069,7 @@ object QueriesCow {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_merge_multi" -> (cowMergeMulti _),
+    "cow_join_mv" -> (cowJoinMv _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
@@ -1013,6 +1096,7 @@ object QueriesCow {
 
   val oracles: Map[String, String] = Map(
     "cow_merge_multi" -> cowMergeMultiSql,
+    "cow_join_mv" -> cowJoinMvSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,

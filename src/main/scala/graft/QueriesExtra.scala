@@ -738,7 +738,81 @@ object QueriesExtra {
       |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Retention cohort matrix: users grouped by FIRST-ACTIVE day, tracked
+  // by distinct active days since — the product-analytics staple. One
+  // user_id exchange computes the cohort day as a window min; the
+  // (cohort, offset) matrix is then a grouped count over distinct
+  // (user, day) pairs. No self-join of events against first-events.
+  // -------------------------------------------------------------------
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val w = Window.partitionBy(col("user_id"))
+    val withCohort = e.withColumn("cohort", min(col("day")).over(w))
+    withCohort
+      .select(col("user_id"), col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("days_since"))
+      .distinct()
+      .groupBy("cohort", "days_since")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "days_since")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day,
+      |        min(day) OVER (PARTITION BY user_id) AS cohort FROM e)
+      |SELECT cohort, CAST(day - cohort AS BIGINT) AS days_since,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c GROUP BY cohort, days_since
+      |ORDER BY cohort, days_since""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Last-touch attribution: each purchase credits the user's most
+  // recent PRIOR click — the as-of pattern INSIDE one table, expressed
+  // as a conditional last_value carry-forward over a single user_id
+  // exchange (never a range self-join of purchases against clicks).
+  // Money rides as integer cents.
+  // -------------------------------------------------------------------
+  def attributionLastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    // (ts, event_id) — equal timestamps otherwise leave the carry-
+    // forward order engine-dependent and the oracle hash unstable
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = e.withColumn("click_ts",
+      last(when(col("event_type") === "click", col("ts")),
+        ignoreNulls = true).over(w))
+    attr.where(col("event_type") === "purchase" &&
+        col("click_ts").isNotNull)
+      .groupBy(to_date(col("click_ts")).as("click_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("cents"))
+      .orderBy("click_day")
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |a AS (SELECT *,
+      |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+      | FROM e)
+      |SELECT CAST(click_ts AS DATE) AS click_day,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM a WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+      |GROUP BY click_day ORDER BY click_day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_cohorts" -> (retentionCohorts _),
+    "attribution_last_touch" -> (attributionLastTouch _),
     "recursive_cte" -> (recursiveCte _),
     "lateral_topk" -> (lateralTopk _),
     "winsorize_prices" -> (winsorizePrices _),
@@ -763,6 +837,8 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "retention_cohorts" -> retentionCohortsSql,
+    "attribution_last_touch" -> attributionLastTouchSql,
     "recursive_cte" -> recursiveCteSql,
     "lateral_topk" -> lateralTopkSql,
     "winsorize_prices" -> winsorizePricesSql,

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an INNER EQUI-JOIN materialized view —
+  * the multiset delta rule
+  *
+  *   A_new ⋈ B_new  =  A_old ⋈ B_old  +  ΔA ⋈ B_new  +  A_old ⋈ ΔB
+  *
+  * with signed deltas (a D row retracts its old image with weight −1,
+  * an I row inserts the new image with +1 — exactly the form
+  * [[graft.sinks.CowTable.changeLogFor]]'s write-time sidecars and
+  * [[Cdc.changelogSigned]] emit, and the time-traveling `readAt`
+  * supplies `A_old`/`B_new` without keeping any extra state). The view
+  * carries an explicit multiplicity column `w`; applying a delta is
+  * one delta-sized join plus a grouped weight-sum, so maintenance
+  * costs O(Δ ⋈ side) — never a recompute of the full join. Groups
+  * whose weight cancels to zero are dropped (retraction completed).
+  *
+  * Two-table changes compose sequentially: apply A's delta against
+  * B's old snapshot, then B's delta against A's NEW snapshot (or the
+  * symmetric order — each step uses the other side's state as of that
+  * step). The identity above makes each step exact, so the composition
+  * is too.
+  *
+  * Join keys must be the only shared column names (the view's schema
+  * is keys ++ A-only ++ B-only columns).
+  */
+object JoinMv {
+
+  private val W = "mv_w"
+
+  private def outCols(
+      a: DataFrame, b: DataFrame, joinKeys: Seq[String]): Seq[String] = {
+    val aOnly = a.columns.toSeq.filterNot(joinKeys.contains)
+    val bOnly = b.columns.toSeq.filterNot(joinKeys.contains)
+    val overlap = aOnly.toSet.intersect(bOnly.toSet)
+    require(overlap.isEmpty,
+      s"non-key columns shared between sides: ${overlap.mkString(", ")}")
+    joinKeys ++ aOnly ++ bOnly
+  }
+
+  /** The view's initial state: the join with multiplicities. */
+  def init(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame = {
+    val cols = outCols(a, b, joinKeys)
+    a.join(b, joinKeys)
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as(W))
+  }
+
+  /** One side's signed delta joined against the OTHER side's snapshot,
+    * merged into the view. `deltaIsLeft` says whether `delta` plays
+    * A's role (its columns are A's) or B's.
+    *
+    * @param delta  signed rows: the side's columns + `operCol` with
+    *               D (retract old image) / I (insert new image)
+    * @param other  the other side's snapshot AS OF this step
+    */
+  def applyDelta(
+      mv: DataFrame,
+      delta: DataFrame,
+      other: DataFrame,
+      joinKeys: Seq[String],
+      deltaIsLeft: Boolean,
+      operCol: String = "oper"): DataFrame = {
+    val sign = when(upper(trim(col(operCol))) === "D", lit(-1L))
+      .otherwise(lit(1L))
+    val signed = delta.withColumn(W, sign).drop(operCol)
+    // the side flag fixes the view's column ORDER; the inner equi-join
+    // itself is symmetric
+    val cols =
+      if (deltaIsLeft) outCols(delta.drop(operCol), other, joinKeys)
+      else outCols(other, delta.drop(operCol), joinKeys)
+    val joined = signed.join(other, joinKeys)
+      .select(cols.map(col) :+ col(W): _*)
+    merge(mv, joined, cols)
+  }
+
+  private def merge(
+      mv: DataFrame, delta: DataFrame, cols: Seq[String]): DataFrame =
+    mv.select(cols.map(col) :+ col(W): _*)
+      .unionByName(delta)
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(W)).as(W))
+      .where(col(W) =!= 0)
+
+  /** Present the view: expand multiplicities away when every row is
+    * unique (the common unique-key case), refusing silently-lossy
+    * output otherwise.
+    */
+  def finish(mv: DataFrame): DataFrame = {
+    val dup = mv.where(col(W) =!= 1).limit(1).count()
+    require(dup == 0,
+      "view has rows with multiplicity != 1 — present the weight " +
+        "column explicitly instead of dropping it")
+    mv.drop(W)
+  }
+}
