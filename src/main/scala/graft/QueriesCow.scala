@@ -909,6 +909,58 @@ object QueriesCow {
       |ORDER BY custkey, o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // STREAM-maintained JOIN view (CowStream.joinMvSink): the orders cow
+  // table's sidecar feed — full + pure-I append + MOR delete commits —
+  // joined against a pinned customer dim via JoinMv's ±1 weights, MV
+  // committed exactly-once per micro-batch. The require() proves the
+  // streamed view ≡ the direct join; the oracle replays the final join.
+  // -------------------------------------------------------------------
+  def cowStreamJoinMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinMv
+    import graft.sinks.SnapshotTarget
+    import graft.streaming.CowStream
+    val root = scratch("cow_sjmv")
+    val bucket = CowTable.keyBucket(Seq("custkey"), NBuckets)
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("custkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      o.where(col("o_orderkey") % 3 === 0).select(col("*"), bucket.as("pb")),
+      root, 1L, Seq("pb"), keep = 10, changeLogKeys = Seq("o_orderkey"))
+    CowTable.commitAppend(
+      o.where(col("o_orderkey") % 3 === 1).select(col("*"), bucket.as("pb")),
+      root, 2L, Seq("pb"), keep = 10, changeLogKeys = Seq("o_orderkey"))
+    CowTable.deleteKeysMor(spark, root, 3L,
+      o.where(col("o_orderkey") % 3 === 0 && col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), bucket.as("pb")),
+      Seq("o_orderkey"), Seq("pb"), keep = 10, changeLog = true)
+    val dim = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val mvPath = scratch("cow_sjmv_mv")
+    val q = CowStream.joinMvSink(spark, root, dim, Seq("custkey"),
+      mvPath, checkpoint = scratch("cow_sjmv_ck"))
+    try q.processAllAvailable() finally q.stop()
+    val mv = JoinMv.finish(SnapshotTarget.read(spark, mvPath).get)
+      .drop("pb")
+    val direct = CowTable.read(spark, root).get.drop("pb")
+      .join(dim, Seq("custkey"))
+    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+      "stream-maintained join view diverged from the direct join")
+    mv.orderBy("custkey", "o_orderkey")
+  }
+
+  val cowStreamJoinMvSql: String =
+    """WITH b AS (SELECT o_orderkey, o_custkey AS custkey,
+      |        CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders
+      |      WHERE (o_orderkey % 3 = 1)
+      |         OR (o_orderkey % 3 = 0 AND o_orderkey > 300)),
+      |a AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+      |SELECT b.custkey, b.o_orderkey, b.cents, a.c_mktsegment
+      |FROM b JOIN a USING (custkey)
+      |ORDER BY custkey, o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // The `partitions` metadata table: per-partition file/row/byte totals
   // served from the manifest alone — zero data files opened. The oracle
   // replays the ROW counts with a plain GROUP BY over the data (files
@@ -1070,6 +1122,7 @@ object QueriesCow {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
+    "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
@@ -1097,6 +1150,7 @@ object QueriesCow {
   val oracles: Map[String, String] = Map(
     "cow_merge_multi" -> cowMergeMultiSql,
     "cow_join_mv" -> cowJoinMvSql,
+    "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StringType
 
-import graft.operators.MaterializedAgg
+import graft.operators.{JoinMv, MaterializedAgg}
 import graft.sinks.{CowTable, SnapshotTarget}
 
 /** STREAMING CHANGE-FEED SOURCE over a [[CowTable]]'s write-time
@@ -95,9 +95,34 @@ object CowStream {
     // replay guard: this micro-batch's MV snapshot already committed
     if (SnapshotTarget.committedIds(spark, mvPath).exists(_ >= batchId))
       return
+    val live = liveIds(batch, tableRoot, waitMs)
+    if (live.isEmpty) return // every id was a provable orphan — no-op
+    val delta = MaterializedAgg.retractStateOf(
+      batch.where(col("_commit_id").isin(live: _*)).drop("_commit_id"),
+      keys, values, CowTable.ChangeOper)
+    val merged = SnapshotTarget.read(spark, mvPath) match {
+      case Some(cur) => MaterializedAgg.mergeRetract(keys, values, cur, delta)
+      case None => delta.where(col("mv_n") =!= 0)
+    }
+    SnapshotTarget.commit(merged, mvPath, batchId)
+  }
+
+  /** The commit-frontier and retention guards shared by every sidecar
+    * consumer ([[mvBatch]], [[joinMvBatch]]): of the batch's commit
+    * ids, the ones that are COMMITTED — after waiting out the
+    * publish→manifest race at the frontier (bounded; timeout fails the
+    * batch so the stream replays) and failing LOUD when an unknown id
+    * precedes the vacuum high-water mark (committed-then-vacuumed is
+    * indistinguishable from never-committed — see the class scaladoc's
+    * retention contract). Ids provably dead (behind a later committed
+    * frontier) are dropped as orphans.
+    */
+  private def liveIds(
+      batch: DataFrame, tableRoot: String, waitMs: Long): Seq[Long] = {
+    val spark = batch.sparkSession
     val ids = batch.select(col("_commit_id")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    if (ids.isEmpty) return
+    if (ids.isEmpty) return Nil
     var committed = CowTable.committedIds(spark, tableRoot).toSet
     def stillPending() = ids.filter(i =>
       !committed(i) && committed.forall(_ < i))
@@ -128,16 +153,60 @@ object CowStream {
           "told from never-committed. The stream lagged past the " +
           "writer's retention — rebuild the MV from a rescan, or raise " +
           "the writer's keep above the stream's worst-case commit lag")
-    val live = ids.filter(committed)
-    if (live.isEmpty) return // every id was a provable orphan — no-op
-    val delta = MaterializedAgg.retractStateOf(
-      batch.where(col("_commit_id").isin(live: _*)).drop("_commit_id"),
-      keys, values, CowTable.ChangeOper)
-    val merged = SnapshotTarget.read(spark, mvPath) match {
-      case Some(cur) => MaterializedAgg.mergeRetract(keys, values, cur, delta)
-      case None => delta.where(col("mv_n") =!= 0)
-    }
+    ids.filter(committed)
+  }
+
+  /** One micro-batch of a stream-maintained JOIN view: the table's
+    * signed delta joined against a PINNED dimension snapshot via
+    * [[JoinMv.applyDelta]] (weights ±1, grouped weight-sum merge), the
+    * result committed at `batchId` — the streaming-enrichment MV
+    * `A_current ⋈ B_snapshot` maintained with O(Δ ⋈ B) per commit and
+    * zero fact-table rescans. Same frontier/retention/replay guards as
+    * [[mvBatch]]. (A view over TWO independently-streaming tables needs
+    * a cross-table commit order; pin one side — the dim — and restart
+    * the stream to re-pin when it changes.)
+    */
+  def joinMvBatch(
+      batch: DataFrame,
+      batchId: Long,
+      tableRoot: String,
+      dim: DataFrame,
+      joinKeys: Seq[String],
+      mvPath: String,
+      waitMs: Long = 30000): Unit = {
+    val spark = batch.sparkSession
+    if (SnapshotTarget.committedIds(spark, mvPath).exists(_ >= batchId))
+      return
+    val live = liveIds(batch, tableRoot, waitMs)
+    if (live.isEmpty) return
+    val delta = batch.where(col("_commit_id").isin(live: _*))
+      .drop("_commit_id")
+    val cur = SnapshotTarget.read(spark, mvPath).getOrElse(
+      JoinMv.init(delta.drop(CowTable.ChangeOper).limit(0), dim, joinKeys))
+    val merged = JoinMv.applyDelta(cur, delta, dim, joinKeys,
+      deltaIsLeft = true, operCol = CowTable.ChangeOper)
     SnapshotTarget.commit(merged, mvPath, batchId)
+  }
+
+  /** The stream-maintained JOIN-view sink: [[changeFeed]] →
+    * [[joinMvBatch]] per micro-batch.
+    */
+  def joinMvSink(
+      spark: SparkSession,
+      tableRoot: String,
+      dim: DataFrame,
+      joinKeys: Seq[String],
+      mvPath: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val writer = changeFeed(spark, tableRoot).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => joinMvBatch(b, id, tableRoot, dim, joinKeys, mvPath))
+    trigger.foreach(writer.trigger)
+    writer.start()
   }
 
   /** The stream-maintained MV sink: [[changeFeed]] → [[mvBatch]] per

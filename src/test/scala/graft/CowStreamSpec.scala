@@ -129,6 +129,33 @@ class CowStreamSpec extends SparkSpec {
       .collect().toSeq == before)
   }
 
+  test("stream-maintained JOIN view: the fact sidecar feed joined " +
+      "against a pinned dim equals a direct join; crash-replay is a " +
+      "no-op") {
+    import graft.operators.JoinMv
+    val root = tmp("jmv")
+    table(root)
+    val dim = (0 to 9).map(s => (s, s"segment-$s")).toDF("seg", "seg_name")
+    val mv = tmp("jmv_mv")
+    val q = CowStream.joinMvSink(spark, root, dim, Seq("seg"), mv,
+      checkpoint = tmp("jmv_ck"))
+    try q.processAllAvailable() finally q.stop()
+    val got = JoinMv.finish(SnapshotTarget.read(spark, mv).get)
+    val want = CowTable.read(spark, root).get.join(dim, Seq("seg"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-maintained join view diverged from the direct join")
+    // replay: an already-committed MV snapshot id is a no-op
+    val before = SnapshotTarget.read(spark, mv).get
+      .orderBy("seg", "id").collect().toSeq
+    val replay = CowTable.changeLogFor(spark, root, 2L).get
+      .withColumnRenamed("oper", "_oper")
+      .withColumn("_commit_id", lit(2L))
+    CowStream.joinMvBatch(replay, 0L, root, dim, Seq("seg"), mv)
+    assert(SnapshotTarget.read(spark, mv).get
+      .orderBy("seg", "id").collect().toSeq == before,
+      "replayed micro-batch mutated the join view")
+  }
+
   test("retention ambiguity fails LOUD: an unknown id at or below the " +
       "vacuum high-water mark may be committed-then-vacuumed and must " +
       "never be dropped as an orphan") {
