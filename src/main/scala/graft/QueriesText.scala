@@ -1031,6 +1031,54 @@ object QueriesText {
        |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // TF-IDF keyword extraction: top-3 terms per document ranked by the
+  // integer surrogate tf·N/df (monotone in tf·idf for fixed N — the
+  // ln() never reorders a ratio, so ranks are identical and the score
+  // stays ENGINE-EXACT integer arithmetic instead of a float log both
+  // engines must round identically). Two grouped counts + one window;
+  // the df table shuffles on the term, never on the corpus.
+  // -------------------------------------------------------------------
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = Par.widen(Tables.load(spark, dir, "documents"))
+    val toks = d.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = d.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_u").desc, col("token").asc)
+    tf.join(dft, "token")
+      .withColumn("score_u",
+        expr(s"tf * 1000000L * ${nDocs}L div df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("token"), col("score_u"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(${Frag.toks}) AS token
+       | FROM documents WHERE ${Frag.rt} <> ''),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, token),
+       |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       | SELECT tf.doc_id, tf.token,
+       |   CAST(tf.tf * 1000000 * n.n_docs // dft.df AS BIGINT) AS score_u,
+       |   row_number() OVER (PARTITION BY tf.doc_id
+       |     ORDER BY tf.tf * 1000000 * n.n_docs // dft.df DESC,
+       |              tf.token ASC) AS rk
+       | FROM tf JOIN dft USING (token) CROSS JOIN n)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, score_u
+       |FROM scored WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------
   // Cross-document duplicate SPAN detection — the exact-substring
   // signal of training-data dedup (a doc pair can be far below any
   // whole-doc Jaccard threshold and still share a verbatim 8-token
@@ -1129,6 +1177,7 @@ object QueriesText {
       |ORDER BY s_name_a, s_name_b""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_keywords" -> (tfidfKeywords _),
     "dedup_spans" -> (dedupSpans _),
     "fuzzy_join_edit" -> (fuzzyJoinEdit _),
     "unigram_commonness" -> (unigramCommonness _),
@@ -1156,6 +1205,7 @@ object QueriesText {
     "dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "tfidf_keywords" -> tfidfKeywordsSql,
     "dedup_spans" -> dedupSpansSql,
     "fuzzy_join_edit" -> fuzzyJoinEditSql,
     "unigram_commonness" -> unigramCommonnessSql,

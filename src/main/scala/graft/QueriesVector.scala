@@ -92,6 +92,59 @@ object QueriesVector {
   }
 
   // -------------------------------------------------------------------
+  // FILTERED vector search: top-k among the vectors matching a
+  // metadata predicate (label = 3) — the "search within this
+  // collection/tenant/language" shape every retrieval stack needs.
+  // PRE-filtering semantics (the filter scopes the candidate set, so k
+  // results are guaranteed when the scope has k vectors — post-filter
+  // k-then-discard does not). Per-row cell assignment commutes with a
+  // row predicate, so the filter applies before assignment here; on the
+  // disk index the same predicate rides the `cell=N/` scan as an
+  // ordinary pushed filter (label as a skipping/partition column at
+  // scale). Full-replay oracle: same deterministic centroid slice as
+  // sim_ivf_topk, plus the WHERE.
+  // -------------------------------------------------------------------
+  def simFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.where(col("label") === 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val centroids = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cells = Similarity.ivfAssignTo(corpus, centroids)
+    Similarity.ivfTopK(cells, centroids, queries, k = 5, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
+  val simFilteredTopkSql: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def cos(a: String, b: String) =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH c AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+       |           WHERE label = 3),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |         WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < 8),
+       |asg AS (SELECT id, vec, cid, row_number() OVER (PARTITION BY id
+       |    ORDER BY ${cos("vec", "cvec")} DESC, cid ASC) AS rn
+       |  FROM c CROSS JOIN cent),
+       |cells AS (SELECT id, vec, cid AS cell FROM asg WHERE rn = 1),
+       |pr AS (SELECT qid, qvec, cid, row_number() OVER (PARTITION BY qid
+       |    ORDER BY ${cos("qvec", "cvec")} DESC, cid ASC) AS rn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT qid, qvec, cid AS cell FROM pr WHERE rn <= 4),
+       |s AS (SELECT p.qid, c.id, round(${cos("p.qvec", "c.vec")}, 6) AS cosine
+       |  FROM cells c JOIN probes p ON c.cell = p.cell WHERE p.qid <> c.id),
+       |r AS (SELECT qid, id, cosine, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, id ASC) AS rank FROM s)
+       |SELECT qid, id, cosine, rank FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // IVF with nProbe = nCells: probes every cell, so the result must
   // EQUAL exact brute force — an oracle-checked end-to-end test of the
   // IVF machinery (centroid routing, per-cell scoring, global top-k).
@@ -659,6 +712,7 @@ object QueriesVector {
     "sim_ivf_drift" -> (simIvfDrift _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_filtered_topk" -> (simFilteredTopk _),
     "sim_cosine_pairs" -> (simCosinePairsExact _),
     "sim_lsh_pairs" -> (simLshPairs _),
     "sim_lsh_incremental" -> (simLshIncremental _),
@@ -674,6 +728,7 @@ object QueriesVector {
     "sim_ivf_drift" -> simIvfDriftSql,
     "sim_bruteforce_topk" -> simBruteForceTopkSql,
     "sim_ivf_topk" -> simIvfTopkSql, // full replay: see simIvfTopk notes
+    "sim_filtered_topk" -> simFilteredTopkSql, // full replay + label WHERE
     "sim_ivf_exact" -> simBruteForceTopkSql, // nProbe=nCells ⇒ exact
     "sim_pq_topk" -> simPqTopkSql, // full replay: see simPqTopk notes
     "sim_cosine_pairs" -> simCosinePairsExactSql,
