@@ -224,6 +224,56 @@ object QueriesAnalytics {
       |ORDER BY pr_units DESC, node ASC LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // Robust outlier detection via median/MAD — the heavy-tail-safe twin
+  // of anomaly_zscore (one wild value drags a mean+stddev gate, not a
+  // median one). All statistics ride integer scalings (med2 = 2·median,
+  // mad8 = 8·MAD, both exact integers for integer cents since an exact
+  // percentile of ints is k or k+0.5), so the outlier rule
+  // |x−med| > 3·MAD becomes the bit-exact integer test 2·d4 > 3·mad8.
+  // Two grouped exact percentiles + one broadcast join back.
+  // -------------------------------------------------------------------
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val med = c.groupBy("c_mktsegment")
+      .agg(floor(expr("percentile(cents, 0.5) * 2")).cast("long").as("med2"))
+    val dev = c.join(broadcast(med), "c_mktsegment")
+      .withColumn("d4", abs(col("cents") * 4 - col("med2") * 2))
+    val mad = dev.groupBy("c_mktsegment")
+      .agg(floor(expr("percentile(d4, 0.5) * 2")).cast("long").as("mad8"))
+    dev.join(broadcast(mad), "c_mktsegment")
+      .groupBy("c_mktsegment")
+      .agg(first(col("med2")).as("med2"), first(col("mad8")).as("mad8"),
+        count(lit(1)).as("n"),
+        sum(when(col("d4") * 2 > col("mad8") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val robustOutliersSql: String =
+    """WITH c AS (SELECT c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |med AS (SELECT c_mktsegment,
+      |    CAST(floor(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM c GROUP BY c_mktsegment),
+      |dev AS (SELECT c.c_mktsegment, cents, med2,
+      |    abs(cents * 4 - med2 * 2) AS d4
+      |  FROM c JOIN med USING (c_mktsegment)),
+      |mad AS (SELECT c_mktsegment,
+      |    CAST(floor(quantile_cont(d4, 0.5) * 2) AS BIGINT) AS mad8
+      |  FROM dev GROUP BY c_mktsegment)
+      |SELECT d.c_mktsegment,
+      |  CAST(min(d.med2) AS BIGINT) AS med2,
+      |  CAST(min(m.mad8) AS BIGINT) AS mad8,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN d.d4 * 2 > m.mad8 * 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (c_mktsegment)
+      |GROUP BY d.c_mktsegment
+      |ORDER BY d.c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
   // Triangle counting with DEGREE-ORDERED orientation over the parts-
   // co-ordered-together graph (edge = two parts in one order). The
   // orientation makes wedge generation O(sum outdeg²) with outdeg
@@ -2062,6 +2112,7 @@ object QueriesAnalytics {
     "dq_expectations" -> (dqExpectations _),
     "pagerank" -> (pageRank _),
     "graph_triangles" -> (graphTriangles _),
+    "robust_outliers" -> (robustOutliers _),
     "unpivot_metrics" -> (unpivotMetrics _),
     "anomaly_zscore" -> (anomalyZscore _),
     "histogram_equidepth" -> (histogramEquidepth _))
@@ -2103,6 +2154,7 @@ object QueriesAnalytics {
     "dq_expectations" -> dqExpectationsSql,
     "pagerank" -> pageRankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "robust_outliers" -> robustOutliersSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "anomaly_zscore" -> anomalyZscoreSql,
     "histogram_equidepth" -> histogramEquidepthSql)

@@ -342,21 +342,16 @@ object Dedup {
   def simhashSignatures(
       docs: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val toks = Par.widen(docs)
-      .select(col(idCol).as("__id"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("__t"))
-      .select(col("__id"), xxhash64(col("__t")).as("__h"))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(col("__h").bitwiseAND(shiftleft(lit(1L), i)) =!= 0, 1)
-        .otherwise(-1)).as(s"__v$i"))
-    val votes = toks.groupBy(col("__id")).agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"__v$i") > 0, shiftleft(lit(1L), i))
-        .otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    votes.select(col("__id"), sig.as("__sig"))
-  }
+      textCol: String): DataFrame =
+    // one codegen'd expression per row (graft.functions.SimHash64Expr)
+    // — bit-identical to the original explode → shuffle → 64-SUM
+    // pipeline (equality spec-pinned in TextFunctionsSpec), but the
+    // signature stage is now a PROJECTION in the doc scan: zero
+    // explode, zero shuffle. Assumes ids unique per row (the Dedup
+    // contract); duplicate ids would now sign per ROW, not per id.
+    Par.widen(docs).select(col(idCol).as("__id"),
+      graft.functions.SimHash64Expr.simhash64(
+        split(trim(lower(col(textCol))), "\\s+")).as("__sig"))
 
   /** SimHash near-dup pairs: band the 64-bit signature into `bands`
     * equal chunks (any-equal-chunk ⇒ candidate), verify by full

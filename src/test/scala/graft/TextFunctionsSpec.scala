@@ -126,4 +126,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m("") == ((0.0, 0.0)))
     assert(m("a b") == ((0.0, 0.5))) // too short for any trigram
   }
+
+  test("SimHash64Expr equals the explode + 64-SUM aggregate " +
+      "formulation bit-for-bit (incl. empty and repeated-token docs), " +
+      "and registers for SQL") {
+    import spark.implicits._
+    import graft.functions.SimHash64Expr
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), // trim+split yields [""] — one empty-string token
+      (3L, "a a a b"), // repeats vote multiple times
+      (4L, "  spaced   out   tokens  "),
+      (5L, "Unicode café über straße 😀"))
+      .toDF("id", "text")
+    val toksOf = split(trim(lower(col("text"))), "\\s+")
+    val viaExpr = docs
+      .select(col("id"), SimHash64Expr.simhash64(toksOf).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the ORIGINAL pipeline, inlined
+    val toks = docs
+      .select(col("id"), explode(toksOf).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(shiftleft(lit(1L), i)) =!= 0, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val votes = toks.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val viaAgg = votes.select(col("id"), sig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg,
+      s"signatures diverged:\n expr=$viaExpr\n agg =$viaAgg")
+    SimHash64Expr.register(spark)
+    val viaSql = docs.createOrReplaceTempView("simhash_docs")
+    val sqlSigs = spark.sql(
+      "SELECT id, graft_simhash64(split(trim(lower(text)), '\\\\s+')) " +
+        "FROM simhash_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlSigs == viaExpr)
+  }
 }
