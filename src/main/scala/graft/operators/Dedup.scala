@@ -65,14 +65,26 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       numHashes: Int): DataFrame = {
-    val sh = wide
-      .select(col(idCol),
-        explode(array_distinct(transform(
+    // MAP-SIDE signatures via ONE codegen'd expression
+    // (graft.functions.MinHashSigsExpr): the per-hash minima fold over
+    // the row's own shingles in a generated loop instead of exploding
+    // to (id, shingleHash) rows and shuffling them into numHashes MIN
+    // aggregates — bit-identical (spec-pinned; the expression runs the
+    // same xxhash64 chains, hash-level dedup and drop-empty-docs rule
+    // as the aggregate pipeline it replaced, and a null signature
+    // marks exactly the docs that had no rows to aggregate). The
+    // signature stage now runs inside the document scan: zero shuffle.
+    // (A higher-order-function formulation — nested transform +
+    // array_min — was tried first and measured SLOWER than the
+    // shuffle: HigherOrderFunction lambdas are CodegenFallback.)
+    wide.select(col(idCol),
+        graft.functions.MinHashSigsExpr.minhashSigs(
           TextFunctions.charShingles(col(textCol), shingleSize),
-          s => xxhash64(s)))).as("__shingle"))
-    val hashAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__shingle"))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(hashAggs.head, hashAggs.tail: _*)
+          numHashes).as("__sig"))
+      .where(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** The (id, band, bucket) rows of a signature set — the shape shared

@@ -167,4 +167,35 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sqlSigs == viaExpr)
   }
+
+  test("MinHashSigsExpr equals the explode + MIN-aggregate formulation " +
+      "bit-for-bit, and a no-shingle doc yields NULL (absent), not a " +
+      "signature") {
+    import spark.implicits._
+    import graft.functions.MinHashSigsExpr
+    val n = 16
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "xyz"), // shorter than the shingle size -> no shingles
+      (3L, "repetition repetition repetition repetition"),
+      (4L, "unicode café über straße and some more text here"))
+      .toDF("id", "text")
+    val shingles = TextFunctions.charShingles(col("text"), 8)
+    val viaExpr = docs.select(col("id"),
+        MinHashSigsExpr.minhashSigs(shingles, n).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the ORIGINAL pipeline, inlined
+    val sh = docs.select(col("id"),
+      explode(array_distinct(transform(shingles, s => xxhash64(s))))
+        .as("shingle"))
+    val aggs = (0 until n).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val viaAgg = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to n).map(r.getLong(_)).toSeq).toMap
+    assert(viaExpr == viaAgg,
+      s"signatures diverged:\n expr=$viaExpr\n agg =$viaAgg")
+    assert(!viaExpr.contains(2L), "no-shingle doc must be absent")
+  }
 }
