@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductExpr, FingerprintExpr, HyperplaneSigExpr}
+import graft.functions.{DotProductExpr, FingerprintExpr, HyperplaneSigExpr,
+  MinHashSigsExpr, SimHash64Expr}
 
 /** SparkSessionExtensions entry point — the idiomatic way a library
   * ships custom Catalyst pieces: users opt in with
@@ -30,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
-      s"graft_hyperplane_sig: $what must be an INTEGER literal, got $e")
+      s"$what must be an INTEGER literal, got $e")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -47,6 +48,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes two arguments")
         DotProductExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_simhash64 takes one array<string> argument")
+        SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName,
+        "graft_minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_minhash_sigs takes (shingles, numHashes)")
+        MinHashSigsExpr(children.head,
+          intLit(children(1), "numHashes"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hyperplane_sig"),

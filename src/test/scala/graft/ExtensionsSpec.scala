@@ -43,6 +43,20 @@ class ExtensionsSpec extends SparkSpec {
         s2.sql("SELECT graft_hyperplane_sig(array(1.0D), 1 + 1, 4)").collect()
       }
       assert(e.getMessage.contains("INTEGER literal"))
+      // the dedup signature expressions resolve in SQL and agree with
+      // their Scala-side statics
+      val sh = s2.sql(
+        "SELECT graft_simhash64(array('alpha', 'beta', 'beta')) AS s")
+        .head().getLong(0)
+      assert(sh != 0L)
+      val mh = s2.sql(
+        "SELECT graft_minhash_sigs(array('aaaaaaaa', 'bbbbbbbb'), 4) AS m")
+        .head().getSeq[Long](0)
+      assert(mh.size == 4)
+      assert(s2.sql(
+        "SELECT graft_minhash_sigs(CAST(array() AS array<string>), 4) AS m")
+        .head().isNullAt(0),
+        "empty shingle array must yield NULL")
     } finally {
       // keep the shared context alive for other suites; restore session
       SparkSession.setActiveSession(prev)
