@@ -32,6 +32,15 @@ final class CowConstraintException(msg: String)
 final case class CowRange(
     colName: String, lo: Option[String], hi: Option[String])
 
+/** [[CowTable.fsck]]'s findings: referenced-but-absent paths (real
+  * corruption), unreferenced on-disk data files (crash leftovers /
+  * pre-vacuum waste), and unpublished staged commit ids.
+  */
+final case class CowFsckReport(
+    missing: Seq[String], orphans: Seq[String], staged: Seq[Long]) {
+  def clean: Boolean = missing.isEmpty && orphans.isEmpty && staged.isEmpty
+}
+
 /** One data file of a [[CowTable]] snapshot. `path` is table-root-
   * relative (`batch-<id>/…/part-….parquet`); `part` maps each
   * partition column to its Spark string form (null value = the NULL
@@ -749,6 +758,57 @@ object CowTable {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum)
+  }
+
+  /** Filesystem ↔ manifest integrity audit (fsck). Reports, without
+    * mutating anything:
+    *
+    *  - `missing`: paths a RETAINED manifest references that do not
+    *    exist on disk — real corruption (external deletion, botched
+    *    restore of the directory); affected snapshots cannot serve.
+    *  - `orphans`: batch-dir data files no retained manifest
+    *    references — crash leftovers (a writer that died between
+    *    writeBatch and commit) or files awaiting [[vacuum]]'s age
+    *    rule; wasted bytes, never a correctness problem.
+    *  - `staged`: unpublished write-audit-publish ids ([[stagedIds]])
+    *    — work in flight or abandoned audits awaiting
+    *    [[discardStaged]].
+    *
+    * Listing cost is one recursive walk of the table root plus the
+    * retained manifests (already cached driver-side by any recent
+    * reader) — no data file is opened.
+    */
+  def fsck(spark: SparkSession, root: String): CowFsckReport = {
+    val fs = hfs(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath))
+      return CowFsckReport(Nil, Nil, Nil)
+    val ids = committedIds(spark, root)
+    val referenced = ids.flatMap(i =>
+      manifest(spark, root, i).allFiles.map(_.path)).toSet
+    val staged = stagedIds(spark, root)
+    val stagedReferenced = staged.flatMap(i =>
+      manifestAt(spark, stagedManifestDir(root, i), i).allFiles.map(_.path))
+      .toSet
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => walk(d.getPath)
+        case f if f.getPath.getName.endsWith(".parquet") =>
+          Seq(f.getPath.toString)
+        case _ => Nil
+      }
+    val rootUri = fs.makeQualified(rootPath).toString
+    val onDisk = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BatchPrefix))
+      .flatMap(s => walk(s.getPath))
+      .map(_.stripPrefix(rootUri).stripPrefix("/"))
+      .toSet
+    val missing = referenced.filterNot(onDisk).toSeq.sorted
+    val orphans = onDisk
+      .filterNot(referenced)
+      .filterNot(stagedReferenced)
+      .toSeq.sorted
+    CowFsckReport(missing, orphans, staged)
   }
 
   /** The `partitions` METADATA TABLE (Iceberg's `table$partitions`):

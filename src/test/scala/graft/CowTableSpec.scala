@@ -1401,6 +1401,36 @@ class CowTableSpec extends SparkSpec {
       .select("v").as[Int].collect().toSeq == Seq(10, 20))
   }
 
+  test("fsck: a healthy table is clean; an externally deleted data " +
+      "file reports as missing; an unreferenced batch file as orphan; " +
+      "a staged commit is listed, its files NOT counted as orphans") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"))
+    assert(CowTable.fsck(spark, root).clean)
+    // stage an append: its batch files must not read as orphans
+    CowTable.stageAppend(
+      Seq((9L, "p1", "z", 90.0)).toDF("id", "part", "name", "score"),
+      root, 2L, Seq("part"))
+    val withStage = CowTable.fsck(spark, root)
+    assert(withStage.missing.isEmpty && withStage.orphans.isEmpty)
+    assert(withStage.staged == Seq(2L))
+    CowTable.discardStaged(spark, root, 2L)
+    // plant an orphan batch file (crashed writer's leftover)
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    base3.limit(1).write.parquet(s"$root/batch-99/junk")
+    val withOrphan = CowTable.fsck(spark, root)
+    assert(withOrphan.missing.isEmpty && withOrphan.staged.isEmpty)
+    assert(withOrphan.orphans.nonEmpty &&
+      withOrphan.orphans.forall(_.startsWith("batch-99/")))
+    fs.delete(new Path(s"$root/batch-99"), true)
+    // externally delete a referenced file
+    val victim = CowTable.currentManifest(spark, root).get.files.head.path
+    fs.delete(new Path(s"$root/$victim"), false)
+    val withMissing = CowTable.fsck(spark, root)
+    assert(withMissing.missing == Seq(victim))
+  }
+
   test("partitionStats serves the partitions metadata table from the " +
       "manifest (no data read), refuses under outstanding tombstones, " +
       "and recovers after a fold") {
