@@ -78,9 +78,8 @@ object Dedup {
     // array_min — was tried first and measured SLOWER than the
     // shuffle: HigherOrderFunction lambdas are CodegenFallback.)
     wide.select(col(idCol),
-        graft.functions.MinHashSigsExpr.minhashSigs(
-          TextFunctions.charShingles(col(textCol), shingleSize),
-          numHashes).as("__sig"))
+        graft.functions.MinHashSigsExpr.minhashOfText(
+          col(textCol), shingleSize, numHashes).as("__sig"))
       .where(col("__sig").isNotNull)
       .select(col(idCol) +:
         (0 until numHashes).map(i =>

@@ -197,5 +197,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(viaExpr == viaAgg,
       s"signatures diverged:\n expr=$viaExpr\n agg =$viaAgg")
     assert(!viaExpr.contains(2L), "no-shingle doc must be absent")
+    // the FUSED text form (byte-walking shingle windows) agrees too —
+    // multibyte characters land on correct boundaries by construction
+    val viaFused = docs.select(col("id"),
+        MinHashSigsExpr.minhashOfText(col("text"), 8, n).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaFused == viaAgg,
+      s"fused text form diverged:\n fused=$viaFused\n agg =$viaAgg")
   }
 }
