@@ -909,6 +909,31 @@ object QueriesCow {
       |ORDER BY custkey, o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // Predicate DELETE (Delta's DELETE FROM ... WHERE) as a COW commit:
+  // only partitions holding matching rows rewrite (mtime-pinned in
+  // CowTableSpec); the prune hint lets the candidate scan skip files
+  // whose stats envelope cannot match. THIS row pins the semantics:
+  // the surviving table equals the plain NOT-filter.
+  // -------------------------------------------------------------------
+  def cowDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_delw")
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    CowTable.commitFull(c, root, 1L, Seq("c_mktsegment"))
+    CowTable.deleteWhere(spark, root, 2L, col("cents") < 0,
+      prune = Seq(graft.sinks.CowRange("cents", None, Some("0"))))
+    CowTable.read(spark, root).get.orderBy("c_custkey")
+  }
+
+  val cowDeleteWhereSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |       CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |FROM customer
+      |WHERE NOT (CAST(floor(c_acctbal * 100) AS BIGINT) < 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // STREAM-maintained JOIN view (CowStream.joinMvSink): the orders cow
   // table's sidecar feed — full + pure-I append + MOR delete commits —
   // joined against a pinned customer dim via JoinMv's ±1 weights, MV
@@ -1123,6 +1148,7 @@ object QueriesCow {
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
+    "cow_delete_where" -> (cowDeleteWhere _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
@@ -1151,6 +1177,7 @@ object QueriesCow {
     "cow_merge_multi" -> cowMergeMultiSql,
     "cow_join_mv" -> cowJoinMvSql,
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
+    "cow_delete_where" -> cowDeleteWhereSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,

@@ -2226,6 +2226,58 @@ object CowTable {
       sortCols, changeLogKeys = if (changeLog) keyCols else Nil)
   }
 
+  /** PREDICATE DELETE as a COW commit (Delta's `DELETE FROM t WHERE`):
+    * rewrite exactly the partitions that hold matching rows, dropping
+    * those rows; every other partition carries by reference.
+    *
+    * `prune` (optional) is a manifest-skipping HINT — per-column
+    * ranges that over-approximate where `cond` can match (e.g. the
+    * cond's own bounds on a stats column). Files whose envelopes miss
+    * every range are not even READ when locating matches; correctness
+    * never depends on it (`cond` re-evaluates on every candidate row),
+    * a wrong hint can only cause a missed delete if it excludes files
+    * that DO match — so the hint must over-approximate, which the
+    * caller owns. At 100 TB: a time-ranged retention delete with a
+    * date-range hint reads the few files of that date span and
+    * rewrites only their partitions.
+    *
+    * Cost: one scan of the candidate files (locating touched
+    * partitions) + a rewrite of those partitions. Same commit
+    * protocol, checks, and evolution gates as every other commit.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val candidates =
+      if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+    if (candidates.isEmpty) return // nothing can match — id unconsumed
+    // partitions that actually hold matching rows (candidate-scan only;
+    // values cast to string IN-ENGINE so they match the manifest's own
+    // cast-to-string partition representation exactly)
+    val hit = resolved(spark, root, m, candidates, prune)
+      .where(cond)
+      .select(m.partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partKey(m.partCols,
+        m.partCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
+      .toSet
+    if (hit.isEmpty) return
+    val rewrite = resolved(spark, root, m,
+      m.files.filter(f => hit.contains(m.partKeyOf(f))))
+      .where(!coalesce(cond, lit(false)))
+    commitPartitionsFrom(Some(m), rewrite, hit, root, id, m.partCols,
+      keep, sortCols)
+  }
+
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
     * applied through the partition-granular commit — conditional
     * MATCHED UPDATE/DELETE and guarded NOT MATCHED INSERT run against

@@ -1401,6 +1401,34 @@ class CowTableSpec extends SparkSpec {
       .select("v").as[Int].collect().toSeq == Seq(10, 20))
   }
 
+  test("deleteWhere rewrites ONLY partitions holding matching rows; a " +
+      "NULL predicate keeps its row (SQL DELETE semantics); a no-match " +
+      "prune hint leaves the id unconsumed") {
+    val root = tmp()
+    val data = Seq(
+      (1L, "p1", "a", Some(10.0)), (2L, "p1", "b", Some(20.0)),
+      (3L, "p2", "c", None), (4L, "p2", "d", Some(40.0)),
+      (5L, "p3", "e", Some(50.0)))
+      .toDF("id", "part", "name", "score")
+    CowTable.commitFull(data, root, 1L, Seq("part"))
+    val before = dataFileState(root)
+    // score > 45 hits p3 only; p2's NULL score row must survive
+    CowTable.deleteWhere(spark, root, 2L, col("score") > 45)
+    val after = dataFileState(root)
+    before.filterNot(_._1.contains("__gp_part=p3")).foreach {
+      case (p, mt) => assert(after.get(p).contains(mt),
+        s"partition without matches was rewritten: $p") }
+    assert(CowTable.read(spark, root).get.select("id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // over-approximating hint that matches nothing: no-op, id reusable
+    CowTable.deleteWhere(spark, root, 3L, col("score") > 100,
+      prune = Seq(graft.sinks.CowRange("score",
+        Some("100.0"), None)))
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L),
+      "a no-candidate delete must not consume the id")
+    assert(CowTable.read(spark, root).get.count() == 4)
+  }
+
   test("fsck: a healthy table is clean; an externally deleted data " +
       "file reports as missing; an unreferenced batch file as orphan; " +
       "a staged commit is listed, its files NOT counted as orphans") {
