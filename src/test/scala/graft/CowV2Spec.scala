@@ -162,6 +162,25 @@ class CowV2Spec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("schema evolution through the planner path: old int-era files " +
+      "upcast to the widened long schema and surface NULL for the " +
+      "added column") {
+    val root = tmp()
+    val v1 = Seq((1, "p1", 10), (2, "p2", 20)).toDF("id", "part", "v")
+    CowTable.commitFull(v1, root, 1L, Seq("part"), keep = 10)
+    val v2 = Seq((3L, "p1", 30L, "t3")).toDF("id", "part", "v", "tag")
+    CowTable.commitAppend(v2, root, 2L, Seq("part"), keep = 10)
+    val df = CowV2.read(spark, root).get
+    assert(df.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(10L, 20L, 30L),
+      "old int files must upcast through the vectorized reader")
+    assert(rows.map(r => Option(r.getString(3))).toSeq ==
+      Seq(None, None, Some("t3")),
+      "pre-evolution files must surface NULL for the added column")
+  }
+
   test("snapshot isolation: a CowV2 DataFrame pins its manifest — a " +
       "commit AFTER construction is invisible to it") {
     val root = tmp()

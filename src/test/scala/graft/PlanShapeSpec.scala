@@ -309,4 +309,33 @@ class PlanShapeSpec extends SparkSpec {
         s"bloom filter must guard the probe-side scan:\n$plan")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("ANALYZE TABLE statistics drive the cost model: row counts " +
+      "surface in plan stats and a selective filter shrinks the " +
+      "estimate under CBO") {
+    val saved = Seq("spark.sql.cbo.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val name = "graft_cbo_orders"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .write.saveAsTable(name)
+      spark.sql(
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+          "o_orderkey, o_orderstatus")
+      val full = spark.table(name)
+      val fullStats = full.queryExecution.optimizedPlan.stats
+      val trueCount = full.count()
+      assert(fullStats.rowCount.contains(BigInt(trueCount)),
+        s"ANALYZE row count must surface in plan stats: $fullStats")
+      val filtered = full.where(
+        org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val filteredStats = filtered.queryExecution.optimizedPlan.stats
+      assert(filteredStats.rowCount.exists(_ < BigInt(trueCount)),
+        "column stats must shrink the filtered estimate " +
+          s"(got $filteredStats vs $trueCount rows)")
+      spark.sql(s"DROP TABLE $name")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
