@@ -485,6 +485,45 @@ object QueriesVector {
       |FROM d ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Audio leg of the multimodal plumbing: REAL PCM-in-WAV payloads
+  // (RIFF header, 16-bit LE samples) built per doc in mapPartitions,
+  // then DECODED — magic/format validation + sample scan — to measured
+  // n_samples / peak / energy. The oracle replays the deterministic
+  // waveform generator relationally; the Spark side must parse actual
+  // bytes to hash-match it, exactly the image leg's contract.
+  // -------------------------------------------------------------------
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shaped = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (lit(50) + octet_length(col("text")) % 200).cast("int").as("ns"),
+        (lit(1) + ascii(substring(col("text"), 1, 1)) % 97).cast("int")
+          .as("seed"))
+    val payloads = graft.operators.Par.widen(shaped)
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, ns, seed) =>
+        (id, Multimodal.encodeWav(id, ns, seed)) })
+      .toDF("doc_id", "payload")
+    Multimodal.decodeAudio(payloads, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
+  val multimodalAudioSql: String =
+    """WITH shaped AS (SELECT doc_id,
+      |  CAST(50 + octet_length(encode(text)) % 200 AS INTEGER) AS ns,
+      |  CAST(1 + unicode(substr(text, 1, 1)) % 97 AS INTEGER) AS seed
+      | FROM documents),
+      |ks AS (SELECT doc_id, seed, unnest(range(0, ns)) AS k FROM shaped),
+      |v AS (SELECT doc_id,
+      |        ((doc_id * 31 + k * seed + 7) % 65536) - 32768 AS sv
+      |      FROM ks)
+      |SELECT doc_id,
+      | CAST(count(*) AS BIGINT) AS n_samples,
+      | CAST(max(abs(sv)) AS BIGINT) AS peak,
+      | CAST(sum(sv * sv) AS BIGINT) AS energy
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // IVF index drift monitor (Similarity.assignFit) — the retrain signal
   // for incremental index maintenance (Similarity.appendIndex): the
   // corpus splits into a "training era" (vec_id%10 < 8) and "new
@@ -720,7 +759,8 @@ object QueriesVector {
     "embed_canonical" -> (embedCanonical _),
     "sim_ivf_exact" -> (simIvfExact _),
     "embed_label_stats" -> (embedLabelStats _),
-    "multimodal_decode" -> (multimodalDecode _))
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_audio" -> (multimodalAudio _))
 
   val oracles: Map[String, String] = Map(
     "knn_label_eval" -> knnLabelEvalSql,
@@ -737,5 +777,6 @@ object QueriesVector {
     "kmeans_centroids" -> kmeansCentroidsSql,
     "embed_canonical" -> embedCanonicalSql,
     "embed_label_stats" -> embedLabelStatsSql,
-    "multimodal_decode" -> multimodalDecodeSql)
+    "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }

@@ -109,4 +109,98 @@ object Multimodal {
   def sampleFrames(meta: DataFrame, every: Int = 2): DataFrame =
     meta.withColumn("frame_idx",
       explode(sequence(lit(0), col("frames") - 1, lit(every))))
+
+  // -------------------------------------------------------------------
+  // Audio leg: real PCM-in-WAV bytes (RIFF header + 16-bit LE mono
+  // samples), same architecture as the image leg — a deterministic
+  // generator whose formulas an oracle can replay, and a REAL binary
+  // decoder (magic validation, header parse, sample scan) the Spark
+  // side must run to measure the same numbers back out.
+  // -------------------------------------------------------------------
+
+  /** Deterministic sample k of document `id`'s waveform — int16,
+    * SQL-replayable: ((id·31 + k·seed + 7) mod 65536) − 32768.
+    */
+  def sampleValue(id: Long, k: Int, seed: Int): Int =
+    (((id * 31L + k.toLong * seed + 7L) % 65536L) - 32768L).toInt
+
+  /** Encode a canonical 44-byte-header PCM WAV (mono, 16-bit LE,
+    * 8 kHz) holding `nSamples` generated samples.
+    */
+  def encodeWav(id: Long, nSamples: Int, seed: Int): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort(sampleValue(id, k, seed).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Measured (not declared) audio properties: sample count from the
+    * data chunk, peak amplitude, total energy (sum of squares — exact
+    * in a long for any realistic clip).
+    */
+  final case class AudioMeta(
+      doc_id: Long, n_samples: Long, peak: Long, energy: Long)
+
+  /** Real WAV decode: validate the RIFF/WAVE magic and PCM format,
+    * then scan the sample words. Throws on malformed payloads — a
+    * corrupt media column should fail loud, not feed NaN features.
+    */
+  def decodeWav(docId: Long, payload: Array[Byte]): AudioMeta = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", s"doc $docId: not a RIFF payload")
+    bb.getInt // riff size
+    require(ascii(4) == "WAVE" && ascii(4) == "fmt ",
+      s"doc $docId: not a WAVE/fmt payload")
+    require(bb.getInt == 16 && bb.getShort == 1,
+      s"doc $docId: not canonical PCM")
+    val channels = bb.getShort
+    bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
+    val bits = bb.getShort
+    require(channels == 1 && bits == 16,
+      s"doc $docId: expected 16-bit mono, got $bits-bit $channels-ch")
+    require(ascii(4) == "data", s"doc $docId: missing data chunk")
+    val dataBytes = bb.getInt
+    val n = dataBytes / 2
+    var peak = 0L
+    var energy = 0L
+    var k = 0
+    while (k < n) {
+      val s = bb.getShort.toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      energy += s * s
+      k += 1
+    }
+    AudioMeta(docId, n.toLong, peak, energy)
+  }
+
+  /** (id, payload) → [[AudioMeta]], decoding per partition (same codec
+    * boundary as [[decode]]).
+    */
+  def decodeAudio(
+      payloads: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+      .toDF()
+  }
 }

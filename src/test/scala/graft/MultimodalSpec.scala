@@ -56,4 +56,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where(col("doc_id") === 2)
       .select("frame_idx").as[Int].collect().toSeq == Seq(0))
   }
+
+  test("WAV round-trip: encode produces a canonical RIFF payload the " +
+      "decoder measures exactly; corrupt payloads fail loud") {
+    val meta = Multimodal.decodeWav(7L, Multimodal.encodeWav(7L, 100, 13))
+    assert(meta.n_samples == 100L)
+    val expectPeak = (0 until 100)
+      .map(k => math.abs(Multimodal.sampleValue(7L, k, 13)).toLong).max
+    val expectEnergy = (0 until 100)
+      .map { k => val s = Multimodal.sampleValue(7L, k, 13).toLong; s * s }
+      .sum
+    assert(meta.peak == expectPeak && meta.energy == expectEnergy)
+    // corrupt magic
+    val bad = Multimodal.encodeWav(7L, 10, 13)
+    bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(7L, bad) }
+    // truncated header
+    intercept[Exception] {
+      Multimodal.decodeWav(7L, Array[Byte](1, 2, 3))
+    }
+  }
 }
