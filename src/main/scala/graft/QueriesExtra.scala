@@ -810,7 +810,71 @@ object QueriesExtra {
       |FROM a WHERE event_type = 'purchase' AND click_ts IS NOT NULL
       |GROUP BY click_day ORDER BY click_day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Keyed dataset diff (operators/DataDiff) — the regression primitive
+  // of every engine/code migration: one full-outer join classifies
+  // rows (only_left/only_right/changed/identical) and per-column
+  // null-safe comparisons say WHICH columns drifted. The right side is
+  // the left with surgical, formula-known mutations, so the oracle
+  // replays the whole classification.
+  // -------------------------------------------------------------------
+  def dataDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val left = c.where(col("c_custkey") <= 1200)
+    val right = c.where(col("c_custkey").between(201, 1400)).select(
+      col("c_custkey"),
+      when(col("c_custkey") % 10 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("c_name"),
+      col("c_mktsegment"),
+      when(col("c_custkey") % 7 === 0, col("cents") + 1)
+        .otherwise(col("cents")).as("cents"))
+    graft.operators.DataDiff.summary(left, right, Seq("c_custkey"))
+  }
+
+  val dataDiffSql: String =
+    """WITH c AS (SELECT c_custkey, c_name, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |l AS (SELECT * FROM c WHERE c_custkey <= 1200),
+      |r AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
+      |             ELSE c_name END AS c_name,
+      |        c_mktsegment,
+      |        CASE WHEN c_custkey % 7 = 0 THEN cents + 1
+      |             ELSE cents END AS cents
+      |      FROM c WHERE c_custkey BETWEEN 201 AND 1400),
+      |j AS (SELECT l.c_custkey AS lk, r.c_custkey AS rk,
+      |        l.c_name AS ln, r.c_name AS rn,
+      |        l.c_mktsegment AS lm, r.c_mktsegment AS rm,
+      |        l.cents AS lc, r.cents AS rc
+      |      FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey)
+      |SELECT
+      | CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_only_left,
+      | CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_only_right,
+      | CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND
+      |   (ln IS DISTINCT FROM rn OR lm IS DISTINCT FROM rm
+      |    OR lc IS DISTINCT FROM rc) THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_changed,
+      | CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND
+      |   NOT (ln IS DISTINCT FROM rn OR lm IS DISTINCT FROM rm
+      |    OR lc IS DISTINCT FROM rc) THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_identical,
+      | CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND
+      |   ln IS DISTINCT FROM rn THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_changed_c_name,
+      | CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND
+      |   lm IS DISTINCT FROM rm THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_changed_c_mktsegment,
+      | CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL AND
+      |   lc IS DISTINCT FROM rc THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_changed_cents
+      |FROM j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_diff" -> (dataDiff _),
     "retention_cohorts" -> (retentionCohorts _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "recursive_cte" -> (recursiveCte _),
@@ -837,6 +901,7 @@ object QueriesExtra {
     "subqueries" -> (subqueries _))
 
   val oracles: Map[String, String] = Map(
+    "data_diff" -> dataDiffSql,
     "retention_cohorts" -> retentionCohortsSql,
     "attribution_last_touch" -> attributionLastTouchSql,
     "recursive_cte" -> recursiveCteSql,

@@ -363,6 +363,10 @@ object Dedup {
     Par.widen(docs).select(col(idCol).as("__id"),
       graft.functions.SimHash64Expr.simhash64(
         split(trim(lower(col(textCol))), "\\s+")).as("__sig"))
+      // null-text docs had no rows to aggregate in the original
+      // pipeline (explode of null drops them) — the projection form
+      // must drop them too, not emit a (id, null) signature row
+      .where(col("__sig").isNotNull)
 
   /** SimHash near-dup pairs: band the 64-bit signature into `bands`
     * equal chunks (any-equal-chunk ⇒ candidate), verify by full

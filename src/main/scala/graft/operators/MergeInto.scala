@@ -83,13 +83,24 @@ object MergeInto {
     val outType = target.schema
 
     if (enforceUniqueSource) {
-      val dups = source
+      // ANSI's cardinality violation is about a TARGET row matched by
+      // more than one source row — duplicate NOT-MATCHED source keys
+      // are legal (they all insert), so the duplicate keys are
+      // semi-joined against the target's keys before refusing. Cost:
+      // the (tiny) duplicate-key set probes the target once.
+      val dupKeys = source
         .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
         .groupBy(keyCols.map(col): _*)
-        .count().where(col("count") > 1).limit(1).count()
-      require(dups == 0,
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .select(keyCols.map(col): _*)
+      val offending = dupKeys
+        .join(target.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .limit(1).count()
+      require(offending == 0,
         s"MERGE cardinality violation: a target row matches more than " +
-          s"one source row on ${keyCols.mkString(", ")}")
+          s"one source row on ${keyCols.mkString(", ")} — collapse the " +
+          "source per key (duplicate keys that match NO target row " +
+          "would have been legal inserts)")
     }
 
     val t = target.select(struct(outCols.map(col): _*).as("t"))

@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LocalRelation,
-  LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId,
+  Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate,
+  LocalRelation, LogicalPlan, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
@@ -76,16 +77,41 @@ object Lineage {
       val genSources = refsOf(g.generator.references.toSeq, below)
       merge(below,
         g.generatorOutput.map(a => a.exprId -> genSources).toMap)
+    case e: Expand =>
+      // Expand (unpivot, cube/rollup grouping sets) mints its output
+      // attrs DIRECTLY (no Alias): output attr i derives from every
+      // projection row's expression i
+      val below = attrLineage(e.child)
+      val positional = e.output.zipWithIndex.map { case (a, i) =>
+        a.exprId -> e.projections
+          .flatMap(row => exprSources(row(i), below)).toSet
+      }.toMap
+      merge(below, positional)
     case p =>
       val below = p.children.map(attrLineage)
         .fold(Map.empty[ExprId, Set[(String, String)]])(merge)
       // every Alias anywhere in this node's expressions names a new
-      // ExprId whose lineage is the union of its children's references
+      // ExprId whose lineage is the union of its expression's sources
       val aliased = p.expressions.flatMap(_.collect {
-        case al: Alias =>
-          al.exprId -> refsOf(al.child.references.toSeq, below)
+        case al: Alias => al.exprId -> exprSources(al.child, below)
       }).toMap
       merge(below, aliased)
+  }
+
+  /** Sources of one expression: its attribute references, plus — for
+    * subquery expressions (scalar/IN/EXISTS) — the lineage of the
+    * subquery plan's own output.
+    */
+  private def exprSources(
+      e: Expression,
+      below: Map[ExprId, Set[(String, String)]]): Set[(String, String)] = {
+    val direct = refsOf(e.references.toSeq, below)
+    val sub = e.collect { case sq: SubqueryExpression =>
+      val inner = attrLineage(sq.plan)
+      sq.plan.output.flatMap(o =>
+        inner.getOrElse(o.exprId, Set.empty)).toSet
+    }.fold(Set.empty[(String, String)])(_ ++ _)
+    direct ++ sub
   }
 
   private def refsOf(

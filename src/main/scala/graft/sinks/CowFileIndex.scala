@@ -104,8 +104,16 @@ final class CowFileIndex(
       Option(Cast(l, StringType,
         Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
         .map(_.toString)
+    // a session-TZ TIMESTAMP's string form depends on the session
+    // timezone — the manifest stats were rendered under the WRITER's,
+    // this literal under the READER's; a mismatch could FALSE-SKIP a
+    // live file (rows silently missing — the one failure mode skipping
+    // must never have). Such columns are simply not auto-pruned here
+    // (TimestampNTZ, dates, numerics and strings are TZ-free and safe).
     def named(x: Expression): Option[String] = x match {
-      case a: AttributeReference => Some(a.name)
+      case a: AttributeReference
+          if a.dataType != org.apache.spark.sql.types.TimestampType =>
+        Some(a.name)
       case _ => None
     }
     e match {

@@ -1948,27 +1948,38 @@ object CowTable {
       s"stage $id at $root")
     val effSchema = effSchemaOf(prev, batch.schema)
     prev.foreach(p => validateEvolution(p, effSchema, partCols))
-    val batchDir = s"$root/$BatchPrefix$id"
-    writeBatch(batch, batchDir, partCols, sortCols)
-    val effBloomCols =
-      if (bloomCols.nonEmpty) bloomCols
-      else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
-        .filter(effSchema.fieldNames.contains)
-    val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
-      effBloomCols)
-    val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
-      .getOrElse(Set.empty[String])
-    val carried = prev.map(_.allFiles
-        .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
-          mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
-      .getOrElse(Nil)
-    writeManifestAt(spark, stagedManifestDir(root, id), partCols,
-      effSchema.toDDL, fresh ++ carried)
-    val fs = hfs(spark, root)
-    val out = fs.create(stagedMetaPath(root, id), true)
-    try out.write(prev.map(_.id.toString).getOrElse("none")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // per-id lease, same as every batch-writing path: an ordinary
+    // writer racing for the SAME id would otherwise interleave its
+    // locked batch-dir write with this unlocked one and commit a
+    // manifest listing a mix of both writers' files
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id))
+        throw new CowConcurrentCommitException(
+          s"stage $id at $root: a commit with id >= $id landed while " +
+            "acquiring the lease — re-stage with a fresh id")
+      val batchDir = s"$root/$BatchPrefix$id"
+      writeBatch(batch, batchDir, partCols, sortCols)
+      val effBloomCols =
+        if (bloomCols.nonEmpty) bloomCols
+        else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
+          .filter(effSchema.fieldNames.contains)
+      val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
+        effBloomCols)
+      val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
+        .getOrElse(Set.empty[String])
+      val carried = prev.map(_.allFiles
+          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
+            mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
+        .getOrElse(Nil)
+      writeManifestAt(spark, stagedManifestDir(root, id), partCols,
+        effSchema.toDDL, fresh ++ carried)
+      val fs = hfs(spark, root)
+      val out = fs.create(stagedMetaPath(root, id), true)
+      try out.write(prev.map(_.id.toString).getOrElse("none")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally releaseCommitLock(spark, root, id)
   }
 
   /** The WOULD-BE snapshot of staged commit `id` — what the table will
@@ -1987,7 +1998,12 @@ object CowTable {
     if (!fs.exists(rootPath)) Nil
     else fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(s"${ManifestPrefix}staged-"))
+        s.getPath.getName.startsWith(s"${ManifestPrefix}staged-") &&
+        // same completeness gate as committedIds: a crash mid-stage
+        // leaves a partial manifest dir that must read as ABSENT (its
+        // batch files then surface as fsck orphans), not as a staged
+        // commit whose parse blows up every auditor
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
       .flatMap(_.getPath.getName.stripPrefix(s"${ManifestPrefix}staged-")
         .toLongOption)
       .sorted
@@ -2252,7 +2268,8 @@ object CowTable {
       cond: Column,
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -2275,7 +2292,7 @@ object CowTable {
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
       .where(!coalesce(cond, lit(false)))
     commitPartitionsFrom(Some(m), rewrite, hit, root, id, m.partCols,
-      keep, sortCols)
+      keep, sortCols, changeLogKeys = changeLogKeys)
   }
 
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
@@ -2303,7 +2320,8 @@ object CowTable {
       partCols: Seq[String],
       clauses: Seq[graft.operators.MergeClause],
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
     import graft.operators.{NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
     if (committedIds(spark, root).exists(_ >= id)) return
     val sets = clauses.collect {
@@ -2312,6 +2330,18 @@ object CowTable {
     }.flatten.toSet
     partCols.foreach(p => require(!sets.contains(p),
       s"MERGE SET must not assign partition column '$p'"))
+    // explicit-values inserts fill unlisted columns with NULL — a
+    // partition column left out would land rows in the NULL partition,
+    // outside the touched set; require it assigned (the caller owns
+    // assigning it to the SOURCE's value, same key-stable contract as
+    // SET above)
+    clauses.collect { case i: graft.operators.NotMatchedInsert
+        if i.values.nonEmpty => i }
+      .foreach(i => partCols.foreach(p =>
+        require(i.values.contains(p),
+          s"explicit-values INSERT must assign partition column '$p' " +
+            "(s.<col>) — an unlisted partition column would NULL out " +
+            "and land the row outside its bucket")))
     val hasBySource = clauses.exists {
       case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
       case _ => false
@@ -2328,7 +2358,7 @@ object CowTable {
     }
     val merged = graft.operators.MergeInto(target, source, keyCols, clauses)
     commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
-      sortCols)
+      sortCols, changeLogKeys = changeLogKeys)
   }
 
   /** COPY-ON-WRITE CDC apply: [[Cdc.apply]] (I/U/D, newest-wins) over

@@ -78,7 +78,9 @@ class CowMergeIntoSpec extends SparkSpec {
       .where($"name" === "STALE").count() == 2)
   }
 
-  test("SET assigning a partition column is refused") {
+  test("SET assigning a partition column is refused; an explicit-values " +
+      "INSERT must assign it (NULLing it would land rows outside their " +
+      "bucket)") {
     val root = tmp()
     CowTable.commitFull(base, root, 1L, Seq("part"))
     val source = Seq((1L, "p1", "x", 1L)).toDF("id", "part", "name", "qty")
@@ -86,6 +88,17 @@ class CowMergeIntoSpec extends SparkSpec {
       CowTable.mergeInto(spark, root, 2L, source, Seq("id"), Seq("part"),
         Seq(MatchedUpdate(Map("part" -> "'p9'"))))
     }
+    intercept[IllegalArgumentException] {
+      CowTable.mergeInto(spark, root, 2L, source, Seq("id"), Seq("part"),
+        Seq(NotMatchedInsert(Map("id" -> "s.id", "name" -> "s.name"))))
+    }
+    // assigning it from the source is the sanctioned form
+    CowTable.mergeInto(spark, root, 2L,
+      Seq((6L, "p1", "f", 60L)).toDF("id", "part", "name", "qty"),
+      Seq("id"), Seq("part"),
+      Seq(NotMatchedInsert(Map("id" -> "s.id", "part" -> "s.part",
+        "name" -> "s.name", "qty" -> "s.qty"))))
+    assert(CowTable.read(spark, root).get.where($"id" === 6L).count() == 1)
   }
 
   test("first commit: an empty table accepts a MERGE whose inserts " +

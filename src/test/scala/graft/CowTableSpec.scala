@@ -1427,6 +1427,14 @@ class CowTableSpec extends SparkSpec {
     assert(CowTable.committedIds(spark, root) == Seq(1L, 2L),
       "a no-candidate delete must not consume the id")
     assert(CowTable.read(spark, root).get.count() == 4)
+    // with changeLogKeys the delete publishes a signed sidecar (a
+    // sidecar-fed MV would otherwise silently miss the retraction)
+    CowTable.deleteWhere(spark, root, 3L, col("id") === 4L,
+      changeLogKeys = Seq("id"))
+    val feed = CowTable.changeLogFor(spark, root, 3L)
+      .getOrElse(fail("deleteWhere with changeLogKeys wrote no sidecar"))
+    assert(feed.where($"oper" === "D").select("id")
+      .as[Long].collect().toSeq == Seq(4L))
   }
 
   test("fsck: a healthy table is clean; an externally deleted data " +

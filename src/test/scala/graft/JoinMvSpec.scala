@@ -68,6 +68,15 @@ class JoinMvSpec extends SparkSpec {
       "retraction must cancel every accumulated copy")
   }
 
+  test("the netted I/U/D diff form is rejected — only SIGNED D/I " +
+      "deltas maintain the view") {
+    val mv = JoinMv.init(custs, ords, Seq("ck"))
+    val netted = Seq((1L, "a2", "S9", "U")).toDF("ck", "name", "seg", "oper")
+    intercept[IllegalArgumentException] {
+      JoinMv.applyDelta(mv, netted, ords, Seq("ck"), deltaIsLeft = true)
+    }
+  }
+
   test("shared non-key columns are refused") {
     val b = Seq((1L, "x")).toDF("ck", "name")
     intercept[IllegalArgumentException] {

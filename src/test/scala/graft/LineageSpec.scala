@@ -60,4 +60,35 @@ class LineageSpec extends SparkSpec {
       Set("o_orderstatus", "o_orderkey"),
       "window ordering/partitioning columns are lineage inputs")
   }
+
+  test("Expand-produced outputs (unpivot) and scalar subqueries trace " +
+      "— neither reads as 'derived from nothing'") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val melted = li.select(col("l_orderkey"), col("l_quantity"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount")),
+        "metric", "value")
+    val lin = Lineage.columnLineage(melted)
+    assert(lin("value").map(_._2) == Set("l_quantity", "l_discount"),
+      s"unpivoted value column lost its sources: ${lin("value")}")
+    assert(lin("l_orderkey").map(_._2) == Set("l_orderkey"))
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val withSub = o.select(col("o_orderkey"),
+      (col("o_totalprice") > li.select(avg(col("l_extendedprice")))
+        .as[Double].head()).as("above_flat"))
+    assert(Lineage.columnLineage(withSub)("above_flat").map(_._2) ==
+      Set("o_totalprice"))
+    // a REAL correlated scalar subquery via SQL
+    o.createOrReplaceTempView("lin_orders")
+    li.createOrReplaceTempView("lin_items")
+    val sq = spark.sql(
+      """SELECT o_orderkey,
+        |  (SELECT sum(l_quantity) FROM lin_items
+        |   WHERE l_orderkey = o_orderkey) AS qty
+        |FROM lin_orders""".stripMargin)
+    val linSq = Lineage.columnLineage(sq)
+    assert(linSq("qty").map(_._2).contains("l_quantity"),
+      s"scalar subquery lost its inner source: ${linSq("qty")}")
+  }
 }

@@ -78,13 +78,21 @@ class MergeIntoSpec extends SparkSpec {
     assert(r.getString(1) == "b" && r.isNullAt(2))
   }
 
-  test("more than one source match per key is a cardinality violation") {
+  test("more than one source match per TARGET key is a cardinality " +
+      "violation; duplicate NOT-matched keys are legal inserts (ANSI)") {
     val source = Seq((2L, "x", 1.0), (2L, "y", 2.0))
       .toDF("id", "name", "bal")
     intercept[IllegalArgumentException] {
       MergeInto(target, source, Seq("id"),
         Seq(MatchedUpdate(Map("name" -> "s.name"))))
     }
+    // same duplication on a key the target does NOT hold: both insert
+    val newKeys = Seq((9L, "x", 1.0), (9L, "y", 2.0))
+      .toDF("id", "name", "bal")
+    val out = MergeInto(target, newKeys, Seq("id"),
+      Seq(MatchedUpdate(Map("name" -> "s.name")), NotMatchedInsert()))
+    assert(out.where($"id" === 9L).count() == 2,
+      "duplicate not-matched source rows must both insert")
   }
 
   test("the plan is ONE full-outer join with one exchange per side — " +
