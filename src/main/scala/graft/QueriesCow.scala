@@ -884,6 +884,9 @@ object QueriesCow {
       CowTable.read(spark, rootA).get.drop("pb"),
       keys, deltaIsLeft = false)
 
+    // (pinning mv/expect before this two-direction compare was tried
+    // and measured ~neutral — the query's cost is the four table-BUILD
+    // commits with their signed sidecars, which are the test subject)
     val expect = JoinMv.init(
       CowTable.read(spark, rootA).get.drop("pb"),
       CowTable.read(spark, rootB).get.drop("pb"), keys)
