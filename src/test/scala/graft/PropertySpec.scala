@@ -222,4 +222,105 @@ class PropertySpec extends SparkSpec {
     assert(CowTable.mayMatch(schema, sf, "s", Some("5"), Some("50")),
       "string envelope must compare as strings, not numbers")
   }
+
+  test("fuzzy join: deletion-neighborhood blocking equals brute force " +
+      "for random short words at k=1 and k=2 (dense near-collisions)") {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    // tiny alphabet + short words ⇒ many true near-pairs per sample
+    val wordGen = Gen.listOfN(10,
+      Gen.choose(0, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    for ((words, k) <- samples(wordGen, 6).zip(
+        Iterator.continually(Seq(1, 2)).flatten)) {
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val got = graft.operators.FuzzyJoin
+        .editDistancePairs(df, "id", "w", maxDist = k)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val a = df.select(col("id").as("ia"), col("w").as("wa"))
+      val b = df.select(col("id").as("ib"), col("w").as("wb"))
+      val want = a.crossJoin(b).where(col("ia") < col("ib"))
+        .withColumn("d", levenshtein(col("wa"), col("wb")))
+        .where(col("d") <= k)
+        .select("ia", "ib", "d").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"words=$words k=$k")
+    }
+  }
+
+  test("join view: random alternating mutation rounds keep the " +
+      "maintained view equal to the recomputed join") {
+    import graft.operators.{Cdc, JoinMv}
+    val mutGen = Gen.listOfN(6, Gen.zip(
+      Gen.chooseNum(1L, 8L), Gen.chooseNum(-5L, 100L)))
+    val allMuts = samples(mutGen, 12)
+    for (i <- 0 until 4) {
+      var a = (1L to 5L).map(k => (k, k * 10)).toDF("k", "av")
+      var b = (2L to 8L).map(k => (k, k + 100)).toDF("k", "bv")
+      var mv = JoinMv.init(a, b, Seq("k"))
+      for (round <- 0 until 3) {
+        val muts = allMuts(i * 3 + round)
+          .groupBy(_._1).map(_._2.head).toSeq // unique keys per batch
+        if (round % 2 == 0) {
+          // mutate A: value < 0 deletes the key, else upsert
+          val aNew = (a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            -- muts.filter(_._2 < 0).map(_._1)
+            ++ muts.filter(_._2 >= 0)).toSeq.toDF("k", "av")
+          val d = Cdc.changelogSigned(a, aNew, Seq("k"))
+          mv = JoinMv.applyDelta(mv, d, b, Seq("k"), deltaIsLeft = true)
+          a = aNew
+        } else {
+          val bNew = (b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            -- muts.filter(_._2 < 0).map(_._1)
+            ++ muts.filter(_._2 >= 0)).toSeq.toDF("k", "bv")
+          val d = Cdc.changelogSigned(b, bNew, Seq("k"))
+          mv = JoinMv.applyDelta(mv, d, a, Seq("k"), deltaIsLeft = false)
+          b = bNew
+        }
+      }
+      val expect = JoinMv.init(a, b, Seq("k"))
+      assert(mv.exceptAll(expect).isEmpty && expect.exceptAll(mv).isEmpty,
+        s"sample $i: maintained view diverged")
+    }
+  }
+
+  test("multi-clause MERGE matches a row-by-row reference interpreter " +
+      "for random data and thresholds") {
+    import graft.operators._
+    val rowsGen = Gen.listOfN(8, Gen.zip(
+      Gen.chooseNum(1L, 10L), Gen.chooseNum(-50L, 50L)))
+    for ((tRows0, (sRows0, (t1, t2))) <- samples(rowsGen, 5).zip(
+        samples(Gen.zip(rowsGen,
+          Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(-20L, 20L))), 5))) {
+      val tRows = tRows0.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+      val sRows = sRows0.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+      val target = tRows.toDF("k", "v")
+      val source = sRows.toDF("k", "v")
+      val out = MergeInto(target, source, Seq("k"), Seq(
+        MatchedDelete(condition = Some(s"s.v < $t1")),
+        MatchedUpdate(Map("v" -> "t.v + s.v")),
+        NotMatchedInsert(condition = Some(s"s.v >= $t2")),
+        NotMatchedBySourceUpdate(Map("v" -> "t.v - 1"),
+          condition = Some(s"t.v < $t1"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference interpreter
+      val sMap = sRows.toMap
+      val tKeys = tRows.map(_._1).toSet
+      val fromTarget = tRows.flatMap { case (k, tv) =>
+        sMap.get(k) match {
+          case Some(sv) if sv < t1 => None // matched delete
+          case Some(sv) => Some(k -> (tv + sv)) // matched update
+          case None if tv < t1 => Some(k -> (tv - 1)) // by-source update
+          case None => Some(k -> tv)
+        }
+      }
+      val inserted = sRows.collect {
+        case (k, sv) if !tKeys.contains(k) && sv >= t2 => k -> sv
+      }
+      val want = (fromTarget ++ inserted).toSet
+      assert(out == want,
+        s"t=$tRows s=$sRows t1=$t1 t2=$t2\n got=$out\nwant=$want")
+    }
+  }
 }
