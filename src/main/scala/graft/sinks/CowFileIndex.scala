@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal, Predicate}
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -153,6 +153,19 @@ final class CowFileIndex(
     }
   }
 
+  /** NULL-count pruning for one conjunct (the stats triad's third leg:
+    * envelopes, Blooms, null counts). A file without a recorded count
+    * is always kept.
+    */
+  private def nullPruneOf(e: Expression): Option[CowFile => Boolean] =
+    e match {
+      case IsNull(a: AttributeReference) =>
+        Some(f => f.nulls.get(a.name).forall(_ > 0L))
+      case IsNotNull(a: AttributeReference) =>
+        Some(f => f.nulls.get(a.name).forall(_ < f.rows))
+      case _ => None
+    }
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -177,8 +190,9 @@ final class CowFileIndex(
       }
     // 2. data skipping: translate supported conjuncts and intersect
     val (ranges, ins) = dataFilters.flatMap(pruningOf).partitionMap(identity)
+    val nullPrunes = dataFilters.flatMap(nullPruneOf)
     afterPart.flatMap { case (part, files) =>
-      var kept = files
+      var kept = files.filter(f => nullPrunes.forall(_(f)))
       if (ranges.nonEmpty)
         kept = CowTable.keptFilesAmong(spark, m, kept, ranges)
       ins.foreach { case (n, vs) =>

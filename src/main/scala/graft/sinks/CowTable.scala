@@ -55,7 +55,8 @@ final case class CowFile(
     mins: Map[String, String],
     maxs: Map[String, String],
     kind: String = CowTable.KindData,
-    blooms: Map[String, Seq[Long]] = Map.empty)
+    blooms: Map[String, Seq[Long]] = Map.empty,
+    nulls: Map[String, Long] = Map.empty)
 
 /** A committed [[CowTable]] snapshot: the authoritative file list (a
   * file NOT listed here does not exist, whatever the directory says),
@@ -89,7 +90,8 @@ private[sinks] final case class CowManifestRow(
     part_cols: Seq[String],
     schema_ddl: String,
     kind: String,
-    blooms: Map[String, Seq[Long]])
+    blooms: Map[String, Seq[Long]],
+    nulls: Map[String, Long])
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -251,7 +253,13 @@ object CowTable {
         kind = r.getAs[String]("kind"),
         blooms = Option(
           r.getAs[Map[String, scala.collection.Seq[Long]]]("blooms"))
-          .map(_.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty))
+          .map(_.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
+        // manifests written before the null-count column read as
+        // count-unknown (no pruning) rather than failing the parse
+        nulls =
+          if (!r.schema.fieldNames.contains("nulls")) Map.empty
+          else Option(r.getAs[Map[String, Long]]("nulls"))
+            .getOrElse(Map.empty))
     }
     CowManifest(id, partCols, ddl, files)
   }
@@ -1210,9 +1218,13 @@ object CowTable {
       s"bloom column $c is not a table column"))
     val aggs = count(lit(1)).as("__rows") +:
       max(col("_metadata.file_size")).as("__bytes") +:
-      sc.flatMap(c => Seq(
+      (sc.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))
+        max(col(c)).cast("string").as(s"__max_$c"))) ++
+      // per-file NULL counts (Delta-parity stat): same grouped pass,
+      // serves IS NULL / IS NOT NULL file pruning
+      sc.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
     val rows = spark.read.schema(schema).parquet(batchDir)
       .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
       .groupBy(col("__fp"))
@@ -1245,7 +1257,8 @@ object CowTable {
         bytes = r.getAs[Long]("__bytes"),
         mins = mins,
         maxs = maxs,
-        blooms = blooms)
+        blooms = blooms,
+        nulls = sc.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap)
     }
   }
 
@@ -1303,10 +1316,10 @@ object CowTable {
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
-          partCols, ddl, KindData, Map.empty))
+          partCols, ddl, KindData, Map.empty, Map.empty))
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
-        f.kind, f.blooms))
+        f.kind, f.blooms, f.nulls))
     rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
   }
 

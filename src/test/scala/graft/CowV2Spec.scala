@@ -116,6 +116,27 @@ class CowV2Spec extends SparkSpec {
     }
   }
 
+  test("NULL-count stats prune IS NULL / IS NOT NULL at planning: a " +
+      "no-nulls file skips the former, an all-nulls file the latter") {
+    withoutAqe {
+      val root = tmp()
+      val data = Seq(
+        (1L, "p1", Some("a")), (2L, "p1", Some("b")), // p1: no nulls
+        (3L, "p2", None), (4L, "p2", None),           // p2: all null
+        (5L, "p3", Some("e")), (6L, "p3", None))      // p3: mixed
+        .toDF("id", "part", "tag")
+      CowTable.commitFull(data, root, 1L, Seq("part"))
+      val isNull = CowV2.read(spark, root).get.where($"tag".isNull)
+      assert(isNull.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(3L, 4L, 6L))
+      assert(filesRead(isNull) == 2, "the no-nulls file must skip")
+      val notNull = CowV2.read(spark, root).get.where($"tag".isNotNull)
+      assert(notNull.collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 5L))
+      assert(filesRead(notNull) == 2, "the all-nulls file must skip")
+    }
+  }
+
   test("an UNSUPPORTED predicate shape keeps every file and stays " +
       "exact (skipping is only an optimization)") {
     withoutAqe {
