@@ -819,6 +819,24 @@ object CowTable {
     CowFsckReport(missing, orphans, staged)
   }
 
+  /** The `files` METADATA TABLE (Iceberg's `table$files`): one row per
+    * live file of the current snapshot with its partition values, kind
+    * (data/tombstone), row/byte counts, and the stats triad as map
+    * columns (min/max envelopes in Spark string form, null counts,
+    * bloom column names). Served from the manifest alone — no data
+    * file opened; the operator's view into what skipping will see.
+    */
+  def fileStats(spark: SparkSession, root: String): DataFrame = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    import spark.implicits._
+    m.allFiles.map(f => (
+        f.path, partKey(m.partCols, f.part), f.kind, f.rows, f.bytes,
+        f.mins, f.maxs, f.nulls, f.blooms.keys.toSeq.sorted))
+      .toDF("path", "partition", "kind", "n_rows", "n_bytes",
+        "mins", "maxs", "null_counts", "bloom_cols")
+  }
+
   /** The `partitions` METADATA TABLE (Iceberg's `table$partitions`):
     * one row per live partition with its file/row/byte totals, served
     * ENTIRELY from the manifest — zero data files opened, whatever the

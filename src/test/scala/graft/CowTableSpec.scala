@@ -1401,6 +1401,25 @@ class CowTableSpec extends SparkSpec {
       .select("v").as[Int].collect().toSeq == Seq(10, 20))
   }
 
+  test("fileStats serves the files metadata table from the manifest: " +
+      "per-file stats triad visible, tombstones flagged, no data read") {
+    val root = tmp()
+    CowTable.commitFull(base3, root, 1L, Seq("part"),
+      bloomCols = Seq("name"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq((1L, "p1")).toDF("id", "part"), Seq("id"), Seq("part"))
+    val fsRows = CowTable.fileStats(spark, root).collect()
+    assert(fsRows.count(_.getAs[String]("kind") == "tombstone") == 1)
+    val p1 = fsRows.find(r => r.getAs[String]("kind") == "data" &&
+      r.getAs[String]("partition").contains("p1")).get
+    assert(p1.getAs[Long]("n_rows") == 2L)
+    assert(p1.getAs[Map[String, String]]("mins").get("id").contains("1"))
+    assert(p1.getAs[Map[String, Long]]("null_counts").get("name")
+      .contains(0L))
+    assert(p1.getAs[scala.collection.Seq[String]]("bloom_cols").toSeq ==
+      Seq("name"))
+  }
+
   test("deleteWhere rewrites ONLY partitions holding matching rows; a " +
       "NULL predicate keeps its row (SQL DELETE semantics); a no-match " +
       "prune hint leaves the id unconsumed") {
