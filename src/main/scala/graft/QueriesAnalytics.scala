@@ -177,25 +177,35 @@ object QueriesAnalytics {
     val li = Par.widen(Tables.load(spark, dir, "lineitem"))
     val e0 = li.select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
-    val edges = e0.select(
-        concat(lit("s"), col("s").cast("string")).as("src"),
-        concat(lit("p"), col("p").cast("string")).as("dst"))
-      .unionByName(e0.select(
-        concat(lit("p"), col("p").cast("string")).as("src"),
-        concat(lit("s"), col("s").cast("string")).as("dst")))
+    // nodes ride as LONGS internally (supplier 2k, part 2k+1): the
+    // edge table shuffles 8-byte keys instead of the oracle's "s123"/
+    // "p456" strings — converted back only on the 20-row output, where
+    // the oracle's string form (and its tiebreak order) applies
+    val edges = e0.select((col("s") * 2).as("src"),
+        (col("p") * 2 + 1).as("dst"))
+      .unionByName(e0.select((col("p") * 2 + 1).as("src"),
+        (col("s") * 2).as("dst")))
     val ep = Par.pin(edges.repartition(col("src")))
     val deg = ep.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = Par.pin(ep.join(deg, "src")) // (src, dst, deg) reused 3×
+    val ed = Par.pin(ep.join(broadcast(deg), "src")) // (src, dst, deg) ×3
     var pr = deg.select(col("src").as("node"),
       lit(1000000000000L).as("pr"))
     for (_ <- 1 to 3) {
-      pr = Par.pin(ed.join(pr, ed("src") === pr("node"))
+      // pr is |V|-sized — broadcast keeps each iteration's only
+      // exchange the contribution groupBy
+      pr = Par.pin(ed.join(broadcast(pr), ed("src") === pr("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(150000000000L) + expr("sc * 85 div 100")).as("pr")))
     }
-    pr.select(col("node"), col("pr").as("pr_units"))
+    pr.select(
+        when(col("node") % 2 === 0,
+          concat(lit("s"), (col("node") / 2).cast("long").cast("string")))
+          .otherwise(
+            concat(lit("p"), ((col("node") - 1) / 2).cast("long")
+              .cast("string"))).as("node"),
+        col("pr").as("pr_units"))
       .orderBy(col("pr_units").desc, col("node").asc)
       .limit(20)
   }
