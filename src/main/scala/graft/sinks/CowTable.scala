@@ -768,6 +768,48 @@ object CowTable {
     if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum)
   }
 
+  /** OPTIMIZE … ZORDER BY as one COW commit: rewrite every live
+    * partition with the rows bucketed by RANGE over their Morton
+    * z-value ([[ZOrder.zvalue]]), so each output file covers a narrow
+    * z-range and the per-file min/max envelopes become selective on
+    * EVERY clustering dimension at once — multi-column skipping on a
+    * table whose original layout scattered both dimensions across all
+    * files. Content is byte-identical table state (spec-pinned);
+    * outstanding MOR tombstones fold for free (the rewrite reads the
+    * resolved state). Boundaries come from `approx_percentile`
+    * (sketch variance moves bytes between FILES, never rows out of
+    * results — the z-order oracle contract). Replay-guarded like every
+    * commit; returns false when the id is already surpassed or the
+    * table is empty.
+    */
+  def optimizeZorder(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8,
+      keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    require(zCols.nonEmpty, "OPTIMIZE ZORDER needs clustering columns")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(return false)
+    if (m.files.isEmpty) return false
+    zCols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"z-order column $c is not a table column"))
+    val all = resolved(spark, root, m, m.files)
+    val z = ZOrder.zvalue(zCols.map(col),
+      ZOrder.boundariesFor(all, zCols, bits), bits)
+    val totalBins = math.max(1L,
+      (m.files.map(_.bytes).sum + targetFileBytes - 1) / targetFileBytes)
+    val touched = m.allFiles.map(m.partKeyOf).toSet
+    commitPartitionsFrom(Some(m), all.withColumn("__z", z), touched,
+      root, id, m.partCols, keep, changeLogKeys = changeLogKeys,
+      split = Some(("__z", math.min(totalBins, 1L << 20).toInt)))
+    true
+  }
+
   /** Filesystem ↔ manifest integrity audit (fsck). Reports, without
     * mutating anything:
     *

@@ -1401,6 +1401,39 @@ class CowTableSpec extends SparkSpec {
       .select("v").as[Int].collect().toSeq == Seq(10, 20))
   }
 
+  test("optimizeZorder: the rewritten layout prunes on BOTH clustering " +
+      "dimensions, content stays byte-identical, and outstanding " +
+      "tombstones fold") {
+    val root = tmp()
+    // decorrelated x/y over 2 partitions, committed as one file per
+    // partition — every envelope spans everything before the optimize
+    val data = spark.range(0, 2000).selectExpr(
+      "id", "CAST(id % 2 AS STRING) AS part",
+      "CAST(id % 50 AS LONG) AS x",
+      "CAST(pmod(id * 37, 50) AS LONG) AS y")
+    CowTable.commitFull(data, root, 1L, Seq("part"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS STRING) AS part"),
+      Seq("id"), Seq("part"))
+    val before = CowTable.read(spark, root).get.collect().toSet
+    assert(CowTable.optimizeZorder(spark, root, 3L, Seq("x", "y"),
+      targetFileBytes = 2 * 1024))
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.tombstones.isEmpty, "optimize must fold MOR tombstones")
+    assert(m.files.size > 4, s"premise: multiple z-files (${m.files.size})")
+    assert(CowTable.read(spark, root).get.collect().toSet == before,
+      "optimize must not change table content")
+    // both dimensions now prune: a narrow range on each keeps fewer
+    // files than the layout holds
+    val total = m.files.size
+    val keptX = CowTable.filesForRange(spark, root, "x",
+      Some("0"), Some("4")).size
+    val keptY = CowTable.filesForRange(spark, root, "y",
+      Some("0"), Some("4")).size
+    assert(keptX < total && keptY < total,
+      s"z-order layout must prune both dims: x=$keptX y=$keptY of $total")
+  }
+
   test("fileStats serves the files metadata table from the manifest: " +
       "per-file stats triad visible, tombstones flagged, no data read") {
     val root = tmp()
