@@ -912,6 +912,46 @@ object QueriesCow {
       |ORDER BY custkey, o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // OPTIMIZE ... ZORDER BY on a PARTITIONED table: the bucket layout
+  // starts with every envelope spanning everything (hash-scattered);
+  // one optimizeZorder commit reclusters each bucket's rows into
+  // narrow z-ranges, and the require() pins that BOTH clustering
+  // dimensions then prune. The filtered read is layout-independent by
+  // construction, so the oracle is the plain WHERE.
+  // -------------------------------------------------------------------
+  def cowOptimizeZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.CowRange
+    val root = scratch("cow_optz")
+    val bucket = CowTable.keyBucket(Seq("o_orderkey"), 4)
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        bucket.as("pb"))
+    CowTable.commitFull(o, root, 1L, Seq("pb"))
+    require(CowTable.optimizeZorder(spark, root, 2L,
+      Seq("o_custkey", "cents"), targetFileBytes = 64 * 1024))
+    val r1 = CowRange("o_custkey", Some("100"), Some("400"))
+    val r2 = CowRange("cents", Some("5000000"), Some("12000000"))
+    val k1 = CowTable.filesFor(spark, root, Seq(r1)).size
+    val k2 = CowTable.filesFor(spark, root, Seq(r2)).size
+    val both = CowTable.filesFor(spark, root, Seq(r1, r2)).size
+    val total = CowTable.currentManifest(spark, root).get.files.size
+    require(both <= k1 && both <= k2 && both < total,
+      s"optimized 2-D prune kept $both of $total vs 1-D $k1/$k2")
+    CowTable.readWhere(spark, root, Seq(r1, r2))
+      .drop("pb").orderBy("o_orderkey")
+  }
+
+  val cowOptimizeZorderSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 400
+      |  AND CAST(floor(o_totalprice * 100) AS BIGINT)
+      |      BETWEEN 5000000 AND 12000000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Predicate DELETE (Delta's DELETE FROM ... WHERE) as a COW commit:
   // only partitions holding matching rows rewrite (mtime-pinned in
   // CowTableSpec); the prune hint lets the candidate scan skip files
@@ -1152,6 +1192,7 @@ object QueriesCow {
     "cow_join_mv" -> (cowJoinMv _),
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_delete_where" -> (cowDeleteWhere _),
+    "cow_optimize_zorder" -> (cowOptimizeZorder _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
@@ -1181,6 +1222,7 @@ object QueriesCow {
     "cow_join_mv" -> cowJoinMvSql,
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_delete_where" -> cowDeleteWhereSql,
+    "cow_optimize_zorder" -> cowOptimizeZorderSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
