@@ -952,6 +952,57 @@ object QueriesCow {
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // Snapshot-diff SUMMARY: DataDiff over two time-traveled snapshots of
+  // one table — the column-drift complement of the row-level change
+  // feed ("between v1 and v2: 100 updates, all in c_mktsegment").
+  // Deletes, updates and inserts are formula-known, so the oracle
+  // replays the whole classification from the raw data.
+  // -------------------------------------------------------------------
+  def cowSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_snapdiff")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    CowTable.commitFull(
+      c.where(col("c_custkey") <= 1000).select(col("*"), bucket.as("pb")),
+      root, 1L, Seq("pb"), keep = 10)
+    // v2: update segments 101-200, delete 901-1000, insert 1001-1100
+    def nullStr = lit(null).cast("string")
+    val batch =
+      c.where(col("c_custkey").between(101, 200)).select(
+          col("c_custkey"), col("c_name"), lit("MOVED").as("c_mktsegment"),
+          bucket.as("pb"), lit("U").as("oper"))
+        .unionByName(c.where(col("c_custkey").between(1001, 1100)).select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          bucket.as("pb"), lit("I").as("oper")))
+        .unionByName(c.where(col("c_custkey").between(901, 1000)).select(
+          col("c_custkey"), nullStr.as("c_name"), nullStr.as("c_mktsegment"),
+          bucket.as("pb"), lit("D").as("oper")))
+    CowTable.applyCdc(spark, root, 2L, batch, Seq("c_custkey"), Seq("pb"),
+      keep = 10)
+    graft.operators.DataDiff.summary(
+      CowTable.readAt(spark, root, 1L).get.drop("pb"),
+      CowTable.readAt(spark, root, 2L).get.drop("pb"),
+      Seq("c_custkey"))
+  }
+
+  val cowSnapshotDiffSql: String =
+    """SELECT CAST(100 AS BIGINT) AS n_only_left,
+      |  CAST(100 AS BIGINT) AS n_only_right,
+      |  CAST(sum(CASE WHEN c_custkey BETWEEN 101 AND 200
+      |        AND c_mktsegment <> 'MOVED' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(sum(CASE WHEN c_custkey <= 900
+      |        AND NOT (c_custkey BETWEEN 101 AND 200
+      |                 AND c_mktsegment <> 'MOVED')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_identical,
+      |  CAST(0 AS BIGINT) AS n_changed_c_name,
+      |  CAST(sum(CASE WHEN c_custkey BETWEEN 101 AND 200
+      |        AND c_mktsegment <> 'MOVED' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed_c_mktsegment
+      |FROM customer WHERE c_custkey <= 1000""".stripMargin
+
+  // -------------------------------------------------------------------
   // Predicate DELETE (Delta's DELETE FROM ... WHERE) as a COW commit:
   // only partitions holding matching rows rewrite (mtime-pinned in
   // CowTableSpec); the prune hint lets the candidate scan skip files
@@ -1193,6 +1244,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
+    "cow_snapshot_diff" -> (cowSnapshotDiff _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
@@ -1223,6 +1275,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,
+    "cow_snapshot_diff" -> cowSnapshotDiffSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
