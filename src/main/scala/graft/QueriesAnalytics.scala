@@ -1327,10 +1327,10 @@ object QueriesAnalytics {
 
   val tpchQ12Sql: String =
     """SELECT l_returnflag,
-      | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |          THEN 1 ELSE 0 END) AS high_line_count,
-      | sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-      |          THEN 1 ELSE 0 END) AS low_line_count
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_returnflag IN ('R','A')
       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1479,7 +1479,7 @@ object QueriesAnalytics {
       |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
       | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
       |               AS DECIMAL(25,6))) AS DOUBLE) AS sum_revenue,
-      | sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS cost_cents
+      | CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT) AS cost_cents
       |FROM lineitem
       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
       |JOIN part ON p_partkey = l_partkey
@@ -1524,7 +1524,7 @@ object QueriesAnalytics {
       |  FROM partsupp, supplier, nation
       |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |    AND n_name = 'NATION_3')
-      |SELECT ps_partkey, sum(v) AS value_cents
+      |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
       |FROM scoped
       |GROUP BY ps_partkey
       |HAVING sum(v) * 10000 > (SELECT sum(v) FROM scoped)

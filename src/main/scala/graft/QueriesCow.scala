@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sinks.CowTable
+import graft.sinks.{CowTable, CowV2}
 
 /** Oracle coverage for the partition-granular copy-on-write table
   * ([[graft.sinks.CowTable]]) — the Delta-style manifest commit the
@@ -119,8 +119,8 @@ object QueriesCow {
         col("o_orderpriority"))
       .repartitionByRange(8, col("o_orderkey"))
     CowTable.commitFull(o, root, 1L, Nil, sortCols = Seq("o_orderkey"))
-    CowTable.readWhereBetween(spark, root, "o_orderkey",
-      Some("1500"), Some("6000"))
+    CowV2.read(spark, root).get
+      .where(col("o_orderkey").between(1500L, 6000L))
       .orderBy("o_orderkey")
   }
 
@@ -250,8 +250,8 @@ object QueriesCow {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .repartition(8, xxhash64(col("c_custkey")))
     CowTable.commitFull(c, root, 1L, Nil, bloomCols = Seq("c_name"))
-    CowTable.readWhereBetween(spark, root, "c_name",
-      Some("Customer#000000042"), Some("Customer#000000042"))
+    CowV2.read(spark, root).get
+      .where(col("c_name") === "Customer#000000042")
       .orderBy("c_custkey")
   }
 
@@ -278,8 +278,8 @@ object QueriesCow {
       graft.sinks.ZOrder.cluster(o, Seq("o_custkey", "o_orderkey"),
         nFiles = 16),
       root, 1L, Nil)
-    CowTable.readWhereBetween(spark, root, "o_custkey",
-      Some("100"), Some("400"))
+    CowV2.read(spark, root).get
+      .where(col("o_custkey").between(100L, 400L))
       .orderBy("o_orderkey")
   }
 
@@ -317,7 +317,10 @@ object QueriesCow {
     val total = CowTable.currentManifest(spark, root).get.files.size
     require(both <= k1 && both <= k2 && both < total,
       s"2-D prune kept $both of $total files vs 1-D prunes $k1/$k2")
-    CowTable.readWhere(spark, root, Seq(r1, r2)).orderBy("o_orderkey")
+    CowV2.read(spark, root).get
+      .where(col("o_custkey").between(100L, 400L) &&
+        col("o_orderkey").between(10000L, 30000L))
+      .orderBy("o_orderkey")
   }
 
   val cowZorder2dSql: String =
@@ -457,7 +460,8 @@ object QueriesCow {
     val kept = CowTable.filesForIn(spark, root, "c_name", wanted).size
     val total = CowTable.currentManifest(spark, root).get.files.size
     require(kept < total, s"IN-list bloom kept $kept of $total files")
-    CowTable.readWhereIn(spark, root, "c_name", wanted)
+    CowV2.read(spark, root).get
+      .where(col("c_name").isin(wanted: _*))
       .orderBy("c_custkey")
   }
 
@@ -938,7 +942,9 @@ object QueriesCow {
     val total = CowTable.currentManifest(spark, root).get.files.size
     require(both <= k1 && both <= k2 && both < total,
       s"optimized 2-D prune kept $both of $total vs 1-D $k1/$k2")
-    CowTable.readWhere(spark, root, Seq(r1, r2))
+    CowV2.read(spark, root).get
+      .where(col("o_custkey").between(100L, 400L) &&
+        col("cents").between(5000000L, 12000000L))
       .drop("pb").orderBy("o_orderkey")
   }
 

@@ -202,6 +202,55 @@ class CowV2Spec extends SparkSpec {
       "pre-evolution files must surface NULL for the added column")
   }
 
+  test("bloom-only pruning through the planner: a point predicate on " +
+      "a hash-scattered column (envelopes span everything) still " +
+      "drops files via the per-file blooms") {
+    withoutAqe {
+      val root = tmp()
+      // interleave ids across partitions so every file's id-envelope
+      // covers the whole key space — only the bloom can prune
+      val scattered = Seq(
+        (1L, "p1"), (4L, "p1"), (2L, "p2"), (5L, "p2"),
+        (3L, "p3"), (6L, "p3"))
+        .toDF("id", "part")
+        .withColumn("tag", concat(lit("v"), $"id"))
+      CowTable.commitFull(scattered, root, 1L, Seq("part"),
+        bloomCols = Seq("tag"))
+      val df = CowV2.read(spark, root).get.where($"tag" === "v5")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L))
+      assert(filesRead(df) < 3,
+        "bloom skipping must prune at least one file at planning time")
+    }
+  }
+
+  test("2-D conjunct through the planner prunes no worse than either " +
+      "1-D predicate on a z-ordered layout (the cow_zorder_2d shape)") {
+    withoutAqe {
+      val root = tmp()
+      val n = 512
+      val rows = spark.range(n).select(
+        ($"id" % 32L).as("x"), ($"id" / 32L).as("y"), $"id")
+      CowTable.commitFull(
+        graft.sinks.ZOrder.cluster(rows, Seq("x", "y"), nFiles = 8),
+        root, 1L, Nil)
+      def kept(p: org.apache.spark.sql.Column): Long =
+        filesRead(CowV2.read(spark, root).get.where(p))
+      val total = filesRead(CowV2.read(spark, root).get)
+      val k1 = kept($"x".between(4L, 11L))
+      val k2 = kept($"y".between(2L, 6L))
+      val both = kept($"x".between(4L, 11L) && $"y".between(2L, 6L))
+      assert(both <= k1 && both <= k2 && both < total,
+        s"2-D planner prune kept $both of $total vs 1-D $k1/$k2")
+      // and the pruned read is still exact
+      val got = CowV2.read(spark, root).get
+        .where($"x".between(4L, 11L) && $"y".between(2L, 6L))
+        .agg(count("*"), sum("id")).collect().head
+      val exp = rows.where($"x".between(4L, 11L) && $"y".between(2L, 6L))
+        .agg(count("*"), sum("id")).collect().head
+      assert(got == exp)
+    }
+  }
+
   test("snapshot isolation: a CowV2 DataFrame pins its manifest — a " +
       "commit AFTER construction is invisible to it") {
     val root = tmp()

@@ -61,8 +61,21 @@ def main():
         detail = ""
         for c in got.columns:
             g, e = got[c], exp[c]
-            if (np.issubdtype(g.dtype, np.floating)
-                    or np.issubdtype(e.dtype, np.floating)):
+            # Driver's strict gate hashes rendered values: int64 242 vs
+            # float64 242.0 hash-differ even when numerically equal. A
+            # float-vs-int dtype split is therefore a hard FAIL here too
+            # (fix the oracle SQL with CAST(... AS BIGINT)).
+            g_f = np.issubdtype(g.dtype, np.floating)
+            e_f = np.issubdtype(e.dtype, np.floating)
+            g_i = np.issubdtype(g.dtype, np.integer)
+            e_i = np.issubdtype(e.dtype, np.integer)
+            if (g_f and e_i) or (g_i and e_f):
+                ok = False
+                detail = (f"col {c}: dtype mismatch spark={g.dtype} "
+                          f"duck={e.dtype} (strict hash renders "
+                          f"X vs X.0 — CAST the oracle side)")
+                break
+            if g_f or e_f:
                 ga = g.astype(float).to_numpy()
                 ea = e.astype(float).to_numpy()
                 both_nan = np.isnan(ga) & np.isnan(ea)
