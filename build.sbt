@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time" epilogue off stdout: the round
+// driver parses the LAST stdout line of `runMain graft.Bench` as the
+// benchmark summary JSON, and the epilogue printed after the forked
+// JVM exits was shadowing it (BENCH_r10.json parsed: null).
+showSuccess := false
+// ... and hand the forked JVM the real stdout (no "[info] " logger
+// prefix), so the summary line is bare JSON a tail-parse can read.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,6 +39,10 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("bench_out.json", "UTF-8")
       try w.println(fullLine) finally w.close()
+      // file twin of the stdout summary: a log-tail-proof copy the
+      // driver (or a human) can read without parsing sbt output at all
+      val s = new java.io.PrintWriter("bench_summary.json", "UTF-8")
+      try s.println(shortLine) finally s.close()
     } catch { case _: Throwable => () } // stdout copy already out
   }
 
