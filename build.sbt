@@ -16,6 +16,7 @@ run / fork := true
 // benchmark summary JSON, and the epilogue printed after the forked
 // JVM exits was shadowing it (BENCH_r10.json parsed: null).
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // ... and hand the forked JVM the real stdout (no "[info] " logger
 // prefix), so the summary line is bare JSON a tail-parse can read.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

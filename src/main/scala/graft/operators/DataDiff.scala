@@ -29,13 +29,19 @@ object DataDiff {
     val compare = left.columns.toSeq.filterNot(keyCols.contains)
     require(right.columns.toSeq.sorted == left.columns.toSeq.sorted,
       s"schemas differ: ${left.columns.toSeq} vs ${right.columns.toSeq}")
-    val l = left.select(left.columns.map(c => col(c).as(s"__l_$c")): _*)
-    val r = right.select(right.columns.map(c => col(c).as(s"__r_$c")): _*)
+    // side-presence must be a MARKER, not key nullness: a row whose
+    // key IS NULL exists on its side all the same (ANSI equality just
+    // never matches it to the other side), and deriving presence from
+    // isNotNull misclassified such rows as belonging to the OTHER side
+    val l = left.select(left.columns.map(c => col(c).as(s"__l_$c")) :+
+      lit(true).as("__l_present"): _*)
+    val r = right.select(right.columns.map(c => col(c).as(s"__r_$c")) :+
+      lit(true).as("__r_present"): _*)
     val joinCond = keyCols
       .map(k => col(s"__l_$k") === col(s"__r_$k"))
       .reduce(_ && _)
-    val inLeft = keyCols.map(k => col(s"__l_$k").isNotNull).reduce(_ && _)
-    val inRight = keyCols.map(k => col(s"__r_$k").isNotNull).reduce(_ && _)
+    val inLeft = coalesce(col("__l_present"), lit(false))
+    val inRight = coalesce(col("__r_present"), lit(false))
     val anyChanged =
       if (compare.isEmpty) lit(false)
       else compare.map(c => !(col(s"__l_$c") <=> col(s"__r_$c")))

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{
   FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.{broadcast, col}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A manifest-driven [[FileIndex]] over one [[CowTable]] snapshot — the
@@ -57,8 +57,19 @@ final class CowFileIndex(
 
   private val schema: StructType = m.schema
 
+  /** Session-TZ TIMESTAMP partition columns are NOT declared here —
+    * same hazard [[pruningOf]] guards for data filters: the manifest
+    * renders partition values under the WRITER's session timezone and
+    * [[partValue]] would re-parse them under the READER's, shifting
+    * the value and mispruning (or mis-populating) the partition. Such
+    * columns simply stay DATA columns: the files are self-contained
+    * (CowTable keeps the real columns in them), so the scan reads them
+    * like any other column and filters stay residual — correct under
+    * any reader timezone, just not partition-pruned.
+    */
   override val partitionSchema: StructType =
-    StructType(m.partCols.map(c => schema(c)))
+    StructType(m.partCols.map(c => schema(c))
+      .filterNot(_.dataType == TimestampType))
 
   /** Full file schema (partition columns included — the files carry
     * them); `HadoopFsRelation` dedupes the overlap.
@@ -201,9 +212,16 @@ final class CowFileIndex(
       }
       if (kept.isEmpty) None
       else Some(PartitionDirectory(rowFor(part), kept.map { f =>
+        // manifest paths carry Spark's `_metadata.file_path` form —
+        // URI-ENCODED (space → %20, '%' → %25, the hive-escaped ':'
+        // of a timestamp partition dir → %253A). `new Path(String)`
+        // would escape the '%' AGAIN and the scan would open a
+        // double-encoded path that does not exist; routing through
+        // java.net.URI decodes exactly once, so the FileStatus holds
+        // the on-disk literal path.
         FileStatusWithMetadata(new FileStatus(
           f.bytes, false, 1, 128L * 1024 * 1024, 0L,
-          qualify(new Path(s"$root/${f.path}"))))
+          qualify(new Path(new java.net.URI(s"$root/${f.path}")))))
       }))
     }
   }

@@ -433,6 +433,17 @@ object CowTable {
       s"could not publish constraint set at $root")
   }
 
+  /** Canonical fingerprint of a constraint set — what [[stageAppend]]
+    * records so [[publishStaged]] can tell whether the set changed
+    * between stage and publish (order-free, content-exact).
+    */
+  private def checksFingerprint(checks: Map[String, String]): String = {
+    val canon = checks.toSeq.sortBy(_._1)
+      .map { case (n, e) => tsvEsc(n) + "\t" + tsvEsc(e) }.mkString("\n")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** The registered CHECK constraints (empty when none). */
   def checkConstraints(spark: SparkSession, root: String): Map[String, String] = {
     val fs = hfs(spark, root)
@@ -588,6 +599,14 @@ object CowTable {
     * MV applies each commit's sidecar with ±1 weights and never
     * rescans the table — oracle-pinned in `cow_mv_from_feed`.
     */
+  /** Whether commit `id` PUBLISHED a changelog sidecar (complete —
+    * `_SUCCESS` present). Consumers that can only see sidecar rows
+    * ([[graft.streaming.CowStream]]) use this to detect committed ids
+    * that never emitted one and fail loud instead of diverging.
+    */
+  def hasChangeLog(spark: SparkSession, root: String, id: Long): Boolean =
+    hfs(spark, root).exists(new Path(s"$root/$ChangesDir/$id/_SUCCESS"))
+
   def changeLogFor(
       spark: SparkSession, root: String, id: Long,
       operCol: String = "oper"): Option[DataFrame] = {
@@ -1809,6 +1828,93 @@ object CowTable {
     } finally releaseManifestLock(spark, root)
   }
 
+
+  /** The pure-I changelog sidecar for an APPEND of `fresh` files onto
+    * base `p`, or None when an appended key overlaps an incumbent (the
+    * snapshot-diff fallback then serves the range) — the envelope-
+    * scoped probe [[commitAppend]]'s scaladoc documents. Shared by
+    * [[commitAppend]] and [[stageAppend]]: a staged append is the same
+    * insert-only shape, and publish's based-on verification pins the
+    * base unchanged between stage and publish, so a stage-time probe
+    * against `p` stays valid at publish time.
+    */
+  private def stagePureInsertLog(
+      spark: SparkSession, root: String, p: CowManifest,
+      fresh: Seq[CowFile], effSchema: StructType, partCols: Seq[String],
+      id: Long, changeLogKeys: Seq[String],
+      changeLogRequired: Boolean, what: String): Option[Path] = {
+    if (changeLogKeys.isEmpty) None
+    else {
+      // pure-I guard (see scaladoc): NO appended key may be
+      // visible anywhere in the table — a duplicate landing in
+      // a DIFFERENT partition than its incumbent would
+      // otherwise still get a pure-I sidecar. The check scopes
+      // itself with the manifest's own stats: only files whose
+      // [min, max] envelope on the first key column intersects
+      // the batch's key range (plus stat-less files) are read;
+      // for the monotonically-growing keys insert-only ingest
+      // appends, that prunes to nothing. Tombstoned incumbents
+      // may false-positive the overlap, which only SKIPS the
+      // sidecar — the diff fallback stays correct. No broadcast
+      // hint: the batch's distinct keys can be arbitrarily
+      // large; AQE broadcasts when they are in fact small.
+      //
+      // The batch's key bounds come from the JUST-COLLECTED
+      // per-file stats in `fresh` (native-order min/max cast to
+      // string — the exact form the envelope layer compares):
+      // zero extra jobs over the batch, and correctly ordered
+      // for numerics where a cast-then-aggregate would be
+      // lexicographic ("999" > "1000" as strings, inverting the
+      // interval and pruning the very files that hold the
+      // duplicates). A file with an absent stat (all-null keys,
+      // or an over-long string max dropped at collect) makes
+      // that side unbounded — conservative: more candidates,
+      // never fewer. The probe side reads the batch's WRITTEN
+      // files, not its input lineage (which may be an arbitrary
+      // uncached upstream DAG).
+      val keyCol = changeLogKeys.head
+      val keyDt = effSchema.fields.find(_.name == keyCol)
+        .map(_.dataType).getOrElse(StringType)
+      val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+      val mins = fresh.map(_.mins.get(keyCol))
+      val candidates =
+        // an all-absent min on a STAT column means every batch
+        // key is NULL — null keys match no incumbent, so no
+        // overlap is possible and the probe is skipped entirely
+        if (fresh.isEmpty ||
+            (statCols(effSchema).contains(keyCol) &&
+              mins.forall(_.isEmpty))) Nil
+        else keptFiles(spark, p, Seq(CowRange(keyCol,
+          foldStat(keyDt, mins, takeMax = false),
+          foldStat(keyDt, fresh.map(_.maxs.get(keyCol)),
+            takeMax = true))))
+      val overlaps = candidates.nonEmpty &&
+        !dfFor(spark, root, p, candidates)
+          .select(changeLogKeys.map(col): _*)
+          .join(dfFor(spark, root, stub, fresh)
+              .select(changeLogKeys.map(col): _*).distinct(),
+            changeLogKeys, "left_semi")
+          .isEmpty
+      if (overlaps) {
+        // a sidecar-REQUIRED append (streaming feed consumers
+        // have no snapshot-diff fallback) must not commit a
+        // sidecar-less batch — downstream MVs would silently
+        // miss every row of it. Fail the batch loudly: dedupe
+        // upstream or use the upsert sink for mutable keys.
+        if (changeLogRequired) throw new IllegalStateException(
+          s"$what updates keys already present in " +
+            s"$root; a pure-I changelog sidecar would be wrong " +
+            "and changeLogRequired forbids committing without " +
+            "one — deduplicate upstream or upsert instead")
+        None
+      } else {
+        val after = dfFor(spark, root, stub, stub.files)
+        Some(stageChangeLog(spark, root, id, after.limit(0), after,
+          changeLogKeys))
+      }
+    }
+  }
+
   /** Integer-chain widenings preserve a value's Spark string form
     * (42: Int and 42: Long both cast to "42"), so carried Bloom words
     * stay valid; float→double and decimal growth do not.
@@ -1887,77 +1993,9 @@ object CowTable {
           val carried = p.allFiles
             .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
               mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
-          val stagedLog =
-            if (changeLogKeys.isEmpty) None
-            else {
-              // pure-I guard (see scaladoc): NO appended key may be
-              // visible anywhere in the table — a duplicate landing in
-              // a DIFFERENT partition than its incumbent would
-              // otherwise still get a pure-I sidecar. The check scopes
-              // itself with the manifest's own stats: only files whose
-              // [min, max] envelope on the first key column intersects
-              // the batch's key range (plus stat-less files) are read;
-              // for the monotonically-growing keys insert-only ingest
-              // appends, that prunes to nothing. Tombstoned incumbents
-              // may false-positive the overlap, which only SKIPS the
-              // sidecar — the diff fallback stays correct. No broadcast
-              // hint: the batch's distinct keys can be arbitrarily
-              // large; AQE broadcasts when they are in fact small.
-              //
-              // The batch's key bounds come from the JUST-COLLECTED
-              // per-file stats in `fresh` (native-order min/max cast to
-              // string — the exact form the envelope layer compares):
-              // zero extra jobs over the batch, and correctly ordered
-              // for numerics where a cast-then-aggregate would be
-              // lexicographic ("999" > "1000" as strings, inverting the
-              // interval and pruning the very files that hold the
-              // duplicates). A file with an absent stat (all-null keys,
-              // or an over-long string max dropped at collect) makes
-              // that side unbounded — conservative: more candidates,
-              // never fewer. The probe side reads the batch's WRITTEN
-              // files, not its input lineage (which may be an arbitrary
-              // uncached upstream DAG).
-              val keyCol = changeLogKeys.head
-              val keyDt = effSchema.fields.find(_.name == keyCol)
-                .map(_.dataType).getOrElse(StringType)
-              val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
-              val mins = fresh.map(_.mins.get(keyCol))
-              val candidates =
-                // an all-absent min on a STAT column means every batch
-                // key is NULL — null keys match no incumbent, so no
-                // overlap is possible and the probe is skipped entirely
-                if (fresh.isEmpty ||
-                    (statCols(effSchema).contains(keyCol) &&
-                      mins.forall(_.isEmpty))) Nil
-                else keptFiles(spark, p, Seq(CowRange(keyCol,
-                  foldStat(keyDt, mins, takeMax = false),
-                  foldStat(keyDt, fresh.map(_.maxs.get(keyCol)),
-                    takeMax = true))))
-              val overlaps = candidates.nonEmpty &&
-                !dfFor(spark, root, p, candidates)
-                  .select(changeLogKeys.map(col): _*)
-                  .join(dfFor(spark, root, stub, fresh)
-                      .select(changeLogKeys.map(col): _*).distinct(),
-                    changeLogKeys, "left_semi")
-                  .isEmpty
-              if (overlaps) {
-                // a sidecar-REQUIRED append (streaming feed consumers
-                // have no snapshot-diff fallback) must not commit a
-                // sidecar-less batch — downstream MVs would silently
-                // miss every row of it. Fail the batch loudly: dedupe
-                // upstream or use the upsert sink for mutable keys.
-                if (changeLogRequired) throw new IllegalStateException(
-                  s"append batch $id updates keys already present in " +
-                    s"$root; a pure-I changelog sidecar would be wrong " +
-                    "and changeLogRequired forbids committing without " +
-                    "one — deduplicate upstream or upsert instead")
-                None
-              } else {
-                val after = dfFor(spark, root, stub, stub.files)
-                Some(stageChangeLog(spark, root, id, after.limit(0), after,
-                  changeLogKeys))
-              }
-            }
+          val stagedLog = stagePureInsertLog(spark, root, p, fresh,
+            effSchema, partCols, id, changeLogKeys, changeLogRequired,
+            s"append batch $id")
           commitManifest(spark, root, id, Some(p.id), stagedLog) {
             writeManifest(spark, root, id, partCols, effSchema.toDDL,
               fresh ++ carried)
@@ -2012,7 +2050,9 @@ object CowTable {
       id: Long,
       partCols: Seq[String],
       sortCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil,
+      changeLogRequired: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val prev = currentManifest(spark, root)
     require(!prev.exists(_.id >= id),
@@ -2047,9 +2087,26 @@ object CowTable {
         .getOrElse(Nil)
       writeManifestAt(spark, stagedManifestDir(root, id), partCols,
         effSchema.toDDL, fresh ++ carried)
+      // changelog sidecar, STAGED like everything else: the stage is
+      // append-only, so the same pure-I guard as commitAppend applies
+      // (the publish's based-on verification pins the base unchanged,
+      // so the stage-time probe stays valid). The sidecar lands under
+      // a dot-prefixed staging dir invisible to every consumer until
+      // publishStaged renames it into _changes/<id> — without this, a
+      // WAP-published commit on a sidecar-maintained table was
+      // silently invisible to its streaming MVs.
+      val stagedLog = stagePureInsertLog(spark, root,
+        prev.getOrElse(CowManifest(id, partCols, effSchema.toDDL, Nil)),
+        fresh, effSchema, partCols, id, changeLogKeys, changeLogRequired,
+        s"staged append $id")
       val fs = hfs(spark, root)
       val out = fs.create(stagedMetaPath(root, id), true)
-      try out.write(prev.map(_.id.toString).getOrElse("none")
+      // meta v2: base id \n sidecar staging dir name (or -) \n the
+      // fingerprint of the CHECK-constraint set validated at stage
+      // time (publish re-validates the staged rows when it changed)
+      try out.write((prev.map(_.id.toString).getOrElse("none") + "\n" +
+          stagedLog.map(_.getName).getOrElse("-") + "\n" +
+          checksFingerprint(checkConstraints(spark, root)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     } finally releaseCommitLock(spark, root, id)
@@ -2095,7 +2152,7 @@ object CowTable {
     val fs = hfs(spark, root)
     val metaP = stagedMetaPath(root, id)
     require(fs.exists(metaP), s"no staged commit $id at $root")
-    val basedOn = {
+    val metaLines = {
       val in = fs.open(metaP)
       val s = try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -2104,16 +2161,32 @@ object CowTable {
         while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         buf.toString(java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
-      s.trim.toLongOption
+      s.split("\n", -1).toSeq.map(_.trim)
     }
+    val basedOn = metaLines.headOption.flatMap(_.toLongOption)
+    val stagedLog = metaLines.lift(1).filter(n => n.nonEmpty && n != "-")
+      .map(n => new Path(s"$root/$ChangesDir/$n"))
+    val stagedFp = metaLines.lift(2).filter(_.nonEmpty)
     val m = manifestAt(spark, stagedManifestDir(root, id), id)
+    // a CHECK constraint registered AFTER the stage validated only the
+    // then-current table (setCheckConstraints scans committed state,
+    // not stages) — re-validate exactly the STAGED rows against the
+    // current set before they become visible
+    val curChecks = checkConstraints(spark, root)
+    if (curChecks.nonEmpty &&
+        !stagedFp.contains(checksFingerprint(curChecks))) {
+      val freshFiles = m.files.filter(_.path.startsWith(s"$BatchPrefix$id/"))
+      enforceChecks(dfFor(spark, root, m, freshFiles), curChecks,
+        s"publish of staged commit $id at $root (constraints changed " +
+          "since stage)")
+    }
     acquireCommitLock(spark, root, id)
     try {
       if (committedIds(spark, root).exists(_ >= id))
         throw new CowConcurrentCommitException(
           s"staged commit $id at $root: a commit with id >= $id already " +
             "exists — discard the stage and re-stage with a fresh id")
-      commitManifest(spark, root, id, basedOn, None) {
+      commitManifest(spark, root, id, basedOn, stagedLog) {
         writeManifest(spark, root, id, m.partCols, m.schemaDdl, m.allFiles)
       }
     } finally releaseCommitLock(spark, root, id)
@@ -2127,6 +2200,14 @@ object CowTable {
     */
   def discardStaged(spark: SparkSession, root: String, id: Long): Unit = {
     val fs = hfs(spark, root)
+    // any staged sidecar of this id (named .tmp-<id>-<uuid>) dies with
+    // the stage; vacuum would also reap it once the id is decided
+    val changes = new Path(root, ChangesDir)
+    if (fs.exists(changes))
+      fs.listStatus(changes).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s".tmp-$id-"))
+        .foreach(st => fs.delete(st.getPath, true))
     fs.delete(new Path(stagedManifestDir(root, id)), true)
     fs.delete(stagedMetaPath(root, id), false)
     if (!committedIds(spark, root).contains(id))

@@ -144,6 +144,24 @@ object CowStream {
     // hwm marker is the only witness. Loud failure; the operator
     // rebuilds the MV or raises the writer's retention (`keep` must
     // exceed the stream's worst-case lag in commits).
+    // INVISIBLE-COMMIT guard: a file-stream consumer only ever sees
+    // ids that PUBLISHED a sidecar — a committed id at or below this
+    // batch's frontier with no sidecar (a write path invoked without
+    // changeLogKeys, or an overlap-skipped pure-I append) would be
+    // silently absent and the MV would diverge with no failure at all.
+    // Every retained committed id in the consumed range must have one;
+    // a no-op commit's sidecar is the EMPTY changelog, never a missing
+    // dir.
+    val blind = committed.toSeq
+      .filter(i => i <= ids.max &&
+        !CowTable.hasChangeLog(spark, tableRoot, i)).sorted
+    if (blind.nonEmpty)
+      throw new IllegalStateException(
+        s"committed ids $blind at $tableRoot published no changelog " +
+          s"sidecar but precede this batch's frontier (${ids.max}) — a " +
+          "sidecar-maintained view cannot see them and would silently " +
+          "diverge. Re-commit writes with changeLogKeys (WAP stages " +
+          "included) or rebuild the view from a table rescan")
     val hwm = CowTable.vacuumHwm(spark, tableRoot)
     val ambiguous = ids.filter(i => !committed(i) && hwm.exists(i <= _))
     if (ambiguous.nonEmpty)
