@@ -1034,6 +1034,89 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // CO-BUCKETED CowTable JOIN through the planner: both tables
+  // register the SAME Spark-parity bucket layout (pmod(hash(key), 8)),
+  // so CowV2 declares a real BucketSpec and the fact-dim join + key
+  // aggregation run with ZERO exchange — the require() pins the plan
+  // shape (the 100 TB repeated-join path: write-time layout replaces
+  // the per-query shuffle); the oracle pins the values.
+  // -------------------------------------------------------------------
+  def cowBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{CowBucketSpec, CowV2}
+    val rootC = scratch("cow_bj_c")
+    val rootO = scratch("cow_bj_o")
+    val spec = CowBucketSpec("pb", 8, Seq("custkey"))
+    CowTable.setBucketSpec(spark, rootC, spec)
+    CowTable.setBucketSpec(spark, rootO, spec)
+    val pb = CowTable.bucketId(Seq("custkey"), 8)
+    CowTable.commitFull(
+      Tables.load(spark, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment"))
+        .withColumn("pb", pb),
+      rootC, 1L, Seq("pb"))
+    CowTable.commitFull(
+      Tables.load(spark, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("pb", pb),
+      rootO, 1L, Seq("pb"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = CowV2.read(spark, rootC).get.drop("pb")
+        .join(CowV2.read(spark, rootO).get.drop("pb"), Seq("custkey"))
+        .groupBy(col("custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"co-bucketed CowTable join/agg must not shuffle:\n$plan")
+      joined.orderBy("custkey")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  val cowBucketJoinSql: String =
+    """SELECT c_custkey AS custkey, c_mktsegment,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+      |            AS BIGINT) AS sum_cents
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // DELETION-VECTOR predicate delete (merge-on-read): the same DELETE
+  // WHERE contract as cow_delete_where, but the commit writes ONLY the
+  // matched rows as full-row tombstones — no partition rewrite. The
+  // require() pins the economics (tombstone bytes a small fraction of
+  // the data bytes a COW rewrite would have copied); the oracle pins
+  // that the planner-path read subtracts exactly the matched rows.
+  // -------------------------------------------------------------------
+  def cowDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_dv")
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(o, root, 1L, Seq("o_orderpriority"))
+    CowTable.deleteWhereMor(spark, root, 2L, col("cents") >= 49000000L,
+      prune = Seq(graft.sinks.CowRange("cents", Some("49000000"), None)))
+    val m = CowTable.currentManifest(spark, root).get
+    val tombBytes = m.tombstones.map(_.bytes).sum
+    val dataBytes = m.files.map(_.bytes).sum
+    require(m.tombstones.nonEmpty && tombBytes * 4 < dataBytes,
+      s"deletion-vector delete wrote $tombBytes tombstone bytes against " +
+        s"$dataBytes data bytes — not the O(match) write it promises")
+    CowV2.read(spark, root).get.orderBy("o_orderkey")
+  }
+
+  val cowDvDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+      |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE NOT (CAST(floor(o_totalprice * 100) AS BIGINT) >= 49000000)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // STREAM-maintained JOIN view (CowStream.joinMvSink): the orders cow
   // table's sidecar feed — full + pure-I append + MOR delete commits —
   // joined against a pinned customer dim via JoinMv's ±1 weights, MV
@@ -1249,6 +1332,8 @@ object QueriesCow {
     "cow_join_mv" -> (cowJoinMv _),
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_delete_where" -> (cowDeleteWhere _),
+    "cow_dv_delete" -> (cowDvDelete _),
+    "cow_bucket_join" -> (cowBucketJoin _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
     "cow_snapshot_diff" -> (cowSnapshotDiff _),
     "cow_partition_stats" -> (cowPartitionStats _),
@@ -1280,6 +1365,8 @@ object QueriesCow {
     "cow_join_mv" -> cowJoinMvSql,
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_delete_where" -> cowDeleteWhereSql,
+    "cow_dv_delete" -> cowDvDeleteSql,
+    "cow_bucket_join" -> cowBucketJoinSql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,
     "cow_snapshot_diff" -> cowSnapshotDiffSql,
     "cow_partition_stats" -> cowPartitionStatsSql,

@@ -212,16 +212,13 @@ final class CowFileIndex(
       }
       if (kept.isEmpty) None
       else Some(PartitionDirectory(rowFor(part), kept.map { f =>
-        // manifest paths carry Spark's `_metadata.file_path` form —
-        // URI-ENCODED (space → %20, '%' → %25, the hive-escaped ':'
-        // of a timestamp partition dir → %253A). `new Path(String)`
-        // would escape the '%' AGAIN and the scan would open a
-        // double-encoded path that does not exist; routing through
-        // java.net.URI decodes exactly once, so the FileStatus holds
-        // the on-disk literal path.
+        // manifest paths are the on-disk LITERAL form (collectEntries
+        // decodes `_metadata.file_path`'s URI escaping once); Hadoop
+        // Path's multi-arg URI constructor re-escapes spaces and '%'
+        // itself, so the FileStatus round-trips exactly.
         FileStatusWithMetadata(new FileStatus(
           f.bytes, false, 1, 128L * 1024 * 1024, 0L,
-          qualify(new Path(new java.net.URI(s"$root/${f.path}")))))
+          qualify(new Path(s"$root/${f.path}"))))
       }))
     }
   }
@@ -248,11 +245,27 @@ object CowV2 {
   private def readManifest(
       spark: SparkSession, root: String, m: CowManifest): DataFrame = {
     val index = new CowFileIndex(spark, root, m)
+    // a registered bucket layout is declared to the planner ONLY when
+    // every live data file carries a bucket tag matching its manifest
+    // partition value — the planner's bucketed read parses membership
+    // from file NAMES and throws on an untagged file, so a table with
+    // mixed history degrades to a plain (still correct) scan instead
+    val bucketSpec = CowTable.bucketSpecOf(spark, root).flatMap { bs =>
+      val allTagged = m.files.nonEmpty && m.files.forall { f =>
+        val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+        CowTable.bucketIdOfName(name)
+          .exists(k => f.part.get(bs.partCol).contains(k.toString))
+      }
+      if (allTagged)
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          bs.n, bs.keyCols, Nil))
+      else None
+    }
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
@@ -262,8 +275,11 @@ object CowV2 {
     if (tombs.isEmpty) df
     else {
       val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
-      df.join(broadcast(t), t.columns.toSeq, "left_anti")
-        .select(df.columns.map(col).toSeq: _*)
+      // null-safe on every tombstone column, same rule as
+      // CowTable.resolved: full-row tombstones (deleteWhereMor) may
+      // carry NULLs, and EqualTo would let those rows survive
+      val cond = t.columns.toSeq.map(c => df(c) <=> t(c)).reduce(_ && _)
+      df.join(broadcast(t), cond, "left_anti")
     }
   }
 }

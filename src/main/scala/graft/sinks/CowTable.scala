@@ -32,6 +32,16 @@ final class CowConstraintException(msg: String)
 final case class CowRange(
     colName: String, lo: Option[String], hi: Option[String])
 
+/** A [[CowTable]]'s declared bucket layout: partition column
+  * `partCol` holds `pmod(hash(keyCols…), n)` — SPARK's own bucket
+  * function (Murmur3, seed 42), so the layout can be declared to the
+  * planner as a real `BucketSpec` and co-bucketed joins/aggregations
+  * run with ZERO exchange. Registered once at table creation
+  * ([[CowTable.setBucketSpec]]); every writer derives `partCol` with
+  * [[CowTable.bucketId]].
+  */
+final case class CowBucketSpec(partCol: String, n: Int, keyCols: Seq[String])
+
 /** [[CowTable.fsck]]'s findings: referenced-but-absent paths (real
   * corruption), unreferenced on-disk data files (crash leftovers /
   * pre-vacuum waste), and unpublished staged commit ids.
@@ -204,6 +214,124 @@ object CowTable {
   def keyBucket(keyCols: Seq[String], n: Int): Column = {
     require(n > 0, "bucket count must be positive")
     pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)).cast("int")
+  }
+
+  /** SPARK-PARITY bucket id: `pmod(hash(keys…), n)` — exactly
+    * `HashPartitioning(keys, n).partitionIdExpression` (Murmur3 seed
+    * 42), which is what lets a table partitioned by this column
+    * declare a planner-visible `BucketSpec`. [[keyBucket]] (xxhash64)
+    * keeps the same stable-partition contract but is NOT the planner's
+    * hash; use THIS for tables registered with [[setBucketSpec]].
+    */
+  def bucketId(keyCols: Seq[String], n: Int): Column = {
+    require(n > 0, "bucket count must be positive")
+    pmod(hash(keyCols.map(col): _*), lit(n)).cast("int")
+  }
+
+  private def bucketSpecPath(root: String) =
+    new Path(s"$root/_bucketspec.tsv")
+
+  /** Register the table's bucket layout. Must run BEFORE the first
+    * commit: files written after registration carry Spark's `_NNNNN`
+    * bucket tag in their names (the planner parses bucket membership
+    * from file names), and a mixed tagged/untagged history would make
+    * the layout undeclarable. Writers then derive the partition column
+    * as `bucketId(keyCols, n)`; every commit re-verifies the written
+    * rows against the declared hash (one batch-sized pass) so a
+    * miswritten bucket fails the commit instead of mis-joining.
+    */
+  def setBucketSpec(
+      spark: SparkSession, root: String, spec: CowBucketSpec): Unit = {
+    require(currentManifest(spark, root).isEmpty,
+      s"bucket spec must be registered before the first commit at $root")
+    require(spec.keyCols.nonEmpty && spec.n > 0, "invalid bucket spec")
+    val fs = hfs(spark, root)
+    fs.mkdirs(new Path(root))
+    val out = fs.create(bucketSpecPath(root), true)
+    try out.write((tsvEsc(spec.partCol) + "\t" + spec.n + "\t" +
+        spec.keyCols.map(tsvEsc).mkString(","))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The registered bucket layout, if any. */
+  def bucketSpecOf(spark: SparkSession, root: String): Option[CowBucketSpec] = {
+    val fs = hfs(spark, root)
+    val p = bucketSpecPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parts = line.trim.split("\t")
+      Some(CowBucketSpec(tsvUnesc(parts(0)), parts(1).toInt,
+        parts(2).split(",").toSeq.map(tsvUnesc)))
+    }
+  }
+
+  /** Spark's bucket-file tag (`_00003`), inserted before the name's
+    * first extension dot — the exact shape `FileSourceScanExec`'s
+    * bucketed read parses back out of the file NAME.
+    */
+  private[sinks] def bucketTagName(name: String, k: Int): String = {
+    val dot = name.indexOf('.')
+    val tag = f"_$k%05d"
+    if (dot < 0) name + tag
+    else name.substring(0, dot) + tag + name.substring(dot)
+  }
+
+  private val BucketTagRe = """.*_(\d+)(?:\..*)?$""".r
+
+  /** The bucket id a file NAME declares, if any (Spark's own parse). */
+  private[graft] def bucketIdOfName(name: String): Option[Int] =
+    name match {
+      case BucketTagRe(d) => d.toIntOption
+      case _ => None
+    }
+
+  /** Rename the just-written files of `batchDir` to carry their bucket
+    * tag (parsed from the `__gp_<partCol>=<k>` directory), and verify
+    * the written rows actually hash to their declared bucket — one
+    * batch-sized pass; a violating writer fails HERE, before commit,
+    * never at join time.
+    */
+  private def tagBucketFiles(
+      spark: SparkSession, batchDir: String, schema: StructType,
+      spec: CowBucketSpec): Unit = {
+    val fs = hfs(spark, batchDir)
+    val dir = new Path(batchDir)
+    if (!fs.exists(dir)) return
+    val marker = s"__gp_${spec.partCol}="
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toString
+          val i = full.indexOf(marker)
+          if (i >= 0) {
+            val k = full.substring(i + marker.length)
+              .takeWhile(_ != '/').toIntOption
+            k.filter(v => v >= 0 && v < spec.n).foreach { v =>
+              val renamed = new Path(st.getPath.getParent,
+                bucketTagName(st.getPath.getName, v))
+              require(fs.rename(st.getPath, renamed),
+                s"could not bucket-tag ${st.getPath}")
+            }
+          }
+        }
+      }
+    walk(dir)
+    if (spec.keyCols.forall(schema.fieldNames.contains) &&
+        schema.fieldNames.contains(spec.partCol)) {
+      val bad = spark.read.schema(schema).parquet(batchDir)
+        .where(bucketId(spec.keyCols, spec.n) =!= col(spec.partCol))
+      require(bad.isEmpty,
+        s"batch rows violate the registered bucket spec $spec at " +
+          s"$batchDir — write ${spec.partCol} as " +
+          s"CowTable.bucketId(${spec.keyCols.mkString(",")}, ${spec.n})")
+    }
   }
 
   /** Canonical partition identity: partition values in `partCols`
@@ -679,10 +807,15 @@ object CowTable {
     if (tombs.isEmpty) df
     else {
       val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
-      // the using-column anti-join moves the join keys first; restore
-      // the manifest's column order so downstream schemas stay stable
-      df.join(broadcast(t), t.columns.toSeq, "left_anti")
-        .select(df.columns.map(col).toSeq: _*)
+      // NULL-SAFE equality on every tombstone column: a full-row
+      // tombstone ([[deleteWhereMor]]) may carry NULL in any data
+      // column, and plain EqualTo would never match it — the row would
+      // survive its own delete. For key tombstones this also means an
+      // explicitly-named NULL-keyed row IS deletable (the tombstone
+      // names exactly the row it kills). Explicit-condition anti-join
+      // output is the LEFT side verbatim, so column order is stable.
+      val cond = t.columns.toSeq.map(c => df(c) <=> t(c)).reduce(_ && _)
+      df.join(broadcast(t), cond, "left_anti")
     }
   }
 
@@ -1281,6 +1414,15 @@ object CowTable {
       }
   }
 
+  /** Decode one level of URI escaping (%20 → space, %25 → %). The
+    * input is always a valid URI reference (it came from Path.toUri),
+    * so the single-arg URI parse cannot see raw spaces; a malformed
+    * string falls back to itself rather than failing the commit.
+    */
+  private def decodeUriPath(s: String): String =
+    try new java.net.URI(s).getPath
+    catch { case _: java.net.URISyntaxException => s }
+
   private def collectEntries(
       spark: SparkSession, batchDir: String, id: Long,
       schema: StructType, partCols: Seq[String],
@@ -1317,6 +1459,14 @@ object CowTable {
       val full = r.getAs[String]("__fp")
       val cut = full.indexOf(marker)
       require(cut >= 0, s"file $full not under $BatchPrefix$id")
+      // `_metadata.file_path` is URI-ENCODED (a space-valued partition
+      // dir arrives as %20, a hive-escaped ':' as %253A). Manifests
+      // store the on-disk LITERAL form: every consumer — dfFor's
+      // string reads, fsck's existence probes, vacuum's reference
+      // checks, CowFileIndex's FileStatus construction — treats f.path
+      // as a plain filesystem string, and Hadoop Path re-escapes it
+      // correctly on its own.
+      val rel = decodeUriPath(full.substring(cut + 1))
       val mins = sc.flatMap { c =>
         Option(r.getAs[String](s"__min_$c")).map { v =>
           c -> (if (isStr(c) && v.length > MaxStatLen) v.take(MaxStatLen) else v)
@@ -1330,7 +1480,7 @@ object CowTable {
       val blooms = bloomCols.flatMap(c =>
         bloomsByFile.get((full, c)).map(c -> _)).toMap
       CowFile(
-        path = full.substring(cut + 1),
+        path = rel,
         part = partCols.map(c => c -> r.getAs[String](s"__min_$c")).toMap,
         rows = r.getAs[Long]("__rows"),
         bytes = r.getAs[Long]("__bytes"),
@@ -1380,6 +1530,19 @@ object CowTable {
         shaped.sortWithinPartitions((gp ++ sortCols).map(col): _*)
       else shaped
       sorted.write.mode("overwrite").partitionBy(gp: _*).parquet(batchDir)
+      // bucket-spec'd tables: tag the just-written files so the layout
+      // stays planner-declarable across EVERY write path (append, COW
+      // rewrite, compaction, optimize, stage — they all land here)
+      val i = batchDir.lastIndexOf(s"/$BatchPrefix")
+      if (i > 0) {
+        val root = batchDir.substring(0, i)
+        val spark = rewrite.sparkSession
+        bucketSpecOf(spark, root)
+          .filter(bs => partCols.contains(bs.partCol))
+          .foreach(bs => tagBucketFiles(spark, batchDir,
+            StructType(rewrite.schema.filterNot(f =>
+              f.name.startsWith("__gp_"))), bs))
+      }
     }
   }
 
@@ -2723,8 +2886,9 @@ object CowTable {
     *
     * `keys` must carry the merge keys AND the table's `partCols`
     * (key-derived, as everywhere in this API) — a tombstone names its
-    * partition so reads outside it never pay the anti-join. NULL-keyed
-    * rows never match (ANSI), so they cannot be MOR-deleted.
+    * partition so reads outside it never pay the anti-join. Tombstone
+    * matching is NULL-SAFE (`<=>`): an explicitly-named NULL-keyed row
+    * is deleted like any other.
     *
     * Trade-off, stated plainly: every read between the delete and the
     * next fold pays a broadcast anti-join against the outstanding
@@ -2782,6 +2946,90 @@ object CowTable {
         // deletes only ADD: every previous entry (data and tombstones)
         // carries over verbatim
         writeManifest(spark, root, id, partCols, m.schemaDdl,
+          m.allFiles ++ fresh)
+      }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ fresh).map(_.path),
+        m.id -> m.allFiles.map(_.path))
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, vacuumKnown)
+  }
+
+  /** PREDICATE MERGE-ON-READ delete — deletion-vector economics for
+    * `DELETE FROM t WHERE cond`: where [[deleteWhere]] REWRITES every
+    * partition holding a match (O(touched partitions) whatever the
+    * match count), this records the MATCHED ROWS THEMSELVES as
+    * full-row TOMBSTONE files — O(matched rows) written, zero data
+    * rewritten — and readers subtract them through the same null-safe
+    * broadcast anti-join as key tombstones ([[resolved]]). The debt
+    * retires when a partition next rewrites or via [[foldTombstones]],
+    * exactly like [[deleteKeysMor]].
+    *
+    * Full-row equality is EXACT for a predicate delete: the predicate
+    * is a function of the row, so any row equal to a matched row is
+    * itself a match — deleting every copy is precisely the DELETE
+    * contract, duplicates included. `cond` must be deterministic (it
+    * is evaluated once, at delete time). `prune` is the same
+    * over-approximating skip hint as [[deleteWhere]]'s.
+    *
+    * Choose by selectivity: a low-selectivity predicate over huge
+    * partitions (a GDPR key sweep, a bad-row purge) wants this; a
+    * delete that empties most of its partitions anyway wants the COW
+    * rewrite, whose steady state is tombstone-free. At 100 TB the
+    * difference is a few MB of tombstones vs rewriting TBs.
+    *
+    * `changeLog = true` emits the sidecar as pure-D rows — the matched
+    * rows ARE the before-images, no diff join needed.
+    */
+  def deleteWhereMor(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      changeLog: Boolean = false): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      val candidates =
+        if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+      if (candidates.isEmpty) return // nothing can match — id unconsumed
+      val matches = resolved(spark, root, m, candidates, prune).where(cond)
+      val tombDir = s"$root/$BatchPrefix$id/__tomb"
+      writeBatch(matches, tombDir, m.partCols, Nil)
+      val fresh = collectEntries(spark, tombDir, id, m.schema, m.partCols)
+        .map(_.copy(kind = KindTombstone))
+      if (fresh.isEmpty) {
+        // no row matched: leave no uncommitted batch dir behind and
+        // return with the id unconsumed, like deleteWhere's empty case
+        hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
+        return
+      }
+      val stagedLog =
+        if (!changeLog) None
+        else {
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          // read the WRITTEN tombstones back rather than re-running the
+          // candidate scan: one pass over O(matched rows), and the
+          // sidecar is bit-identical to what readers will subtract
+          val stub = CowManifest(id, m.partCols, m.schemaDdl,
+            fresh.map(_.copy(kind = KindData)))
+          dfFor(spark, root, stub, stub.files)
+            .withColumn(ChangeOper, lit("D"))
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        // a MOR delete only ADDS tombstones: every previous entry
+        // (data and tombstones) carries over verbatim
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
           m.allFiles ++ fresh)
       }
       vacuumKnown = Map(
