@@ -251,6 +251,40 @@ class CowV2Spec extends SparkSpec {
     }
   }
 
+  test("manifest statistics flow to Catalyst: a small CowV2 dim " +
+      "auto-broadcasts under the planner's OWN threshold with no " +
+      "hint, and stops broadcasting when the threshold drops") {
+    val root = tmp()
+    CowTable.commitFull(
+      spark.range(200).select($"id".as("d_key"),
+        concat(lit("n"), $"id").as("d_name")),
+      root, 1L, Nil)
+    val dim = CowV2.read(spark, root).get
+    // the relation's size estimate is the manifest's byte count (times
+    // Spark's file compression factor) — no listing, no data read
+    val stats = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val manifestBytes =
+      CowTable.currentManifest(spark, root).get.files.map(_.bytes).sum
+    assert(stats > 0 && stats <= manifestBytes * 10,
+      s"stats $stats not derived from manifest bytes $manifestBytes")
+    val fact = spark.range(10000)
+      .select(($"id" % 200).as("d_key"), $"id".as("v"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val p = fact.join(dim, Seq("d_key")).queryExecution
+        .executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"Catalyst did not auto-broadcast the manifest-sized dim:\n$p")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val p2 = fact.join(dim, Seq("d_key")).queryExecution
+        .executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"oversized-for-threshold dim still broadcast:\n$p2")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("snapshot isolation: a CowV2 DataFrame pins its manifest — a " +
       "commit AFTER construction is invisible to it") {
     val root = tmp()
