@@ -1034,6 +1034,71 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // JOIN VIEW OVER TWO INDEPENDENTLY-STREAMING TABLES
+  // (CowStream.joinMv2Sink): both tables mutate — full + pure-I append
+  // + MOR delete on the fact, full + upsert on the dim — and ONE
+  // streaming query maintains A ⋈ B from the two sidecar feeds with a
+  // persisted per-side frontier and time-traveled other-side states
+  // (the cross-table commit order the pinned-dim variant avoids). The
+  // require() proves maintained ≡ recomputed; the oracle replays the
+  // final join.
+  // -------------------------------------------------------------------
+  def cowStreamJoin2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinMv
+    import graft.sinks.SnapshotTarget
+    import graft.streaming.CowStream
+    val ra = scratch("cow_sj2_a")
+    val rb = scratch("cow_sj2_b")
+    val mv = scratch("cow_sj2_mv")
+    val ck = scratch("cow_sj2_ck")
+    val pa = CowTable.keyBucket(Seq("o_orderkey"), NBuckets)
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(
+      o.where(col("o_orderkey") % 3 === 0).select(col("*"), pa.as("pa")),
+      ra, 1L, Seq("pa"), keep = 10, changeLogKeys = Seq("o_orderkey"))
+    CowTable.commitAppend(
+      o.where(col("o_orderkey") % 3 === 1).select(col("*"), pa.as("pa")),
+      ra, 2L, Seq("pa"), keep = 10, changeLogKeys = Seq("o_orderkey"))
+    CowTable.deleteKeysMor(spark, ra, 3L,
+      o.where(col("o_orderkey") % 3 <= 1 && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), pa.as("pa")),
+      Seq("o_orderkey"), Seq("pa"), keep = 10, changeLog = true)
+    val pbk = CowTable.keyBucket(Seq("custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey").as("custkey"), col("c_name"),
+      col("c_mktsegment").as("seg"))
+    CowTable.commitFull(c.select(col("*"), pbk.as("pbk")),
+      rb, 1L, Seq("pbk"), keep = 10, changeLogKeys = Seq("custkey"))
+    CowTable.upsert(spark, rb, 2L,
+      c.where(col("custkey") <= 300)
+        .select(col("custkey"), col("c_name"), lit("UPDATED").as("seg"),
+          pbk.as("pbk")),
+      Seq("custkey"), Seq("pbk"), keep = 10, changeLog = true)
+    val q = CowStream.joinMv2Sink(spark, ra, rb, Seq("custkey"), mv, ck)
+    try q.processAllAvailable() finally q.stop()
+    val got = JoinMv.finish(SnapshotTarget.read(spark, mv).get)
+      .select("custkey", "o_orderkey", "cents", "c_name", "seg")
+    val want = CowTable.read(spark, ra).get.drop("pa")
+      .join(CowTable.read(spark, rb).get.drop("pbk"), Seq("custkey"))
+      .select("custkey", "o_orderkey", "cents", "c_name", "seg")
+    require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "two-stream join view diverged from the direct join")
+    got.orderBy("o_orderkey")
+  }
+
+  val cowStreamJoin2Sql: String =
+    """SELECT o_custkey AS custkey, o_orderkey,
+      |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |       c_name,
+      |       CASE WHEN c_custkey <= 300 THEN 'UPDATED'
+      |            ELSE c_mktsegment END AS seg
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // CO-BUCKETED CowTable JOIN through the planner: both tables
   // register the SAME Spark-parity bucket layout (pmod(hash(key), 8)),
   // so CowV2 declares a real BucketSpec and the fact-dim join + key
@@ -1334,6 +1399,7 @@ object QueriesCow {
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_bucket_join" -> (cowBucketJoin _),
+    "cow_stream_join2" -> (cowStreamJoin2 _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
     "cow_snapshot_diff" -> (cowSnapshotDiff _),
     "cow_partition_stats" -> (cowPartitionStats _),
@@ -1367,6 +1433,7 @@ object QueriesCow {
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_bucket_join" -> cowBucketJoinSql,
+    "cow_stream_join2" -> cowStreamJoin2Sql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,
     "cow_snapshot_diff" -> cowSnapshotDiffSql,
     "cow_partition_stats" -> cowPartitionStatsSql,

@@ -248,4 +248,139 @@ object CowStream {
     trigger.foreach(writer.trigger)
     writer.start()
   }
+
+  // -------------------------------------------------------------------
+  // Join view over TWO independently-streaming tables
+  // -------------------------------------------------------------------
+
+  /** Commit NOTIFICATIONS from one table's sidecar feed: (side, id)
+    * pairs only, schema-uniform so two tables' feeds union into one
+    * stream. [[joinMv2Batch]] re-reads each commit's COMPLETE sidecar
+    * from `_changes/<id>` — a file stream may split one commit's files
+    * across micro-batches, and a HALF-applied commit joined against
+    * the other side's full snapshot would double-count join partners;
+    * the rows notify, the directory carries the atomic truth.
+    */
+  def changeFeedIds(
+      spark: SparkSession, root: String, side: String): DataFrame =
+    changeFeed(spark, root)
+      .select(lit(side).as("_side"), col("_commit_id"))
+
+  private def stateAt(
+      spark: SparkSession, root: String, id: Long): DataFrame =
+    CowTable.readAt(spark, root, id).getOrElse {
+      val m = CowTable.currentManifest(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    }
+
+  /** One micro-batch of a join view over TWO INDEPENDENTLY-STREAMING
+    * tables — the cross-table commit order [[joinMvBatch]]'s pinned-dim
+    * variant deliberately avoids, made exact with three ingredients:
+    *
+    *  1. A SERIALIZATION: within the batch, commits apply in (id,
+    *     side) order; across batches, arrival order. Any interleaving
+    *     that preserves each table's own id order is exact under
+    *     [[JoinMv]]'s composition law — the sort only makes replays
+    *     deterministic.
+    *  2. ATOMIC COMMITS: each live id's sidecar is re-read WHOLE from
+    *     `_changes/<id>` (see [[changeFeedIds]]).
+    *  3. A PERSISTED FRONTIER (fa, fb): the highest applied commit per
+    *     side, committed as its own snapshot target under the MV path
+    *     AFTER the MV commit. Each ΔA applies against B AS OF fb via
+    *     time travel — the state the view has actually absorbed, not
+    *     whatever B's table head happens to be. On replay the
+    *     pre-batch frontier is re-read at `batchId - 1`, so a crash
+    *     between the MV commit and the frontier commit heals: the MV
+    *     skip-guard fires and the frontier is re-derived and
+    *     committed idempotently.
+    *
+    * Retention contract: B's `keep` must cover the stream's worst-case
+    * lag in commits (time travel to fb must stay servable) — the same
+    * rule [[mvBatch]]'s scaladoc states for sidecars, applied to
+    * manifests. Non-key column names must be disjoint between the two
+    * tables ([[JoinMv]]'s schema rule).
+    */
+  def joinMv2Batch(
+      batch: DataFrame,
+      batchId: Long,
+      rootA: String,
+      rootB: String,
+      joinKeys: Seq[String],
+      mvPath: String,
+      waitMs: Long = 30000,
+      keep: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fPath = s"$mvPath/_frontier"
+    val (fa0, fb0) = SnapshotTarget.readAt(spark, fPath, batchId - 1)
+      .map(_.select("fa", "fb").as[(Long, Long)].collect().head)
+      .getOrElse((0L, 0L))
+    def liveOf(side: String, root: String, floor: Long): Seq[Long] = {
+      val ids = batch.where(col("_side") === side).select("_commit_id")
+      if (ids.isEmpty) Nil
+      else liveIds(ids, root, waitMs).filter(_ > floor)
+    }
+    val liveA = liveOf("a", rootA, fa0)
+    val liveB = liveOf("b", rootB, fb0)
+    val fa1 = (fa0 +: liveA).max
+    val fb1 = (fb0 +: liveB).max
+    // replay after a crash between the two commits below: the MV
+    // already holds this batch — re-derive and commit ONLY the frontier
+    if (SnapshotTarget.committedIds(spark, mvPath).exists(_ >= batchId)) {
+      if (!SnapshotTarget.committedIds(spark, fPath).exists(_ >= batchId))
+        SnapshotTarget.commit(Seq((fa1, fb1)).toDF("fa", "fb"), fPath,
+          batchId, keep = 4)
+      return
+    }
+    if (liveA.isEmpty && liveB.isEmpty) return
+    var (fa, fb) = (fa0, fb0)
+    var cur = SnapshotTarget.read(spark, mvPath).getOrElse {
+      val a0 = stateAt(spark, rootA, 0L).limit(0)
+      val b0 = stateAt(spark, rootB, 0L).limit(0)
+      JoinMv.init(a0, b0, joinKeys)
+    }
+    val ordered = (liveA.map(i => ("a", i)) ++ liveB.map(i => ("b", i)))
+      .sortBy { case (side, i) => (i, side) }
+    ordered.foreach { case (side, id) =>
+      val root = if (side == "a") rootA else rootB
+      val delta = CowTable.changeLogFor(spark, root, id).getOrElse(
+        throw new IllegalStateException(
+          s"committed id $id at $root has no complete sidecar — " +
+            "the join view cannot apply it"))
+      val other =
+        if (side == "a") stateAt(spark, rootB, fb)
+        else stateAt(spark, rootA, fa)
+      cur = JoinMv.applyDelta(cur, delta, other, joinKeys,
+        deltaIsLeft = side == "a")
+      if (side == "a") fa = id else fb = id
+    }
+    SnapshotTarget.commit(cur, mvPath, batchId, keep)
+    SnapshotTarget.commit(Seq((fa, fb)).toDF("fa", "fb"), fPath,
+      batchId, keep = 4)
+  }
+
+  /** The two-table join-view sink: both tables' id feeds unioned into
+    * ONE streaming query → [[joinMv2Batch]] per micro-batch.
+    */
+  def joinMv2Sink(
+      spark: SparkSession,
+      rootA: String,
+      rootB: String,
+      joinKeys: Seq[String],
+      mvPath: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val feed = changeFeedIds(spark, rootA, "a")
+      .unionByName(changeFeedIds(spark, rootB, "b"))
+    val writer = feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => joinMv2Batch(b, id, rootA, rootB, joinKeys, mvPath))
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
 }
