@@ -34,14 +34,14 @@ object DataDiff {
     // never matches it to the other side), and deriving presence from
     // isNotNull misclassified such rows as belonging to the OTHER side
     val l = left.select(left.columns.map(c => col(c).as(s"__l_$c")) :+
-      lit(true).as("__l_present"): _*)
+      lit(true).as("__dd_present_l"): _*)
     val r = right.select(right.columns.map(c => col(c).as(s"__r_$c")) :+
-      lit(true).as("__r_present"): _*)
+      lit(true).as("__dd_present_r"): _*)
     val joinCond = keyCols
       .map(k => col(s"__l_$k") === col(s"__r_$k"))
       .reduce(_ && _)
-    val inLeft = coalesce(col("__l_present"), lit(false))
-    val inRight = coalesce(col("__r_present"), lit(false))
+    val inLeft = coalesce(col("__dd_present_l"), lit(false))
+    val inRight = coalesce(col("__dd_present_r"), lit(false))
     val anyChanged =
       if (compare.isEmpty) lit(false)
       else compare.map(c => !(col(s"__l_$c") <=> col(s"__r_$c")))

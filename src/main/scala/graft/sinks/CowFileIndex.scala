@@ -270,16 +270,8 @@ object CowV2 {
       options = Map.empty)(spark)
     val df = spark.baseRelationToDataFrame(relation)
     // outstanding merge-on-read tombstones subtract rows exactly as in
-    // CowTable.resolved; a folded table (the steady state) skips this
-    val tombs = m.tombstones
-    if (tombs.isEmpty) df
-    else {
-      val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
-      // null-safe on every tombstone column, same rule as
-      // CowTable.resolved: full-row tombstones (deleteWhereMor) may
-      // carry NULLs, and EqualTo would let those rows survive
-      val cond = t.columns.toSeq.map(c => df(c) <=> t(c)).reduce(_ && _)
-      df.join(broadcast(t), cond, "left_anti")
-    }
+    // CowTable.resolved (null-safe, schema-grouped — key and full-row
+    // tombstone shapes may coexist); a folded table skips this
+    CowTable.subtractTombstones(spark, root, df, m.tombstones)
   }
 }

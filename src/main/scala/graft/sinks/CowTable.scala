@@ -804,18 +804,37 @@ object CowTable {
     val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
       .filter(t => ranges.forall(r =>
         mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
-    if (tombs.isEmpty) df
-    else {
-      val t = spark.read.parquet(tombs.map(f => s"$root/${f.path}"): _*)
-      // NULL-SAFE equality on every tombstone column: a full-row
-      // tombstone ([[deleteWhereMor]]) may carry NULL in any data
-      // column, and plain EqualTo would never match it — the row would
-      // survive its own delete. For key tombstones this also means an
-      // explicitly-named NULL-keyed row IS deletable (the tombstone
-      // names exactly the row it kills). Explicit-condition anti-join
-      // output is the LEFT side verbatim, so column order is stable.
-      val cond = t.columns.toSeq.map(c => df(c) <=> t(c)).reduce(_ && _)
-      df.join(broadcast(t), cond, "left_anti")
+    subtractTombstones(spark, root, df, tombs)
+  }
+
+  /** Subtract tombstone rows from `df` — NULL-SAFE equality on every
+    * tombstone column: a full-row tombstone ([[deleteWhereMor]]) may
+    * carry NULL in any data column, and plain EqualTo would never
+    * match it — the row would survive its own delete. For key
+    * tombstones this also means an explicitly-named NULL-keyed row IS
+    * deletable. Explicit-condition anti-join output is the LEFT side
+    * verbatim, so column order is stable.
+    *
+    * Tombstone files may carry DIFFERENT column sets on one table —
+    * key tombstones (merge keys + partCols, and two deletes may use
+    * different key sets) next to full-row tombstones. One combined
+    * read would collapse them onto a single inferred schema (absent
+    * columns surfacing as NULL) and corrupt the anti-join both ways —
+    * resurrecting keyed deletes or over-deleting siblings — so files
+    * group by their OWN schema and each group anti-joins separately.
+    * The footer reads are driver-side and delete-batch-sized.
+    */
+  private[sinks] def subtractTombstones(
+      spark: SparkSession, root: String, df: DataFrame,
+      tombs: Seq[CowFile]): DataFrame = {
+    if (tombs.isEmpty) return df
+    val bySchema = tombs
+      .groupBy(f => spark.read.parquet(s"$root/${f.path}").columns.toSeq)
+      .toSeq.sortBy(_._1.mkString("\u0001")) // deterministic plan order
+    bySchema.foldLeft(df) { case (acc, (_, fs)) =>
+      val t = spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+      val cond = t.columns.toSeq.map(c => acc(c) <=> t(c)).reduce(_ && _)
+      acc.join(broadcast(t), cond, "left_anti")
     }
   }
 
@@ -2327,8 +2346,19 @@ object CowTable {
       s.split("\n", -1).toSeq.map(_.trim)
     }
     val basedOn = metaLines.headOption.flatMap(_.toLongOption)
-    val stagedLog = metaLines.lift(1).filter(n => n.nonEmpty && n != "-")
+    val stagedLog0 = metaLines.lift(1).filter(n => n.nonEmpty && n != "-")
       .map(n => new Path(s"$root/$ChangesDir/$n"))
+    // a retry after a crash BETWEEN the sidecar rename and the manifest
+    // write finds the staging dir gone and _changes/<id> already
+    // published — treat that as done (re-publishing would first delete
+    // the published sidecar and then fail the rename forever); a
+    // missing staging with NO published sidecar is real loss, fail loud
+    val stagedLog = stagedLog0.filter(p => fs.exists(p))
+    stagedLog0.filterNot(p => fs.exists(p)).foreach { p =>
+      require(hasChangeLog(spark, root, id),
+        s"staged sidecar $p of commit $id vanished without being " +
+          "published — discard the stage and re-stage")
+    }
     val stagedFp = metaLines.lift(2).filter(_.nonEmpty)
     val m = manifestAt(spark, stagedManifestDir(root, id), id)
     // a CHECK constraint registered AFTER the stage validated only the

@@ -147,13 +147,19 @@ object CowStream {
     // INVISIBLE-COMMIT guard: a file-stream consumer only ever sees
     // ids that PUBLISHED a sidecar — a committed id at or below this
     // batch's frontier with no sidecar (a write path invoked without
-    // changeLogKeys, or an overlap-skipped pure-I append) would be
-    // silently absent and the MV would diverge with no failure at all.
-    // Every retained committed id in the consumed range must have one;
-    // a no-op commit's sidecar is the EMPTY changelog, never a missing
-    // dir.
+    // changeLogKeys, an overlap-skipped pure-I append, a restore)
+    // would be silently absent and the MV would diverge with no
+    // failure at all. The check covers the feed's own range: from the
+    // FIRST sidecar'd commit (history below it predates the feed — a
+    // view over such a table is bootstrapped from a rescan, which is
+    // the operator's contract, and those ids can never be re-wired
+    // with sidecars anyway) up to this batch's frontier. A no-op
+    // commit's sidecar is the EMPTY changelog, never a missing dir.
+    val sidecarIds = committed.toSeq
+      .filter(i => CowTable.hasChangeLog(spark, tableRoot, i))
+    val feedFloor = sidecarIds.minOption.getOrElse(Long.MaxValue)
     val blind = committed.toSeq
-      .filter(i => i <= ids.max &&
+      .filter(i => i > feedFloor && i <= ids.max &&
         !CowTable.hasChangeLog(spark, tableRoot, i)).sorted
     if (blind.nonEmpty)
       throw new IllegalStateException(
@@ -266,9 +272,22 @@ object CowStream {
     changeFeed(spark, root)
       .select(lit(side).as("_side"), col("_commit_id"))
 
+  /** The table state AS OF applied frontier `id`. Frontier 0 means
+    * "nothing applied yet" and serves the honest EMPTY table; a
+    * NON-ZERO frontier must be time-travel-servable — if retention
+    * vacuumed it, substituting empty would silently drop every join
+    * partner of the other side's deltas, so that case fails LOUD
+    * (same retention contract as the sidecar hwm guard: raise the
+    * writer's `keep` above the stream's worst-case lag, or rebuild).
+    */
   private def stateAt(
       spark: SparkSession, root: String, id: Long): DataFrame =
     CowTable.readAt(spark, root, id).getOrElse {
+      if (id != 0L)
+        throw new IllegalStateException(
+          s"join-view frontier $id at $root is no longer servable " +
+            "(vacuumed past retention) — raise the writer's keep above " +
+            "the stream's worst-case commit lag, or rebuild the view")
       val m = CowTable.currentManifest(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $root"))
       spark.createDataFrame(

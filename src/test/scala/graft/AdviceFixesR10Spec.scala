@@ -122,6 +122,71 @@ class AdviceFixesR10Spec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("publishStaged retries cleanly after a crash between the " +
+      "sidecar rename and the manifest write") {
+    val root = tmp("wap_crash")
+    CowTable.commitFull(
+      spark.range(5).select($"id"), root, 1L, Nil, keep = 10,
+      changeLogKeys = Seq("id"))
+    CowTable.stageAppend(spark.range(100, 105).select($"id"),
+      root, 2L, Nil, changeLogKeys = Seq("id"))
+    // simulate the crash point: the sidecar staging dir was already
+    // renamed into _changes/2, the manifest write never happened
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val changes = new org.apache.hadoop.fs.Path(s"$root/_changes")
+    val staging = fs.listStatus(changes).toSeq
+      .map(_.getPath).find(_.getName.startsWith(".tmp-2-"))
+      .getOrElse(fail("no staged sidecar found"))
+    assert(fs.rename(staging,
+      new org.apache.hadoop.fs.Path(s"$root/_changes/2")))
+    // the retry must see the published sidecar, NOT delete it, and
+    // complete the manifest publish
+    CowTable.publishStaged(spark, root, 2L, keep = 10)
+    assert(CowTable.committedIds(spark, root).contains(2L))
+    assert(CowTable.hasChangeLog(spark, root, 2L),
+      "retry destroyed the already-published sidecar")
+    val log = CowTable.changeLogFor(spark, root, 2L).get
+    assert(log.select("id").as[Long].collect().sorted.toSeq ==
+      (100L until 105L).toSeq)
+  }
+
+  test("pre-feed history is allowed: sidecar-less commits BELOW the " +
+      "first sidecar'd commit do not trip the invisible-commit guard") {
+    val root = tmp("prefeed")
+    // commits 1-2 predate the feed (no changeLogKeys)
+    CowTable.commitFull(
+      spark.range(10).select($"id",
+        CowTable.keyBucket(Seq("id"), 2).as("pb")),
+      root, 1L, Seq("pb"), keep = 10)
+    CowTable.commitAppend(
+      spark.range(10, 20).select($"id",
+        CowTable.keyBucket(Seq("id"), 2).as("pb")),
+      root, 2L, Seq("pb"), keep = 10)
+    // feed starts at commit 3
+    CowTable.commitAppend(
+      spark.range(20, 30).select($"id",
+        CowTable.keyBucket(Seq("id"), 2).as("pb")),
+      root, 3L, Seq("pb"), keep = 10, changeLogKeys = Seq("id"))
+    val mv = tmp("prefeed_mv")
+    val feed = CowTable.changeLogFor(spark, root, 3L).get
+      .withColumnRenamed("oper", "_oper")
+      .withColumn("_commit_id", lit(3L))
+    // must NOT throw: ids 1-2 are below the feed floor
+    CowStream.mvBatch(feed, 0L, root, mv, Seq("pb"), Seq("id"))
+    val n = graft.sinks.SnapshotTarget.read(spark, mv).get
+      .agg(sum($"mv_n")).as[Long].collect().head
+    assert(n == 10L)
+  }
+
+  test("DataDiff tolerates a user column literally named 'present'") {
+    val left = Seq((1L, true), (2L, false)).toDF("k", "present")
+    val right = Seq((1L, true), (2L, true)).toDF("k", "present")
+    val d = DataDiff.rowDiff(left, right, Seq("k"))
+      .select($"k", $"diff_status").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "identical", 2L -> "changed"))
+  }
+
   test("a session-TZ timestamp partition column reads correctly under " +
       "a DIFFERENT reader timezone through the planner path") {
     val root = tmp("tzpart")

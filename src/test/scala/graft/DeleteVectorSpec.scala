@@ -92,6 +92,30 @@ class DeleteVectorSpec extends SparkSpec {
       "fold changed visible content")
   }
 
+  test("key tombstones and full-row tombstones COEXIST on one table " +
+      "without cross-contaminating the anti-join") {
+    val root = tmp("mixed")
+    val rows = spark.range(100).select($"id", ($"id" % 2).as("part"),
+      concat(lit("n"), $"id").as("name"), ($"id" % 10).as("score"))
+    CowTable.commitFull(rows, root, 1L, Seq("part"), keep = 10)
+    // key-shaped tombstones: (id, part) only
+    CowTable.deleteKeysMor(spark, root, 2L,
+      spark.range(5).select($"id", ($"id" % 2).as("part")),
+      Seq("id"), Seq("part"), keep = 10)
+    // full-row tombstones from a predicate delete
+    CowTable.deleteWhereMor(spark, root, 3L, $"score" === 7L, keep = 10)
+    val want = (0L until 100L)
+      .filterNot(_ < 5L).filterNot(_ % 10 == 7L).toSeq
+    val got = CowTable.read(spark, root).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want,
+      "mixed tombstone shapes corrupted the subtraction (direct read)")
+    val v2 = CowV2.read(spark, root).get
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(v2 == want,
+      "mixed tombstone shapes corrupted the subtraction (planner read)")
+  }
+
   test("no-match predicate leaves the id unconsumed and no orphan " +
       "batch dir; changeLog=true serves the matched rows as pure-D") {
     val root = tmp("log")

@@ -104,6 +104,42 @@ class JoinMv2Spec extends SparkSpec {
       s"deletes did not retract from the two-stream view: $got")
   }
 
+  test("a vacuumed-away frontier fails LOUD instead of joining " +
+      "against a silently-empty other side") {
+    val ra = tmp("va"); val rb = tmp("vb")
+    val mv = tmp("vmv")
+    CowTable.commitFull(
+      spark.range(10).select($"id".as("k"), $"id".as("av"),
+        CowTable.keyBucket(Seq("k"), NB).as("pa")),
+      ra, 1L, Seq("pa"), keep = 10, changeLogKeys = Seq("k"))
+    CowTable.commitFull(
+      spark.range(10).select($"id".as("k"),
+        concat(lit("b1-"), $"id").as("bv"),
+        CowTable.keyBucket(Seq("k"), NB).as("pbk")),
+      rb, 1L, Seq("pbk"), keep = 10, changeLogKeys = Seq("k"))
+    // apply both sides' initial commits: frontier (1, 1)
+    CowStream.joinMv2Batch(
+      Seq(("a", 1L), ("b", 1L)).toDF("_side", "_commit_id"),
+      0L, ra, rb, Seq("k"), mv)
+    // B races ahead with keep=2 — id 1's manifest vacuums away
+    (2L to 5L).foreach(i => commitB(rb, i,
+      spark.range(10).select($"id".as("k"),
+        concat(lit(s"b$i-"), $"id").as("bv"))))
+    CowTable.vacuum(spark, rb, keep = 2)
+    assert(!CowTable.committedIds(spark, rb).contains(1L),
+      "setup: frontier manifest should be vacuumed")
+    // an A-side delta must now refuse the unservable B frontier
+    commitA(ra, 2L, spark.range(3)
+      .select($"id".as("k"), ($"id" + 1000).as("av")))
+    val e = intercept[IllegalStateException] {
+      CowStream.joinMv2Batch(
+        Seq(("a", 2L)).toDF("_side", "_commit_id"),
+        1L, ra, rb, Seq("k"), mv)
+    }
+    assert(e.getMessage.contains("no longer servable"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("replayed micro-batch is a no-op and a crash between the MV " +
       "and frontier commits heals on replay") {
     val ra = tmp("ra"); val rb = tmp("rb")

@@ -24,19 +24,28 @@ class OptimizeRaceSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("optrace").toString
 
-  /** Run `op` with a fresh id on each concurrent-commit retry — the
-    * documented loser protocol (recompute against the new base).
+  /** Run `op` with a fresh id on each attempt — the documented loser
+    * protocol (recompute against the new base). `op` returns whether
+    * it COMMITTED; a superseded id (maintenance ops return false when
+    * the frontier moved past their id) retries with a fresher one, so
+    * "the loser silently did nothing" can never read as success.
+    * `falseIsTerminal` accepts a genuine nothing-to-do false (e.g.
+    * compaction finding no fragmentation after the racer's rewrite).
     */
-  private def retrying(firstId: Long)(op: Long => Unit): Unit = {
+  private def retrying(firstId: Long, falseIsTerminal: Boolean = false)(
+      op: Long => Boolean): Boolean = {
     var id = firstId
-    var done = false
     var attempts = 0
-    while (!done) {
+    while (true) {
       attempts += 1
-      require(attempts <= 4, "retry loop did not converge")
-      try { op(id); done = true }
-      catch { case _: CowConcurrentCommitException => id += 10 }
+      require(attempts <= 6, "retry loop did not converge")
+      try {
+        if (op(id)) return true
+        else if (falseIsTerminal && attempts > 1) return false
+      } catch { case _: CowConcurrentCommitException => () }
+      id += 10
     }
+    false
   }
 
   test("OPTIMIZE ZORDER racing a concurrent upsert: one wins, the " +
@@ -56,19 +65,24 @@ class OptimizeRaceSpec extends SparkSpec {
       def guard(body: => Unit): Runnable = () =>
         try { start.await(); body }
         catch { case t: Throwable => failure = Some(t) }
+      @volatile var optCommitted = false
       val tOpt = new Thread(guard {
-        retrying(2L + round * 100)(id =>
+        optCommitted = retrying(2L + round * 100)(id =>
           CowTable.optimizeZorder(spark, root, id, Seq("id", "k2"),
             targetFileBytes = 64 * 1024, keep = 10))
       })
       val tUp = new Thread(guard {
-        retrying(3L + round * 100)(id =>
+        retrying(3L + round * 100) { id =>
           CowTable.upsert(spark, root, id, delta, Seq("id"), Seq("pb"),
-            keep = 10))
+            keep = 10)
+          CowTable.committedIds(spark, root).contains(id)
+        }
       })
       tOpt.start(); tUp.start(); start.countDown()
       tOpt.join(180000); tUp.join(180000)
       failure.foreach(t => fail(s"round $round: unexpected failure", t))
+      assert(optCommitted,
+        s"round $round: the maintenance side never actually committed")
       // content: exactly the upsert result, whoever won the race
       val got = CowTable.read(spark, root).get
         .select("id", "v").as[(Long, Long)].collect().toMap
@@ -105,14 +119,18 @@ class OptimizeRaceSpec extends SparkSpec {
       try { start.await(); body }
       catch { case t: Throwable => failure = Some(t) }
     val tc = new Thread(guard {
-      retrying(10L)(id =>
+      // false-after-retry is terminal here: the racing upsert's COW
+      // rewrite may legitimately leave nothing fragmented to compact
+      retrying(10L, falseIsTerminal = true)(id =>
         CowTable.compactPartitions(spark, root, id,
           targetFileBytes = 4 * 1024 * 1024, keep = 10))
     })
     val tu = new Thread(guard {
-      retrying(11L)(id =>
+      retrying(11L) { id =>
         CowTable.upsert(spark, root, id, delta, Seq("id"), Seq("pb"),
-          keep = 10))
+          keep = 10)
+        CowTable.committedIds(spark, root).contains(id)
+      }
     })
     tc.start(); tu.start(); start.countDown()
     tc.join(180000); tu.join(180000)
