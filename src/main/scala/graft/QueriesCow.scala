@@ -1056,13 +1056,13 @@ object QueriesCow {
       col("o_custkey").as("custkey"), col("o_orderkey"),
       floor(col("o_totalprice") * 100).cast("long").as("cents"))
     CowTable.commitFull(
-      o.where(col("o_orderkey") % 3 === 0).select(col("*"), pa.as("pa")),
+      o.where(col("o_orderkey") % 9 === 0).select(col("*"), pa.as("pa")),
       ra, 1L, Seq("pa"), keep = 10, changeLogKeys = Seq("o_orderkey"))
     CowTable.commitAppend(
-      o.where(col("o_orderkey") % 3 === 1).select(col("*"), pa.as("pa")),
+      o.where(col("o_orderkey") % 9 === 1).select(col("*"), pa.as("pa")),
       ra, 2L, Seq("pa"), keep = 10, changeLogKeys = Seq("o_orderkey"))
     CowTable.deleteKeysMor(spark, ra, 3L,
-      o.where(col("o_orderkey") % 3 <= 1 && col("o_orderkey") % 10 === 0)
+      o.where(col("o_orderkey") % 9 <= 1 && col("custkey") <= 150)
         .select(col("o_orderkey"), pa.as("pa")),
       Seq("o_orderkey"), Seq("pa"), keep = 10, changeLog = true)
     val pbk = CowTable.keyBucket(Seq("custkey"), NBuckets)
@@ -1095,7 +1095,7 @@ object QueriesCow {
       |       CASE WHEN c_custkey <= 300 THEN 'UPDATED'
       |            ELSE c_mktsegment END AS seg
       |FROM orders JOIN customer ON o_custkey = c_custkey
-      |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 0
+      |WHERE o_orderkey % 9 IN (0, 1) AND o_custkey > 150
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------

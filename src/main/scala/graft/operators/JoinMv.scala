@@ -63,19 +63,26 @@ object JoinMv {
       other: DataFrame,
       joinKeys: Seq[String],
       deltaIsLeft: Boolean,
-      operCol: String = "oper"): DataFrame = {
+      operCol: String = "oper",
+      verifySigned: Boolean = true): DataFrame = {
     // SIGNED deltas only (D = retract old image, I = insert new image —
     // changelogSigned / the write-time sidecars). The NETTED I/U/D diff
     // form would silently corrupt the view (a U's +1 without the old
     // image's retraction), so reject it eagerly — one delta-sized scan,
     // the same price MergeInto pays for its cardinality check.
-    val badOps = delta
-      .where(!upper(trim(col(operCol))).isin("D", "I"))
-      .limit(1).count()
-    require(badOps == 0,
-      s"applyDelta needs the SIGNED changelog form (oper D/I only); " +
-        "a U row means this is the netted I/U/D diff — use " +
-        "Cdc.changelogSigned or the write-time sidecars")
+    // `verifySigned = false` skips that scan for deltas that are signed
+    // BY CONSTRUCTION (CowTable's own write-time sidecars, which only
+    // changelogSigned produces) — per-commit maintenance loops pay one
+    // job less; arbitrary caller-supplied deltas keep the guard.
+    if (verifySigned) {
+      val badOps = delta
+        .where(!upper(trim(col(operCol))).isin("D", "I"))
+        .limit(1).count()
+      require(badOps == 0,
+        s"applyDelta needs the SIGNED changelog form (oper D/I only); " +
+          "a U row means this is the netted I/U/D diff — use " +
+          "Cdc.changelogSigned or the write-time sidecars")
+    }
     val sign = when(upper(trim(col(operCol))) === "D", lit(-1L))
       .otherwise(lit(1L))
     val signed = delta.withColumn(W, sign).drop(operCol)

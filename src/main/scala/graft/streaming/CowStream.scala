@@ -208,7 +208,8 @@ object CowStream {
     val cur = SnapshotTarget.read(spark, mvPath).getOrElse(
       JoinMv.init(delta.drop(CowTable.ChangeOper).limit(0), dim, joinKeys))
     val merged = JoinMv.applyDelta(cur, delta, dim, joinKeys,
-      deltaIsLeft = true, operCol = CowTable.ChangeOper)
+      deltaIsLeft = true, operCol = CowTable.ChangeOper,
+      verifySigned = false) // write-time sidecars are signed by construction
     SnapshotTarget.commit(merged, mvPath, batchId)
   }
 
@@ -372,7 +373,10 @@ object CowStream {
         if (side == "a") stateAt(spark, rootB, fb)
         else stateAt(spark, rootA, fa)
       cur = JoinMv.applyDelta(cur, delta, other, joinKeys,
-        deltaIsLeft = side == "a")
+        deltaIsLeft = side == "a",
+        // sidecars are signed by construction (changelogSigned is the
+        // only writer) — skip the per-commit verification job
+        verifySigned = false)
       if (side == "a") fa = id else fb = id
     }
     SnapshotTarget.commit(cur, mvPath, batchId, keep)
