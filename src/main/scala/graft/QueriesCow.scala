@@ -1150,6 +1150,39 @@ object QueriesCow {
       |ORDER BY custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // PREDICATE UPDATE as a COW commit: UPDATE ... SET ... WHERE over a
+  // bucket-partitioned table — only partitions holding matches
+  // rewrite, assignments cast back to the column's existing type,
+  // NULL-predicate rows stay untouched (SQL semantics). The oracle is
+  // the CASE-projection replay of the final state.
+  // -------------------------------------------------------------------
+  def cowUpdateWhere(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_updw")
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    CowTable.commitFull(c, root, 1L, Seq("c_mktsegment"))
+    CowTable.updateWhere(spark, root, 2L,
+      col("cents") < 0,
+      Map(
+        "c_name" -> concat(lit("NEG:"), col("c_name")),
+        "cents" -> lit(0L)),
+      prune = Seq(graft.sinks.CowRange("cents", None, Some("0"))))
+    CowTable.read(spark, root).get.orderBy("c_custkey")
+  }
+
+  val cowUpdateWhereSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |       THEN 'NEG:' || c_name ELSE c_name END AS c_name,
+      |  c_mktsegment,
+      |  CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |       THEN 0 ELSE CAST(floor(c_acctbal * 100) AS BIGINT)
+      |       END AS cents
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // DELETION-VECTOR predicate delete (merge-on-read): the same DELETE
   // WHERE contract as cow_delete_where, but the commit writes ONLY the
   // matched rows as full-row tombstones — no partition rewrite. The
@@ -1398,6 +1431,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_dv_delete" -> (cowDvDelete _),
+    "cow_update_where" -> (cowUpdateWhere _),
     "cow_bucket_join" -> (cowBucketJoin _),
     "cow_stream_join2" -> (cowStreamJoin2 _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
@@ -1432,6 +1466,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_dv_delete" -> cowDvDeleteSql,
+    "cow_update_where" -> cowUpdateWhereSql,
     "cow_bucket_join" -> cowBucketJoinSql,
     "cow_stream_join2" -> cowStreamJoin2Sql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,

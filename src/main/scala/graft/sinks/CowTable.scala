@@ -2642,6 +2642,73 @@ object CowTable {
       keep, sortCols, changeLogKeys = changeLogKeys)
   }
 
+  /** PREDICATE UPDATE as a COW commit (Delta's `UPDATE t SET … WHERE`)
+    * — the DML statement [[upsert]]/[[mergeInto]]/[[deleteWhere]]
+    * bracket but none expresses directly: rewrite exactly the
+    * partitions that hold matching rows with `set`'s assignments
+    * applied to those rows; every other partition carries by
+    * reference. Non-matching rows of a touched partition (including
+    * NULL-predicate rows, SQL semantics) rewrite byte-identical.
+    *
+    * Each assignment casts back to the column's EXISTING type — an
+    * UPDATE never evolves the schema (that is a merge/append
+    * privilege), so downstream readers, stats and blooms stay
+    * type-stable. Partition columns may not be assigned (a row that
+    * migrated partitions would land outside the touched set — the
+    * same hazard the upsert contract excludes). `prune` is the same
+    * over-approximating skip hint as [[deleteWhere]]'s; `cond` must
+    * be deterministic. `changeLogKeys` emits the commit's sidecar as
+    * the usual signed D(old)/I(new) pairs via the generic diff path.
+    *
+    * Cost: one candidate scan + a rewrite of the touched partitions —
+    * at 100 TB, a keyed correction with a tight hint reads a few
+    * files and rewrites only their partitions.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      set: Map[String, Column],
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    set.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"SET column '$c' is not a table column"))
+    m.partCols.foreach(p => require(!set.contains(p),
+      s"UPDATE SET must not assign partition column '$p'"))
+    val candidates =
+      if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+    if (candidates.isEmpty) return // nothing can match — id unconsumed
+    val hit = resolved(spark, root, m, candidates, prune)
+      .where(cond)
+      .select(m.partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partKey(m.partCols,
+        m.partCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
+      .toSet
+    if (hit.isEmpty) return
+    val applies = coalesce(cond, lit(false))
+    val rewrite = resolved(spark, root, m,
+      m.files.filter(f => hit.contains(m.partKeyOf(f))))
+      .select(m.schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) =>
+            when(applies, v.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    commitPartitionsFrom(Some(m), rewrite, hit, root, id, m.partCols,
+      keep, sortCols, changeLogKeys = changeLogKeys)
+  }
+
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
     * applied through the partition-granular commit — conditional
     * MATCHED UPDATE/DELETE and guarded NOT MATCHED INSERT run against
