@@ -1183,6 +1183,47 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // MERGE-ON-READ predicate UPDATE: the same statement as
+  // cow_update_where but with deletion-vector economics — old images
+  // tombstone, new images append, ZERO partitions rewritten. The
+  // require() pins that every base data file carried by reference and
+  // the appended bytes are a small fraction of the data; the oracle
+  // replays the CASE projection through the planner-path read.
+  // -------------------------------------------------------------------
+  def cowMorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.CowV2
+    val root = scratch("cow_umor")
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(o, root, 1L, Seq("o_orderpriority"))
+    CowTable.updateWhereMor(spark, root, 2L,
+      col("cents") >= 49000000L,
+      Map("o_custkey" -> lit(0L)),
+      prune = Seq(graft.sinks.CowRange("cents", Some("49000000"), None)))
+    val m = CowTable.currentManifest(spark, root).get
+    val appended = m.files.filter(_.path.startsWith("batch-2/"))
+    val carried = m.files.filter(_.path.startsWith("batch-1/"))
+    require(m.tombstones.nonEmpty && appended.nonEmpty &&
+      (appended.map(_.bytes).sum + m.tombstones.map(_.bytes).sum) * 4 <
+        m.files.map(_.bytes).sum,
+      "MOR update did not deliver O(changed) economics")
+    require(carried.size ==
+      CowTable.manifest(spark, root, 1L).files.size,
+      "MOR update rewrote a base data file")
+    CowV2.read(spark, root).get.orderBy("o_orderkey")
+  }
+
+  val cowMorUpdateSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT) >= 49000000
+      |       THEN 0 ELSE o_custkey END AS o_custkey,
+      |  o_orderpriority,
+      |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // DELETION-VECTOR predicate delete (merge-on-read): the same DELETE
   // WHERE contract as cow_delete_where, but the commit writes ONLY the
   // matched rows as full-row tombstones — no partition rewrite. The
@@ -1432,6 +1473,7 @@ object QueriesCow {
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_update_where" -> (cowUpdateWhere _),
+    "cow_mor_update" -> (cowMorUpdate _),
     "cow_bucket_join" -> (cowBucketJoin _),
     "cow_stream_join2" -> (cowStreamJoin2 _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
@@ -1467,6 +1509,7 @@ object QueriesCow {
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_update_where" -> cowUpdateWhereSql,
+    "cow_mor_update" -> cowMorUpdateSql,
     "cow_bucket_join" -> cowBucketJoinSql,
     "cow_stream_join2" -> cowStreamJoin2Sql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,

@@ -2709,6 +2709,123 @@ object CowTable {
       keep, sortCols, changeLogKeys = changeLogKeys)
   }
 
+  /** PREDICATE UPDATE as MERGE-ON-READ — deletion-vector economics
+    * for UPDATE, completing the pairing [[deleteWhere]]/[[deleteWhereMor]]
+    * gives deletes: the matched-AND-CHANGED rows' OLD images become
+    * full-row tombstones and their NEW images append as ordinary data
+    * files in the SAME commit — O(changed rows) written, zero
+    * partitions rewritten. Readers already compose both halves: the
+    * tombstone anti-join subtracts the old images, the appended files
+    * carry the new ones. Rows the SET leaves bit-identical are simply
+    * NOT touched (no tombstone, no append) — that is both cheaper and
+    * REQUIRED for exactness: a tombstone equal to its own appended
+    * image would cancel the pair and lose the row.
+    *
+    * EXACTNESS GUARD, stated plainly: full-row tombstones subtract by
+    * equality, not position, so if some row's NEW image null-safe-
+    * equals a DIFFERENT matched row's OLD image, the old image's
+    * tombstone would also kill the fresh append (a real multiset
+    * hazard, not a theoretical one). The commit detects that overlap
+    * with one delta-sized join and falls back to the COW
+    * [[updateWhere]] for that batch — exactness is unconditional,
+    * the fast path is the common case. Same SET/partition-column
+    * rules and prune hint as [[updateWhere]]; `changeLog = true`
+    * emits D(old)/I(new) read back from the written files.
+    */
+  def updateWhereMor(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      set: Map[String, Column],
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      changeLog: Boolean = false): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    set.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"SET column '$c' is not a table column"))
+    m.partCols.foreach(p => require(!set.contains(p),
+      s"UPDATE SET must not assign partition column '$p'"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      val candidates =
+        if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+      if (candidates.isEmpty) return
+      val fields = m.schema.fields.toSeq
+      def newImage(df: DataFrame): DataFrame =
+        df.select(fields.map { f =>
+          set.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val matches = resolved(spark, root, m, candidates, prune)
+        .where(coalesce(cond, lit(false)))
+      val oldStruct = struct(fields.map(f => col(f.name)): _*)
+      val changed = matches
+        .where(!(oldStruct <=> struct(fields.map { f =>
+          set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+            .as(f.name)
+        }: _*)))
+      // exactness guard (see scaladoc): any new image colliding with a
+      // different matched row's old image forces the COW path.
+      // INTERSECT compares whole rows null-safely and positionally, so
+      // it cannot trip over the self-join attribute reuse an explicit
+      // condition would (unset columns keep their expression ids).
+      // Same-row pairs can't collide: changed rows have new != old.
+      val collides = !newImage(changed).intersect(changed).isEmpty
+      if (collides) {
+        releaseCommitLock(spark, root, id)
+        updateWhere(spark, root, id, cond, set, prune, keep,
+          changeLogKeys = if (changeLog) fields.map(_.name) else Nil)
+        return
+      }
+      val batchDir = s"$root/$BatchPrefix$id"
+      val tombDir = s"$batchDir/__tomb"
+      writeBatch(newImage(changed), batchDir, m.partCols, Nil)
+      writeBatch(changed, tombDir, m.partCols, Nil)
+      val effBloomCols = m.files.flatMap(_.blooms.keys).distinct
+        .filter(m.schema.fieldNames.contains)
+      val freshData = collectEntries(spark, batchDir, id, m.schema,
+        m.partCols, effBloomCols)
+      val freshTombs = collectEntries(spark, tombDir, id, m.schema,
+        m.partCols).map(_.copy(kind = KindTombstone))
+      if (freshData.isEmpty && freshTombs.isEmpty) {
+        hfs(spark, root).delete(new Path(batchDir), true)
+        return // nothing changed — id unconsumed
+      }
+      val stagedLog =
+        if (!changeLog) None
+        else {
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          val dStub = CowManifest(id, m.partCols, m.schemaDdl,
+            freshTombs.map(_.copy(kind = KindData)))
+          val iStub = CowManifest(id, m.partCols, m.schemaDdl, freshData)
+          dfFor(spark, root, dStub, dStub.files)
+            .withColumn(ChangeOper, lit("D"))
+            .unionByName(dfFor(spark, root, iStub, iStub.files)
+              .withColumn(ChangeOper, lit("I")))
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+          m.allFiles ++ freshTombs ++ freshData)
+      }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ freshTombs ++ freshData).map(_.path),
+        m.id -> m.allFiles.map(_.path))
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, vacuumKnown)
+  }
+
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
     * applied through the partition-granular commit — conditional
     * MATCHED UPDATE/DELETE and guarded NOT MATCHED INSERT run against
