@@ -1183,6 +1183,70 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // ANSI DML TEXT through Spark's own parser (CowSql): an UPDATE, a
+  // DELETE and a multi-clause MERGE execute as SQL STRINGS against the
+  // cow.`path` table — parsePlan's UpdateTable/DeleteFromTable/
+  // MergeIntoTable ASTs interpreted onto the commit API. The oracle
+  // replays the three statements as one CTE chain.
+  // -------------------------------------------------------------------
+  def cowSqlDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.CowSql
+    val root = scratch("cow_sql")
+    val pb = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer").select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    CowTable.commitFull(c.withColumn("pb", pb), root, 1L, Seq("pb"))
+    CowSql.exec(spark, 2L,
+      s"UPDATE cow.`$root` SET c_name = concat('NEG:', c_name) " +
+        "WHERE cents < 0")
+    CowSql.exec(spark, 3L,
+      s"DELETE FROM cow.`$root` WHERE c_mktsegment = 'MACHINERY'")
+    c.where(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        concat(lit("SRC-"), col("c_custkey")).as("c_name"))
+      .unionByName(
+        c.select((col("c_custkey") + 100000L).as("c_custkey"),
+          concat(lit("SRC-"), col("c_custkey") + 100000L).as("c_name")))
+      .select(col("c_custkey"), col("c_name"),
+        lit("UPDATED").as("c_mktsegment"), lit(0L).as("cents"),
+        CowTable.keyBucket(Seq("c_custkey"), NBuckets).as("pb"))
+      .createOrReplaceTempView("cow_sql_dml_src")
+    CowSql.exec(spark, 4L, s"""
+      MERGE INTO cow.`$root` AS t USING cow_sql_dml_src AS s
+      ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET c_mktsegment = s.c_mktsegment
+      WHEN NOT MATCHED THEN INSERT *""")
+    CowTable.read(spark, root).get.drop("pb").orderBy("c_custkey")
+  }
+
+  val cowSqlDmlSql: String =
+    """WITH t1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |         THEN 'NEG:' || c_name ELSE c_name END AS c_name,
+      |    c_mktsegment,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |t2 AS (SELECT * FROM t1 WHERE NOT (c_mktsegment = 'MACHINERY')),
+      |src AS (
+      |  SELECT c_custkey, 'SRC-' || CAST(c_custkey AS VARCHAR) AS c_name
+      |  FROM customer WHERE c_custkey <= 200
+      |  UNION ALL
+      |  SELECT c_custkey + 100000,
+      |         'SRC-' || CAST(c_custkey + 100000 AS VARCHAR)
+      |  FROM customer)
+      |SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey IN (SELECT c_custkey FROM src)
+      |       THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+      |  cents
+      |FROM t2
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_name, 'UPDATED', 0
+      |FROM src s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM t2)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // MERGE-ON-READ predicate UPDATE: the same statement as
   // cow_update_where but with deletion-vector economics — old images
   // tombstone, new images append, ZERO partitions rewritten. The
@@ -1474,6 +1538,7 @@ object QueriesCow {
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
+    "cow_sql_dml" -> (cowSqlDml _),
     "cow_bucket_join" -> (cowBucketJoin _),
     "cow_stream_join2" -> (cowStreamJoin2 _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
@@ -1510,6 +1575,7 @@ object QueriesCow {
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
+    "cow_sql_dml" -> cowSqlDmlSql,
     "cow_bucket_join" -> cowBucketJoinSql,
     "cow_stream_join2" -> cowStreamJoin2Sql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,

@@ -1,0 +1,157 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
+  LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable}
+import org.apache.spark.sql.functions.expr
+
+import graft.operators.{MatchedDelete, MatchedUpdate, MergeClause,
+  NotMatchedBySourceDelete, NotMatchedBySourceUpdate, NotMatchedInsert}
+
+/** Textual DML over [[CowTable]] paths through SPARK'S OWN PARSER —
+  * `spark.sessionState.sqlParser` already produces the full ANSI
+  * `UPDATE` / `DELETE FROM` / `MERGE INTO` ASTs (it only lacks an
+  * executor for v1 relations); this object interprets those plans onto
+  * the CowTable commit API, so a user who lives in SQL strings (the
+  * reference's SQL-file runner style — utilities.py's executor over
+  * the jobs/semantic SQL files) gets the table format's DML with no
+  * DataFrame code:
+  *
+  * {{{
+  * CowSql.exec(spark, id = 7,
+  *   "DELETE FROM cow.`/data/events` WHERE ts < DATE'2020-01-01'")
+  * CowSql.exec(spark, id = 8,
+  *   "UPDATE cow.`/data/events` SET flag = 'x' WHERE user_id = 42")
+  * CowSql.exec(spark, id = 9, """
+  *   MERGE INTO cow.`/data/dim` AS t USING updates AS s
+  *   ON t.k = s.k
+  *   WHEN MATCHED AND s.ver > t.ver THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *""")
+  * }}}
+  *
+  * Table references use `cow.`<table root path>``. MERGE requires the
+  * aliases `t` (target) and `s` (source) — the same row aliases
+  * [[graft.operators.MergeInto]]'s clause expressions are written
+  * against — and a named table/view as the source; merge keys are the
+  * ON clause's `t.k = s.k` conjuncts, and the table's own manifest
+  * supplies the partition columns. Everything else (conditions,
+  * assignments) round-trips as expression TEXT (`Expression.sql`), so
+  * the statements execute as ordinary codegen'd Catalyst expressions.
+  */
+object CowSql {
+
+  /** Parse and execute one DML statement as commit `id`. */
+  def exec(spark: SparkSession, id: Long, sql: String,
+      keep: Int = 2): Unit =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case DeleteFromTable(table, cond) =>
+        CowTable.deleteWhere(spark, rootOf(table), id,
+          expr(cond.sql), keep = keep)
+      case UpdateTable(table, assignments, cond) =>
+        CowTable.updateWhere(spark, rootOf(table), id,
+          cond.map(c => expr(c.sql)).getOrElse(expr("true")),
+          assignments.map(setOf).toMap, keep = keep)
+      case m: MergeIntoTable =>
+        execMerge(spark, id, m, keep)
+      case other => throw new IllegalArgumentException(
+        s"CowSql executes UPDATE / DELETE FROM / MERGE INTO; got " +
+          s"${other.getClass.getSimpleName}")
+    }
+
+  private def setOf(a: Assignment): (String, org.apache.spark.sql.Column) =
+    a.key match {
+      case attr: UnresolvedAttribute =>
+        // single-part target column; a qualified t.col normalizes too
+        attr.nameParts.last -> expr(a.value.sql)
+      case other => throw new IllegalArgumentException(
+        s"SET target must be a column, got $other")
+    }
+
+  /** The CowTable root of a `cow`.`/path` reference (possibly under
+    * the statement's alias).
+    */
+  private def rootOf(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(_, child) => rootOf(child)
+    case r: UnresolvedRelation if r.multipartIdentifier.size == 2 &&
+        r.multipartIdentifier.head.equalsIgnoreCase("cow") =>
+      r.multipartIdentifier(1)
+    case other => throw new IllegalArgumentException(
+      "table reference must be cow.`<table root path>`, got " +
+        other.getClass.getSimpleName)
+  }
+
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  private def execMerge(
+      spark: SparkSession, id: Long, m: MergeIntoTable,
+      keep: Int): Unit = {
+    val root = rootOf(m.targetTable)
+    require(aliasOf(m.targetTable).contains("t"),
+      "MERGE INTO cow.`…` AS t — the target alias must be `t` (the " +
+        "clause expressions' row alias)")
+    require(aliasOf(m.sourceTable).contains("s"),
+      "USING <view> AS s — the source alias must be `s`")
+    val source = m.sourceTable match {
+      case SubqueryAlias(_, r: UnresolvedRelation) =>
+        spark.table(r.multipartIdentifier.mkString("."))
+      case other => throw new IllegalArgumentException(
+        "MERGE source must be a named table or view (USING name AS s); " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+    // merge keys: the ON clause's `t.k = s.k` conjuncts
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keys = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last == b.nameParts.last &&
+            Set(a.nameParts.head, b.nameParts.head) == Set("t", "s") =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"ON clause must be a conjunction of t.k = s.k equalities; " +
+          s"got ${other.sql}")
+    }
+    val tgtCols = CowTable.currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val starSet: Map[String, String] = tgtCols.schema.fieldNames.toSeq
+      .filter(source.columns.contains)
+      .map(c => c -> s"s.`$c`").toMap
+    def cond(e: Option[Expression]): Option[String] = e.map(_.sql)
+    val matched: Seq[MergeClause] = m.matchedActions.map {
+      case DeleteAction(c) => MatchedDelete(cond(c))
+      case UpdateAction(c, assigns, _) => MatchedUpdate(
+        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
+          .nameParts.last -> a.value.sql).toMap, cond(c))
+      case UpdateStarAction(c) => MatchedUpdate(starSet, cond(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MATCHED action $other")
+    }
+    val notMatched: Seq[MergeClause] = m.notMatchedActions.map {
+      case InsertAction(c, assigns) => NotMatchedInsert(
+        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
+          .nameParts.last -> a.value.sql).toMap, cond(c))
+      case InsertStarAction(c) => NotMatchedInsert(Map.empty, cond(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported NOT MATCHED action $other")
+    }
+    val bySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => NotMatchedBySourceDelete(cond(c))
+      case UpdateAction(c, assigns, _) => NotMatchedBySourceUpdate(
+        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
+          .nameParts.last -> a.value.sql).toMap, cond(c))
+      case other => throw new IllegalArgumentException(
+        s"unsupported NOT MATCHED BY SOURCE action $other")
+    }
+    CowTable.mergeInto(spark, root, id, source, keys,
+      tgtCols.partCols, matched ++ notMatched ++ bySource, keep = keep)
+  }
+}
