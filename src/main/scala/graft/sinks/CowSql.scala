@@ -44,9 +44,34 @@ import graft.operators.{MatchedDelete, MatchedUpdate, MergeClause,
   */
 object CowSql {
 
-  /** Parse and execute one DML statement as commit `id`. */
+  // maintenance statements Spark's parser has no grammar for —
+  // matched BEFORE parsePlan, Delta's surface syntax
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+cow\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+cow\.`([^`]+)`\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+cow\.`([^`]+)`\s+TO\s+SNAPSHOT\s+(\d+)\s*""".r
+
+  /** Parse and execute one DML / maintenance statement as commit
+    * `id` (VACUUM commits nothing and ignores it; RESTORE allocates
+    * its own id by contract).
+    */
   def exec(spark: SparkSession, id: Long, sql: String,
-      keep: Int = 2): Unit =
+      keep: Int = 2): Unit = sql match {
+    case OptimizeRe(root, cols) =>
+      CowTable.optimizeZorder(spark, root, id,
+        cols.split(",").toSeq.map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
+    case VacuumRe(root, n) =>
+      CowTable.vacuum(spark, root, keep = n.toInt)
+    case RestoreRe(root, toId) =>
+      CowTable.restore(spark, root, toId.toLong, keep = keep)
+    case _ => execDml(spark, id, sql, keep)
+  }
+
+  private def execDml(spark: SparkSession, id: Long, sql: String,
+      keep: Int): Unit =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
         CowTable.deleteWhere(spark, rootOf(table), id,

@@ -73,6 +73,23 @@ class CowSqlSpec extends SparkSpec {
     assert(got.where($"id" === 3L).count() == 1)
   }
 
+  test("OPTIMIZE / VACUUM / RESTORE textual forms") {
+    val root = tmp(); mk(root)
+    CowSql.exec(spark, 2L,
+      s"UPDATE cow.`$root` SET name = 'x' WHERE id < 10")
+    // restore back to snapshot 1 (allocates its own commit id)
+    CowSql.exec(spark, 0L, s"RESTORE cow.`$root` TO SNAPSHOT 1")
+    assert(CowTable.read(spark, root).get
+      .where($"name" === "x").count() == 0, "restore did not roll back")
+    CowSql.exec(spark, 9L,
+      s"OPTIMIZE cow.`$root` ZORDER BY (id, score)")
+    assert(CowTable.read(spark, root).get.count() == 100,
+      "optimize changed content")
+    CowSql.exec(spark, 0L, s"VACUUM cow.`$root` RETAIN 2 SNAPSHOTS")
+    assert(CowTable.committedIds(spark, root).size == 2,
+      "vacuum did not prune to the retained window")
+  }
+
   test("unsupported statements and non-cow references fail loud") {
     intercept[IllegalArgumentException] {
       CowSql.exec(spark, 9L, "SELECT 1")
