@@ -147,23 +147,37 @@ object CowSql {
     }
     val tgtCols = CowTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    val starSet: Map[String, String] = tgtCols.schema.fieldNames.toSeq
-      .filter(source.columns.contains)
-      .map(c => c -> s"s.`$c`").toMap
+    // UPDATE SET * assigns every NON-partition target column from the
+    // source by name (partition columns may not be SET — mergeInto's
+    // rule); a target column the source lacks is an ERROR, as in
+    // Spark/Delta — silently leaving it stale would hide a misspelled
+    // source column forever
+    lazy val starSet: Map[String, String] = {
+      val starCols = tgtCols.schema.fieldNames.toSeq
+        .filterNot(tgtCols.partCols.contains)
+      val missing = starCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"UPDATE SET *: source is missing target column(s) " +
+          s"${missing.mkString(", ")}")
+      starCols.map(c => c -> s"s.`$c`").toMap
+    }
+    def targetColOf(a: Assignment): String = a.key match {
+      case attr: UnresolvedAttribute => attr.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"SET target must be a column, got $other")
+    }
     def cond(e: Option[Expression]): Option[String] = e.map(_.sql)
     val matched: Seq[MergeClause] = m.matchedActions.map {
       case DeleteAction(c) => MatchedDelete(cond(c))
       case UpdateAction(c, assigns, _) => MatchedUpdate(
-        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
-          .nameParts.last -> a.value.sql).toMap, cond(c))
+        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
       case UpdateStarAction(c) => MatchedUpdate(starSet, cond(c))
       case other => throw new IllegalArgumentException(
         s"unsupported MATCHED action $other")
     }
     val notMatched: Seq[MergeClause] = m.notMatchedActions.map {
       case InsertAction(c, assigns) => NotMatchedInsert(
-        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
-          .nameParts.last -> a.value.sql).toMap, cond(c))
+        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
       case InsertStarAction(c) => NotMatchedInsert(Map.empty, cond(c))
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED action $other")
@@ -171,8 +185,7 @@ object CowSql {
     val bySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
       case DeleteAction(c) => NotMatchedBySourceDelete(cond(c))
       case UpdateAction(c, assigns, _) => NotMatchedBySourceUpdate(
-        assigns.map(a => a.key.asInstanceOf[UnresolvedAttribute]
-          .nameParts.last -> a.value.sql).toMap, cond(c))
+        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED BY SOURCE action $other")
     }

@@ -2729,8 +2729,10 @@ object CowTable {
     * with one delta-sized join and falls back to the COW
     * [[updateWhere]] for that batch — exactness is unconditional,
     * the fast path is the common case. Same SET/partition-column
-    * rules and prune hint as [[updateWhere]]; `changeLog = true`
-    * emits D(old)/I(new) read back from the written files.
+    * rules and prune hint as [[updateWhere]]; `changeLogKeys`
+    * (non-empty) emits D(old)/I(new) read back from the written files
+    * on the fast path, or the ordinary keyed diff sidecar when the
+    * commit falls back to the COW rewrite.
     */
   def updateWhereMor(
       spark: SparkSession,
@@ -2740,7 +2742,7 @@ object CowTable {
       set: Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLog: Boolean = false): Unit = {
+      changeLogKeys: Seq[String] = Nil): Unit = {
     if (committedIds(spark, root).exists(_ >= id)) return
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
@@ -2750,7 +2752,9 @@ object CowTable {
     m.partCols.foreach(p => require(!set.contains(p),
       s"UPDATE SET must not assign partition column '$p'"))
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    var lockHeld = false
     acquireCommitLock(spark, root, id)
+    lockHeld = true
     try {
       if (committedIds(spark, root).exists(_ >= id)) return
       val candidates =
@@ -2767,27 +2771,55 @@ object CowTable {
       val matches = resolved(spark, root, m, candidates, prune)
         .where(coalesce(cond, lit(false)))
       val oldStruct = struct(fields.map(f => col(f.name)): _*)
+      // pinned once: the candidates scan + anti-join feeds the
+      // collision probes AND both writes below — recomputing a
+      // delta-sized set four times would quadruple the scan, and
+      // pinning also means `cond`/`set` evaluate exactly once (both
+      // must still be deterministic — the tombstone and its append
+      // derive from the same materialized rows either way)
       val changed = matches
         .where(!(oldStruct <=> struct(fields.map { f =>
           set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
             .as(f.name)
         }: _*)))
+        .localCheckpoint()
       // exactness guard (see scaladoc): any new image colliding with a
       // different matched row's old image forces the COW path.
       // INTERSECT compares whole rows null-safely and positionally, so
       // it cannot trip over the self-join attribute reuse an explicit
       // condition would (unset columns keep their expression ids).
       // Same-row pairs can't collide: changed rows have new != old.
-      val collides = !newImage(changed).intersect(changed).isEmpty
-      if (collides) {
+      val ni = newImage(changed)
+      val collides = !ni.intersect(changed).isEmpty
+      // ...and the same hazard CROSS-COMMIT: an OUTSTANDING tombstone
+      // from a prior MOR delete/update that null-safe-equals a new
+      // image (on the tombstone's own column set) would anti-join the
+      // fresh append away — probe per tombstone schema group, same
+      // delta-sized INTERSECT. The COW fallback is sound for both:
+      // rewriting the touched partitions folds their tombstones, and
+      // new images can only land in touched partitions (SET cannot
+      // assign partition columns).
+      val tombCollides = m.tombstones.nonEmpty && {
+        m.tombstones
+          .groupBy(f =>
+            spark.read.parquet(s"$root/${f.path}").columns.toSeq)
+          .exists { case (cols, fs) =>
+            val t = spark.read.parquet(
+              fs.map(f => s"$root/${f.path}"): _*)
+            !ni.select(cols.map(col): _*).intersect(t).isEmpty
+          }
+      }
+      if (collides || tombCollides) {
         releaseCommitLock(spark, root, id)
+        lockHeld = false // the finally must not delete a lease a
+                         // concurrent same-id writer may re-acquire
         updateWhere(spark, root, id, cond, set, prune, keep,
-          changeLogKeys = if (changeLog) fields.map(_.name) else Nil)
+          changeLogKeys = changeLogKeys)
         return
       }
       val batchDir = s"$root/$BatchPrefix$id"
       val tombDir = s"$batchDir/__tomb"
-      writeBatch(newImage(changed), batchDir, m.partCols, Nil)
+      writeBatch(ni, batchDir, m.partCols, Nil)
       writeBatch(changed, tombDir, m.partCols, Nil)
       val effBloomCols = m.files.flatMap(_.blooms.keys).distinct
         .filter(m.schema.fieldNames.contains)
@@ -2800,7 +2832,7 @@ object CowTable {
         return // nothing changed — id unconsumed
       }
       val stagedLog =
-        if (!changeLog) None
+        if (changeLogKeys.isEmpty) None
         else {
           val staging = new Path(
             s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
@@ -2822,7 +2854,7 @@ object CowTable {
       vacuumKnown = Map(
         id -> (m.allFiles ++ freshTombs ++ freshData).map(_.path),
         m.id -> m.allFiles.map(_.path))
-    } finally releaseCommitLock(spark, root, id)
+    } finally if (lockHeld) releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
   }
 

@@ -90,6 +90,21 @@ class CowSqlSpec extends SparkSpec {
       "vacuum did not prune to the retained window")
   }
 
+  test("UPDATE SET * with a source missing a target column fails " +
+      "loud instead of leaving the column silently stale") {
+    val root = tmp(); mk(root)
+    spark.range(5).select($"id", ($"id" % 4).as("pb"),
+      concat(lit("z"), $"id").as("name")) // no `score` column
+      .createOrReplaceTempView("star_src_missing")
+    val e = intercept[IllegalArgumentException] {
+      CowSql.exec(spark, 2L, s"""
+        MERGE INTO cow.`$root` AS t USING star_src_missing AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("score"), s"got: ${e.getMessage}")
+  }
+
   test("unsupported statements and non-cow references fail loud") {
     intercept[IllegalArgumentException] {
       CowSql.exec(spark, 9L, "SELECT 1")

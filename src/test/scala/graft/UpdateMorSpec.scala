@@ -88,6 +88,41 @@ class UpdateMorSpec extends SparkSpec {
       "collision batch should have fallen back to the COW rewrite")
   }
 
+  test("a new image equal to a row named by an OUTSTANDING tombstone " +
+      "from a PRIOR commit falls back to COW — no silent row loss") {
+    // full-row tombstone variant: delete (0,'a',10), then update the
+    // surviving row so its new image IS the tombstoned row
+    val root = tmp()
+    CowTable.commitFull(
+      Seq((0L, "a", 10L), (0L, "b", 20L)).toDF("part", "name", "score"),
+      root, 1L, Seq("part"), keep = 10)
+    CowTable.deleteWhereMor(spark, root, 2L, $"name" === "a", keep = 10)
+    assert(CowTable.currentManifest(spark, root).get.tombstones.nonEmpty)
+    CowTable.updateWhereMor(spark, root, 3L, $"name" === "b",
+      Map("name" -> lit("a"), "score" -> lit(10L)), keep = 10)
+    val got = CowTable.read(spark, root).get
+      .select("part", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, "a", 10L)),
+      s"prior tombstone ate the fresh append: $got")
+
+    // key-tombstone variant: the new image matches a prior key
+    // tombstone on the tombstone's own (key, part) column set
+    val rk = tmp()
+    CowTable.commitFull(
+      Seq((1L, 0L, "x"), (2L, 0L, "y")).toDF("id", "part", "name"),
+      rk, 1L, Seq("part"), keep = 10)
+    CowTable.deleteKeysMor(spark, rk, 2L,
+      Seq((1L, 0L)).toDF("id", "part"), Seq("id"), Seq("part"),
+      keep = 10)
+    CowTable.updateWhereMor(spark, rk, 3L, $"id" === 2L,
+      Map("id" -> lit(1L)), keep = 10)
+    val gotK = CowTable.read(spark, rk).get
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(gotK == Seq((1L, "y")),
+      s"prior KEY tombstone ate the fresh append: $gotK")
+  }
+
   test("prune hint + changeLog: the sidecar carries D(old)/I(new) " +
       "pairs and foldTombstones retires the debt") {
     val root = tmp()
@@ -96,7 +131,7 @@ class UpdateMorSpec extends SparkSpec {
     CowTable.updateWhereMor(spark, root, 2L, $"id" >= 1950L,
       Map("name" -> lit("TAIL")),
       prune = Seq(CowRange("id", Some("1950"), None)),
-      keep = 10, changeLog = true)
+      keep = 10, changeLogKeys = Seq("id"))
     val log = CowTable.changeLogFor(spark, root, 2L).get
     assert(log.where($"oper" === "D").count() == 50)
     assert(log.where($"oper" === "I").count() == 50)
