@@ -1185,6 +1185,31 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // REGISTERED DATA SOURCE: spark.read.format("cow") resolves through
+  // META-INF/services discovery to the planner-native relation — the
+  // no-import read surface, with snapshot time travel via options. The
+  // oracle is the filtered slice of the committed state.
+  // -------------------------------------------------------------------
+  def cowSourceRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_src")
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(o, root, 1L, Seq("o_orderpriority"))
+    spark.read.format("cow").load(root)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 2 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  val cowSourceReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+      |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // ANSI DML TEXT through Spark's own parser (CowSql): an UPDATE, a
   // DELETE and a multi-clause MERGE execute as SQL STRINGS against the
   // cow.`path` table — parsePlan's UpdateTable/DeleteFromTable/
@@ -1541,6 +1566,7 @@ object QueriesCow {
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
     "cow_sql_dml" -> (cowSqlDml _),
+    "cow_source_read" -> (cowSourceRead _),
     "cow_bucket_join" -> (cowBucketJoin _),
     "cow_stream_join2" -> (cowStreamJoin2 _),
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
@@ -1578,6 +1604,7 @@ object QueriesCow {
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
     "cow_sql_dml" -> cowSqlDmlSql,
+    "cow_source_read" -> cowSourceReadSql,
     "cow_bucket_join" -> cowBucketJoinSql,
     "cow_stream_join2" -> cowStreamJoin2Sql,
     "cow_optimize_zorder" -> cowOptimizeZorderSql,

@@ -242,8 +242,36 @@ object CowV2 {
   def readAt(spark: SparkSession, root: String, id: Long): DataFrame =
     readManifest(spark, root, CowTable.manifest(spark, root, id))
 
+  /** The planner-native relation for one snapshot — what
+    * [[graft.sinks.CowSource]] hands `spark.read.format("cow")`.
+    * A relation cannot carry the MOR tombstone anti-join, so an
+    * UNFOLDED table refuses loudly (the steady state — after any COW
+    * rewrite or [[CowTable.foldTombstones]] — is always servable;
+    * [[CowV2.read]] serves the transient MOR state programmatically).
+    */
+  private[sinks] def relationFor(
+      spark: SparkSession, root: String,
+      m: CowManifest): HadoopFsRelation = {
+    require(m.tombstones.isEmpty,
+      s"snapshot ${m.id} at $root has outstanding merge-on-read " +
+        "tombstones — fold them (CowTable.foldTombstones) or read " +
+        "through CowV2.read, which applies the subtraction")
+    buildRelation(spark, root, m)
+  }
+
   private def readManifest(
       spark: SparkSession, root: String, m: CowManifest): DataFrame = {
+    val relation = buildRelation(spark, root, m)
+    val df = spark.baseRelationToDataFrame(relation)
+    // outstanding merge-on-read tombstones subtract rows exactly as in
+    // CowTable.resolved (null-safe, schema-grouped — key and full-row
+    // tombstone shapes may coexist); a folded table skips this
+    CowTable.subtractTombstones(spark, root, df, m.tombstones)
+  }
+
+  private def buildRelation(
+      spark: SparkSession, root: String,
+      m: CowManifest): HadoopFsRelation = {
     val index = new CowFileIndex(spark, root, m)
     // a registered bucket layout is declared to the planner ONLY when
     // every live data file carries a bucket tag matching its manifest
@@ -261,17 +289,12 @@ object CowV2 {
           bs.n, bs.keyCols, Nil))
       else None
     }
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
       bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
-    // outstanding merge-on-read tombstones subtract rows exactly as in
-    // CowTable.resolved (null-safe, schema-grouped — key and full-row
-    // tombstone shapes may coexist); a folded table skips this
-    CowTable.subtractTombstones(spark, root, df, m.tombstones)
   }
 }

@@ -416,6 +416,18 @@ object CowTable {
     * itself; retention applies (a vacuumed snapshot is not
     * addressable). None when no snapshot had committed by then.
     */
+  /** Committed ids whose manifest had PUBLISHED (by `_SUCCESS` mtime)
+    * at or before `tsMillis` — the id set time travel by timestamp
+    * resolves against.
+    */
+  def committedIdsAt(
+      spark: SparkSession, root: String, tsMillis: Long): Seq[Long] = {
+    val fs = hfs(spark, root)
+    committedIds(spark, root).filter(i => fs.getFileStatus(
+      new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
+      .getModificationTime <= tsMillis)
+  }
+
   def readAtTime(
       spark: SparkSession, root: String, tsMillis: Long): Option[DataFrame] = {
     val fs = hfs(spark, root)
