@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider}
 
 /** `spark.read.format("cow")` — the table format as a REGISTERED Spark
   * data source, so reading a CowTable needs no graft import at all:
@@ -23,8 +24,25 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * `snapshot` wins over `timestampMs` when both are set; a missing
   * table or unservable snapshot fails loud (same contracts as the
   * programmatic readers).
+  *
+  * WRITES mirror the read surface:
+  *
+  * {{{
+  * df.write.format("cow").mode("overwrite")               // commitFull
+  *   .option("partitionBy", "region,day").save(root)
+  * df.write.format("cow").mode("append").save(root)       // commitAppend
+  * }}}
+  *
+  * The commit id comes from `option("id", n)` or defaults to
+  * head + 1 — two racing auto-id writers collide on the per-id lease
+  * and the loser throws, exactly the optimistic-concurrency contract
+  * of the programmatic API. `partitionBy`, `sortBy` and `bloomBy`
+  * (comma-separated) pass through to the commit; append to an
+  * existing table takes the TABLE's partitioning (the option must
+  * agree when given).
   */
-final class CowSource extends RelationProvider with DataSourceRegister {
+final class CowSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "cow"
 
@@ -49,5 +67,51 @@ final class CowSource extends RelationProvider with DataSourceRegister {
       }
     }
     CowV2.relationFor(spark, root, m)
+  }
+
+  override def createRelation(
+      ctx: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "cow sink needs a path: df.write.format(\"cow\").save(root)"))
+    def cols(key: String): Seq[String] = parameters.get(key)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    val existing = CowTable.currentManifest(spark, root)
+    val id = parameters.get("id").map(_.toLong)
+      .getOrElse(existing.map(_.id).getOrElse(0L) + 1L)
+    val partCols = (existing, cols("partitionBy")) match {
+      case (Some(m), given) =>
+        require(given.isEmpty || given == m.partCols,
+          s"partitionBy $given disagrees with the table's ${m.partCols}")
+        m.partCols
+      case (None, given) => given
+    }
+    mode match {
+      case SaveMode.Overwrite =>
+        CowTable.commitFull(data, root, id, partCols,
+          sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+          changeLogKeys = cols("changeLogBy"))
+      case SaveMode.Append =>
+        CowTable.commitAppend(data, root, id, partCols,
+          sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+          changeLogKeys = cols("changeLogBy"))
+      case SaveMode.ErrorIfExists =>
+        require(existing.isEmpty,
+          s"table at $root already exists (mode ErrorIfExists)")
+        CowTable.commitFull(data, root, id, partCols,
+          sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+          changeLogKeys = cols("changeLogBy"))
+      case SaveMode.Ignore =>
+        if (existing.isEmpty)
+          CowTable.commitFull(data, root, id, partCols,
+            sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+            changeLogKeys = cols("changeLogBy"))
+    }
+    createRelation(ctx, Map("path" -> root))
   }
 }

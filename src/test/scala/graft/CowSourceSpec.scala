@@ -42,6 +42,33 @@ class CowSourceSpec extends SparkSpec {
     assert(tts.count() == 120)
   }
 
+  test("df.write.format(\"cow\") commits through the table format: " +
+      "overwrite = full snapshot, append = append commit, history " +
+      "and time travel intact") {
+    val root = tmp()
+    spark.range(50).select($"id", ($"id" % 2).as("part"))
+      .write.format("cow").mode("overwrite")
+      .option("partitionBy", "part").save(root)
+    assert(CowTable.committedIds(spark, root) == Seq(1L))
+    spark.range(50, 80).select($"id", ($"id" % 2).as("part"))
+      .write.format("cow").mode("append").save(root)
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L))
+    assert(spark.read.format("cow").load(root).count() == 80)
+    assert(spark.read.format("cow").option("snapshot", 1L).load(root)
+      .count() == 50, "write-path commits must time-travel")
+    // append must not silently change the table's partitioning
+    intercept[IllegalArgumentException] {
+      spark.range(3).select($"id", ($"id" % 2).as("part"))
+        .write.format("cow").mode("append")
+        .option("partitionBy", "id").save(root)
+    }
+    // ErrorIfExists refuses an existing table
+    intercept[IllegalArgumentException] {
+      spark.range(3).select($"id", ($"id" % 2).as("part"))
+        .write.format("cow").mode("errorifexists").save(root)
+    }
+  }
+
   test("an unfolded MOR table refuses loudly with fold guidance; " +
       "folding makes it servable") {
     val root = tmp()
