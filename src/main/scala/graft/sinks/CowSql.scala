@@ -50,6 +50,8 @@ object CowSql {
     """(?is)\s*OPTIMIZE\s+cow\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+cow\.`([^`]+)`\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*""".r
+  private val VacuumHoursRe =
+    """(?is)\s*VACUUM\s+cow\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+cow\.`([^`]+)`\s+TO\s+SNAPSHOT\s+(\d+)\s*""".r
 
@@ -65,6 +67,8 @@ object CowSql {
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
     case VacuumRe(root, n) =>
       CowTable.vacuum(spark, root, keep = n.toInt)
+    case VacuumHoursRe(root, h) =>
+      CowTable.vacuumOlderThan(spark, root, h.toLong * 3600000L)
     case RestoreRe(root, toId) =>
       CowTable.restore(spark, root, toId.toLong, keep = keep)
     case _ => execDml(spark, id, sql, keep)

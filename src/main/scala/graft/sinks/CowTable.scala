@@ -3349,6 +3349,24 @@ object CowTable {
       .maxOption
   }
 
+  /** TIME-BASED retention (Delta's `VACUUM … RETAIN n HOURS` shape):
+    * translate an age horizon into the id-based [[vacuum]] by counting
+    * how many of the newest manifests published within the horizon —
+    * at least `minKeep` survive regardless (a quiet table must never
+    * vacuum itself below a restorable history).
+    */
+  def vacuumOlderThan(
+      spark: SparkSession, root: String, olderThanMs: Long,
+      minKeep: Int = 2): Unit = {
+    require(olderThanMs >= 0 && minKeep >= 1, "invalid retention")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val fresh = committedIds(spark, root).count(i =>
+      hfs(spark, root).getFileStatus(
+        new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
+        .getModificationTime >= cutoff)
+    vacuum(spark, root, keep = math.max(minKeep, fresh))
+  }
+
   def vacuum(spark: SparkSession, root: String, keep: Int,
       knownFiles: Map[Long, Seq[String]] = Map.empty): Unit = {
     val ids = committedIds(spark, root)

@@ -117,6 +117,35 @@ class CowBucketedJoinSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("OPTIMIZE ZORDER and compaction keep the bucket layout " +
+      "declarable: the join stays exchange-free afterwards") {
+    val a = tmp("opt_a"); val b = tmp("opt_b")
+    CowTable.setBucketSpec(spark, a, CowBucketSpec("pb", N, Seq("k")))
+    CowTable.setBucketSpec(spark, b, CowBucketSpec("pb", N, Seq("k")))
+    mkTable(a, spark.range(400).select($"id".as("k"),
+      ($"id" % 11).as("v")), 1L, Seq("k"))
+    mkTable(b, spark.range(400).select($"id".as("k"),
+      ($"id" * 3).as("w")), 1L, Seq("k"))
+    require(CowTable.optimizeZorder(spark, a, 2L, Seq("k", "v"),
+      targetFileBytes = 32 * 1024, keep = 10))
+    // fragment b, then compact it
+    (0 until 2).foreach(i => CowTable.commitAppend(
+      spark.range(400 + i * 50, 450 + i * 50).select($"id".as("k"),
+        ($"id" * 3).as("w"),
+        CowTable.bucketId(Seq("k"), N).as("pb")),
+      b, 2L + i, Seq("pb"), keep = 10))
+    CowTable.compactPartitions(spark, b, 10L,
+      targetFileBytes = 8 * 1024 * 1024, keep = 10)
+    withNoBroadcast {
+      val joined = CowV2.read(spark, a).get.drop("pb")
+        .join(CowV2.read(spark, b).get.drop("pb"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"maintenance commits broke the bucket layout:\n$plan")
+      assert(joined.count() == 400)
+    }
+  }
+
   test("setBucketSpec refuses a table that already committed") {
     val root = tmp("late")
     mkTable(root, spark.range(10).select($"id".as("k"), $"id".as("v")),

@@ -88,6 +88,11 @@ class CowSqlSpec extends SparkSpec {
     CowSql.exec(spark, 0L, s"VACUUM cow.`$root` RETAIN 2 SNAPSHOTS")
     assert(CowTable.committedIds(spark, root).size == 2,
       "vacuum did not prune to the retained window")
+    // time-based retention: everything published in the last hour is
+    // fresh, so nothing below minKeep vacuums
+    CowSql.exec(spark, 0L, s"VACUUM cow.`$root` RETAIN 1 HOURS")
+    assert(CowTable.committedIds(spark, root).size == 2,
+      "hour-based vacuum pruned fresh snapshots")
   }
 
   test("UPDATE SET * with a source missing a target column fails " +
