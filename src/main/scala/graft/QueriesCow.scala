@@ -1083,8 +1083,9 @@ object QueriesCow {
     val want = CowTable.read(spark, ra).get.drop("pa")
       .join(CowTable.read(spark, rb).get.drop("pbk"), Seq("custkey"))
       .select("custkey", "o_orderkey", "cents", "c_name", "seg")
-    // multiset equality in two jobs, not three: equal counts plus an
-    // empty one-direction multiset subtract imply the other direction
+    // multiset equality with ONE exceptAll shuffle instead of two:
+    // equal counts (cheap aggregates) plus an empty one-direction
+    // multiset subtract imply the other direction
     require(got.count() == want.count() && got.exceptAll(want).isEmpty,
       "two-stream join view diverged from the direct join")
     got.orderBy("o_orderkey")

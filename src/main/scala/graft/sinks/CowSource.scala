@@ -84,12 +84,25 @@ final class CowSource extends RelationProvider
     val existing = CowTable.currentManifest(spark, root)
     val id = parameters.get("id").map(_.toLong)
       .getOrElse(existing.map(_.id).getOrElse(0L) + 1L)
-    val partCols = (existing, cols("partitionBy")) match {
-      case (Some(m), given) =>
+    // a stale explicit id would hit the commit paths' silent
+    // crash-replay guard and the rows would vanish without a word —
+    // refuse up front; together with the post-commit check below (and
+    // the per-id lease, whose loser throws) every superseded write is
+    // LOUD
+    require(mode == SaveMode.Ignore || existing.forall(_.id < id),
+      s"write id $id at $root is not ahead of committed head " +
+        s"${existing.map(_.id).getOrElse(0L)} — re-read and retry")
+    val given = cols("partitionBy")
+    // append takes the TABLE's layout (a disagreeing option is an
+    // error); overwrite MAY relayout — it maps to commitFull, the same
+    // full-rewrite mechanism repartitionTable uses
+    val partCols = (mode, existing) match {
+      case (SaveMode.Append, Some(m)) =>
         require(given.isEmpty || given == m.partCols,
           s"partitionBy $given disagrees with the table's ${m.partCols}")
         m.partCols
-      case (None, given) => given
+      case (_, e) =>
+        if (given.nonEmpty) given else e.map(_.partCols).getOrElse(Nil)
     }
     mode match {
       case SaveMode.Overwrite =>
@@ -112,6 +125,21 @@ final class CowSource extends RelationProvider
             sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
             changeLogKeys = cols("changeLogBy"))
     }
-    createRelation(ctx, Map("path" -> root))
+    // the commit paths RETURN silently when a commit with id >= ours
+    // already exists (the crash-replay guard) — for a data-source
+    // write that silence would be lost rows; verify the commit landed
+    // and fail LOUD so the racer re-reads the head and retries
+    if (mode != SaveMode.Ignore || existing.isEmpty)
+      require(CowTable.committedIds(spark, root).contains(id),
+        s"write of commit $id at $root was superseded by a concurrent " +
+          "commit — re-read the head and retry with a fresh id")
+    // schema-only result: CreatableRelationProvider's return value is
+    // vestigial, and building a READ relation here would wrongly throw
+    // on tables with outstanding MOR tombstones
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: org.apache.spark.sql.types.StructType =
+        data.schema
+    }
   }
 }

@@ -416,9 +416,19 @@ object CowTable {
     * itself; retention applies (a vacuumed snapshot is not
     * addressable). None when no snapshot had committed by then.
     */
+  def readAtTime(
+      spark: SparkSession, root: String, tsMillis: Long): Option[DataFrame] =
+    committedIdsAt(spark, root, tsMillis).lastOption
+      .map { i =>
+        val m = manifest(spark, root, i)
+        resolved(spark, root, m, m.files)
+      }
+
   /** Committed ids whose manifest had PUBLISHED (by `_SUCCESS` mtime)
-    * at or before `tsMillis` — the id set time travel by timestamp
-    * resolves against.
+    * at or before `tsMillis` — the single id set every
+    * timestamp-addressed surface ([[readAtTime]], the cow data
+    * source's `timestampMs` option, [[vacuumOlderThan]]) resolves
+    * against, so their notions of "as of" can never diverge.
     */
   def committedIdsAt(
       spark: SparkSession, root: String, tsMillis: Long): Seq[Long] = {
@@ -426,20 +436,6 @@ object CowTable {
     committedIds(spark, root).filter(i => fs.getFileStatus(
       new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
       .getModificationTime <= tsMillis)
-  }
-
-  def readAtTime(
-      spark: SparkSession, root: String, tsMillis: Long): Option[DataFrame] = {
-    val fs = hfs(spark, root)
-    committedIds(spark, root)
-      .filter(i => fs.getFileStatus(
-        new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
-        .getModificationTime <= tsMillis)
-      .lastOption
-      .map { i =>
-        val m = manifest(spark, root, i)
-        resolved(spark, root, m, m.files)
-      }
   }
 
   /** TIME TRAVEL: highest committed snapshot ≤ `id` (ids ARE versions). */
@@ -838,17 +834,26 @@ object CowTable {
     */
   private[sinks] def subtractTombstones(
       spark: SparkSession, root: String, df: DataFrame,
-      tombs: Seq[CowFile]): DataFrame = {
-    if (tombs.isEmpty) return df
-    val bySchema = tombs
-      .groupBy(f => spark.read.parquet(s"$root/${f.path}").columns.toSeq)
-      .toSeq.sortBy(_._1.mkString("\u0001")) // deterministic plan order
-    bySchema.foldLeft(df) { case (acc, (_, fs)) =>
-      val t = spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
-      val cond = t.columns.toSeq.map(c => acc(c) <=> t(c)).reduce(_ && _)
-      acc.join(broadcast(t), cond, "left_anti")
+      tombs: Seq[CowFile]): DataFrame =
+    tombstoneGroups(spark, root, tombs).foldLeft(df) {
+      case (acc, (cols, t)) =>
+        val cond = cols.map(c => acc(c) <=> t(c)).reduce(_ && _)
+        acc.join(broadcast(t), cond, "left_anti")
     }
-  }
+
+  /** Tombstone files grouped by their OWN column set (one footer read
+    * per file, driver-side, delete-batch-sized), each group as one
+    * DataFrame — deterministic order so plans are stable.
+    */
+  private def tombstoneGroups(
+      spark: SparkSession, root: String,
+      tombs: Seq[CowFile]): Seq[(Seq[String], DataFrame)] =
+    tombs
+      .groupBy(f => spark.read.parquet(s"$root/${f.path}").columns.toSeq)
+      .toSeq.sortBy(_._1.mkString("\u0001"))
+      .map { case (cols, fs) =>
+        cols -> spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+      }
 
   /** DataFrame over an explicit subset of a manifest's files, read
     * under the MANIFEST's schema — older files missing newly-evolved
@@ -2811,16 +2816,11 @@ object CowTable {
       // rewriting the touched partitions folds their tombstones, and
       // new images can only land in touched partitions (SET cannot
       // assign partition columns).
-      val tombCollides = m.tombstones.nonEmpty && {
-        m.tombstones
-          .groupBy(f =>
-            spark.read.parquet(s"$root/${f.path}").columns.toSeq)
-          .exists { case (cols, fs) =>
-            val t = spark.read.parquet(
-              fs.map(f => s"$root/${f.path}"): _*)
+      def tombCollides = m.tombstones.nonEmpty &&
+        tombstoneGroups(spark, root, m.tombstones).exists {
+          case (cols, t) =>
             !ni.select(cols.map(col): _*).intersect(t).isEmpty
-          }
-      }
+        }
       if (collides || tombCollides) {
         releaseCommitLock(spark, root, id)
         lockHeld = false // the finally must not delete a lease a
@@ -3360,10 +3360,8 @@ object CowTable {
       minKeep: Int = 2): Unit = {
     require(olderThanMs >= 0 && minKeep >= 1, "invalid retention")
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val fresh = committedIds(spark, root).count(i =>
-      hfs(spark, root).getFileStatus(
-        new Path(s"$root/$ManifestPrefix$i/_SUCCESS"))
-        .getModificationTime >= cutoff)
+    val fresh = committedIds(spark, root).size -
+      committedIdsAt(spark, root, cutoff - 1).size
     vacuum(spark, root, keep = math.max(minKeep, fresh))
   }
 

@@ -69,6 +69,31 @@ class CowSourceSpec extends SparkSpec {
     }
   }
 
+  test("a superseded write id fails LOUD instead of silently " +
+      "dropping the rows; overwrite may relayout the partitioning") {
+    val root = tmp()
+    spark.range(10).select($"id", ($"id" % 2).as("part"))
+      .write.format("cow").mode("overwrite")
+      .option("partitionBy", "part").save(root)
+    // explicit stale id: head is 1, asking for 1 again must throw,
+    // not silently no-op (the programmatic replay guard's silence is
+    // correct for crash replays, wrong for a data-source write)
+    val e = intercept[IllegalArgumentException] {
+      spark.range(5).select($"id", ($"id" % 2).as("part"))
+        .write.format("cow").mode("append").option("id", 1L).save(root)
+    }
+    assert(e.getMessage.contains("not ahead of committed head"),
+      e.getMessage)
+    assert(spark.read.format("cow").load(root).count() == 10)
+    // overwrite relayouts: commitFull is the repartitionTable mechanism
+    spark.range(10).select($"id", ($"id" % 3).as("grp"),
+      ($"id" % 2).as("part"))
+      .write.format("cow").mode("overwrite")
+      .option("partitionBy", "grp").save(root)
+    assert(CowTable.currentManifest(spark, root).get.partCols ==
+      Seq("grp"), "overwrite did not relayout")
+  }
+
   test("an unfolded MOR table refuses loudly with fold guidance; " +
       "folding makes it servable") {
     val root = tmp()
