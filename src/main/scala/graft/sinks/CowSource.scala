@@ -54,7 +54,15 @@ final class CowSource extends RelationProvider
       throw new IllegalArgumentException(
         "cow source needs a path: spark.read.format(\"cow\").load(root)"))
     val m = parameters.get("snapshot").map(_.toLong) match {
-      case Some(id) => CowTable.manifest(spark, root, id)
+      case Some(id) =>
+        // resolve against COMMITTED ids only (highest committed ≤ id —
+        // the same time-travel rule as CowTable.readAt): loading the
+        // manifest dir directly would serve a crashed writer's orphan
+        // (parquet written, _SUCCESS missing) as table state
+        CowTable.committedIds(spark, root).filter(_ <= id).lastOption
+          .map(CowTable.manifest(spark, root, _)).getOrElse(
+            throw new IllegalStateException(
+              s"no committed snapshot at or before id $id at $root"))
       case None => parameters.get("timestampMs").map(_.toLong) match {
         case Some(ts) =>
           val ids = CowTable.committedIdsAt(spark, root, ts)

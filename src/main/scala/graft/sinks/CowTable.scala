@@ -2659,6 +2659,51 @@ object CowTable {
       keep, sortCols, changeLogKeys = changeLogKeys)
   }
 
+  /** SET assignments made SAFE against the table schema — two layers,
+    * because a bare `v.cast(columnType)` under non-ANSI evaluation
+    * turns a mistyped assignment (a non-numeric string into a long, an
+    * overflowing decimal) into silent NULLs in committed data:
+    *
+    *  1. STATIC: the assignment expression's resolved type must be
+    *     ANSI-store-assignable to the column (the SQL standard's
+    *     assignment rule, Spark's `Cast.canANSIStoreAssign` — the same
+    *     gate `INSERT` columns pass under the ANSI store-assignment
+    *     policy). A string into a long fails HERE, before any data is
+    *     read.
+    *  2. RUNTIME: for assignable types whose cast can still fail
+    *     value-wise (decimal overflow to a tighter precision, etc.),
+    *     the cast is wrapped so a non-NULL value that casts to NULL
+    *     raises with the offending value in the message instead of
+    *     landing as NULL.
+    *
+    * Returns the guarded cast per SET column; evaluation cost is the
+    * cast itself plus one null test — still codegen'd scan-stage work.
+    */
+  private def checkedAssignments(
+      spark: SparkSession, m: CowManifest,
+      set: Map[String, Column]): Map[String, Column] = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], m.schema)
+    set.map { case (name, v) =>
+      val f = m.schema(name)
+      val from = probe.select(v).schema.head.dataType
+      require(
+        org.apache.spark.sql.catalyst.expressions.Cast
+          .canANSIStoreAssign(from, f.dataType),
+        s"UPDATE SET $name: expression type ${from.simpleString} cannot " +
+          s"be assigned to column type ${f.dataType.simpleString} " +
+          "(ANSI store-assignment rule) — cast explicitly if the " +
+          "conversion is intended")
+      val c = v.cast(f.dataType)
+      name -> when(v.isNotNull && c.isNull,
+        raise_error(concat(
+          lit(s"UPDATE SET $name: value "), v.cast("string"),
+          lit(s" cannot be represented as ${f.dataType.simpleString}")))
+          .cast(f.dataType))
+        .otherwise(c)
+    }
+  }
+
   /** PREDICATE UPDATE as a COW commit (Delta's `UPDATE t SET … WHERE`)
     * — the DML statement [[upsert]]/[[mergeInto]]/[[deleteWhere]]
     * bracket but none expresses directly: rewrite exactly the
@@ -2712,13 +2757,17 @@ object CowTable {
       .toSet
     if (hit.isEmpty) return
     val applies = coalesce(cond, lit(false))
+    // guarded casts: mistyped assignments fail loud (statically or with
+    // the offending value), never as silent NULLs — see
+    // [[checkedAssignments]]. The guard sits INSIDE when(applies, …),
+    // so it only ever evaluates on matched rows.
+    val setChecked = checkedAssignments(spark, m, set)
     val rewrite = resolved(spark, root, m,
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
       .select(m.schema.fields.toSeq.map { f =>
-        set.get(f.name) match {
+        setChecked.get(f.name) match {
           case Some(v) =>
-            when(applies, v.cast(f.dataType)).otherwise(col(f.name))
-              .as(f.name)
+            when(applies, v).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }: _*)
@@ -2778,10 +2827,14 @@ object CowTable {
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
       if (candidates.isEmpty) return
       val fields = m.schema.fields.toSeq
+      // same loud-failure guard as the COW twin (see checkedAssignments)
+      // — evaluated only on matched rows (`matches` below is already
+      // cond-filtered before any new image is computed)
+      val setChecked = checkedAssignments(spark, m, set)
       def newImage(df: DataFrame): DataFrame =
         df.select(fields.map { f =>
-          set.get(f.name) match {
-            case Some(v) => v.cast(f.dataType).as(f.name)
+          setChecked.get(f.name) match {
+            case Some(v) => v.as(f.name)
             case None => col(f.name)
           }
         }: _*)
@@ -2796,8 +2849,7 @@ object CowTable {
       // derive from the same materialized rows either way)
       val changed = matches
         .where(!(oldStruct <=> struct(fields.map { f =>
-          set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
-            .as(f.name)
+          setChecked.get(f.name).getOrElse(col(f.name)).as(f.name)
         }: _*)))
         .localCheckpoint()
       // exactness guard (see scaladoc): any new image colliding with a
@@ -2829,6 +2881,15 @@ object CowTable {
           changeLogKeys = changeLogKeys)
         return
       }
+      // CHECK constraints bind the NEW images exactly as they bind the
+      // COW twin's rewritten rows (commitPartitionsFrom enforces there)
+      // — without this the MOR path would commit an UPDATE the
+      // identical COW UPDATE rejects, breaking both table safety and
+      // the pinned MOR≡COW property. Delta-sized pass over the pinned
+      // `changed` set; the old images need no re-check (they passed
+      // when written and are being REMOVED).
+      enforceChecks(ni, checkConstraints(spark, root),
+        s"MOR update $id at $root")
       val batchDir = s"$root/$BatchPrefix$id"
       val tombDir = s"$batchDir/__tomb"
       writeBatch(ni, batchDir, m.partCols, Nil)
@@ -3350,26 +3411,41 @@ object CowTable {
   }
 
   /** TIME-BASED retention (Delta's `VACUUM … RETAIN n HOURS` shape):
-    * translate an age horizon into the id-based [[vacuum]] by counting
-    * how many of the newest manifests published within the horizon —
-    * at least `minKeep` survive regardless (a quiet table must never
-    * vacuum itself below a restorable history).
+    * translate an age horizon into the id-based [[vacuum]] via an
+    * EXPLICIT id floor — the lowest id that committed within the
+    * horizon. A count would race: a commit landing between the age
+    * computation and the vacuum's own listing shifts a
+    * kept-newest-`count` window down, vacuuming a manifest still
+    * inside the RETAIN horizon; a floor is immune — later commits
+    * only ever land ABOVE it. At least `minKeep` newest survive
+    * regardless (a quiet table must never vacuum itself below a
+    * restorable history).
     */
   def vacuumOlderThan(
       spark: SparkSession, root: String, olderThanMs: Long,
       minKeep: Int = 2): Unit = {
     require(olderThanMs >= 0 && minKeep >= 1, "invalid retention")
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val fresh = committedIds(spark, root).size -
-      committedIdsAt(spark, root, cutoff - 1).size
-    vacuum(spark, root, keep = math.max(minKeep, fresh))
+    val inHorizon = committedIds(spark, root)
+      .diff(committedIdsAt(spark, root, cutoff - 1))
+    vacuum(spark, root, keep = minKeep, floorId = inHorizon.headOption)
   }
 
+  /** `floorId`, when given, additionally retains EVERY committed id at
+    * or above it (evaluated under this vacuum's own listing — no
+    * TOCTOU against concurrent commits); `keep` still bounds the
+    * newest-N floor from below.
+    */
   def vacuum(spark: SparkSession, root: String, keep: Int,
-      knownFiles: Map[Long, Seq[String]] = Map.empty): Unit = {
+      knownFiles: Map[Long, Seq[String]] = Map.empty,
+      floorId: Option[Long] = None): Unit = {
     val ids = committedIds(spark, root)
     val newest = ids.lastOption.getOrElse(return)
-    val retained = ids.takeRight(keep)
+    val byCount = ids.takeRight(keep)
+    val retained = floorId match {
+      case Some(f) => ids.filter(i => i >= f || byCount.contains(i))
+      case None => byCount
+    }
     val cutoff = retained.head
     val committed = ids.toSet
     val fs = hfs(spark, root)

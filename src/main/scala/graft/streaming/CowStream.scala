@@ -273,18 +273,22 @@ object CowStream {
     changeFeed(spark, root)
       .select(lit(side).as("_side"), col("_commit_id"))
 
-  /** The table state AS OF applied frontier `id`. Frontier 0 means
-    * "nothing applied yet" and serves the honest EMPTY table; a
-    * NON-ZERO frontier must be time-travel-servable — if retention
-    * vacuumed it, substituting empty would silently drop every join
-    * partner of the other side's deltas, so that case fails LOUD
-    * (same retention contract as the sidecar hwm guard: raise the
-    * writer's `keep` above the stream's worst-case lag, or rebuild).
+  /** The table state AS OF applied frontier `id`. Frontier -1 is the
+    * "nothing applied yet" sentinel and serves the honest EMPTY table
+    * (-1, not 0: the commit API permits a FIRST commit with id 0, and
+    * a 0 sentinel would serve commit-0 state while the `> floor`
+    * delta filter never applies commit 0's delta — double-counting or
+    * asymmetrically including its rows). A frontier ≥ 0 must be
+    * time-travel-servable — if retention vacuumed it, substituting
+    * empty would silently drop every join partner of the other side's
+    * deltas, so that case fails LOUD (same retention contract as the
+    * sidecar hwm guard: raise the writer's `keep` above the stream's
+    * worst-case lag, or rebuild).
     */
   private def stateAt(
       spark: SparkSession, root: String, id: Long): DataFrame =
     CowTable.readAt(spark, root, id).getOrElse {
-      if (id != 0L)
+      if (id >= 0L)
         throw new IllegalStateException(
           s"join-view frontier $id at $root is no longer servable " +
             "(vacuumed past retention) — raise the writer's keep above " +
@@ -336,7 +340,7 @@ object CowStream {
     val fPath = s"$mvPath/_frontier"
     val (fa0, fb0) = SnapshotTarget.readAt(spark, fPath, batchId - 1)
       .map(_.select("fa", "fb").as[(Long, Long)].collect().head)
-      .getOrElse((0L, 0L))
+      .getOrElse((-1L, -1L)) // -1 = nothing applied (see stateAt)
     def liveOf(side: String, root: String, floor: Long): Seq[Long] = {
       val ids = batch.where(col("_side") === side).select("_commit_id")
       if (ids.isEmpty) Nil
@@ -357,8 +361,8 @@ object CowStream {
     if (liveA.isEmpty && liveB.isEmpty) return
     var (fa, fb) = (fa0, fb0)
     var cur = SnapshotTarget.read(spark, mvPath).getOrElse {
-      val a0 = stateAt(spark, rootA, 0L).limit(0)
-      val b0 = stateAt(spark, rootB, 0L).limit(0)
+      val a0 = stateAt(spark, rootA, -1L).limit(0)
+      val b0 = stateAt(spark, rootB, -1L).limit(0)
       JoinMv.init(a0, b0, joinKeys)
     }
     val ordered = (liveA.map(i => ("a", i)) ++ liveB.map(i => ("b", i)))
