@@ -1348,6 +1348,40 @@ object QueriesCow {
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // POSITIONAL deletion vectors (CowTable.deleteWhereDv): the same
+  // DELETE WHERE as cow_dv_delete, but the sidecar records (file,
+  // row-position) pairs instead of full rows, and readers apply them
+  // as a codegen'd SCAN-STAGE mask — the require()s pin BOTH halves of
+  // the upgrade: sidecar bytes well under the full-row tombstones the
+  // same delete writes via deleteWhereMor, and a read plan with no
+  // join at all. The oracle replays the delete relationally.
+  // -------------------------------------------------------------------
+  def cowPosdvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_posdv")
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(o, root, 1L, Seq("o_orderpriority"))
+    CowTable.deleteWhereDv(spark, root, 2L, col("cents") >= 49000000L,
+      prune = Seq(graft.sinks.CowRange("cents", Some("49000000"), None)))
+    val m = CowTable.currentManifest(spark, root).get
+    val dvBytes = m.dvs.map(_.bytes).sum
+    val dataBytes = m.files.map(_.bytes).sum
+    require(m.dvs.nonEmpty && m.tombstones.isEmpty &&
+      dvBytes * 16 < dataBytes,
+      s"positional DV delete wrote $dvBytes sidecar bytes against " +
+        s"$dataBytes data bytes — not the O(positions) write it promises")
+    val out = CowTable.read(spark, root).get
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.toLowerCase.contains("join") &&
+      plan.contains("graft_dv_deleted"),
+      "positional DV read must be a join-free scan-stage mask")
+    out.orderBy("o_orderkey")
+  }
+
+  val cowPosdvDeleteSql: String = cowDvDeleteSql
+
+  // -------------------------------------------------------------------
   // STREAM-maintained JOIN view (CowStream.joinMvSink): the orders cow
   // table's sidecar feed — full + pure-I append + MOR delete commits —
   // joined against a pinned customer dim via JoinMv's ±1 weights, MV
@@ -1564,6 +1598,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_dv_delete" -> (cowDvDelete _),
+    "cow_posdv_delete" -> (cowPosdvDelete _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
     "cow_sql_dml" -> (cowSqlDml _),
@@ -1602,6 +1637,7 @@ object QueriesCow {
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_dv_delete" -> cowDvDeleteSql,
+    "cow_posdv_delete" -> cowPosdvDeleteSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
     "cow_sql_dml" -> cowSqlDmlSql,

@@ -252,10 +252,11 @@ object CowV2 {
   private[sinks] def relationFor(
       spark: SparkSession, root: String,
       m: CowManifest): HadoopFsRelation = {
-    require(m.tombstones.isEmpty,
+    require(m.tombstones.isEmpty && m.dvs.isEmpty,
       s"snapshot ${m.id} at $root has outstanding merge-on-read " +
-        "tombstones — fold them (CowTable.foldTombstones) or read " +
-        "through CowV2.read, which applies the subtraction")
+        "tombstones or deletion vectors — fold them " +
+        "(CowTable.foldTombstones) or read through CowV2.read, which " +
+        "applies the subtraction")
     buildRelation(spark, root, m)
   }
 
@@ -263,10 +264,14 @@ object CowV2 {
       spark: SparkSession, root: String, m: CowManifest): DataFrame = {
     val relation = buildRelation(spark, root, m)
     val df = spark.baseRelationToDataFrame(relation)
-    // outstanding merge-on-read tombstones subtract rows exactly as in
+    // outstanding positional deletion vectors mask inside the scan
+    // (codegen'd filter on _metadata — CowTable.applyDvs), then
+    // merge-on-read tombstones subtract rows exactly as in
     // CowTable.resolved (null-safe, schema-grouped — key and full-row
-    // tombstone shapes may coexist); a folded table skips this
-    CowTable.subtractTombstones(spark, root, df, m.tombstones)
+    // tombstone shapes may coexist); a folded table skips both
+    val masked = CowTable.applyDvs(spark, root, df,
+      col("_metadata.file_path"), col("_metadata.row_index"), m.dvs)
+    CowTable.subtractTombstones(spark, root, masked, m.tombstones)
   }
 
   private def buildRelation(

@@ -84,6 +84,10 @@ final case class CowManifest(
   /** Outstanding merge-on-read TOMBSTONE files (what a scan subtracts). */
   def tombstones: Seq[CowFile] =
     allFiles.filter(_.kind == CowTable.KindTombstone)
+  /** Outstanding positional DELETION-VECTOR sidecars (what a scan
+    * masks — [[CowTable.deleteWhereDv]]).
+    */
+  def dvs: Seq[CowFile] = allFiles.filter(_.kind == CowTable.KindDv)
 }
 
 /** Internal persisted shape of one manifest row (one per data file,
@@ -171,9 +175,13 @@ object CowTable {
   private[graft] val ChangesDir = "_changes"
   /** The sidecars' operation column (signed form: D/I). */
   private[graft] val ChangeOper = "_oper"
-  /** Manifest entry kinds: live data vs merge-on-read tombstones. */
+  /** Manifest entry kinds: live data, merge-on-read tombstones, and
+    * positional deletion-vector sidecars.
+    */
   val KindData = "data"
   val KindTombstone = "tombstone"
+  val KindDv = "dv"
+  private val DvDirName = "__dv"
 
   /** Compute + persist one commit's signed changelog into a STAGING
     * directory (the expensive join runs here, outside any lock);
@@ -812,7 +820,58 @@ object CowTable {
     val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
       .filter(t => ranges.forall(r =>
         mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
-    subtractTombstones(spark, root, df, tombs)
+    // positional deletion vectors mask INSIDE the scan (a codegen'd
+    // filter, no join); only the wanted partitions' sidecars load
+    val dvFiles = m.dvs.filter(d => wanted.contains(m.partKeyOf(d)))
+    val masked = applyDvs(spark, root, df,
+      col("_metadata.file_path"), col("_metadata.row_index"), dvFiles)
+    subtractTombstones(spark, root, masked, tombs)
+  }
+
+  /** Apply positional deletion vectors as a SCAN-STAGE mask: load the
+    * sidecars' (file, positions) entries (delete-batch-sized — one
+    * row per referenced file), broadcast them as per-file sorted
+    * arrays, and filter with [[graft.functions.DvDeletedExpr]] on the
+    * scan's own `_metadata` columns. The read-time cost is a codegen'd
+    * per-row binary search — no anti-join, no build/probe, no shuffle;
+    * contrast [[subtractTombstones]]'s O(tombstones ⋈ data) row-
+    * equality join, which full-row tombstones cannot avoid.
+    *
+    * `fpCol`/`posCol` are passed in because callers that need the
+    * position AFTER other operators (the DV writer itself) must
+    * project `_metadata` before joins detach it from the scan.
+    *
+    * Exactness note: positions are FILE positions (`row_index`), so
+    * the mask composes with any later file pruning or parquet
+    * row-group skipping — a skipped row simply never tests.
+    */
+  private[sinks] def applyDvs(
+      spark: SparkSession, root: String, df: DataFrame,
+      fpCol: Column, posCol: Column, dvFiles: Seq[CowFile]): DataFrame = {
+    if (dvFiles.isEmpty) return df
+    val raw = spark.read
+      .parquet(dvFiles.map(f => s"$root/${f.path}"): _*)
+      .select(col("path"), col("positions"))
+      .collect()
+    val fs = hfs(spark, root)
+    // map keys in the SAME canonical form the mask derives from
+    // _metadata.file_path at runtime (decoded scheme-less absolute)
+    def absKey(rel: String): String =
+      graft.functions.DvDeletedExpr.normalize(
+        fs.makeQualified(new Path(s"$root/$rel")).toUri.toString)
+    val grouped: Map[String, Array[Long]] = raw.toSeq
+      .groupBy(_.getString(0))
+      .map { case (rel, rows) =>
+        // distinct: two DV commits can never double-mark a position
+        // (each delete scans the MASKED state), but merging defensively
+        // costs one delta-sized sort
+        absKey(rel) ->
+          rows.flatMap(_.getSeq[Long](1)).distinct.sorted.toArray
+      }
+    val bc = spark.sparkContext.broadcast(grouped)
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.where(!Bridge.column(graft.functions.DvDeletedExpr(
+      Bridge.expression(fpCol), Bridge.expression(posCol), bc)))
   }
 
   /** Subtract tombstone rows from `df` — NULL-SAFE equality on every
@@ -953,7 +1012,8 @@ object CowTable {
   def countFast(spark: SparkSession, root: String): Option[Long] = {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum)
+    if (m.tombstones.nonEmpty || m.dvs.nonEmpty) None
+    else Some(m.files.map(_.rows).sum)
   }
 
   /** OPTIMIZE … ZORDER BY as one COW commit: rewrite every live
@@ -1081,7 +1141,7 @@ object CowTable {
       spark: SparkSession, root: String): Option[DataFrame] = {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    if (m.tombstones.nonEmpty) return None
+    if (m.tombstones.nonEmpty || m.dvs.nonEmpty) return None
     import spark.implicits._
     val rows = m.files.groupBy(f => m.partCols.map(c => f.part.getOrElse(c, null)))
       .toSeq.map { case (vals, fs) =>
@@ -1109,7 +1169,7 @@ object CowTable {
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val dt = m.schema.fields.find(_.name == colName).map(_.dataType)
     if (dt.isEmpty || dt.contains(StringType) ||
-        m.tombstones.nonEmpty || m.files.isEmpty) None
+        m.tombstones.nonEmpty || m.dvs.nonEmpty || m.files.isEmpty) None
     else for {
       lo <- foldStat(dt.get, m.files.map(_.mins.get(colName)),
         takeMax = false)
@@ -2448,7 +2508,7 @@ object CowTable {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(return false)
-    val tombParts = m.tombstones.map(m.partKeyOf).toSet
+    val tombParts = (m.tombstones ++ m.dvs).map(m.partKeyOf).toSet
     val wantByPart: Map[String, Long] = m.files.groupBy(m.partKeyOf)
       .flatMap { case (pk, fs) =>
         val bytes = fs.map(_.bytes).sum
@@ -3159,7 +3219,8 @@ object CowTable {
     */
   def countRows(spark: SparkSession, root: String): Option[Long] =
     currentManifest(spark, root).flatMap(m =>
-      if (m.tombstones.nonEmpty) None else Some(m.files.map(_.rows).sum))
+      if (m.tombstones.nonEmpty || m.dvs.nonEmpty) None
+      else Some(m.files.map(_.rows).sum))
 
   /** Metadata-only global (min, max) of a column, in Spark string
     * form: the fold of the per-file envelopes. An absent per-file
@@ -3173,7 +3234,7 @@ object CowTable {
       spark: SparkSession, root: String, colName: String): Option[(String, String)] =
     currentManifest(spark, root).flatMap { m =>
       val dtOpt = m.schema.fields.find(_.name == colName).map(_.dataType)
-      (dtOpt, m.tombstones.isEmpty && m.files.nonEmpty) match {
+      (dtOpt, m.tombstones.isEmpty && m.dvs.isEmpty && m.files.nonEmpty) match {
         case (Some(dt), true) =>
           def fold(vals: Seq[Option[String]], keepLeft: Int => Boolean) =
             if (vals.exists(_.isEmpty)) None
@@ -3358,17 +3419,147 @@ object CowTable {
     vacuum(spark, root, keep, vacuumKnown)
   }
 
-  /** Retire all outstanding tombstones by rewriting exactly the
-    * partitions that have any: the COW state afterwards is tombstone-
-    * free and scans stop paying the anti-join. Returns false (no
-    * commit, id unconsumed) when there is nothing to fold.
+  /** PREDICATE DELETE as POSITIONAL DELETION VECTORS — the third and
+    * cheapest point on the delete spectrum, matching Delta's DV
+    * sidecars and Iceberg's positional delete files:
+    *
+    *  - [[deleteWhere]] (COW): rewrites every partition holding a
+    *    match — O(touched partitions) written; steady state clean.
+    *  - [[deleteWhereMor]] (full-row tombstones): O(matched row BYTES)
+    *    written, and every later read pays an O(tombstones ⋈ data)
+    *    null-safe row-equality anti-join.
+    *  - THIS: records each matched row as (file, row position) —
+    *    O(matched × ~8 bytes) written whatever the row width — and
+    *    readers apply the positions as a codegen'd SCAN-STAGE FILTER
+    *    ([[applyDvs]]): no anti-join in the plan at all. On a wide
+    *    table a large low-selectivity delete writes orders of
+    *    magnitude fewer bytes than full-row tombstones and reads back
+    *    with per-row binary-search cost instead of a join.
+    *
+    * Positions come from `_metadata.row_index` on the candidate scan
+    * (file-absolute, so they compose with any later file pruning or
+    * row-group skipping), taken from the VISIBLE state — prior
+    * tombstones and DVs apply first, so a position can never be
+    * recorded twice and re-deleting is a no-op. Semantics are exact
+    * positional: only the matched physical rows disappear (duplicates
+    * elsewhere keep their own positions — same contract as a
+    * predicate delete, which matches them independently anyway).
+    *
+    * The sidecar lands under `batch-<id>/__dv/` with schema
+    * `(path, positions, partition columns…)`, one entry per referenced
+    * file, partitioned like the table so reads outside the touched
+    * partitions never load it. The debt retires exactly like
+    * tombstones: any COW rewrite of the partition folds it, or
+    * [[foldTombstones]] explicitly. `cond` must be deterministic;
+    * `prune` is the same over-approximating hint as [[deleteWhere]]'s;
+    * `changeLog = true` emits the matched rows as a pure-D sidecar.
+    */
+  def deleteWhereDv(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      changeLog: Boolean = false): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    // sidecar columns ride next to the partition columns in the DV
+    // files — a partition column named like them cannot be represented
+    Seq("path", "positions").foreach(c => require(!m.partCols.contains(c),
+      s"DV delete: partition column '$c' collides with the deletion-" +
+        "vector sidecar schema — use deleteWhereMor for this table"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      val candidates =
+        if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+      if (candidates.isEmpty) return // nothing can match — id unconsumed
+      val fp = "__dv_fp"; val pos = "__dv_pos"
+      val wanted = candidates.map(m.partKeyOf).toSet
+      // project the scan's OWN metadata before any join detaches it
+      val withPos = dfFor(spark, root, m, candidates)
+        .select(col("*"),
+          col("_metadata.file_path").as(fp),
+          col("_metadata.row_index").as(pos))
+      val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
+        .filter(t => prune.forall(r =>
+          mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
+      val priorDvs = m.dvs.filter(d => wanted.contains(m.partKeyOf(d)))
+      val visible = subtractTombstones(spark, root,
+        applyDvs(spark, root, withPos, col(fp), col(pos), priorDvs),
+        tombs)
+      val matched0 = visible.where(coalesce(cond, lit(false)))
+      // two consumers when a changelog is kept (the DV aggregation and
+      // the D-row sidecar) — pin so the candidate scan runs once
+      val matched = if (changeLog) matched0.localCheckpoint() else matched0
+      // relativize to the manifest's own path convention (decoded
+      // LITERAL, table-root-relative) — executor-side, no collect of
+      // raw positions through the driver
+      val rootAbs = graft.functions.DvDeletedExpr.normalize(
+        hfs(spark, root).makeQualified(new Path(root)).toUri.toString)
+      val relativize = udf((s: String) => {
+        val p = graft.functions.DvDeletedExpr.normalize(s)
+        require(p.startsWith(rootAbs + "/"),
+          s"candidate file $p is outside the table root $rootAbs")
+        p.substring(rootAbs.length + 1)
+      })
+      val dvDf = matched
+        .groupBy(col(fp) +: m.partCols.map(col): _*)
+        .agg(sort_array(collect_list(col(pos))).as("positions"))
+        .select(relativize(col(fp)).as("path") +: col("positions") +:
+          m.partCols.map(col): _*)
+      val dvDir = s"$root/$BatchPrefix$id/$DvDirName"
+      writeBatch(dvDf, dvDir, m.partCols, Nil)
+      val dvSchema = StructType(
+        StructField("path", StringType) +:
+          StructField("positions", ArrayType(LongType)) +:
+          m.partCols.map(c => m.schema(c)))
+      val fresh = collectEntries(spark, dvDir, id, dvSchema, m.partCols)
+        .map(_.copy(kind = KindDv))
+      if (fresh.isEmpty) {
+        hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
+        return // no row matched — id unconsumed
+      }
+      val stagedLog =
+        if (!changeLog) None
+        else {
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          // the matched rows ARE the before-images — pure D, no diff
+          matched
+            .withColumn(ChangeOper, lit("D"))
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        // a DV delete only ADDS sidecars: every previous entry (data,
+        // tombstones, older DVs) carries over verbatim
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+          m.allFiles ++ fresh)
+      }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ fresh).map(_.path),
+        m.id -> m.allFiles.map(_.path))
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, vacuumKnown)
+  }
+
+  /** Retire all outstanding tombstones AND positional deletion vectors
+    * by rewriting exactly the partitions that have any: the COW state
+    * afterwards is debt-free and scans stop paying the anti-join and
+    * the scan mask. Returns false (no commit, id unconsumed) when
+    * there is nothing to fold.
     */
   def foldTombstones(
       spark: SparkSession, root: String, id: Long, keep: Int = 2,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(return false)
-    val touched = m.tombstones.map(m.partKeyOf).toSet
+    val touched = (m.tombstones ++ m.dvs).map(m.partKeyOf).toSet
     if (touched.isEmpty) return false
     val rewrite = resolved(spark, root, m,
       m.files.filter(f => touched.contains(m.partKeyOf(f))))

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.CowTable
+
+/** Positional deletion vectors ([[graft.sinks.CowTable.deleteWhereDv]]):
+  * (file, row-position) sidecars applied as a codegen'd scan-stage
+  * mask — the byte-economics and plan-shape upgrade over full-row
+  * tombstones, pinned three ways: results identical to the COW twin,
+  * sidecar bytes ≪ full-row tombstone bytes on a wide table, and the
+  * read plan free of any anti-join.
+  */
+class PosDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"posdv_$tag").toString
+
+  /** 2000 rows, ~1 KB of INCOMPRESSIBLE payload each (chained sha2
+    * hex — a constant pad would deflate the full-row tombstones under
+    * snappy and understate their true row-width cost), partitioned —
+    * including a SPACE-valued partition so the file-path identity
+    * survives URI encoding end to end.
+    */
+  private def wide = spark.range(2000).select(
+    $"id",
+    concat(lit("seg "), ($"id" % 4).cast("string")).as("seg"),
+    ($"id" % 10).as("k"),
+    concat((0 until 16).map(i =>
+      sha2(concat($"id".cast("string"), lit(s"-$i")), 256)): _*).as("body"))
+
+  private def sidecarBytes(root: String, kind: String): Long =
+    CowTable.currentManifest(spark, root).get.allFiles
+      .filter(_.kind == kind).map(_.bytes).sum
+
+  test("deleteWhereDv equals the COW deleteWhere result, writes " +
+      "position-sized sidecars (≪ full-row tombstones on a wide " +
+      "table), and the read plan has NO anti-join") {
+    val dv = tmp("dv"); val mor = tmp("mor"); val cow = tmp("cow")
+    Seq(dv, mor, cow).foreach(r =>
+      CowTable.commitFull(wide, r, 1L, Seq("seg"), keep = 10))
+    val cond = $"k" < 3 // 600 of 2000 rows, spread over every file
+    CowTable.deleteWhereDv(spark, dv, 2L, cond, keep = 10)
+    CowTable.deleteWhereMor(spark, mor, 2L, cond, keep = 10)
+    CowTable.deleteWhere(spark, cow, 2L, cond, keep = 10)
+    val gotDv = CowTable.read(spark, dv).get
+    val want = CowTable.read(spark, cow).get
+    assert(gotDv.count() == 1400 &&
+      gotDv.exceptAll(want).isEmpty && want.exceptAll(gotDv).isEmpty,
+      "DV delete diverged from the COW twin")
+    // byte economics: positions, not row bytes
+    val dvBytes = sidecarBytes(dv, CowTable.KindDv)
+    val tombBytes = sidecarBytes(mor, CowTable.KindTombstone)
+    assert(dvBytes > 0 && dvBytes * 10 < tombBytes,
+      s"DV sidecar ($dvBytes B) should be ≪ full-row tombstones " +
+        s"($tombBytes B)")
+    // plan shape: the mask is a scan-stage filter — no join of any
+    // kind in the read plan (the tombstone path necessarily has one)
+    val dvPlan = gotDv.queryExecution.executedPlan.toString
+    assert(!dvPlan.toLowerCase.contains("join"),
+      s"DV read plan must be join-free:\n$dvPlan")
+    assert(dvPlan.contains("graft_dv_deleted"),
+      "DV read plan should carry the scan-stage mask predicate")
+    val morPlan = CowTable.read(spark, mor).get
+      .queryExecution.executedPlan.toString
+    assert(morPlan.toLowerCase.contains("join"),
+      "sanity: the full-row tombstone path reads through an anti-join")
+  }
+
+  test("DV deletes compose incrementally, with key tombstones, and " +
+      "with data-skipping reads; fold retires the debt") {
+    val root = tmp("mix")
+    CowTable.commitFull(wide, root, 1L, Seq("seg"), keep = 10)
+    CowTable.deleteWhereDv(spark, root, 2L, $"k" === 0, keep = 10)
+    // a second DV delete scans the MASKED state — no double-marking
+    CowTable.deleteWhereDv(spark, root, 3L, $"k" <= 1, keep = 10)
+    assert(CowTable.read(spark, root).get.count() == 1600)
+    // key tombstones coexist with DVs on one table
+    CowTable.deleteKeysMor(spark, root, 4L,
+      Seq((5L, "seg 1")).toDF("id", "seg"), Seq("id"), Seq("seg"),
+      keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.dvs.nonEmpty && m.tombstones.nonEmpty)
+    assert(CowTable.read(spark, root).get.count() == 1599)
+    // exactness guards: fast count refuses while debt is outstanding
+    assert(CowTable.countFast(spark, root).isEmpty)
+    // pruned read through the planner-integrated path stays masked
+    val viaV2 = graft.sinks.CowV2.read(spark, root).get
+      .where($"seg" === "seg 1").select("id").as[Long].collect().toSet
+    val expect = CowTable.read(spark, root).get
+      .where($"seg" === "seg 1").select("id").as[Long].collect().toSet
+    assert(viaV2 == expect && !viaV2.exists(i => i % 10 <= 1) &&
+      !viaV2.contains(5L))
+    // time travel: the pre-delete snapshot still serves all rows
+    assert(CowTable.readAt(spark, root, 1L).get.count() == 2000)
+    // fold rewrites exactly the indebted partitions; state unchanged
+    val before = CowTable.read(spark, root).get.orderBy("id", "k")
+      .collect().toSeq
+    assert(CowTable.foldTombstones(spark, root, 5L, keep = 10))
+    val after = CowTable.currentManifest(spark, root).get
+    assert(after.dvs.isEmpty && after.tombstones.isEmpty)
+    assert(CowTable.read(spark, root).get.orderBy("id", "k")
+      .collect().toSeq == before)
+    assert(CowTable.countFast(spark, root).contains(1599L))
+  }
+
+  test("re-deleting already-deleted rows is a no-op (id unconsumed) " +
+      "and an unpartitioned table takes DV deletes too") {
+    val root = tmp("noop")
+    CowTable.commitFull(spark.range(100).toDF("id"), root, 1L, Nil,
+      keep = 10)
+    CowTable.deleteWhereDv(spark, root, 2L, $"id" < 10, keep = 10)
+    assert(CowTable.read(spark, root).get.count() == 90)
+    // every remaining candidate is visible-unmatched: no commit
+    CowTable.deleteWhereDv(spark, root, 3L, $"id" < 10, keep = 10)
+    assert(CowTable.committedIds(spark, root) == Seq(1L, 2L),
+      "a no-match DV delete must leave the id unconsumed")
+    // changelog form: pure-D sidecar of the matched rows
+    CowTable.deleteWhereDv(spark, root, 3L, $"id" >= 95, keep = 10,
+      changeLog = true)
+    val log = CowTable.changeLogFor(spark, root, 3L).get
+    assert(log.where($"oper" =!= "D").isEmpty &&
+      log.select("id").as[Long].collect().toSet ==
+        (95L until 100L).toSet)
+    assert(CowTable.read(spark, root).get.count() == 85)
+  }
+}
