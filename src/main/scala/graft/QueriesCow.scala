@@ -1214,8 +1214,13 @@ object QueriesCow {
   // ANSI DML TEXT through Spark's own parser (CowSql): an UPDATE, a
   // DELETE and a multi-clause MERGE execute as SQL STRINGS against the
   // cow.`path` table — parsePlan's UpdateTable/DeleteFromTable/
-  // MergeIntoTable ASTs interpreted onto the commit API. The oracle
-  // replays the three statements as one CTE chain.
+  // MergeIntoTable ASTs interpreted onto the commit API. The UPDATE
+  // routes mode=Mor (old-image tombstones + appends) and the DELETE
+  // mode=Auto with a 1-byte threshold (forcing positional deletion
+  // vectors), so the SQL surface's merge-on-read economics are
+  // oracle-gated too; the MERGE then lands COW on the indebted table
+  // and the final read composes every debt kind. The oracle replays
+  // the three statements as one CTE chain.
   // -------------------------------------------------------------------
   def cowSqlDml(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.CowSql
@@ -1227,9 +1232,12 @@ object QueriesCow {
     CowTable.commitFull(c.withColumn("pb", pb), root, 1L, Seq("pb"))
     CowSql.exec(spark, 2L,
       s"UPDATE cow.`$root` SET c_name = concat('NEG:', c_name) " +
-        "WHERE cents < 0")
+        "WHERE cents < 0", mode = CowSql.Mor)
     CowSql.exec(spark, 3L,
-      s"DELETE FROM cow.`$root` WHERE c_mktsegment = 'MACHINERY'")
+      s"DELETE FROM cow.`$root` WHERE c_mktsegment = 'MACHINERY'",
+      mode = CowSql.Auto, morThresholdBytes = 1L)
+    require(CowTable.currentManifest(spark, root).get.dvs.nonEmpty,
+      "Auto below-threshold DELETE should have landed as DVs")
     c.where(col("c_custkey") <= 200)
       .select(col("c_custkey"),
         concat(lit("SRC-"), col("c_custkey")).as("c_name"))

@@ -55,12 +55,40 @@ object CowSql {
   private val RestoreRe =
     """(?is)\s*RESTORE\s+cow\.`([^`]+)`\s+TO\s+SNAPSHOT\s+(\d+)\s*""".r
 
+  /** How a textual UPDATE / DELETE lands on the table:
+    *
+    *  - [[Cow]] — copy-on-write: rewrite the matched partitions
+    *    ([[CowTable.deleteWhere]]/[[CowTable.updateWhere]]); steady
+    *    state stays debt-free. The default, and the right call for
+    *    deletes that empty most of what they touch.
+    *  - [[Mor]] — merge-on-read: a DELETE writes positional deletion
+    *    vectors ([[CowTable.deleteWhereDv]] — O(matched positions)
+    *    bytes, scan-stage mask on read), an UPDATE writes old-image
+    *    tombstones + new-image appends ([[CowTable.updateWhereMor]]).
+    *    Zero partitions rewritten; the debt retires at the next COW
+    *    rewrite or [[CowTable.foldTombstones]].
+    *  - [[Auto]] — pick by the manifest's own numbers: MOR when the
+    *    table's live data bytes exceed `morThresholdBytes`, COW below
+    *    it. The match count is unknowable before the scan, but the
+    *    REWRITE side scales with partition bytes the manifest already
+    *    states — on a big table the rewrite is the certain cost, so
+    *    the threshold is the honest proxy. (Both paths are
+    *    property-proven result-identical in `PropertyDmlSpec`.)
+    */
+  sealed trait DmlMode
+  case object Cow extends DmlMode
+  case object Mor extends DmlMode
+  case object Auto extends DmlMode
+
   /** Parse and execute one DML / maintenance statement as commit
     * `id` (VACUUM commits nothing and ignores it; RESTORE allocates
-    * its own id by contract).
+    * its own id by contract). `mode` routes UPDATE / DELETE between
+    * the copy-on-write and merge-on-read economics (see [[DmlMode]]);
+    * MERGE and the maintenance forms ignore it.
     */
   def exec(spark: SparkSession, id: Long, sql: String,
-      keep: Int = 2): Unit = sql match {
+      keep: Int = 2, mode: DmlMode = Cow,
+      morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
     case OptimizeRe(root, cols) =>
       CowTable.optimizeZorder(spark, root, id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
@@ -71,19 +99,36 @@ object CowSql {
       CowTable.vacuumOlderThan(spark, root, h.toLong * 3600000L)
     case RestoreRe(root, toId) =>
       CowTable.restore(spark, root, toId.toLong, keep = keep)
-    case _ => execDml(spark, id, sql, keep)
+    case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
+  }
+
+  private def useMor(spark: SparkSession, root: String,
+      mode: DmlMode, thresholdBytes: Long): Boolean = mode match {
+    case Cow => false
+    case Mor => true
+    case Auto => CowTable.currentManifest(spark, root)
+      .exists(_.files.map(_.bytes).sum > thresholdBytes)
   }
 
   private def execDml(spark: SparkSession, id: Long, sql: String,
-      keep: Int): Unit =
+      keep: Int, mode: DmlMode, thresholdBytes: Long): Unit =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
-        CowTable.deleteWhere(spark, rootOf(table), id,
-          expr(cond.sql), keep = keep)
+        val root = rootOf(table)
+        if (useMor(spark, root, mode, thresholdBytes))
+          CowTable.deleteWhereDv(spark, root, id, expr(cond.sql),
+            keep = keep)
+        else
+          CowTable.deleteWhere(spark, root, id, expr(cond.sql),
+            keep = keep)
       case UpdateTable(table, assignments, cond) =>
-        CowTable.updateWhere(spark, rootOf(table), id,
-          cond.map(c => expr(c.sql)).getOrElse(expr("true")),
-          assignments.map(setOf).toMap, keep = keep)
+        val root = rootOf(table)
+        val c = cond.map(x => expr(x.sql)).getOrElse(expr("true"))
+        val sets = assignments.map(setOf).toMap
+        if (useMor(spark, root, mode, thresholdBytes))
+          CowTable.updateWhereMor(spark, root, id, c, sets, keep = keep)
+        else
+          CowTable.updateWhere(spark, root, id, c, sets, keep = keep)
       case m: MergeIntoTable =>
         execMerge(spark, id, m, keep)
       case other => throw new IllegalArgumentException(

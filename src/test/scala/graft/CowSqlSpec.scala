@@ -46,6 +46,68 @@ class CowSqlSpec extends SparkSpec {
       .collect().head == "n5", "non-matching row mutated")
   }
 
+  test("mode=Mor routes a textual DELETE to positional deletion " +
+      "vectors — bytes written ≪ the partition rewrite, result " +
+      "identical to the COW twin") {
+    // big enough that per-file parquet overhead does not swamp the
+    // byte comparison (the micro-table `mk` would)
+    def mkWide(root: String): Unit = CowTable.commitFull(
+      spark.range(20000).select($"id", ($"id" % 4).as("pb"),
+        sha2(concat(lit("n"), $"id"), 256).as("name"),
+        ($"id" % 10).as("score")),
+      root, 1L, Seq("pb"), keep = 10)
+    val root = tmp(); mkWide(root)
+    val cowRoot = tmp(); mkWide(cowRoot)
+    val stmt = "DELETE FROM cow.`%s` WHERE score >= 8 OR id = 0"
+    CowSql.exec(spark, 2L, stmt.format(root), mode = CowSql.Mor)
+    CowSql.exec(spark, 2L, stmt.format(cowRoot), mode = CowSql.Cow)
+    val got = CowTable.read(spark, root).get.select("id", "name", "score")
+    val want = CowTable.read(spark, cowRoot).get
+      .select("id", "name", "score")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // economics: every base data file carried by reference; the
+    // sidecar bytes are a fraction of what the COW twin rewrote
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.files.forall(_.path.startsWith("batch-1/")),
+      "MOR DELETE rewrote a base data file")
+    val mCow = CowTable.currentManifest(spark, cowRoot).get
+    val rewritten = mCow.files.filter(_.path.startsWith("batch-2/"))
+    assert(rewritten.nonEmpty,
+      "sanity: the COW twin rewrites the touched partitions")
+    assert(m.dvs.nonEmpty &&
+      m.dvs.map(_.bytes).sum * 4 < rewritten.map(_.bytes).sum,
+      s"textual MOR DELETE wrote ${m.dvs.map(_.bytes).sum} sidecar " +
+        s"bytes vs the COW rewrite's ${rewritten.map(_.bytes).sum}")
+  }
+
+  test("mode=Mor routes a textual UPDATE to updateWhereMor; Auto " +
+      "picks by manifest bytes") {
+    val root = tmp(); mk(root)
+    CowSql.exec(spark, 2L,
+      s"UPDATE cow.`$root` SET name = concat('U-', id) WHERE score < 2",
+      mode = CowSql.Mor)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.tombstones.nonEmpty &&
+      m.files.exists(_.path.startsWith("batch-2/")) &&
+      m.files.count(_.path.startsWith("batch-1/")) ==
+        CowTable.manifest(spark, root, 1L).files.size,
+      "textual MOR UPDATE must append new images without rewriting")
+    assert(CowTable.read(spark, root).get
+      .where($"id" === 11L).select("name").as[String]
+      .collect().head == "U-11")
+    // Auto on a tiny table stays COW (below any sane threshold)…
+    val auto = tmp(); mk(auto)
+    CowSql.exec(spark, 2L,
+      s"DELETE FROM cow.`$auto` WHERE score >= 8", mode = CowSql.Auto)
+    assert(CowTable.currentManifest(spark, auto).get.dvs.isEmpty)
+    // …and flips to MOR once the manifest's data bytes exceed it
+    val auto2 = tmp(); mk(auto2)
+    CowSql.exec(spark, 2L,
+      s"DELETE FROM cow.`$auto2` WHERE score >= 8", mode = CowSql.Auto,
+      morThresholdBytes = 1L)
+    assert(CowTable.currentManifest(spark, auto2).get.dvs.nonEmpty)
+  }
+
   test("MERGE INTO cow.`path` AS t USING view AS s — conditional " +
       "update, star insert, by-source delete") {
     val root = tmp(); mk(root)
