@@ -218,6 +218,12 @@ object Bench {
     val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.cow",
+        classOf[graft.catalog.CowCatalog].getName)
+      .config("spark.sql.catalog.cow.warehouse",
+        sys.env.getOrElse("SPARK_GRAFT_COW_WAREHOUSE",
+          "/tmp/graft-cow-warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // named cow tables (spark.sql.catalog.cow): the analyzer's v2
+    // relation swaps for the planner-integrated V1 CowV2 relation —
+    // see graft.plans.CowCatalogRule
+    ext.injectResolutionRule(session =>
+      new graft.plans.CowCatalogRule(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),

@@ -14,6 +14,15 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
+      // the engine's Catalyst pieces (codegen'd functions, the named
+      // cow-catalog conversion rule) + the cow TableCatalog itself, so
+      // `cow.db.table` resolves in plain SQL on every engine session
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.cow",
+        classOf[graft.catalog.CowCatalog].getName)
+      .config("spark.sql.catalog.cow.warehouse",
+        sys.env.getOrElse("SPARK_GRAFT_COW_WAREHOUSE",
+          "/tmp/graft-cow-warehouse"))
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

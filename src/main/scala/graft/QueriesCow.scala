@@ -1283,6 +1283,76 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // NAMED cow tables through Spark's OWN analyzer (CowCatalog +
+  // CowCatalogRule): the reference's thin-layer refresh
+  // (tl_sm_gosales_overview_01.sql — TRUNCATE + INSERT INTO
+  // {project}.{env}_sm.{table} SELECT … FROM joined raw tables) as
+  // plain SQL text over cow.<ns>.<table> names — CREATE TABLE
+  // PARTITIONED BY, INSERT INTO (commitAppend), CTAS, and INSERT
+  // OVERWRITE (commitFull) with ZERO path literals. The require()
+  // pins that the named read plans through CowFileIndex (the
+  // manifest IS the listing). The oracle replays the thin-layer
+  // aggregate relationally.
+  // -------------------------------------------------------------------
+  def cowCatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val ns = "g" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView("cat_orders_src")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("cat_customer_src")
+    spark.sql(s"""CREATE TABLE cow.$ns.orders
+      (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+       o_orderpriority STRING)
+      PARTITIONED BY (o_orderpriority)""")
+    spark.sql(s"""INSERT INTO cow.$ns.orders
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM cat_orders_src""")
+    spark.sql(s"""CREATE TABLE cow.$ns.customer AS
+      SELECT c_custkey, c_mktsegment FROM cat_customer_src""")
+    spark.sql(s"""CREATE TABLE cow.$ns.thin
+      (c_mktsegment STRING, o_orderpriority STRING, n BIGINT,
+       cents_sum BIGINT)
+      PARTITIONED BY (o_orderpriority)""")
+    // the thin-layer refresh, twice: the second run is the steady
+    // state (INSERT OVERWRITE replaces the previous refresh wholesale,
+    // the reference's TRUNCATE+INSERT contract)
+    val refresh = s"""INSERT OVERWRITE cow.$ns.thin
+      SELECT c.c_mktsegment, o.o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o.cents) AS BIGINT) AS cents_sum
+      FROM cow.$ns.orders o
+      JOIN cow.$ns.customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_mktsegment, o.o_orderpriority"""
+    spark.sql(refresh)
+    spark.sql(refresh)
+    val out = spark.table(s"cow.$ns.thin")
+    // the named read is the planner-integrated relation: its scan's
+    // listing source must be the manifest-driven CowFileIndex
+    val scans = out.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location
+    }
+    require(scans.nonEmpty &&
+      scans.forall(_.isInstanceOf[graft.sinks.CowFileIndex]),
+      s"named cow read did not plan through CowFileIndex: $scans")
+    out.orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  val cowCatalogSqlSql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+      |            AS BIGINT) AS cents_sum
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderpriority <> '4-NOT SPECIFIED'
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
   // MERGE-ON-READ predicate UPDATE: the same statement as
   // cow_update_where but with deletion-vector economics — old images
   // tombstone, new images append, ZERO partitions rewritten. The
@@ -1607,6 +1677,7 @@ object QueriesCow {
     "cow_delete_where" -> (cowDeleteWhere _),
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_posdv_delete" -> (cowPosdvDelete _),
+    "cow_catalog_sql" -> (cowCatalogSql _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
     "cow_sql_dml" -> (cowSqlDml _),
@@ -1646,6 +1717,7 @@ object QueriesCow {
     "cow_delete_where" -> cowDeleteWhereSql,
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_posdv_delete" -> cowPosdvDeleteSql,
+    "cow_catalog_sql" -> cowCatalogSqlSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
     "cow_sql_dml" -> cowSqlDmlSql,

@@ -9,6 +9,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.cow",
+        classOf[graft.catalog.CowCatalog].getName)
+      .config("spark.sql.catalog.cow.warehouse",
+        sys.env.getOrElse("SPARK_GRAFT_COW_WAREHOUSE",
+          "/tmp/graft-cow-warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,418 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog,
+  TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo,
+  Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.{CowManifest, CowTable}
+
+/** The cow table format as a NAMED SQL citizen — a DataSourceV2
+  * `TableCatalog` (`spark.sql.catalog.cow=graft.catalog.CowCatalog`,
+  * `spark.sql.catalog.cow.warehouse=<dir>`), so Spark's OWN analyzer
+  * resolves `cow.db.table` in any statement, with no path literals and
+  * no pre-parse interception — the reference's name-addressed layout
+  * (`{project}.{env}_<layer>.{table}`,
+  * jobs/semantic/gosales_thin_layer/tl_sm_gosales_overview_01.sql:22-25)
+  * expressed directly over the table format:
+  *
+  * {{{
+  * CREATE NAMESPACE cow.curated;
+  * CREATE TABLE cow.curated.orders (…) PARTITIONED BY (priority);
+  * INSERT INTO cow.curated.orders SELECT …;           -- commitAppend
+  * INSERT OVERWRITE cow.curated.orders SELECT …;      -- commitFull
+  * SELECT … FROM cow.curated.orders;                  -- CowFileIndex scan
+  * SELECT … FROM cow.curated.orders VERSION AS OF 3;  -- time travel
+  * }}}
+  *
+  * Identifiers map to `warehouse/<namespace>/<table>`; the Delta-style
+  * path form `` cow.`/abs/path` `` (empty namespace, absolute name)
+  * addresses any table root directly. Namespaces are one level — the
+  * reference's `{env}_{layer}` datasets are flat too.
+  *
+  * READS do not go through a DSv2 scan: [[graft.plans.CowCatalogRule]]
+  * (injected by [[graft.GraftExtensions]]) swaps the analyzer's
+  * `DataSourceV2Relation` for the V1 [[graft.sinks.CowV2]] relation, so
+  * a named read plans through [[graft.sinks.CowFileIndex]] — manifest
+  * listing, partition pruning (static + dynamic), min/max + Bloom +
+  * null-count skipping, declared bucketing, and outstanding MOR
+  * debt (tombstone subtraction, positional-DV scan masks) — identical
+  * to `CowV2.read`. WRITES use the `V1Write` fallback: `INSERT INTO` →
+  * `commitAppend`, `INSERT OVERWRITE` → `commitFull`, dynamic
+  * partition overwrite → partition-granular `commitPartitions`
+  * (rewrites ONLY the partitions the query produced — the 100 TB path
+  * the reference's TRUNCATE+INSERT shape cannot express), static
+  * `PARTITION (p=v)` overwrite → the same granular commit for exactly
+  * those partitions. Every write lands through the ordinary commit
+  * protocol: optimistic per-id lease, CHECK constraints, schema
+  * evolution gate, changelog plumbing untouched.
+  */
+class CowCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "cow"
+  private var warehouse: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** `cow.db.t` → `warehouse/db/t`; `` cow.`/abs/path` `` → the path. */
+  private def rootOf(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
+    else {
+      require(ident.namespace.length == 1,
+        s"cow catalog namespaces are one level, got " +
+          ident.namespace.mkString("."))
+      s"$warehouse/${ident.namespace.head}/${ident.name}"
+    }
+
+  private def displayName(ident: Identifier): String =
+    (catName +: (ident.namespace :+ ident.name)).mkString(".")
+
+  override def tableExists(ident: Identifier): Boolean =
+    CowTable.committedIds(spark, rootOf(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val m = CowTable.currentManifest(spark, root).getOrElse(
+      throw new NoSuchTableException(ident))
+    CowNamedTable(displayName(ident), root, m, pinned = false)
+  }
+
+  /** `VERSION AS OF <id>` — highest committed snapshot ≤ id, the same
+    * time-travel rule as `CowTable.readAt`; the result is read-only.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val id = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"cow versions are commit ids, got '$version'"))
+    val at = CowTable.committedIds(spark, root).filter(_ <= id).lastOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    CowNamedTable(displayName(ident),
+      root, CowTable.manifest(spark, root, at), pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val at = CowTable.committedIdsAt(spark, root, timestamp / 1000L)
+      .lastOption.getOrElse(throw new NoSuchTableException(ident))
+    CowNamedTable(displayName(ident),
+      root, CowTable.manifest(spark, root, at), pinned = true)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"cow tables partition by identity columns only, got $other")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
+    // the empty first snapshot: schema + partitioning persist via the
+    // manifest's path-NULL sentinel; the first INSERT appends as id 2
+    CowTable.commitFull(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      root, 1L, partCols)
+    CowNamedTable(displayName(ident),
+      root, CowTable.currentManifest(spark, root).get, pinned = false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on cow tables: schema evolves through commits " +
+        "(commitAppend/commitFull widen per the evolution gate); " +
+        "constraints via CowTable.setCheckConstraints")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val existed = tableExists(ident)
+    if (existed) fs.delete(new Path(root), true)
+    existed
+  }
+
+  override def renameTable(old: Identifier, next: Identifier): Unit = {
+    require(tableExists(old), s"no table ${displayName(old)}")
+    require(!tableExists(next), s"table ${displayName(next)} exists")
+    val dst = new Path(rootOf(next))
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(new Path(rootOf(old)), dst),
+      s"rename ${displayName(old)} -> ${displayName(next)} failed")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = new Path(s"$warehouse/${namespace.mkString("/")}")
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => CowTable.committedIds(spark,
+        s"$warehouse/${namespace.mkString("/")}/$t").nonEmpty)
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  // ---- namespaces (one level: warehouse subdirectories) ----
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      fs.exists(new Path(s"$warehouse/${namespace.head}"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new Path(warehouse)
+    if (!fs.exists(w)) Array.empty
+    else fs.listStatus(w).toSeq.filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"cow namespaces are one level, got ${namespace.mkString(".")}")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(new Path(s"$warehouse/${namespace.head}"))
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("cow namespaces carry no metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      require(cascade || listTables(namespace).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(new Path(s"$warehouse/${namespace.head}"), true)
+    }
+  }
+}
+
+/** One resolved cow table: the identifier's root plus the manifest
+  * PINNED at load time (snapshot isolation — every reader of this
+  * relation sees one commit, like every other CowTable surface).
+  * Reads are converted to the V1 [[graft.sinks.CowV2]] relation by
+  * [[graft.plans.CowCatalogRule]]; writes go through the V1 write
+  * fallback below. `pinned` marks a time-traveled load — read-only.
+  */
+final case class CowNamedTable(
+    tableName: String, root: String, manifest: CowManifest,
+    pinned: Boolean) extends Table with SupportsWrite {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = manifest.schema
+
+  override def partitioning(): Array[Transform] =
+    manifest.partCols.map(Expressions.identity).toArray
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"$tableName was loaded AS OF a version — time-traveled " +
+        "relations are read-only")
+    new CowWriteBuilder(root, manifest)
+  }
+}
+
+/** The write half of the named surface, via the `V1Write` fallback
+  * (the same route Spark's own `AppendDataExecV1` serves every V1
+  * file source through): the analyzer has already aligned the query
+  * to the table schema when [[InsertableRelation.insert]] receives
+  * the DataFrame, and each mode lands as the matching commit —
+  * append, full rewrite, or partition-granular replace. The commit id
+  * is head+1 at EXECUTION time; the per-id lease plus the
+  * committed-check below make racing writers loud, exactly the
+  * cow data source's contract.
+  */
+private final class CowWriteBuilder(root: String, base: CowManifest)
+  extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
+
+  // Append | Truncate | Dynamic | Static(partition filters)
+  private var mode: String = "append"
+  private var staticFilters: Seq[(String, Any)] = Nil
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = "dynamic"; this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      return truncate()
+    val eqs = filters.toSeq.map {
+      case EqualTo(c, v) if base.partCols.contains(c) => c -> v
+      case EqualNullSafe(c, v) if base.partCols.contains(c) => c -> v
+      case other => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE with filter $other: cow supports full " +
+          "overwrite, dynamic partition overwrite, and static " +
+          "PARTITION (col=value) specs on partition columns")
+    }
+    mode = "static"; staticFilters = eqs; this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], overwrite: Boolean): Unit =
+          run(data.toDF())
+      }
+  }
+
+  private def run(data: DataFrame): Unit = mode match {
+    case "append" => CowWrites.append(data, root, base)
+    case "truncate" => CowWrites.truncate(data, root, base)
+    case "dynamic" => CowWrites.dynamicOverwrite(data, root, base)
+    case "static" => CowWrites.staticOverwrite(data, root, base,
+      staticFilters)
+  }
+}
+
+/** Shared execution of the named-catalog write modes — called from the
+  * V1 write fallback above (append / truncate / static partition
+  * spec) and from [[CowDynamicOverwriteCommand]] (dynamic partition
+  * overwrite, which Spark's V1 fallback has no exec for). The commit
+  * id is head+1 at EXECUTION time; the per-id lease plus the
+  * committed-check make racing writers loud (the cow data source's
+  * contract).
+  */
+private[graft] object CowWrites {
+
+  /** Partition keys of `data`, in the manifest's own cast-to-string
+    * form (computed in-engine, so the two sides can never drift).
+    */
+  private def keysOf(data: DataFrame, partCols: Seq[String]): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    data.select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => CowTable.partKey(partCols,
+        partCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
+      .toSet
+  }
+
+  private def withCommit(data: DataFrame, root: String,
+      base: CowManifest)(body: (Seq[String], Long) => Unit): Unit = {
+    val spark = data.sparkSession
+    val cur = CowTable.currentManifest(spark, root)
+    val partCols = cur.map(_.partCols).getOrElse(base.partCols)
+    val id = cur.map(_.id).getOrElse(0L) + 1L
+    body(partCols, id)
+    // the commit paths return silently when superseded (crash-replay
+    // guard); for a SQL write that silence would be lost rows
+    require(CowTable.committedIds(spark, root).contains(id),
+      s"INSERT commit $id at $root was superseded by a concurrent " +
+        "commit — retry the statement")
+  }
+
+  def append(data: DataFrame, root: String, base: CowManifest): Unit =
+    withCommit(data, root, base)((pc, id) =>
+      CowTable.commitAppend(data, root, id, pc))
+
+  def truncate(data: DataFrame, root: String, base: CowManifest): Unit =
+    withCommit(data, root, base)((pc, id) =>
+      CowTable.commitFull(data, root, id, pc))
+
+  /** Rewrite ONLY the partitions the query produced — the partition-
+    * granular economics the reference's TRUNCATE+INSERT shape cannot
+    * express.
+    */
+  def dynamicOverwrite(data: DataFrame, root: String,
+      base: CowManifest): Unit =
+    withCommit(data, root, base)((pc, id) =>
+      CowTable.commitPartitions(data, keysOf(data, pc), root, id, pc))
+
+  /** Replace exactly the partitions a static `PARTITION (col=value)`
+    * spec names with the query's rows; the analyzer already stamped
+    * the static values onto every row, so data's own keys must agree.
+    */
+  def staticOverwrite(data: DataFrame, root: String, base: CowManifest,
+      staticFilters: Seq[(String, Any)]): Unit =
+    withCommit(data, root, base) { (pc, id) =>
+      val named = staticFilters.map { case (c, v) =>
+        c -> Option(v).map(_.toString).orNull }.toMap
+      val touched = keysOf(data, pc)
+      val declared = CowTable.partKey(pc,
+        pc.map(c => c -> named.getOrElse(c, null)).toMap)
+      require(staticFilters.map(_._1).toSet == pc.toSet &&
+        touched.forall(_ == declared),
+        s"static overwrite must name every partition column and the " +
+          s"query's rows must land in that partition (got $touched, " +
+          s"declared $declared)")
+      CowTable.commitPartitions(data, touched + declared, root, id, pc)
+    }
+}
+
+/** `INSERT OVERWRITE` in DYNAMIC partition-overwrite mode against a
+  * named cow table. Spark's V1 write fallback covers append and
+  * filter-overwrite but has no exec for `OverwritePartitionsDynamic`,
+  * so [[graft.plans.CowCatalogRule]] swaps that command for this one
+  * once the analyzer has aligned the query to the table schema — the
+  * same command-with-inner-query pattern as Spark's own
+  * `InsertIntoDataSourceCommand`. Execution is the partition-granular
+  * [[CowWrites.dynamicOverwrite]].
+  */
+final case class CowDynamicOverwriteCommand(
+    root: String, base: CowManifest,
+    query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+
+  override def innerChildren
+      : Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    CowWrites.dynamicOverwrite(
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(session, query),
+      root, base)
+    Nil
+  }
+}

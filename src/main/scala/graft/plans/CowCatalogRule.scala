@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
+  LogicalPlan, OverwritePartitionsDynamic, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.catalog.{CowDynamicOverwriteCommand, CowNamedTable}
+import graft.sinks.CowV2
+
+/** The read half of the named cow catalog: swap the analyzer's
+  * `DataSourceV2Relation` over a [[graft.catalog.CowNamedTable]] for
+  * the V1 [[graft.sinks.CowV2]] relation, so `SELECT … FROM cow.db.t`
+  * plans through [[graft.sinks.CowFileIndex]] — manifest-as-listing,
+  * static+dynamic partition pruning, min/max + Bloom + null-count
+  * skipping, declared bucketing, vectorized parquet — exactly the plan
+  * `CowV2.read` produces. This is the architecture Delta's own
+  * analysis rule uses for its batch reads (DeltaTableV2 → V1
+  * `HadoopFsRelation`): the catalog names the table, the V1 file-scan
+  * machinery reads it. Injected by [[graft.GraftExtensions]].
+  *
+  * Two structural guards keep the swap read-only:
+  *
+  *  - V2 WRITE commands (`AppendData`, `OverwriteByExpression`, …)
+  *    hold their target as a non-child `table` field, so the
+  *    child-only traversal below can never rewrite a write target out
+  *    from under the V1-write fallback.
+  *  - `InsertIntoStatement` (the parsed form, before `ResolveInsertInto`
+  *    turns it into a V2 write) is recursed ONLY through its query:
+  *    converting its target relation would drop the INSERT onto the V1
+  *    `InsertIntoHadoopFsRelationCommand` path, which writes parquet
+  *    straight into the table root behind the manifest's back —
+  *    corruption, not a commit.
+  *
+  * A debt-free snapshot converts to a bare `LogicalRelation` that
+  * REUSES the v2 relation's output attribute ids (no projection at
+  * all); outstanding tombstones/DVs wrap the resolved read in an
+  * id-preserving alias Project, so parent operators keep their
+  * references either way.
+  */
+class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = convert(plan)
+
+  private def convert(p: LogicalPlan): LogicalPlan = p match {
+    case i: InsertIntoStatement =>
+      // never touch the insert TARGET (see scaladoc); query side only
+      val q = convert(i.query)
+      if (q eq i.query) i else i.copy(query = q)
+    // dynamic partition overwrite: Spark's V1 fallback has no exec for
+    // OverwritePartitionsDynamic, so once the analyzer has aligned the
+    // query to the table schema (outputResolved — ResolveOutputRelation
+    // has added its casts/reorders) the command swaps for the
+    // partition-granular cow commit. Converting any earlier would skip
+    // that alignment.
+    case o @ OverwritePartitionsDynamic(
+        r: DataSourceV2Relation, _, _, _, _) if o.outputResolved =>
+      r.table match {
+        case t: CowNamedTable =>
+          CowDynamicOverwriteCommand(t.root, t.manifest, convert(o.query))
+        case _ => o
+      }
+    case r: DataSourceV2Relation => r.table match {
+      case t: CowNamedTable => toV1(r, t)
+      case _ => r
+    }
+    case other =>
+      other.mapChildren(convert).transformExpressions {
+        case se: SubqueryExpression => se.withNewPlan(convert(se.plan))
+      }
+  }
+
+  private def toV1(r: DataSourceV2Relation, t: CowNamedTable): LogicalPlan = {
+    val m = t.manifest
+    if (m.tombstones.isEmpty && m.dvs.isEmpty)
+      // debt-free fast path: the relation's schema is the table's
+      // schema in the same order (CowFileIndex declares the partition
+      // columns inside dataSchema), so the v2 output binds directly
+      LogicalRelation(CowV2.snapshotRelation(spark, t.root, m),
+        r.output, None, isStreaming = false, None)
+    else {
+      // outstanding MOR debt: the resolved read (DV scan mask +
+      // tombstone anti-join) is a subtree with fresh attribute ids —
+      // re-expose it under the v2 relation's ids so parents resolve
+      val child = CowV2.readSnapshot(spark, t.root, m)
+        .queryExecution.analyzed
+      require(child.output.size == r.output.size,
+        s"cow conversion arity mismatch for ${t.name()}: " +
+          s"${child.output.map(_.name)} vs ${r.output.map(_.name)}")
+      val resolver = spark.sessionState.analyzer.resolver
+      Project(r.output.zip(child.output).map { case (tgt, src) =>
+        require(resolver(tgt.name, src.name),
+          s"cow conversion column mismatch: ${src.name} vs ${tgt.name}")
+        Alias(src, tgt.name)(exprId = tgt.exprId,
+          qualifier = tgt.qualifier)
+      }, child)
+    }
+  }
+}

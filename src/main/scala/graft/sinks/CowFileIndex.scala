@@ -242,6 +242,21 @@ object CowV2 {
   def readAt(spark: SparkSession, root: String, id: Long): DataFrame =
     readManifest(spark, root, CowTable.manifest(spark, root, id))
 
+  /** An ALREADY-LOADED manifest as a planner-pruned DataFrame (MOR
+    * debt applied) — for callers holding a pinned snapshot, e.g. the
+    * named-catalog conversion rule ([[graft.plans.CowCatalogRule]]).
+    */
+  private[graft] def readSnapshot(
+      spark: SparkSession, root: String, m: CowManifest): DataFrame =
+    readManifest(spark, root, m)
+
+  /** [[relationFor]] for a pinned snapshot, package-visible for the
+    * named-catalog conversion rule's debt-free fast path.
+    */
+  private[graft] def snapshotRelation(
+      spark: SparkSession, root: String, m: CowManifest): HadoopFsRelation =
+    relationFor(spark, root, m)
+
   /** The planner-native relation for one snapshot — what
     * [[graft.sinks.CowSource]] hands `spark.read.format("cow")`.
     * A relation cannot carry the MOR tombstone anti-join, so an
