@@ -3601,6 +3601,78 @@ object CowTable {
       .maxOption
   }
 
+  private val StreamFencePrefix = "_streamfence-"
+
+  /** VACUUM FENCE for streaming consumers: a registered frontier
+    * `name -> appliedId` pins retention at this root — [[vacuum]] (and
+    * therefore [[vacuumOlderThan]]) will not drop the manifest of any
+    * committed id ≥ the LOWEST registered frontier, nor the changelog
+    * sidecars above it, however aggressive its `keep`. That turns the
+    * streaming retention contract ("the writer's keep must exceed the
+    * stream's worst-case lag", [[graft.streaming.CowStream]]) from
+    * documentation into structure: a lagging stream's time-travel
+    * target stays servable instead of failing loud and unrecoverable.
+    *
+    * Markers are CREATE-ONLY files `_streamfence-<name>-<id>` — the
+    * same crash-safe pattern as the vacuum high-water markers: the new
+    * marker exists before lower ones are pruned, so the per-name MAX
+    * survives any crash point, and a register racing a vacuum can only
+    * make the vacuum retain MORE. A frontier of -1 ("nothing applied
+    * yet") pins every commit — the honest requirement of a consumer
+    * that still needs the full feed. The flip side is operational: a
+    * DEAD stream's fence pins retention forever; operators list fences
+    * via [[streamFrontiers]] and remove them with
+    * [[unregisterStreamFrontier]].
+    */
+  def registerStreamFrontier(
+      spark: SparkSession, root: String, name: String,
+      appliedId: Long): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"fence name '$name' must be [A-Za-z0-9_.-]+")
+    val fs = hfs(spark, root)
+    if (streamFrontiers(spark, root).get(name).exists(_ >= appliedId))
+      return
+    try fs.create(
+      new Path(root, s"$StreamFencePrefix$name-$appliedId"), false).close()
+    catch { case _: java.io.IOException => () } // racer already wrote it
+    // prune superseded markers only AFTER the new one exists
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(s"$StreamFencePrefix$name-"))
+      .filter(_.getPath.getName.stripPrefix(s"$StreamFencePrefix$name-")
+        .toLongOption.exists(_ < appliedId))
+      .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Remove `name`'s fence — retention returns to `keep` alone. */
+  def unregisterStreamFrontier(
+      spark: SparkSession, root: String, name: String): Unit = {
+    val fs = hfs(spark, root)
+    if (fs.exists(new Path(root)))
+      fs.listStatus(new Path(root)).toSeq
+        .filter(s => !s.isDirectory &&
+          s.getPath.getName.startsWith(s"$StreamFencePrefix$name-"))
+        .foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Registered stream fences at this root: name → highest applied id. */
+  def streamFrontiers(
+      spark: SparkSession, root: String): Map[String, Long] = {
+    val fs = hfs(spark, root)
+    if (!fs.exists(new Path(root))) Map.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(StreamFencePrefix))
+      .flatMap { s =>
+        val rest = s.getPath.getName.stripPrefix(StreamFencePrefix)
+        val cut = rest.lastIndexOf('-')
+        if (cut <= 0) None
+        else rest.substring(cut + 1).toLongOption
+          .map(id => rest.substring(0, cut) -> id)
+      }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max }
+  }
+
   /** TIME-BASED retention (Delta's `VACUUM … RETAIN n HOURS` shape):
     * translate an age horizon into the id-based [[vacuum]] via an
     * EXPLICIT id floor — the lowest id that committed within the
@@ -3625,7 +3697,9 @@ object CowTable {
   /** `floorId`, when given, additionally retains EVERY committed id at
     * or above it (evaluated under this vacuum's own listing — no
     * TOCTOU against concurrent commits); `keep` still bounds the
-    * newest-N floor from below.
+    * newest-N floor from below. Registered stream fences
+    * ([[registerStreamFrontier]]) impose their own floor the same way:
+    * nothing a lagging registered stream still needs is dropped.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int,
       knownFiles: Map[Long, Seq[String]] = Map.empty,
@@ -3633,7 +3707,9 @@ object CowTable {
     val ids = committedIds(spark, root)
     val newest = ids.lastOption.getOrElse(return)
     val byCount = ids.takeRight(keep)
-    val retained = floorId match {
+    val floors = floorId.toSeq ++
+      streamFrontiers(spark, root).values.minOption.toSeq
+    val retained = floors.minOption match {
       case Some(f) => ids.filter(i => i >= f || byCount.contains(i))
       case None => byCount
     }

@@ -320,12 +320,27 @@ object CowStream {
     *     skip-guard fires and the frontier is re-derived and
     *     committed idempotently.
     *
-    * Retention contract: B's `keep` must cover the stream's worst-case
-    * lag in commits (time travel to fb must stay servable) — the same
-    * rule [[mvBatch]]'s scaladoc states for sidecars, applied to
-    * manifests. Non-key column names must be disjoint between the two
-    * tables ([[JoinMv]]'s schema rule).
+    * Retention is STRUCTURALLY safe: each batch registers a vacuum
+    * fence ([[CowTable.registerStreamFrontier]], name
+    * [[fenceNameFor]]) for its pre-batch frontier under BOTH source
+    * roots before any time travel, and advances it after the commit —
+    * a writer-side vacuum retains everything at or above the lowest
+    * registered fence, however aggressive its `keep`, so a lagging
+    * view can no longer be wedged by retention (decommissioning a view
+    * means unregistering its fences, or retention pins forever). The
+    * old doc-only contract — keep must exceed worst-case lag — remains
+    * the guard for UNREGISTERED consumers. Non-key column names must
+    * be disjoint between the two tables ([[JoinMv]]'s schema rule).
     */
+  /** The per-view vacuum-fence name under the SOURCE roots — derived
+    * from the MV path so one view's fences move together and
+    * [[CowTable.unregisterStreamFrontier]] can retire them when the
+    * view is decommissioned.
+    */
+  def fenceNameFor(mvPath: String): String =
+    "jmv2-" + java.lang.Long.toHexString(
+      mvPath.hashCode.toLong & 0xffffffffL) + "-" + mvPath.length
+
   def joinMv2Batch(
       batch: DataFrame,
       batchId: Long,
@@ -341,6 +356,17 @@ object CowStream {
     val (fa0, fb0) = SnapshotTarget.readAt(spark, fPath, batchId - 1)
       .map(_.select("fa", "fb").as[(Long, Long)].collect().head)
       .getOrElse((-1L, -1L)) // -1 = nothing applied (see stateAt)
+    // VACUUM FENCE, registered for the PRE-batch frontier before any
+    // time travel below: a writer-side vacuum racing this batch then
+    // structurally cannot drop the manifests/sidecars the apply loop
+    // is about to read — the retention contract in the class scaladoc,
+    // enforced instead of documented. (-1 pins everything: a view that
+    // has applied nothing still needs the whole feed.) Advanced after
+    // the MV commit; a crash between leaves the OLD fence — vacuum
+    // merely retains more until the replay advances it.
+    val fence = fenceNameFor(mvPath)
+    CowTable.registerStreamFrontier(spark, rootA, fence, fa0)
+    CowTable.registerStreamFrontier(spark, rootB, fence, fb0)
     def liveOf(side: String, root: String, floor: Long): Seq[Long] = {
       val ids = batch.where(col("_side") === side).select("_commit_id")
       if (ids.isEmpty) Nil
@@ -356,6 +382,8 @@ object CowStream {
       if (!SnapshotTarget.committedIds(spark, fPath).exists(_ >= batchId))
         SnapshotTarget.commit(Seq((fa1, fb1)).toDF("fa", "fb"), fPath,
           batchId, keep = 4)
+      CowTable.registerStreamFrontier(spark, rootA, fence, fa1)
+      CowTable.registerStreamFrontier(spark, rootB, fence, fb1)
       return
     }
     if (liveA.isEmpty && liveB.isEmpty) return
@@ -386,6 +414,10 @@ object CowStream {
     SnapshotTarget.commit(cur, mvPath, batchId, keep)
     SnapshotTarget.commit(Seq((fa, fb)).toDF("fa", "fb"), fPath,
       batchId, keep = 4)
+    // fence forward: everything at or above the NEW frontier stays
+    // servable for the next batch's time travel
+    CowTable.registerStreamFrontier(spark, rootA, fence, fa)
+    CowTable.registerStreamFrontier(spark, rootB, fence, fb)
   }
 
   /** The two-table join-view sink: both tables' id feeds unioned into

@@ -121,10 +121,15 @@ class JoinMv2Spec extends SparkSpec {
     CowStream.joinMv2Batch(
       Seq(("a", 1L), ("b", 1L)).toDF("_side", "_commit_id"),
       0L, ra, rb, Seq("k"), mv)
-    // B races ahead with keep=2 — id 1's manifest vacuums away
+    // B races ahead with keep=2. The batch loop's own vacuum fence
+    // would now RETAIN id 1 (VacuumFenceSpec pins that), so this
+    // failure mode needs the fence gone first — the decommissioned /
+    // manually-unregistered consumer case the fence cannot protect
     (2L to 5L).foreach(i => commitB(rb, i,
       spark.range(10).select($"id".as("k"),
         concat(lit(s"b$i-"), $"id").as("bv"))))
+    CowTable.unregisterStreamFrontier(spark, rb,
+      CowStream.fenceNameFor(mv))
     CowTable.vacuum(spark, rb, keep = 2)
     assert(!CowTable.committedIds(spark, rb).contains(1L),
       "setup: frontier manifest should be vacuumed")
