@@ -888,13 +888,13 @@ object QueriesCow {
       CowTable.read(spark, rootA).get.drop("pb"),
       keys, deltaIsLeft = false)
 
-    // (pinning mv/expect before this two-direction compare was tried
-    // and measured ~neutral — the query's cost is the four table-BUILD
-    // commits with their signed sidecars, which are the test subject)
+    // cow_stream_join2's cheaper exactness proof: equal multiset sizes
+    // plus ONE empty exceptAll direction imply multiset equality — the
+    // second (symmetric) subtract bought nothing but runtime
     val expect = JoinMv.init(
       CowTable.read(spark, rootA).get.drop("pb"),
       CowTable.read(spark, rootB).get.drop("pb"), keys)
-    require(mv.exceptAll(expect).isEmpty && expect.exceptAll(mv).isEmpty,
+    require(mv.count() == expect.count() && mv.exceptAll(expect).isEmpty,
       "maintained join view diverged from the recomputed join")
     JoinMv.finish(mv).orderBy("custkey", "o_orderkey")
   }
