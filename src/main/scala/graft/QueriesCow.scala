@@ -1394,6 +1394,39 @@ object QueriesCow {
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // POSITIONAL-DV predicate UPDATE (CowTable.updateWhereDv): the same
+  // statement as cow_mor_update, but the old images are masked by
+  // (file, position) instead of rewritten as full-row tombstones — no
+  // collision probes, no COW fallback on a clean table, old-row BYTES
+  // never written again. The require()s pin the economics AND that the
+  // debt is purely positional; the oracle replays the CASE projection.
+  // -------------------------------------------------------------------
+  def cowPosdvUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_updv")
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    CowTable.commitFull(o, root, 1L, Seq("o_orderpriority"))
+    CowTable.updateWhereDv(spark, root, 2L,
+      col("cents") >= 49000000L,
+      Map("o_custkey" -> lit(0L)),
+      prune = Seq(graft.sinks.CowRange("cents", Some("49000000"), None)))
+    val m = CowTable.currentManifest(spark, root).get
+    val appended = m.files.filter(_.path.startsWith("batch-2/"))
+    val carried = m.files.filter(_.path.startsWith("batch-1/"))
+    require(m.dvs.nonEmpty && m.tombstones.isEmpty && appended.nonEmpty &&
+      (appended.map(_.bytes).sum + m.dvs.map(_.bytes).sum) * 4 <
+        m.files.map(_.bytes).sum,
+      "positional-DV update did not deliver O(changed) economics")
+    require(carried.size ==
+      CowTable.manifest(spark, root, 1L).files.size,
+      "positional-DV update rewrote a base data file")
+    CowTable.read(spark, root).get.orderBy("o_orderkey")
+  }
+
+  val cowPosdvUpdateSql: String = cowMorUpdateSql
+
+  // -------------------------------------------------------------------
   // DELETION-VECTOR predicate delete (merge-on-read): the same DELETE
   // WHERE contract as cow_delete_where, but the commit writes ONLY the
   // matched rows as full-row tombstones — no partition rewrite. The
@@ -1678,6 +1711,7 @@ object QueriesCow {
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_posdv_delete" -> (cowPosdvDelete _),
     "cow_catalog_sql" -> (cowCatalogSql _),
+    "cow_posdv_update" -> (cowPosdvUpdate _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
     "cow_sql_dml" -> (cowSqlDml _),
@@ -1718,6 +1752,7 @@ object QueriesCow {
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_posdv_delete" -> cowPosdvDeleteSql,
     "cow_catalog_sql" -> cowCatalogSqlSql,
+    "cow_posdv_update" -> cowPosdvUpdateSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
     "cow_sql_dml" -> cowSqlDmlSql,

@@ -63,10 +63,11 @@ object CowSql {
     *    deletes that empty most of what they touch.
     *  - [[Mor]] — merge-on-read: a DELETE writes positional deletion
     *    vectors ([[CowTable.deleteWhereDv]] — O(matched positions)
-    *    bytes, scan-stage mask on read), an UPDATE writes old-image
-    *    tombstones + new-image appends ([[CowTable.updateWhereMor]]).
-    *    Zero partitions rewritten; the debt retires at the next COW
-    *    rewrite or [[CowTable.foldTombstones]].
+    *    bytes, scan-stage mask on read), an UPDATE masks the old
+    *    images positionally and appends the new ones
+    *    ([[CowTable.updateWhereDv]]). Zero partitions rewritten; the
+    *    debt retires at the next COW rewrite or
+    *    [[CowTable.foldTombstones]].
     *  - [[Auto]] — pick by the manifest's own numbers: MOR when the
     *    table's live data bytes exceed `morThresholdBytes`, COW below
     *    it. The match count is unknowable before the scan, but the
@@ -126,7 +127,7 @@ object CowSql {
         val c = cond.map(x => expr(x.sql)).getOrElse(expr("true"))
         val sets = assignments.map(setOf).toMap
         if (useMor(spark, root, mode, thresholdBytes))
-          CowTable.updateWhereMor(spark, root, id, c, sets, keep = keep)
+          CowTable.updateWhereDv(spark, root, id, c, sets, keep = keep)
         else
           CowTable.updateWhere(spark, root, id, c, sets, keep = keep)
       case m: MergeIntoTable =>

@@ -2991,6 +2991,137 @@ object CowTable {
     vacuum(spark, root, keep, vacuumKnown)
   }
 
+  /** PREDICATE UPDATE with POSITIONAL deletion vectors — the update
+    * twin of [[deleteWhereDv]], and the strict upgrade over
+    * [[updateWhereMor]]'s full-row old images on BOTH axes:
+    *
+    *  - WRITE: the matched-and-changed rows' old images are recorded
+    *    as (file, row-position) sidecars — O(changed × ~8 bytes) —
+    *    while their new images append as ordinary data files; the old
+    *    ROW BYTES are never written again whatever the row width.
+    *  - EXACTNESS: the full-row design needed two delta-sized
+    *    collision probes and a COW fallback, because an equality
+    *    tombstone could cancel a fresh append that happened to equal a
+    *    DIFFERENT old row. Positions cannot: they name exact rows of
+    *    OLD files, and appended files carry no mask — so the self-
+    *    collision hazard is structurally gone. The ONE remaining
+    *    hazard is inherited state: an outstanding LEGACY full-row
+    *    tombstone (from a prior [[deleteWhereMor]]/[[deleteKeysMor]])
+    *    still subtracts by equality and could kill a new image equal
+    *    to its key row — that single case keeps the probe + COW
+    *    fallback; a table whose delete debt is positional takes the
+    *    fast path unconditionally.
+    *  - READ: readers compose the position mask (scan-stage filter)
+    *    with the appended files; rows the SET leaves bit-identical are
+    *    not touched at all (cheaper, and keeps the changelog signal-
+    *    only — positional removal makes the skip an optimization
+    *    rather than a correctness requirement).
+    *
+    * Same SET rules as [[updateWhere]] (no partition-column
+    * assignments, [[checkedAssignments]]' loud mistype guard); same
+    * CHECK-constraint enforcement on the new images; `changeLogKeys`
+    * emits the signed D(old)/I(new) sidecar. Debt retires via any COW
+    * rewrite or [[foldTombstones]].
+    */
+  def updateWhereDv(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      cond: Column,
+      set: Map[String, Column],
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    set.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"SET column '$c' is not a table column"))
+    m.partCols.foreach(p => require(!set.contains(p),
+      s"UPDATE SET must not assign partition column '$p'"))
+    Seq("path", "positions").foreach(c => require(!m.partCols.contains(c),
+      s"DV update: partition column '$c' collides with the deletion-" +
+        "vector sidecar schema — use updateWhereMor for this table"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    var lockHeld = false
+    acquireCommitLock(spark, root, id)
+    lockHeld = true
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      val candidates =
+        if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
+      if (candidates.isEmpty) return
+      val fields = m.schema.fields.toSeq
+      val setChecked = checkedAssignments(spark, m, set)
+      val matches = visibleWithPos(spark, root, m, candidates, prune)
+        .where(coalesce(cond, lit(false)))
+      val oldStruct = struct(fields.map(f => col(f.name)): _*)
+      // pinned once: feeds the legacy-tombstone probe, the new-image
+      // write, the DV sidecar, and the changelog D rows
+      val changed = matches
+        .where(!(oldStruct <=> struct(fields.map { f =>
+          setChecked.get(f.name).getOrElse(col(f.name)).as(f.name)
+        }: _*)))
+        .localCheckpoint()
+      val ni = changed.select(fields.map { f =>
+        setChecked.get(f.name).map(_.as(f.name)).getOrElse(col(f.name))
+      }: _*)
+      // inherited-state hazard ONLY (see scaladoc): a legacy full-row
+      // tombstone equal to a fresh new image would anti-join it away
+      def tombCollides = m.tombstones.nonEmpty &&
+        tombstoneGroups(spark, root, m.tombstones).exists {
+          case (cols, t) =>
+            !ni.select(cols.map(col): _*).intersect(t).isEmpty
+        }
+      if (tombCollides) {
+        releaseCommitLock(spark, root, id)
+        lockHeld = false // a concurrent same-id writer may re-acquire
+        updateWhere(spark, root, id, cond, set, prune, keep,
+          changeLogKeys = changeLogKeys)
+        return
+      }
+      // same enforcement as the COW twin and updateWhereMor
+      enforceChecks(ni, checkConstraints(spark, root),
+        s"DV update $id at $root")
+      val batchDir = s"$root/$BatchPrefix$id"
+      writeBatch(ni, batchDir, m.partCols, Nil)
+      val freshDv = writeDvSidecar(spark, root, m, id, changed)
+      val effBloomCols = m.files.flatMap(_.blooms.keys).distinct
+        .filter(m.schema.fieldNames.contains)
+      val freshData = collectEntries(spark, batchDir, id, m.schema,
+        m.partCols, effBloomCols)
+      if (freshData.isEmpty && freshDv.isEmpty) {
+        hfs(spark, root).delete(new Path(batchDir), true)
+        return // nothing changed — id unconsumed
+      }
+      val stagedLog =
+        if (changeLogKeys.isEmpty) None
+        else {
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          val iStub = CowManifest(id, m.partCols, m.schemaDdl, freshData)
+          changed
+            .withColumn(ChangeOper, lit("D"))
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .unionByName(dfFor(spark, root, iStub, iStub.files)
+              .withColumn(ChangeOper, lit("I"))
+              .select((m.schema.fieldNames.toSeq :+ ChangeOper)
+                .map(col): _*))
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+          m.allFiles ++ freshDv ++ freshData)
+      }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ freshDv ++ freshData).map(_.path),
+        m.id -> m.allFiles.map(_.path))
+    } finally if (lockHeld) releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, vacuumKnown)
+  }
+
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
     * applied through the partition-granular commit — conditional
     * MATCHED UPDATE/DELETE and guarded NOT MATCHED INSERT run against
@@ -3419,6 +3550,65 @@ object CowTable {
     vacuum(spark, root, keep, vacuumKnown)
   }
 
+  private val DvFpCol = "__dv_fp"
+  private val DvPosCol = "__dv_pos"
+
+  /** The VISIBLE state of `candidates` with each row's file identity
+    * and position riding along as `__dv_fp`/`__dv_pos` — the scan's
+    * own `_metadata`, projected BEFORE the tombstone anti-join can
+    * detach it. Prior tombstones and DVs apply first, so a position a
+    * DV writer derives from this frame can never be recorded twice.
+    */
+  private def visibleWithPos(
+      spark: SparkSession, root: String, m: CowManifest,
+      candidates: Seq[CowFile], prune: Seq[CowRange]): DataFrame = {
+    val wanted = candidates.map(m.partKeyOf).toSet
+    val withPos = dfFor(spark, root, m, candidates)
+      .select(col("*"),
+        col("_metadata.file_path").as(DvFpCol),
+        col("_metadata.row_index").as(DvPosCol))
+    val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
+      .filter(t => prune.forall(r =>
+        mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
+    val priorDvs = m.dvs.filter(d => wanted.contains(m.partKeyOf(d)))
+    subtractTombstones(spark, root,
+      applyDvs(spark, root, withPos, col(DvFpCol), col(DvPosCol),
+        priorDvs),
+      tombs)
+  }
+
+  /** Aggregate `matched` (a [[visibleWithPos]] frame, already
+    * cond-filtered) into the commit's positional sidecar under
+    * `batch-<id>/__dv/` and return its manifest entries. Paths
+    * relativize EXECUTOR-side to the manifest's decoded-literal
+    * convention — no raw positions collect through the driver.
+    */
+  private def writeDvSidecar(
+      spark: SparkSession, root: String, m: CowManifest, id: Long,
+      matched: DataFrame): Seq[CowFile] = {
+    val rootAbs = graft.functions.DvDeletedExpr.normalize(
+      hfs(spark, root).makeQualified(new Path(root)).toUri.toString)
+    val relativize = udf((s: String) => {
+      val p = graft.functions.DvDeletedExpr.normalize(s)
+      require(p.startsWith(rootAbs + "/"),
+        s"candidate file $p is outside the table root $rootAbs")
+      p.substring(rootAbs.length + 1)
+    })
+    val dvDf = matched
+      .groupBy(col(DvFpCol) +: m.partCols.map(col): _*)
+      .agg(sort_array(collect_list(col(DvPosCol))).as("positions"))
+      .select(relativize(col(DvFpCol)).as("path") +: col("positions") +:
+        m.partCols.map(col): _*)
+    val dvDir = s"$root/$BatchPrefix$id/$DvDirName"
+    writeBatch(dvDf, dvDir, m.partCols, Nil)
+    val dvSchema = StructType(
+      StructField("path", StringType) +:
+        StructField("positions", ArrayType(LongType)) +:
+        m.partCols.map(c => m.schema(c)))
+    collectEntries(spark, dvDir, id, dvSchema, m.partCols)
+      .map(_.copy(kind = KindDv))
+  }
+
   /** PREDICATE DELETE as POSITIONAL DELETION VECTORS — the third and
     * cheapest point on the delete spectrum, matching Delta's DV
     * sidecars and Iceberg's positional delete files:
@@ -3477,48 +3667,12 @@ object CowTable {
       val candidates =
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
       if (candidates.isEmpty) return // nothing can match — id unconsumed
-      val fp = "__dv_fp"; val pos = "__dv_pos"
-      val wanted = candidates.map(m.partKeyOf).toSet
-      // project the scan's OWN metadata before any join detaches it
-      val withPos = dfFor(spark, root, m, candidates)
-        .select(col("*"),
-          col("_metadata.file_path").as(fp),
-          col("_metadata.row_index").as(pos))
-      val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
-        .filter(t => prune.forall(r =>
-          mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
-      val priorDvs = m.dvs.filter(d => wanted.contains(m.partKeyOf(d)))
-      val visible = subtractTombstones(spark, root,
-        applyDvs(spark, root, withPos, col(fp), col(pos), priorDvs),
-        tombs)
+      val visible = visibleWithPos(spark, root, m, candidates, prune)
       val matched0 = visible.where(coalesce(cond, lit(false)))
       // two consumers when a changelog is kept (the DV aggregation and
       // the D-row sidecar) — pin so the candidate scan runs once
       val matched = if (changeLog) matched0.localCheckpoint() else matched0
-      // relativize to the manifest's own path convention (decoded
-      // LITERAL, table-root-relative) — executor-side, no collect of
-      // raw positions through the driver
-      val rootAbs = graft.functions.DvDeletedExpr.normalize(
-        hfs(spark, root).makeQualified(new Path(root)).toUri.toString)
-      val relativize = udf((s: String) => {
-        val p = graft.functions.DvDeletedExpr.normalize(s)
-        require(p.startsWith(rootAbs + "/"),
-          s"candidate file $p is outside the table root $rootAbs")
-        p.substring(rootAbs.length + 1)
-      })
-      val dvDf = matched
-        .groupBy(col(fp) +: m.partCols.map(col): _*)
-        .agg(sort_array(collect_list(col(pos))).as("positions"))
-        .select(relativize(col(fp)).as("path") +: col("positions") +:
-          m.partCols.map(col): _*)
-      val dvDir = s"$root/$BatchPrefix$id/$DvDirName"
-      writeBatch(dvDf, dvDir, m.partCols, Nil)
-      val dvSchema = StructType(
-        StructField("path", StringType) +:
-          StructField("positions", ArrayType(LongType)) +:
-          m.partCols.map(c => m.schema(c)))
-      val fresh = collectEntries(spark, dvDir, id, dvSchema, m.partCols)
-        .map(_.copy(kind = KindDv))
+      val fresh = writeDvSidecar(spark, root, m, id, matched)
       if (fresh.isEmpty) {
         hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
         return // no row matched — id unconsumed

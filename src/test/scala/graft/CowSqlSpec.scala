@@ -80,18 +80,19 @@ class CowSqlSpec extends SparkSpec {
         s"bytes vs the COW rewrite's ${rewritten.map(_.bytes).sum}")
   }
 
-  test("mode=Mor routes a textual UPDATE to updateWhereMor; Auto " +
+  test("mode=Mor routes a textual UPDATE to updateWhereDv; Auto " +
       "picks by manifest bytes") {
     val root = tmp(); mk(root)
     CowSql.exec(spark, 2L,
       s"UPDATE cow.`$root` SET name = concat('U-', id) WHERE score < 2",
       mode = CowSql.Mor)
     val m = CowTable.currentManifest(spark, root).get
-    assert(m.tombstones.nonEmpty &&
+    assert(m.dvs.nonEmpty && m.tombstones.isEmpty &&
       m.files.exists(_.path.startsWith("batch-2/")) &&
       m.files.count(_.path.startsWith("batch-1/")) ==
         CowTable.manifest(spark, root, 1L).files.size,
-      "textual MOR UPDATE must append new images without rewriting")
+      "textual MOR UPDATE must mask positions and append new images " +
+        "without rewriting")
     assert(CowTable.read(spark, root).get
       .where($"id" === 11L).select("name").as[String]
       .collect().head == "U-11")

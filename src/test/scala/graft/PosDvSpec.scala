@@ -107,6 +107,86 @@ class PosDvSpec extends SparkSpec {
     assert(CowTable.countFast(spark, root).contains(1599L))
   }
 
+  test("updateWhereDv equals the COW updateWhere result: positions " +
+      "mask the old images, new images append, base files carry") {
+    val dv = tmp("udv"); val cow = tmp("ucow")
+    Seq(dv, cow).foreach(r =>
+      CowTable.commitFull(wide, r, 1L, Seq("seg"), keep = 10))
+    val cond = $"k" < 2
+    val set = Map("body" -> concat(lit("UPD:"), $"id".cast("string")))
+    CowTable.updateWhereDv(spark, dv, 2L, cond, set, keep = 10)
+    CowTable.updateWhere(spark, cow, 2L, cond, set, keep = 10)
+    val got = CowTable.read(spark, dv).get
+    val want = CowTable.read(spark, cow).get
+    assert(got.count() == 2000 && got.exceptAll(want).isEmpty &&
+      want.exceptAll(got).isEmpty)
+    val m = CowTable.currentManifest(spark, dv).get
+    assert(m.dvs.nonEmpty && m.tombstones.isEmpty,
+      "DV update must mask positionally, never write full-row " +
+        "tombstones")
+    assert(m.files.count(_.path.startsWith("batch-1/")) ==
+      CowTable.manifest(spark, dv, 1L).files.size,
+      "DV update rewrote a base data file")
+    // the old-image BYTES are gone from the write path: sidecar +
+    // new images ≪ the data a COW rewrite of every touched partition
+    // would copy (cond touches all partitions)
+    val newBytes = m.dvs.map(_.bytes).sum +
+      m.files.filter(_.path.startsWith("batch-2/")).map(_.bytes).sum
+    assert(newBytes * 3 < m.files.map(_.bytes).sum,
+      s"DV update wrote $newBytes B — not O(changed)")
+  }
+
+  test("a new image equal to a DIFFERENT matched row's old image — " +
+      "the hazard that forces updateWhereMor's COW fallback — stays " +
+      "on the DV fast path and is exact") {
+    val root = tmp("ucollide")
+    CowTable.commitFull(
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "v"), root, 1L, Nil, keep = 10)
+    // both rows match; the first's new image (1,20) equals the
+    // second's old image — full-row tombstones would cancel the fresh
+    // append (lost row); positions cannot
+    CowTable.updateWhereDv(spark, root, 2L, $"v" <= 20L,
+      Map("v" -> ($"v" + 10L)), keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.dvs.nonEmpty,
+      "the collision case must NOT have fallen back to a COW rewrite")
+    assert(CowTable.read(spark, root).get.orderBy("v")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 20L), (1L, 30L)))
+    // sanity: the full-row MOR twin solves the same batch via its COW
+    // fallback and agrees
+    val mor = tmp("ucollide_mor")
+    CowTable.commitFull(
+      Seq((1L, 10L), (1L, 20L)).toDF("k", "v"), mor, 1L, Nil, keep = 10)
+    CowTable.updateWhereMor(spark, mor, 2L, $"v" <= 20L,
+      Map("v" -> ($"v" + 10L)), keep = 10)
+    assert(CowTable.read(spark, mor).get.orderBy("v")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 20L), (1L, 30L)))
+  }
+
+  test("an outstanding LEGACY full-row tombstone that collides with a " +
+      "new image still routes updateWhereDv through the COW fallback") {
+    val root = tmp("ulegacy")
+    CowTable.commitFull(
+      spark.range(10).select($"id", ($"id" * 100).as("v")),
+      root, 1L, Nil, keep = 10)
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq(5L).toDF("id"), Seq("id"), Nil, keep = 10)
+    assert(CowTable.currentManifest(spark, root).get.tombstones.nonEmpty)
+    // SET id = 5 re-creates the tombstoned key: the legacy key
+    // tombstone (id=5) would anti-join the fresh append away, so the
+    // commit must land as a COW rewrite instead
+    CowTable.updateWhereDv(spark, root, 3L, $"id" === 6L,
+      Map("id" -> lit(5L)), keep = 10)
+    val got = CowTable.read(spark, root).get.orderBy("v")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L) &&
+      got.find(_._2 == 600L).map(_._1).contains(5L),
+      s"legacy-tombstone collision mishandled: $got")
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.dvs.isEmpty && m.tombstones.isEmpty,
+      "the COW fallback folds the debt for the touched partition")
+  }
+
   test("re-deleting already-deleted rows is a no-op (id unconsumed) " +
       "and an unpartitioned table takes DV deletes too") {
     val root = tmp("noop")

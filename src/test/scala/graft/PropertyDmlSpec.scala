@@ -86,6 +86,35 @@ class PropertyDmlSpec extends SparkSpec {
     }
   }
 
+  test("the POSITIONAL forms (deleteWhereDv / updateWhereDv) ≡ their " +
+      "COW twins on random tables, including stacked DV debt and a " +
+      "prior legacy tombstone") {
+    val sets = Seq(
+      Map("score" -> (col("score") + 1L)), // adjacent-image collisions
+      Map("name" -> lit("a")),
+      Map("name" -> concat(col("name"), col("score"))))
+    for ((rows, i) <- samples(tableGen, 3).zipWithIndex; s <- sets) {
+      val cow = tmp(); val dv = tmp()
+      val df = rows.toDF("part", "name", "score")
+      CowTable.commitFull(df, cow, 1L, Seq("part"), keep = 10)
+      CowTable.commitFull(df, dv, 1L, Seq("part"), keep = 10)
+      // stack the debt kinds: a positional delete AND a legacy
+      // full-row MOR delete are both outstanding when the update runs
+      CowTable.deleteWhere(spark, cow, 2L, col("score") === 5L, keep = 10)
+      CowTable.deleteWhereDv(spark, dv, 2L, col("score") === 5L, keep = 10)
+      CowTable.deleteWhere(spark, cow, 3L, col("name") === "d", keep = 10)
+      CowTable.deleteWhereMor(spark, dv, 3L, col("name") === "d", keep = 10)
+      val p = col("score") <= 2L
+      CowTable.updateWhere(spark, cow, 4L, p, s, keep = 10)
+      CowTable.updateWhereDv(spark, dv, 4L, p, s, keep = 10)
+      val a = CowTable.read(spark, cow).get.collect()
+        .map(_.toString).sorted.toSeq
+      val b = CowTable.read(spark, dv).get.collect()
+        .map(_.toString).sorted.toSeq
+      assert(a == b, s"case $i set $s:\ncow=$a\ndv=$b")
+    }
+  }
+
   test("a delete/update chain equals the direct multiset algebra on " +
       "the rows") {
     for (rows <- samples(tableGen, 3)) {
