@@ -1215,12 +1215,13 @@ object QueriesCow {
   // DELETE and a multi-clause MERGE execute as SQL STRINGS against the
   // cow.`path` table — parsePlan's UpdateTable/DeleteFromTable/
   // MergeIntoTable ASTs interpreted onto the commit API. The UPDATE
-  // routes mode=Mor (old-image tombstones + appends) and the DELETE
-  // mode=Auto with a 1-byte threshold (forcing positional deletion
-  // vectors), so the SQL surface's merge-on-read economics are
-  // oracle-gated too; the MERGE then lands COW on the indebted table
-  // and the final read composes every debt kind. The oracle replays
-  // the three statements as one CTE chain.
+  // routes mode=Mor (positional masks on the old images + appended
+  // new images, updateWhereDv) and the DELETE mode=Auto with a 1-byte
+  // threshold (forcing positional deletion vectors), so the SQL
+  // surface's merge-on-read economics are oracle-gated too; the MERGE
+  // then lands COW on the DV-indebted table and the final read
+  // composes appended images with outstanding position masks. The
+  // oracle replays the three statements as one CTE chain.
   // -------------------------------------------------------------------
   def cowSqlDml(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.CowSql
@@ -1339,7 +1340,16 @@ object QueriesCow {
     require(scans.nonEmpty &&
       scans.forall(_.isInstanceOf[graft.sinks.CowFileIndex]),
       s"named cow read did not plan through CowFileIndex: $scans")
-    out.orderBy("c_mktsegment", "o_orderpriority")
+    // the thin layer is group-count-sized — materialize it so the
+    // run's namespace can be dropped (every other cow query isolates
+    // via scratch() temp dirs; leaving tables in the shared warehouse
+    // would grow it without bound across battery runs)
+    val rows = out.orderBy("c_mktsegment", "o_orderpriority")
+      .collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+    result
   }
 
   val cowCatalogSqlSql: String =

@@ -364,23 +364,30 @@ private[graft] object CowWrites {
 
   /** Rewrite ONLY the partitions the query produced — the partition-
     * granular economics the reference's TRUNCATE+INSERT shape cannot
-    * express.
+    * express. The query result is pinned ONCE before the touched-set
+    * is derived: keysOf and the batch write otherwise re-evaluate the
+    * source query, and a non-deterministic query could commit a
+    * touched set that disagrees with the rows actually written
+    * (appending into partitions simultaneously carried by reference).
     */
   def dynamicOverwrite(data: DataFrame, root: String,
-      base: CowManifest): Unit =
-    withCommit(data, root, base)((pc, id) =>
-      CowTable.commitPartitions(data, keysOf(data, pc), root, id, pc))
+      base: CowManifest): Unit = {
+    val pinned = data.localCheckpoint()
+    withCommit(pinned, root, base)((pc, id) =>
+      CowTable.commitPartitions(pinned, keysOf(pinned, pc), root, id, pc))
+  }
 
   /** Replace exactly the partitions a static `PARTITION (col=value)`
     * spec names with the query's rows; the analyzer already stamped
     * the static values onto every row, so data's own keys must agree.
     */
   def staticOverwrite(data: DataFrame, root: String, base: CowManifest,
-      staticFilters: Seq[(String, Any)]): Unit =
-    withCommit(data, root, base) { (pc, id) =>
+      staticFilters: Seq[(String, Any)]): Unit = {
+    val pinned = data.localCheckpoint() // one evaluation — see dynamic
+    withCommit(pinned, root, base) { (pc, id) =>
       val named = staticFilters.map { case (c, v) =>
         c -> Option(v).map(_.toString).orNull }.toMap
-      val touched = keysOf(data, pc)
+      val touched = keysOf(pinned, pc)
       val declared = CowTable.partKey(pc,
         pc.map(c => c -> named.getOrElse(c, null)).toMap)
       require(staticFilters.map(_._1).toSet == pc.toSet &&
@@ -388,8 +395,9 @@ private[graft] object CowWrites {
         s"static overwrite must name every partition column and the " +
           s"query's rows must land in that partition (got $touched, " +
           s"declared $declared)")
-      CowTable.commitPartitions(data, touched + declared, root, id, pc)
+      CowTable.commitPartitions(pinned, touched + declared, root, id, pc)
     }
+  }
 }
 
 /** `INSERT OVERWRITE` in DYNAMIC partition-overwrite mode against a

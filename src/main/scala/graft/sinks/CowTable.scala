@@ -2731,10 +2731,14 @@ object CowTable {
     *     policy). A string into a long fails HERE, before any data is
     *     read.
     *  2. RUNTIME: for assignable types whose cast can still fail
-    *     value-wise (decimal overflow to a tighter precision, etc.),
-    *     the cast is wrapped so a non-NULL value that casts to NULL
-    *     raises with the offending value in the message instead of
-    *     landing as NULL.
+    *     value-wise (integral overflow, decimal overflow to a tighter
+    *     precision, etc.), the value is cast with TRY semantics —
+    *     NULL on any value the target type cannot represent,
+    *     INDEPENDENT of the session's ansi mode (a plain non-ANSI
+    *     cast WRAPS an overflowing long→int instead of nulling, which
+    *     would slip a silently wrong value past a null-only guard) —
+    *     and a non-NULL value that try-casts to NULL raises with the
+    *     offending value in the message instead of landing as NULL.
     *
     * Returns the guarded cast per SET column; evaluation cost is the
     * cast itself plus one null test — still codegen'd scan-stage work.
@@ -2754,7 +2758,7 @@ object CowTable {
           s"be assigned to column type ${f.dataType.simpleString} " +
           "(ANSI store-assignment rule) — cast explicitly if the " +
           "conversion is intended")
-      val c = v.cast(f.dataType)
+      val c = v.try_cast(f.dataType)
       name -> when(v.isNotNull && c.isNull,
         raise_error(concat(
           lit(s"UPDATE SET $name: value "), v.cast("string"),
@@ -3318,13 +3322,14 @@ object CowTable {
   }
 
   /** SNAPSHOT HISTORY, metadata-only: one row per retained committed
-    * snapshot — data-file / tombstone-file counts, manifest row and
-    * byte totals, and the file-level churn vs the previous retained
-    * snapshot (files added = paths new in this manifest, removed =
-    * paths it dropped). `n_rows` is the DATA files' count sum — exact
-    * when the snapshot has no tombstones (`tombstone_files == 0`),
-    * an upper bound otherwise, same caveat as [[countRows]]. Reads
-    * only manifests: O(retained snapshots × files), zero data bytes.
+    * snapshot — data-file / tombstone-file / deletion-vector counts,
+    * manifest row and byte totals, and the file-level churn vs the
+    * previous retained snapshot (files added = paths new in this
+    * manifest, removed = paths it dropped). `n_rows` is the DATA
+    * files' count sum — exact when the snapshot has no outstanding
+    * delete debt (`tombstone_files == 0 AND dv_files == 0`), an upper
+    * bound otherwise, same caveat as [[countRows]]. Reads only
+    * manifests: O(retained snapshots × files), zero data bytes.
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -3335,10 +3340,11 @@ object CowTable {
         .getOrElse(Set.empty[String])
       val paths = m.allFiles.map(_.path).toSet
       (m.id, m.files.size.toLong, m.tombstones.size.toLong,
+        m.dvs.size.toLong,
         m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
         (paths -- prevPaths).size.toLong, (prevPaths -- paths).size.toLong)
     }
-    rows.toDF("snapshot_id", "data_files", "tombstone_files",
+    rows.toDF("snapshot_id", "data_files", "tombstone_files", "dv_files",
       "n_rows", "bytes", "files_added", "files_removed")
   }
 
@@ -3767,7 +3773,9 @@ object CowTable {
     * documentation into structure: a lagging stream's time-travel
     * target stays servable instead of failing loud and unrecoverable.
     *
-    * Markers are CREATE-ONLY files `_streamfence-<name>-<id>` — the
+    * Markers are CREATE-ONLY files `_streamfence-<name>=<id>` (the
+    * `=` separator is excluded from fence names, so hyphenated names
+    * and NEGATIVE ids parse unambiguously) — the
     * same crash-safe pattern as the vacuum high-water markers: the new
     * marker exists before lower ones are pruned, so the per-name MAX
     * survives any crash point, and a register racing a vacuum can only
@@ -3787,13 +3795,13 @@ object CowTable {
     if (streamFrontiers(spark, root).get(name).exists(_ >= appliedId))
       return
     try fs.create(
-      new Path(root, s"$StreamFencePrefix$name-$appliedId"), false).close()
+      new Path(root, s"$StreamFencePrefix$name=$appliedId"), false).close()
     catch { case _: java.io.IOException => () } // racer already wrote it
     // prune superseded markers only AFTER the new one exists
     fs.listStatus(new Path(root)).toSeq
       .filter(s => !s.isDirectory &&
-        s.getPath.getName.startsWith(s"$StreamFencePrefix$name-"))
-      .filter(_.getPath.getName.stripPrefix(s"$StreamFencePrefix$name-")
+        s.getPath.getName.startsWith(s"$StreamFencePrefix$name="))
+      .filter(_.getPath.getName.stripPrefix(s"$StreamFencePrefix$name=")
         .toLongOption.exists(_ < appliedId))
       .foreach(s => fs.delete(s.getPath, false))
   }
@@ -3805,7 +3813,7 @@ object CowTable {
     if (fs.exists(new Path(root)))
       fs.listStatus(new Path(root)).toSeq
         .filter(s => !s.isDirectory &&
-          s.getPath.getName.startsWith(s"$StreamFencePrefix$name-"))
+          s.getPath.getName.startsWith(s"$StreamFencePrefix$name="))
         .foreach(s => fs.delete(s.getPath, false))
   }
 
@@ -3819,9 +3827,9 @@ object CowTable {
         s.getPath.getName.startsWith(StreamFencePrefix))
       .flatMap { s =>
         val rest = s.getPath.getName.stripPrefix(StreamFencePrefix)
-        val cut = rest.lastIndexOf('-')
+        val cut = rest.lastIndexOf('=')
         if (cut <= 0) None
-        else rest.substring(cut + 1).toLongOption
+        else rest.substring(cut + 1).toLongOption // handles negative ids
           .map(id => rest.substring(0, cut) -> id)
       }
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max }

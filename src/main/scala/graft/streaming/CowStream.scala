@@ -337,9 +337,14 @@ object CowStream {
     * [[CowTable.unregisterStreamFrontier]] can retire them when the
     * view is decommissioned.
     */
-  def fenceNameFor(mvPath: String): String =
-    "jmv2-" + java.lang.Long.toHexString(
-      mvPath.hashCode.toLong & 0xffffffffL) + "-" + mvPath.length
+  def fenceNameFor(mvPath: String): String = {
+    // collision-free in practice (128-bit SHA-256 prefix): two views
+    // sharing a fence name would cross-link their retention pins and
+    // let unregistering one strip the other's protection
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(mvPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "jmv2-" + d.take(16).map("%02x".format(_)).mkString
+  }
 
   def joinMv2Batch(
       batch: DataFrame,

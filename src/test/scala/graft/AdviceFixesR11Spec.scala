@@ -175,4 +175,26 @@ class AdviceFixesR11Spec extends SparkSpec {
       .where($"amt" === lit(BigDecimal("999.99")).cast("decimal(9,2)"))
       .count() == 3L)
   }
+
+  test("an integral-overflow SET fails loud under BOTH ansi modes — " +
+      "a non-ANSI cast would WRAP 3000000000→int to a silently wrong " +
+      "value, sidestepping a null-only guard") {
+    val root = tmp("set_wrap")
+    CowTable.commitFull(
+      spark.range(5).select($"id", lit(1).cast("int").as("cnt")),
+      root, 1L, Nil, keep = 10)
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try for (ansi <- Seq("false", "true")) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      val e = intercept[Throwable] {
+        CowTable.updateWhere(spark, root, 2L, $"id" < 3,
+          Map("cnt" -> lit(3000000000L)), keep = 10)
+      }
+      assert(e != null, s"overflow SET committed under ansi=$ansi")
+      assert(CowTable.committedIds(spark, root) == Seq(1L))
+      assert(CowTable.read(spark, root).get
+        .where($"cnt" =!= 1).isEmpty,
+        s"overflow SET corrupted committed data under ansi=$ansi")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+  }
 }

@@ -98,6 +98,42 @@ class CowCatalogSpec extends SparkSpec {
       "p2's files must still carry by reference")
   }
 
+  test("a NON-DETERMINISTIC dynamic INSERT OVERWRITE commits a " +
+      "touched set that agrees with the rows written (the query is " +
+      "evaluated once, not re-run per consumer)") {
+    sql(s"CREATE TABLE cow.$ns.t2nd (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    sql(s"INSERT INTO cow.$ns.t2nd " +
+      "SELECT id, concat('p', id % 2) FROM range(100)")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      // rand() routes each row to p0/p1 at evaluation time: if keysOf
+      // and the batch write ran the query independently, the touched
+      // set could miss a partition the write landed rows in — that
+      // partition would then hold BOTH its carried old file and the
+      // fresh one (ghost rows)
+      sql(s"INSERT OVERWRITE cow.$ns.t2nd SELECT id + 1000, " +
+        "concat('p', CAST(CASE WHEN rand() < 0.5 THEN 0 ELSE 1 END " +
+        "AS BIGINT)) FROM range(40)")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val t = spark.table(s"cow.$ns.t2nd")
+    // fresh rows have id ≥ 1000, carried old rows id ∈ [0,100) with
+    // 50 per partition. A touched (overwritten) partition must hold
+    // ONLY fresh rows; an untouched one ONLY its 50 carried rows. The
+    // double-evaluation bug lands fresh rows in a partition the
+    // touched set carried — old and fresh mixed in one partition.
+    val mixed = t.withColumn("fresh", col("id") >= 1000)
+      .groupBy("p").agg(countDistinct(col("fresh")).as("kinds"))
+      .where(col("kinds") > 1).count()
+    assert(mixed == 0,
+      "a partition holds both carried old rows and fresh rows — the " +
+        "touched set disagreed with the write")
+    val total = t.count()
+    assert(total == 40 || total == 90, // 90 = all 40 landed one side
+      s"unexpected row count $total")
+  }
+
   test("CTAS, VERSION AS OF time travel, and path-addressed " +
       "cow.`/root` identifiers") {
     sql(s"CREATE TABLE cow.$ns.src AS " +

@@ -134,6 +134,14 @@ class PosDvSpec extends SparkSpec {
       m.files.filter(_.path.startsWith("batch-2/")).map(_.bytes).sum
     assert(newBytes * 3 < m.files.map(_.bytes).sum,
       s"DV update wrote $newBytes B — not O(changed)")
+    // history() reports the outstanding positional debt: dv_files > 0
+    // marks n_rows as an upper bound (the same exactness caveat as
+    // tombstone_files)
+    val h = CowTable.history(spark, dv).orderBy("snapshot_id")
+      .select("snapshot_id", "dv_files").as[(Long, Long)]
+      .collect().toMap
+    assert(h(1L) == 0L && h(2L) > 0L,
+      s"history() must surface DV debt per snapshot: $h")
   }
 
   test("a new image equal to a DIFFERENT matched row's old image — " +

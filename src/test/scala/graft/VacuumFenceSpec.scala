@@ -51,6 +51,35 @@ class VacuumFenceSpec extends SparkSpec {
       "after unregistering, keep alone governs again")
   }
 
+  test("fence markers parse unambiguously: a -1 frontier pins a " +
+      "commit-0 table, and hyphenated names neither misparse nor " +
+      "cross-match on unregister") {
+    val root = tmp("parse")
+    (0L to 3L).foreach(i => CowTable.commitFull(
+      spark.range(i + 1).toDF("id"), root, i, Nil, keep = 10))
+    // a NEGATIVE id round-trips (the old '-'-separated marker parsed
+    // "viewy--1" as name "viewy-" id 1, silently unpinning commit 0)
+    CowTable.registerStreamFrontier(spark, root, "viewy", -1L)
+    assert(CowTable.streamFrontiers(spark, root) == Map("viewy" -> -1L))
+    CowTable.vacuum(spark, root, keep = 1)
+    assert(CowTable.committedIds(spark, root) == (0L to 3L),
+      "a -1 fence must pin every commit, commit 0 included")
+    // hyphenated names: two fences that share a dash-prefix stay
+    // independent — unregistering one must not strip the other
+    CowTable.registerStreamFrontier(spark, root, "etl", 3L)
+    CowTable.registerStreamFrontier(spark, root, "etl-backfill", 0L)
+    assert(CowTable.streamFrontiers(spark, root) ==
+      Map("viewy" -> -1L, "etl" -> 3L, "etl-backfill" -> 0L))
+    CowTable.unregisterStreamFrontier(spark, root, "viewy")
+    CowTable.unregisterStreamFrontier(spark, root, "etl")
+    assert(CowTable.streamFrontiers(spark, root) ==
+      Map("etl-backfill" -> 0L),
+      "unregistering 'etl' must not remove 'etl-backfill''s fence")
+    CowTable.vacuum(spark, root, keep = 1)
+    assert(CowTable.committedIds(spark, root) == (0L to 3L),
+      "the surviving backfill fence still pins commit 0")
+  }
+
   test("a lagging joinMv2 view survives an aggressive writer vacuum: " +
       "the batch's own fences keep its time-travel targets servable") {
     val ra = tmp("a"); val rb = tmp("b"); val mv = tmp("mv")
