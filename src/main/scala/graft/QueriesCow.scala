@@ -1284,6 +1284,77 @@ object QueriesCow {
       |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // NAMED-table DML TEXT: the full statement surface over
+  // cow.<ns>.<table> names — CREATE/INSERT through the analyzer, then
+  // UPDATE (COW), DELETE (merge-on-read: positional DVs) and a MERGE
+  // upsert as SQL STRINGS with no path literal anywhere; CowSql
+  // resolves the name to the same root CowCatalog serves, so the
+  // final analyzer read composes the DML's debt. The oracle replays
+  // the chain relationally.
+  // -------------------------------------------------------------------
+  def cowNamedDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.CowSql
+    val ns = "g" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("named_dml_src")
+    spark.sql(s"""CREATE TABLE cow.$ns.cust
+      (c_custkey BIGINT, c_name STRING, cents BIGINT,
+       c_mktsegment STRING)
+      PARTITIONED BY (c_mktsegment)""")
+    spark.sql(s"""INSERT INTO cow.$ns.cust
+      SELECT c_custkey, c_name,
+             CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM named_dml_src""")
+    CowSql.exec(spark, 3L,
+      s"UPDATE cow.$ns.cust SET c_name = concat('NEG:', c_name) " +
+        "WHERE cents < 0")
+    CowSql.exec(spark, 4L,
+      s"DELETE FROM cow.$ns.cust WHERE c_mktsegment = 'FURNITURE'",
+      mode = CowSql.Mor)
+    require(CowTable.currentManifest(spark,
+      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/cust")
+      .get.dvs.nonEmpty,
+      "named MOR DELETE should have landed as positional DVs")
+    // the key-stable contract: source rows carry the key's own
+    // partition value (c_mktsegment), so touched partitions are
+    // exactly where the matched rows live
+    spark.sql("SELECT c_custkey, concat('M-', c_custkey) AS c_name, " +
+      "CAST(0 AS BIGINT) AS cents, c_mktsegment " +
+      "FROM named_dml_src WHERE c_custkey <= 100")
+      .createOrReplaceTempView("named_dml_merge")
+    CowSql.exec(spark, 5L, s"""
+      MERGE INTO cow.$ns.cust AS t USING named_dml_merge AS s
+      ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET c_name = s.c_name""")
+    val out = spark.table(s"cow.$ns.cust").orderBy("c_custkey")
+      .collect().toSeq
+    val schema = spark.table(s"cow.$ns.cust").schema
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+    result
+  }
+
+  val cowNamedDmlSql: String =
+    """WITH t1 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |         THEN 'NEG:' || c_name ELSE c_name END AS c_name,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |    c_mktsegment
+      |  FROM customer),
+      |t2 AS (SELECT * FROM t1 WHERE c_mktsegment <> 'FURNITURE')
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey <= 100
+      |       THEN 'M-' || CAST(c_custkey AS VARCHAR) ELSE c_name
+      |  END AS c_name,
+      |  cents, c_mktsegment
+      |FROM t2
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // NAMED cow tables through Spark's OWN analyzer (CowCatalog +
   // CowCatalogRule): the reference's thin-layer refresh
   // (tl_sm_gosales_overview_01.sql — TRUNCATE + INSERT INTO
@@ -1721,6 +1792,7 @@ object QueriesCow {
     "cow_dv_delete" -> (cowDvDelete _),
     "cow_posdv_delete" -> (cowPosdvDelete _),
     "cow_catalog_sql" -> (cowCatalogSql _),
+    "cow_named_dml" -> (cowNamedDml _),
     "cow_posdv_update" -> (cowPosdvUpdate _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
@@ -1762,6 +1834,7 @@ object QueriesCow {
     "cow_dv_delete" -> cowDvDeleteSql,
     "cow_posdv_delete" -> cowPosdvDeleteSql,
     "cow_catalog_sql" -> cowCatalogSqlSql,
+    "cow_named_dml" -> cowNamedDmlSql,
     "cow_posdv_update" -> cowPosdvUpdateSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,

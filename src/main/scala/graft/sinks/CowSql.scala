@@ -33,7 +33,11 @@ import graft.operators.{MatchedDelete, MatchedUpdate, MergeClause,
   *   WHEN NOT MATCHED THEN INSERT *""")
   * }}}
   *
-  * Table references use `cow.`<table root path>``. MERGE requires the
+  * Table references are `` cow.`<table root path>` `` or the NAMED
+  * catalog form `cow.<ns>.<table>` (resolved under the registered
+  * catalog's warehouse, the same root [[graft.catalog.CowCatalog]]
+  * serves to the analyzer — e.g.
+  * `UPDATE cow.curated.orders SET … WHERE …`). MERGE requires the
   * aliases `t` (target) and `s` (source) — the same row aliases
   * [[graft.operators.MergeInto]]'s clause expressions are written
   * against — and a named table/view as the source; merge keys are the
@@ -45,15 +49,37 @@ import graft.operators.{MatchedDelete, MatchedUpdate, MergeClause,
 object CowSql {
 
   // maintenance statements Spark's parser has no grammar for —
-  // matched BEFORE parsePlan, Delta's surface syntax
+  // matched BEFORE parsePlan, Delta's surface syntax. A table
+  // reference is cow.`<root path>` (group 1) or the NAMED catalog
+  // form cow.<ns>.<table> (groups 2+3, resolved under the registered
+  // catalog's warehouse).
+  private val Ref = """cow\.(?:`([^`]+)`|(\w+)\.(\w+))"""
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+cow\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+cow\.`([^`]+)`\s+RETAIN\s+(\d+)\s+SNAPSHOTS\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*""".r
   private val VacuumHoursRe =
-    """(?is)\s*VACUUM\s+cow\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*""".r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+cow\.`([^`]+)`\s+TO\s+SNAPSHOT\s+(\d+)\s*""".r
+    s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+SNAPSHOT\\s+(\\d+)\\s*""".r
+
+  /** The warehouse dir of the registered `cow` catalog — named
+    * references resolve against it exactly as [[graft.catalog
+    * .CowCatalog.rootOf]] does (`warehouse/<ns>/<table>`), so textual
+    * DML and the analyzer-resolved surface address the same root.
+    */
+  private def warehouseOf(spark: SparkSession): String = {
+    val w = spark.conf.getOption("spark.sql.catalog.cow.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        "a named cow.<ns>.<table> reference needs the cow catalog " +
+          "registered (spark.sql.catalog.cow.warehouse)"))
+    require(w.nonEmpty, "spark.sql.catalog.cow.warehouse is empty")
+    w
+  }
+
+  private def refRoot(spark: SparkSession, path: String, ns: String,
+      table: String): String =
+    if (path != null) path else s"${warehouseOf(spark)}/$ns/$table"
 
   /** How a textual UPDATE / DELETE lands on the table:
     *
@@ -90,16 +116,18 @@ object CowSql {
   def exec(spark: SparkSession, id: Long, sql: String,
       keep: Int = 2, mode: DmlMode = Cow,
       morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
-    case OptimizeRe(root, cols) =>
-      CowTable.optimizeZorder(spark, root, id,
+    case OptimizeRe(p, ns, t, cols) =>
+      CowTable.optimizeZorder(spark, refRoot(spark, p, ns, t), id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
-    case VacuumRe(root, n) =>
-      CowTable.vacuum(spark, root, keep = n.toInt)
-    case VacuumHoursRe(root, h) =>
-      CowTable.vacuumOlderThan(spark, root, h.toLong * 3600000L)
-    case RestoreRe(root, toId) =>
-      CowTable.restore(spark, root, toId.toLong, keep = keep)
+    case VacuumRe(p, ns, t, n) =>
+      CowTable.vacuum(spark, refRoot(spark, p, ns, t), keep = n.toInt)
+    case VacuumHoursRe(p, ns, t, h) =>
+      CowTable.vacuumOlderThan(spark, refRoot(spark, p, ns, t),
+        h.toLong * 3600000L)
+    case RestoreRe(p, ns, t, toId) =>
+      CowTable.restore(spark, refRoot(spark, p, ns, t), toId.toLong,
+        keep = keep)
     case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
   }
 
@@ -115,7 +143,7 @@ object CowSql {
       keep: Int, mode: DmlMode, thresholdBytes: Long): Unit =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
-        val root = rootOf(table)
+        val root = rootOf(spark, table)
         if (useMor(spark, root, mode, thresholdBytes))
           CowTable.deleteWhereDv(spark, root, id, expr(cond.sql),
             keep = keep)
@@ -123,7 +151,7 @@ object CowSql {
           CowTable.deleteWhere(spark, root, id, expr(cond.sql),
             keep = keep)
       case UpdateTable(table, assignments, cond) =>
-        val root = rootOf(table)
+        val root = rootOf(spark, table)
         val c = cond.map(x => expr(x.sql)).getOrElse(expr("true"))
         val sets = assignments.map(setOf).toMap
         if (useMor(spark, root, mode, thresholdBytes))
@@ -146,18 +174,28 @@ object CowSql {
         s"SET target must be a column, got $other")
     }
 
-  /** The CowTable root of a `cow`.`/path` reference (possibly under
-    * the statement's alias).
+  /** The CowTable root of a table reference (possibly under the
+    * statement's alias): `` cow.`/path` `` addresses the root
+    * directly; the NAMED form `cow.<ns>.<table>` resolves under the
+    * registered catalog's warehouse — one statement surface over both
+    * addressing styles.
     */
-  private def rootOf(plan: LogicalPlan): String = plan match {
-    case SubqueryAlias(_, child) => rootOf(child)
-    case r: UnresolvedRelation if r.multipartIdentifier.size == 2 &&
-        r.multipartIdentifier.head.equalsIgnoreCase("cow") =>
-      r.multipartIdentifier(1)
-    case other => throw new IllegalArgumentException(
-      "table reference must be cow.`<table root path>`, got " +
-        other.getClass.getSimpleName)
-  }
+  private def rootOf(spark: SparkSession, plan: LogicalPlan): String =
+    plan match {
+      case SubqueryAlias(_, child) => rootOf(spark, child)
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.head.equalsIgnoreCase("cow") =>
+        r.multipartIdentifier match {
+          case Seq(_, path) if path.startsWith("/") => path
+          case Seq(_, ns, table) => s"${warehouseOf(spark)}/$ns/$table"
+          case parts => throw new IllegalArgumentException(
+            "cow references are cow.`<absolute path>` or " +
+              s"cow.<ns>.<table>, got ${parts.mkString(".")}")
+        }
+      case other => throw new IllegalArgumentException(
+        "table reference must be cow.`<table root path>` or " +
+          s"cow.<ns>.<table>, got ${other.getClass.getSimpleName}")
+    }
 
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(ident, _) => Some(ident.name)
@@ -167,7 +205,7 @@ object CowSql {
   private def execMerge(
       spark: SparkSession, id: Long, m: MergeIntoTable,
       keep: Int): Unit = {
-    val root = rootOf(m.targetTable)
+    val root = rootOf(spark, m.targetTable)
     require(aliasOf(m.targetTable).contains("t"),
       "MERGE INTO cow.`…` AS t — the target alias must be `t` (the " +
         "clause expressions' row alias)")

@@ -181,4 +181,49 @@ class CowSqlSpec extends SparkSpec {
       CowSql.exec(spark, 9L, "DELETE FROM plain_table WHERE x = 1")
     }
   }
+
+  test("NAMED catalog tables take the same DML and maintenance text: " +
+      "UPDATE/DELETE/MERGE/VACUUM over cow.<ns>.<table>, resolving " +
+      "to the root the analyzer itself serves") {
+    val ns = s"sqlnamed${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    spark.sql(s"CREATE TABLE cow.$ns.acct (id BIGINT, seg STRING, " +
+      "bal BIGINT) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO cow.$ns.acct SELECT id, " +
+      "concat('s', id % 3), id * 10 FROM range(60)")
+    CowSql.exec(spark, 3L,
+      s"UPDATE cow.$ns.acct SET bal = bal + 1 WHERE id < 10")
+    CowSql.exec(spark, 4L,
+      s"DELETE FROM cow.$ns.acct WHERE id >= 50", mode = CowSql.Mor)
+    Seq((7L, "s1", 777L)).toDF("id", "seg", "bal")
+      .createOrReplaceTempView("named_src")
+    CowSql.exec(spark, 5L, s"""
+      MERGE INTO cow.$ns.acct AS t USING named_src AS s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET bal = s.bal""")
+    val t = spark.table(s"cow.$ns.acct")
+    assert(t.count() == 50)
+    assert(t.where($"id" === 3L).select("bal").as[Long]
+      .collect().head == 31L)
+    assert(t.where($"id" === 7L).select("bal").as[Long]
+      .collect().head == 777L)
+    // the named reference and the analyzer address the SAME root: the
+    // MOR delete's DV debt is visible on the path CowCatalog serves
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}" +
+      s"/$ns/acct"
+    // the MERGE was a COW rewrite of the touched partition; earlier DV
+    // debt on other partitions must still subtract through the named read
+    assert(CowTable.committedIds(spark, root).nonEmpty)
+    // maintenance text over the named form
+    CowSql.exec(spark, 6L, s"VACUUM cow.$ns.acct RETAIN 2 SNAPSHOTS")
+    assert(CowTable.committedIds(spark, root).size == 2)
+    assert(spark.table(s"cow.$ns.acct").count() == 50)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+    // a named reference without the catalog registered fails loud
+    val was = spark.conf.get("spark.sql.catalog.cow.warehouse")
+    spark.conf.unset("spark.sql.catalog.cow.warehouse")
+    try intercept[IllegalArgumentException] {
+      CowSql.exec(spark, 9L, "DELETE FROM cow.nons.t WHERE id = 1")
+    } finally spark.conf.set("spark.sql.catalog.cow.warehouse", was)
+  }
 }

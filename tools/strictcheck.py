@@ -30,6 +30,14 @@ def cell(v):
             return "<null>"
     except (TypeError, ValueError):
         pass  # array-valued cell: isna is ambiguous, fall through
+    # a DATE surfaces as datetime.date from Spark parquet but as a
+    # midnight datetime64 from DuckDB's .df(); the driver's rendering
+    # (Series.astype(str)) drops the zero time-of-day, so match it —
+    # symmetric on both sides, so genuine timestamps stay comparable
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        t = pd.Timestamp(v)
+        if t.time() == pd.Timestamp(0).time() and t.tz is None:
+            return str(t.date())
     return str(v)
 
 
