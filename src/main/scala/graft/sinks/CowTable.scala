@@ -3472,6 +3472,89 @@ object CowTable {
     vacuum(spark, root, keep, vacuumKnown)
   }
 
+  /** KEYED delete as POSITIONAL deletion vectors — the positional
+    * twin of [[deleteKeysMor]], with a sharper CONTRACT as well as
+    * sharper economics:
+    *
+    *  - [[deleteKeysMor]]'s key tombstone subtracts by EQUALITY
+    *    forever: a row APPENDED LATER with a tombstoned key is
+    *    silently anti-joined away (the legacy-state hazard that keeps
+    *    [[updateWhereDv]]'s COW fallback alive). Positions name exact
+    *    rows of files that exist NOW — this delete means "remove the
+    *    current rows with these keys", and later appends of the same
+    *    key are untouched. That is DELETE-statement semantics;
+    *    reserve key tombstones for "suppress this key" retention
+    *    rules.
+    *  - WRITE: O(matched positions) sidecar bytes (a key tombstone is
+    *    already O(keys), but the read-side anti-join is O(tomb ⋈
+    *    data) per scan; the position mask applies inside the scan).
+    *
+    * Matching is null-safe per key column (a NULL key value matches a
+    * NULL cell, same as the tombstone subtraction it replaces). Only
+    * the partitions the keys' own `partCols` values name are read —
+    * the same key-stable partitioning contract as [[upsert]]. Debt
+    * retires via any COW rewrite of the partition or
+    * [[foldTombstones]].
+    */
+  def deleteKeysDv(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String],
+      keep: Int = 2,
+      changeLog: Boolean = false): Unit = {
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.partCols == partCols,
+      s"partitioning mismatch: table has ${m.partCols}, got $partCols")
+    require(keyCols.nonEmpty, "keyed delete needs at least one key column")
+    keyCols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"key column $c is not a table column"))
+    Seq("path", "positions").foreach(c => require(!m.partCols.contains(c),
+      s"DV delete: partition column '$c' collides with the deletion-" +
+        "vector sidecar schema — use deleteKeysMor for this table"))
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      val touched = touchedKeys(keys, partCols)
+      val candidates = m.files.filter(f => touched.contains(m.partKeyOf(f)))
+      if (candidates.isEmpty) return // no partition can match — id unconsumed
+      val visible = visibleWithPos(spark, root, m, candidates, Nil)
+      val k = broadcast(keys.select(keyCols.map(col): _*).distinct())
+      val matched0 = visible.join(k,
+        keyCols.map(c => visible(c) <=> k(c)).reduce(_ && _), "left_semi")
+      val matched = if (changeLog) matched0.localCheckpoint() else matched0
+      val fresh = writeDvSidecar(spark, root, m, id, matched)
+      if (fresh.isEmpty) {
+        hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
+        return // no row matched — id unconsumed
+      }
+      val stagedLog =
+        if (!changeLog) None
+        else {
+          val staging = new Path(
+            s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
+          matched
+            .withColumn(ChangeOper, lit("D"))
+            .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
+            .write.mode("overwrite").parquet(staging.toString)
+          Some(staging)
+        }
+      commitManifest(spark, root, id, Some(m.id), stagedLog) {
+        writeManifest(spark, root, id, partCols, m.schemaDdl,
+          m.allFiles ++ fresh)
+      }
+      vacuumKnown = Map(
+        id -> (m.allFiles ++ fresh).map(_.path),
+        m.id -> m.allFiles.map(_.path))
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, vacuumKnown)
+  }
+
   /** PREDICATE MERGE-ON-READ delete — deletion-vector economics for
     * `DELETE FROM t WHERE cond`: where [[deleteWhere]] REWRITES every
     * partition holding a match (O(touched partitions) whatever the

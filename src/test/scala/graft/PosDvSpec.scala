@@ -195,6 +195,49 @@ class PosDvSpec extends SparkSpec {
       "the COW fallback folds the debt for the touched partition")
   }
 
+  test("deleteKeysDv removes the CURRENT rows with the keys (≡ the " +
+      "COW rewrite), null-safely, and a LATER append of a deleted key " +
+      "survives — the contract key tombstones cannot offer") {
+    val dv = tmp("kdv"); val cow = tmp("kcow"); val mor = tmp("kmor")
+    val base = Seq(
+      (1L, "p0", 10L), (2L, "p0", 20L), (2L, "p1", 21L),
+      (3L, "p1", 30L)).toDF("id", "pt", "v")
+      .unionByName(Seq((Option.empty[Long], "p0", 99L))
+        .toDF("id", "pt", "v"))
+    Seq(dv, cow, mor).foreach(r =>
+      CowTable.commitFull(base, r, 1L, Seq("pt"), keep = 10))
+    // keys carry the partition value (key-stable contract); includes a
+    // NULL key — the match must be null-safe like the tombstone
+    // subtraction it replaces
+    val keys = Seq((Some(2L), "p0"), (Some(2L), "p1"), (None, "p0"))
+      .toDF("id", "pt")
+    CowTable.deleteKeysDv(spark, dv, 2L, keys, Seq("id"), Seq("pt"),
+      keep = 10)
+    CowTable.deleteWhere(spark, cow, 2L,
+      col("id").isin(2L) || col("id").isNull, keep = 10)
+    CowTable.deleteKeysMor(spark, mor, 2L, keys, Seq("id"), Seq("pt"),
+      keep = 10)
+    val got = CowTable.read(spark, dv).get
+    val want = CowTable.read(spark, cow).get
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() == 2,
+      "positional keyed delete must equal the COW rewrite")
+    val m = CowTable.currentManifest(spark, dv).get
+    assert(m.dvs.nonEmpty && m.tombstones.isEmpty &&
+      m.files.size == CowTable.manifest(spark, dv, 1L).files.size,
+      "keyed DV delete must mask positionally without rewriting")
+    // the divergence, pinned: append id=2 again on both MOR tables
+    val fresh = Seq((2L, "p0", 200L)).toDF("id", "pt", "v")
+    CowTable.commitAppend(fresh, dv, 3L, Seq("pt"), keep = 10)
+    CowTable.commitAppend(fresh, mor, 3L, Seq("pt"), keep = 10)
+    assert(CowTable.read(spark, dv).get
+      .where($"v" === 200L).count() == 1,
+      "a position mask must NOT swallow a later append of the key")
+    assert(CowTable.read(spark, mor).get
+      .where($"v" === 200L).count() == 0,
+      "(contrast) the key tombstone suppresses the re-appended key")
+  }
+
   test("re-deleting already-deleted rows is a no-op (id unconsumed) " +
       "and an unpartitioned table takes DV deletes too") {
     val root = tmp("noop")
