@@ -148,11 +148,77 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       root, CowTable.currentManifest(spark, root).get, pinned = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on cow tables: schema evolves through commits " +
-        "(commitAppend/commitFull widen per the evolution gate); " +
-        "constraints via CowTable.setCheckConstraints")
+  /** `ALTER TABLE` as METADATA-ONLY evolution ([[CowTable.evolveSchema]]
+    * — zero data files rewritten): `ADD COLUMNS` (nullable, appended),
+    * `ALTER COLUMN … TYPE` along the [[graft.sinks.SchemaCompat]]
+    * widening chains, and `ALTER COLUMN … DROP NOT NULL`. Drops,
+    * renames, narrowings and `SET NOT NULL` are refused loudly — they
+    * are breaking under carried files; positions other than append
+    * cannot be honored (the manifest anchors column order so files
+    * never reorder).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val m = CowTable.currentManifest(spark, root).getOrElse(
+      throw new NoSuchTableException(ident))
+    var schema = m.schema
+    def updated(fieldNames: Array[String], what: String)(
+        f: org.apache.spark.sql.types.StructField
+          => org.apache.spark.sql.types.StructField): Unit = {
+      require(fieldNames.length == 1,
+        s"cow tables evolve top-level columns only, got " +
+          fieldNames.mkString("."))
+      val c = fieldNames.head
+      require(schema.fieldNames.contains(c),
+        s"$what: no column $c in ${displayName(ident)}")
+      schema = StructType(schema.fields.map(x =>
+        if (x.name == c) f(x) else x))
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "cow tables add top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        require(add.isNullable,
+          s"added column ${add.fieldNames.head} must be nullable: " +
+            "existing rows read it as NULL")
+        require(add.position == null,
+          "cow columns append at the end: the manifest anchors column " +
+            "order so carried files never reorder (FIRST/AFTER " +
+            "unsupported)")
+        require(add.defaultValue == null,
+          s"added column ${add.fieldNames.head} may not carry a " +
+            "DEFAULT: carried files would silently read NULL where " +
+            "the default was promised")
+        val base = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        schema = StructType(schema.fields :+
+          Option(add.comment).map(base.withComment).getOrElse(base))
+      case ut: TableChange.UpdateColumnType =>
+        updated(ut.fieldNames, "ALTER COLUMN TYPE")(
+          _.copy(dataType = ut.newDataType))
+      case un: TableChange.UpdateColumnNullability =>
+        require(un.nullable,
+          s"SET NOT NULL on ${un.fieldNames.mkString(".")}: carried " +
+            "files may hold NULLs — cow nullability only widens")
+        updated(un.fieldNames, "ALTER COLUMN NULLABILITY")(
+          _.copy(nullable = true))
+      case cc: TableChange.UpdateColumnComment =>
+        updated(cc.fieldNames, "COMMENT ON COLUMN")(
+          _.withComment(cc.newComment))
+      case other => throw new UnsupportedOperationException(
+        s"cow ALTER TABLE does not support $other: drops/renames are " +
+          "breaking under carried files (rewrite via INSERT OVERWRITE " +
+          "under the new shape); properties carry no meaning; CHECK " +
+          "constraints via CowTable.setCheckConstraints")
+    }
+    // keep = MaxValue: a metadata-only ALTER must not shrink history —
+    // VERSION AS OF across the ALTER stays servable; retention remains
+    // governed by data commits and explicit VACUUM statements
+    CowTable.evolveSchema(spark, root, m.id + 1, schema,
+      keep = Int.MaxValue)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

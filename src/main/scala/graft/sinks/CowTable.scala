@@ -513,6 +513,68 @@ object CowTable {
     newId
   }
 
+  /** METADATA-ONLY schema evolution — `ALTER TABLE … ADD COLUMNS` /
+    * `ALTER COLUMN … TYPE <wider>` as a commit that rewrites ZERO data
+    * files (Delta's ALTER TABLE semantics; the reference evolves
+    * schemas only by `overwriteSchema` full rewrites —
+    * jobs/raw/dl_rw_job.py's overwrite mode — which is O(table) where
+    * this is O(manifest)):
+    *
+    *  - the new schema must be a [[SchemaCompat]]-safe GROW of the
+    *    current one: every existing column kept at its type or widened
+    *    along the documented chains, added columns nullable (carried
+    *    files hold no values for them — they read as NULL), partition
+    *    column types frozen (their string form is partition identity).
+    *  - carried files keep their stats, EXCEPT columns whose widening
+    *    changes a value's string form (float→double, decimal rescale):
+    *    their blooms AND min/max drop, exactly as a data commit under
+    *    the same evolution would drop them (see [[bloomUnsafeCols]] —
+    *    a float-era stat understates the upcast double, so an envelope
+    *    test could FALSE-SKIP a file).
+    *  - column ORDER is anchored to the current schema with additions
+    *    appended ([[effSchemaOf]]) — an ALTER cannot reorder files'
+    *    columns, so a position spec is refused at the catalog.
+    *
+    * The next data commit's own [[effSchemaOf]] run then unions any
+    * narrower batch into this schema as usual. Subsequent snapshots
+    * time-travel: `VERSION AS OF` a pre-ALTER id serves the old
+    * schema. Returns without consuming `id` when already superseded
+    * (crash-replay guard, same as every commit path).
+    */
+  def evolveSchema(
+      spark: SparkSession, root: String, id: Long,
+      newSchema: StructType, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    if (committedIds(spark, root).exists(_ >= id)) return
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    m.schema.fieldNames.foreach(c =>
+      require(newSchema.fieldNames.contains(c),
+        s"schema evolution is grow-only: column $c would be dropped " +
+          "(drops/renames would orphan carried files' data — rewrite " +
+          "via commitFull under the new schema instead)"))
+    newSchema.fields.filterNot(f => m.schema.fieldNames.contains(f.name))
+      .foreach(f => require(f.nullable,
+        s"added column ${f.name} must be nullable: carried files hold " +
+          "no values for it, so existing rows read it as NULL"))
+    val eff = effSchemaOf(Some(m), newSchema)
+    validateEvolution(m, eff, m.partCols)
+    if (eff.toDDL == m.schemaDdl) return // no-op ALTER — id unconsumed
+    val unsafe = bloomUnsafeCols(m, eff)
+    val files = m.allFiles.map(f => f.copy(
+      blooms = f.blooms -- unsafe,
+      mins = f.mins -- unsafe, maxs = f.maxs -- unsafe))
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return
+      commitManifest(spark, root, id, Some(m.id), None) {
+        writeManifest(spark, root, id, m.partCols, eff.toDDL, files)
+      }
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, Map(
+      id -> files.map(_.path), m.id -> m.allFiles.map(_.path)))
+  }
+
   // -------------------------------------------------------------------
   // CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): named SQL
   // boolean expressions every commit's written data must satisfy.

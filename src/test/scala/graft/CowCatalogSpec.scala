@@ -195,4 +195,59 @@ class CowCatalogSpec extends SparkSpec {
     assert(!CowTable.committedIds(spark, rootOf("t5")).exists(_ => true))
     intercept[Exception] { sql(s"SELECT * FROM cow.$ns.t5").collect() }
   }
+
+  test("ALTER TABLE is METADATA-ONLY evolution: ADD COLUMNS / widen " +
+      "TYPE rewrite zero data files, stats drop only where the string " +
+      "form changed, time travel serves the pre-ALTER schema, and " +
+      "breaking changes refuse loudly") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    sql(s"""CREATE TABLE cow.$ns.ev
+      (id INT, p STRING, score FLOAT) PARTITIONED BY (p)""")
+    sql(s"INSERT INTO cow.$ns.ev SELECT CAST(id AS INT), " +
+      "concat('p', id % 2), CAST(id AS FLOAT) / 2 FROM range(100)")
+    val root = rootOf("ev")
+    val before = CowTable.currentManifest(spark, root).get
+    assert(before.files.nonEmpty)
+    sql(s"ALTER TABLE cow.$ns.ev ADD COLUMNS (note STRING)")
+    sql(s"ALTER TABLE cow.$ns.ev ALTER COLUMN id TYPE BIGINT")
+    sql(s"ALTER TABLE cow.$ns.ev ALTER COLUMN score TYPE DOUBLE")
+    val m = CowTable.currentManifest(spark, root).get
+    // three ALTER commits, ZERO data files rewritten — same paths
+    assert(m.id == before.id + 3 &&
+      m.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "ALTER must be metadata-only")
+    val t = spark.table(s"cow.$ns.ev")
+    assert(t.schema("id").dataType == LongType &&
+      t.schema("score").dataType == DoubleType &&
+      t.schema.fieldNames.last == "note")
+    // carried rows read the added column as NULL, under widened types
+    assert(t.where(col("note").isNull).count() == 100)
+    assert(t.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
+    // integer-chain widening KEEPS carried stats; float→double changes
+    // the value's string form, so score's stats drop (envelope safety)
+    val f = m.files.head
+    assert(f.mins.contains("id") && !f.mins.contains("score"),
+      s"stats after widen: mins=${f.mins.keySet}")
+    // an ALTER must not shrink history: the pre-ALTER snapshot is
+    // still committed and serves the OLD schema via time travel
+    assert(CowTable.committedIds(spark, root).contains(before.id))
+    val old = sql(s"SELECT * FROM cow.$ns.ev VERSION AS OF ${before.id}")
+    assert(old.schema("id").dataType == IntegerType &&
+      !old.schema.fieldNames.contains("note"))
+    // a post-ALTER insert lands with the new column
+    sql(s"INSERT INTO cow.$ns.ev VALUES (1000L, 'p0', 5.0D, 'x')")
+    assert(spark.table(s"cow.$ns.ev").where(col("note") === "x")
+      .count() == 1)
+    // breaking forms refuse loudly (drop, rename, narrow, SET NOT NULL)
+    intercept[Exception] { sql(s"ALTER TABLE cow.$ns.ev DROP COLUMN note") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE cow.$ns.ev RENAME COLUMN note TO label") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE cow.$ns.ev ALTER COLUMN id TYPE INT") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE cow.$ns.ev ALTER COLUMN note SET NOT NULL") }
+    // nothing above committed: the manifest head is still the insert
+    assert(CowTable.currentManifest(spark, root).get.schema
+      .fieldNames.toSeq == Seq("id", "p", "score", "note"))
+  }
 }
