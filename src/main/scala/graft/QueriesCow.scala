@@ -1784,6 +1784,74 @@ object QueriesCow {
       |FROM customer WHERE c_custkey <= 1100
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // METADATA-ONLY schema evolution through textual ALTER TABLE on a
+  // named cow table (Delta's ALTER semantics; the reference can only
+  // evolve by overwriteSchema FULL REWRITES — jobs/raw/dl_rw_job.py's
+  // overwrite mode — O(table) where this is O(manifest)): ADD COLUMNS
+  // + two type widenings land as three manifest commits that carry
+  // every data file untouched (require()d by path identity), carried
+  // rows read the added column as NULL under the widened types, the
+  // next INSERT lands under the new shape, and VERSION AS OF the
+  // pre-ALTER id still serves the OLD schema. The oracle replays the
+  // two-generation load relationally.
+  // -------------------------------------------------------------------
+  def cowAlterEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val ns = "g" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("alter_cust_src")
+    Tables.load(spark, dir, "nation")
+      .createOrReplaceTempView("alter_nation_src")
+    spark.sql(s"""CREATE TABLE cow.$ns.cust
+      (c_custkey INT, c_mktsegment STRING, cents INT)
+      PARTITIONED BY (c_mktsegment)""")
+    spark.sql(s"""INSERT INTO cow.$ns.cust
+      SELECT CAST(c_custkey AS INT), c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS INT)
+      FROM alter_cust_src WHERE c_custkey <= 750""")
+    val root =
+      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/cust"
+    val before = CowTable.currentManifest(spark, root).get
+    spark.sql(s"ALTER TABLE cow.$ns.cust ADD COLUMNS (nation_name STRING)")
+    spark.sql(s"ALTER TABLE cow.$ns.cust ALTER COLUMN c_custkey TYPE BIGINT")
+    spark.sql(s"ALTER TABLE cow.$ns.cust ALTER COLUMN cents TYPE BIGINT")
+    val after = CowTable.currentManifest(spark, root).get
+    require(after.id == before.id + 3 &&
+      after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "ALTER must be metadata-only: zero data files rewritten")
+    // the pre-ALTER snapshot still serves the OLD schema (an ALTER
+    // must not shrink history — time travel across it stays exact)
+    val old = spark.sql(
+      s"SELECT * FROM cow.$ns.cust VERSION AS OF ${before.id}")
+    require(old.schema("c_custkey").dataType ==
+      org.apache.spark.sql.types.IntegerType &&
+      !old.schema.fieldNames.contains("nation_name"),
+      "VERSION AS OF pre-ALTER must serve the old schema")
+    // generation 2 lands under the evolved shape, new column populated
+    spark.sql(s"""INSERT INTO cow.$ns.cust
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100) AS BIGINT), n_name
+      FROM alter_cust_src JOIN alter_nation_src
+        ON c_nationkey = n_nationkey
+      WHERE c_custkey > 750""")
+    val out = spark.table(s"cow.$ns.cust")
+    val rows = out.orderBy("c_custkey").collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+    result
+  }
+
+  val cowAlterEvolveSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+      |       CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |       CASE WHEN c_custkey <= 750 THEN NULL ELSE n_name
+      |       END AS nation_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
@@ -1793,6 +1861,7 @@ object QueriesCow {
     "cow_posdv_delete" -> (cowPosdvDelete _),
     "cow_catalog_sql" -> (cowCatalogSql _),
     "cow_named_dml" -> (cowNamedDml _),
+    "cow_alter_evolve" -> (cowAlterEvolve _),
     "cow_posdv_update" -> (cowPosdvUpdate _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
@@ -1835,6 +1904,7 @@ object QueriesCow {
     "cow_posdv_delete" -> cowPosdvDeleteSql,
     "cow_catalog_sql" -> cowCatalogSqlSql,
     "cow_named_dml" -> cowNamedDmlSql,
+    "cow_alter_evolve" -> cowAlterEvolveSql,
     "cow_posdv_update" -> cowPosdvUpdateSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,
