@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see graft.plans.CowCatalogRule
     ext.injectResolutionRule(session =>
       new graft.plans.CowCatalogRule(session))
+    // UPDATE / DELETE / MERGE / OPTIMIZE / VACUUM / RESTORE over cow
+    // references as first-class spark.sql statements — see
+    // graft.plans.CowSqlParser (Delta's DeltaSqlParser seam)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.CowSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),

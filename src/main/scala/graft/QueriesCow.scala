@@ -1852,6 +1852,88 @@ object QueriesCow {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // The ENTIRE statement surface through ONE entry point — spark.sql —
+  // with zero graft API calls (graft.plans.CowSqlParser, injected by
+  // GraftExtensions): CREATE/INSERT through the analyzer, ADD
+  // CONSTRAINT (validated at DDL time, enforced by every commit
+  // below), UPDATE as a COW commit, DELETE as positional DVs via the
+  // session conf
+  // (spark.graft.cow.dml.mode=mor), MERGE, then OPTIMIZE ZORDER +
+  // VACUUM — commit ids auto-allocated head+1 per statement, exactly
+  // how a SQL-file user (the reference's utilities.py executor style)
+  // drives the table format. The oracle replays the chain
+  // relationally; the require()s pin DV economics and the vacuum.
+  // -------------------------------------------------------------------
+  def cowParserDml(spark: SparkSession, dir: String): DataFrame = {
+    val ns = "g" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView("parser_dml_src")
+    spark.sql(s"""CREATE TABLE cow.$ns.ord
+      (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+       o_orderpriority STRING)
+      PARTITIONED BY (o_orderpriority)""")
+    spark.sql(s"""INSERT INTO cow.$ns.ord
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM parser_dml_src""")
+    // textual constraint DDL — registered against current data (one
+    // validation scan) and enforced by EVERY commit below
+    spark.sql(s"ALTER TABLE cow.$ns.ord " +
+      "ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)")
+    spark.sql(s"UPDATE cow.$ns.ord SET o_custkey = 0 " +
+      "WHERE cents >= 40000000")
+    val root =
+      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/ord"
+    val preDelete = CowTable.currentManifest(spark, root).get
+    spark.conf.set("spark.graft.cow.dml.mode", "mor")
+    try spark.sql(
+      s"DELETE FROM cow.$ns.ord WHERE o_orderpriority = '1-URGENT'")
+    finally spark.conf.unset("spark.graft.cow.dml.mode")
+    val m = CowTable.currentManifest(spark, root).get
+    require(m.dvs.nonEmpty && m.files.map(_.path).toSet ==
+      preDelete.files.map(_.path).toSet,
+      "conf-routed MOR DELETE must mask positionally, rewrite nothing")
+    spark.sql("""SELECT o_orderkey,
+        CAST(floor(o_totalprice * 100) AS BIGINT) + 1 AS cents,
+        o_orderpriority
+      FROM parser_dml_src WHERE o_orderkey <= 1000""")
+      .createOrReplaceTempView("parser_dml_merge")
+    spark.sql(s"""MERGE INTO cow.$ns.ord AS t USING parser_dml_merge AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET cents = s.cents""")
+    spark.sql(s"OPTIMIZE cow.$ns.ord ZORDER BY (o_orderkey)")
+    spark.sql(s"VACUUM cow.$ns.ord RETAIN 2 SNAPSHOTS")
+    require(CowTable.committedIds(spark, root).size == 2,
+      "VACUUM RETAIN 2 SNAPSHOTS must leave exactly two")
+    require(CowTable.currentManifest(spark, root).get.dvs.isEmpty,
+      "OPTIMIZE must retire the outstanding positional-DV debt")
+    val out = spark.table(s"cow.$ns.ord")
+    val rows = out.orderBy("o_orderkey").collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+    result
+  }
+
+  val cowParserDmlSql: String =
+    """WITH t1 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT) >= 40000000
+      |         THEN 0 ELSE o_custkey END AS o_custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority
+      |  FROM orders),
+      |t2 AS (SELECT * FROM t1 WHERE o_orderpriority <> '1-URGENT')
+      |SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey <= 1000 THEN cents + 1 ELSE cents
+      |  END AS cents,
+      |  o_orderpriority
+      |FROM t2
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
@@ -1862,6 +1944,7 @@ object QueriesCow {
     "cow_catalog_sql" -> (cowCatalogSql _),
     "cow_named_dml" -> (cowNamedDml _),
     "cow_alter_evolve" -> (cowAlterEvolve _),
+    "cow_parser_dml" -> (cowParserDml _),
     "cow_posdv_update" -> (cowPosdvUpdate _),
     "cow_update_where" -> (cowUpdateWhere _),
     "cow_mor_update" -> (cowMorUpdate _),
@@ -1905,6 +1988,7 @@ object QueriesCow {
     "cow_catalog_sql" -> cowCatalogSqlSql,
     "cow_named_dml" -> cowNamedDmlSql,
     "cow_alter_evolve" -> cowAlterEvolveSql,
+    "cow_parser_dml" -> cowParserDmlSql,
     "cow_posdv_update" -> cowPosdvUpdateSql,
     "cow_update_where" -> cowUpdateWhereSql,
     "cow_mor_update" -> cowMorUpdateSql,

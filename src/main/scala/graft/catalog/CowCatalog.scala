@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
   SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog,
-  TableChange}
+  TableCatalogCapability, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -75,6 +76,16 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catName
+
+  // NOTE deliberately NOT declaring SUPPORT_TABLE_CONSTRAINT: the
+  // textual `ALTER TABLE … ADD/DROP CONSTRAINT` routes pre-analysis
+  // through graft.plans.CowSqlParser → CowSql (Spark's own
+  // AddCheckConstraint resolution requires a session-catalog V1
+  // relation this catalog never produces), and declaring the
+  // capability would additionally invite `CREATE TABLE … CHECK (…)`
+  // down a createTable signature that silently drops the constraint.
+  // The TableChange cases in alterTable below serve programmatic
+  // callers; SQL text never reaches them.
 
   private def spark: SparkSession = SparkSession.active
 
@@ -206,6 +217,36 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       case cc: TableChange.UpdateColumnComment =>
         updated(cc.fieldNames, "COMMENT ON COLUMN")(
           _.withComment(cc.newComment))
+      // constraint DDL maps onto the table's CHECK store — Delta's
+      // ADD CONSTRAINT semantics live in CowTable.setCheckConstraints
+      // (existing data validated in one scan, then every commit
+      // enforces); a constraint change commits no manifest
+      case ac: TableChange.AddConstraint => ac.constraint match {
+        case ck: Check =>
+          require(ck.enforced,
+            s"CHECK ${ck.name} NOT ENFORCED: cow constraints are real " +
+              "invariants (every commit validates) — an unenforced " +
+              "claim would be a lie to downstream readers")
+          val cur = CowTable.checkConstraints(spark, root)
+          require(!cur.contains(ck.name),
+            s"constraint ${ck.name} already exists on " +
+              s"${displayName(ident)} (DROP it first)")
+          CowTable.setCheckConstraints(spark, root,
+            cur + (ck.name -> ck.predicateSql))
+        case other => throw new UnsupportedOperationException(
+          s"cow tables enforce CHECK constraints only; ${other.toDDL} " +
+            "(PRIMARY KEY / UNIQUE / FOREIGN KEY) would be an " +
+            "informational-only claim the engine cannot enforce " +
+            "without a global index — refused rather than silently " +
+            "unenforced")
+      }
+      case dc: TableChange.DropConstraint =>
+        val cur = CowTable.checkConstraints(spark, root)
+        if (cur.contains(dc.name))
+          CowTable.setCheckConstraints(spark, root, cur - dc.name,
+            validate = false) // a shrunk set cannot invalidate data
+        else require(dc.ifExists,
+          s"no constraint ${dc.name} on ${displayName(ident)}")
       case other => throw new UnsupportedOperationException(
         s"cow ALTER TABLE does not support $other: drops/renames are " +
           "breaking under carried files (rewrite via INSERT OVERWRITE " +
@@ -214,9 +255,12 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     }
     // keep = MaxValue: a metadata-only ALTER must not shrink history —
     // VERSION AS OF across the ALTER stays servable; retention remains
-    // governed by data commits and explicit VACUUM statements
-    CowTable.evolveSchema(spark, root, m.id + 1, schema,
-      keep = Int.MaxValue)
+    // governed by data commits and explicit VACUUM statements.
+    // Constraint-only ALTERs leave the schema var untouched (reference
+    // equality) and commit no manifest at all.
+    if (schema ne m.schema)
+      CowTable.evolveSchema(spark, root, m.id + 1, schema,
+        keep = Int.MaxValue)
     loadTable(ident)
   }
 
@@ -312,6 +356,20 @@ final case class CowNamedTable(
 
   override def partitioning(): Array[Transform] =
     manifest.partCols.map(Expressions.identity).toArray
+
+  /** The registered CHECK set, surfaced through the v2 metadata API
+    * (DESCRIBE and the analyzer see them). Always enforced + VALID:
+    * registration validated the then-current data and every commit
+    * since re-validated its writes.
+    */
+  override def constraints(): Array[Constraint] =
+    CowTable.checkConstraints(SparkSession.active, root)
+      .toSeq.sortBy(_._1).map { case (n, sql) =>
+        Constraint.check(n).predicateSql(sql)
+          .enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .build()
+      }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(

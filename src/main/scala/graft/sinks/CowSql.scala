@@ -3,9 +3,11 @@ package graft.sinks
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
-  LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  AddCheckConstraint, Assignment, DeleteAction, DeleteFromTable,
+  DropConstraint, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
   UpdateTable}
 import org.apache.spark.sql.functions.expr
 
@@ -131,6 +133,113 @@ object CowSql {
     case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
   }
 
+  /** Does this statement text carry one of the cow MAINTENANCE forms
+    * (OPTIMIZE / VACUUM / RESTORE over a `cow.` reference)? Spark's
+    * own grammar has none of them, so [[graft.plans.CowSqlParser]]
+    * asks BEFORE delegating — a non-cow text falls through to the
+    * stock parser's own error.
+    */
+  private[graft] def isMaintenance(sql: String): Boolean = sql match {
+    case OptimizeRe(_, _, _, _) | VacuumRe(_, _, _, _) |
+        VacuumHoursRe(_, _, _, _) | RestoreRe(_, _, _, _) => true
+    case _ => false
+  }
+
+  /** Is this parsed statement a DML whose TARGET is a cow reference
+    * (`` cow.`/path` `` or `cow.<ns>.<table>`)? Matched on the raw
+    * parse tree — resolution never runs, so a session without the cow
+    * catalog still routes (and fails loudly at the warehouse lookup,
+    * not with an analyzer "table not found").
+    */
+  private[graft] def isCowDml(plan: LogicalPlan): Boolean = plan match {
+    case DeleteFromTable(t, _) => isCowRef(t)
+    case UpdateTable(t, _, _) => isCowRef(t)
+    case m: MergeIntoTable => isCowRef(m.targetTable)
+    // constraint DDL routes here too: Spark's own AddCheckConstraint
+    // resolution scans the table through machinery that requires a
+    // session-catalog V1 relation (LogicalRelation.catalogTable.get in
+    // ResolveSessionCatalog), which a cow relation never carries — the
+    // pre-analysis route is the only one that composes
+    // AddCheckConstraint's child is the parser's validation scan
+    // (Filter(NOT cond, relation)) — dig to the leaf reference
+    case ac: AddCheckConstraint => leafRef(ac.child).exists(isCowRef)
+    case dc: DropConstraint => leafRef(dc.child).exists(isCowRef)
+    case _ => false
+  }
+
+  /** The statement target's leaf reference, under whatever the parser
+    * wrapped it in (AddCheckConstraint carries a Filter validation
+    * scan; DROP carries a bare UnresolvedTable).
+    */
+  private def leafRef(plan: LogicalPlan): Option[LogicalPlan] =
+    plan.collectFirst {
+      case r: UnresolvedRelation => r
+      case t: UnresolvedTable => t
+    }
+
+  private def isCowRef(plan: LogicalPlan): Boolean = plan match {
+    case SubqueryAlias(_, child) => isCowRef(child)
+    case r: UnresolvedRelation =>
+      r.multipartIdentifier.head.equalsIgnoreCase("cow")
+    case t: UnresolvedTable =>
+      t.multipartIdentifier.head.equalsIgnoreCase("cow")
+    case _ => false
+  }
+
+  private def targetOf(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, _) => t
+    case UpdateTable(t, _, _) => t
+    case m: MergeIntoTable => m.targetTable
+    case other => throw new IllegalArgumentException(
+      s"not a DML statement: ${other.getClass.getSimpleName}")
+  }
+
+  /** Execute one statement with the commit id ALLOCATED here — head+1
+    * at execution time, the same id discipline as the named catalog's
+    * INSERT path ([[graft.catalog.CowWrites]]) — so a SQL-string user
+    * never handles ids. VACUUM / RESTORE ignore ids by contract; DML
+    * and OPTIMIZE commit as head+1, and a concurrent writer taking
+    * the id first fails the statement LOUDLY (the commit paths return
+    * silently when superseded — for a fire-and-forget SQL statement
+    * that silence would be a lost write). A DML that matches zero
+    * rows commits nothing and leaves the head unchanged — not an
+    * error. `mode` defaults to [[Auto]]: the manifest's own byte
+    * count routes UPDATE / DELETE between COW rewrites and
+    * merge-on-read deletion vectors.
+    */
+  def execAuto(spark: SparkSession, sql: String, keep: Int = 2,
+      mode: DmlMode = Auto,
+      morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
+    case VacuumRe(_, _, _, _) | VacuumHoursRe(_, _, _, _) |
+        RestoreRe(_, _, _, _) =>
+      exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
+    case OptimizeRe(p, ns, t, _) =>
+      val root = refRoot(spark, p, ns, t)
+      exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
+        morThresholdBytes)
+    case _ =>
+      val plan = parser.parsePlan(sql)
+      plan match {
+        case _: AddCheckConstraint | _: DropConstraint =>
+          // constraint DDL commits no manifest — no id, no race window
+          // (the CHECK set publishes via its own atomic rename)
+          exec(spark, 0L, sql, keep, mode, morThresholdBytes)
+        case _ =>
+          val root = rootOf(spark, targetOf(plan))
+          val head = headOf(spark, root)
+          exec(spark, head + 1L, sql, keep, mode, morThresholdBytes)
+          val now =
+            CowTable.committedIds(spark, root).lastOption.getOrElse(0L)
+          require(now == head || now == head + 1L,
+            s"statement raced a concurrent commit at $root (head moved " +
+              s"$head -> $now) — retry: $sql")
+      }
+  }
+
+  private def headOf(spark: SparkSession, root: String): Long =
+    CowTable.currentManifest(spark, root).map(_.id).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+
   private def useMor(spark: SparkSession, root: String,
       mode: DmlMode, thresholdBytes: Long): Boolean = mode match {
     case Cow => false
@@ -139,9 +248,20 @@ object CowSql {
       .exists(_.files.map(_.bytes).sum > thresholdBytes)
   }
 
+  /** A stock SQL parser of our own: `execDml` CANNOT use the session's
+    * parser once [[graft.plans.CowSqlParser]] is installed — the
+    * session parser would hand the DML text straight back as a
+    * [[graft.plans.CowStatementCommand]] (infinite mutual recursion),
+    * not as the UPDATE/DELETE/MERGE AST this interpreter consumes.
+    * `SparkSqlParser` reads the active session's SQLConf thread-local,
+    * so dialect settings still apply.
+    */
+  private lazy val parser =
+    new org.apache.spark.sql.execution.SparkSqlParser()
+
   private def execDml(spark: SparkSession, id: Long, sql: String,
       keep: Int, mode: DmlMode, thresholdBytes: Long): Unit =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    parser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
         val root = rootOf(spark, table)
         if (useMor(spark, root, mode, thresholdBytes))
@@ -160,9 +280,33 @@ object CowSql {
           CowTable.updateWhere(spark, root, id, c, sets, keep = keep)
       case m: MergeIntoTable =>
         execMerge(spark, id, m, keep)
+      // constraint DDL: commits NO manifest (the CHECK set is table
+      // metadata beside the snapshots); ADD validates the current data
+      // in one scan (Delta's ADD CONSTRAINT semantics, inside
+      // setCheckConstraints), DROP is O(1) — a shrunk set cannot
+      // invalidate data every commit already passed
+      case ac: AddCheckConstraint =>
+        val root = rootOf(spark, leafRef(ac.child).getOrElse(ac.child))
+        val ck = ac.checkConstraint
+        require(!ck.userProvidedCharacteristic.enforced.contains(false),
+          s"CHECK ${ck.name} NOT ENFORCED: cow constraints are real " +
+            "invariants (every commit validates) — an unenforced " +
+            "claim would be a lie to downstream readers")
+        val cur = CowTable.checkConstraints(spark, root)
+        require(!cur.contains(ck.name),
+          s"constraint ${ck.name} already exists at $root (DROP it first)")
+        CowTable.setCheckConstraints(spark, root,
+          cur + (ck.name -> ck.condition))
+      case dc: DropConstraint =>
+        val root = rootOf(spark, leafRef(dc.child).getOrElse(dc.child))
+        val cur = CowTable.checkConstraints(spark, root)
+        if (cur.contains(dc.name))
+          CowTable.setCheckConstraints(spark, root, cur - dc.name,
+            validate = false)
+        else require(dc.ifExists, s"no constraint ${dc.name} at $root")
       case other => throw new IllegalArgumentException(
-        s"CowSql executes UPDATE / DELETE FROM / MERGE INTO; got " +
-          s"${other.getClass.getSimpleName}")
+        s"CowSql executes UPDATE / DELETE FROM / MERGE INTO / " +
+          s"ADD|DROP CONSTRAINT; got ${other.getClass.getSimpleName}")
     }
 
   private def setOf(a: Assignment): (String, org.apache.spark.sql.Column) =
@@ -185,16 +329,22 @@ object CowSql {
       case SubqueryAlias(_, child) => rootOf(spark, child)
       case r: UnresolvedRelation
           if r.multipartIdentifier.head.equalsIgnoreCase("cow") =>
-        r.multipartIdentifier match {
-          case Seq(_, path) if path.startsWith("/") => path
-          case Seq(_, ns, table) => s"${warehouseOf(spark)}/$ns/$table"
-          case parts => throw new IllegalArgumentException(
-            "cow references are cow.`<absolute path>` or " +
-              s"cow.<ns>.<table>, got ${parts.mkString(".")}")
-        }
+        rootOfParts(spark, r.multipartIdentifier)
+      case t: UnresolvedTable // ALTER forms parse the target as a table
+          if t.multipartIdentifier.head.equalsIgnoreCase("cow") =>
+        rootOfParts(spark, t.multipartIdentifier)
       case other => throw new IllegalArgumentException(
         "table reference must be cow.`<table root path>` or " +
           s"cow.<ns>.<table>, got ${other.getClass.getSimpleName}")
+    }
+
+  private def rootOfParts(spark: SparkSession, parts: Seq[String]): String =
+    parts match {
+      case Seq(_, path) if path.startsWith("/") => path
+      case Seq(_, ns, table) => s"${warehouseOf(spark)}/$ns/$table"
+      case _ => throw new IllegalArgumentException(
+        "cow references are cow.`<absolute path>` or " +
+          s"cow.<ns>.<table>, got ${parts.mkString(".")}")
     }
 
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {

@@ -621,8 +621,13 @@ object CowTable {
     * the constraint.
     */
   def setCheckConstraints(
-      spark: SparkSession, root: String, checks: Map[String, String]): Unit = {
-    currentManifest(spark, root).foreach { m =>
+      spark: SparkSession, root: String, checks: Map[String, String],
+      validate: Boolean = true): Unit = {
+    // validate=false is ONLY for callers that can prove the new set is
+    // implied by the old one (a pure DROP CONSTRAINT: shrinking the set
+    // cannot invalidate data every commit already passed) — it skips
+    // the one full-table scan, not the per-commit enforcement
+    if (validate) currentManifest(spark, root).foreach { m =>
       enforceChecks(readSnapshot(spark, root, m), checks,
         s"existing data at $root refuses the new constraint set")
     }
