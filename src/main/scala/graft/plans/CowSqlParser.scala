@@ -55,7 +55,10 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   private def route(sqlText: String): Option[LogicalPlan] =
     if (CowSql.isMaintenance(sqlText))
       Some(CowStatementCommand(sqlText))
-    else None
+    else CowSql.describeHistoryRef(sqlText)
+      .map(r => CowDescribeHistoryCommand(r._1, r._2, r._3): LogicalPlan)
+      .orElse(CowSql.showPartitionsRef(sqlText)
+        .map(r => CowShowPartitionsCommand(r._1, r._2, r._3)))
 
   private def routed(sqlText: String, parsed: => LogicalPlan): LogicalPlan =
     route(sqlText).getOrElse {
@@ -102,6 +105,55 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   * routing and retention come from [[graft.sinks.CowSql.execAuto]] +
   * the session confs documented on [[CowSqlParser]].
   */
+/** `DESCRIBE HISTORY cow.<ref>` — the table's commit log from the
+  * manifests alone (no data file opens): per-snapshot file/row/byte
+  * totals and the file-level delta against the previous snapshot.
+  */
+final case class CowDescribeHistoryCommand(
+    path: String, ns: String, table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("snapshot_id", "data_files", "tombstone_files", "dv_files",
+      "n_rows", "bytes", "files_added", "files_removed").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = CowSql.refRoot(session, path, ns, table)
+    graft.sinks.CowTable.history(session, root)
+      .orderBy("snapshot_id").collect().toSeq
+  }
+}
+
+/** `SHOW PARTITIONS cow.<ref>` — answered from the manifest (it IS
+  * the partition listing; Spark's own statement would demand a
+  * partition-management API). Hive-style `col=value/...` rows, the
+  * stock output shape.
+  */
+final case class CowShowPartitionsCommand(
+    path: String, ns: String, table: String) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "partition", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sinks.CowTable
+    val root = CowSql.refRoot(session, path, ns, table)
+    val m = CowTable.currentManifest(session, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.partCols.nonEmpty,
+      s"SHOW PARTITIONS: table at $root is not partitioned")
+    m.files.map(f => m.partCols.map(c =>
+        s"$c=${f.part.getOrElse(c, null) match {
+          case null => "__HIVE_DEFAULT_PARTITION__"
+          case v => v
+        }}").mkString("/"))
+      .distinct.sorted.map(Row(_))
+  }
+}
+
 final case class CowStatementCommand(sqlText: String)
     extends LeafRunnableCommand {
 

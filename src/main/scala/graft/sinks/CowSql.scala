@@ -64,6 +64,31 @@ object CowSql {
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+SNAPSHOT\\s+(\\d+)\\s*""".r
+  // metadata QUERY statements (produce rows, not commits): Delta's
+  // DESCRIBE HISTORY surface, and SHOW PARTITIONS answered from the
+  // manifest alone (Spark's own SHOW PARTITIONS needs a partition-
+  // management API; the manifest already IS the partition listing)
+  private val DescribeHistoryRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*""".r
+  private val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*""".r
+
+  /** `(path, ns, table)` of a DESCRIBE HISTORY statement over a cow
+    * reference, if that is what `sql` is (resolve with [[refRoot]] at
+    * run time — the warehouse is session state).
+    */
+  private[graft] def describeHistoryRef(
+      sql: String): Option[(String, String, String)] = sql match {
+    case DescribeHistoryRe(p, ns, t) => Some((p, ns, t))
+    case _ => None
+  }
+
+  /** Same for SHOW PARTITIONS over a cow reference. */
+  private[graft] def showPartitionsRef(
+      sql: String): Option[(String, String, String)] = sql match {
+    case ShowPartitionsRe(p, ns, t) => Some((p, ns, t))
+    case _ => None
+  }
 
   /** The warehouse dir of the registered `cow` catalog — named
     * references resolve against it exactly as [[graft.catalog
@@ -79,7 +104,7 @@ object CowSql {
     w
   }
 
-  private def refRoot(spark: SparkSession, path: String, ns: String,
+  private[graft] def refRoot(spark: SparkSession, path: String, ns: String,
       table: String): String =
     if (path != null) path else s"${warehouseOf(spark)}/$ns/$table"
 
