@@ -259,8 +259,13 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     // Constraint-only ALTERs leave the schema var untouched (reference
     // equality) and commit no manifest at all.
     if (schema ne m.schema)
-      CowTable.evolveSchema(spark, root, m.id + 1, schema,
-        keep = Int.MaxValue)
+      // ownership check, not existence: a false return means a
+      // concurrent commit took id m.id+1 first — surfacing it beats
+      // returning an unevolved table as if the ALTER had applied
+      require(CowTable.evolveSchema(spark, root, m.id + 1, schema,
+          keep = Int.MaxValue),
+        s"ALTER TABLE ${displayName(ident)} raced a concurrent commit " +
+          s"(id ${m.id + 1} was taken) — retry the statement")
     loadTable(ident)
   }
 
@@ -465,15 +470,17 @@ private[graft] object CowWrites {
   }
 
   private def withCommit(data: DataFrame, root: String,
-      base: CowManifest)(body: (Seq[String], Long) => Unit): Unit = {
+      base: CowManifest)(body: (Seq[String], Long) => Boolean): Unit = {
     val spark = data.sparkSession
     val cur = CowTable.currentManifest(spark, root)
     val partCols = cur.map(_.partCols).getOrElse(base.partCols)
     val id = cur.map(_.id).getOrElse(0L) + 1L
-    body(partCols, id)
-    // the commit paths return silently when superseded (crash-replay
-    // guard); for a SQL write that silence would be lost rows
-    require(CowTable.committedIds(spark, root).contains(id),
+    // the commit paths report OWNERSHIP: false means the pre-lease
+    // replay guard fired on a CONCURRENT writer's commit of this same
+    // id. The previous committedIds.contains(id) check here was
+    // satisfied by the other writer's commit too — which silently
+    // dropped this INSERT's rows on exactly that interleaving.
+    require(body(partCols, id),
       s"INSERT commit $id at $root was superseded by a concurrent " +
         "commit — retry the statement")
   }

@@ -142,19 +142,23 @@ object CowSql {
     */
   def exec(spark: SparkSession, id: Long, sql: String,
       keep: Int = 2, mode: DmlMode = Cow,
-      morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
+      morThresholdBytes: Long = 128L * 1024 * 1024): Boolean = sql match {
     case OptimizeRe(p, ns, t, cols) =>
       CowTable.optimizeZorder(spark, refRoot(spark, p, ns, t), id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
+      true // a superseded/no-op OPTIMIZE loses no data — content-neutral
     case VacuumRe(p, ns, t, n) =>
       CowTable.vacuum(spark, refRoot(spark, p, ns, t), keep = n.toInt)
+      true
     case VacuumHoursRe(p, ns, t, h) =>
       CowTable.vacuumOlderThan(spark, refRoot(spark, p, ns, t),
         h.toLong * 3600000L)
+      true
     case RestoreRe(p, ns, t, toId) =>
       CowTable.restore(spark, refRoot(spark, p, ns, t), toId.toLong,
-        keep = keep)
+        keep = keep) // throws on race (its own lease + based-on check)
+      true
     case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
   }
 
@@ -252,12 +256,16 @@ object CowSql {
         case _ =>
           val root = rootOf(spark, targetOf(plan))
           val head = headOf(spark, root)
-          exec(spark, head + 1L, sql, keep, mode, morThresholdBytes)
-          val now =
-            CowTable.committedIds(spark, root).lastOption.getOrElse(0L)
-          require(now == head || now == head + 1L,
-            s"statement raced a concurrent commit at $root (head moved " +
-              s"$head -> $now) — retry: $sql")
+          // ownership, not head-movement: the old `now == head+1` check
+          // was satisfied by a CONCURRENT writer committing head+1 in
+          // the window between headOf and the lease — this statement's
+          // silent no-op then read as success (lost write). The commit
+          // paths now report whether THIS call published (or benignly
+          // matched nothing); false is always a lost race.
+          require(exec(spark, head + 1L, sql, keep, mode,
+              morThresholdBytes),
+            s"statement raced a concurrent commit at $root (id " +
+              s"${head + 1L} was taken by another writer) — retry: $sql")
       }
   }
 
@@ -285,7 +293,7 @@ object CowSql {
     new org.apache.spark.sql.execution.SparkSqlParser()
 
   private def execDml(spark: SparkSession, id: Long, sql: String,
-      keep: Int, mode: DmlMode, thresholdBytes: Long): Unit =
+      keep: Int, mode: DmlMode, thresholdBytes: Long): Boolean =
     parser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
         val root = rootOf(spark, table)
@@ -322,6 +330,7 @@ object CowSql {
           s"constraint ${ck.name} already exists at $root (DROP it first)")
         CowTable.setCheckConstraints(spark, root,
           cur + (ck.name -> ck.condition))
+        true // the CHECK set publishes via its own atomic rename
       case dc: DropConstraint =>
         val root = rootOf(spark, leafRef(dc.child).getOrElse(dc.child))
         val cur = CowTable.checkConstraints(spark, root)
@@ -329,6 +338,7 @@ object CowSql {
           CowTable.setCheckConstraints(spark, root, cur - dc.name,
             validate = false)
         else require(dc.ifExists, s"no constraint ${dc.name} at $root")
+        true
       case other => throw new IllegalArgumentException(
         s"CowSql executes UPDATE / DELETE FROM / MERGE INTO / " +
           s"ADD|DROP CONSTRAINT; got ${other.getClass.getSimpleName}")
@@ -379,7 +389,7 @@ object CowSql {
 
   private def execMerge(
       spark: SparkSession, id: Long, m: MergeIntoTable,
-      keep: Int): Unit = {
+      keep: Int): Boolean = {
     val root = rootOf(spark, m.targetTable)
     require(aliasOf(m.targetTable).contains("t"),
       "MERGE INTO cow.`…` AS t — the target alias must be `t` (the " +

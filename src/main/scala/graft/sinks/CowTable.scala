@@ -538,14 +538,16 @@ object CowTable {
     * The next data commit's own [[effSchemaOf]] run then unions any
     * narrower batch into this schema as usual. Subsequent snapshots
     * time-travel: `VERSION AS OF` a pre-ALTER id serves the old
-    * schema. Returns without consuming `id` when already superseded
-    * (crash-replay guard, same as every commit path).
+    * schema. Returns false without consuming `id` when already
+    * superseded (crash-replay guard, same as every commit path — see
+    * the ownership contract on [[commitPartitions]]); true when the
+    * evolution is in the table, including the no-op-ALTER case.
     */
   def evolveSchema(
       spark: SparkSession, root: String, id: Long,
-      newSchema: StructType, keep: Int = 2): Unit = {
+      newSchema: StructType, keep: Int = 2): Boolean = {
     require(keep >= 1, "must keep at least the current snapshot")
-    if (committedIds(spark, root).exists(_ >= id)) return
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     m.schema.fieldNames.foreach(c =>
@@ -559,20 +561,21 @@ object CowTable {
           "no values for it, so existing rows read it as NULL"))
     val eff = effSchemaOf(Some(m), newSchema)
     validateEvolution(m, eff, m.partCols)
-    if (eff.toDDL == m.schemaDdl) return // no-op ALTER — id unconsumed
+    if (eff.toDDL == m.schemaDdl) return true // no-op ALTER — id unconsumed
     val unsafe = bloomUnsafeCols(m, eff)
     val files = m.allFiles.map(f => f.copy(
       blooms = f.blooms -- unsafe,
       mins = f.mins -- unsafe, maxs = f.maxs -- unsafe))
     acquireCommitLock(spark, root, id)
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       commitManifest(spark, root, id, Some(m.id), None) {
         writeManifest(spark, root, id, m.partCols, eff.toDDL, files)
       }
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, Map(
       id -> files.map(_.path), m.id -> m.allFiles.map(_.path)))
+    true
   }
 
   // -------------------------------------------------------------------
@@ -1993,6 +1996,20 @@ object CowTable {
     * commit's verification passes — the write-time feed [[changeFeed]]
     * then serves without diffing snapshots. Cost: one delta-sized join
     * over the touched partitions, outside every lock.
+    *
+    * OWNERSHIP CONTRACT (every commit/DML entry point shares it):
+    * returns TRUE when this call's effect is in the table — a
+    * published manifest, or a benign no-op (zero rows matched, no-op
+    * ALTER); returns FALSE only when the superseded guard fired, i.e.
+    * a commit with this id or higher was already published by SOMEONE
+    * ELSE before this call reached its lease. An explicit-id replayer
+    * (streaming batchId) treats false as the exactly-once skip it is;
+    * an id AUTO-ALLOCATOR (head+1 — the named catalog's INSERT, the
+    * textual DML executor) must treat false as a lost race and fail or
+    * retry: its data is NOT in the table, and checking
+    * `committedIds.contains(id)` instead would be satisfied by the
+    * racing writer's commit (the silent-lost-write hole this contract
+    * closes).
     */
   def commitPartitions(
       rewrite: DataFrame,
@@ -2004,7 +2021,7 @@ object CowTable {
       sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
-      split: Option[(String, Int)] = None): Unit =
+      split: Option[(String, Int)] = None): Boolean =
     commitPartitionsFrom(currentManifest(rewrite.sparkSession, root),
       rewrite, touched, root, id, partCols, keep, sortCols, bloomCols,
       changeLogKeys, split)
@@ -2034,7 +2051,7 @@ object CowTable {
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
       split: Option[(String, Int)] = None,
-      relayout: Boolean = false): Unit = {
+      relayout: Boolean = false): Boolean = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = rewrite.sparkSession
     // the split column (see writeBatch) is routing-only — the table's
@@ -2047,7 +2064,7 @@ object CowTable {
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
-    if (prev.exists(_.id >= id)) return
+    if (prev.exists(_.id >= id)) return false
     // CHECK constraints: one batch-sized pass, outside every lock
     enforceChecks(payload, checkConstraints(spark, root),
       s"commit $id at $root")
@@ -2070,7 +2087,7 @@ object CowTable {
       // guard. Only the ID matters, so this is a pure FS listing
       // (committedIds), not a manifest read — keeping a Spark job out
       // of every commit
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val batchDir = s"$root/$BatchPrefix$id"
       writeBatch(rewrite, batchDir, partCols, sortCols, split)
       // bloom columns INHERIT from the previous snapshot when the caller
@@ -2123,6 +2140,7 @@ object CowTable {
         prev.map(p => p.id -> p.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** The shared critical section every commit path ends with: under
@@ -2284,11 +2302,11 @@ object CowTable {
       sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
-      changeLogRequired: Boolean = false): Unit = {
+      changeLogRequired: Boolean = false): Boolean = {
     require(keep >= 1, "must keep at least the current snapshot")
     val spark = batch.sparkSession
     val prev = currentManifest(spark, root)
-    if (prev.exists(_.id >= id)) return
+    if (prev.exists(_.id >= id)) return false
     prev match {
       case None =>
         // first commit: an append to nothing is the initial snapshot
@@ -2302,7 +2320,7 @@ object CowTable {
         var vacuumKnown: Map[Long, Seq[String]] = Map.empty
         acquireCommitLock(spark, root, id)
         try {
-          if (committedIds(spark, root).exists(_ >= id)) return // ID-only recheck: FS listing, no Spark job
+          if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
           val batchDir = s"$root/$BatchPrefix$id"
           writeBatch(batch, batchDir, partCols, sortCols)
           val effBloomCols =
@@ -2331,6 +2349,7 @@ object CowTable {
             p.id -> p.allFiles.map(_.path))
         } finally releaseCommitLock(spark, root, id)
         vacuum(spark, root, keep, vacuumKnown)
+        true
     }
   }
 
@@ -2634,7 +2653,7 @@ object CowTable {
       df: DataFrame, root: String, id: Long, partCols: Seq[String],
       keep: Int = 2, sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
+      changeLogKeys: Seq[String] = Nil): Boolean = {
     val base = currentManifest(df.sparkSession, root)
     val allTouched = base
       .map(p => p.allFiles.map(p.partKeyOf).toSet).getOrElse(Set.empty)
@@ -2661,7 +2680,7 @@ object CowTable {
       newPartCols: Seq[String],
       keep: Int = 2, sortCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
+      changeLogKeys: Seq[String] = Nil): Boolean = {
     val df = read(spark, root).getOrElse(throw new IllegalStateException(
       s"no committed snapshot at $root"))
     commitFull(df, root, id, newPartCols, keep, sortCols, bloomCols,
@@ -2716,8 +2735,8 @@ object CowTable {
       versionCol: Option[String] = None,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val touched = touchedKeys(delta, partCols)
     val outCols = delta.columns.toSeq.filterNot(versionCol.contains)
     val base = currentManifest(spark, root)
@@ -2760,13 +2779,13 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val candidates =
       if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-    if (candidates.isEmpty) return // nothing can match — id unconsumed
+    if (candidates.isEmpty) return true // nothing can match — id unconsumed
     // partitions that actually hold matching rows (candidate-scan only;
     // values cast to string IN-ENGINE so they match the manifest's own
     // cast-to-string partition representation exactly)
@@ -2778,7 +2797,7 @@ object CowTable {
         m.partCols.zipWithIndex.map { case (c, i) =>
           c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
       .toSet
-    if (hit.isEmpty) return
+    if (hit.isEmpty) return true
     val rewrite = resolved(spark, root, m,
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
       .where(!coalesce(cond, lit(false)))
@@ -2866,8 +2885,8 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -2877,7 +2896,7 @@ object CowTable {
       s"UPDATE SET must not assign partition column '$p'"))
     val candidates =
       if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-    if (candidates.isEmpty) return // nothing can match — id unconsumed
+    if (candidates.isEmpty) return true // nothing can match — id unconsumed
     val hit = resolved(spark, root, m, candidates, prune)
       .where(cond)
       .select(m.partCols.map(c => col(c).cast("string")): _*)
@@ -2886,7 +2905,7 @@ object CowTable {
         m.partCols.zipWithIndex.map { case (c, i) =>
           c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
       .toSet
-    if (hit.isEmpty) return
+    if (hit.isEmpty) return true
     val applies = coalesce(cond, lit(false))
     // guarded casts: mistyped assignments fail loud (statically or with
     // the offending value), never as silent NULLs — see
@@ -2939,8 +2958,8 @@ object CowTable {
       set: Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLogKeys: Seq[String] = Nil): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -2953,10 +2972,10 @@ object CowTable {
     acquireCommitLock(spark, root, id)
     lockHeld = true
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val candidates =
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-      if (candidates.isEmpty) return
+      if (candidates.isEmpty) return true
       val fields = m.schema.fields.toSeq
       // same loud-failure guard as the COW twin (see checkedAssignments)
       // — evaluated only on matched rows (`matches` below is already
@@ -3008,9 +3027,8 @@ object CowTable {
         releaseCommitLock(spark, root, id)
         lockHeld = false // the finally must not delete a lease a
                          // concurrent same-id writer may re-acquire
-        updateWhere(spark, root, id, cond, set, prune, keep,
+        return updateWhere(spark, root, id, cond, set, prune, keep,
           changeLogKeys = changeLogKeys)
-        return
       }
       // CHECK constraints bind the NEW images exactly as they bind the
       // COW twin's rewritten rows (commitPartitionsFrom enforces there)
@@ -3033,7 +3051,7 @@ object CowTable {
         m.partCols).map(_.copy(kind = KindTombstone))
       if (freshData.isEmpty && freshTombs.isEmpty) {
         hfs(spark, root).delete(new Path(batchDir), true)
-        return // nothing changed — id unconsumed
+        return true // nothing changed — id unconsumed
       }
       val stagedLog =
         if (changeLogKeys.isEmpty) None
@@ -3060,6 +3078,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally if (lockHeld) releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** PREDICATE UPDATE with POSITIONAL deletion vectors — the update
@@ -3102,8 +3121,8 @@ object CowTable {
       set: Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLogKeys: Seq[String] = Nil): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLogKeys: Seq[String] = Nil): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -3119,10 +3138,10 @@ object CowTable {
     acquireCommitLock(spark, root, id)
     lockHeld = true
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val candidates =
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-      if (candidates.isEmpty) return
+      if (candidates.isEmpty) return true
       val fields = m.schema.fields.toSeq
       val setChecked = checkedAssignments(spark, m, set)
       val matches = visibleWithPos(spark, root, m, candidates, prune)
@@ -3148,9 +3167,8 @@ object CowTable {
       if (tombCollides) {
         releaseCommitLock(spark, root, id)
         lockHeld = false // a concurrent same-id writer may re-acquire
-        updateWhere(spark, root, id, cond, set, prune, keep,
+        return updateWhere(spark, root, id, cond, set, prune, keep,
           changeLogKeys = changeLogKeys)
-        return
       }
       // same enforcement as the COW twin and updateWhereMor
       enforceChecks(ni, checkConstraints(spark, root),
@@ -3164,7 +3182,7 @@ object CowTable {
         m.partCols, effBloomCols)
       if (freshData.isEmpty && freshDv.isEmpty) {
         hfs(spark, root).delete(new Path(batchDir), true)
-        return // nothing changed — id unconsumed
+        return true // nothing changed — id unconsumed
       }
       val stagedLog =
         if (changeLogKeys.isEmpty) None
@@ -3191,6 +3209,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally if (lockHeld) releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** COPY-ON-WRITE multi-clause MERGE: [[graft.operators.MergeInto]]
@@ -3219,9 +3238,9 @@ object CowTable {
       clauses: Seq[graft.operators.MergeClause],
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Unit = {
+      changeLogKeys: Seq[String] = Nil): Boolean = {
     import graft.operators.{NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
-    if (committedIds(spark, root).exists(_ >= id)) return
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val sets = clauses.collect {
       case u: graft.operators.MatchedUpdate => u.set.keySet
       case u: NotMatchedBySourceUpdate => u.set.keySet
@@ -3275,8 +3294,8 @@ object CowTable {
       versionCol: Option[String] = None,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val touched = touchedKeys(batch, partCols)
     val outCols = batch.columns.toSeq
       .filterNot(c => c == operCol || versionCol.contains(c))
@@ -3342,8 +3361,8 @@ object CowTable {
       effCol: String,
       operCol: String = "oper",
       keep: Int = 2,
-      sortCols: Seq[String] = Nil): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      sortCols: Seq[String] = Nil): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val touched = touchedKeys(changes, partCols)
     val baseM = currentManifest(spark, root)
     val base = baseM match {
@@ -3378,8 +3397,8 @@ object CowTable {
       partCols: Seq[String],
       effCol: String,
       operCol: String = "oper",
-      keep: Int = 2): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      keep: Int = 2): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     val touched = touchedKeys(corrections, partCols)
@@ -3487,8 +3506,8 @@ object CowTable {
       keyCols: Seq[String],
       partCols: Seq[String],
       keep: Int = 2,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     require(m.partCols == partCols,
@@ -3499,7 +3518,7 @@ object CowTable {
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     acquireCommitLock(spark, root, id)
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return // ID-only recheck: FS listing, no Spark job
+      if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
       val tombSchema = StructType(cols.map(c => m.schema(c)))
       val tombDir = s"$root/$BatchPrefix$id/__tomb"
       val distinctKeys = keys.select(cols.map(col): _*).distinct()
@@ -3537,6 +3556,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** KEYED delete as POSITIONAL deletion vectors — the positional
@@ -3571,8 +3591,8 @@ object CowTable {
       keyCols: Seq[String],
       partCols: Seq[String],
       keep: Int = 2,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     require(m.partCols == partCols,
@@ -3586,10 +3606,10 @@ object CowTable {
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     acquireCommitLock(spark, root, id)
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val touched = touchedKeys(keys, partCols)
       val candidates = m.files.filter(f => touched.contains(m.partKeyOf(f)))
-      if (candidates.isEmpty) return // no partition can match — id unconsumed
+      if (candidates.isEmpty) return true // no partition can match — id unconsumed
       val visible = visibleWithPos(spark, root, m, candidates, Nil)
       val k = broadcast(keys.select(keyCols.map(col): _*).distinct())
       val matched0 = visible.join(k,
@@ -3598,7 +3618,7 @@ object CowTable {
       val fresh = writeDvSidecar(spark, root, m, id, matched)
       if (fresh.isEmpty) {
         hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
-        return // no row matched — id unconsumed
+        return true // no row matched — id unconsumed
       }
       val stagedLog =
         if (!changeLog) None
@@ -3620,6 +3640,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** PREDICATE MERGE-ON-READ delete — deletion-vector economics for
@@ -3655,17 +3676,17 @@ object CowTable {
       cond: Column,
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     acquireCommitLock(spark, root, id)
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val candidates =
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-      if (candidates.isEmpty) return // nothing can match — id unconsumed
+      if (candidates.isEmpty) return true // nothing can match — id unconsumed
       val matches = resolved(spark, root, m, candidates, prune).where(cond)
       val tombDir = s"$root/$BatchPrefix$id/__tomb"
       writeBatch(matches, tombDir, m.partCols, Nil)
@@ -3675,7 +3696,7 @@ object CowTable {
         // no row matched: leave no uncommitted batch dir behind and
         // return with the id unconsumed, like deleteWhere's empty case
         hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
-        return
+        return true
       }
       val stagedLog =
         if (!changeLog) None
@@ -3704,6 +3725,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   private val DvFpCol = "__dv_fp"
@@ -3807,8 +3829,8 @@ object CowTable {
       cond: Column,
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLog: Boolean = false): Unit = {
-    if (committedIds(spark, root).exists(_ >= id)) return
+      changeLog: Boolean = false): Boolean = {
+    if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     // sidecar columns ride next to the partition columns in the DV
@@ -3819,10 +3841,10 @@ object CowTable {
     var vacuumKnown: Map[Long, Seq[String]] = Map.empty
     acquireCommitLock(spark, root, id)
     try {
-      if (committedIds(spark, root).exists(_ >= id)) return
+      if (committedIds(spark, root).exists(_ >= id)) return false
       val candidates =
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
-      if (candidates.isEmpty) return // nothing can match — id unconsumed
+      if (candidates.isEmpty) return true // nothing can match — id unconsumed
       val visible = visibleWithPos(spark, root, m, candidates, prune)
       val matched0 = visible.where(coalesce(cond, lit(false)))
       // two consumers when a changelog is kept (the DV aggregation and
@@ -3831,7 +3853,7 @@ object CowTable {
       val fresh = writeDvSidecar(spark, root, m, id, matched)
       if (fresh.isEmpty) {
         hfs(spark, root).delete(new Path(s"$root/$BatchPrefix$id"), true)
-        return // no row matched — id unconsumed
+        return true // no row matched — id unconsumed
       }
       val stagedLog =
         if (!changeLog) None
@@ -3856,6 +3878,7 @@ object CowTable {
         m.id -> m.allFiles.map(_.path))
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, vacuumKnown)
+    true
   }
 
   /** Retire all outstanding tombstones AND positional deletion vectors
