@@ -898,14 +898,22 @@ object CowTable {
     subtractTombstones(spark, root, masked, tombs)
   }
 
-  /** Apply positional deletion vectors as a SCAN-STAGE mask: load the
-    * sidecars' (file, positions) entries (delete-batch-sized — one
-    * row per referenced file), broadcast them as per-file sorted
-    * arrays, and filter with [[graft.functions.DvDeletedExpr]] on the
-    * scan's own `_metadata` columns. The read-time cost is a codegen'd
-    * per-row binary search — no anti-join, no build/probe, no shuffle;
+  /** Apply positional deletion vectors as a SCAN-STAGE mask: filter
+    * with [[graft.functions.DvDeletedExpr]] on the scan's own
+    * `_metadata` columns. The read-time cost is a codegen'd per-row
+    * binary search — no anti-join, no build/probe, no shuffle;
     * contrast [[subtractTombstones]]'s O(tombstones ⋈ data) row-
     * equality join, which full-row tombstones cannot avoid.
+    *
+    * The DRIVER'S part here is metadata-only: it hands the expression
+    * the sidecar PATHS (one manifest entry per DV commit per touched
+    * partition), the canonical root and the session Hadoop conf —
+    * never a position. Each EXECUTOR loads the delete-batch-sized
+    * sidecars itself on first use ([[graft.functions.DvSidecars]],
+    * cached per snapshot per JVM), so a 100 TB table's delete debt
+    * flows storage→executors directly instead of through a driver
+    * collect + global broadcast, whose heap and egress were the
+    * previous scale ceiling.
     *
     * `fpCol`/`posCol` are passed in because callers that need the
     * position AFTER other operators (the DV writer itself) must
@@ -919,29 +927,22 @@ object CowTable {
       spark: SparkSession, root: String, df: DataFrame,
       fpCol: Column, posCol: Column, dvFiles: Seq[CowFile]): DataFrame = {
     if (dvFiles.isEmpty) return df
-    val raw = spark.read
-      .parquet(dvFiles.map(f => s"$root/${f.path}"): _*)
-      .select(col("path"), col("positions"))
-      .collect()
     val fs = hfs(spark, root)
-    // map keys in the SAME canonical form the mask derives from
-    // _metadata.file_path at runtime (decoded scheme-less absolute)
-    def absKey(rel: String): String =
-      graft.functions.DvDeletedExpr.normalize(
-        fs.makeQualified(new Path(s"$root/$rel")).toUri.toString)
-    val grouped: Map[String, Array[Long]] = raw.toSeq
-      .groupBy(_.getString(0))
-      .map { case (rel, rows) =>
-        // distinct: two DV commits can never double-mark a position
-        // (each delete scans the MASKED state), but merging defensively
-        // costs one delta-sized sort
-        absKey(rel) ->
-          rows.flatMap(_.getSeq[Long](1)).distinct.sorted.toArray
-      }
-    val bc = spark.sparkContext.broadcast(grouped)
+    // the canonical decoded root — map keys are rootKey + "/" + the
+    // sidecars' stored LITERAL relative paths, the same form the mask
+    // derives from _metadata.file_path at runtime
+    val rootKey = graft.functions.DvDeletedExpr.normalize(
+      fs.makeQualified(new Path(root)).toUri.toString)
+    val uri = fs.makeQualified(new Path(root)).toUri
+    // literal absolute sidecar paths; the executor re-escapes via the
+    // multi-arg URI ctor (hive-escaped partition dirs, space values)
+    val sidecars = dvFiles.map(f => s"$rootKey/${f.path}").sorted
     import org.apache.spark.sql.graftbridge.Bridge
     df.where(!Bridge.column(graft.functions.DvDeletedExpr(
-      Bridge.expression(fpCol), Bridge.expression(posCol), bc)))
+      Bridge.expression(fpCol), Bridge.expression(posCol),
+      rootKey, sidecars, uri.getScheme, uri.getAuthority,
+      new graft.functions.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf()))))
   }
 
   /** Subtract tombstone rows from `df` — NULL-SAFE equality on every
