@@ -53,25 +53,48 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private def route(sqlText: String): Option[LogicalPlan] =
-    if (CowSql.isMaintenance(sqlText))
+    if (CowSql.isMaintenance(session, sqlText))
       Some(CowStatementCommand(sqlText))
-    else CowSql.describeHistoryRef(sqlText)
-      .map(r => CowDescribeHistoryCommand(r._1, r._2, r._3): LogicalPlan)
-      .orElse(CowSql.showPartitionsRef(sqlText)
-        .map(r => CowShowPartitionsCommand(r._1, r._2, r._3)))
+    else CowSql.describeHistoryRef(session, sqlText)
+      .map(r =>
+        CowDescribeHistoryCommand(r._1, r._2, r._3, r._4): LogicalPlan)
+      .orElse(CowSql.showPartitionsRef(session, sqlText)
+        .map(r => CowShowPartitionsCommand(r._1, r._2, r._3, r._4)))
 
-  private def routed(sqlText: String, parsed: => LogicalPlan): LogicalPlan =
+  private def routed(sqlText: String, parsed: => LogicalPlan,
+      hasParams: Boolean = false): LogicalPlan =
     route(sqlText).getOrElse {
       val plan = parsed
-      if (CowSql.isCowDml(plan)) CowStatementCommand(sqlText) else plan
+      if (CowSql.isCowDml(session, plan)) {
+        // the routed command re-parses the TEXT at execution — bind
+        // markers would reach the interpreter unbound, or (when the
+        // delegate wraps the DML for later analyzer binding) miss the
+        // route entirely and die on the analyzer's unsupported-v2-DML
+        // error. Refuse up front with the actionable message instead.
+        if (hasParams) throw new UnsupportedOperationException(
+          "parameterized SQL against a cow table is not supported for " +
+            "UPDATE/DELETE/MERGE — inline the values into the " +
+            "statement text, or use the CowTable DataFrame DML API")
+        CowStatementCommand(sqlText)
+      } else plan
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     routed(sqlText, delegate.parsePlan(sqlText))
 
   override def parsePlanWithParameters(
-      sqlText: String, context: ParameterContext): LogicalPlan =
-    routed(sqlText, delegate.parsePlanWithParameters(sqlText, context))
+      sqlText: String, context: ParameterContext): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.parser.{HybridParameterContext,
+      NamedParameterContext, PositionalParameterContext}
+    val hasParams = context match {
+      case NamedParameterContext(m) => m.nonEmpty
+      case PositionalParameterContext(ps) => ps.nonEmpty
+      case HybridParameterContext(ps, ns) => ps.nonEmpty || ns.nonEmpty
+      case _ => true // unknown carrier — refuse rather than drop bindings
+    }
+    routed(sqlText, delegate.parsePlanWithParameters(sqlText, context),
+      hasParams)
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -110,7 +133,8 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   * totals and the file-level delta against the previous snapshot.
   */
 final case class CowDescribeHistoryCommand(
-    path: String, ns: String, table: String) extends LeafRunnableCommand {
+    cat: String, path: String, ns: String,
+    table: String) extends LeafRunnableCommand {
 
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq("snapshot_id", "data_files", "tombstone_files", "dv_files",
@@ -119,7 +143,7 @@ final case class CowDescribeHistoryCommand(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val root = CowSql.refRoot(session, path, ns, table)
+    val root = CowSql.refRoot(session, cat, path, ns, table)
     graft.sinks.CowTable.history(session, root)
       .orderBy("snapshot_id").collect().toSeq
   }
@@ -131,7 +155,8 @@ final case class CowDescribeHistoryCommand(
   * stock output shape.
   */
 final case class CowShowPartitionsCommand(
-    path: String, ns: String, table: String) extends LeafRunnableCommand {
+    cat: String, path: String, ns: String,
+    table: String) extends LeafRunnableCommand {
 
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -140,7 +165,7 @@ final case class CowShowPartitionsCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     import graft.sinks.CowTable
-    val root = CowSql.refRoot(session, path, ns, table)
+    val root = CowSql.refRoot(session, cat, path, ns, table)
     val m = CowTable.currentManifest(session, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     require(m.partCols.nonEmpty,

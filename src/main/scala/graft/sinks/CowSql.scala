@@ -52,10 +52,16 @@ object CowSql {
 
   // maintenance statements Spark's parser has no grammar for —
   // matched BEFORE parsePlan, Delta's surface syntax. A table
-  // reference is cow.`<root path>` (group 1) or the NAMED catalog
-  // form cow.<ns>.<table> (groups 2+3, resolved under the registered
-  // catalog's warehouse).
-  private val Ref = """cow\.(?:`([^`]+)`|(\w+)\.(\w+))"""
+  // reference is <cat>.`<root path>` (groups 1+2) or the NAMED form
+  // <cat>.<ns>.<table> (groups 1+3+4, resolved under the registered
+  // catalog's warehouse). Whether a reference ROUTES here is decided
+  // per session by [[routableRef]]: the named form only when
+  // spark.sql.catalog.<cat> is a registered [[graft.catalog
+  // .CowCatalog]] (a session database or temp view that merely
+  // HAPPENS to be called "cow" keeps Spark's own semantics), the
+  // path-backtick form also under the literal name `cow` (the
+  // catalog-less direct-path addressing style).
+  private val Ref = """(\w+)\.(?:`([^`]+)`|(\w+)\.(\w+))"""
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
   private val VacuumRe =
@@ -73,40 +79,67 @@ object CowSql {
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*""".r
 
-  /** `(path, ns, table)` of a DESCRIBE HISTORY statement over a cow
-    * reference, if that is what `sql` is (resolve with [[refRoot]] at
-    * run time — the warehouse is session state).
+  /** Is `name` a REGISTERED cow catalog in this session? Routing is
+    * gated on this (round-13 ADVICE): a session database or temp view
+    * literally named `cow` must keep Spark's own semantics, and a
+    * CowCatalog registered under ANY name gets the full textual
+    * surface.
     */
-  private[graft] def describeHistoryRef(
-      sql: String): Option[(String, String, String)] = sql match {
-    case DescribeHistoryRe(p, ns, t) => Some((p, ns, t))
+  private def isCowCatalog(spark: SparkSession, name: String): Boolean =
+    spark.conf.getOption(s"spark.sql.catalog.$name")
+      .contains(classOf[graft.catalog.CowCatalog].getName)
+
+  /** Does a `(cat, path, ns, table)` reference route to the cow
+    * executor in THIS session? Named form: only a registered cow
+    * catalog. Path-backtick form: a registered cow catalog under that
+    * name, or the literal `cow` (direct-path addressing needs no
+    * catalog at all).
+    */
+  private def routableRef(spark: SparkSession, cat: String,
+      path: String): Boolean =
+    if (path != null)
+      cat.equalsIgnoreCase("cow") || isCowCatalog(spark, cat)
+    else isCowCatalog(spark, cat)
+
+  /** `(cat, path, ns, table)` of a DESCRIBE HISTORY statement over a
+    * ROUTABLE cow reference, if that is what `sql` is (resolve with
+    * [[refRoot]] at run time — the warehouse is session state).
+    */
+  private[graft] def describeHistoryRef(spark: SparkSession,
+      sql: String): Option[(String, String, String, String)] = sql match {
+    case DescribeHistoryRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      Some((c, p, ns, t))
     case _ => None
   }
 
-  /** Same for SHOW PARTITIONS over a cow reference. */
-  private[graft] def showPartitionsRef(
-      sql: String): Option[(String, String, String)] = sql match {
-    case ShowPartitionsRe(p, ns, t) => Some((p, ns, t))
+  /** Same for SHOW PARTITIONS over a routable cow reference. */
+  private[graft] def showPartitionsRef(spark: SparkSession,
+      sql: String): Option[(String, String, String, String)] = sql match {
+    case ShowPartitionsRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      Some((c, p, ns, t))
     case _ => None
   }
 
-  /** The warehouse dir of the registered `cow` catalog — named
+  /** The warehouse dir of the registered cow catalog `cat` — named
     * references resolve against it exactly as [[graft.catalog
     * .CowCatalog.rootOf]] does (`warehouse/<ns>/<table>`), so textual
-    * DML and the analyzer-resolved surface address the same root.
+    * DML and the analyzer-resolved surface address the same root,
+    * whatever name the catalog was registered under.
     */
-  private def warehouseOf(spark: SparkSession): String = {
-    val w = spark.conf.getOption("spark.sql.catalog.cow.warehouse")
+  private def warehouseOf(spark: SparkSession, cat: String): String = {
+    require(isCowCatalog(spark, cat),
+      s"$cat is not a registered cow catalog (spark.sql.catalog.$cat)")
+    val w = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
       .getOrElse(throw new IllegalArgumentException(
-        "a named cow.<ns>.<table> reference needs the cow catalog " +
-          "registered (spark.sql.catalog.cow.warehouse)"))
-    require(w.nonEmpty, "spark.sql.catalog.cow.warehouse is empty")
+        s"a named $cat.<ns>.<table> reference needs the catalog's " +
+          s"warehouse set (spark.sql.catalog.$cat.warehouse)"))
+    require(w.nonEmpty, s"spark.sql.catalog.$cat.warehouse is empty")
     w
   }
 
-  private[graft] def refRoot(spark: SparkSession, path: String, ns: String,
-      table: String): String =
-    if (path != null) path else s"${warehouseOf(spark)}/$ns/$table"
+  private[graft] def refRoot(spark: SparkSession, cat: String,
+      path: String, ns: String, table: String): String =
+    if (path != null) path else s"${warehouseOf(spark, cat)}/$ns/$table"
 
   /** How a textual UPDATE / DELETE lands on the table:
     *
@@ -143,20 +176,20 @@ object CowSql {
   def exec(spark: SparkSession, id: Long, sql: String,
       keep: Int = 2, mode: DmlMode = Cow,
       morThresholdBytes: Long = 128L * 1024 * 1024): Boolean = sql match {
-    case OptimizeRe(p, ns, t, cols) =>
-      CowTable.optimizeZorder(spark, refRoot(spark, p, ns, t), id,
+    case OptimizeRe(c, p, ns, t, cols) if routableRef(spark, c, p) =>
+      CowTable.optimizeZorder(spark, refRoot(spark, c, p, ns, t), id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
       true // a superseded/no-op OPTIMIZE loses no data — content-neutral
-    case VacuumRe(p, ns, t, n) =>
-      CowTable.vacuum(spark, refRoot(spark, p, ns, t), keep = n.toInt)
+    case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
+      CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
       true
-    case VacuumHoursRe(p, ns, t, h) =>
-      CowTable.vacuumOlderThan(spark, refRoot(spark, p, ns, t),
+    case VacuumHoursRe(c, p, ns, t, h) if routableRef(spark, c, p) =>
+      CowTable.vacuumOlderThan(spark, refRoot(spark, c, p, ns, t),
         h.toLong * 3600000L)
       true
-    case RestoreRe(p, ns, t, toId) =>
-      CowTable.restore(spark, refRoot(spark, p, ns, t), toId.toLong,
+    case RestoreRe(c, p, ns, t, toId) if routableRef(spark, c, p) =>
+      CowTable.restore(spark, refRoot(spark, c, p, ns, t), toId.toLong,
         keep = keep) // throws on race (its own lease + based-on check)
       true
     case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
@@ -168,9 +201,12 @@ object CowSql {
     * asks BEFORE delegating — a non-cow text falls through to the
     * stock parser's own error.
     */
-  private[graft] def isMaintenance(sql: String): Boolean = sql match {
-    case OptimizeRe(_, _, _, _) | VacuumRe(_, _, _, _) |
-        VacuumHoursRe(_, _, _, _) | RestoreRe(_, _, _, _) => true
+  private[graft] def isMaintenance(spark: SparkSession,
+      sql: String): Boolean = sql match {
+    case OptimizeRe(c, p, _, _, _) => routableRef(spark, c, p)
+    case VacuumRe(c, p, _, _, _) => routableRef(spark, c, p)
+    case VacuumHoursRe(c, p, _, _, _) => routableRef(spark, c, p)
+    case RestoreRe(c, p, _, _, _) => routableRef(spark, c, p)
     case _ => false
   }
 
@@ -180,10 +216,11 @@ object CowSql {
     * catalog still routes (and fails loudly at the warehouse lookup,
     * not with an analyzer "table not found").
     */
-  private[graft] def isCowDml(plan: LogicalPlan): Boolean = plan match {
-    case DeleteFromTable(t, _) => isCowRef(t)
-    case UpdateTable(t, _, _) => isCowRef(t)
-    case m: MergeIntoTable => isCowRef(m.targetTable)
+  private[graft] def isCowDml(spark: SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case DeleteFromTable(t, _) => isCowRef(spark, t)
+    case UpdateTable(t, _, _) => isCowRef(spark, t)
+    case m: MergeIntoTable => isCowRef(spark, m.targetTable)
     // constraint DDL routes here too: Spark's own AddCheckConstraint
     // resolution scans the table through machinery that requires a
     // session-catalog V1 relation (LogicalRelation.catalogTable.get in
@@ -191,8 +228,10 @@ object CowSql {
     // pre-analysis route is the only one that composes
     // AddCheckConstraint's child is the parser's validation scan
     // (Filter(NOT cond, relation)) — dig to the leaf reference
-    case ac: AddCheckConstraint => leafRef(ac.child).exists(isCowRef)
-    case dc: DropConstraint => leafRef(dc.child).exists(isCowRef)
+    case ac: AddCheckConstraint =>
+      leafRef(ac.child).exists(isCowRef(spark, _))
+    case dc: DropConstraint =>
+      leafRef(dc.child).exists(isCowRef(spark, _))
     case _ => false
   }
 
@@ -206,12 +245,23 @@ object CowSql {
       case t: UnresolvedTable => t
     }
 
-  private def isCowRef(plan: LogicalPlan): Boolean = plan match {
-    case SubqueryAlias(_, child) => isCowRef(child)
-    case r: UnresolvedRelation =>
-      r.multipartIdentifier.head.equalsIgnoreCase("cow")
-    case t: UnresolvedTable =>
-      t.multipartIdentifier.head.equalsIgnoreCase("cow")
+  private def isCowRef(spark: SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case SubqueryAlias(_, child) => isCowRef(spark, child)
+    case r: UnresolvedRelation => isCowParts(spark, r.multipartIdentifier)
+    case t: UnresolvedTable => isCowParts(spark, t.multipartIdentifier)
+    case _ => false
+  }
+
+  /** Same routing rule as [[routableRef]] over a parsed multipart
+    * identifier: the backticked-absolute-path form by literal-cow or
+    * registered catalog; `cat.ns.table` by registered catalog only.
+    */
+  private def isCowParts(spark: SparkSession,
+      parts: Seq[String]): Boolean = parts match {
+    case Seq(cat, path) if path.startsWith("/") =>
+      cat.equalsIgnoreCase("cow") || isCowCatalog(spark, cat)
+    case Seq(cat, _, _) => isCowCatalog(spark, cat)
     case _ => false
   }
 
@@ -239,11 +289,11 @@ object CowSql {
   def execAuto(spark: SparkSession, sql: String, keep: Int = 2,
       mode: DmlMode = Auto,
       morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
-    case VacuumRe(_, _, _, _) | VacuumHoursRe(_, _, _, _) |
-        RestoreRe(_, _, _, _) =>
+    case VacuumRe(_, _, _, _, _) | VacuumHoursRe(_, _, _, _, _) |
+        RestoreRe(_, _, _, _, _) =>
       exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
-    case OptimizeRe(p, ns, t, _) =>
-      val root = refRoot(spark, p, ns, t)
+    case OptimizeRe(c, p, ns, t, _) if routableRef(spark, c, p) =>
+      val root = refRoot(spark, c, p, ns, t)
       exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
         morThresholdBytes)
     case _ =>
@@ -363,23 +413,24 @@ object CowSql {
     plan match {
       case SubqueryAlias(_, child) => rootOf(spark, child)
       case r: UnresolvedRelation
-          if r.multipartIdentifier.head.equalsIgnoreCase("cow") =>
+          if isCowParts(spark, r.multipartIdentifier) =>
         rootOfParts(spark, r.multipartIdentifier)
       case t: UnresolvedTable // ALTER forms parse the target as a table
-          if t.multipartIdentifier.head.equalsIgnoreCase("cow") =>
+          if isCowParts(spark, t.multipartIdentifier) =>
         rootOfParts(spark, t.multipartIdentifier)
       case other => throw new IllegalArgumentException(
         "table reference must be cow.`<table root path>` or " +
-          s"cow.<ns>.<table>, got ${other.getClass.getSimpleName}")
+          "<registered cow catalog>.<ns>.<table>, got " +
+          other.getClass.getSimpleName)
     }
 
   private def rootOfParts(spark: SparkSession, parts: Seq[String]): String =
     parts match {
       case Seq(_, path) if path.startsWith("/") => path
-      case Seq(_, ns, table) => s"${warehouseOf(spark)}/$ns/$table"
+      case Seq(cat, ns, table) => s"${warehouseOf(spark, cat)}/$ns/$table"
       case _ => throw new IllegalArgumentException(
         "cow references are cow.`<absolute path>` or " +
-          s"cow.<ns>.<table>, got ${parts.mkString(".")}")
+          s"<catalog>.<ns>.<table>, got ${parts.mkString(".")}")
     }
 
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
