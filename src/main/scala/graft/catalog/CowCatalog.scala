@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
   SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog,
-  TableCatalogCapability, TableChange}
+  TableCatalogCapability, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
@@ -77,15 +77,17 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catName
 
-  // NOTE deliberately NOT declaring SUPPORT_TABLE_CONSTRAINT: the
-  // textual `ALTER TABLE … ADD/DROP CONSTRAINT` routes pre-analysis
-  // through graft.plans.CowSqlParser → CowSql (Spark's own
-  // AddCheckConstraint resolution requires a session-catalog V1
-  // relation this catalog never produces), and declaring the
-  // capability would additionally invite `CREATE TABLE … CHECK (…)`
-  // down a createTable signature that silently drops the constraint.
-  // The TableChange cases in alterTable below serve programmatic
-  // callers; SQL text never reaches them.
+  // SUPPORT_TABLE_CONSTRAINT admits `CREATE TABLE … CHECK (…)`, whose
+  // constraints arrive through the TableInfo createTable overload
+  // below and register atomically after the empty first snapshot —
+  // never silently dropped (the earlier refusal's concern). The
+  // textual `ALTER TABLE … ADD/DROP CONSTRAINT` still routes
+  // pre-analysis through graft.plans.CowSqlParser → CowSql (Spark's
+  // own AddCheckConstraint resolution requires a session-catalog V1
+  // relation this catalog never produces); the TableChange cases in
+  // alterTable serve programmatic callers.
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -157,6 +159,52 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       root, 1L, partCols)
     CowNamedTable(displayName(ident),
       root, CowTable.currentManifest(spark, root).get, pinned = false)
+  }
+
+  /** `CREATE TABLE … CHECK (…)`: constraints arrive HERE (the
+    * TableInfo overload Spark's CreateTableExec calls once
+    * SUPPORT_TABLE_CONSTRAINT is declared). Vetting runs BEFORE the
+    * empty snapshot lands (an unsupported constraint kind refuses with
+    * nothing created); registration is the CHECK store's own atomic
+    * rename, published before this returns — so from the very first
+    * INSERT every commit validates, and a violating first INSERT fails
+    * loudly ([[graft.sinks.CowConstraintException]]). A registration
+    * I/O failure tears the just-created root down rather than leaving
+    * a table that silently lacks its declared invariants.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val checks = info.constraints().toSeq.map {
+      case ck: Check =>
+        require(ck.enforced,
+          s"CHECK ${ck.name} NOT ENFORCED: cow constraints are real " +
+            "invariants (every commit validates) — an unenforced " +
+            "claim would be a lie to downstream readers")
+        ck.name -> ck.predicateSql
+      case other: Constraint => throw new UnsupportedOperationException(
+        s"cow tables enforce CHECK constraints only; ${other.toDDL} " +
+          "(PRIMARY KEY / UNIQUE / FOREIGN KEY) would be an " +
+          "informational-only claim the engine cannot enforce " +
+          "without a global index — refused rather than silently " +
+          "unenforced")
+    }
+    require(checks.map(_._1).distinct.size == checks.size,
+      s"duplicate constraint names in CREATE TABLE: " +
+        checks.map(_._1).mkString(", "))
+    val table = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (checks.nonEmpty) {
+      val root = rootOf(ident)
+      try
+        // validate=false: the just-created snapshot is EMPTY by
+        // construction — no data can predate the constraint set
+        CowTable.setCheckConstraints(spark, root, checks.toMap,
+          validate = false)
+      catch { case t: Throwable =>
+        fs.delete(new Path(root), true)
+        throw t
+      }
+    }
+    table
   }
 
   /** `ALTER TABLE` as METADATA-ONLY evolution ([[CowTable.evolveSchema]]

@@ -58,6 +58,35 @@ class CowConstraintDdlSpec extends SparkSpec {
       sql(s"ALTER TABLE cow.$ns.t ADD CONSTRAINT v_nonneg CHECK (v >= 0)") }
   }
 
+  test("CREATE TABLE … CHECK registers the constraint ATOMICALLY with " +
+      "table creation: a violating FIRST insert fails loudly; non-CHECK " +
+      "constraints refuse with nothing created") {
+    sql(s"CREATE NAMESPACE cow.${ns}c")
+    sql(s"CREATE TABLE cow.${ns}c.t (id BIGINT, v BIGINT, " +
+      "CONSTRAINT v_pos CHECK (v > 0))")
+    val r = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/${ns}c/t"
+    assert(CowTable.checkConstraints(spark, r) == Map("v_pos" -> "v > 0"))
+    // the very first INSERT is already bound by the constraint
+    val e = intercept[Exception] {
+      sql(s"INSERT INTO cow.${ns}c.t VALUES (1, 0)") }
+    assert(e.toString.contains("v_pos"),
+      s"violating first INSERT did not name the constraint: $e")
+    assert(spark.table(s"cow.${ns}c.t").count() == 0)
+    sql(s"INSERT INTO cow.${ns}c.t VALUES (1, 5)")
+    assert(spark.table(s"cow.${ns}c.t").count() == 1)
+    // a PRIMARY KEY claim refuses loudly and creates NOTHING — the
+    // engine cannot enforce it without a global index
+    intercept[Exception] {
+      sql(s"CREATE TABLE cow.${ns}c.pk (id BIGINT, " +
+        "CONSTRAINT pk PRIMARY KEY (id))") }
+    assert(!spark.catalog.tableExists(s"cow.${ns}c.pk"))
+    // NOT ENFORCED is a lie to downstream readers — refused
+    intercept[Exception] {
+      sql(s"CREATE TABLE cow.${ns}c.ne (id BIGINT, " +
+        "CONSTRAINT c CHECK (id > 0) NOT ENFORCED)") }
+    assert(!spark.catalog.tableExists(s"cow.${ns}c.ne"))
+  }
+
   test("DROP CONSTRAINT retires enforcement; IF EXISTS semantics; " +
       "non-CHECK and NOT ENFORCED constraints refuse loudly") {
     sql(s"ALTER TABLE cow.$ns.t DROP CONSTRAINT v_nonneg")
