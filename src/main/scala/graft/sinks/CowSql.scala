@@ -64,6 +64,11 @@ object CowSql {
   private val Ref = """(\w+)\.(?:`([^`]+)`|(\w+)\.(\w+))"""
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
+  // plain OPTIMIZE (no ZORDER): bin-packing compaction that also folds
+  // outstanding tombstones and deletion vectors — Delta's bare
+  // `OPTIMIZE t` surface over [[CowTable.compactPartitions]]
+  private val OptimizePlainRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*""".r
   private val VacuumHoursRe =
@@ -181,6 +186,10 @@ object CowSql {
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
       true // a superseded/no-op OPTIMIZE loses no data — content-neutral
+    case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      CowTable.compactPartitions(spark, refRoot(spark, c, p, ns, t), id,
+        keep = keep)
+      true // already-compact/debt-free tables no-op, id unconsumed
     case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
       CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
       true
@@ -204,6 +213,7 @@ object CowSql {
   private[graft] def isMaintenance(spark: SparkSession,
       sql: String): Boolean = sql match {
     case OptimizeRe(c, p, _, _, _) => routableRef(spark, c, p)
+    case OptimizePlainRe(c, p, _, _) => routableRef(spark, c, p)
     case VacuumRe(c, p, _, _, _) => routableRef(spark, c, p)
     case VacuumHoursRe(c, p, _, _, _) => routableRef(spark, c, p)
     case RestoreRe(c, p, _, _, _) => routableRef(spark, c, p)
@@ -293,6 +303,10 @@ object CowSql {
         RestoreRe(_, _, _, _, _) =>
       exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
     case OptimizeRe(c, p, ns, t, _) if routableRef(spark, c, p) =>
+      val root = refRoot(spark, c, p, ns, t)
+      exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
+        morThresholdBytes)
+    case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
       exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
         morThresholdBytes)

@@ -104,4 +104,40 @@ class CowSqlParserSpec extends SparkSpec {
     intercept[Exception] { sql("OPTIMIZE plain_t ZORDER BY (id)") }
     sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
+
+  test("plain OPTIMIZE (no ZORDER): bin-packing compaction through " +
+      "spark.sql that also retires deletion-vector debt, " +
+      "content-identical") {
+    sql(s"CREATE NAMESPACE cow.$ns")
+    sql(s"CREATE TABLE cow.$ns.o (id BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p)")
+    // fragment: one small file per partition per INSERT
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO cow.$ns.o SELECT id, concat('p', id % 2), id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})"))
+    // leave positional-DV debt on the table
+    spark.conf.set("spark.graft.cow.dml.mode", "mor")
+    try sql(s"DELETE FROM cow.$ns.o WHERE v % 10 = 3")
+    finally spark.conf.unset("spark.graft.cow.dml.mode")
+    val before = CowTable.currentManifest(spark, root("o")).get
+    assert(before.dvs.nonEmpty, "expected DV debt before OPTIMIZE")
+    assert(before.files.size > 2, "expected fragmentation")
+    val want = spark.table(s"cow.$ns.o").collect().toSeq
+    sql(s"OPTIMIZE cow.$ns.o")
+    val after = CowTable.currentManifest(spark, root("o")).get
+    assert(after.id == before.id + 1, "plain OPTIMIZE must commit head+1")
+    assert(after.dvs.isEmpty && after.tombstones.isEmpty,
+      "OPTIMIZE must fold outstanding delete debt")
+    assert(after.files.size < before.files.size,
+      s"small-file count must drop (${before.files.size} -> " +
+        s"${after.files.size})")
+    val got = spark.table(s"cow.$ns.o").collect().toSeq
+    assert(got.toSet == want.toSet && got.size == want.size,
+      "OPTIMIZE changed visible content")
+    // an already-compact, debt-free table: the statement no-ops and
+    // consumes no id (content-neutral — never an error)
+    sql(s"OPTIMIZE cow.$ns.o")
+    assert(CowTable.currentManifest(spark, root("o")).get.id == after.id)
+    sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
 }
