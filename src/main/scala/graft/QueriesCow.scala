@@ -28,6 +28,29 @@ object QueriesCow {
   private def scratch(tag: String): String =
     Files.createTempDirectory(s"graft_$tag").toString
 
+  /** A per-run SCRATCH CATALOG for the named-table oracle rows: a
+    * unique catalog name registered over its own temp warehouse
+    * (namespace `g`). The run's tables stay ALIVE under the returned
+    * DataFrame — no collect+parallelize materialization, so the row's
+    * timing is the query's own cost at any SF — while battery runs
+    * leak nothing into a shared warehouse (the scratch dir dies with
+    * the process). Side effect worth having: every one of these rows
+    * now exercises textual DML/maintenance under a NON-"cow" catalog
+    * name — the registered-name routing contract.
+    * Returns `(qualified namespace, namespace dir)`.
+    */
+  private def scratchCatalog(
+      spark: SparkSession, tag: String): (String, String) = {
+    val cat = tag + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val wh = scratch(s"wh_$cat")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.CowCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.g")
+    (s"$cat.g", s"$wh/g")
+  }
+
   /** Key-derived bucket partitioning: the stable-partition contract
     * [[CowTable.upsert]] requires, over 8 buckets so a sf0.01 dim
     * exercises many partition dirs with several untouched per batch.
@@ -1294,27 +1317,24 @@ object QueriesCow {
   // -------------------------------------------------------------------
   def cowNamedDml(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.CowSql
-    val ns = "g" + java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    val (ns, nsDir) = scratchCatalog(spark, "ndml")
     Tables.load(spark, dir, "customer")
       .createOrReplaceTempView("named_dml_src")
-    spark.sql(s"""CREATE TABLE cow.$ns.cust
+    spark.sql(s"""CREATE TABLE $ns.cust
       (c_custkey BIGINT, c_name STRING, cents BIGINT,
        c_mktsegment STRING)
       PARTITIONED BY (c_mktsegment)""")
-    spark.sql(s"""INSERT INTO cow.$ns.cust
+    spark.sql(s"""INSERT INTO $ns.cust
       SELECT c_custkey, c_name,
              CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment
       FROM named_dml_src""")
     CowSql.exec(spark, 3L,
-      s"UPDATE cow.$ns.cust SET c_name = concat('NEG:', c_name) " +
+      s"UPDATE $ns.cust SET c_name = concat('NEG:', c_name) " +
         "WHERE cents < 0")
     CowSql.exec(spark, 4L,
-      s"DELETE FROM cow.$ns.cust WHERE c_mktsegment = 'FURNITURE'",
+      s"DELETE FROM $ns.cust WHERE c_mktsegment = 'FURNITURE'",
       mode = CowSql.Mor)
-    require(CowTable.currentManifest(spark,
-      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/cust")
+    require(CowTable.currentManifest(spark, s"$nsDir/cust")
       .get.dvs.nonEmpty,
       "named MOR DELETE should have landed as positional DVs")
     // the key-stable contract: source rows carry the key's own
@@ -1325,16 +1345,10 @@ object QueriesCow {
       "FROM named_dml_src WHERE c_custkey <= 100")
       .createOrReplaceTempView("named_dml_merge")
     CowSql.exec(spark, 5L, s"""
-      MERGE INTO cow.$ns.cust AS t USING named_dml_merge AS s
+      MERGE INTO $ns.cust AS t USING named_dml_merge AS s
       ON t.c_custkey = s.c_custkey
       WHEN MATCHED THEN UPDATE SET c_name = s.c_name""")
-    val out = spark.table(s"cow.$ns.cust").orderBy("c_custkey")
-      .collect().toSeq
-    val schema = spark.table(s"cow.$ns.cust").schema
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1), schema)
-    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
-    result
+    spark.table(s"$ns.cust").orderBy("c_custkey")
   }
 
   val cowNamedDmlSql: String =
@@ -1367,41 +1381,39 @@ object QueriesCow {
   // aggregate relationally.
   // -------------------------------------------------------------------
   def cowCatalogSql(spark: SparkSession, dir: String): DataFrame = {
-    val ns = "g" + java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    val (ns, nsDir) = scratchCatalog(spark, "csql")
     Tables.load(spark, dir, "orders")
       .createOrReplaceTempView("cat_orders_src")
     Tables.load(spark, dir, "customer")
       .createOrReplaceTempView("cat_customer_src")
-    spark.sql(s"""CREATE TABLE cow.$ns.orders
+    spark.sql(s"""CREATE TABLE $ns.orders
       (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
        o_orderpriority STRING)
       PARTITIONED BY (o_orderpriority)""")
-    spark.sql(s"""INSERT INTO cow.$ns.orders
+    spark.sql(s"""INSERT INTO $ns.orders
       SELECT o_orderkey, o_custkey,
              CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
       FROM cat_orders_src""")
-    spark.sql(s"""CREATE TABLE cow.$ns.customer AS
+    spark.sql(s"""CREATE TABLE $ns.customer AS
       SELECT c_custkey, c_mktsegment FROM cat_customer_src""")
-    spark.sql(s"""CREATE TABLE cow.$ns.thin
+    spark.sql(s"""CREATE TABLE $ns.thin
       (c_mktsegment STRING, o_orderpriority STRING, n BIGINT,
        cents_sum BIGINT)
       PARTITIONED BY (o_orderpriority)""")
     // the thin-layer refresh, twice: the second run is the steady
     // state (INSERT OVERWRITE replaces the previous refresh wholesale,
     // the reference's TRUNCATE+INSERT contract)
-    val refresh = s"""INSERT OVERWRITE cow.$ns.thin
+    val refresh = s"""INSERT OVERWRITE $ns.thin
       SELECT c.c_mktsegment, o.o_orderpriority,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(o.cents) AS BIGINT) AS cents_sum
-      FROM cow.$ns.orders o
-      JOIN cow.$ns.customer c ON o.o_custkey = c.c_custkey
+      FROM $ns.orders o
+      JOIN $ns.customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderpriority <> '4-NOT SPECIFIED'
       GROUP BY c.c_mktsegment, o.o_orderpriority"""
     spark.sql(refresh)
     spark.sql(refresh)
-    val out = spark.table(s"cow.$ns.thin")
+    val out = spark.table(s"$ns.thin")
     // the named read is the planner-integrated relation: its scan's
     // listing source must be the manifest-driven CowFileIndex
     val scans = out.queryExecution.executedPlan.collect {
@@ -1411,16 +1423,7 @@ object QueriesCow {
     require(scans.nonEmpty &&
       scans.forall(_.isInstanceOf[graft.sinks.CowFileIndex]),
       s"named cow read did not plan through CowFileIndex: $scans")
-    // the thin layer is group-count-sized — materialize it so the
-    // run's namespace can be dropped (every other cow query isolates
-    // via scratch() temp dirs; leaving tables in the shared warehouse
-    // would grow it without bound across battery runs)
-    val rows = out.orderBy("c_mktsegment", "o_orderpriority")
-      .collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
-    result
+    out
   }
 
   val cowCatalogSqlSql: String =
@@ -1797,26 +1800,23 @@ object QueriesCow {
   // two-generation load relationally.
   // -------------------------------------------------------------------
   def cowAlterEvolve(spark: SparkSession, dir: String): DataFrame = {
-    val ns = "g" + java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    val (ns, nsDir) = scratchCatalog(spark, "aevo")
     Tables.load(spark, dir, "customer")
       .createOrReplaceTempView("alter_cust_src")
     Tables.load(spark, dir, "nation")
       .createOrReplaceTempView("alter_nation_src")
-    spark.sql(s"""CREATE TABLE cow.$ns.cust
+    spark.sql(s"""CREATE TABLE $ns.cust
       (c_custkey INT, c_mktsegment STRING, cents INT)
       PARTITIONED BY (c_mktsegment)""")
-    spark.sql(s"""INSERT INTO cow.$ns.cust
+    spark.sql(s"""INSERT INTO $ns.cust
       SELECT CAST(c_custkey AS INT), c_mktsegment,
              CAST(floor(c_acctbal * 100) AS INT)
       FROM alter_cust_src WHERE c_custkey <= 750""")
-    val root =
-      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/cust"
+    val root = s"$nsDir/cust"
     val before = CowTable.currentManifest(spark, root).get
-    spark.sql(s"ALTER TABLE cow.$ns.cust ADD COLUMNS (nation_name STRING)")
-    spark.sql(s"ALTER TABLE cow.$ns.cust ALTER COLUMN c_custkey TYPE BIGINT")
-    spark.sql(s"ALTER TABLE cow.$ns.cust ALTER COLUMN cents TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $ns.cust ADD COLUMNS (nation_name STRING)")
+    spark.sql(s"ALTER TABLE $ns.cust ALTER COLUMN c_custkey TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $ns.cust ALTER COLUMN cents TYPE BIGINT")
     val after = CowTable.currentManifest(spark, root).get
     require(after.id == before.id + 3 &&
       after.files.map(_.path).toSet == before.files.map(_.path).toSet,
@@ -1824,24 +1824,19 @@ object QueriesCow {
     // the pre-ALTER snapshot still serves the OLD schema (an ALTER
     // must not shrink history — time travel across it stays exact)
     val old = spark.sql(
-      s"SELECT * FROM cow.$ns.cust VERSION AS OF ${before.id}")
+      s"SELECT * FROM $ns.cust VERSION AS OF ${before.id}")
     require(old.schema("c_custkey").dataType ==
       org.apache.spark.sql.types.IntegerType &&
       !old.schema.fieldNames.contains("nation_name"),
       "VERSION AS OF pre-ALTER must serve the old schema")
     // generation 2 lands under the evolved shape, new column populated
-    spark.sql(s"""INSERT INTO cow.$ns.cust
+    spark.sql(s"""INSERT INTO $ns.cust
       SELECT c_custkey, c_mktsegment,
              CAST(floor(c_acctbal * 100) AS BIGINT), n_name
       FROM alter_cust_src JOIN alter_nation_src
         ON c_nationkey = n_nationkey
       WHERE c_custkey > 750""")
-    val out = spark.table(s"cow.$ns.cust")
-    val rows = out.orderBy("c_custkey").collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
-    result
+    spark.table(s"$ns.cust")
   }
 
   val cowAlterEvolveSql: String =
@@ -1866,31 +1861,28 @@ object QueriesCow {
   // relationally; the require()s pin DV economics and the vacuum.
   // -------------------------------------------------------------------
   def cowParserDml(spark: SparkSession, dir: String): DataFrame = {
-    val ns = "g" + java.util.UUID.randomUUID().toString
-      .replace("-", "").take(12)
-    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    val (ns, nsDir) = scratchCatalog(spark, "pdml")
     Tables.load(spark, dir, "orders")
       .createOrReplaceTempView("parser_dml_src")
-    spark.sql(s"""CREATE TABLE cow.$ns.ord
+    spark.sql(s"""CREATE TABLE $ns.ord
       (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
        o_orderpriority STRING)
       PARTITIONED BY (o_orderpriority)""")
-    spark.sql(s"""INSERT INTO cow.$ns.ord
+    spark.sql(s"""INSERT INTO $ns.ord
       SELECT o_orderkey, o_custkey,
              CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
       FROM parser_dml_src""")
     // textual constraint DDL — registered against current data (one
     // validation scan) and enforced by EVERY commit below
-    spark.sql(s"ALTER TABLE cow.$ns.ord " +
+    spark.sql(s"ALTER TABLE $ns.ord " +
       "ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)")
-    spark.sql(s"UPDATE cow.$ns.ord SET o_custkey = 0 " +
+    spark.sql(s"UPDATE $ns.ord SET o_custkey = 0 " +
       "WHERE cents >= 40000000")
-    val root =
-      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/ord"
+    val root = s"$nsDir/ord"
     val preDelete = CowTable.currentManifest(spark, root).get
     spark.conf.set("spark.graft.cow.dml.mode", "mor")
     try spark.sql(
-      s"DELETE FROM cow.$ns.ord WHERE o_orderpriority = '1-URGENT'")
+      s"DELETE FROM $ns.ord WHERE o_orderpriority = '1-URGENT'")
     finally spark.conf.unset("spark.graft.cow.dml.mode")
     val m = CowTable.currentManifest(spark, root).get
     require(m.dvs.nonEmpty && m.files.map(_.path).toSet ==
@@ -1901,21 +1893,16 @@ object QueriesCow {
         o_orderpriority
       FROM parser_dml_src WHERE o_orderkey <= 1000""")
       .createOrReplaceTempView("parser_dml_merge")
-    spark.sql(s"""MERGE INTO cow.$ns.ord AS t USING parser_dml_merge AS s
+    spark.sql(s"""MERGE INTO $ns.ord AS t USING parser_dml_merge AS s
       ON t.o_orderkey = s.o_orderkey
       WHEN MATCHED THEN UPDATE SET cents = s.cents""")
-    spark.sql(s"OPTIMIZE cow.$ns.ord ZORDER BY (o_orderkey)")
-    spark.sql(s"VACUUM cow.$ns.ord RETAIN 2 SNAPSHOTS")
+    spark.sql(s"OPTIMIZE $ns.ord ZORDER BY (o_orderkey)")
+    spark.sql(s"VACUUM $ns.ord RETAIN 2 SNAPSHOTS")
     require(CowTable.committedIds(spark, root).size == 2,
       "VACUUM RETAIN 2 SNAPSHOTS must leave exactly two")
     require(CowTable.currentManifest(spark, root).get.dvs.isEmpty,
       "OPTIMIZE must retire the outstanding positional-DV debt")
-    val out = spark.table(s"cow.$ns.ord")
-    val rows = out.orderBy("o_orderkey").collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
-    result
+    spark.table(s"$ns.ord")
   }
 
   val cowParserDmlSql: String =
