@@ -111,11 +111,36 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     CowTable.committedIds(spark, rootOf(ident)).nonEmpty
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style nested metadata table `<table>.changes`: the
+    // committed change feed as its OWN named (streaming) table —
+    // `spark.readStream.table("cow.ns.t.changes")`. The feed needs a
+    // distinct table identity because its schema is the table's plus
+    // `_oper`/`_commit_id`, and a streaming scan's rows must match the
+    // DECLARED schema of the table they were resolved from.
+    feedIdentOf(ident).foreach { base =>
+      val root = rootOf(base)
+      val m = CowTable.currentManifest(spark, root).getOrElse(
+        throw new NoSuchTableException(ident))
+      return graft.streaming.CowFeedTable(
+        s"${displayName(base)}.changes", root, m.schema)
+    }
     val root = rootOf(ident)
     val m = CowTable.currentManifest(spark, root).getOrElse(
       throw new NoSuchTableException(ident))
     CowNamedTable(displayName(ident), root, m, pinned = false)
   }
+
+  /** `cow.ns.t.changes` → `Some(cow.ns.t)`; also the path form
+    * `` cow.`/abs/path`.changes ``. None for ordinary identifiers.
+    */
+  private def feedIdentOf(ident: Identifier): Option[Identifier] =
+    if (ident.name != "changes") None
+    else ident.namespace.toSeq match {
+      case Seq(p) if p.startsWith("/") =>
+        Some(Identifier.of(Array.empty, p))
+      case Seq(ns, t) => Some(Identifier.of(Array(ns), t))
+      case _ => None
+    }
 
   /** `VERSION AS OF <id>` — highest committed snapshot ≤ id, the same
     * time-travel rule as `CowTable.readAt`; the result is read-only.

@@ -57,24 +57,28 @@ import graft.sinks.{CowTable, SnapshotTarget}
   */
 object CowStream {
 
-  /** The sidecar stream: table columns + `_oper` (D/I) + `_commit_id`.
+  /** The sidecar stream: table columns + `_oper` (D/I) + `_commit_id`
+    * — served by the NAMED streaming source ([[CowFeedTable]], the
+    * `.changes` nested metadata table) over the backticked path form,
+    * so this helper and `spark.readStream.table("cow.<ns>.<t>.changes")`
+    * are the same source: offsets are committed snapshot ids, the
+    * publish→manifest race is structurally outside the feed (an
+    * uncommitted sidecar is not yet in offset range), and a vacuumed
+    * gap fails the batch loudly. The raw
+    * `readStream.parquet(_changes/[0-9]*)` transport this replaces
+    * could list mid-race sidecars and leaned on [[liveIds]]'s bounded
+    * wait — that guard stays as defense in depth for replayed batches.
     * The schema is fixed at stream construction from the CURRENT
     * manifest; older sidecars written under a narrower (integer-chain)
     * schema upcast on read, a WIDENING commit mid-stream needs a
     * stream restart to pick up the new schema.
     */
   def changeFeed(spark: SparkSession, root: String): DataFrame = {
-    val m = CowTable.currentManifest(spark, root).getOrElse(
+    CowTable.currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot at $root — start the stream after the " +
           "initial commit"))
-    val schema = m.schema.add(CowTable.ChangeOper, StringType)
-    spark.readStream
-      .schema(schema)
-      .parquet(s"$root/${CowTable.ChangesDir}/[0-9]*")
-      .withColumn("_commit_id",
-        regexp_extract(col("_metadata.file_path"),
-          s"/${CowTable.ChangesDir}/([0-9]+)/", 1).cast("long"))
+    spark.readStream.table(s"cow.`$root`.changes")
   }
 
   /** One micro-batch of the stream-maintained MV: frontier-filter the

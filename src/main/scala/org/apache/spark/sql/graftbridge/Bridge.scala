@@ -23,4 +23,48 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Spark's OWN parquet row reader as a serializable function over
+    * `(file path, file length, partition values)` — built from
+    * `ParquetFileFormat.buildReaderWithPartitionValues` (private[sql];
+    * the exact machinery `FileSourceScanExec` drives), which handles
+    * schema coercion, predicate-free projection and partition-value
+    * appending. Used by the cow change-feed micro-batch source so its
+    * `PartitionReader`s read sidecar parquet with the stock reader
+    * instead of a hand-rolled one. The vectorized reader may hand back
+    * `ColumnarBatch`es disguised as rows (the documented wart of this
+    * API) — callers flatten them.
+    */
+  def parquetRowReader(
+      spark: org.apache.spark.sql.SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String])
+      : (String, Long, org.apache.spark.sql.catalyst.InternalRow) =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    // rows, never ColumnarBatch: the parquet reader REQUIRES this
+    // option and honors false even when its internal path vectorizes
+    val opts = options + (org.apache.spark.sql.execution.datasources
+      .FileFormat.OPTION_RETURNING_BATCH -> "false")
+    val inner = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        sparkSession = cs,
+        dataSchema = dataSchema,
+        partitionSchema = partitionSchema,
+        requiredSchema = dataSchema,
+        filters = Nil,
+        options = opts,
+        hadoopConf = cs.sessionState
+          .newHadoopConfWithOptions(opts))
+    (path: String, length: Long,
+        values: org.apache.spark.sql.catalyst.InternalRow) =>
+      inner(org.apache.spark.sql.execution.datasources.PartitionedFile(
+        partitionValues = values,
+        filePath = org.apache.spark.paths.SparkPath
+          .fromPathString(path),
+        start = 0L,
+        length = length))
+  }
 }

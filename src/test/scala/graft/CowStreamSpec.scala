@@ -184,4 +184,52 @@ class CowStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("high-water mark"),
       s"wrong failure: ${e.getMessage}")
   }
+
+  test("NAMED streaming source: readStream.table(cow.ns.t.changes) " +
+      "serves the committed feed with _oper/_commit_id, offsets are " +
+      "commit ids, and a new commit arrives in a later micro-batch") {
+    val ns = s"feed${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    spark.sql(s"CREATE TABLE cow.$ns.ev (id BIGINT, seg STRING, pb INT)")
+    val root =
+      s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/ev"
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id", concat(lit("s"), ($"id" % 3).cast("string")).as("seg"),
+      CowTable.keyBucket(Seq("id"), 4).as("pb"))
+    // feed-emitting commits (the catalog INSERT path doesn't declare
+    // changeLogKeys; streaming feeds come from keyed write paths)
+    CowTable.commitAppend(batch(0, 50), root, 2L, Nil,
+      changeLogKeys = Seq("id"))
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val q = spark.readStream.table(s"cow.$ns.ev.changes")
+      .writeStream
+      .option("checkpointLocation", tmp("feedck"))
+      .foreachBatch(
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => {
+          seen.synchronized {
+            seen ++= b.select("id", "_oper", "_commit_id").collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          }
+          ()
+        })
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.size) == 50,
+        s"first batch should carry 50 I rows, got ${seen.size}")
+      assert(seen.synchronized(seen.forall(r =>
+        r._2 == "I" && r._3 == 2L)))
+      // a LATER commit arrives incrementally with its own commit id
+      CowTable.commitAppend(batch(100, 120), root, 3L, Nil,
+        changeLogKeys = Seq("id"))
+      q.processAllAvailable()
+      val later = seen.synchronized(seen.filter(_._3 == 3L))
+      assert(later.size == 20 && later.forall(_._2 == "I"),
+        s"later commit not served incrementally: $later")
+      assert(seen.synchronized(seen.size) == 70)
+    } finally q.stop()
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
 }
