@@ -41,14 +41,25 @@ object QueriesCow {
     */
   private def scratchCatalog(
       spark: SparkSession, tag: String): (String, String) = {
+    val (cat, wh) = scratchCat(spark, tag)
+    spark.sql(s"CREATE NAMESPACE $cat.g")
+    (s"$cat.g", s"$wh/g")
+  }
+
+  /** Register a fresh CowCatalog under a unique name over its own temp
+    * warehouse; returns `(catalog name, warehouse dir)`. Shared with
+    * the medallion-over-names capstone, which lays its OWN layer
+    * namespaces out under the catalog.
+    */
+  private[graft] def scratchCat(
+      spark: SparkSession, tag: String): (String, String) = {
     val cat = tag + java.util.UUID.randomUUID().toString
       .replace("-", "").take(10)
     val wh = scratch(s"wh_$cat")
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.CowCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    spark.sql(s"CREATE NAMESPACE $cat.g")
-    (s"$cat.g", s"$wh/g")
+    (cat, wh)
   }
 
   /** Key-derived bucket partitioning: the stable-partition contract

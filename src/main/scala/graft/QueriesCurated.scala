@@ -749,8 +749,94 @@ object QueriesCurated {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // -------------------------------------------------------------------
+  // MEDALLION OVER NAMES: the same raw → curated → semantic DAG as
+  // SQL FILES executed by SqlRunner against <cat>.<layer>.<table>
+  // NAMES — the reference's composer flow (read .sql, substitute
+  // {project}/{env}/{batch_id}, submit per statement;
+  // tl_sm_gosales_overview_01.sql:1-4,22-25) with ZERO path literals
+  // in any statement: the catalog parameter plays {project}, layers
+  // are namespaces, every layer table is a cow table (raw CTAS,
+  // curated partitioned INSERT OVERWRITE, semantic thin-layer
+  // TRUNCATE+INSERT run twice for the steady state). The oracle
+  // rebuilds the semantic rows straight from the source tables, so a
+  // row lost in any layer write or a fan-out in the enrichment join
+  // shifts the hash.
+  // -------------------------------------------------------------------
+  def medallionNamed(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, _) = QueriesCow.scratchCat(spark, "med")
+    val jobs = java.nio.file.Files.createTempDirectory("graft_med_jobs")
+    // source registration is engine-side (the reference's external
+    // tables); the SQL files below reference NAMES only
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("src_lineitem")
+    Tables.load(spark, dir, "part").createOrReplaceTempView("src_part")
+    def job(name: String, text: String): String = {
+      val p = jobs.resolve(name)
+      java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      p.toString
+    }
+    val files = Seq(
+      job("00_namespaces.sql",
+        """CREATE NAMESPACE {cat}.raw;
+          |CREATE NAMESPACE {cat}.curated;
+          |CREATE NAMESPACE {cat}.semantic""".stripMargin),
+      job("10_raw_lineitem.sql",
+        """CREATE TABLE {cat}.raw.lineitem AS
+          |SELECT l_orderkey, l_partkey, l_quantity,
+          |       l_returnflag, l_linestatus,
+          |       '{batch_id}' AS batch_id
+          |FROM src_lineitem""".stripMargin),
+      job("11_raw_part.sql",
+        """CREATE TABLE {cat}.raw.part AS
+          |SELECT p_partkey, p_brand, '{batch_id}' AS batch_id
+          |FROM src_part""".stripMargin),
+      job("20_curated_enriched.sql",
+        """CREATE TABLE {cat}.curated.enriched
+          |  (l_orderkey BIGINT, l_quantity DOUBLE, l_linestatus STRING,
+          |   p_brand STRING, batch_id STRING, l_returnflag STRING)
+          |  PARTITIONED BY (l_returnflag);
+          |INSERT OVERWRITE {cat}.curated.enriched
+          |SELECT l.l_orderkey, l.l_quantity, l.l_linestatus,
+          |       p.p_brand, '{batch_id}', l.l_returnflag
+          |FROM {cat}.raw.lineitem l
+          |LEFT JOIN {cat}.raw.part p ON l.l_partkey = p.p_partkey"""
+          .stripMargin),
+      job("30_semantic_thin.sql",
+        """CREATE TABLE {cat}.semantic.thin_layer
+          |  (l_returnflag STRING, l_linestatus STRING, sum_qty DOUBLE,
+          |   n_rows BIGINT, n_brands BIGINT, batch_id STRING);
+          |INSERT OVERWRITE {cat}.semantic.thin_layer
+          |SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE),
+          |       COUNT(*), COUNT(DISTINCT p_brand), '{batch_id}'
+          |FROM {cat}.curated.enriched
+          |GROUP BY l_returnflag, l_linestatus;
+          |INSERT OVERWRITE {cat}.semantic.thin_layer
+          |SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE),
+          |       COUNT(*), COUNT(DISTINCT p_brand), '{batch_id}'
+          |FROM {cat}.curated.enriched
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+    val params = Map("cat" -> cat, "env" -> "dev", "batch_id" -> "named")
+    files.foreach(f => graft.operators.SqlRunner.runFile(spark, f, params))
+    spark.table(s"$cat.semantic.thin_layer")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val medallionNamedSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows,
+      | COUNT(DISTINCT p_brand) AS n_brands,
+      | 'named' AS batch_id
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "medallion_e2e" -> (medallionE2e _),
+    "medallion_named" -> (medallionNamed _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_multi" -> (mergeMulti _),
     "scd2_merge" -> (scd2Merge _),
@@ -768,6 +854,7 @@ object QueriesCurated {
 
   val oracles: Map[String, String] = Map(
     "medallion_e2e" -> medallionE2eSql,
+    "medallion_named" -> medallionNamedSql,
     "merge_upsert" -> mergeUpsertSql,
     "merge_multi" -> mergeMultiSql,
     "scd2_merge" -> scd2MergeSql,
