@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet,
+  Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+  DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.catalog.CowNamedTable
+
+/** ANALYZER-RESOLVED DML over NAMED cow tables (round-13 verdict #3):
+  * `UPDATE` / `DELETE FROM` / `MERGE INTO cow.<ns>.<t>` now flow
+  * through Spark's OWN analyzer — the catalog resolves the target, the
+  * analyzer resolves every condition, SET assignment and MERGE action
+  * against the real schemas (a misspelled column fails ANALYSIS with
+  * Spark's `UNRESOLVED_COLUMN` error and its did-you-mean suggestions,
+  * before any engine code runs), and only then does
+  * [[CowCatalogRule]] convert the RESOLVED statement into a runnable
+  * command.
+  *
+  * ARCHITECTURE NOTE — why the analyzer-rule seam and not
+  * `SupportsRowLevelOperations`: the V2 row-level rewrite
+  * (`RewriteDeleteFromTable` → `ReplaceData`/`WriteDelta`) runs in the
+  * OPTIMIZER over a scan the operation itself must provide, which
+  * would force this engine to ship a second, V2 read path — bypassing
+  * [[graft.sinks.CowFileIndex]]'s manifest pruning, the tombstone
+  * subtraction and the positional-DV scan masks that make cow reads
+  * correct and cheap — plus executor-side V2 file writers duplicating
+  * the commit protocol. Delta chose the same seam for the same reason:
+  * its DML is analyzer rules producing commands over its own
+  * transactional writers, not `SupportsRowLevelOperations`. The
+  * conversion DE-RESOLVES the analyzed expressions to SQL text (the
+  * proven round-trip the textual engine executes), so execution lands
+  * on the identical partition-granular / deletion-vector primitives —
+  * with conf-routed COW/MOR economics — as every other DML surface.
+  *
+  * A side profit: PARAMETERIZED named DML (`spark.sql(sql, args)`)
+  * now works — the analyzer binds the markers to literals before the
+  * conversion renders them (the path form still refuses, having no
+  * analyzer pass to bind in).
+  */
+private[plans] object CowAnalyzedDml {
+
+  /** The cow root of a RESOLVED DML target, when it is one. */
+  def namedTarget(plan: LogicalPlan): Option[CowNamedTable] = plan match {
+    case SubqueryAlias(_, child) => namedTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: CowNamedTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def targetAttrs(plan: LogicalPlan): AttributeSet =
+    AttributeSet(plan.output)
+
+  /** De-resolve an analyzed expression back to parseable SQL text:
+    * resolved attributes become bare (or `t.`/`s.`-qualified) names,
+    * everything else renders through `Expression.sql` — the same
+    * round-trip the textual interpreter already executes.
+    */
+  private def textOf(e: Expression, tgt: AttributeSet,
+      src: AttributeSet = AttributeSet.empty): String =
+    e.transform {
+      case a: Attribute if src.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: Attribute if tgt.contains(a) =>
+        if (src.isEmpty) UnresolvedAttribute(Seq(a.name))
+        else UnresolvedAttribute(Seq("t", a.name))
+    }.sql
+
+  /** Resolved subqueries do not round-trip through `Expression.sql`;
+    * refuse them with the remedy instead of emitting unparseable text.
+    */
+  private def noSubqueries(es: Seq[Expression], what: String): Unit =
+    es.foreach(e => require(!e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression]),
+      s"$what with a subquery is not supported through the analyzer " +
+        "DML path yet — materialize the subquery into a view and " +
+        "reference it, or use the path-addressed cow.`/root` form"))
+
+  private def nameOf(key: Expression): String = key match {
+    case a: Attribute => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"SET target must be a column, got $other")
+  }
+
+  /** Render a RESOLVED DELETE as the path-form statement the textual
+    * engine executes (commit id allocation, COW/MOR conf routing and
+    * the ownership check all ride along).
+    */
+  def convertDelete(d: DeleteFromTable, t: CowNamedTable): LogicalPlan = {
+    noSubqueries(Seq(d.condition), "DELETE")
+    val tgt = targetAttrs(d.table)
+    val cond = d.condition match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
+        "true"
+      case c => textOf(c, tgt)
+    }
+    CowStatementCommand(s"DELETE FROM cow.`${t.root}` WHERE $cond")
+  }
+
+  /** Alignment artifacts out: the analyzer may rewrite the SET list to
+    * assign EVERY column, padding unassigned ones with identity
+    * assignments (`c = c`) — semantically "leave untouched", which is
+    * exactly what the engine's UPDATE does for unlisted columns (and an
+    * identity on a partition column must not trip the no-partition-SET
+    * rule).
+    */
+  private def real(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+      .Assignment]): Seq[org.apache.spark.sql.catalyst.plans.logical
+      .Assignment] =
+    as.filterNot(a => a.value.semanticEquals(a.key))
+
+  def convertUpdate(u: UpdateTable, t: CowNamedTable): LogicalPlan = {
+    noSubqueries(u.assignments.map(_.value) ++ u.condition.toSeq,
+      "UPDATE")
+    val tgt = targetAttrs(u.table)
+    val sets = real(u.assignments).map(a =>
+      s"`${nameOf(a.key)}` = ${textOf(a.value, tgt)}").mkString(", ")
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val cond = u.condition.map(textOf(_, tgt)).getOrElse("true")
+    CowStatementCommand(
+      s"UPDATE cow.`${t.root}` SET $sets WHERE $cond")
+  }
+
+  def convertMerge(m: MergeIntoTable, t: CowNamedTable): LogicalPlan = {
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is not supported on cow tables — " +
+        "ALTER TABLE first (metadata-only), then MERGE")
+    noSubqueries(m.mergeCondition +: (m.matchedActions ++
+      m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .flatMap(_.children), "MERGE")
+    val tgt = targetAttrs(m.targetTable)
+    val src = targetAttrs(m.sourceTable)
+    def txt(e: Expression): String = textOf(e, tgt, src)
+    def cond(c: Option[Expression]): String =
+      c.map(x => s" AND ${txt(x)}").getOrElse("")
+    def assigns(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .Assignment]): String =
+      as.map(a => s"`${nameOf(a.key)}` = ${txt(a.value)}").mkString(", ")
+    val matched = m.matchedActions.map {
+      case DeleteAction(c) => s"WHEN MATCHED${cond(c)} THEN DELETE"
+      case UpdateAction(c, as, _) =>
+        s"WHEN MATCHED${cond(c)} THEN UPDATE SET ${assigns(real(as))}"
+      case UpdateStarAction(c) =>
+        s"WHEN MATCHED${cond(c)} THEN UPDATE SET *"
+      case other => throw new IllegalArgumentException(
+        s"unsupported MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertAction(c, as) =>
+        val cols = as.map(a => s"`${nameOf(a.key)}`").mkString(", ")
+        val vals = as.map(a => txt(a.value)).mkString(", ")
+        s"WHEN NOT MATCHED${cond(c)} THEN INSERT ($cols) VALUES ($vals)"
+      case InsertStarAction(c) =>
+        s"WHEN NOT MATCHED${cond(c)} THEN INSERT *"
+      case other => throw new IllegalArgumentException(
+        s"unsupported NOT MATCHED action $other")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) =>
+        s"WHEN NOT MATCHED BY SOURCE${cond(c)} THEN DELETE"
+      case UpdateAction(c, as, _) =>
+        s"WHEN NOT MATCHED BY SOURCE${cond(c)} THEN UPDATE SET " +
+          assigns(real(as))
+      case other => throw new IllegalArgumentException(
+        s"unsupported NOT MATCHED BY SOURCE action $other")
+    }
+    CowAnalyzedMergeCommand(t.root,
+      s"MERGE INTO cow.`${t.root}` AS t USING {src} AS s " +
+        s"ON ${txt(m.mergeCondition)} " +
+        (matched ++ notMatched ++ bySource).mkString(" "),
+      m.sourceTable)
+  }
+}
+
+/** The MERGE command: the analyzed SOURCE plan travels as an inner
+  * child (arbitrary queries, not just named views); execution
+  * registers it under a scratch temp-view name, substitutes it into
+  * the rendered statement, and hands the text to the same conf-routed
+  * executor every cow statement uses.
+  */
+final case class CowAnalyzedMergeCommand(
+    root: String, template: String, sourcePlan: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val v = "graft_merge_src_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(session, sourcePlan)
+      .createOrReplaceTempView(v)
+    try CowStatementCommand(template.replace("{src}", v)).run(session)
+    finally session.catalog.dropTempView(v)
+  }
+}

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
-  LogicalPlan, OverwritePartitionsDynamic, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  InsertIntoStatement, LogicalPlan, MergeIntoTable,
+  OverwritePartitionsDynamic, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -46,6 +47,30 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = convert(plan)
 
   private def convert(p: LogicalPlan): LogicalPlan = p match {
+    // ANALYZER-RESOLVED DML over named cow tables (CowAnalyzedDml):
+    // the target relation must STAY a v2 relation while the analyzer
+    // resolves conditions/assignments against it (converting it to V1
+    // here would hand the statement to checkAnalysis' unsupported-DML
+    // error); once the whole statement is resolved, it converts to the
+    // runnable command. Non-cow targets keep Spark's own behavior.
+    case d: DeleteFromTable =>
+      CowAnalyzedDml.namedTarget(d.table) match {
+        case Some(t) => if (d.resolved) CowAnalyzedDml.convertDelete(d, t)
+          else d
+        case None => d.mapChildren(convert)
+      }
+    case u: UpdateTable =>
+      CowAnalyzedDml.namedTarget(u.table) match {
+        case Some(t) => if (u.resolved) CowAnalyzedDml.convertUpdate(u, t)
+          else u
+        case None => u.mapChildren(convert)
+      }
+    case m: MergeIntoTable =>
+      CowAnalyzedDml.namedTarget(m.targetTable) match {
+        case Some(t) => if (m.resolved) CowAnalyzedDml.convertMerge(m, t)
+          else m
+        case None => m.mapChildren(convert)
+      }
     case i: InsertIntoStatement =>
       // never touch the insert TARGET (see scaladoc); query side only
       val q = convert(i.query)

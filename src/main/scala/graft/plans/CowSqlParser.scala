@@ -65,7 +65,7 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
       hasParams: Boolean = false): LogicalPlan =
     route(sqlText).getOrElse {
       val plan = parsed
-      if (CowSql.isCowDml(session, plan)) {
+      if (CowSql.parserRoutes(session, plan)) {
         // the routed command re-parses the TEXT at execution — bind
         // markers would reach the interpreter unbound, or (when the
         // delegate wraps the DML for later analyzer binding) miss the

@@ -226,6 +226,37 @@ object CowSql {
     * catalog still routes (and fails loudly at the warehouse lookup,
     * not with an analyzer "table not found").
     */
+  /** What the PRE-PARSE route still owns once named DML resolves
+    * through the analyzer (round-13): constraint DDL over any cow form
+    * (Spark's own AddCheckConstraint resolution needs a session-catalog
+    * V1 relation a cow table never carries), and DML whose target is
+    * the catalog-less PATH form (nothing for the analyzer to resolve
+    * it against). A NAMED DML target falls through to the analyzer —
+    * [[graft.plans.CowCatalogRule]] converts the RESOLVED statement,
+    * so a misspelled column fails analysis with Spark's own error.
+    */
+  private[graft] def parserRoutes(spark: SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case ac: AddCheckConstraint => leafRef(ac.child).exists(isCowRef(spark, _))
+    case dc: DropConstraint => leafRef(dc.child).exists(isCowRef(spark, _))
+    case DeleteFromTable(t, _) => isCowPathRef(spark, t)
+    case UpdateTable(t, _, _) => isCowPathRef(spark, t)
+    case m: MergeIntoTable => isCowPathRef(spark, m.targetTable)
+    case _ => false
+  }
+
+  /** PATH-form cow target only (`` cow.`/abs/path` ``). */
+  private def isCowPathRef(spark: SparkSession,
+      plan: LogicalPlan): Boolean = plan match {
+    case SubqueryAlias(_, child) => isCowPathRef(spark, child)
+    case r: UnresolvedRelation => r.multipartIdentifier match {
+      case Seq(cat, path) if path.startsWith("/") =>
+        cat.equalsIgnoreCase("cow") || isCowCatalog(spark, cat)
+      case _ => false
+    }
+    case _ => false
+  }
+
   private[graft] def isCowDml(spark: SparkSession,
       plan: LogicalPlan): Boolean = plan match {
     case DeleteFromTable(t, _) => isCowRef(spark, t)
