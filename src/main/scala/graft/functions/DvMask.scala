@@ -172,9 +172,18 @@ object DvSidecars {
   // observability for the spec, keyed by snapshot: (loads performed,
   // did every one run inside a task). The pin that positions are
   // loaded where the scan runs — never materialized at plan time on
-  // the driver — and loaded once per snapshot per JVM.
+  // the driver — and loaded once per snapshot per JVM. Bounded like
+  // the position cache itself: a long-lived executor must not grow a
+  // log of path-list keys forever, so crossing the cap clears it (the
+  // specs read it within the same few actions they drive).
   private[graft] val loadLog =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]
+  private val MaxLogged = 64
+  private[graft] def logLoad(key: String, inTask: Boolean): Unit = {
+    if (loadLog.size() > MaxLogged) loadLog.clear()
+    loadLog.merge(key, (1L, inTask),
+      (a, b) => (a._1 + b._1, a._2 && b._2))
+  }
 
   def positions(key: String, rootKey: String, sidecars: Seq[String],
       scheme: String, authority: String,
@@ -208,9 +217,7 @@ object DvSidecars {
   private def readAll(key: String, rootKey: String, sidecars: Seq[String],
       scheme: String, authority: String,
       conf: Configuration): Map[String, Array[Long]] = {
-    val inTask = TaskContext.get() != null
-    loadLog.merge(key, (1L, inTask),
-      (a, b) => (a._1 + b._1, a._2 && b._2))
+    logLoad(key, TaskContext.get() != null)
     val acc = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofLong]
     sidecars.foreach { abs =>
       val reader = ParquetReader

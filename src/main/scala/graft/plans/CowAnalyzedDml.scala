@@ -115,15 +115,31 @@ private[plans] object CowAnalyzedDml {
     * rule).
     */
   private def real(as: Seq[org.apache.spark.sql.catalyst.plans.logical
-      .Assignment]): Seq[org.apache.spark.sql.catalyst.plans.logical
-      .Assignment] =
-    as.filterNot(a => a.value.semanticEquals(a.key))
+      .Assignment], t: CowNamedTable): Seq[org.apache.spark.sql.catalyst
+      .plans.logical.Assignment] = {
+    val kept = as.filterNot(a => a.value.semanticEquals(a.key))
+    if (kept.nonEmpty || as.isEmpty) kept
+    else {
+      // the USER-WRITTEN list was all identities (`SET v = v`) — a
+      // valid, semantically no-op rewrite the textual engine executes;
+      // filtering it to nothing would fail a legal statement (or
+      // render an unparseable empty SET in MERGE). Keep one identity
+      // on a NON-partition column so the no-partition-SET rule stays
+      // untripped and the rendered text round-trips.
+      val pc = t.manifest.partCols.toSet
+      as.find(a => !pc.contains(nameOf(a.key))).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException(
+          "UPDATE SET on partition columns only is not supported on " +
+            "cow tables — partition values are immutable per row; " +
+            "DELETE + INSERT instead"))
+    }
+  }
 
   def convertUpdate(u: UpdateTable, t: CowNamedTable): LogicalPlan = {
     noSubqueries(u.assignments.map(_.value) ++ u.condition.toSeq,
       "UPDATE")
     val tgt = targetAttrs(u.table)
-    val sets = real(u.assignments).map(a =>
+    val sets = real(u.assignments, t).map(a =>
       s"`${nameOf(a.key)}` = ${textOf(a.value, tgt)}").mkString(", ")
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
     val cond = u.condition.map(textOf(_, tgt)).getOrElse("true")
@@ -149,7 +165,7 @@ private[plans] object CowAnalyzedDml {
     val matched = m.matchedActions.map {
       case DeleteAction(c) => s"WHEN MATCHED${cond(c)} THEN DELETE"
       case UpdateAction(c, as, _) =>
-        s"WHEN MATCHED${cond(c)} THEN UPDATE SET ${assigns(real(as))}"
+        s"WHEN MATCHED${cond(c)} THEN UPDATE SET ${assigns(real(as, t))}"
       case UpdateStarAction(c) =>
         s"WHEN MATCHED${cond(c)} THEN UPDATE SET *"
       case other => throw new IllegalArgumentException(
@@ -170,36 +186,42 @@ private[plans] object CowAnalyzedDml {
         s"WHEN NOT MATCHED BY SOURCE${cond(c)} THEN DELETE"
       case UpdateAction(c, as, _) =>
         s"WHEN NOT MATCHED BY SOURCE${cond(c)} THEN UPDATE SET " +
-          assigns(real(as))
+          assigns(real(as, t))
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED BY SOURCE action $other")
     }
+    // the scratch view NAME is chosen here and rendered directly into
+    // the statement text — never a placeholder substituted at run time,
+    // which would also rewrite the placeholder string inside user
+    // literals in rendered conditions/values (silently corrupting the
+    // executed statement)
+    val srcView = "graft_merge_src_" + java.util.UUID.randomUUID()
+      .toString.replace("-", "")
     CowAnalyzedMergeCommand(t.root,
-      s"MERGE INTO cow.`${t.root}` AS t USING {src} AS s " +
+      s"MERGE INTO cow.`${t.root}` AS t USING $srcView AS s " +
         s"ON ${txt(m.mergeCondition)} " +
         (matched ++ notMatched ++ bySource).mkString(" "),
-      m.sourceTable)
+      srcView, m.sourceTable)
   }
 }
 
 /** The MERGE command: the analyzed SOURCE plan travels as an inner
   * child (arbitrary queries, not just named views); execution
-  * registers it under a scratch temp-view name, substitutes it into
-  * the rendered statement, and hands the text to the same conf-routed
-  * executor every cow statement uses.
+  * registers it under the scratch temp-view name the conversion
+  * already rendered into `statement`, and hands the text to the same
+  * conf-routed executor every cow statement uses.
   */
 final case class CowAnalyzedMergeCommand(
-    root: String, template: String, sourcePlan: LogicalPlan)
+    root: String, statement: String, srcView: String,
+    sourcePlan: LogicalPlan)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
 
   override def run(session: SparkSession): Seq[Row] = {
-    val v = "graft_merge_src_" + java.util.UUID.randomUUID().toString
-      .replace("-", "")
     org.apache.spark.sql.graftbridge.Bridge.ofRows(session, sourcePlan)
-      .createOrReplaceTempView(v)
-    try CowStatementCommand(template.replace("{src}", v)).run(session)
-    finally session.catalog.dropTempView(v)
+      .createOrReplaceTempView(srcView)
+    try CowStatementCommand(statement).run(session)
+    finally session.catalog.dropTempView(srcView)
   }
 }

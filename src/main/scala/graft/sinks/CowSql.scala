@@ -181,15 +181,22 @@ object CowSql {
   def exec(spark: SparkSession, id: Long, sql: String,
       keep: Int = 2, mode: DmlMode = Cow,
       morThresholdBytes: Long = 128L * 1024 * 1024): Boolean = sql match {
+    // OPTIMIZE reports ownership like every DML: `false` from the
+    // engine is EITHER a lost race (a concurrent writer took `id` —
+    // the caller must not be told the table was optimized when it
+    // wasn't) OR a benign no-op (empty / already-compact table, id
+    // unconsumed). The two are told apart by whether anyone committed
+    // at-or-past our id: no commit ⇒ nothing needed doing ⇒ success.
     case OptimizeRe(c, p, ns, t, cols) if routableRef(spark, c, p) =>
-      CowTable.optimizeZorder(spark, refRoot(spark, c, p, ns, t), id,
+      val root = refRoot(spark, c, p, ns, t)
+      CowTable.optimizeZorder(spark, root, id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
-          .stripSuffix("`")).filter(_.nonEmpty), keep = keep)
-      true // a superseded/no-op OPTIMIZE loses no data — content-neutral
+          .stripSuffix("`")).filter(_.nonEmpty), keep = keep) ||
+        !CowTable.committedIds(spark, root).exists(_ >= id)
     case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
-      CowTable.compactPartitions(spark, refRoot(spark, c, p, ns, t), id,
-        keep = keep)
-      true // already-compact/debt-free tables no-op, id unconsumed
+      val root = refRoot(spark, c, p, ns, t)
+      CowTable.compactPartitions(spark, root, id, keep = keep) ||
+        !CowTable.committedIds(spark, root).exists(_ >= id)
     case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
       CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
       true
@@ -257,25 +264,6 @@ object CowSql {
     case _ => false
   }
 
-  private[graft] def isCowDml(spark: SparkSession,
-      plan: LogicalPlan): Boolean = plan match {
-    case DeleteFromTable(t, _) => isCowRef(spark, t)
-    case UpdateTable(t, _, _) => isCowRef(spark, t)
-    case m: MergeIntoTable => isCowRef(spark, m.targetTable)
-    // constraint DDL routes here too: Spark's own AddCheckConstraint
-    // resolution scans the table through machinery that requires a
-    // session-catalog V1 relation (LogicalRelation.catalogTable.get in
-    // ResolveSessionCatalog), which a cow relation never carries — the
-    // pre-analysis route is the only one that composes
-    // AddCheckConstraint's child is the parser's validation scan
-    // (Filter(NOT cond, relation)) — dig to the leaf reference
-    case ac: AddCheckConstraint =>
-      leafRef(ac.child).exists(isCowRef(spark, _))
-    case dc: DropConstraint =>
-      leafRef(dc.child).exists(isCowRef(spark, _))
-    case _ => false
-  }
-
   /** The statement target's leaf reference, under whatever the parser
     * wrapped it in (AddCheckConstraint carries a Filter validation
     * scan; DROP carries a bare UnresolvedTable).
@@ -335,12 +323,16 @@ object CowSql {
       exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
     case OptimizeRe(c, p, ns, t, _) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
-      exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
-        morThresholdBytes)
+      val id = headOf(spark, root) + 1L
+      require(exec(spark, id, sql, keep, mode, morThresholdBytes),
+        s"OPTIMIZE raced a concurrent commit at $root (id $id was " +
+          s"taken by another writer) — retry: $sql")
     case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
-      exec(spark, headOf(spark, root) + 1L, sql, keep, mode,
-        morThresholdBytes)
+      val id = headOf(spark, root) + 1L
+      require(exec(spark, id, sql, keep, mode, morThresholdBytes),
+        s"OPTIMIZE raced a concurrent commit at $root (id $id was " +
+          s"taken by another writer) — retry: $sql")
     case _ =>
       val plan = parser.parsePlan(sql)
       plan match {

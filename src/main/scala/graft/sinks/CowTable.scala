@@ -1123,10 +1123,14 @@ object CowTable {
     val totalBins = math.max(1L,
       (m.files.map(_.bytes).sum + targetFileBytes - 1) / targetFileBytes)
     val touched = m.allFiles.map(m.partKeyOf).toSet
+    // ownership rides through: false from the commit is a lost race
+    // (a concurrent writer took this id between our guard and the
+    // lease), and reporting it as success would hide a skipped
+    // optimize behind a "done" — the silent-supersede hole the
+    // ownership contract exists to close
     commitPartitionsFrom(Some(m), all.withColumn("__z", z), touched,
       root, id, m.partCols, keep, changeLogKeys = changeLogKeys,
       split = Some(("__z", math.min(totalBins, 1L << 20).toInt)))
-    true
   }
 
   /** Filesystem ↔ manifest integrity audit (fsck). Reports, without
@@ -2631,10 +2635,10 @@ object CowTable {
           .drop(m.partCols.map(c => s"__cw_$c") :+ "__cw_want": _*)
       }
     val totalBins = math.min(wantByPart.values.sum, 1L << 20).toInt
+    // ownership rides through (see optimizeZorder): false = lost race
     commitPartitionsFrom(Some(m), salted, touched, root, id, m.partCols,
       keep, changeLogKeys = changeLogKeys,
       split = Some(("__cw_bin", totalBins)))
-    true
   }
 
   /** Deterministic row hash for compaction binning: every hashable

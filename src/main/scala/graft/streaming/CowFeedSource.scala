@@ -62,7 +62,9 @@ final case class CowFeedTable(feedName: String, root: String,
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCapability
-        .MICRO_BATCH_READ)
+        .MICRO_BATCH_READ,
+      org.apache.spark.sql.connector.catalog.TableCapability
+        .BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -85,6 +87,35 @@ final class CowFeedScan(root: String, tableSchema: StructType,
       : MicroBatchStream =
     new CowChangeFeedStream(SparkSession.active, root, tableSchema,
       Option(options.get("startingSnapshot")).map(_.toLong))
+
+  /** The same change feed as a BATCH read — Delta's `table_changes`:
+    * `spark.read.option("startSnapshot", a).option("endSnapshot", b)
+    * .table("cow.ns.t.changes")` serves the signed changelog of the
+    * committed ids in `[a, b]` (both INCLUSIVE; defaults: everything
+    * retained → the current head). The same retention contract as the
+    * stream: a start behind the lowest retained snapshot fails loudly
+    * rather than silently serving a hole.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val spark = SparkSession.active
+    val committed = CowTable.committedIds(spark, root)
+    val startIncl = Option(options.get("startSnapshot")).map(_.toLong)
+    val end = Option(options.get("endSnapshot")).map(_.toLong)
+      .orElse(committed.lastOption).getOrElse(0L)
+    // lo is EXCLUSIVE (stream-offset convention); default = serve all
+    val lo = startIncl.map(_ - 1L)
+      .orElse(committed.headOption.map(_ - 1L)).getOrElse(0L)
+    val parts = CowFeedPlanner.partitionsFor(spark, root, lo, end)
+    val factory = new CowFeedReaderFactory(
+      org.apache.spark.sql.graftbridge.Bridge.parquetRowReader(
+        spark, tableSchema.add(CowTable.ChangeOper, StringType),
+        StructType(Nil).add("_commit_id", LongType, nullable = false),
+        Map.empty))
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] = parts
+      override def createReaderFactory(): PartitionReaderFactory = factory
+    }
+  }
 
   override def description(): String = s"cow change feed at $root"
 }
@@ -119,32 +150,10 @@ final class CowChangeFeedStream(spark: SparkSession, root: String,
     CowFeedOffset(json.toLong)
 
   override def planInputPartitions(
-      start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[CowFeedOffset].id
-    val hi = end.asInstanceOf[CowFeedOffset].id
-    if (hi <= lo) return Array.empty
-    val committed = CowTable.committedIds(spark, root)
-    // retention guard (see scaladoc): ids at or below the lowest
-    // retained snapshot may have been vacuumed WITH their sidecars —
-    // a lagging stream cannot tell what it missed
-    committed.headOption.filter(lowest => lo < lowest - 1L).foreach(
-      lowest => throw new IllegalStateException(
-        s"change-feed stream at $root lags vacuumed history: batch " +
-          s"start $lo is behind the lowest retained snapshot $lowest " +
-          "— rebuild the consumer from a table rescan, raise the " +
-          "writer's keep, or register a stream frontier fence"))
-    val fs = new Path(root).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    committed.filter(i => i > lo && i <= hi).flatMap { id =>
-      val dir = new Path(s"$root/${CowTable.ChangesDir}/$id")
-      if (!fs.exists(dir)) Nil // commit without changeLogKeys
-      else fs.listStatus(dir).toSeq
-        .filter(st => !st.isDirectory &&
-          !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(st => CowFeedPartition(id, st.getPath.toString, st.getLen))
-    }.toArray
-  }
+      start: Offset, end: Offset): Array[InputPartition] =
+    CowFeedPlanner.partitionsFor(spark, root,
+      start.asInstanceOf[CowFeedOffset].id,
+      end.asInstanceOf[CowFeedOffset].id)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CowFeedReaderFactory(
@@ -154,6 +163,63 @@ final class CowChangeFeedStream(spark: SparkSession, root: String,
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** Sidecar listing shared by the STREAMING and BATCH feed reads: one
+  * input partition per sidecar file of each committed id in
+  * `(lo, hi]`.
+  */
+private[streaming] object CowFeedPlanner {
+
+  def partitionsFor(spark: SparkSession, root: String,
+      lo: Long, hi: Long): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val committed = CowTable.committedIds(spark, root)
+    // retention guard (see scaladoc): ids at or below the lowest
+    // retained snapshot may have been vacuumed WITH their sidecars —
+    // a lagging consumer cannot tell what it missed
+    committed.headOption.filter(lowest => lo < lowest - 1L).foreach(
+      lowest => throw new IllegalStateException(
+        s"change feed at $root lags vacuumed history: range " +
+          s"start $lo is behind the lowest retained snapshot $lowest " +
+          "— rebuild the consumer from a table rescan, raise the " +
+          "writer's keep, or register a stream frontier fence"))
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // ids whose _changes dir probe came back absent: EITHER a commit
+    // that carried no changeLogKeys (legitimately nothing to serve) OR
+    // a vacuum that pruned the id — manifest first, then sidecars —
+    // between our committedIds listing above and the probe. Serving
+    // "nothing" for a vacuumed id would advance the offset past real
+    // changes with no error, so the two must be told apart
+    val sidecarless = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val parts: Array[InputPartition] =
+      committed.filter(i => i > lo && i <= hi).flatMap { id =>
+        val dir = new Path(s"$root/${CowTable.ChangesDir}/$id")
+        if (!fs.exists(dir)) { sidecarless += id; Nil }
+        else fs.listStatus(dir).toSeq
+          .filter(st => !st.isDirectory &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => CowFeedPartition(id, st.getPath.toString, st.getLen))
+      }.toArray
+    if (sidecarless.nonEmpty) {
+      // one re-listing decides all of them: vacuum deletes an id's
+      // manifest STRICTLY BEFORE its _changes dir (see CowTable
+      // .vacuum), so an id still committed after its dir probed absent
+      // really had no sidecar; one whose manifest is now gone was
+      // vacuumed out from under this batch
+      val still = CowTable.committedIds(spark, root).toSet
+      val lost = sidecarless.filterNot(still.contains)
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"change feed at $root raced a vacuum: commit(s) " +
+          s"${lost.mkString(", ")} were pruned (manifest and change " +
+          "sidecars deleted) while this range was being planned — " +
+          "rebuild the consumer from a table rescan, raise the " +
+          "writer's keep, or register a stream frontier fence")
+    }
+    parts
+  }
 }
 
 final case class CowFeedPartition(commitId: Long, filePath: String,

@@ -78,7 +78,35 @@ object CowStream {
       throw new IllegalStateException(
         s"no committed snapshot at $root — start the stream after the " +
           "initial commit"))
-    spark.readStream.table(s"cow.`$root`.changes")
+    // name resolution must not assume the session registered the
+    // catalog as literally `cow` (initialize accepts any name, and a
+    // bare-extensions session may have registered none): route through
+    // whatever CowCatalog IS registered, auto-registering `cow` over a
+    // scratch warehouse as the fallback — the backticked path form
+    // never touches the warehouse, so the scratch dir stays empty
+    val cat = registeredCowCatalog(spark).getOrElse {
+      spark.conf.set("spark.sql.catalog.cow",
+        classOf[graft.catalog.CowCatalog].getName)
+      if (spark.conf.getOption("spark.sql.catalog.cow.warehouse").isEmpty)
+        spark.conf.set("spark.sql.catalog.cow.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cow_feed_wh")
+            .toString)
+      "cow"
+    }
+    spark.readStream.table(s"$cat.`$root`.changes")
+  }
+
+  /** The name of SOME registered [[graft.catalog.CowCatalog]] in this
+    * session (preferring `cow` when several are), if any.
+    */
+  private[graft] def registeredCowCatalog(spark: SparkSession): Option[String] = {
+    val cls = classOf[graft.catalog.CowCatalog].getName
+    val names = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("spark.sql.catalog.") && v == cls &&
+          !k.stripPrefix("spark.sql.catalog.").contains(".") =>
+        k.stripPrefix("spark.sql.catalog.")
+    }
+    if (names.exists(_ == "cow")) Some("cow") else names.headOption
   }
 
   /** One micro-batch of the stream-maintained MV: frontier-filter the
