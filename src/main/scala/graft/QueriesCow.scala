@@ -25,8 +25,27 @@ import graft.sinks.{CowTable, CowV2}
   */
 object QueriesCow {
 
-  private def scratch(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+  // every scratch dir this battery creates, deleted recursively at JVM
+  // exit: results must stay ALIVE (lazily readable) for the harness's
+  // whole run, so eager per-row deletion is wrong, but repeated
+  // batteries must not accumulate table-copies in the temp filesystem
+  // either — the comment "dies with the process" is made TRUE here,
+  // not assumed
+  private val scratchDirs =
+    scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.synchronized(scratchDirs.foreach(delRec))))
+  private def delRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delRec)
+    f.delete(): Unit
+  }
+
+  private def scratch(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_$tag")
+    scratchDirs.synchronized(scratchDirs += d.toFile)
+    d.toString
+  }
 
   /** A per-run SCRATCH CATALOG for the named-table oracle rows: a
     * unique catalog name registered over its own temp warehouse
@@ -723,6 +742,83 @@ object QueriesCow {
       |  WHERE c_custkey <= 1500
       |)
       |SELECT c_custkey, seg FROM final ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // STREAMING SINK AS A REGISTERED FORMAT: the same two-wave keyed
+  // upsert as `cow_sink_stream`, but through the Spark-facing
+  // `writeStream.format("cow")` surface with the NAMED target form
+  // (`option("table", "<cat>.g.sinkt")`) over a per-run scratch
+  // catalog — sinks/CowSource.createSink → streaming/CowStreamSink
+  // (the V1 Sink seam, Delta's own choice), not the programmatic
+  // helper. Exactly-once is the table's replay guard (ids derive from
+  // the checkpoint's batch ids); the oracle is DELIBERATELY the same
+  // SQL as cow_sink_stream — the format surface must be semantically
+  // indistinguishable from the programmatic one.
+  // -------------------------------------------------------------------
+  def cowStreamFmtSink(spark: SparkSession, dir: String): DataFrame = {
+    val (nsq, nsDir) = scratchCatalog(spark, "fmtsink")
+    val in = scratch("cow_fmtin")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        bucket.as("pb"))
+    c.where(col("c_custkey") <= 1000)
+      .coalesce(1).write.parquet(s"$in/w1")
+    c.where(col("c_custkey").between(501, 1500))
+      .select(col("c_custkey"), lit("SEGMENT-S").as("seg"), col("pb"))
+      .coalesce(1).write.parquet(s"$in/w2")
+    val stream = spark.readStream
+      .schema("c_custkey BIGINT, seg STRING, pb INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/w*")
+    val q = stream.writeStream.format("cow")
+      .option("checkpointLocation", scratch("cow_fmtck"))
+      .option("table", s"$nsq.sinkt")
+      .option("keys", "c_custkey")
+      .option("partitionBy", "pb")
+      .option("keep", "10")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    require(CowTable.committedIds(spark, s"$nsDir/sinkt") == Seq(2L, 4L),
+      "expected exactly one commit per wave from the format sink")
+    spark.table(s"$nsq.sinkt")
+      .select(col("c_custkey"), col("seg")).orderBy("c_custkey")
+  }
+
+  // -------------------------------------------------------------------
+  // BATCH CDF BY NAME: `spark.read.option("startSnapshot", …)
+  // .table("cow.….changes")` — Delta's `table_changes` — serves the
+  // signed changelog of a committed-id RANGE from the same sidecars
+  // the streaming feed reads (streaming/CowFeedSource.toBatch; the
+  // listing is CowFeedPlanner, shared with the stream, so the
+  // retention and vacuum-race guards are identical). The oracle
+  // recomputes the expected I/D rows from the raw source.
+  // -------------------------------------------------------------------
+  def cowNamedCdf(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("cow_cdf")}/t"
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 500), root, 1L,
+      Seq("pb"), keep = 10, changeLogKeys = Seq("c_custkey"))
+    CowTable.commitAppend(c.where(col("c_custkey").between(501, 800)),
+      root, 2L, Seq("pb"), keep = 10, changeLogKeys = Seq("c_custkey"))
+    CowTable.deleteWhere(spark, root, 3L, col("c_custkey") <= 100,
+      keep = 10, changeLogKeys = Seq("c_custkey"))
+    spark.read.option("startSnapshot", "2")
+      .table(s"cow.`$root`.changes")
+      .select(col("_commit_id"), col("_oper"), col("c_custkey"))
+      .orderBy("_commit_id", "c_custkey")
+  }
+
+  val cowNamedCdfSql: String =
+    """SELECT _commit_id, _oper, c_custkey FROM (
+      |  SELECT CAST(2 AS BIGINT) AS _commit_id, 'I' AS _oper, c_custkey
+      |  FROM customer WHERE c_custkey BETWEEN 501 AND 800
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'D', c_custkey
+      |  FROM customer WHERE c_custkey <= 100
+      |) ORDER BY _commit_id, c_custkey""".stripMargin
 
   // -------------------------------------------------------------------
   // MANIFEST-SERVED AGGREGATES: count/min/max answered from the
@@ -1960,6 +2056,8 @@ object QueriesCow {
     "cow_repartition" -> (cowRepartition _),
     "cow_agg_pushdown" -> (cowAggPushdown _),
     "cow_sink_stream" -> (cowSinkStream _),
+    "cow_stream_fmt_sink" -> (cowStreamFmtSink _),
+    "cow_named_cdf" -> (cowNamedCdf _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
@@ -2017,6 +2115,8 @@ object QueriesCow {
     "cow_mv_from_feed" -> cowMvFromFeedSql,
     "cow_stream_mv" -> cowStreamMvSql,
     "cow_sink_stream" -> cowSinkStreamSql,
+    "cow_stream_fmt_sink" -> cowSinkStreamSql,
+    "cow_named_cdf" -> cowNamedCdfSql,
     "cow_agg_pushdown" -> cowAggPushdownSql,
     "cow_repartition" -> cowRepartitionSql)
 }

@@ -42,9 +42,23 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
   * agree when given).
   */
 final class CowSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "cow"
+
+  /** `df.writeStream.format("cow")` — see [[graft.streaming
+    * .CowStreamSink]] for the seam rationale (Delta's V1 Sink choice),
+    * output modes and options.
+    */
+  override def createSink(
+      ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    graft.streaming.CowStreamSink.fromParameters(
+      ctx.sparkSession, parameters, partitionColumns, outputMode)
 
   override def createRelation(
       ctx: SQLContext,

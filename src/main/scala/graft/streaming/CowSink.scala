@@ -76,7 +76,7 @@ object CowSink {
     * else: a replayed batch's data commit no-ops on the frontier and
     * its compaction re-runs only if it never committed.
     */
-  private def maybeCompact(
+  private[streaming] def maybeCompact(
       spark: org.apache.spark.sql.SparkSession,
       root: String, batchId: Long, compactEvery: Int,
       targetFileBytes: Long, keep: Int,
@@ -115,6 +115,27 @@ object CowSink {
         keep = keep, changeLogKeys = changeLogKeys,
         changeLogRequired = changeLogKeys.nonEmpty)
     }
+
+  /** One micro-batch REPLACING the whole table — Complete-mode output
+    * (streaming aggregations emit their full result every trigger; the
+    * table is the latest result). Same id discipline and replay guard
+    * as [[appendBatch]]; empty batches still commit (an aggregation
+    * whose result became empty must clear the table).
+    */
+  def replaceBatch(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      partCols: Seq[String],
+      changeLogKeys: Seq[String] = Nil,
+      keep: Int = 2,
+      baseId: Long = 0L): Unit = {
+    val id = idOf(batchId, baseId)
+    guardFrontier(batch.sparkSession, root, id)
+    CowTable.commitFull(batch, root, id, partCols, keep = keep,
+      changeLogKeys = changeLogKeys)
+    ()
+  }
 
   /** One micro-batch upserted (newest-wins on `keyCols`) as one COW
     * merge commit — the streaming CDC-apply path.

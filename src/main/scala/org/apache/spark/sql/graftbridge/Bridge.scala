@@ -24,6 +24,23 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-wrap a V1 streaming sink's `addBatch` DataFrame for MULTI-action
+    * use — exactly what Spark's own `ForeachBatchSink.addBatch` does
+    * before handing the batch to user code: the incoming frame is
+    * backed by the micro-batch's `IncrementalExecution`, which is
+    * single-shot; pinning its `toRdd` under a fresh `LogicalRDD` makes
+    * every downstream action (emptiness probe, constraint scan, write,
+    * stats) re-read the SAME computed slice instead of re-triggering
+    * the incremental plan.
+    */
+  def stableBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    classic.Dataset.ofRows(cds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        cds.queryExecution.toRdd, cds, isStreaming = false))
+  }
+
   /** Spark's OWN parquet row reader as a serializable function over
     * `(file path, file length, partition values)` — built from
     * `ParquetFileFormat.buildReaderWithPartitionValues` (private[sql];
