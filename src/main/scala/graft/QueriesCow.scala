@@ -811,6 +811,56 @@ object QueriesCow {
       .orderBy("_commit_id", "c_custkey")
   }
 
+  // -------------------------------------------------------------------
+  // REPLACE-WHERE + PARTITION-SCOPED OPTIMIZE: Delta's replaceWhere —
+  // `writeTo(t).overwrite(pred)` drops every partition the predicate
+  // matches and writes the query's rows in their place, ONE commit,
+  // non-matching partitions carried by manifest reference (require()d
+  // on the actual file paths below) — then `OPTIMIZE … WHERE pred`
+  // compacts only that region. At 100 TB this is the restatement
+  // pattern: recompute a date range without touching the rest of the
+  // table, then heal only the files the restatement fragmented.
+  // -------------------------------------------------------------------
+  def cowReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("cow_rw")}/t"
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_custkey") % 10).cast("int").as("seg"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 1200), root, 1L,
+      Seq("seg"), keep = 10)
+    val kept = CowTable.currentManifest(spark, root).get.files
+      .filter(_.part("seg").toInt < 7).map(_.path).toSet
+    // restate the seg >= 7 region: fewer keys (≤ 900, a true REPLACE —
+    // 901..1200 of that region must vanish) with rewritten names
+    c.where(col("c_custkey") <= 900 && col("seg") >= 7)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("seg"))
+      .writeTo(s"cow.`$root`").overwrite(col("seg") >= 7)
+    val m = CowTable.currentManifest(spark, root).get
+    require(m.files.filter(_.part("seg").toInt < 7).map(_.path).toSet
+        == kept,
+      "non-matching partitions must carry by manifest reference")
+    // heal only the restated region; content-neutral by contract
+    spark.sql(s"OPTIMIZE cow.`$root` WHERE seg >= 7")
+    val m2 = CowTable.currentManifest(spark, root).get
+    require(m2.files.filter(_.part("seg").toInt < 7).map(_.path).toSet
+        == kept,
+      "scoped OPTIMIZE must not rewrite non-matching partitions")
+    CowTable.read(spark, root).get
+      .select(col("c_custkey"), col("c_name"), col("seg"))
+      .orderBy("c_custkey")
+  }
+
+  val cowReplaceWhereSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 10 >= 7 THEN upper(c_name)
+      |       ELSE c_name END AS c_name,
+      |  CAST(c_custkey % 10 AS INT) AS seg
+      |FROM customer
+      |WHERE (c_custkey <= 1200 AND c_custkey % 10 < 7)
+      |   OR (c_custkey <= 900 AND c_custkey % 10 >= 7)
+      |ORDER BY c_custkey""".stripMargin
+
   val cowNamedCdfSql: String =
     """SELECT _commit_id, _oper, c_custkey FROM (
       |  SELECT CAST(2 AS BIGINT) AS _commit_id, 'I' AS _oper, c_custkey
@@ -2058,6 +2108,7 @@ object QueriesCow {
     "cow_sink_stream" -> (cowSinkStream _),
     "cow_stream_fmt_sink" -> (cowStreamFmtSink _),
     "cow_named_cdf" -> (cowNamedCdf _),
+    "cow_replace_where" -> (cowReplaceWhere _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
@@ -2117,6 +2168,7 @@ object QueriesCow {
     "cow_sink_stream" -> cowSinkStreamSql,
     "cow_stream_fmt_sink" -> cowSinkStreamSql,
     "cow_named_cdf" -> cowNamedCdfSql,
+    "cow_replace_where" -> cowReplaceWhereSql,
     "cow_agg_pushdown" -> cowAggPushdownSql,
     "cow_repartition" -> cowRepartitionSql)
 }

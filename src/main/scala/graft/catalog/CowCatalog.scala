@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
@@ -15,8 +15,9 @@ import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo,
-  Filter, InsertableRelation}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation,
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -478,9 +479,11 @@ final case class CowNamedTable(
 private final class CowWriteBuilder(root: String, base: CowManifest)
   extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
-  // Append | Truncate | Dynamic | Static(partition filters)
+  // Append | Truncate | Dynamic | Static(partition filters) |
+  // Replace(arbitrary partition predicate — Delta's replaceWhere)
   private var mode: String = "append"
   private var staticFilters: Seq[(String, Any)] = Nil
+  private var replaceFilters: Seq[Filter] = Nil
 
   override def truncate(): WriteBuilder = { mode = "truncate"; this }
 
@@ -491,15 +494,22 @@ private final class CowWriteBuilder(root: String, base: CowManifest)
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
       return truncate()
-    val eqs = filters.toSeq.map {
+    val eqs = filters.toSeq.collect {
       case EqualTo(c, v) if base.partCols.contains(c) => c -> v
       case EqualNullSafe(c, v) if base.partCols.contains(c) => c -> v
-      case other => throw new UnsupportedOperationException(
-        s"INSERT OVERWRITE with filter $other: cow supports full " +
-          "overwrite, dynamic partition overwrite, and static " +
-          "PARTITION (col=value) specs on partition columns")
     }
-    mode = "static"; staticFilters = eqs; this
+    if (eqs.size == filters.length &&
+        eqs.map(_._1).toSet == base.partCols.toSet) {
+      // the analyzer's static PARTITION (col=value, …) spec naming
+      // every partition column: the strict declared-partition path
+      mode = "static"; staticFilters = eqs; this
+    } else {
+      // anything else is replaceWhere: replace exactly the partitions
+      // the predicate matches (ranges, IN lists, partial specs) —
+      // `writeTo(t).overwrite(pred)` lands here through Spark's
+      // filter translation
+      mode = "replace"; replaceFilters = filters.toSeq; this
+    }
   }
 
   override def build(): Write = new V1Write {
@@ -516,6 +526,8 @@ private final class CowWriteBuilder(root: String, base: CowManifest)
     case "dynamic" => CowWrites.dynamicOverwrite(data, root, base)
     case "static" => CowWrites.staticOverwrite(data, root, base,
       staticFilters)
+    case "replace" => CowWrites.replaceWhere(data, root, base,
+      CowWrites.filtersToColumn(replaceFilters))
   }
 }
 
@@ -579,6 +591,62 @@ private[graft] object CowWrites {
     val pinned = data.localCheckpoint()
     withCommit(pinned, root, base)((pc, id) =>
       CowTable.commitPartitions(pinned, keysOf(pinned, pc), root, id, pc))
+  }
+
+  /** V1 `Filter`s → one engine Column — the DSv2 overwrite condition
+    * arrives translated; render it back so [[CowTable
+    * .partitionsMatching]] can evaluate it over the partition values.
+    */
+  private[graft] def filtersToColumn(fs: Seq[Filter]): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def one(f: Filter): Column = f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case Not(c) => !one(c)
+      case And(l, r) => one(l) && one(r)
+      case Or(l, r) => one(l) || one(r)
+      case StringStartsWith(a, v) => col(a).startsWith(v)
+      case other => throw new UnsupportedOperationException(
+        s"replaceWhere filter $other is not supported — use equality/" +
+          "range/IN predicates over partition columns")
+    }
+    fs.map(one).reduce(_ && _)
+  }
+
+  /** Delta's `replaceWhere`: one commit that drops every partition the
+    * predicate matches and writes the query's rows in their place —
+    * partition-granular (non-matching partitions carry by manifest
+    * reference; at 100 TB, restating a date range never rewrites the
+    * rest of the table). Contract: the predicate references partition
+    * columns only, and EVERY incoming row must satisfy it (rows
+    * outside the replaced region would otherwise silently survive the
+    * next identical replace — refused loudly, Delta's own rule).
+    */
+  def replaceWhere(data: DataFrame, root: String, base: CowManifest,
+      pred: Column): Unit = {
+    val pinned = data.localCheckpoint() // one evaluation — see dynamic
+    withCommit(pinned, root, base) { (pc, id) =>
+      val spark = pinned.sparkSession
+      val m = CowTable.currentManifest(spark, root).getOrElse(base)
+      val matched = CowTable.partitionsMatching(spark, m, pred)
+      // NULL-STRICT: a row where the predicate evaluates NULL (e.g. a
+      // NULL partition value under `seg >= 7`) is OUTSIDE the region —
+      // plain not(pred) would wave it through and it would land in a
+      // partition the replace never dropped
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      require(pinned.where(not(coalesce(pred, lit(false)))).isEmpty,
+        s"replaceWhere: the query produced rows OUTSIDE the replaced " +
+          s"region ($pred) — constrain the query or widen the predicate")
+      CowTable.commitPartitions(pinned, matched ++ keysOf(pinned, pc),
+        root, id, pc)
+    }
   }
 
   /** Replace exactly the partitions a static `PARTITION (col=value)`

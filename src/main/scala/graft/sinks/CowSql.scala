@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
@@ -62,13 +62,17 @@ object CowSql {
   // path-backtick form also under the literal name `cow` (the
   // catalog-less direct-path addressing style).
   private val Ref = """(\w+)\.(?:`([^`]+)`|(\w+)\.(\w+))"""
+  // optional `WHERE <partition predicate>` scopes both forms to the
+  // matching partitions (Delta's `OPTIMIZE t WHERE …`): the predicate
+  // parses through Spark's own expression grammar and resolves against
+  // the manifest's partition VALUES (CowTable.partitionsMatching)
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*""".r
   // plain OPTIMIZE (no ZORDER): bin-packing compaction that also folds
   // outstanding tombstones and deletion vectors — Delta's bare
   // `OPTIMIZE t` surface over [[CowTable.compactPartitions]]
   private val OptimizePlainRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$Ref\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+WHERE\\s+(.+?))?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*""".r
   private val VacuumHoursRe =
@@ -187,15 +191,17 @@ object CowSql {
     // wasn't) OR a benign no-op (empty / already-compact table, id
     // unconsumed). The two are told apart by whether anyone committed
     // at-or-past our id: no commit ⇒ nothing needed doing ⇒ success.
-    case OptimizeRe(c, p, ns, t, cols) if routableRef(spark, c, p) =>
+    case OptimizeRe(c, p, ns, t, w, cols) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
       CowTable.optimizeZorder(spark, root, id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
-          .stripSuffix("`")).filter(_.nonEmpty), keep = keep) ||
+          .stripSuffix("`")).filter(_.nonEmpty), keep = keep,
+        where = parsedWhere(spark, w)) ||
         !CowTable.committedIds(spark, root).exists(_ >= id)
-    case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
+    case OptimizePlainRe(c, p, ns, t, w) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
-      CowTable.compactPartitions(spark, root, id, keep = keep) ||
+      CowTable.compactPartitions(spark, root, id, keep = keep,
+        where = parsedWhere(spark, w)) ||
         !CowTable.committedIds(spark, root).exists(_ >= id)
     case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
       CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
@@ -219,8 +225,8 @@ object CowSql {
     */
   private[graft] def isMaintenance(spark: SparkSession,
       sql: String): Boolean = sql match {
-    case OptimizeRe(c, p, _, _, _) => routableRef(spark, c, p)
-    case OptimizePlainRe(c, p, _, _) => routableRef(spark, c, p)
+    case OptimizeRe(c, p, _, _, _, _) => routableRef(spark, c, p)
+    case OptimizePlainRe(c, p, _, _, _) => routableRef(spark, c, p)
     case VacuumRe(c, p, _, _, _) => routableRef(spark, c, p)
     case VacuumHoursRe(c, p, _, _, _) => routableRef(spark, c, p)
     case RestoreRe(c, p, _, _, _) => routableRef(spark, c, p)
@@ -321,13 +327,13 @@ object CowSql {
     case VacuumRe(_, _, _, _, _) | VacuumHoursRe(_, _, _, _, _) |
         RestoreRe(_, _, _, _, _) =>
       exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
-    case OptimizeRe(c, p, ns, t, _) if routableRef(spark, c, p) =>
+    case OptimizeRe(c, p, ns, t, _, _) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
       val id = headOf(spark, root) + 1L
       require(exec(spark, id, sql, keep, mode, morThresholdBytes),
         s"OPTIMIZE raced a concurrent commit at $root (id $id was " +
           s"taken by another writer) — retry: $sql")
-    case OptimizePlainRe(c, p, ns, t) if routableRef(spark, c, p) =>
+    case OptimizePlainRe(c, p, ns, t, _) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
       val id = headOf(spark, root) + 1L
       require(exec(spark, id, sql, keep, mode, morThresholdBytes),
@@ -355,6 +361,14 @@ object CowSql {
               s"${head + 1L} was taken by another writer) — retry: $sql")
       }
   }
+
+  /** Parse an OPTIMIZE statement's optional WHERE text into the
+    * partition-scope Column (None when absent).
+    */
+  private def parsedWhere(spark: SparkSession, w: String): Option[Column] =
+    Option(w).map(_.trim).filter(_.nonEmpty).map(t =>
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        spark.sessionState.sqlParser.parseExpression(t)))
 
   private def headOf(spark: SparkSession, root: String): Long =
     CowTable.currentManifest(spark, root).map(_.id).getOrElse(

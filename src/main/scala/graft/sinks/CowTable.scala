@@ -350,6 +350,51 @@ object CowTable {
     partCols.map(c => Option(part.getOrElse(c, null)).getOrElse("\u0000NULL"))
       .mkString("\u0001")
 
+  /** Partition keys of `m` whose PARTITION VALUES satisfy `pred` — the
+    * scope resolver behind `replaceWhere` overwrites and partition-
+    * scoped `OPTIMIZE … WHERE`. The predicate must reference partition
+    * columns only (checked loudly: a data-column predicate here would
+    * silently select nothing); it is evaluated IN-ENGINE over a local
+    * frame of the manifest's distinct partition tuples — the stamped
+    * strings cast back to the schema's own column types, so a date
+    * range compares as dates, not text. Driver-bounded by the table's
+    * partition COUNT (manifest-sized metadata, the sanctioned use),
+    * never by its data.
+    */
+  private[graft] def partitionsMatching(spark: SparkSession,
+      m: CowManifest, pred: Column): Set[String] = {
+    val partCols = m.partCols
+    require(partCols.nonEmpty,
+      "a partition predicate needs a partitioned table")
+    val schema = m.schema
+    val distinctParts = m.allFiles
+      .map(f => partKey(partCols, f.part) -> f.part).toMap.toSeq
+    if (distinctParts.isEmpty) return Set.empty
+    val rows = distinctParts.map { case (k, p) =>
+      Row.fromSeq(k +: partCols.map(c => p.getOrElse(c, null)))
+    }
+    val strSchema = StructType(StructField("__pm_key", StringType) +:
+      partCols.map(c => StructField(c, StringType)))
+    val typed = partCols.foldLeft(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        strSchema))((d, c) => d.withColumn(c,
+          col(c).cast(schema(c).dataType)))
+    // the column rule is enforced by ANALYSIS against this frame,
+    // which has only the partition columns: a data-column reference
+    // fails resolution here, loudly — introspecting the unresolved
+    // Column instead is impossible in Spark 4 (ColumnNodeExpression
+    // leaves hide the node tree from catalyst collect)
+    try typed.where(pred).select("__pm_key").collect()
+      .map(_.getString(0)).toSet
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"partition predicate may reference partition columns " +
+            s"$partCols only — for data-column predicates use DELETE " +
+            s"+ INSERT or MERGE (${e.getMessage})")
+    }
+  }
+
   private def hfs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -1109,7 +1154,8 @@ object CowTable {
       targetFileBytes: Long = 128L * 1024 * 1024,
       bits: Int = 8,
       keep: Int = 2,
-      changeLogKeys: Seq[String] = Nil): Boolean = {
+      changeLogKeys: Seq[String] = Nil,
+      where: Option[Column] = None): Boolean = {
     require(zCols.nonEmpty, "OPTIMIZE ZORDER needs clustering columns")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (committedIds(spark, root).exists(_ >= id)) return false
@@ -1117,12 +1163,22 @@ object CowTable {
     if (m.files.isEmpty) return false
     zCols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"z-order column $c is not a table column"))
-    val all = resolved(spark, root, m, m.files)
+    // partition-scoped form (`OPTIMIZE … WHERE p`): recluster ONLY the
+    // matching partitions — boundaries, bin budget and the touched set
+    // all derive from the scoped files, everything else carries by
+    // manifest reference (at 100 TB, re-Z-ordering a hot day must not
+    // rewrite the year)
+    val scope = where.map(partitionsMatching(spark, m, _))
+    val files = m.files.filter(f => scope.forall(_.contains(m.partKeyOf(f))))
+    if (files.isEmpty) return false
+    val all = resolved(spark, root, m, files)
     val z = ZOrder.zvalue(zCols.map(col),
       ZOrder.boundariesFor(all, zCols, bits), bits)
     val totalBins = math.max(1L,
-      (m.files.map(_.bytes).sum + targetFileBytes - 1) / targetFileBytes)
-    val touched = m.allFiles.map(m.partKeyOf).toSet
+      (files.map(_.bytes).sum + targetFileBytes - 1) / targetFileBytes)
+    val touched = m.allFiles
+      .filter(f => scope.forall(_.contains(m.partKeyOf(f))))
+      .map(m.partKeyOf).toSet
     // ownership rides through: false from the commit is a lost race
     // (a concurrent writer took this id between our guard and the
     // lease), and reporting it as success would hide a skipped
@@ -2595,16 +2651,21 @@ object CowTable {
       id: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
       keep: Int = 2,
-      changeLogKeys: Seq[String] = Nil): Boolean = {
+      changeLogKeys: Seq[String] = Nil,
+      where: Option[Column] = None): Boolean = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(return false)
+    // partition-scoped form (`OPTIMIZE … WHERE p`): compact and fold
+    // delete debt in the matching partitions only
+    val scope = where.map(partitionsMatching(spark, m, _))
     val tombParts = (m.tombstones ++ m.dvs).map(m.partKeyOf).toSet
     val wantByPart: Map[String, Long] = m.files.groupBy(m.partKeyOf)
       .flatMap { case (pk, fs) =>
         val bytes = fs.map(_.bytes).sum
         val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-        if (fs.size > want || tombParts.contains(pk)) Some(pk -> want)
+        if ((fs.size > want || tombParts.contains(pk)) &&
+            scope.forall(_.contains(pk))) Some(pk -> want)
         else None
       }
     if (wantByPart.isEmpty) return false
