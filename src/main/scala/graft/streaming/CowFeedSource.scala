@@ -175,15 +175,22 @@ private[streaming] object CowFeedPlanner {
       lo: Long, hi: Long): Array[InputPartition] = {
     if (hi <= lo) return Array.empty
     val committed = CowTable.committedIds(spark, root)
-    // retention guard (see scaladoc): ids at or below the lowest
-    // retained snapshot may have been vacuumed WITH their sidecars —
-    // a lagging consumer cannot tell what it missed
-    committed.headOption.filter(lowest => lo < lowest - 1L).foreach(
-      lowest => throw new IllegalStateException(
+    // retention guard (see scaladoc): a range start BEHIND the vacuum
+    // high-water mark has provably missed committed-then-vacuumed ids
+    // (vacuum records the highest committed id it prunes as a
+    // create-only marker BEFORE deleting — CowTable.vacuumHwm). The
+    // marker, not lowest-retained-minus-one, is the test: a table
+    // whose id space simply starts above the requested lo (e.g. the
+    // streaming sink's first commit is id 2) was never vacuumed and a
+    // from-the-beginning request is legitimate.
+    if (committed.headOption.exists(lowest => lo < lowest - 1L) &&
+        CowTable.vacuumHwm(spark, root).exists(_ > lo))
+      throw new IllegalStateException(
         s"change feed at $root lags vacuumed history: range " +
-          s"start $lo is behind the lowest retained snapshot $lowest " +
-          "— rebuild the consumer from a table rescan, raise the " +
-          "writer's keep, or register a stream frontier fence"))
+          s"start $lo is behind vacuumed commits (high-water mark " +
+          s"${CowTable.vacuumHwm(spark, root).get}) — rebuild the " +
+          "consumer from a table rescan, raise the writer's keep, " +
+          "or register a stream frontier fence")
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
     // ids whose _changes dir probe came back absent: EITHER a commit

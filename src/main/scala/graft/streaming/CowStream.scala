@@ -85,6 +85,15 @@ object CowStream {
     // scratch warehouse as the fallback — the backticked path form
     // never touches the warehouse, so the scratch dir stays empty
     val cat = registeredCowCatalog(spark).getOrElse {
+      // never clobber a FOREIGN catalog that happens to be named cow —
+      // overwriting its conf would re-route every later cow.ns.t
+      // reference (and the CatalogManager's instance cache would keep
+      // serving the foreign one here anyway)
+      require(spark.conf.getOption("spark.sql.catalog.cow").isEmpty,
+        "no CowCatalog is registered in this session and the name " +
+          "'cow' is bound to a different catalog implementation — " +
+          "register graft.catalog.CowCatalog under some catalog name " +
+          "to stream a cow change feed")
       spark.conf.set("spark.sql.catalog.cow",
         classOf[graft.catalog.CowCatalog].getName)
       if (spark.conf.getOption("spark.sql.catalog.cow.warehouse").isEmpty)
@@ -96,17 +105,27 @@ object CowStream {
     spark.readStream.table(s"$cat.`$root`.changes")
   }
 
-  /** The name of SOME registered [[graft.catalog.CowCatalog]] in this
-    * session (preferring `cow` when several are), if any.
+  /** Every catalog name this session registered a [[graft.catalog
+    * .CowCatalog]] under, sorted for determinism.
     */
-  private[graft] def registeredCowCatalog(spark: SparkSession): Option[String] = {
+  private[graft] def registeredCowCatalogs(spark: SparkSession): Seq[String] = {
     val cls = classOf[graft.catalog.CowCatalog].getName
-    val names = spark.conf.getAll.collect {
+    spark.conf.getAll.collect {
       case (k, v) if k.startsWith("spark.sql.catalog.") && v == cls &&
           !k.stripPrefix("spark.sql.catalog.").contains(".") =>
         k.stripPrefix("spark.sql.catalog.")
-    }
-    if (names.exists(_ == "cow")) Some("cow") else names.headOption
+    }.toSeq.sorted
+  }
+
+  /** The name of SOME registered [[graft.catalog.CowCatalog]] in this
+    * session (preferring `cow` when several are), if any. Fine for
+    * PATH-form resolution, where every cow catalog serves the same
+    * root; name-form resolution must use [[registeredCowCatalogs]] and
+    * refuse ambiguity instead.
+    */
+  private[graft] def registeredCowCatalog(spark: SparkSession): Option[String] = {
+    val names = registeredCowCatalogs(spark)
+    if (names.contains("cow")) Some("cow") else names.headOption
   }
 
   /** One micro-batch of the stream-maintained MV: frontier-filter the

@@ -72,9 +72,17 @@ final class CowStreamSink(
     if (mode == OutputMode.Complete())
       CowSink.replaceBatch(batch, batchId, root, partCols,
         changeLogKeys, keep, baseId)
-    else if (keyCols.nonEmpty)
+    else if (keyCols.nonEmpty) {
+      // the upsert path's changelog is keyed by the MERGE keys — a
+      // different requested feed key would be silently ignored, and a
+      // downstream MV folding on it would net rows wrong
+      require(changeLogKeys.isEmpty || changeLogKeys == keyCols,
+        s"the keyed sink publishes its change feed keyed by keys " +
+          s"($keyCols); changeLogKeys ($changeLogKeys) cannot differ — " +
+          "drop the option or make them equal")
       CowSink.upsertBatch(batch, batchId, root, keyCols, partCols,
         changeLog = changeLogKeys.nonEmpty, keep, baseId)
+    }
     else
       CowSink.appendBatch(batch, batchId, root, partCols,
         changeLogKeys, keep, baseId)
@@ -133,11 +141,22 @@ object CowStreamSink {
         val (cat, ns, name) = parts match {
           case Seq(c, n, tb) => (c, n, tb)
           case Seq(n, tb) =>
-            (CowStream.registeredCowCatalog(spark).getOrElse(
-              throw new IllegalArgumentException(
+            // name-form resolution picks a WAREHOUSE — with several
+            // cow catalogs registered the choice must never fall to
+            // conf-map iteration order (data landing in whichever
+            // warehouse wins is a silent wrong-table write)
+            val cats = CowStream.registeredCowCatalogs(spark)
+            val cat =
+              if (cats.contains("cow")) "cow"
+              else if (cats.size == 1) cats.head
+              else if (cats.isEmpty) throw new IllegalArgumentException(
                 s"no CowCatalog registered in this session to resolve " +
                   s"table $t — register spark.sql.catalog.<name> or " +
-                  "use the 3-part cat.ns.t form")), n, tb)
+                  "use the 3-part cat.ns.t form")
+              else throw new IllegalArgumentException(
+                s"ambiguous table $t: several cow catalogs are " +
+                  s"registered ($cats) — use the 3-part cat.ns.t form")
+            (cat, n, tb)
           case _ => throw new IllegalArgumentException(
             s"cow streaming sink table must be [cat.]ns.t, got $t")
         }
