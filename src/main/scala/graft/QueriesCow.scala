@@ -812,6 +812,41 @@ object QueriesCow {
   }
 
   // -------------------------------------------------------------------
+  // THE TABLE AS A STREAM: `spark.readStream.table("cow.….t")` —
+  // Delta's table-stream (streaming/CowTableStreamSource.scala): the
+  // first micro-batch serves the current snapshot whole, then each
+  // commit's ADDED files arrive incrementally (one commit per
+  // micro-batch, admission-controlled), rows in the table's own
+  // schema. The second wave below commits WHILE the stream runs, so
+  // the row proves live increments, not just the snapshot.
+  // -------------------------------------------------------------------
+  def cowTableStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("cow_tstream")}/t"
+    val out = scratch("cow_tsout")
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 800), root, 1L,
+      Seq("pb"), keep = 10)
+    val q = spark.readStream.table(s"cow.`$root`")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", scratch("cow_tsck")).start()
+    try {
+      q.processAllAvailable()
+      CowTable.commitAppend(c.where(col("c_custkey").between(801, 1200)),
+        root, 2L, Seq("pb"), keep = 10)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(out)
+      .select(col("c_custkey"), col("seg")).orderBy("c_custkey")
+  }
+
+  val cowTableStreamSql: String =
+    """SELECT c_custkey, c_mktsegment AS seg FROM customer
+      |WHERE c_custkey <= 1200 ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // REPLACE-WHERE + PARTITION-SCOPED OPTIMIZE: Delta's replaceWhere —
   // `writeTo(t).overwrite(pred)` drops every partition the predicate
   // matches and writes the query's rows in their place, ONE commit,
@@ -2109,6 +2144,7 @@ object QueriesCow {
     "cow_stream_fmt_sink" -> (cowStreamFmtSink _),
     "cow_named_cdf" -> (cowNamedCdf _),
     "cow_replace_where" -> (cowReplaceWhere _),
+    "cow_table_stream" -> (cowTableStream _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
@@ -2169,6 +2205,7 @@ object QueriesCow {
     "cow_stream_fmt_sink" -> cowSinkStreamSql,
     "cow_named_cdf" -> cowNamedCdfSql,
     "cow_replace_where" -> cowReplaceWhereSql,
+    "cow_table_stream" -> cowTableStreamSql,
     "cow_agg_pushdown" -> cowAggPushdownSql,
     "cow_repartition" -> cowRepartitionSql)
 }

@@ -427,7 +427,8 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
   */
 final case class CowNamedTable(
     tableName: String, root: String, manifest: CowManifest,
-    pinned: Boolean) extends Table with SupportsWrite {
+    pinned: Boolean) extends Table with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
 
@@ -453,10 +454,27 @@ final case class CowNamedTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
+
+  /** STREAMING reads only — `spark.readStream.table("cow.ns.t")`
+    * serves the current snapshot then each commit's added files
+    * ([[graft.streaming.CowTableStream]], Delta's table-stream
+    * semantics). Batch reads never reach this scan: the analyzer rule
+    * swaps named relations onto the planner-integrated `CowFileIndex`
+    * path before scan planning.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(!pinned,
+      s"$tableName was loaded AS OF a version — stream from the live " +
+        "table (optionally with startingSnapshot) instead")
+    new graft.streaming.CowTableScanBuilder(root, manifest.schema,
+      options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,

@@ -232,8 +232,9 @@ private[streaming] object CowFeedPlanner {
 final case class CowFeedPartition(commitId: Long, filePath: String,
     length: Long) extends InputPartition
 
-private final class CowFeedReaderFactory(
-    read: (String, Long, InternalRow) => Iterator[InternalRow])
+private[streaming] final class CowFeedReaderFactory(
+    read: (String, Long, InternalRow) => Iterator[InternalRow],
+    partValues: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -243,7 +244,8 @@ private final class CowFeedReaderFactory(
     // when vectorized (the documented wart of buildReader*) — the cast
     // through Any flattens them to rows (reused buffers; Spark's
     // consumers copy when they buffer, same contract as FileScanRDD)
-    val rows = read(p.filePath, p.length, InternalRow(p.commitId))
+    val rows = read(p.filePath, p.length,
+      if (partValues) InternalRow(p.commitId) else InternalRow.empty)
       .asInstanceOf[Iterator[Any]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
