@@ -815,10 +815,9 @@ object QueriesCow {
   // THE TABLE AS A STREAM: `spark.readStream.table("cow.….t")` —
   // Delta's table-stream (streaming/CowTableStreamSource.scala): the
   // first micro-batch serves the current snapshot whole, then each
-  // commit's ADDED files arrive incrementally (one commit per
-  // micro-batch, admission-controlled), rows in the table's own
-  // schema. The second wave below commits WHILE the stream runs, so
-  // the row proves live increments, not just the snapshot.
+  // commit's ADDED files arrive incrementally, rows in the table's
+  // own schema. The second wave below commits WHILE the stream runs,
+  // so the row proves live increments, not just the snapshot.
   // -------------------------------------------------------------------
   def cowTableStream(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${scratch("cow_tstream")}/t"

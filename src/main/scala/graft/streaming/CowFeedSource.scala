@@ -15,10 +15,11 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 import graft.sinks.CowTable
 
 /** The committed CHANGE FEED of a cow table as a NAMED streaming
-  * source — `spark.readStream.table("cow.<ns>.<table>")` (or the
-  * backticked path form) yields the table's signed D/I changelog with
-  * `_oper` and `_commit_id` columns, one micro-batch offset per
-  * COMMITTED snapshot id. This replaces the raw
+  * source — `spark.readStream.table("cow.<ns>.<table>.changes")` (or
+  * the backticked path form with the same `.changes` suffix; the BARE
+  * table name streams the table itself — [[CowTableStream]]) yields
+  * the table's signed D/I changelog with `_oper` and `_commit_id`
+  * columns, one micro-batch offset per COMMITTED snapshot id. This replaces the raw
   * `readStream.parquet(root/_changes/[0-9]*)` transport: streaming
   * consumers now use NAMES exactly like the batch surface, and the
   * publish→manifest race is closed STRUCTURALLY — offsets only ever

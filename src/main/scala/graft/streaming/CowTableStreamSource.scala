@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
-  Offset, ReadLimit, SupportsAdmissionControl}
+  Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles,
+  SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StructType, StructField}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -13,10 +14,12 @@ import graft.sinks.{CowFile, CowTable}
 /** The TABLE ITSELF as a named streaming source —
   * `spark.readStream.table("cow.<ns>.<t>")` (Delta's table-stream):
   * the first micro-batch serves the table's CURRENT snapshot whole,
-  * every later micro-batch serves exactly the data files each new
-  * commit ADDED. Rows carry the table's own schema (no metadata
-  * columns), so a table-stream chains straight into the same
-  * transforms a batch read feeds.
+  * every later micro-batch serves exactly the data files new commits
+  * ADDED. Rows carry the table's own schema (no metadata columns), so
+  * a table-stream chains straight into the same transforms a batch
+  * read feeds. `option("maxCommitsPerTrigger", n)` bounds catch-up to
+  * n commits per micro-batch; Trigger.AvailableNow / Trigger.Once
+  * always serve to the head they captured (the ReadLimit contract).
   *
   * APPEND-ONLY CONTRACT (Delta's rule): an incremental batch is sound
   * only when the commit purely added files. A commit that REMOVED or
@@ -45,8 +48,8 @@ import graft.sinks.{CowFile, CowTable}
   */
 final class CowTableStream(spark: SparkSession, root: String,
     tableSchema: StructType, startingSnapshot: Option[Long],
-    skipChangeCommits: Boolean) extends MicroBatchStream
-  with SupportsAdmissionControl {
+    skipChangeCommits: Boolean, maxCommitsPerTrigger: Option[Int])
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Manifest paths are stored as decoded LITERAL strings; the
     * multi-arg URI constructor escapes them exactly once (space→%20),
@@ -57,12 +60,13 @@ final class CowTableStream(spark: SparkSession, root: String,
     new org.apache.hadoop.fs.Path(
       new java.net.URI(null, null, s"$root/$rel", null)).toString
 
-  // the snapshot served WHOLE as the first batch; resolved ONCE at
-  // stream construction to a COMMITTED id (highest committed <= the
-  // requested startingSnapshot — the readAt time-travel rule; a
-  // checkpoint restart re-resolves, but then the initial offset comes
-  // from the checkpoint, not initialOffset)
-  private val genesis: Long = {
+  // the snapshot served WHOLE as the first batch; resolved to a
+  // COMMITTED id (highest committed <= the requested startingSnapshot
+  // — the readAt time-travel rule). LAZY: only a FRESH stream calls
+  // initialOffset — a checkpointed restart resumes from its offset,
+  // and eagerly re-resolving here would fail restarts of long-lived
+  // streams whose (long-served) startingSnapshot has been vacuumed
+  private lazy val genesis: Long = {
     val ids = CowTable.committedIds(spark, root)
     val g = startingSnapshot match {
       case Some(want) => ids.filter(_ <= want).lastOption
@@ -77,29 +81,42 @@ final class CowTableStream(spark: SparkSession, root: String,
   override def initialOffset(): Offset =
     CowTableOffset(genesis - 1L, snapshotDone = false)
 
-  // ONE COMMIT PER MICRO-BATCH (admission control): a stream resuming
-  // after a day of commits processes them as a day of bounded batches,
-  // not one giant catch-up batch — and a change-commit refusal fires
-  // only when the stream actually REACHES that commit, after earlier
-  // batches committed downstream
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // ADMISSION CONTROL. The ReadLimit contract must be honored exactly:
+  // Trigger.AvailableNow captures latestOffset(initialOffset,
+  // allAvailable) ONCE and serves to it, and Trigger.Once passes
+  // allAvailable — a source that under-delivers against allAvailable
+  // silently DROPS the tail of the stream on those triggers. So:
+  // allAvailable → the committed head (planInputPartitions handles
+  // multi-commit ranges; the snapshot still serves inside the first
+  // one); option("maxCommitsPerTrigger", n) → the default trigger
+  // advances at most n commits per micro-batch (bounded catch-up — a
+  // day of commits is a day of batches), surfaced as maxFiles(n) since
+  // commits are the source's file-group granularity; a maxFiles limit
+  // from elsewhere is honored conservatively the same way.
+  override def getDefaultReadLimit: ReadLimit =
+    maxCommitsPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val st = start.asInstanceOf[CowTableOffset]
-    CowTable.committedIds(spark, root).find(_ > st.id) match {
-      // after ANY served batch the snapshot phase is over — the flag
-      // rides in the CHECKPOINTED offset, so a restarted stream never
-      // re-serves the snapshot under a re-resolved genesis (the
-      // Delta isStartingVersion discipline)
-      case Some(next) => CowTableOffset(next, snapshotDone = true)
-      case None => st
+    val after = CowTable.committedIds(spark, root).filter(_ > st.id)
+    if (after.isEmpty) st
+    else limit match {
+      // the flag flips after ANY served batch — it rides in the
+      // CHECKPOINTED offset, so a restarted stream never re-serves
+      // the snapshot under a newer head (isStartingVersion discipline)
+      case _: ReadAllAvailable =>
+        CowTableOffset(after.last, snapshotDone = true)
+      case mf: ReadMaxFiles =>
+        CowTableOffset(after.take(math.max(1, mf.maxFiles())).last,
+          snapshotDone = true)
+      case _ => CowTableOffset(after.head, snapshotDone = true)
     }
   }
 
   override def reportLatestOffset(): Offset =
-    CowTableOffset(math.max(genesis - 1L,
-      CowTable.committedIds(spark, root).lastOption.getOrElse(0L)),
-      snapshotDone = true)
+    CowTableOffset(CowTable.committedIds(spark, root).lastOption
+      .getOrElse(0L), snapshotDone = true)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -126,7 +143,16 @@ final class CowTableStream(spark: SparkSession, root: String,
     // the first id of a not-yet-snapshotted stream serves its whole
     // manifest; everything after is a diff against its predecessor
     val snapshotId =
-      if (st.snapshotDone) None else committed.find(_ > lo)
+      if (st.snapshotDone) None
+      else committed.find(i => i > lo && i <= hi).orElse(
+        // a replayed first batch whose snapshot commit was vacuumed
+        // between the offset-WAL write and processing: an EMPTY batch
+        // here would flip snapshotDone and silently drop the snapshot
+        // rows from this checkpoint forever — refuse instead
+        throw new IllegalStateException(
+          s"table stream at $root: the initial snapshot commit " +
+            s"(in range ($lo, $hi]) was vacuumed before this batch " +
+            "was served — restart from a fresh checkpoint"))
     committed.filter(i => i > lo && i <= hi).flatMap { id =>
       if (snapshotId.contains(id)) {
         val m = CowTable.manifest(spark, root, id)
@@ -145,8 +171,7 @@ final class CowTableStream(spark: SparkSession, root: String,
         val prev = CowTable.manifest(spark, root, prevId)
         val prevPaths = prev.files.map(_.path).toSet
         val added = m.files.filterNot(f => prevPaths.contains(f.path))
-        val removed = prev.files.map(_.path).toSet --
-          m.files.map(_.path).toSet
+        val removed = prevPaths -- m.files.map(_.path)
         val debtAdded = (m.tombstones ++ m.dvs).map(_.path).toSet --
           (prev.tombstones ++ prev.dvs).map(_.path).toSet
         if (removed.nonEmpty || debtAdded.nonEmpty) {
@@ -212,7 +237,8 @@ final class CowTableScan(root: String, tableSchema: StructType,
       : MicroBatchStream =
     new CowTableStream(SparkSession.active, root, tableSchema,
       Option(options.get("startingSnapshot")).map(_.toLong),
-      Option(options.get("skipChangeCommits")).exists(_.toBoolean))
+      Option(options.get("skipChangeCommits")).exists(_.toBoolean),
+      Option(options.get("maxCommitsPerTrigger")).map(_.toInt))
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     throw new UnsupportedOperationException(

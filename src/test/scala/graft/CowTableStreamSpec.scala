@@ -49,6 +49,32 @@ class CowTableStreamSpec extends SparkSpec {
       s"snapshot + increments must arrive exactly once, got $got")
   }
 
+  test("Trigger.AvailableNow with a startingSnapshot behind the head " +
+      "serves the snapshot AND every later commit — the ReadLimit " +
+      "allAvailable contract") {
+    val root = s"${tmp("avnow")}/t"
+    CowTable.commitFull(spark.range(3).select($"id", lit("a").as("v")),
+      root, 1L, Nil, keep = 10)
+    CowTable.commitAppend(spark.range(3, 6).select($"id",
+      lit("b").as("v")), root, 2L, Nil, keep = 10)
+    CowTable.commitAppend(spark.range(6, 9).select($"id",
+      lit("c").as("v")), root, 3L, Nil, keep = 10)
+    val out = tmp("avnow_out")
+    // AvailableNow captures latestOffset(initialOffset, allAvailable)
+    // ONCE — a source that under-delivers against allAvailable would
+    // serve snapshot 1 only and report completion, silently dropping
+    // commits 2 and 3
+    val q = spark.readStream.option("startingSnapshot", "1")
+      .table(s"cow.`$root`")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp("avnow_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must terminate")
+    assert(spark.read.parquet(out).count() == 9,
+      "every commit after the starting snapshot must have been served")
+  }
+
   test("a commit that rewrites or MOR-deletes rows fails the stream " +
       "loudly; skipChangeCommits skips it wholesale") {
     val root = s"${tmp("chg")}/t"
@@ -100,8 +126,11 @@ class CowTableStreamSpec extends SparkSpec {
     try assert(e.toString.contains("delete debt"), s"wrong refusal: $e")
     finally q.stop()
     // startingSnapshot = 1: the DEBT-FREE older snapshot streams fine
+    // (one commit per batch, so the snapshot lands BEFORE the change
+    // commit refuses — the bounded-catch-up option's observable form)
     val mem = "ts_old_" + ns("m")
     val q2 = spark.readStream.option("startingSnapshot", "1")
+      .option("maxCommitsPerTrigger", "1")
       .table(s"cow.`$root`")
       .writeStream.format("memory").queryName(mem)
       .option("checkpointLocation", tmp("debt_ck2")).start()
@@ -114,5 +143,14 @@ class CowTableStreamSpec extends SparkSpec {
     finally q2.stop()
     assert(spark.table(mem).count() == 10,
       "snapshot 1 must have been served before the change refusal")
+    // VERSION AS OF relations are read-only: the scan builder refuses
+    // pinned tables (defensive — SQL streaming cannot even express it)
+    val m1 = CowTable.manifest(spark, root, 1L)
+    val pinned = graft.catalog.CowNamedTable("cow.pinned.t", root, m1,
+      pinned = true)
+    val e3 = intercept[IllegalArgumentException](pinned.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())))
+    assert(e3.getMessage.contains("AS OF"), s"wrong refusal: $e3")
   }
 }
