@@ -812,6 +812,39 @@ object QueriesCow {
   }
 
   // -------------------------------------------------------------------
+  // DESCRIBE DETAIL: Delta's one-row table-detail statement, served
+  // from the current manifest + catalog sidecars (zero data-file
+  // opens). The oracle recomputes the DERIVABLE columns (head id,
+  // partitioning, row total, retention, constraint count) from the
+  // same construction; file/byte totals are pinned in
+  // CowSqlParserSpec, where the layout is controlled.
+  // -------------------------------------------------------------------
+  def cowDescribeDetail(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${scratch("cow_detail")}/t"
+    val bucket = CowTable.keyBucket(Seq("c_custkey"), NBuckets)
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), bucket.as("pb"))
+    CowTable.commitFull(c.where(col("c_custkey") <= 1000), root, 1L,
+      Seq("pb"), keep = 10)
+    CowTable.commitAppend(c.where(col("c_custkey").between(1001, 1500)),
+      root, 2L, Seq("pb"), keep = 10)
+    spark.sql(s"ALTER TABLE cow.`$root` ADD CONSTRAINT bal_set " +
+      "CHECK (c_acctbal IS NOT NULL)")
+    spark.sql(s"DESCRIBE DETAIL cow.`$root`")
+      .select(col("format"), col("snapshot_id"), col("partition_columns"),
+        col("data_file_rows"), col("retained_snapshots"),
+        col("check_constraints"))
+  }
+
+  val cowDescribeDetailSql: String =
+    """SELECT 'cow' AS format, CAST(2 AS BIGINT) AS snapshot_id,
+      |  'pb' AS partition_columns,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |   WHERE c_custkey <= 1500) AS data_file_rows,
+      |  CAST(2 AS BIGINT) AS retained_snapshots,
+      |  CAST(1 AS BIGINT) AS check_constraints""".stripMargin
+
+  // -------------------------------------------------------------------
   // THE TABLE AS A STREAM: `spark.readStream.table("cow.….t")` —
   // Delta's table-stream (streaming/CowTableStreamSource.scala): the
   // first micro-batch serves the current snapshot whole, then each
@@ -2144,6 +2177,7 @@ object QueriesCow {
     "cow_named_cdf" -> (cowNamedCdf _),
     "cow_replace_where" -> (cowReplaceWhere _),
     "cow_table_stream" -> (cowTableStream _),
+    "cow_describe_detail" -> (cowDescribeDetail _),
     "cow_upsert" -> (cowUpsert _),
     "cow_cdc_apply" -> (cowCdcApply _),
     "cow_skipping" -> (cowSkipping _),
@@ -2205,6 +2239,7 @@ object QueriesCow {
     "cow_named_cdf" -> cowNamedCdfSql,
     "cow_replace_where" -> cowReplaceWhereSql,
     "cow_table_stream" -> cowTableStreamSql,
+    "cow_describe_detail" -> cowDescribeDetailSql,
     "cow_agg_pushdown" -> cowAggPushdownSql,
     "cow_repartition" -> cowRepartitionSql)
 }

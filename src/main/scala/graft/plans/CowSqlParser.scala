@@ -58,6 +58,8 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
     else CowSql.describeHistoryRef(session, sqlText)
       .map(r =>
         CowDescribeHistoryCommand(r._1, r._2, r._3, r._4): LogicalPlan)
+      .orElse(CowSql.describeDetailRef(session, sqlText)
+        .map(r => CowDescribeDetailCommand(r._1, r._2, r._3, r._4)))
       .orElse(CowSql.showPartitionsRef(session, sqlText)
         .map(r => CowShowPartitionsCommand(r._1, r._2, r._3, r._4)))
 
@@ -146,6 +148,50 @@ final case class CowDescribeHistoryCommand(
     val root = CowSql.refRoot(session, cat, path, ns, table)
     graft.sinks.CowTable.history(session, root)
       .orderBy("snapshot_id").collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL cow.<ref>` — Delta's one-row table-detail
+  * statement, answered from the CURRENT manifest and the catalog
+  * sidecars alone (no data file opens): format, location, head
+  * snapshot, partitioning, file/row/byte totals, outstanding
+  * merge-on-read debt, retained history and registered CHECK
+  * constraints.
+  */
+final case class CowDescribeDetailCommand(
+    cat: String, path: String, ns: String,
+    table: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("format", StringType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)(),
+      AttributeReference("snapshot_id", LongType, nullable = false)(),
+      AttributeReference("partition_columns", StringType,
+        nullable = false)(),
+      AttributeReference("num_data_files", LongType, nullable = false)(),
+      AttributeReference("num_tombstone_files", LongType,
+        nullable = false)(),
+      AttributeReference("num_dv_files", LongType, nullable = false)(),
+      AttributeReference("data_file_rows", LongType, nullable = false)(),
+      AttributeReference("size_bytes", LongType, nullable = false)(),
+      AttributeReference("retained_snapshots", LongType,
+        nullable = false)(),
+      AttributeReference("check_constraints", LongType,
+        nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sinks.CowTable
+    val root = CowSql.refRoot(session, cat, path, ns, table)
+    val m = CowTable.currentManifest(session, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    Seq(Row("cow", root, m.id, m.partCols.mkString(","),
+      m.files.size.toLong, m.tombstones.size.toLong, m.dvs.size.toLong,
+      m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+      CowTable.committedIds(session, root).size.toLong,
+      CowTable.checkConstraints(session, root).size.toLong))
   }
 }
 

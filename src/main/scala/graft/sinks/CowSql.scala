@@ -85,6 +85,8 @@ object CowSql {
   // management API; the manifest already IS the partition listing)
   private val DescribeHistoryRe =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*""".r
+  private val DescribeDetailRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*""".r
 
@@ -117,6 +119,14 @@ object CowSql {
   private[graft] def describeHistoryRef(spark: SparkSession,
       sql: String): Option[(String, String, String, String)] = sql match {
     case DescribeHistoryRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      Some((c, p, ns, t))
+    case _ => None
+  }
+
+  /** Same for DESCRIBE DETAIL over a routable cow reference. */
+  private[graft] def describeDetailRef(spark: SparkSession,
+      sql: String): Option[(String, String, String, String)] = sql match {
+    case DescribeDetailRe(c, p, ns, t) if routableRef(spark, c, p) =>
       Some((c, p, ns, t))
     case _ => None
   }

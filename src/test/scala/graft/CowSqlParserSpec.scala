@@ -140,4 +140,30 @@ class CowSqlParserSpec extends SparkSpec {
     assert(CowTable.currentManifest(spark, root("o")).get.id == after.id)
     sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
+
+  test("DESCRIBE DETAIL: one manifest-served row — head snapshot, " +
+      "partitioning, file/row/byte totals, MOR debt, constraints") {
+    val root = java.nio.file.Files
+      .createTempDirectory("psr_detail").toString + "/t"
+    import spark.implicits._
+    CowTable.commitFull(spark.range(100).select($"id",
+      ($"id" % 4).cast("int").as("pb")), root, 1L, Seq("pb"), keep = 10)
+    spark.sql(s"ALTER TABLE cow.`$root` ADD CONSTRAINT pos CHECK (id >= 0)")
+    require(CowTable.deleteWhereDv(spark, root, 3L, $"id" < 5, keep = 10))
+    val d = spark.sql(s"DESCRIBE DETAIL cow.`$root`").collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getAs[String]("format") == "cow")
+    assert(r.getAs[String]("location") == root)
+    assert(r.getAs[Long]("snapshot_id") == 3L)
+    assert(r.getAs[String]("partition_columns") == "pb")
+    assert(r.getAs[Long]("num_dv_files") >= 1L,
+      "outstanding DV debt must be visible")
+    assert(r.getAs[Long]("data_file_rows") == 100L,
+      "data-file rows count the files, not the masked view")
+    assert(r.getAs[Long]("check_constraints") == 1L)
+    assert(r.getAs[Long]("retained_snapshots") >= 2L)
+    // non-cow references keep Spark's own DESCRIBE semantics
+    intercept[Exception](spark.sql("DESCRIBE DETAIL notacat.ns.t"))
+  }
 }
