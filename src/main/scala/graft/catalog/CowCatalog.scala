@@ -559,21 +559,9 @@ private final class CowWriteBuilder(root: String, base: CowManifest)
   */
 private[graft] object CowWrites {
 
-  /** Partition keys of `data`, in the manifest's own cast-to-string
-    * form (computed in-engine, so the two sides can never drift).
-    */
-  private def keysOf(data: DataFrame, partCols: Seq[String]): Set[String] = {
-    import org.apache.spark.sql.functions.col
-    data.select(partCols.map(c => col(c).cast("string")): _*)
-      .distinct().collect()
-      .map(r => CowTable.partKey(partCols,
-        partCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
-      .toSet
-  }
-
   private def withCommit(data: DataFrame, root: String,
-      base: CowManifest)(body: (Seq[String], Long) => Boolean): Unit = {
+      base: CowManifest)(
+      body: (Option[CowManifest], Seq[String], Long) => Boolean): Unit = {
     val spark = data.sparkSession
     val cur = CowTable.currentManifest(spark, root)
     val partCols = cur.map(_.partCols).getOrElse(base.partCols)
@@ -583,33 +571,35 @@ private[graft] object CowWrites {
     // id. The previous committedIds.contains(id) check here was
     // satisfied by the other writer's commit too — which silently
     // dropped this INSERT's rows on exactly that interleaving.
-    require(body(partCols, id),
+    require(body(cur, partCols, id),
       s"INSERT commit $id at $root was superseded by a concurrent " +
         "commit — retry the statement")
   }
 
   def append(data: DataFrame, root: String, base: CowManifest): Unit =
-    withCommit(data, root, base)((pc, id) =>
+    withCommit(data, root, base)((_, pc, id) =>
       CowTable.commitAppend(data, root, id, pc))
 
   def truncate(data: DataFrame, root: String, base: CowManifest): Unit =
-    withCommit(data, root, base)((pc, id) =>
+    withCommit(data, root, base)((_, pc, id) =>
       CowTable.commitFull(data, root, id, pc))
 
   /** Rewrite ONLY the partitions the query produced — the partition-
     * granular economics the reference's TRUNCATE+INSERT shape cannot
-    * express. The query result is pinned ONCE before the touched-set
-    * is derived: keysOf and the batch write otherwise re-evaluate the
-    * source query, and a non-deterministic query could commit a
-    * touched set that disagrees with the rows actually written
-    * (appending into partitions simultaneously carried by reference).
+    * express. The touched set derives FROM THE WRITTEN BATCH FILES
+    * (`touchedFromWritten`), so the query evaluates exactly once — the
+    * batch write itself. The earlier design pinned the whole input
+    * with `localCheckpoint` to keep a pre-write `SELECT DISTINCT
+    * partCols` consistent with the write: full-input materialization
+    * (2× write amplification on the biggest write path) whose blocks
+    * die with their executor on a real cluster — the touched set now
+    * needs no second evaluation at all, Delta's model.
     */
   def dynamicOverwrite(data: DataFrame, root: String,
-      base: CowManifest): Unit = {
-    val pinned = data.localCheckpoint()
-    withCommit(pinned, root, base)((pc, id) =>
-      CowTable.commitPartitions(pinned, keysOf(pinned, pc), root, id, pc))
-  }
+      base: CowManifest): Unit =
+    withCommit(data, root, base)((cur, pc, id) =>
+      CowTable.commitPartitionsFrom(cur, data, Set.empty, root, id, pc,
+        touchedFromWritten = true))
 
   /** V1 `Filter`s → one engine Column — the DSv2 overwrite condition
     * arrives translated; render it back so [[CowTable
@@ -649,43 +639,59 @@ private[graft] object CowWrites {
     */
   def replaceWhere(data: DataFrame, root: String, base: CowManifest,
       pred: Column): Unit = {
-    val pinned = data.localCheckpoint() // one evaluation — see dynamic
-    withCommit(pinned, root, base) { (pc, id) =>
-      val spark = pinned.sparkSession
-      val m = CowTable.currentManifest(spark, root).getOrElse(base)
+    withCommit(data, root, base) { (cur, pc, id) =>
+      val spark = data.sparkSession
+      val m = cur.getOrElse(base)
       val matched = CowTable.partitionsMatching(spark, m, pred)
-      // NULL-STRICT: a row where the predicate evaluates NULL (e.g. a
-      // NULL partition value under `seg >= 7`) is OUTSIDE the region —
-      // plain not(pred) would wave it through and it would land in a
-      // partition the replace never dropped
-      import org.apache.spark.sql.functions.{coalesce, lit, not}
-      require(pinned.where(not(coalesce(pred, lit(false)))).isEmpty,
-        s"replaceWhere: the query produced rows OUTSIDE the replaced " +
-          s"region ($pred) — constrain the query or widen the predicate")
-      CowTable.commitPartitions(pinned, matched ++ keysOf(pinned, pc),
-        root, id, pc)
+      CowTable.commitPartitionsFrom(cur, data, matched, root, id, pc,
+        touchedFromWritten = true,
+        validateWritten = fresh => {
+          // every WRITTEN partition's values must satisfy the
+          // predicate — partition-level ≡ row-level because the
+          // predicate references partition columns only, and
+          // NULL-STRICT by construction: a partition whose values
+          // evaluate the predicate to NULL is simply not in the
+          // matching set, so it counts as outside the region (the
+          // same rule the old row-level not(coalesce(pred, false))
+          // check enforced)
+          val written = fresh
+            .map(f => CowTable.partKey(pc, f.part) -> f.part).toMap
+          val ok = CowTable.partitionValuesMatching(spark, m.schema,
+            pc, written.toSeq, pred)
+          val outside = written.keySet -- ok
+          require(outside.isEmpty,
+            s"replaceWhere: the query produced rows OUTSIDE the " +
+              s"replaced region ($pred) — constrain the query or " +
+              "widen the predicate (offending partition values: " +
+              s"${outside.map(written(_)).mkString(", ")})")
+        })
     }
   }
 
   /** Replace exactly the partitions a static `PARTITION (col=value)`
     * spec names with the query's rows; the analyzer already stamped
-    * the static values onto every row, so data's own keys must agree.
+    * the static values onto every row, so the WRITTEN files' own
+    * partition values must agree (validated post-write — the touched
+    * set derives from the written batch, see [[dynamicOverwrite]]).
     */
   def staticOverwrite(data: DataFrame, root: String, base: CowManifest,
       staticFilters: Seq[(String, Any)]): Unit = {
-    val pinned = data.localCheckpoint() // one evaluation — see dynamic
-    withCommit(pinned, root, base) { (pc, id) =>
+    withCommit(data, root, base) { (cur, pc, id) =>
       val named = staticFilters.map { case (c, v) =>
         c -> Option(v).map(_.toString).orNull }.toMap
-      val touched = keysOf(pinned, pc)
       val declared = CowTable.partKey(pc,
         pc.map(c => c -> named.getOrElse(c, null)).toMap)
-      require(staticFilters.map(_._1).toSet == pc.toSet &&
-        touched.forall(_ == declared),
-        s"static overwrite must name every partition column and the " +
-          s"query's rows must land in that partition (got $touched, " +
-          s"declared $declared)")
-      CowTable.commitPartitions(pinned, touched + declared, root, id, pc)
+      require(staticFilters.map(_._1).toSet == pc.toSet,
+        s"static overwrite must name every partition column " +
+          s"(got ${staticFilters.map(_._1)}, table partitions $pc)")
+      CowTable.commitPartitionsFrom(cur, data, Set(declared), root, id,
+        pc, touchedFromWritten = true,
+        validateWritten = fresh => {
+          val written = fresh.map(f => CowTable.partKey(pc, f.part)).toSet
+          require(written.forall(_ == declared),
+            s"static overwrite: the query's rows must land in the " +
+              s"declared partition (got $written, declared $declared)")
+        })
     }
   }
 }

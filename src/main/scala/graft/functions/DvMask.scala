@@ -227,7 +227,15 @@ object DvSidecars {
         var g: Group = reader.read()
         while (g != null) {
           // sidecar schema: (path STRING, positions ARRAY<BIGINT>,
-          // partition columns…); Spark's standard 3-level list shape
+          // partition columns…). The list walk handles BOTH parquet
+          // list layouts: Spark's standard 3-level shape (list group >
+          // repeated element group > value — also the legacy bag/array
+          // nullable form, structurally identical) and the legacy
+          // 2-level shape a session running with
+          // spark.sql.parquet.writeLegacyFormat=true emits for
+          // non-null elements (repeated PRIMITIVE directly under the
+          // list group) — so an executor can always parse the sidecar
+          // its own session's writer produced.
           if (g.getFieldRepetitionCount("path") > 0) {
             val rel = g.getString("path", 0)
             val b = acc.getOrElseUpdate(rootKey + "/" + rel,
@@ -235,9 +243,17 @@ object DvSidecars {
             if (g.getFieldRepetitionCount("positions") > 0) {
               val lst = g.getGroup("positions", 0)
               val n = lst.getFieldRepetitionCount(0)
+              val flat = lst.getType.getType(0).isPrimitive
               var i = 0
               while (i < n) {
-                b += lst.getGroup(0, i).getLong(0, 0)
+                if (flat) b += lst.getLong(0, i)
+                else {
+                  val e = lst.getGroup(0, i)
+                  // positions are never null; guard anyway — a null
+                  // element has repetition 0 and getLong would throw
+                  if (e.getFieldRepetitionCount(0) > 0)
+                    b += e.getLong(0, 0)
+                }
                 i += 1
               }
             }

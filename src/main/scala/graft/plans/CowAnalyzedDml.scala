@@ -92,6 +92,15 @@ private[plans] object CowAnalyzedDml {
       s"SET target must be a column, got $other")
   }
 
+  /** Render a SET/INSERT column name as a re-parseable identifier:
+    * embedded backticks double (Spark's own quoting rule) — a raw
+    * s"`$name`" wrap would emit unparseable or WRONG text for a column
+    * whose name contains a backtick.
+    */
+  private def quoted(key: Expression): String =
+    org.apache.spark.sql.catalyst.util.QuotingUtils
+      .quoteIdentifier(nameOf(key))
+
   /** Render a RESOLVED DELETE as the path-form statement the textual
     * engine executes (commit id allocation, COW/MOR conf routing and
     * the ownership check all ride along).
@@ -140,7 +149,7 @@ private[plans] object CowAnalyzedDml {
       "UPDATE")
     val tgt = targetAttrs(u.table)
     val sets = real(u.assignments, t).map(a =>
-      s"`${nameOf(a.key)}` = ${textOf(a.value, tgt)}").mkString(", ")
+      s"${quoted(a.key)} = ${textOf(a.value, tgt)}").mkString(", ")
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
     val cond = u.condition.map(textOf(_, tgt)).getOrElse("true")
     CowStatementCommand(
@@ -161,7 +170,7 @@ private[plans] object CowAnalyzedDml {
       c.map(x => s" AND ${txt(x)}").getOrElse("")
     def assigns(as: Seq[org.apache.spark.sql.catalyst.plans.logical
         .Assignment]): String =
-      as.map(a => s"`${nameOf(a.key)}` = ${txt(a.value)}").mkString(", ")
+      as.map(a => s"${quoted(a.key)} = ${txt(a.value)}").mkString(", ")
     val matched = m.matchedActions.map {
       case DeleteAction(c) => s"WHEN MATCHED${cond(c)} THEN DELETE"
       case UpdateAction(c, as, _) =>
@@ -173,7 +182,7 @@ private[plans] object CowAnalyzedDml {
     }
     val notMatched = m.notMatchedActions.map {
       case InsertAction(c, as) =>
-        val cols = as.map(a => s"`${nameOf(a.key)}`").mkString(", ")
+        val cols = as.map(a => quoted(a.key)).mkString(", ")
         val vals = as.map(a => txt(a.value)).mkString(", ")
         s"WHEN NOT MATCHED${cond(c)} THEN INSERT ($cols) VALUES ($vals)"
       case InsertStarAction(c) =>

@@ -195,24 +195,23 @@ object CowSql {
   def exec(spark: SparkSession, id: Long, sql: String,
       keep: Int = 2, mode: DmlMode = Cow,
       morThresholdBytes: Long = 128L * 1024 * 1024): Boolean = sql match {
-    // OPTIMIZE reports ownership like every DML: `false` from the
-    // engine is EITHER a lost race (a concurrent writer took `id` —
-    // the caller must not be told the table was optimized when it
-    // wasn't) OR a benign no-op (empty / already-compact table, id
-    // unconsumed). The two are told apart by whether anyone committed
-    // at-or-past our id: no commit ⇒ nothing needed doing ⇒ success.
+    // OPTIMIZE reports ownership like every DML, with the engine
+    // itself distinguishing the benign no-op (empty / already-compact
+    // table, id unconsumed ⇒ success) from the lost race (a concurrent
+    // writer took `id` — the caller must not be told the table was
+    // optimized when it wasn't). The old re-listing of committed ids
+    // AFTER a false return was racy: a concurrent commit landing in
+    // that window turned a benign no-op into a spurious race failure.
     case OptimizeRe(c, p, ns, t, w, cols) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
-      CowTable.optimizeZorder(spark, root, id,
+      CowTable.optimizeZorderStatus(spark, root, id,
         cols.split(",").toSeq.map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty), keep = keep,
-        where = parsedWhere(spark, w)) ||
-        !CowTable.committedIds(spark, root).exists(_ >= id)
+        where = parsedWhere(spark, w)) != MaintSuperseded
     case OptimizePlainRe(c, p, ns, t, w) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)
-      CowTable.compactPartitions(spark, root, id, keep = keep,
-        where = parsedWhere(spark, w)) ||
-        !CowTable.committedIds(spark, root).exists(_ >= id)
+      CowTable.compactPartitionsStatus(spark, root, id, keep = keep,
+        where = parsedWhere(spark, w)) != MaintSuperseded
     case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
       CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
       true

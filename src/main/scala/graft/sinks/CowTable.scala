@@ -42,6 +42,22 @@ final case class CowRange(
   */
 final case class CowBucketSpec(partCol: String, n: Int, keyCols: Seq[String])
 
+/** Outcome of a maintenance commit (OPTIMIZE / compaction), telling
+  * apart the two cases a bare Boolean conflates: [[MaintNoOp]] — the
+  * table needed nothing (empty, already compact, scope matched no
+  * partition); the id was NOT consumed and the caller may treat the
+  * statement as trivially done — versus [[MaintSuperseded]] — a
+  * concurrent writer committed this id (or a later one) first; the
+  * caller's work is NOT in the table and must be retried or reported.
+  * Deciding this after the fact by re-listing committed ids is racy
+  * (a fresh concurrent commit in that window masquerades as the lost
+  * race), so the engine reports which exit it actually took.
+  */
+sealed trait MaintStatus
+case object MaintCommitted extends MaintStatus
+case object MaintNoOp extends MaintStatus
+case object MaintSuperseded extends MaintStatus
+
 /** [[CowTable.fsck]]'s findings: referenced-but-absent paths (real
   * corruption), unreferenced on-disk data files (crash leftovers /
   * pre-vacuum waste), and unpublished staged commit ids.
@@ -363,12 +379,23 @@ object CowTable {
     */
   private[graft] def partitionsMatching(spark: SparkSession,
       m: CowManifest, pred: Column): Set[String] = {
-    val partCols = m.partCols
-    require(partCols.nonEmpty,
+    require(m.partCols.nonEmpty,
       "a partition predicate needs a partitioned table")
-    val schema = m.schema
-    val distinctParts = m.allFiles
-      .map(f => partKey(partCols, f.part) -> f.part).toMap.toSeq
+    partitionValuesMatching(spark, m.schema, m.partCols,
+      m.allFiles.map(f => partKey(m.partCols, f.part) -> f.part)
+        .toMap.toSeq,
+      pred)
+  }
+
+  /** [[partitionsMatching]] over an EXPLICIT `(key, values)` list —
+    * shared with the written-batch validation of `replaceWhere`, which
+    * evaluates the predicate over the partitions the write actually
+    * landed rather than over a manifest.
+    */
+  private[graft] def partitionValuesMatching(spark: SparkSession,
+      schema: StructType, partCols: Seq[String],
+      distinctParts: Seq[(String, Map[String, String])],
+      pred: Column): Set[String] = {
     if (distinctParts.isEmpty) return Set.empty
     val rows = distinctParts.map { case (k, p) =>
       Row.fromSeq(k +: partCols.map(c => p.getOrElse(c, null)))
@@ -1155,12 +1182,33 @@ object CowTable {
       bits: Int = 8,
       keep: Int = 2,
       changeLogKeys: Seq[String] = Nil,
-      where: Option[Column] = None): Boolean = {
+      where: Option[Column] = None): Boolean =
+    optimizeZorderStatus(spark, root, id, zCols, targetFileBytes, bits,
+      keep, changeLogKeys, where) == MaintCommitted
+
+  /** [[optimizeZorder]] with the no-op / lost-race distinction made IN
+    * the return value: the Boolean form's `false` conflates "nothing
+    * to do, id unconsumed" (benign) with "a concurrent writer took the
+    * id" (the caller's work is NOT in the table), forcing callers to
+    * re-list committed ids after the fact — a window in which a fresh
+    * concurrent commit turns a benign no-op into a spurious race
+    * report. Here the engine itself says which exit it took.
+    */
+  def optimizeZorderStatus(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8,
+      keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil,
+      where: Option[Column] = None): MaintStatus = {
     require(zCols.nonEmpty, "OPTIMIZE ZORDER needs clustering columns")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    if (committedIds(spark, root).exists(_ >= id)) return false
-    val m = currentManifest(spark, root).getOrElse(return false)
-    if (m.files.isEmpty) return false
+    if (committedIds(spark, root).exists(_ >= id)) return MaintSuperseded
+    val m = currentManifest(spark, root).getOrElse(return MaintNoOp)
+    if (m.files.isEmpty) return MaintNoOp
     zCols.foreach(c => require(m.schema.fieldNames.contains(c),
       s"z-order column $c is not a table column"))
     // partition-scoped form (`OPTIMIZE … WHERE p`): recluster ONLY the
@@ -1170,7 +1218,7 @@ object CowTable {
     // rewrite the year)
     val scope = where.map(partitionsMatching(spark, m, _))
     val files = m.files.filter(f => scope.forall(_.contains(m.partKeyOf(f))))
-    if (files.isEmpty) return false
+    if (files.isEmpty) return MaintNoOp
     val all = resolved(spark, root, m, files)
     val z = ZOrder.zvalue(zCols.map(col),
       ZOrder.boundariesFor(all, zCols, bits), bits)
@@ -1184,9 +1232,11 @@ object CowTable {
     // lease), and reporting it as success would hide a skipped
     // optimize behind a "done" — the silent-supersede hole the
     // ownership contract exists to close
-    commitPartitionsFrom(Some(m), all.withColumn("__z", z), touched,
-      root, id, m.partCols, keep, changeLogKeys = changeLogKeys,
-      split = Some(("__z", math.min(totalBins, 1L << 20).toInt)))
+    if (commitPartitionsFrom(Some(m), all.withColumn("__z", z), touched,
+        root, id, m.partCols, keep, changeLogKeys = changeLogKeys,
+        split = Some(("__z", math.min(totalBins, 1L << 20).toInt))))
+      MaintCommitted
+    else MaintSuperseded
   }
 
   /** Filesystem ↔ manifest integrity audit (fsck). Reports, without
@@ -2112,8 +2162,21 @@ object CowTable {
       bloomCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
       split: Option[(String, Int)] = None,
-      relayout: Boolean = false): Boolean = {
+      relayout: Boolean = false,
+      touchedFromWritten: Boolean = false,
+      validateWritten: Seq[CowFile] => Unit = _ => ()): Boolean = {
     require(keep >= 1, "must keep at least the current snapshot")
+    // touchedFromWritten: `touched` is only the EXTRA partitions to
+    // drop (a replaceWhere region, a declared static spec); the full
+    // touched set is derived from the files the batch write actually
+    // LANDED, and the CHECK scan + `validateWritten` run against those
+    // files — so a non-deterministic INSERT needs no driver-side pin
+    // of its input (the old full-input localCheckpoint, 2× write
+    // amplification and executor-death-fragile) to keep the committed
+    // touched set consistent with the committed rows: the write IS the
+    // single evaluation.
+    require(!(touchedFromWritten && relayout),
+      "touchedFromWritten and relayout are mutually exclusive")
     val spark = rewrite.sparkSession
     // the split column (see writeBatch) is routing-only — the table's
     // schema is the rewrite WITHOUT it
@@ -2126,9 +2189,12 @@ object CowTable {
     // replay guard — see scaladoc: rewriting a committed batch's files
     // would rename them out from under later manifests
     if (prev.exists(_.id >= id)) return false
-    // CHECK constraints: one batch-sized pass, outside every lock
-    enforceChecks(payload, checkConstraints(spark, root),
-      s"commit $id at $root")
+    // CHECK constraints: one batch-sized pass, outside every lock (in
+    // touchedFromWritten mode the pass runs over the WRITTEN files
+    // instead — see below — so the input query evaluates exactly once)
+    if (!touchedFromWritten)
+      enforceChecks(payload, checkConstraints(spark, root),
+        s"commit $id at $root")
     val effSchema = effSchemaOf(prev, payload.schema)
     // layout change is legal ONLY via the explicit relayout flag
     // (commitFull → repartitionTable): the flag's caller constructs
@@ -2161,6 +2227,22 @@ object CowTable {
           .filter(effSchema.fieldNames.contains)
       val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
         effBloomCols)
+      // written-derived touched set: partitions come from the batch
+      // files just landed (their manifest entries carry the partition
+      // values), so the committed set can never disagree with the
+      // committed rows; validation and the CHECK scan read those same
+      // files — batch-sized IO, no re-evaluation of the input query
+      val allTouched =
+        if (!touchedFromWritten) touched
+        else {
+          validateWritten(fresh)
+          if (fresh.nonEmpty)
+            enforceChecks(
+              dfFor(spark, root,
+                CowManifest(id, partCols, effSchema.toDDL, fresh), fresh),
+              checkConstraints(spark, root), s"commit $id at $root")
+          touched ++ fresh.map(f => partKey(partCols, f.part))
+        }
       // carry untouched DATA files and untouched partitions' tombstones;
       // a touched partition's tombstones retire here — its rewrite was
       // computed from the RESOLVED base, so they are folded in. Widened
@@ -2173,7 +2255,7 @@ object CowTable {
       val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
         .getOrElse(Set.empty[String])
       val carried = prev.map(p =>
-        p.allFiles.filterNot(f => touched.contains(p.partKeyOf(f)))
+        p.allFiles.filterNot(f => allTouched.contains(p.partKeyOf(f)))
           .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
             mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
       ).getOrElse(Nil)
@@ -2187,7 +2269,7 @@ object CowTable {
           // so the signed changelog is well-typed across evolution
           val before = prev.map(p => resolved(spark, root,
             p.copy(schemaDdl = newDdl),
-            p.files.filter(f => touched.contains(p.partKeyOf(f)))))
+            p.files.filter(f => allTouched.contains(p.partKeyOf(f)))))
           val stub = CowManifest(id, partCols, newDdl, fresh)
           val after = dfFor(spark, root, stub, stub.files)
           Some(stageChangeLog(spark, root, id,
@@ -2652,10 +2734,24 @@ object CowTable {
       targetFileBytes: Long = 128L * 1024 * 1024,
       keep: Int = 2,
       changeLogKeys: Seq[String] = Nil,
-      where: Option[Column] = None): Boolean = {
+      where: Option[Column] = None): Boolean =
+    compactPartitionsStatus(spark, root, id, targetFileBytes, keep,
+      changeLogKeys, where) == MaintCommitted
+
+  /** [[compactPartitions]] with the no-op / lost-race distinction in
+    * the return value — see [[optimizeZorderStatus]].
+    */
+  def compactPartitionsStatus(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil,
+      where: Option[Column] = None): MaintStatus = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    if (committedIds(spark, root).exists(_ >= id)) return false
-    val m = currentManifest(spark, root).getOrElse(return false)
+    if (committedIds(spark, root).exists(_ >= id)) return MaintSuperseded
+    val m = currentManifest(spark, root).getOrElse(return MaintNoOp)
     // partition-scoped form (`OPTIMIZE … WHERE p`): compact and fold
     // delete debt in the matching partitions only
     val scope = where.map(partitionsMatching(spark, m, _))
@@ -2668,7 +2764,7 @@ object CowTable {
             scope.forall(_.contains(pk))) Some(pk -> want)
         else None
       }
-    if (wantByPart.isEmpty) return false
+    if (wantByPart.isEmpty) return MaintNoOp
     val touched = wantByPart.keySet
     val rewrite = resolved(spark, root, m,
       m.files.filter(f => touched.contains(m.partKeyOf(f))))
@@ -2697,9 +2793,11 @@ object CowTable {
       }
     val totalBins = math.min(wantByPart.values.sum, 1L << 20).toInt
     // ownership rides through (see optimizeZorder): false = lost race
-    commitPartitionsFrom(Some(m), salted, touched, root, id, m.partCols,
-      keep, changeLogKeys = changeLogKeys,
-      split = Some(("__cw_bin", totalBins)))
+    if (commitPartitionsFrom(Some(m), salted, touched, root, id,
+        m.partCols, keep, changeLogKeys = changeLogKeys,
+        split = Some(("__cw_bin", totalBins))))
+      MaintCommitted
+    else MaintSuperseded
   }
 
   /** Deterministic row hash for compaction binning: every hashable

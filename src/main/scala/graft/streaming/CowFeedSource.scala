@@ -136,8 +136,13 @@ final class CowChangeFeedStream(spark: SparkSession, root: String,
   private val partSchema =
     StructType(Nil).add("_commit_id", LongType, nullable = false)
 
+  // startingSnapshot is INCLUSIVE — commit X's changes are served —
+  // matching the table stream's same-named option and the batch CDF's
+  // startSnapshot; offsets are (start, end], so the initial offset is
+  // want - 1 (a CDC consumer passing the first id it needs must
+  // receive that id's changes, not silently start after them)
   override def initialOffset(): Offset =
-    CowFeedOffset(startingSnapshot.getOrElse(
+    CowFeedOffset(startingSnapshot.map(_ - 1L).getOrElse(
       // serve everything still retained at stream genesis — the same
       // coverage the file-stream transport's initial listing gave
       CowTable.committedIds(spark, root).headOption.map(_ - 1L)
@@ -145,7 +150,7 @@ final class CowChangeFeedStream(spark: SparkSession, root: String,
 
   override def latestOffset(): Offset =
     CowFeedOffset(CowTable.committedIds(spark, root).lastOption
-      .getOrElse(startingSnapshot.getOrElse(0L)))
+      .getOrElse(startingSnapshot.map(_ - 1L).getOrElse(0L)))
 
   override def deserializeOffset(json: String): Offset =
     CowFeedOffset(json.toLong)

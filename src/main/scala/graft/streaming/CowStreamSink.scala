@@ -105,6 +105,14 @@ object CowStreamSink {
           parameters.get("keys").exists(_.nonEmpty)),
       s"cow streaming sink supports Append and Complete output (and " +
         s"Update with option(\"keys\", …) as an upsert), got $mode")
+    // Complete REPLACES the whole table each micro-batch — a keys
+    // option would be silently ignored (no upsert, no changeLogKeys
+    // consistency check), so a user who meant an upsert must hear it
+    require(!(mode == OutputMode.Complete() &&
+        parameters.get("keys").exists(_.nonEmpty)),
+      "cow streaming sink: option(\"keys\", …) has no effect under " +
+        "Complete output (every micro-batch replaces the table) — " +
+        "drop the option, or use Update/Append mode for a keyed upsert")
     val root = resolveRoot(spark, parameters)
     def csv(k: String): Seq[String] = parameters.get(k).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
