@@ -2145,7 +2145,76 @@ object QueriesCow {
       |FROM t2
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SUBQUERIES in DML conditions over NAMED cow tables (round-13
+  // verdict #2): IN-subquery DELETE, correlated-EXISTS UPDATE, and the
+  // NOT IN null-semantics pin — all through spark.sql on catalog
+  // names. The analyzed condition (subquery plans included) travels on
+  // the command and binds to each scan frame; Spark's optimizer plans
+  // the predicate as semi/anti/existence joins feeding the same
+  // partition-granular commit primitives as every other DML
+  // (plans/CowBoundDml.scala). The oracle replays the chain
+  // relationally in DuckDB.
+  // -------------------------------------------------------------------
+  def cowDmlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val (ns, _) = scratchCatalog(spark, "subq")
+    Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView("subq_orders_src")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("subq_cust_src")
+    spark.sql(s"""CREATE TABLE $ns.ord
+      (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT,
+       o_orderpriority STRING)
+      PARTITIONED BY (o_orderpriority)""")
+    spark.sql(s"""INSERT INTO $ns.ord
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM subq_orders_src""")
+    // IN-subquery DELETE through the analyzer path
+    spark.sql(s"""DELETE FROM $ns.ord WHERE o_custkey IN
+      (SELECT c_custkey FROM subq_cust_src
+       WHERE c_mktsegment = 'BUILDING')""")
+    // correlated EXISTS UPDATE
+    spark.sql(s"""UPDATE $ns.ord SET cents = 0 WHERE EXISTS
+      (SELECT 1 FROM subq_cust_src c
+       WHERE c.c_custkey = o_custkey AND c.c_acctbal < 0)""")
+    // NOT IN against a NULL-bearing subquery matches NOTHING (SQL
+    // three-valued logic — Spark's null-aware anti join): this DELETE
+    // must remove zero rows, pinned by the oracle not modeling it
+    spark.sql(s"""DELETE FROM $ns.ord WHERE o_orderkey NOT IN
+      (SELECT CASE WHEN c_custkey > 1 THEN NULL ELSE c_custkey END
+       FROM subq_cust_src)""")
+    spark.table(s"$ns.ord")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val cowDmlSubquerySql: String =
+    """WITH t1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority
+      |  FROM orders),
+      |t2 AS (
+      |  SELECT * FROM t1 WHERE o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer
+      |     WHERE c_mktsegment = 'BUILDING')),
+      |t3 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN EXISTS (SELECT 1 FROM customer c
+      |                      WHERE c.c_custkey = t2.o_custkey
+      |                        AND c.c_acctbal < 0)
+      |         THEN 0 ELSE cents END AS cents,
+      |    o_orderpriority
+      |  FROM t2)
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM t3 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_dml_subquery" -> (cowDmlSubquery _),
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
     "cow_stream_join_mv" -> (cowStreamJoinMv _),
@@ -2195,6 +2264,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_dml_subquery" -> cowDmlSubquerySql,
     "cow_merge_multi" -> cowMergeMultiSql,
     "cow_join_mv" -> cowJoinMvSql,
     "cow_stream_join_mv" -> cowStreamJoinMvSql,

@@ -74,16 +74,19 @@ private[plans] object CowAnalyzedDml {
         else UnresolvedAttribute(Seq("t", a.name))
     }.sql
 
-  /** Resolved subqueries do not round-trip through `Expression.sql`;
-    * refuse them with the remedy instead of emitting unparseable text.
+  /** Resolved subqueries do not round-trip through `Expression.sql`.
+    * DELETE/UPDATE CONDITIONS carry them analyzed instead
+    * ([[CowBoundDeleteCommand]]/[[CowBoundUpdateCommand]]); the
+    * remaining positions (SET values, MERGE clauses) refuse with the
+    * remedy — the same scope Delta draws.
     */
   private def noSubqueries(es: Seq[Expression], what: String): Unit =
     es.foreach(e => require(!e.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
         .SubqueryExpression]),
-      s"$what with a subquery is not supported through the analyzer " +
-        "DML path yet — materialize the subquery into a view and " +
-        "reference it, or use the path-addressed cow.`/root` form"))
+      s"$what with a subquery is not supported here — subqueries are " +
+        "supported in UPDATE/DELETE conditions; for this position, " +
+        "materialize the subquery into a view and reference it"))
 
   private def nameOf(key: Expression): String = key match {
     case a: Attribute => a.name
@@ -106,7 +109,11 @@ private[plans] object CowAnalyzedDml {
     * the ownership check all ride along).
     */
   def convertDelete(d: DeleteFromTable, t: CowNamedTable): LogicalPlan = {
-    noSubqueries(Seq(d.condition), "DELETE")
+    // a condition carrying subqueries travels ANALYZED — plans and
+    // all — and binds per scan frame at execution (CowBoundDml)
+    if (CowBoundDml.hasSubquery(Seq(d.condition)))
+      return CowBoundDeleteCommand(t.root,
+        new BoundDmlCond(d.condition, d.table.output))
     val tgt = targetAttrs(d.table)
     val cond = d.condition match {
       case org.apache.spark.sql.catalyst.expressions.Literal(true, _) =>
@@ -145,9 +152,18 @@ private[plans] object CowAnalyzedDml {
   }
 
   def convertUpdate(u: UpdateTable, t: CowNamedTable): LogicalPlan = {
-    noSubqueries(u.assignments.map(_.value) ++ u.condition.toSeq,
-      "UPDATE")
+    noSubqueries(u.assignments.map(_.value), "UPDATE SET value")
     val tgt = targetAttrs(u.table)
+    if (u.condition.exists(c => CowBoundDml.hasSubquery(Seq(c)))) {
+      // subquery CONDITION: SET values render to the engine's text
+      // form (subquery-free, checked above); the condition travels
+      // analyzed and binds per scan frame at execution
+      val sets = real(u.assignments, t).map(a =>
+        nameOf(a.key) -> textOf(a.value, tgt))
+      require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+      return CowBoundUpdateCommand(t.root, sets,
+        new BoundDmlCond(u.condition.get, u.table.output))
+    }
     val sets = real(u.assignments, t).map(a =>
       s"${quoted(a.key)} = ${textOf(a.value, tgt)}").mkString(", ")
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")

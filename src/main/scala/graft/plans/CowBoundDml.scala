@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression, OuterReference, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+
+import graft.sinks.{CowSql, CowTable}
+
+/** SUBQUERY conditions in analyzer-resolved DML (round-13 verdict #2):
+  * `DELETE FROM cow.<ns>.<t> WHERE k IN (SELECT …)` / `EXISTS (…)` /
+  * `NOT IN` and the `UPDATE … WHERE <subquery>` forms execute instead
+  * of refusing. The analyzed condition — subquery PLANS included —
+  * travels on the command (the same carried-plan pattern as
+  * [[CowAnalyzedMergeCommand]]'s source), and execution binds it to
+  * each scan frame the DML primitives build by substituting the
+  * resolved target attributes with the frame's own (by name, exprId
+  * mappings applied through subquery outer references too). Spark's
+  * optimizer then rewrites the predicate into the ordinary semi/anti/
+  * existence joins — feeding the SAME partition-granular (COW) or
+  * positional-deletion-vector (MOR) primitives as every other DML —
+  * so NULL semantics (`NOT IN` with a NULL-bearing subquery matches
+  * nothing; a NULL-evaluating condition row is NOT matched) come from
+  * Spark's own null-aware anti join, not a re-implementation.
+  *
+  * The conditions' subquery plans were analyzed WITH the session's
+  * extensions, so an inner read of a named cow table already plans
+  * through `CowFileIndex` (manifest pruning and MOR debt resolution
+  * included) and sees the PRE-statement snapshot — the SQL-standard
+  * evaluation order for self-referential DML.
+  */
+private[plans] object CowBoundDml {
+
+  /** Does the expression (or any nested plan) carry a subquery? */
+  def hasSubquery(es: Seq[Expression]): Boolean =
+    es.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+
+  /** Bind `cond` (analyzed against `oldOutput`) to `df`'s own
+    * attributes: every target attribute — bare in the condition or
+    * wrapped in an `OuterReference` inside a subquery plan — is
+    * substituted with `df`'s same-named attribute, so the resulting
+    * Column is fully resolved against the frame that will filter on
+    * it. Recurses through nested subquery plans.
+    */
+  def bind(cond: Expression, oldOutput: Seq[Attribute])(
+      df: DataFrame): Column = {
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val newOut = df.queryExecution.analyzed.output
+    val mapping: Map[Long, AttributeReference] = oldOutput.map { o =>
+      val n = newOut.find(a => resolver(a.name, o.name)).getOrElse(
+        throw new IllegalStateException(
+          s"DML condition column ${o.name} is missing from the scan " +
+            s"frame (${newOut.map(_.name).mkString(", ")})"))
+      o.exprId.id -> n.asInstanceOf[AttributeReference]
+    }.toMap
+    def rebaseExpr(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if mapping.contains(a.exprId.id) =>
+        mapping(a.exprId.id)
+      case s: SubqueryExpression => s.withNewPlan(rebasePlan(s.plan))
+    }
+    // inside subquery plans only OUTER references re-point (the plan's
+    // own attributes keep their ids); nested subqueries recurse
+    def rebasePlan(p: LogicalPlan): LogicalPlan = p.transformUp {
+      case node => node.transformExpressionsUp {
+        case OuterReference(a: AttributeReference)
+            if mapping.contains(a.exprId.id) =>
+          OuterReference(mapping(a.exprId.id))
+        case s: SubqueryExpression => s.withNewPlan(rebasePlan(s.plan))
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.column(rebaseExpr(cond))
+  }
+
+  /** The session's DML routing confs — the same trio
+    * [[CowStatementCommand]] reads for the textual path.
+    */
+  def dmlConf(session: SparkSession): (CowSql.DmlMode, Int, Long) = {
+    val conf = session.conf
+    val mode = conf.get("spark.graft.cow.dml.mode", "auto") match {
+      case "cow" => CowSql.Cow
+      case "mor" => CowSql.Mor
+      case "auto" => CowSql.Auto
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.cow.dml.mode must be cow|mor|auto, got $other")
+    }
+    (mode,
+      conf.get("spark.graft.cow.dml.keep", "2").toInt,
+      conf.get("spark.graft.cow.dml.morThresholdBytes",
+        (128L * 1024 * 1024).toString).toLong)
+  }
+
+  /** head+1 id allocation with the ownership contract — the same
+    * discipline as [[graft.sinks.CowSql.execAuto]].
+    */
+  def runOwned(session: SparkSession, root: String, what: String)(
+      body: Long => Boolean): Unit = {
+    val head = CowTable.currentManifest(session, root).map(_.id)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot at $root"))
+    val id = head + 1L
+    require(body(id),
+      s"$what raced a concurrent commit at $root (id $id was taken " +
+        "by another writer) — retry the statement")
+  }
+}
+
+/** Opaque carrier for an analyzed condition and the target relation's
+  * output it was resolved against. Deliberately NOT an `Expression`
+  * field of the command: `CheckAnalysis.checkSubqueryExpression`
+  * whitelists the node types an IN/EXISTS subquery may sit under
+  * (filters, joins, Spark's own DML ASTs), so a bare expression field
+  * on a custom command fails validation — while the carried condition
+  * is already fully analyzed and needs no further analyzer attention.
+  */
+final class BoundDmlCond(
+    val cond: Expression, val tableOutput: Seq[Attribute]) {
+  override def toString: String = cond.sql
+  def subplans: Seq[LogicalPlan] =
+    cond.collect { case s: SubqueryExpression => s.plan }
+}
+
+/** `DELETE FROM <named cow table> WHERE <condition with subqueries>`,
+  * carried ANALYZED: `innerChildren` exposes the subquery plans to
+  * EXPLAIN. Routing (COW rewrite vs positional DVs) follows the same
+  * session confs as the textual path.
+  */
+final case class CowBoundDeleteCommand(root: String, bound: BoundDmlCond)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = bound.subplans
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (mode, keep, thr) = CowBoundDml.dmlConf(session)
+    val condOf = CowBoundDml.bind(bound.cond, bound.tableOutput) _
+    CowBoundDml.runOwned(session, root, "DELETE") { id =>
+      if (CowSql.useMor(session, root, mode, thr))
+        CowTable.deleteWhereDvBy(session, root, id, condOf, keep = keep)
+      else
+        CowTable.deleteWhereBy(session, root, id, condOf, keep = keep)
+    }
+    Nil
+  }
+}
+
+/** `UPDATE <named cow table> SET … WHERE <condition with subqueries>`.
+  * SET values are subquery-free (enforced at conversion) and travel as
+  * rendered text — the same de-resolved form the textual engine
+  * executes — while the condition travels analyzed and binds per scan
+  * frame.
+  */
+final case class CowBoundUpdateCommand(
+    root: String, sets: Seq[(String, String)], bound: BoundDmlCond)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = bound.subplans
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (mode, keep, thr) = CowBoundDml.dmlConf(session)
+    val condOf = CowBoundDml.bind(bound.cond, bound.tableOutput) _
+    val set = sets.map { case (c, v) => c -> expr(v) }.toMap
+    CowBoundDml.runOwned(session, root, "UPDATE") { id =>
+      if (CowSql.useMor(session, root, mode, thr))
+        CowTable.updateWhereDvBy(session, root, id, condOf, set,
+          keep = keep)
+      else
+        CowTable.updateWhereBy(session, root, id, condOf, set,
+          keep = keep)
+    }
+    Nil
+  }
+}

@@ -383,7 +383,7 @@ object CowSql {
     CowTable.currentManifest(spark, root).map(_.id).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
 
-  private def useMor(spark: SparkSession, root: String,
+  private[graft] def useMor(spark: SparkSession, root: String,
       mode: DmlMode, thresholdBytes: Long): Boolean = mode match {
     case Cow => false
     case Mor => true

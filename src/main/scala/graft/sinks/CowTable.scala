@@ -2943,6 +2943,25 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Boolean =
+    deleteWhereBy(spark, root, id, _ => cond, prune, keep, sortCols,
+      changeLogKeys)
+
+  /** [[deleteWhere]] with the condition built PER SCAN FRAME
+    * (`condOf(df)` receives the resolved read it will filter): the
+    * seam the analyzer-DML subquery path needs — a condition carrying
+    * subquery plans binds to a frame's own attribute ids, so a plain
+    * late-binding Column cannot express it. Plain conditions pass
+    * through as `_ => cond`.
+    */
+  private[graft] def deleteWhereBy(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      condOf: DataFrame => Column,
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
@@ -2953,8 +2972,9 @@ object CowTable {
     // partitions that actually hold matching rows (candidate-scan only;
     // values cast to string IN-ENGINE so they match the manifest's own
     // cast-to-string partition representation exactly)
-    val hit = resolved(spark, root, m, candidates, prune)
-      .where(cond)
+    val candScan = resolved(spark, root, m, candidates, prune)
+    val hit = candScan
+      .where(condOf(candScan))
       .select(m.partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => partKey(m.partCols,
@@ -2962,9 +2982,9 @@ object CowTable {
           c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
       .toSet
     if (hit.isEmpty) return true
-    val rewrite = resolved(spark, root, m,
+    val baseScan = resolved(spark, root, m,
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
-      .where(!coalesce(cond, lit(false)))
+    val rewrite = baseScan.where(!coalesce(condOf(baseScan), lit(false)))
     commitPartitionsFrom(Some(m), rewrite, hit, root, id, m.partCols,
       keep, sortCols, changeLogKeys = changeLogKeys)
   }
@@ -3049,6 +3069,24 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil): Boolean =
+    updateWhereBy(spark, root, id, _ => cond, set, prune, keep, sortCols,
+      changeLogKeys)
+
+  /** [[updateWhere]] with a per-frame condition — see
+    * [[deleteWhereBy]]. The matched-row test rides inside the rewrite
+    * PROJECTION (`when(applies, …)`), which Spark plans fine even for
+    * predicate subqueries (existence-join rewrite).
+    */
+  private[graft] def updateWhereBy(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      condOf: DataFrame => Column,
+      set: Map[String, Column],
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
@@ -3061,8 +3099,9 @@ object CowTable {
     val candidates =
       if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
     if (candidates.isEmpty) return true // nothing can match — id unconsumed
-    val hit = resolved(spark, root, m, candidates, prune)
-      .where(cond)
+    val candScan = resolved(spark, root, m, candidates, prune)
+    val hit = candScan
+      .where(condOf(candScan))
       .select(m.partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => partKey(m.partCols,
@@ -3070,14 +3109,15 @@ object CowTable {
           c -> (if (r.isNullAt(i)) null else r.getString(i)) }.toMap))
       .toSet
     if (hit.isEmpty) return true
-    val applies = coalesce(cond, lit(false))
     // guarded casts: mistyped assignments fail loud (statically or with
     // the offending value), never as silent NULLs — see
     // [[checkedAssignments]]. The guard sits INSIDE when(applies, …),
     // so it only ever evaluates on matched rows.
     val setChecked = checkedAssignments(spark, m, set)
-    val rewrite = resolved(spark, root, m,
+    val baseScan = resolved(spark, root, m,
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
+    val applies = coalesce(condOf(baseScan), lit(false))
+    val rewrite = baseScan
       .select(m.schema.fields.toSeq.map { f =>
         setChecked.get(f.name) match {
           case Some(v) =>
@@ -3285,6 +3325,21 @@ object CowTable {
       set: Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
+      changeLogKeys: Seq[String] = Nil): Boolean =
+    updateWhereDvBy(spark, root, id, _ => cond, set, prune, keep,
+      changeLogKeys)
+
+  /** [[updateWhereDv]] with a per-frame condition — see
+    * [[deleteWhereBy]].
+    */
+  private[graft] def updateWhereDvBy(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      condOf: DataFrame => Column,
+      set: Map[String, Column],
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
@@ -3308,8 +3363,8 @@ object CowTable {
       if (candidates.isEmpty) return true
       val fields = m.schema.fields.toSeq
       val setChecked = checkedAssignments(spark, m, set)
-      val matches = visibleWithPos(spark, root, m, candidates, prune)
-        .where(coalesce(cond, lit(false)))
+      val visible = visibleWithPos(spark, root, m, candidates, prune)
+      val matches = visible.where(coalesce(condOf(visible), lit(false)))
       val oldStruct = struct(fields.map(f => col(f.name)): _*)
       // pinned once: feeds the legacy-tombstone probe, the new-image
       // write, the DV sidecar, and the changelog D rows
@@ -3331,7 +3386,7 @@ object CowTable {
       if (tombCollides) {
         releaseCommitLock(spark, root, id)
         lockHeld = false // a concurrent same-id writer may re-acquire
-        return updateWhere(spark, root, id, cond, set, prune, keep,
+        return updateWhereBy(spark, root, id, condOf, set, prune, keep,
           changeLogKeys = changeLogKeys)
       }
       // same enforcement as the COW twin and updateWhereMor
@@ -3993,6 +4048,19 @@ object CowTable {
       cond: Column,
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
+      changeLog: Boolean = false): Boolean =
+    deleteWhereDvBy(spark, root, id, _ => cond, prune, keep, changeLog)
+
+  /** [[deleteWhereDv]] with a per-frame condition — see
+    * [[deleteWhereBy]].
+    */
+  private[graft] def deleteWhereDvBy(
+      spark: SparkSession,
+      root: String,
+      id: Long,
+      condOf: DataFrame => Column,
+      prune: Seq[CowRange] = Nil,
+      keep: Int = 2,
       changeLog: Boolean = false): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
@@ -4010,7 +4078,7 @@ object CowTable {
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
       if (candidates.isEmpty) return true // nothing can match — id unconsumed
       val visible = visibleWithPos(spark, root, m, candidates, prune)
-      val matched0 = visible.where(coalesce(cond, lit(false)))
+      val matched0 = visible.where(coalesce(condOf(visible), lit(false)))
       // two consumers when a changelog is kept (the DV aggregation and
       // the D-row sidecar) — pin so the candidate scan runs once
       val matched = if (changeLog) matched0.localCheckpoint() else matched0

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.CowTable
+
+/** Subqueries in DML conditions over NAMED cow tables (round-13
+  * verdict #2): the analyzed condition — subquery plans included —
+  * travels on the command and binds per scan frame at execution
+  * (`plans/CowBoundDml.scala`), feeding the same COW / positional-DV
+  * primitives as every other DML. NULL semantics come from Spark's
+  * own null-aware joins.
+  */
+class DmlSubquerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshNs(tag: String): String = {
+    val ns = s"$tag${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    ns
+  }
+
+  private def rootOf(ns: String, t: String): String =
+    s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/$t"
+
+  test("IN-subquery DELETE removes exactly the matching keys and " +
+      "carries unmatched partitions by reference") {
+    val ns = freshNs("inq")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 FROM range(40)")
+    Seq(0L, 1L, 2L, 3L, 100L).toDF("k")
+      .createOrReplaceTempView("subq_keys")
+    val beforePaths = CowTable.currentManifest(spark, rootOf(ns, "t"))
+      .get.files.filter(f => f.part("p").toLong >= 1).map(_.path).toSet
+    spark.sql(
+      s"DELETE FROM cow.$ns.t WHERE id IN (SELECT k FROM subq_keys)")
+    val t = spark.table(s"cow.$ns.t")
+    assert(t.count() == 36L)
+    assert(t.where($"id" <= 3).isEmpty)
+    // ids 0..3 live one per partition → every partition was touched;
+    // redo with a single-partition delete to pin the carry
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE id IN " +
+      "(SELECT k * 4 FROM subq_keys WHERE k = 1)") // id 4 only (p=0)
+    assert(spark.table(s"cow.$ns.t").count() == 35L)
+    val afterPaths = CowTable.currentManifest(spark, rootOf(ns, "t"))
+      .get.files.filter(f => f.part("p").toLong >= 1).map(_.path).toSet
+    assert(afterPaths.nonEmpty && afterPaths.subsetOf(beforePaths.union(
+      CowTable.currentManifest(spark, rootOf(ns, "t")).get.files
+        .map(_.path).toSet)),
+      "untouched partitions must carry")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("NOT IN with a NULL-bearing subquery deletes NOTHING; NOT " +
+      "EXISTS deletes the complement") {
+    val ns = freshNs("nin")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 2 FROM range(10)")
+    Seq(Some(1L), None, Some(2L)).toDF("k")
+      .createOrReplaceTempView("subq_nulls")
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE id NOT IN " +
+      "(SELECT k FROM subq_nulls)")
+    assert(spark.table(s"cow.$ns.t").count() == 10L,
+      "NOT IN over a NULL-bearing list is never TRUE — nothing deletes")
+    // IN deletes the two matches even with NULLs present
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE id IN " +
+      "(SELECT k FROM subq_nulls)")
+    assert(spark.table(s"cow.$ns.t").count() == 8L)
+    // NOT EXISTS (correlated) deletes everything WITHOUT a match
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM subq_nulls s WHERE s.k = id + 1)")
+    // remaining: rows whose id+1 ∈ {1,2} → id ∈ {0,1} minus deleted {1,2}
+    assert(spark.table(s"cow.$ns.t").select("id").as[Long]
+      .collect().toSet == Set(0L),
+      "NOT EXISTS must keep only ids with a correlated match")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("UPDATE with a correlated EXISTS condition updates exactly the " +
+      "matching rows; subqueries in SET values refuse with a remedy") {
+    val ns = freshNs("upd")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(
+      s"INSERT INTO cow.$ns.t SELECT id, 'a', id % 2 FROM range(10)")
+    Seq(2L, 3L).toDF("k").createOrReplaceTempView("subq_upd")
+    spark.sql(s"UPDATE cow.$ns.t SET v = 'hit' WHERE EXISTS " +
+      "(SELECT 1 FROM subq_upd s WHERE s.k = id)")
+    val t = spark.table(s"cow.$ns.t")
+    assert(t.where($"v" === "hit").select("id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    assert(t.where($"v" === "a").count() == 8L)
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE cow.$ns.t SET v = (SELECT CAST(max(k) AS STRING) " +
+        "FROM subq_upd) WHERE id = 0"))
+    assert(e.getMessage != null && e.getMessage.contains("SET value"),
+      s"wrong refusal: $e")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("MOR routing: an IN-subquery DELETE under dml.mode=mor lands " +
+      "positional DVs, zero partitions rewritten, masked on read") {
+    val ns = freshNs("morq")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 2 FROM range(20)")
+    Seq(4L, 5L, 6L).toDF("k").createOrReplaceTempView("subq_mor")
+    val root = rootOf(ns, "t")
+    val dataPaths = CowTable.currentManifest(spark, root).get
+      .files.map(_.path).toSet
+    spark.conf.set("spark.graft.cow.dml.mode", "mor")
+    try spark.sql(
+      s"DELETE FROM cow.$ns.t WHERE id IN (SELECT k FROM subq_mor)")
+    finally spark.conf.set("spark.graft.cow.dml.mode", "auto")
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.dvs.nonEmpty, "mor DELETE must land positional DVs")
+    assert(m.files.map(_.path).toSet == dataPaths,
+      "mor DELETE must rewrite zero data files")
+    val t = spark.table(s"cow.$ns.t")
+    assert(t.count() == 17L && t.where($"id".between(4, 6)).isEmpty)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("self-referential subquery reads the PRE-statement snapshot") {
+    val ns = freshNs("self")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 2 FROM range(10)")
+    // delete the max row; the subquery must evaluate against the
+    // snapshot BEFORE the delete starts (SQL evaluation order)
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE id IN " +
+      s"(SELECT max(id) FROM cow.$ns.t)")
+    assert(spark.table(s"cow.$ns.t").agg(max("id")).as[Long].head == 8L)
+    assert(spark.table(s"cow.$ns.t").count() == 9L)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("MERGE with a subquery in a clause condition still refuses " +
+      "with the materialize-a-view remedy") {
+    val ns = freshNs("mrg")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, 'a' FROM range(5)")
+    Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("subq_msrc")
+    Seq(1L).toDF("k").createOrReplaceTempView("subq_mkeys")
+    val e = intercept[Exception](spark.sql(s"""
+      MERGE INTO cow.$ns.t AS t USING subq_msrc AS s ON t.id = s.id
+      WHEN MATCHED AND t.id IN (SELECT k FROM subq_mkeys)
+        THEN UPDATE SET v = s.v"""))
+    assert(e.getMessage != null &&
+      e.getMessage.contains("materialize the subquery"),
+      s"wrong refusal: $e")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+}
