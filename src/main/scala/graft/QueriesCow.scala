@@ -2213,7 +2213,63 @@ object QueriesCow {
       |  CAST(sum(cents) AS BIGINT) AS total_cents
       |FROM t3 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // MERGE WITH SCHEMA EVOLUTION (round-13 verdict #5): one statement
+  // that lands the source's extra column as a METADATA-ONLY ALTER
+  // (Spark's ResolveMergeIntoSchemaEvolution through
+  // CowCatalog.alterTable, admitted by AUTOMATIC_SCHEMA_EVOLUTION)
+  // and then merges against the evolved schema. Carried rows read the
+  // new column as NULL; the require pins that the evolution snapshot
+  // rewrote zero data files. The oracle replays the evolved merge
+  // relationally.
+  // -------------------------------------------------------------------
+  def cowMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, nsDir) = scratchCatalog(spark, "mev")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("mev_cust_src")
+    spark.sql(s"""CREATE TABLE $ns.cust
+      (c_custkey BIGINT, c_name STRING, c_mktsegment STRING)
+      PARTITIONED BY (c_mktsegment)""")
+    spark.sql(s"""INSERT INTO $ns.cust
+      SELECT c_custkey, c_name, c_mktsegment FROM mev_cust_src""")
+    val root = s"$nsDir/cust"
+    val before = CowTable.currentManifest(spark, root).get
+      .files.map(_.path).toSet
+    // the source carries a column the table lacks (integer cents)
+    spark.sql("""SELECT c_custkey, concat('E-', c_custkey) AS c_name,
+        c_mktsegment, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      FROM mev_cust_src WHERE c_custkey % 10 = 0""")
+      .createOrReplaceTempView("mev_merge_src")
+    // explicit assignments (SET * would expand to the partition
+    // column, which is immutable per row by the engine's rule);
+    // `cents` does not exist on the target yet — the WITH SCHEMA
+    // EVOLUTION clause is what admits the assignment
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $ns.cust AS t
+      USING mev_merge_src AS s ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+        cents = s.cents""")
+    val ids = CowTable.committedIds(spark, root)
+    require(CowTable.manifest(spark, root, ids(ids.size - 2))
+        .files.map(_.path).toSet == before,
+      "the evolution snapshot must be metadata-only (same data files)")
+    spark.table(s"$ns.cust").orderBy("c_custkey")
+  }
+
+  val cowMergeEvolveSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 10 = 0
+      |       THEN 'E-' || CAST(c_custkey AS VARCHAR) ELSE c_name
+      |  END AS c_name,
+      |  c_mktsegment,
+      |  CASE WHEN c_custkey % 10 = 0
+      |       THEN CAST(floor(c_acctbal * 100) AS BIGINT)
+      |       ELSE NULL END AS cents
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_merge_evolve" -> (cowMergeEvolve _),
     "cow_dml_subquery" -> (cowDmlSubquery _),
     "cow_merge_multi" -> (cowMergeMulti _),
     "cow_join_mv" -> (cowJoinMv _),
@@ -2264,6 +2320,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_merge_evolve" -> cowMergeEvolveSql,
     "cow_dml_subquery" -> cowDmlSubquerySql,
     "cow_merge_multi" -> cowMergeMultiSql,
     "cow_join_mv" -> cowJoinMvSql,

@@ -451,6 +451,12 @@ final case class CowNamedTable(
           .build()
       }.toArray
 
+  // AUTOMATIC_SCHEMA_EVOLUTION admits `MERGE WITH SCHEMA EVOLUTION`:
+  // Spark's own ResolveMergeIntoSchemaEvolution computes the add-only
+  // column set from the source and applies it through alterTable —
+  // which is METADATA-ONLY here (CowTable.evolveSchema, zero data
+  // files rewritten; carried files read the new columns as NULL) —
+  // before the merge resolves against the evolved schema.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -458,7 +464,8 @@ final case class CowNamedTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** STREAMING reads only — `spark.readStream.table("cow.ns.t")`
     * serves the current snapshot then each commit's added files

@@ -173,9 +173,17 @@ private[plans] object CowAnalyzedDml {
   }
 
   def convertMerge(m: MergeIntoTable, t: CowNamedTable): LogicalPlan = {
-    require(!m.withSchemaEvolution,
-      "MERGE WITH SCHEMA EVOLUTION is not supported on cow tables — " +
-        "ALTER TABLE first (metadata-only), then MERGE")
+    // MERGE WITH SCHEMA EVOLUTION: by the time the statement is
+    // resolved, Spark's ResolveMergeIntoSchemaEvolution has already
+    // applied the add-only changes through CowCatalog.alterTable
+    // (metadata-only — the AUTOMATIC_SCHEMA_EVOLUTION capability
+    // admits it), so `t` here is the EVOLVED relation and the merge
+    // renders against the new schema. A still-outstanding evolution
+    // at conversion would silently drop the source's new columns —
+    // refuse that loudly (it means the analyzer rule did not run).
+    require(!m.needSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION: the schema changes were not " +
+        "applied during analysis — ALTER TABLE first, then MERGE")
     noSubqueries(m.mergeCondition +: (m.matchedActions ++
       m.notMatchedActions ++ m.notMatchedBySourceActions)
       .flatMap(_.children), "MERGE")
