@@ -2268,7 +2268,58 @@ object QueriesCow {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SHALLOW CLONE (round-13 verdict #6): a dev/test fork of a table as
+  // a manifest-reference copy — the clone's snapshot lists the
+  // SOURCE's files by absolute reference (zero data copied; the
+  // require pins no batch dir exists under the clone), a vacuum fence
+  // pins the cloned snapshot at the source, and writes diverge: the
+  // clone takes an UPDATE + DELETE the source never sees. The oracle
+  // replays the diverged clone relationally.
+  // -------------------------------------------------------------------
+  def cowShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, nsDir) = scratchCatalog(spark, "cln")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("cln_cust_src")
+    spark.sql(s"""CREATE TABLE $ns.cust
+      (c_custkey BIGINT, c_name STRING, cents BIGINT,
+       c_mktsegment STRING)
+      PARTITIONED BY (c_mktsegment)""")
+    spark.sql(s"""INSERT INTO $ns.cust
+      SELECT c_custkey, c_name,
+             CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM cln_cust_src""")
+    spark.sql(s"CREATE TABLE $ns.fork SHALLOW CLONE $ns.cust")
+    val forkRoot = s"$nsDir/fork"
+    val fs = new org.apache.hadoop.fs.Path(forkRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(new org.apache.hadoop.fs.Path(forkRoot))
+        .exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch-")),
+      "a shallow clone must copy zero data files")
+    // the fork diverges; the source must not move
+    val srcHead = CowTable.currentManifest(spark, s"$nsDir/cust").get.id
+    spark.sql(s"UPDATE $ns.fork SET c_name = concat('F-', c_name) " +
+      "WHERE cents < 0")
+    spark.sql(s"DELETE FROM $ns.fork WHERE c_mktsegment = 'MACHINERY'")
+    require(CowTable.currentManifest(spark, s"$nsDir/cust").get.id
+        == srcHead,
+      "clone writes must never touch the source")
+    spark.table(s"$ns.fork").orderBy("c_custkey")
+  }
+
+  val cowShallowCloneSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |       THEN 'F-' || c_name ELSE c_name END AS c_name,
+      |  CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |  c_mktsegment
+      |FROM customer
+      |WHERE c_mktsegment <> 'MACHINERY'
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_shallow_clone" -> (cowShallowClone _),
     "cow_merge_evolve" -> (cowMergeEvolve _),
     "cow_dml_subquery" -> (cowDmlSubquery _),
     "cow_merge_multi" -> (cowMergeMulti _),
@@ -2320,6 +2371,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_shallow_clone" -> cowShallowCloneSql,
     "cow_merge_evolve" -> cowMergeEvolveSql,
     "cow_dml_subquery" -> cowDmlSubquerySql,
     "cow_merge_multi" -> cowMergeMultiSql,

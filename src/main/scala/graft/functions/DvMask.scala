@@ -238,7 +238,11 @@ object DvSidecars {
           // its own session's writer produced.
           if (g.getFieldRepetitionCount("path") > 0) {
             val rel = g.getString("path", 0)
-            val b = acc.getOrElseUpdate(rootKey + "/" + rel,
+            // sidecar entries are table-root-relative, except files a
+            // SHALLOW CLONE carries from its source (outside the clone
+            // root) — stored as decoded absolute paths, keyed verbatim
+            val b = acc.getOrElseUpdate(
+              if (rel.startsWith("/")) rel else rootKey + "/" + rel,
               new mutable.ArrayBuilder.ofLong)
             if (g.getFieldRepetitionCount("positions") > 0) {
               val lst = g.getGroup("positions", 0)

@@ -81,7 +81,7 @@ final class CowFileIndex(
   override lazy val sizeInBytes: Long = m.files.map(_.bytes).sum
 
   override def inputFiles: Array[String] =
-    m.files.map(f => s"$root/${f.path}").toArray
+    m.files.map(f => CowTable.entryPath(root, f.path)).toArray
 
   /** Snapshot-pinned by design: the manifest IS the listing. */
   override def refresh(): Unit = ()
@@ -218,7 +218,7 @@ final class CowFileIndex(
         // itself, so the FileStatus round-trips exactly.
         FileStatusWithMetadata(new FileStatus(
           f.bytes, false, 1, 128L * 1024 * 1024, 0L,
-          qualify(new Path(s"$root/${f.path}"))))
+          qualify(new Path(CowTable.entryPath(root, f.path)))))
       }))
     }
   }

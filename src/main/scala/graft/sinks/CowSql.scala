@@ -79,6 +79,13 @@ object CowSql {
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+SNAPSHOT\\s+(\\d+)\\s*""".r
+  // Delta's SHALLOW CLONE surface: the target's first snapshot is a
+  // manifest-reference copy of the source snapshot (zero data copies;
+  // CowTable.shallowClone). Spark's grammar has no CLONE statement, so
+  // this routes pre-parse like the other maintenance forms.
+  private val CloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+""" +
+      s"""$Ref(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""").r
   // metadata QUERY statements (produce rows, not commits): Delta's
   // DESCRIBE HISTORY surface, and SHOW PARTITIONS answered from the
   // manifest alone (Spark's own SHOW PARTITIONS needs a partition-
@@ -223,6 +230,13 @@ object CowSql {
       CowTable.restore(spark, refRoot(spark, c, p, ns, t), toId.toLong,
         keep = keep) // throws on race (its own lease + based-on check)
       true
+    case CloneRe(tc, tp, tns, tt, sc, sp, sns, st, v)
+        if routableRef(spark, tc, tp) && routableRef(spark, sc, sp) =>
+      CowTable.shallowClone(spark,
+        refRoot(spark, sc, sp, sns, st),
+        refRoot(spark, tc, tp, tns, tt),
+        Option(v).map(_.toLong))
+      true
     case _ => execDml(spark, id, sql, keep, mode, morThresholdBytes)
   }
 
@@ -239,6 +253,8 @@ object CowSql {
     case VacuumRe(c, p, _, _, _) => routableRef(spark, c, p)
     case VacuumHoursRe(c, p, _, _, _) => routableRef(spark, c, p)
     case RestoreRe(c, p, _, _, _) => routableRef(spark, c, p)
+    case CloneRe(tc, tp, _, _, sc, sp, _, _, _) =>
+      routableRef(spark, tc, tp) && routableRef(spark, sc, sp)
     case _ => false
   }
 
@@ -334,7 +350,7 @@ object CowSql {
       mode: DmlMode = Auto,
       morThresholdBytes: Long = 128L * 1024 * 1024): Unit = sql match {
     case VacuumRe(_, _, _, _, _) | VacuumHoursRe(_, _, _, _, _) |
-        RestoreRe(_, _, _, _, _) =>
+        RestoreRe(_, _, _, _, _) | CloneRe(_, _, _, _, _, _, _, _, _) =>
       exec(spark, 0L, sql, keep, mode, morThresholdBytes) // id unused
     case OptimizeRe(c, p, ns, t, _, _) if routableRef(spark, c, p) =>
       val root = refRoot(spark, c, p, ns, t)

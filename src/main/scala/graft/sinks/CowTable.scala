@@ -585,6 +585,82 @@ object CowTable {
     newId
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): the
+    * clone's first snapshot is a MANIFEST-REFERENCE copy of the
+    * source's snapshot `asOf` (default: current head) — O(manifest)
+    * metadata IO, ZERO data bytes copied. Carried entries reference
+    * the source's files by decoded ABSOLUTE path (every reader
+    * resolves through [[entryPath]]); writes DIVERGE from the first
+    * commit on, landing under the clone's own root exactly like any
+    * table — a dev/test fork of a 100 TB table costs kilobytes.
+    *
+    * SOURCE RETENTION: before the clone manifest lands, a vacuum
+    * fence (`clone-<uuid>` → the cloned id) registers at the SOURCE
+    * root, so source vacuums retain the cloned snapshot's manifest
+    * and files however aggressive their `keep` — the Delta hazard
+    * ("VACUUM on the source breaks clones") is closed structurally.
+    * The crash order is fence-first: an orphan fence only
+    * over-retains. Dropping a clone does NOT auto-release the fence
+    * (the source cannot know); operators list fences via
+    * [[streamFrontiers]] and release with [[unregisterStreamFrontier]].
+    *
+    * SCOPE: the source snapshot must be debt-free (no outstanding
+    * tombstones / deletion vectors) — their sidecars resolve file
+    * identity against THEIR table root, which a foreign-root reader
+    * cannot reuse; `OPTIMIZE` folds the debt first. The clone starts
+    * with the source's CHECK constraints (already valid for the
+    * carried data) and bucket layout (a property of the carried
+    * files). Returns the cloned source snapshot id.
+    */
+  def shallowClone(
+      spark: SparkSession, sourceRoot: String, targetRoot: String,
+      asOf: Option[Long] = None): Long = {
+    val ids = committedIds(spark, sourceRoot)
+    require(ids.nonEmpty, s"no committed snapshot at $sourceRoot")
+    val at = asOf match {
+      case Some(v) => ids.filter(_ <= v).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed snapshot at or before $v at $sourceRoot" +
+            vacuumHwm(spark, sourceRoot).filter(v <= _)
+              .map(h => s" (vacuumed: retention high-water mark is $h)")
+              .getOrElse("")))
+      case None => ids.last
+    }
+    require(committedIds(spark, targetRoot).isEmpty,
+      s"shallow clone target $targetRoot already has commits")
+    val m = manifest(spark, sourceRoot, at)
+    require(m.tombstones.isEmpty && m.dvs.isEmpty,
+      s"shallow clone of $sourceRoot@$at: the snapshot carries " +
+        "outstanding merge-on-read debt (tombstones / deletion " +
+        "vectors) whose sidecars are root-anchored — run OPTIMIZE " +
+        "on the source to fold the debt, then clone")
+    // fence FIRST: from here the source's vacuum retains snapshot `at`
+    registerStreamFrontier(spark, sourceRoot,
+      "clone-" + java.util.UUID.randomUUID().toString.replace("-", ""),
+      at)
+    val srcAbs = graft.functions.DvDeletedExpr.normalize(
+      hfs(spark, sourceRoot).makeQualified(new Path(sourceRoot))
+        .toUri.toString)
+    val entries = m.allFiles.map(f =>
+      f.copy(path = entryPath(srcAbs, f.path)))
+    // bucket layout rides with the carried files; must register
+    // before the clone's first commit (setBucketSpec's own rule)
+    bucketSpecOf(spark, sourceRoot)
+      .foreach(bs => setBucketSpec(spark, targetRoot, bs))
+    acquireCommitLock(spark, targetRoot, 1L)
+    try {
+      commitManifest(spark, targetRoot, 1L, None, None) {
+        writeManifest(spark, targetRoot, 1L, m.partCols, m.schemaDdl,
+          entries)
+      }
+    } finally releaseCommitLock(spark, targetRoot, 1L)
+    val checks = checkConstraints(spark, sourceRoot)
+    if (checks.nonEmpty)
+      // already valid: every carried row passed them at the source
+      setCheckConstraints(spark, targetRoot, checks, validate = false)
+    at
+  }
+
   /** METADATA-ONLY schema evolution — `ALTER TABLE … ADD COLUMNS` /
     * `ALTER COLUMN … TYPE <wider>` as a commit that rewrites ZERO data
     * files (Delta's ALTER TABLE semantics; the reference evolves
@@ -1008,7 +1084,7 @@ object CowTable {
     val uri = fs.makeQualified(new Path(root)).toUri
     // literal absolute sidecar paths; the executor re-escapes via the
     // multi-arg URI ctor (hive-escaped partition dirs, space values)
-    val sidecars = dvFiles.map(f => s"$rootKey/${f.path}").sorted
+    val sidecars = dvFiles.map(f => entryPath(rootKey, f.path)).sorted
     import org.apache.spark.sql.graftbridge.Bridge
     df.where(!Bridge.column(graft.functions.DvDeletedExpr(
       Bridge.expression(fpCol), Bridge.expression(posCol),
@@ -1051,11 +1127,22 @@ object CowTable {
       spark: SparkSession, root: String,
       tombs: Seq[CowFile]): Seq[(Seq[String], DataFrame)] =
     tombs
-      .groupBy(f => spark.read.parquet(s"$root/${f.path}").columns.toSeq)
+      .groupBy(f =>
+        spark.read.parquet(entryPath(root, f.path)).columns.toSeq)
       .toSeq.sortBy(_._1.mkString("\u0001"))
       .map { case (cols, fs) =>
-        cols -> spark.read.parquet(fs.map(f => s"$root/${f.path}"): _*)
+        cols -> spark.read.parquet(
+          fs.map(f => entryPath(root, f.path)): _*)
       }
+
+  /** Resolve a manifest entry path against the table root: SHALLOW
+    * CLONE manifests reference the SOURCE table's files by DECODED
+    * ABSOLUTE path (leading '/'), everything else is root-relative.
+    * Every reader resolves through this, so a clone's carried files
+    * serve from where they live — zero bytes copied at clone time.
+    */
+  def entryPath(root: String, p: String): String =
+    if (p.startsWith("/")) p else s"$root/$p"
 
   /** DataFrame over an explicit subset of a manifest's files, read
     * under the MANIFEST's schema — older files missing newly-evolved
@@ -1071,7 +1158,7 @@ object CowTable {
         spark.sparkContext.emptyRDD[Row], m.schema)
     else
       spark.read.schema(m.schema)
-        .parquet(files.map(f => s"$root/${f.path}"): _*)
+        .parquet(files.map(f => entryPath(root, f.path)): _*)
 
   // -------------------------------------------------------------------
   // Data skipping
@@ -1282,7 +1369,12 @@ object CowTable {
       .flatMap(s => walk(s.getPath))
       .map(_.stripPrefix(rootUri).stripPrefix("/"))
       .toSet
-    val missing = referenced.filterNot(onDisk).toSeq.sorted
+    // SHALLOW CLONE references (absolute, outside this root) probe
+    // existence directly; relative references compare against the walk
+    val (absRefs, relRefs) = referenced.partition(_.startsWith("/"))
+    val missing = (relRefs.filterNot(onDisk) ++
+      absRefs.filterNot(p => fs.exists(new Path(
+        new java.net.URI(null, null, p, null))))).toSeq.sorted
     val orphans = onDisk
       .filterNot(referenced)
       .filterNot(stagedReferenced)
@@ -3985,11 +4077,15 @@ object CowTable {
       matched: DataFrame): Seq[CowFile] = {
     val rootAbs = graft.functions.DvDeletedExpr.normalize(
       hfs(spark, root).makeQualified(new Path(root)).toUri.toString)
+    // files under this root store relative (the usual case); a SHALLOW
+    // CLONE's carried source files live OUTSIDE the clone root and
+    // store as their decoded ABSOLUTE path — the same convention the
+    // clone manifest uses, and the executor-side loader keys absolute
+    // entries verbatim so the mask still matches _metadata.file_path
     val relativize = udf((s: String) => {
       val p = graft.functions.DvDeletedExpr.normalize(s)
-      require(p.startsWith(rootAbs + "/"),
-        s"candidate file $p is outside the table root $rootAbs")
-      p.substring(rootAbs.length + 1)
+      if (p.startsWith(rootAbs + "/")) p.substring(rootAbs.length + 1)
+      else p
     })
     val dvDf = matched
       .groupBy(col(DvFpCol) +: m.partCols.map(col): _*)

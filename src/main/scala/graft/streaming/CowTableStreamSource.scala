@@ -58,7 +58,8 @@ final class CowTableStream(spark: SparkSession, root: String,
     */
   private def absPath(rel: String): String =
     new org.apache.hadoop.fs.Path(
-      new java.net.URI(null, null, s"$root/$rel", null)).toString
+      new java.net.URI(null, null,
+        graft.sinks.CowTable.entryPath(root, rel), null)).toString
 
   // the snapshot served WHOLE as the first batch; resolved to a
   // COMMITTED id (highest committed <= the requested startingSnapshot
