@@ -2318,7 +2318,71 @@ object QueriesCow {
       |WHERE c_mktsegment <> 'MACHINERY'
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // EVENT-TIME streaming aggregation over the NAMED table stream
+  // (round-13 verdict #7): readStream.table(cow.ns.ev) → watermark →
+  // tumbling-window agg (StreamOps.windowedCounts) →
+  // writeStream.format("cow") — the full named source→sink loop with
+  // real event-time semantics. Two waves: the snapshot (events before
+  // Jan 15) finalizes its windows once the flush batch advances the
+  // watermark; the second commit carries LATE duplicates (ts < Jan 10,
+  // far behind the watermark — DROPPED, which the oracle encodes by
+  // not modeling them) plus the fresh tail. The final table holds
+  // exactly the windows whose end cleared the terminal watermark
+  // (max ts − lateness) — replayed relationally in DuckDB.
+  // -------------------------------------------------------------------
+  def cowStreamEventAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, nsDir) = scratchCatalog(spark, "evagg")
+    Tables.load(spark, dir, "events")
+      .createOrReplaceTempView("evagg_src")
+    spark.sql(s"""CREATE TABLE $ns.ev
+      (event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)""")
+    spark.sql(s"""INSERT INTO $ns.ev
+      SELECT event_id, ts, event_type, value FROM evagg_src
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'""")
+    val q = graft.streaming.StreamOps.windowedCounts(
+        spark.readStream.table(s"$ns.ev"),
+        lateness = "10 minutes", window_ = "1 hour")
+      .select(col("win_start").cast("long").as("win_start_s"),
+        col("win_end").cast("long").as("win_end_s"),
+        col("event_type"), col("n"), col("sum_value_u"))
+      .writeStream.format("cow")
+      .option("checkpointLocation", scratch("evagg_ck"))
+      .option("table", s"$ns.agg")
+      .start()
+    try {
+      q.processAllAvailable()
+      // wave 2: LATE duplicates (dropped by the watermark) + the tail
+      spark.sql(s"""INSERT INTO $ns.ev
+        SELECT event_id, ts, event_type, value FROM evagg_src
+        WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+           OR ts >= TIMESTAMP '2024-01-15 00:00:00'""")
+      q.processAllAvailable()
+    } finally q.stop()
+    CowTable.read(spark, s"$nsDir/agg").get
+      .orderBy("win_start_s", "event_type")
+  }
+
+  val cowStreamEventAggSql: String =
+    """WITH wm AS (
+      |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+      |agg AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+      |           AS win_start_s,
+      |         CAST(epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+      |           AS BIGINT) AS win_end_s,
+      |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+      |         event_type,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+      |           AS sum_value_u
+      |  FROM events GROUP BY 1, 2, 3, 4)
+      |SELECT win_start_s, win_end_s, event_type, n, sum_value_u
+      |FROM agg, wm WHERE agg.win_end <= wm.w
+      |ORDER BY win_start_s, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_stream_event_agg" -> (cowStreamEventAgg _),
     "cow_shallow_clone" -> (cowShallowClone _),
     "cow_merge_evolve" -> (cowMergeEvolve _),
     "cow_dml_subquery" -> (cowDmlSubquery _),
@@ -2371,6 +2435,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_stream_event_agg" -> cowStreamEventAggSql,
     "cow_shallow_clone" -> cowShallowCloneSql,
     "cow_merge_evolve" -> cowMergeEvolveSql,
     "cow_dml_subquery" -> cowDmlSubquerySql,
