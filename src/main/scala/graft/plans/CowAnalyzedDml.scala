@@ -178,9 +178,15 @@ private[plans] object CowAnalyzedDml {
     // applied the add-only changes through CowCatalog.alterTable
     // (metadata-only — the AUTOMATIC_SCHEMA_EVOLUTION capability
     // admits it), so `t` here is the EVOLVED relation and the merge
-    // renders against the new schema. A still-outstanding evolution
-    // at conversion would silently drop the source's new columns —
-    // refuse that loudly (it means the analyzer rule did not run).
+    // renders against the new schema. Stated plainly: the evolution
+    // commits DURING ANALYSIS — Spark's own DSv2 design, not Delta's
+    // in-transaction form — so an EXPLAIN of the statement, or a merge
+    // that later fails, leaves the (benign, add-only, NULL-reading)
+    // column in place. The evolution is idempotent: re-analysis
+    // against the evolved schema computes no further changes. A
+    // still-outstanding evolution at conversion would silently drop
+    // the source's new columns — refuse that loudly (it means the
+    // analyzer rule did not run).
     require(!m.needSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION: the schema changes were not " +
         "applied during analysis — ALTER TABLE first, then MERGE")

@@ -229,20 +229,12 @@ final case class CowStatementCommand(sqlText: String)
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    val conf = session.conf
-    val mode = conf.get("spark.graft.cow.dml.mode", "auto") match {
-      case "cow" => CowSql.Cow
-      case "mor" => CowSql.Mor
-      case "auto" => CowSql.Auto
-      case other => throw new IllegalArgumentException(
-        s"spark.graft.cow.dml.mode must be cow|mor|auto, got $other")
-    }
-    CowSql.execAuto(session, sqlText,
-      keep = conf.get("spark.graft.cow.dml.keep", "2").toInt,
-      mode = mode,
-      morThresholdBytes = conf.get(
-        "spark.graft.cow.dml.morThresholdBytes",
-        (128L * 1024 * 1024).toString).toLong)
+    // one parse of the routing confs for every DML surface — the
+    // bound-subquery commands read the same trio, so a default change
+    // can never route textual and bound DML differently
+    val (mode, keep, thr) = CowBoundDml.dmlConf(session)
+    CowSql.execAuto(session, sqlText, keep = keep, mode = mode,
+      morThresholdBytes = thr)
     Nil
   }
 }

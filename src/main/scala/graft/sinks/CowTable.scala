@@ -635,12 +635,37 @@ object CowTable {
         "vectors) whose sidecars are root-anchored — run OPTIMIZE " +
         "on the source to fold the debt, then clone")
     // fence FIRST: from here the source's vacuum retains snapshot `at`
-    registerStreamFrontier(spark, sourceRoot,
-      "clone-" + java.util.UUID.randomUUID().toString.replace("-", ""),
-      at)
-    val srcAbs = graft.functions.DvDeletedExpr.normalize(
-      hfs(spark, sourceRoot).makeQualified(new Path(sourceRoot))
-        .toUri.toString)
+    val fenceName =
+      "clone-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    registerStreamFrontier(spark, sourceRoot, fenceName, at)
+    // TOCTOU re-check: a source vacuum running BETWEEN the manifest
+    // read above and the fence landing may have pruned snapshot `at`
+    // (its frontier listing predated the fence). Once the fence is
+    // visible no vacuum can remove `at`, so committed-now means
+    // committed-for-the-clone's-lifetime; absent-now means the clone
+    // would reference deleted files — abort and release the fence.
+    if (!committedIds(spark, sourceRoot).contains(at)) {
+      unregisterStreamFrontier(spark, sourceRoot, fenceName)
+      throw new IllegalStateException(
+        s"shallow clone lost a race with a source vacuum: snapshot " +
+          s"$at at $sourceRoot was pruned before the clone fence " +
+          "landed — retry against a retained snapshot")
+    }
+    val srcUri = hfs(spark, sourceRoot)
+      .makeQualified(new Path(sourceRoot)).toUri
+    // the absolute-reference convention stores DECODED SCHEME-LESS
+    // paths that readers resolve against the session's DEFAULT
+    // filesystem — a source on any other filesystem would silently
+    // resolve to the wrong store, so refuse it loudly
+    val defUri = org.apache.hadoop.fs.FileSystem
+      .get(spark.sessionState.newHadoopConf()).getUri
+    require(srcUri.getScheme == defUri.getScheme &&
+        Option(srcUri.getAuthority).getOrElse("") ==
+          Option(defUri.getAuthority).getOrElse(""),
+      s"shallow clone source $srcUri is not on the session's default " +
+        s"filesystem ($defUri): carried absolute references would " +
+        "resolve against the wrong store — clone within one filesystem")
+    val srcAbs = graft.functions.DvDeletedExpr.normalize(srcUri.toString)
     val entries = m.allFiles.map(f =>
       f.copy(path = entryPath(srcAbs, f.path)))
     // bucket layout rides with the carried files; must register
@@ -1883,6 +1908,14 @@ object CowTable {
         shaped.sortWithinPartitions(sortCols.map(col): _*) else shaped
       out.write.mode("overwrite").parquet(batchDir)
     } else {
+      // a batch dir must ALWAYS be replaced whole: under a session's
+      // spark.sql.sources.partitionOverwriteMode=dynamic, a
+      // partitionBy overwrite only replaces the partitions present in
+      // the NEW data — stale partition dirs from an earlier aborted
+      // attempt of this id (failed validation, lost based-on race)
+      // would survive and be absorbed by collectEntries as if this
+      // batch wrote them. The per-write option pins static semantics
+      // whatever the session says.
       val gp = partCols.map(c => s"__gp_$c")
       // duplicated __gp_* drive the directory layout; the REAL columns
       // stay in the files (self-contained reads, no dir-name parsing)
@@ -1898,7 +1931,9 @@ object CowTable {
       val sorted = if (sortCols.nonEmpty)
         shaped.sortWithinPartitions((gp ++ sortCols).map(col): _*)
       else shaped
-      sorted.write.mode("overwrite").partitionBy(gp: _*).parquet(batchDir)
+      sorted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(gp: _*).parquet(batchDir)
       // bucket-spec'd tables: tag the just-written files so the layout
       // stays planner-declarable across EVERY write path (append, COW
       // rewrite, compaction, optimize, stage — they all land here)
@@ -2327,12 +2362,24 @@ object CowTable {
       val allTouched =
         if (!touchedFromWritten) touched
         else {
-          validateWritten(fresh)
-          if (fresh.nonEmpty)
-            enforceChecks(
-              dfFor(spark, root,
-                CowManifest(id, partCols, effSchema.toDDL, fresh), fresh),
-              checkConstraints(spark, root), s"commit $id at $root")
+          // a refused batch must not leave its staged files behind:
+          // the id was not consumed, so a LATER attempt reuses this
+          // batch dir — the static-mode overwrite in writeBatch
+          // replaces it whole, but deleting here keeps failed
+          // statements free of disk debris (same cleanup the DV/MOR
+          // abort paths perform)
+          try {
+            validateWritten(fresh)
+            if (fresh.nonEmpty)
+              enforceChecks(
+                dfFor(spark, root,
+                  CowManifest(id, partCols, effSchema.toDDL, fresh),
+                  fresh),
+                checkConstraints(spark, root), s"commit $id at $root")
+          } catch { case t: Throwable =>
+            hfs(spark, root).delete(new Path(batchDir), true)
+            throw t
+          }
           touched ++ fresh.map(f => partKey(partCols, f.part))
         }
       // carry untouched DATA files and untouched partitions' tombstones;

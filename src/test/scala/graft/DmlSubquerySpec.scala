@@ -31,24 +31,24 @@ class DmlSubquerySpec extends SparkSpec {
     spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 FROM range(40)")
     Seq(0L, 1L, 2L, 3L, 100L).toDF("k")
       .createOrReplaceTempView("subq_keys")
-    val beforePaths = CowTable.currentManifest(spark, rootOf(ns, "t"))
-      .get.files.filter(f => f.part("p").toLong >= 1).map(_.path).toSet
     spark.sql(
       s"DELETE FROM cow.$ns.t WHERE id IN (SELECT k FROM subq_keys)")
     val t = spark.table(s"cow.$ns.t")
     assert(t.count() == 36L)
     assert(t.where($"id" <= 3).isEmpty)
     // ids 0..3 live one per partition → every partition was touched;
-    // redo with a single-partition delete to pin the carry
+    // redo with a single-partition delete to pin the carry: a delete
+    // matching only p=0 must leave the p>=1 partitions' files
+    // BYTE-IDENTICAL by path (carried by reference, not rewritten)
+    val beforeSingle = CowTable.currentManifest(spark, rootOf(ns, "t"))
+      .get.files.filter(f => f.part("p").toLong >= 1).map(_.path).toSet
     spark.sql(s"DELETE FROM cow.$ns.t WHERE id IN " +
       "(SELECT k * 4 FROM subq_keys WHERE k = 1)") // id 4 only (p=0)
     assert(spark.table(s"cow.$ns.t").count() == 35L)
     val afterPaths = CowTable.currentManifest(spark, rootOf(ns, "t"))
       .get.files.filter(f => f.part("p").toLong >= 1).map(_.path).toSet
-    assert(afterPaths.nonEmpty && afterPaths.subsetOf(beforePaths.union(
-      CowTable.currentManifest(spark, rootOf(ns, "t")).get.files
-        .map(_.path).toSet)),
-      "untouched partitions must carry")
+    assert(afterPaths == beforeSingle,
+      "untouched partitions must carry by path identity")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 

@@ -111,8 +111,15 @@ class OverwritePinSpec extends SparkSpec {
     assert(e.getMessage != null &&
       e.getMessage.contains("OUTSIDE the replaced region"),
       s"wrong refusal: $e")
-    // ...and the failed statement committed nothing
+    // ...and the failed statement committed nothing AND left no staged
+    // batch files behind (a stale batch dir could otherwise be
+    // absorbed by a later attempt of the same id)
     assert(CowTable.currentManifest(spark, root).get.id == m.id)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/batch-${m.id + 1}")),
+      "a refused overwrite must clean its staged batch dir")
     spark.sql(s"DROP NAMESPACE cow.$db CASCADE")
   }
 
