@@ -2381,7 +2381,59 @@ object QueriesCow {
       |FROM agg, wm WHERE agg.win_end <= wm.w
       |ORDER BY win_start_s, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // COLUMN MAPPING (round-13 verdict #3): ALTER TABLE RENAME COLUMN /
+  // DROP COLUMN as METADATA-ONLY commits — the requires pin that the
+  // rename and the drop rewrote ZERO data files (carried files store
+  // each column's immutable physical name; readers translate at the
+  // file boundary). The chain: rename a value column, rename the
+  // PARTITION column, drop a column, re-add the same name (fresh
+  // physical — old bytes must NOT resurrect, so it reads NULL), then
+  // UPDATE through the new name. The oracle replays relationally.
+  // -------------------------------------------------------------------
+  def cowRenameDrop(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, nsDir) = scratchCatalog(spark, "rmap")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("rmap_cust_src")
+    spark.sql(s"""CREATE TABLE $ns.cust
+      (c_custkey BIGINT, c_name STRING, acct_cents BIGINT,
+       c_mktsegment STRING)
+      PARTITIONED BY (c_mktsegment)""")
+    spark.sql(s"""INSERT INTO $ns.cust
+      SELECT c_custkey, c_name,
+             CAST(floor(c_acctbal * 100) AS BIGINT), c_mktsegment
+      FROM rmap_cust_src""")
+    val root = s"$nsDir/cust"
+    val prePaths = CowTable.currentManifest(spark, root).get
+      .files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $ns.cust RENAME COLUMN acct_cents TO cents")
+    spark.sql(s"ALTER TABLE $ns.cust RENAME COLUMN c_mktsegment TO seg")
+    spark.sql(s"ALTER TABLE $ns.cust DROP COLUMN c_name")
+    require(CowTable.currentManifest(spark, root).get
+        .files.map(_.path).toSet == prePaths,
+      "renames and drops must rewrite zero data files")
+    // re-added name allocates a FRESH physical: carried rows read NULL
+    spark.sql(s"ALTER TABLE $ns.cust ADD COLUMNS (c_name STRING)")
+    require(CowTable.currentManifest(spark, root).get
+        .colMap.get("c_name").exists(_ != "c_name"),
+      "a re-added dropped column must map to a fresh physical name")
+    spark.sql(s"UPDATE $ns.cust SET c_name = concat('K-', c_custkey) " +
+      "WHERE cents < 0")
+    spark.table(s"$ns.cust").orderBy("c_custkey")
+  }
+
+  val cowRenameDropSql: String =
+    """SELECT c_custkey,
+      |  CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |  c_mktsegment AS seg,
+      |  CASE WHEN CAST(floor(c_acctbal * 100) AS BIGINT) < 0
+      |       THEN 'K-' || CAST(c_custkey AS VARCHAR)
+      |       ELSE NULL END AS c_name
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_rename_drop" -> (cowRenameDrop _),
     "cow_stream_event_agg" -> (cowStreamEventAgg _),
     "cow_shallow_clone" -> (cowShallowClone _),
     "cow_merge_evolve" -> (cowMergeEvolve _),
@@ -2435,6 +2487,7 @@ object QueriesCow {
     "cow_stream_mv" -> (cowStreamMv _))
 
   val oracles: Map[String, String] = Map(
+    "cow_rename_drop" -> cowRenameDropSql,
     "cow_stream_event_agg" -> cowStreamEventAggSql,
     "cow_shallow_clone" -> cowShallowCloneSql,
     "cow_merge_evolve" -> cowMergeEvolveSql,

@@ -246,6 +246,48 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     val root = rootOf(ident)
     val m = CowTable.currentManifest(spark, root).getOrElse(
       throw new NoSuchTableException(ident))
+    // RENAME/DROP COLUMN are METADATA-ONLY commits of their own
+    // (column mapping: the physical name in carried files never
+    // changes — CowTable.renameColumn/dropColumn). They commit
+    // per-change at head+1, so a statement mixing them with other
+    // change kinds would interleave two commit disciplines — Spark's
+    // grammar never produces such a mix, but refuse it if a
+    // programmatic caller does.
+    val mapChanges = changes.collect {
+      case rn: TableChange.RenameColumn => rn: TableChange
+      case dc: TableChange.DeleteColumn => dc: TableChange
+    }
+    if (mapChanges.nonEmpty) {
+      require(mapChanges.size == changes.size,
+        "RENAME/DROP COLUMN cannot combine with other ALTER changes " +
+          "in one statement — issue them separately")
+      changes.foreach {
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames.length == 1,
+            "cow tables rename top-level columns only, got " +
+              rn.fieldNames.mkString("."))
+          val cur = CowTable.currentManifest(spark, root).get
+          require(CowTable.renameColumn(spark, root, cur.id + 1,
+              rn.fieldNames.head, rn.newName, keep = Int.MaxValue),
+            s"RENAME COLUMN on ${displayName(ident)} raced a " +
+              "concurrent commit — retry the statement")
+        case dc: TableChange.DeleteColumn =>
+          require(dc.fieldNames.length == 1,
+            "cow tables drop top-level columns only, got " +
+              dc.fieldNames.mkString("."))
+          val cur = CowTable.currentManifest(spark, root).get
+          if (!cur.schema.fieldNames.contains(dc.fieldNames.head)) {
+            require(dc.ifExists != null && dc.ifExists.booleanValue(),
+              s"DROP COLUMN: no column ${dc.fieldNames.head} on " +
+                displayName(ident))
+          } else require(CowTable.dropColumn(spark, root, cur.id + 1,
+              dc.fieldNames.head, keep = Int.MaxValue),
+            s"DROP COLUMN on ${displayName(ident)} raced a " +
+              "concurrent commit — retry the statement")
+        case _ => ()
+      }
+      return loadTable(ident)
+    }
     var schema = m.schema
     def updated(fieldNames: Array[String], what: String)(
         f: org.apache.spark.sql.types.StructField
@@ -322,10 +364,10 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
         else require(dc.ifExists,
           s"no constraint ${dc.name} on ${displayName(ident)}")
       case other => throw new UnsupportedOperationException(
-        s"cow ALTER TABLE does not support $other: drops/renames are " +
-          "breaking under carried files (rewrite via INSERT OVERWRITE " +
-          "under the new shape); properties carry no meaning; CHECK " +
-          "constraints via CowTable.setCheckConstraints")
+        s"cow ALTER TABLE does not support $other: positions other " +
+          "than append cannot be honored under carried files; " +
+          "properties carry no meaning; CHECK constraints via " +
+          "CowTable.setCheckConstraints")
     }
     // keep = MaxValue: a metadata-only ALTER must not shrink history —
     // VERSION AS OF across the ALTER stays servable; retention remains
@@ -480,7 +522,7 @@ final case class CowNamedTable(
       s"$tableName was loaded AS OF a version — stream from the live " +
         "table (optionally with startingSnapshot) instead")
     new graft.streaming.CowTableScanBuilder(root, manifest.schema,
-      options)
+      manifest.colMap, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -286,7 +286,8 @@ object CowV2 {
     // tombstone shapes may coexist); a folded table skips both
     val masked = CowTable.applyDvs(spark, root, df,
       col("_metadata.file_path"), col("_metadata.row_index"), m.dvs)
-    CowTable.subtractTombstones(spark, root, masked, m.tombstones)
+    CowTable.subtractTombstones(spark, root, masked, m.tombstones,
+      m.colMap)
   }
 
   private def buildRelation(
@@ -314,7 +315,7 @@ object CowV2 {
       partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
       bucketSpec = bucketSpec,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = CowMappedParquetFileFormat.forManifest(m),
       options = Map.empty)(spark)
   }
 }

@@ -87,14 +87,41 @@ final case class CowFile(
 /** A committed [[CowTable]] snapshot: the authoritative file list (a
   * file NOT listed here does not exist, whatever the directory says),
   * the partitioning, and the table schema at commit time.
+  *
+  * COLUMN MAPPING (`colMap`, Delta's name-mapping mode): logical
+  * column name → the PHYSICAL name stored in data files. A column's
+  * physical name is fixed at creation and never changes, so `ALTER
+  * TABLE RENAME COLUMN` is a manifest-only commit (schema + map; the
+  * manifest's own stat/part keys re-key to the new logical name) and
+  * `DROP COLUMN` simply stops requesting the column — carried files
+  * never rewrite for either. Absent entries mean logical == physical
+  * (every table until its first rename). `retiredPhys` records
+  * physical names freed by drops/renames so a later ADD of the same
+  * logical name allocates a FRESH physical name instead of resurrecting
+  * old files' data.
   */
 final case class CowManifest(
     id: Long,
     partCols: Seq[String],
     schemaDdl: String,
-    allFiles: Seq[CowFile]) {
+    allFiles: Seq[CowFile],
+    colMap: Map[String, String] = Map.empty,
+    retiredPhys: Seq[String] = Nil) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def partKeyOf(f: CowFile): String = CowTable.partKey(partCols, f.part)
+  /** Physical (in-file) name of logical column `c`. */
+  def phys(c: String): String = colMap.getOrElse(c, c)
+  /** Is any logical name mapped to a different physical one? */
+  def mapped: Boolean = colMap.exists { case (l, p) => l != p }
+  /** The schema under PHYSICAL names — what the data files store. */
+  def physSchema: StructType =
+    if (!mapped) schema
+    else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
+  /** Every physical name ever used (live + retired) — ADD COLUMN
+    * consults this to avoid resurrecting a dropped column's data.
+    */
+  def usedPhys: Set[String] =
+    schema.fieldNames.map(phys).toSet ++ retiredPhys
   /** Live DATA files (what a scan reads). */
   def files: Seq[CowFile] = allFiles.filter(_.kind == CowTable.KindData)
   /** Outstanding merge-on-read TOMBSTONE files (what a scan subtracts). */
@@ -121,7 +148,9 @@ private[sinks] final case class CowManifestRow(
     schema_ddl: String,
     kind: String,
     blooms: Map[String, Seq[Long]],
-    nulls: Map[String, Long])
+    nulls: Map[String, Long],
+    col_map: Map[String, String],
+    retired_phys: Seq[String])
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -469,7 +498,16 @@ object CowTable {
           else Option(r.getAs[Map[String, Long]]("nulls"))
             .getOrElse(Map.empty))
     }
-    CowManifest(id, partCols, ddl, files)
+    // manifests written before column mapping read as identity-mapped
+    val colMap =
+      if (!head.schema.fieldNames.contains("col_map")) Map.empty[String, String]
+      else Option(head.getAs[Map[String, String]]("col_map"))
+        .getOrElse(Map.empty)
+    val retired =
+      if (!head.schema.fieldNames.contains("retired_phys")) Nil
+      else Option(head.getAs[scala.collection.Seq[String]]("retired_phys"))
+        .map(_.toSeq).getOrElse(Nil)
+    CowManifest(id, partCols, ddl, files, colMap, retired)
   }
 
   /** The current snapshot's manifest, if any commit exists. */
@@ -576,7 +614,7 @@ object CowTable {
     try {
       commitManifest(spark, root, newId, Some(cur), None) {
         writeManifest(spark, root, newId, target.partCols,
-          target.schemaDdl, target.allFiles)
+          target.schemaDdl, target.allFiles, mappingOf(Some(target)))
       }
     } finally releaseCommitLock(spark, root, newId)
     vacuum(spark, root, keep, Map(
@@ -676,7 +714,7 @@ object CowTable {
     try {
       commitManifest(spark, targetRoot, 1L, None, None) {
         writeManifest(spark, targetRoot, 1L, m.partCols, m.schemaDdl,
-          entries)
+          entries, mappingOf(Some(m)))
       }
     } finally releaseCommitLock(spark, targetRoot, 1L)
     val checks = checkConstraints(spark, sourceRoot)
@@ -743,7 +781,149 @@ object CowTable {
     try {
       if (committedIds(spark, root).exists(_ >= id)) return false
       commitManifest(spark, root, id, Some(m.id), None) {
-        writeManifest(spark, root, id, m.partCols, eff.toDDL, files)
+        writeManifest(spark, root, id, m.partCols, eff.toDDL, files,
+          mappingForAdds(Some(m), eff))
+      }
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, Map(
+      id -> files.map(_.path), m.id -> m.allFiles.map(_.path)))
+    true
+  }
+
+  /** Column names a CHECK-constraint predicate references (top-level
+    * attribute parts of the parsed expression).
+    */
+  private def constraintRefs(spark: SparkSession, sql: String): Set[String] = {
+    val e = spark.sessionState.sqlParser.parseExpression(sql)
+    e.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.head
+    }.toSet
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` as a METADATA-ONLY
+    * commit (Delta's column-mapping rename): the column's PHYSICAL
+    * name — what the data files store — never changes; the new
+    * manifest carries the new logical schema, the logical→physical
+    * map, and its own stat/part keys re-keyed to the new name, so
+    * ZERO data files rewrite and every reader serves the new name
+    * through the mapping seams ([[readLogical]], the mapped parquet
+    * format). Time travel across the rename serves the OLD name (each
+    * manifest carries its own map). CHECK constraints referencing the
+    * column re-point (parse → rename → re-render). Refused when:
+    *  - the new name already exists (case-insensitive);
+    *  - a registered bucket layout references the column (bucket file
+    *    tags and the planner's bucket spec are name-anchored);
+    *  - retained change-feed sidecars exist (`_changes/` non-empty) —
+    *    sidecar files store write-time names that feed readers request
+    *    under the CURRENT schema; vacuum past them first.
+    */
+  def renameColumn(
+      spark: SparkSession, root: String, id: Long,
+      oldName: String, newName: String, keep: Int = 2): Boolean = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.schema.fieldNames.contains(oldName),
+      s"RENAME COLUMN: no column $oldName at $root")
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"RENAME COLUMN: column $newName already exists at $root")
+    bucketSpecOf(spark, root).foreach(bs =>
+      require(!(bs.keyCols :+ bs.partCol).contains(oldName),
+        s"RENAME COLUMN $oldName: the registered bucket layout " +
+          "references it (bucket file tags and the planner spec are " +
+          "name-anchored) — rewrite under the new shape instead"))
+    val fs = hfs(spark, root)
+    val changes = new Path(root, ChangesDir)
+    require(!fs.exists(changes) || fs.listStatus(changes).isEmpty,
+      s"RENAME COLUMN at $root: retained change-feed sidecars exist — " +
+        "they store write-time column names that feed readers request " +
+        "under the current schema; VACUUM past them (or rebuild feed " +
+        "consumers), then rename")
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newMap = (m.colMap - oldName) + (newName -> m.phys(oldName))
+    def rekey[V](mm: Map[String, V]): Map[String, V] =
+      mm.map { case (k, v) =>
+        (if (k == oldName) newName else k) -> v }
+    val files = m.allFiles.map(f => f.copy(
+      part = rekey(f.part), mins = rekey(f.mins), maxs = rekey(f.maxs),
+      blooms = rekey(f.blooms), nulls = rekey(f.nulls)))
+    val newPartCols =
+      m.partCols.map(c => if (c == oldName) newName else c)
+    // constraints re-point by parse → transform → re-render; applied
+    // AFTER the manifest commits (a crash between the two leaves
+    // constraints naming the old column, which fails the NEXT commit's
+    // enforceChecks ANALYSIS loudly — detectable, never silent)
+    val checks = checkConstraints(spark, root)
+    val repointed = checks.map { case (n, sql) =>
+      if (!constraintRefs(spark, sql).exists(_.equalsIgnoreCase(oldName)))
+        n -> sql
+      else n -> spark.sessionState.sqlParser.parseExpression(sql)
+        .transform {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if u.nameParts.head.equalsIgnoreCase(oldName) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              newName +: u.nameParts.tail)
+        }.sql
+    }
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return false
+      commitManifest(spark, root, id, Some(m.id), None) {
+        writeManifest(spark, root, id, newPartCols, newSchema.toDDL,
+          files, (newMap, m.retiredPhys))
+      }
+    } finally releaseCommitLock(spark, root, id)
+    if (repointed != checks)
+      setCheckConstraints(spark, root, repointed, validate = false)
+    vacuum(spark, root, keep, Map(
+      id -> files.map(_.path), m.id -> m.allFiles.map(_.path)))
+    true
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: carried
+    * files keep the bytes (readers simply stop requesting the
+    * column); the physical name RETIRES so a later ADD of the same
+    * logical name allocates a fresh physical name instead of
+    * resurrecting the dropped data. Refused for partition columns,
+    * the last column, bucket-layout columns, and columns a CHECK
+    * constraint references (DROP the constraint first).
+    */
+  def dropColumn(
+      spark: SparkSession, root: String, id: Long,
+      name: String, keep: Int = 2): Boolean = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.schema.fieldNames.contains(name),
+      s"DROP COLUMN: no column $name at $root")
+    require(!m.partCols.contains(name),
+      s"DROP COLUMN $name: partition columns are the table's layout — " +
+        "rewrite under a new partitioning instead")
+    require(m.schema.fields.length > 1,
+      s"DROP COLUMN $name would leave the table without columns")
+    bucketSpecOf(spark, root).foreach(bs =>
+      require(!(bs.keyCols :+ bs.partCol).contains(name),
+        s"DROP COLUMN $name: the registered bucket layout references " +
+          "it — rewrite under the new shape instead"))
+    val checks = checkConstraints(spark, root)
+    checks.foreach { case (n, sql) =>
+      require(!constraintRefs(spark, sql).exists(_.equalsIgnoreCase(name)),
+        s"DROP COLUMN $name: CHECK constraint $n references it — " +
+          s"ALTER TABLE … DROP CONSTRAINT $n first") }
+    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+    val files = m.allFiles.map(f => f.copy(
+      mins = f.mins - name, maxs = f.maxs - name,
+      blooms = f.blooms - name, nulls = f.nulls - name))
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return false
+      commitManifest(spark, root, id, Some(m.id), None) {
+        writeManifest(spark, root, id, m.partCols, newSchema.toDDL,
+          files, (m.colMap - name, m.retiredPhys :+ m.phys(name)))
       }
     } finally releaseCommitLock(spark, root, id)
     vacuum(spark, root, keep, Map(
@@ -1058,17 +1238,23 @@ object CowTable {
       spark: SparkSession, root: String,
       m: CowManifest, dataFiles: Seq[CowFile],
       ranges: Seq[CowRange] = Nil): DataFrame = {
-    val df = dfFor(spark, root, m, dataFiles)
     val wanted = dataFiles.map(m.partKeyOf).toSet
     val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
       .filter(t => ranges.forall(r =>
         mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
     // positional deletion vectors mask INSIDE the scan (a codegen'd
-    // filter, no join); only the wanted partitions' sidecars load
+    // filter, no join); only the wanted partitions' sidecars load.
+    // Mapped tables materialize `_metadata` across the logical
+    // projection (dfForMeta) so the mask can still address file/pos;
+    // it drops again before the frame leaves this seam.
     val dvFiles = m.dvs.filter(d => wanted.contains(m.partKeyOf(d)))
+    val df =
+      if (dvFiles.nonEmpty && m.mapped) dfForMeta(spark, root, m, dataFiles)
+      else dfFor(spark, root, m, dataFiles)
     val masked = applyDvs(spark, root, df,
       col("_metadata.file_path"), col("_metadata.row_index"), dvFiles)
-    subtractTombstones(spark, root, masked, tombs)
+      .drop("_metadata")
+    subtractTombstones(spark, root, masked, tombs, m.colMap)
   }
 
   /** Apply positional deletion vectors as a SCAN-STAGE mask: filter
@@ -1137,8 +1323,9 @@ object CowTable {
     */
   private[sinks] def subtractTombstones(
       spark: SparkSession, root: String, df: DataFrame,
-      tombs: Seq[CowFile]): DataFrame =
-    tombstoneGroups(spark, root, tombs).foldLeft(df) {
+      tombs: Seq[CowFile],
+      colMap: Map[String, String] = Map.empty): DataFrame =
+    tombstoneGroups(spark, root, tombs, colMap).foldLeft(df) {
       case (acc, (cols, t)) =>
         val cond = cols.map(c => acc(c) <=> t(c)).reduce(_ && _)
         acc.join(broadcast(t), cond, "left_anti")
@@ -1150,15 +1337,24 @@ object CowTable {
     */
   private def tombstoneGroups(
       spark: SparkSession, root: String,
-      tombs: Seq[CowFile]): Seq[(Seq[String], DataFrame)] =
+      tombs: Seq[CowFile],
+      colMap: Map[String, String] = Map.empty): Seq[(Seq[String], DataFrame)] = {
+    // tombstone files store PHYSICAL column names (they land through
+    // writeBatch like data files); the group key and frame alias back
+    // to logical so the anti-join matches the logical read
+    val rev = colMap.filter { case (l, p) => l != p }.map(_.swap)
     tombs
       .groupBy(f =>
         spark.read.parquet(entryPath(root, f.path)).columns.toSeq)
       .toSeq.sortBy(_._1.mkString("\u0001"))
-      .map { case (cols, fs) =>
-        cols -> spark.read.parquet(
+      .map { case (physCols, fs) =>
+        val raw = spark.read.parquet(
           fs.map(f => entryPath(root, f.path)): _*)
+        val logical = physCols.map(c => rev.getOrElse(c, c))
+        logical -> raw.select(physCols.zip(logical).map {
+          case (ph, lg) => raw(ph).as(lg) }: _*)
       }
+  }
 
   /** Resolve a manifest entry path against the table root: SHALLOW
     * CLONE manifests reference the SOURCE table's files by DECODED
@@ -1169,9 +1365,37 @@ object CowTable {
   def entryPath(root: String, p: String): String =
     if (p.startsWith("/")) p else s"$root/$p"
 
+  /** Read parquet `paths` — whose files store PHYSICAL column names —
+    * as the LOGICAL `schema`. Identity-mapped tables (every table
+    * until its first RENAME/DROP) take the plain reader, so their
+    * plans are bit-identical to the pre-mapping engine; mapped tables
+    * read under the physical schema and alias back to logical in one
+    * scan-stage projection. `meta = true` additionally materializes
+    * the `_metadata` struct as a column of that name, so callers keep
+    * addressing `_metadata.file_path` across the projection (the
+    * VIRTUAL metadata column does not survive a select).
+    */
+  private def readLogical(spark: SparkSession, paths: Seq[String],
+      schema: StructType, colMap: Map[String, String],
+      meta: Boolean = false): DataFrame = {
+    val mapped = colMap.filter { case (l, p) => l != p }
+    if (mapped.isEmpty) spark.read.schema(schema).parquet(paths: _*)
+    else {
+      val phys = StructType(schema.fields.map(f =>
+        f.copy(name = mapped.getOrElse(f.name, f.name))))
+      val raw = spark.read.schema(phys).parquet(paths: _*)
+      val logicalCols = schema.fields.toSeq.map(f =>
+        raw(mapped.getOrElse(f.name, f.name)).as(f.name))
+      raw.select(
+        (if (meta) Seq(col("_metadata").as("_metadata"))
+         else Nil) ++ logicalCols: _*)
+    }
+  }
+
   /** DataFrame over an explicit subset of a manifest's files, read
     * under the MANIFEST's schema — older files missing newly-evolved
-    * columns surface them as NULL without any footer-merging pass.
+    * columns surface them as NULL without any footer-merging pass;
+    * physically-renamed columns alias back to their logical names.
     */
   def dfFor(
       spark: SparkSession,
@@ -1182,8 +1406,26 @@ object CowTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], m.schema)
     else
-      spark.read.schema(m.schema)
-        .parquet(files.map(f => entryPath(root, f.path)): _*)
+      readLogical(spark, files.map(f => entryPath(root, f.path)),
+        m.schema, m.colMap)
+
+  /** [[dfFor]] with `_metadata` kept addressable across the mapping
+    * projection — for the DV-mask and positional-delete paths, which
+    * need `_metadata.file_path`/`row_index` on the logical frame.
+    * Callers must not leak the materialized `_metadata` column into
+    * committed frames (drop it, or project explicit fields).
+    */
+  private def dfForMeta(
+      spark: SparkSession,
+      root: String,
+      m: CowManifest,
+      files: Seq[CowFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      readLogical(spark, files.map(f => entryPath(root, f.path)),
+        m.schema, m.colMap, meta = true)
 
   // -------------------------------------------------------------------
   // Data skipping
@@ -1779,7 +2021,9 @@ object CowTable {
     */
   private def collectBlooms(
       spark: SparkSession, batchDir: String, schema: StructType,
-      bloomCols: Seq[String]): Map[(String, String), Seq[Long]] = {
+      bloomCols: Seq[String],
+      colMap: Map[String, String] = Map.empty)
+      : Map[(String, String), Seq[Long]] = {
     if (bloomCols.isEmpty) return Map.empty
     val perCol = array(bloomCols.map { c =>
       struct(lit(c).as("__c"),
@@ -1787,7 +2031,7 @@ object CowTable {
           pmod(xxhash64(lit(k), col(c).cast("string")),
             lit(BloomBits.toLong))): _*)).as("__ps"))
     }: _*)
-    spark.read.schema(schema).parquet(batchDir)
+    readLogical(spark, Seq(batchDir), schema, colMap, meta = true)
       .select(col("_metadata.file_path").as("__fp"),
         explode(perCol).as("__cp"))
       .where(col("__cp.__ps").isNotNull)
@@ -1820,7 +2064,8 @@ object CowTable {
   private def collectEntries(
       spark: SparkSession, batchDir: String, id: Long,
       schema: StructType, partCols: Seq[String],
-      bloomCols: Seq[String] = Nil): Seq[CowFile] = {
+      bloomCols: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty): Seq[CowFile] = {
     val fs = hfs(spark, batchDir)
     val anyData = fs.exists(new Path(batchDir)) &&
       Compaction.tableBytes(spark, batchDir) > 0
@@ -1840,12 +2085,14 @@ object CowTable {
       // serves IS NULL / IS NOT NULL file pruning
       sc.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
-    val rows = spark.read.schema(schema).parquet(batchDir)
+    val rows = readLogical(spark, Seq(batchDir), schema, colMap,
+        meta = true)
       .select(col("_metadata.file_path").as("__fp") +: cols.map(col): _*)
       .groupBy(col("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val bloomsByFile = collectBlooms(spark, batchDir, schema, bloomCols)
+    val bloomsByFile = collectBlooms(spark, batchDir, schema, bloomCols,
+      colMap)
     val marker = s"/$BatchPrefix$id/"
     val isStr = sc.filter(c =>
       schema.fields.find(_.name == c).exists(_.dataType == StringType)).toSet
@@ -1896,9 +2143,20 @@ object CowTable {
     * it to hit a target file size inside large partitions.
     */
   private def writeBatch(
-      rewrite: DataFrame, batchDir: String,
-      partCols: Seq[String], sortCols: Seq[String],
-      split: Option[(String, Int)] = None): Unit = {
+      rewrite0: DataFrame, batchDir: String,
+      partCols0: Seq[String], sortCols0: Seq[String],
+      split: Option[(String, Int)] = None,
+      colMap: Map[String, String] = Map.empty): Unit = {
+    // data files ALWAYS store PHYSICAL column names — the rename that
+    // makes ALTER TABLE RENAME COLUMN metadata-only. Routing columns
+    // (__gp_*, split bins) are not table columns and never map.
+    val mapped = colMap.filter { case (l, p) => l != p }
+    val rewrite =
+      if (mapped.isEmpty) rewrite0
+      else rewrite0.select(rewrite0.columns.toSeq.map(c =>
+        rewrite0(c).as(mapped.getOrElse(c, c))): _*)
+    val partCols = partCols0.map(c => mapped.getOrElse(c, c))
+    val sortCols = sortCols0.map(c => mapped.getOrElse(c, c))
     if (partCols.isEmpty) {
       val shaped = split match {
         case Some((s, n)) => rewrite.repartitionByRange(n, col(s)).drop(s)
@@ -1950,24 +2208,72 @@ object CowTable {
     }
   }
 
+  /** `mapping` carries the snapshot's column mapping + retired set —
+    * REQUIRED (no default) so no commit path can silently drop a
+    * table's mapping: losing it would make every reader request
+    * logical names from physically-named files (all-NULL columns).
+    * Commit paths pass their base manifest's pair through;
+    * full-rewrite paths (commitFull) reset it deliberately.
+    */
   private def writeManifest(
       spark: SparkSession, root: String, id: Long,
-      partCols: Seq[String], ddl: String, files: Seq[CowFile]): Unit =
-    writeManifestAt(spark, s"$root/$ManifestPrefix$id", partCols, ddl, files)
+      partCols: Seq[String], ddl: String, files: Seq[CowFile],
+      mapping: (Map[String, String], Seq[String])): Unit =
+    writeManifestAt(spark, s"$root/$ManifestPrefix$id", partCols, ddl,
+      files, mapping)
 
   private def writeManifestAt(
       spark: SparkSession, dir: String,
-      partCols: Seq[String], ddl: String, files: Seq[CowFile]): Unit = {
+      partCols: Seq[String], ddl: String, files: Seq[CowFile],
+      mapping: (Map[String, String], Seq[String])): Unit = {
     import spark.implicits._
+    val (colMap, retired) = mapping
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
-          partCols, ddl, KindData, Map.empty, Map.empty))
+          partCols, ddl, KindData, Map.empty, Map.empty, colMap, retired))
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
-        f.kind, f.blooms, f.nulls))
+        f.kind, f.blooms, f.nulls, colMap, retired))
     rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
   }
+
+  /** The mapping pair a commit carries forward from its base. */
+  private def mappingOf(
+      m: Option[CowManifest]): (Map[String, String], Seq[String]) =
+    m.map(p => (p.colMap, p.retiredPhys)).getOrElse((Map.empty, Nil))
+
+  /** Mapping for a commit whose schema may ADD columns (implicit
+    * union on append, ALTER ADD COLUMNS): a new logical name whose
+    * default physical (itself) was EVER used at this table — another
+    * live column's physical, or a dropped/renamed column's retired
+    * physical — gets a fresh DETERMINISTIC physical name, so old
+    * files' bytes can never resurrect under the new column (and a
+    * crash-replayed commit picks the same name).
+    */
+  private def mappingForAdds(prev: Option[CowManifest],
+      effSchema: StructType): (Map[String, String], Seq[String]) =
+    prev match {
+      case None => (Map.empty, Nil)
+      case Some(p) =>
+        val added = effSchema.fieldNames.toSeq
+          .filterNot(p.schema.fieldNames.contains)
+        if (added.isEmpty) (p.colMap, p.retiredPhys)
+        else {
+          val used = scala.collection.mutable.Set[String]()
+          used ++= p.usedPhys
+          val extra = added.flatMap { c =>
+            if (!used.contains(c)) { used += c; None }
+            else {
+              var cand = c + "__p" + p.id
+              while (used.contains(cand)) cand += "_"
+              used += cand
+              Some(c -> cand)
+            }
+          }
+          (p.colMap ++ extra, p.retiredPhys)
+        }
+    }
 
   // -------------------------------------------------------------------
   // Commit concurrency: per-id lease + based-on verification
@@ -2323,6 +2629,8 @@ object CowTable {
       enforceChecks(payload, checkConstraints(spark, root),
         s"commit $id at $root")
     val effSchema = effSchemaOf(prev, payload.schema)
+    // added columns may need fresh physical names (see mappingForAdds)
+    val commitMapping = mappingForAdds(prev, effSchema)
     // layout change is legal ONLY via the explicit relayout flag
     // (commitFull → repartitionTable): the flag's caller constructs
     // `touched` = every previous partition FROM the previous manifest
@@ -2343,7 +2651,8 @@ object CowTable {
       // of every commit
       if (committedIds(spark, root).exists(_ >= id)) return false
       val batchDir = s"$root/$BatchPrefix$id"
-      writeBatch(rewrite, batchDir, partCols, sortCols, split)
+      writeBatch(rewrite, batchDir, partCols, sortCols, split,
+        colMap = commitMapping._1)
       // bloom columns INHERIT from the previous snapshot when the caller
       // doesn't name any: a table committed with blooms must not quietly
       // lose its point-lookup pruning every time a merge or fold
@@ -2353,7 +2662,7 @@ object CowTable {
         else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
           .filter(effSchema.fieldNames.contains)
       val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
-        effBloomCols)
+        effBloomCols, colMap = commitMapping._1)
       // written-derived touched set: partitions come from the batch
       // files just landed (their manifest entries carry the partition
       // values), so the committed set can never disagree with the
@@ -2416,7 +2725,7 @@ object CowTable {
         }
       commitManifest(spark, root, id, prev.map(_.id), stagedLog) {
         writeManifest(spark, root, id, partCols, effSchema.toDDL,
-          fresh ++ carried)
+          fresh ++ carried, commitMapping)
       }
       vacuumKnown = Map(id -> (fresh ++ carried).map(_.path)) ++
         prev.map(p => p.id -> p.allFiles.map(_.path))
@@ -2599,18 +2908,20 @@ object CowTable {
           s"append $id at $root")
         val effSchema = effSchemaOf(prev, batch.schema)
         validateEvolution(p, effSchema, partCols)
+        val commitMapping = mappingForAdds(prev, effSchema)
         var vacuumKnown: Map[Long, Seq[String]] = Map.empty
         acquireCommitLock(spark, root, id)
         try {
           if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
           val batchDir = s"$root/$BatchPrefix$id"
-          writeBatch(batch, batchDir, partCols, sortCols)
+          writeBatch(batch, batchDir, partCols, sortCols,
+            colMap = commitMapping._1)
           val effBloomCols =
             if (bloomCols.nonEmpty) bloomCols
             else p.files.flatMap(_.blooms.keys).distinct
               .filter(effSchema.fieldNames.contains)
-          val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
-            effBloomCols)
+          val fresh = collectEntries(spark, batchDir, id, effSchema,
+            partCols, effBloomCols, colMap = commitMapping._1)
           // carried files lose blooms AND min/max stats on string-form-
           // changing widenings exactly as in commitPartitions (a stale
           // bloom would false-negative against probes hashed under the
@@ -2624,7 +2935,7 @@ object CowTable {
             s"append batch $id")
           commitManifest(spark, root, id, Some(p.id), stagedLog) {
             writeManifest(spark, root, id, partCols, effSchema.toDDL,
-              fresh ++ carried)
+              fresh ++ carried, commitMapping)
           }
           vacuumKnown = Map(
             id -> (fresh ++ carried).map(_.path),
@@ -2688,6 +2999,7 @@ object CowTable {
       s"stage $id at $root")
     val effSchema = effSchemaOf(prev, batch.schema)
     prev.foreach(p => validateEvolution(p, effSchema, partCols))
+    val commitMapping = mappingForAdds(prev, effSchema)
     // per-id lease, same as every batch-writing path: an ordinary
     // writer racing for the SAME id would otherwise interleave its
     // locked batch-dir write with this unlocked one and commit a
@@ -2699,13 +3011,14 @@ object CowTable {
           s"stage $id at $root: a commit with id >= $id landed while " +
             "acquiring the lease — re-stage with a fresh id")
       val batchDir = s"$root/$BatchPrefix$id"
-      writeBatch(batch, batchDir, partCols, sortCols)
+      writeBatch(batch, batchDir, partCols, sortCols,
+        colMap = commitMapping._1)
       val effBloomCols =
         if (bloomCols.nonEmpty) bloomCols
         else prev.toSeq.flatMap(_.files.flatMap(_.blooms.keys)).distinct
           .filter(effSchema.fieldNames.contains)
       val fresh = collectEntries(spark, batchDir, id, effSchema, partCols,
-        effBloomCols)
+        effBloomCols, colMap = commitMapping._1)
       val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
         .getOrElse(Set.empty[String])
       val carried = prev.map(_.allFiles
@@ -2713,7 +3026,7 @@ object CowTable {
             mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
         .getOrElse(Nil)
       writeManifestAt(spark, stagedManifestDir(root, id), partCols,
-        effSchema.toDDL, fresh ++ carried)
+        effSchema.toDDL, fresh ++ carried, commitMapping)
       // changelog sidecar, STAGED like everything else: the stage is
       // append-only, so the same pure-I guard as commitAppend applies
       // (the publish's based-on verification pins the base unchanged,
@@ -2825,7 +3138,8 @@ object CowTable {
           s"staged commit $id at $root: a commit with id >= $id already " +
             "exists — discard the stage and re-stage with a fresh id")
       commitManifest(spark, root, id, basedOn, stagedLog) {
-        writeManifest(spark, root, id, m.partCols, m.schemaDdl, m.allFiles)
+        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+          m.allFiles, mappingOf(Some(m)))
       }
     } finally releaseCommitLock(spark, root, id)
     fs.delete(new Path(stagedManifestDir(root, id)), true)
@@ -3362,7 +3676,7 @@ object CowTable {
       // new images can only land in touched partitions (SET cannot
       // assign partition columns).
       def tombCollides = m.tombstones.nonEmpty &&
-        tombstoneGroups(spark, root, m.tombstones).exists {
+        tombstoneGroups(spark, root, m.tombstones, m.colMap).exists {
           case (cols, t) =>
             !ni.select(cols.map(col): _*).intersect(t).isEmpty
         }
@@ -3384,14 +3698,15 @@ object CowTable {
         s"MOR update $id at $root")
       val batchDir = s"$root/$BatchPrefix$id"
       val tombDir = s"$batchDir/__tomb"
-      writeBatch(ni, batchDir, m.partCols, Nil)
-      writeBatch(changed, tombDir, m.partCols, Nil)
+      writeBatch(ni, batchDir, m.partCols, Nil, colMap = m.colMap)
+      writeBatch(changed, tombDir, m.partCols, Nil, colMap = m.colMap)
       val effBloomCols = m.files.flatMap(_.blooms.keys).distinct
         .filter(m.schema.fieldNames.contains)
       val freshData = collectEntries(spark, batchDir, id, m.schema,
-        m.partCols, effBloomCols)
+        m.partCols, effBloomCols, colMap = m.colMap)
       val freshTombs = collectEntries(spark, tombDir, id, m.schema,
-        m.partCols).map(_.copy(kind = KindTombstone))
+        m.partCols, colMap = m.colMap)
+        .map(_.copy(kind = KindTombstone))
       if (freshData.isEmpty && freshTombs.isEmpty) {
         hfs(spark, root).delete(new Path(batchDir), true)
         return true // nothing changed — id unconsumed
@@ -3414,7 +3729,7 @@ object CowTable {
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         writeManifest(spark, root, id, m.partCols, m.schemaDdl,
-          m.allFiles ++ freshTombs ++ freshData)
+          m.allFiles ++ freshTombs ++ freshData, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ freshTombs ++ freshData).map(_.path),
@@ -3518,7 +3833,7 @@ object CowTable {
       // inherited-state hazard ONLY (see scaladoc): a legacy full-row
       // tombstone equal to a fresh new image would anti-join it away
       def tombCollides = m.tombstones.nonEmpty &&
-        tombstoneGroups(spark, root, m.tombstones).exists {
+        tombstoneGroups(spark, root, m.tombstones, m.colMap).exists {
           case (cols, t) =>
             !ni.select(cols.map(col): _*).intersect(t).isEmpty
         }
@@ -3532,12 +3847,12 @@ object CowTable {
       enforceChecks(ni, checkConstraints(spark, root),
         s"DV update $id at $root")
       val batchDir = s"$root/$BatchPrefix$id"
-      writeBatch(ni, batchDir, m.partCols, Nil)
+      writeBatch(ni, batchDir, m.partCols, Nil, colMap = m.colMap)
       val freshDv = writeDvSidecar(spark, root, m, id, changed)
       val effBloomCols = m.files.flatMap(_.blooms.keys).distinct
         .filter(m.schema.fieldNames.contains)
       val freshData = collectEntries(spark, batchDir, id, m.schema,
-        m.partCols, effBloomCols)
+        m.partCols, effBloomCols, colMap = m.colMap)
       if (freshData.isEmpty && freshDv.isEmpty) {
         hfs(spark, root).delete(new Path(batchDir), true)
         return true // nothing changed — id unconsumed
@@ -3560,7 +3875,7 @@ object CowTable {
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         writeManifest(spark, root, id, m.partCols, m.schemaDdl,
-          m.allFiles ++ freshDv ++ freshData)
+          m.allFiles ++ freshDv ++ freshData, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ freshDv ++ freshData).map(_.path),
@@ -3880,8 +4195,10 @@ object CowTable {
       val tombSchema = StructType(cols.map(c => m.schema(c)))
       val tombDir = s"$root/$BatchPrefix$id/__tomb"
       val distinctKeys = keys.select(cols.map(col): _*).distinct()
-      writeBatch(distinctKeys, tombDir, partCols, Nil)
-      val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols)
+      writeBatch(distinctKeys, tombDir, partCols, Nil,
+        colMap = m.colMap)
+      val fresh = collectEntries(spark, tombDir, id, tombSchema, partCols,
+        colMap = m.colMap)
         .map(_.copy(kind = KindTombstone))
       val stagedLog =
         if (!changeLog) None
@@ -3907,7 +4224,7 @@ object CowTable {
         // deletes only ADD: every previous entry (data and tombstones)
         // carries over verbatim
         writeManifest(spark, root, id, partCols, m.schemaDdl,
-          m.allFiles ++ fresh)
+          m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ fresh).map(_.path),
@@ -3991,7 +4308,7 @@ object CowTable {
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         writeManifest(spark, root, id, partCols, m.schemaDdl,
-          m.allFiles ++ fresh)
+          m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ fresh).map(_.path),
@@ -4047,8 +4364,9 @@ object CowTable {
       if (candidates.isEmpty) return true // nothing can match — id unconsumed
       val matches = resolved(spark, root, m, candidates, prune).where(cond)
       val tombDir = s"$root/$BatchPrefix$id/__tomb"
-      writeBatch(matches, tombDir, m.partCols, Nil)
-      val fresh = collectEntries(spark, tombDir, id, m.schema, m.partCols)
+      writeBatch(matches, tombDir, m.partCols, Nil, colMap = m.colMap)
+      val fresh = collectEntries(spark, tombDir, id, m.schema, m.partCols,
+        colMap = m.colMap)
         .map(_.copy(kind = KindTombstone))
       if (fresh.isEmpty) {
         // no row matched: leave no uncommitted batch dir behind and
@@ -4076,7 +4394,7 @@ object CowTable {
         // a MOR delete only ADDS tombstones: every previous entry
         // (data and tombstones) carries over verbatim
         writeManifest(spark, root, id, m.partCols, m.schemaDdl,
-          m.allFiles ++ fresh)
+          m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ fresh).map(_.path),
@@ -4099,10 +4417,15 @@ object CowTable {
       spark: SparkSession, root: String, m: CowManifest,
       candidates: Seq[CowFile], prune: Seq[CowRange]): DataFrame = {
     val wanted = candidates.map(m.partKeyOf).toSet
-    val withPos = dfFor(spark, root, m, candidates)
-      .select(col("*"),
+    // explicit logical fields (not `*`): on a mapped table the frame
+    // carries a materialized `_metadata` column that must not leak
+    val base =
+      if (m.mapped) dfForMeta(spark, root, m, candidates)
+      else dfFor(spark, root, m, candidates)
+    val withPos = base
+      .select(m.schema.fieldNames.toSeq.map(col) ++ Seq(
         col("_metadata.file_path").as(DvFpCol),
-        col("_metadata.row_index").as(DvPosCol))
+        col("_metadata.row_index").as(DvPosCol)): _*)
     val tombs = m.tombstones.filter(t => wanted.contains(m.partKeyOf(t)))
       .filter(t => prune.forall(r =>
         mayMatch(m.schema, t, r.colName, r.lo, r.hi)))
@@ -4110,7 +4433,7 @@ object CowTable {
     subtractTombstones(spark, root,
       applyDvs(spark, root, withPos, col(DvFpCol), col(DvPosCol),
         priorDvs),
-      tombs)
+      tombs, m.colMap)
   }
 
   /** Aggregate `matched` (a [[visibleWithPos]] frame, already
@@ -4140,12 +4463,13 @@ object CowTable {
       .select(relativize(col(DvFpCol)).as("path") +: col("positions") +:
         m.partCols.map(col): _*)
     val dvDir = s"$root/$BatchPrefix$id/$DvDirName"
-    writeBatch(dvDf, dvDir, m.partCols, Nil)
+    writeBatch(dvDf, dvDir, m.partCols, Nil, colMap = m.colMap)
     val dvSchema = StructType(
       StructField("path", StringType) +:
         StructField("positions", ArrayType(LongType)) +:
         m.partCols.map(c => m.schema(c)))
-    collectEntries(spark, dvDir, id, dvSchema, m.partCols)
+    collectEntries(spark, dvDir, id, dvSchema, m.partCols,
+      colMap = m.colMap)
       .map(_.copy(kind = KindDv))
   }
 
@@ -4246,7 +4570,7 @@ object CowTable {
         // a DV delete only ADDS sidecars: every previous entry (data,
         // tombstones, older DVs) carries over verbatim
         writeManifest(spark, root, id, m.partCols, m.schemaDdl,
-          m.allFiles ++ fresh)
+          m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
         id -> (m.allFiles ++ fresh).map(_.path),

@@ -47,7 +47,8 @@ import graft.sinks.{CowFile, CowTable}
   * predecessor, so both must still be retained.
   */
 final class CowTableStream(spark: SparkSession, root: String,
-    tableSchema: StructType, startingSnapshot: Option[Long],
+    tableSchema: StructType, colMap: Map[String, String],
+    startingSnapshot: Option[Long],
     skipChangeCommits: Boolean, maxCommitsPerTrigger: Option[Int])
   extends MicroBatchStream with SupportsAdmissionControl {
 
@@ -194,7 +195,13 @@ final class CowTableStream(spark: SparkSession, root: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new CowFeedReaderFactory(
       org.apache.spark.sql.graftbridge.Bridge.parquetRowReader(
-        spark, tableSchema, StructType(Array.empty[StructField]),
+        // data files store PHYSICAL column names; the reader requests
+        // them and yields POSITIONAL rows under the declared logical
+        // schema (column mapping — physical names are rename-stable,
+        // so one construction-time map serves every epoch's files)
+        spark, StructType(tableSchema.fields.map(f =>
+          f.copy(name = colMap.getOrElse(f.name, f.name)))),
+        StructType(Array.empty[StructField]),
         Map.empty),
       partValues = false)
 
@@ -220,8 +227,10 @@ object CowTableOffset {
 }
 
 final class CowTableScanBuilder(root: String, schema: StructType,
+    colMap: Map[String, String],
     options: CaseInsensitiveStringMap) extends ScanBuilder {
-  override def build(): Scan = new CowTableScan(root, schema, options)
+  override def build(): Scan =
+    new CowTableScan(root, schema, colMap, options)
 }
 
 /** Streaming-only scan: BATCH reads of named cow tables resolve
@@ -230,13 +239,14 @@ final class CowTableScanBuilder(root: String, schema: StructType,
   * planning, so `toBatch` never runs in a graft session.
   */
 final class CowTableScan(root: String, tableSchema: StructType,
+    colMap: Map[String, String],
     options: CaseInsensitiveStringMap) extends Scan {
 
   override def readSchema(): StructType = tableSchema
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new CowTableStream(SparkSession.active, root, tableSchema,
+    new CowTableStream(SparkSession.active, root, tableSchema, colMap,
       Option(options.get("startingSnapshot")).map(_.toLong),
       Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       Option(options.get("maxCommitsPerTrigger")).map(_.toInt))

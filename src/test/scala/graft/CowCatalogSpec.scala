@@ -238,10 +238,9 @@ class CowCatalogSpec extends SparkSpec {
     sql(s"INSERT INTO cow.$ns.ev VALUES (1000L, 'p0', 5.0D, 'x')")
     assert(spark.table(s"cow.$ns.ev").where(col("note") === "x")
       .count() == 1)
-    // breaking forms refuse loudly (drop, rename, narrow, SET NOT NULL)
-    intercept[Exception] { sql(s"ALTER TABLE cow.$ns.ev DROP COLUMN note") }
-    intercept[Exception] {
-      sql(s"ALTER TABLE cow.$ns.ev RENAME COLUMN note TO label") }
+    // breaking forms refuse loudly (narrow, SET NOT NULL); DROP and
+    // RENAME COLUMN are now metadata-only via column mapping — their
+    // behavior is pinned in ColumnMappingSpec
     intercept[Exception] {
       sql(s"ALTER TABLE cow.$ns.ev ALTER COLUMN id TYPE INT") }
     intercept[Exception] {
