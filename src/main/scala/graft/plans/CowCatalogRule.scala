@@ -81,8 +81,11 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // has added its casts/reorders) the command swaps for the
     // partition-granular cow commit. Converting any earlier would skip
     // that alignment.
+    // guard table/query resolution BEFORE outputResolved: Spark
+    // asserts (not answers false) when either side is unresolved
     case o @ OverwritePartitionsDynamic(
-        r: DataSourceV2Relation, _, _, _, _) if o.outputResolved =>
+        r: DataSourceV2Relation, _, _, _, _)
+        if o.table.resolved && o.query.resolved && o.outputResolved =>
       r.table match {
         case t: CowNamedTable =>
           CowDynamicOverwriteCommand(t.root, t.manifest, convert(o.query))

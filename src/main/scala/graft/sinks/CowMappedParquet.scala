@@ -57,9 +57,14 @@ final class CowMappedParquetFileFormat(colMap: Map[String, String])
       Some(sources.StringEndsWith(phys(a), v))
     case sources.StringContains(a, v) =>
       Some(sources.StringContains(phys(a), v))
-    case sources.Not(c) => physFilter(c).map(sources.Not)
+    case sources.Not(c) =>
+      // under NOT a partially-translated child would push a STRONGER
+      // filter than the predicate (Not(a) is not implied by
+      // Not(a AND b)) — full translation or nothing
+      physFilterStrict(c).map(sources.Not)
     case sources.And(l, r) =>
-      // one translatable side still prunes (conjunct semantics)
+      // one translatable side still prunes (top-level conjunct
+      // semantics: a weaker pushed filter is always sound)
       (physFilter(l), physFilter(r)) match {
         case (Some(a), Some(b)) => Some(sources.And(a, b))
         case (Some(a), None) => Some(a)
@@ -72,6 +77,21 @@ final class CowMappedParquetFileFormat(colMap: Map[String, String])
     case sources.AlwaysTrue() => Some(f)
     case sources.AlwaysFalse() => Some(f)
     case _ => None
+  }
+
+  /** [[physFilter]] that refuses PARTIAL translations anywhere in the
+    * subtree — required under NOT, where dropping a conjunct flips
+    * from weakening to strengthening.
+    */
+  private def physFilterStrict(f: Filter): Option[Filter] = f match {
+    case sources.And(l, r) => for {
+      a <- physFilterStrict(l); b <- physFilterStrict(r)
+    } yield sources.And(a, b)
+    case sources.Or(l, r) => for {
+      a <- physFilterStrict(l); b <- physFilterStrict(r)
+    } yield sources.Or(a, b)
+    case sources.Not(c) => physFilterStrict(c).map(sources.Not)
+    case other => physFilter(other)
   }
 
   override def buildReaderWithPartitionValues(
@@ -101,18 +121,26 @@ final class CowMappedParquetFileFormat(colMap: Map[String, String])
 
   override def hashCode(): Int = mapKey.hashCode
 
-  private lazy val mapKey: Seq[(String, String)] = colMap.toSeq.sorted
+  // identity entries canonicalize away, so two identity-mapped
+  // snapshots (or pre- and post-no-op-mapping ones) compare equal
+  private lazy val mapKey: Seq[(String, String)] =
+    colMap.toSeq.filter { case (l, p) => l != p }.sorted
 
   override def toString: String = s"CowMappedParquet(${mapKey.map {
     case (l, p) => s"$l->$p" }.mkString(",")})"
 }
 
 object CowMappedParquetFileFormat {
-  /** The format for a snapshot: stock parquet when identity-mapped
-    * (bit-identical plans to the unmapped engine), the mapping format
-    * otherwise.
+  /** The format for a snapshot. ALWAYS this subclass — identity maps
+    * behave bit-identically to stock parquet, and keeping one runtime
+    * class makes format equality SYMMETRIC: stock
+    * `ParquetFileFormat.equals` answers true for any instance of the
+    * class (including this subclass), so mixing stock and mapped
+    * formats across two snapshots of one table would make plan
+    * canonicalization's answer depend on which relation is the
+    * receiver — and a collapsed scan would read a renamed column's
+    * files under the wrong names.
     */
   def forManifest(m: CowManifest): ParquetFileFormat =
-    if (m.mapped) new CowMappedParquetFileFormat(m.colMap)
-    else new ParquetFileFormat
+    new CowMappedParquetFileFormat(m.colMap)
 }

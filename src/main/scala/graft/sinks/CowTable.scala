@@ -113,10 +113,6 @@ final case class CowManifest(
   def phys(c: String): String = colMap.getOrElse(c, c)
   /** Is any logical name mapped to a different physical one? */
   def mapped: Boolean = colMap.exists { case (l, p) => l != p }
-  /** The schema under PHYSICAL names — what the data files store. */
-  def physSchema: StructType =
-    if (!mapped) schema
-    else StructType(schema.fields.map(f => f.copy(name = phys(f.name))))
   /** Every physical name ever used (live + retired) — ADD COLUMN
     * consults this to avoid resurrecting a dropped column's data.
     */
@@ -909,6 +905,22 @@ object CowTable {
       require(!(bs.keyCols :+ bs.partCol).contains(name),
         s"DROP COLUMN $name: the registered bucket layout references " +
           "it — rewrite under the new shape instead"))
+    // outstanding full-row tombstones carry the column's bytes and
+    // subtract by equality against a frame that would no longer have
+    // it (every read fails — or, after a re-ADD, matches the WRONG
+    // column); fold the debt first
+    require(m.tombstones.isEmpty,
+      s"DROP COLUMN $name at $root: outstanding merge-on-read " +
+        "tombstones reference the current columns — run OPTIMIZE to " +
+        "fold them, then drop")
+    // retained change-feed sidecars store the column's write-time
+    // values; a DROP + re-ADD would resurrect them through the feed
+    val changesDir = new Path(root, ChangesDir)
+    val dropFs = hfs(spark, root)
+    require(!dropFs.exists(changesDir) ||
+        dropFs.listStatus(changesDir).isEmpty,
+      s"DROP COLUMN at $root: retained change-feed sidecars exist — " +
+        "VACUUM past them (or rebuild feed consumers), then drop")
     val checks = checkConstraints(spark, root)
     checks.foreach { case (n, sql) =>
       require(!constraintRefs(spark, sql).exists(_.equalsIgnoreCase(name)),
@@ -2260,14 +2272,20 @@ object CowTable {
           .filterNot(p.schema.fieldNames.contains)
         if (added.isEmpty) (p.colMap, p.retiredPhys)
         else {
+          // CASE-INSENSITIVE collision checks: Spark's parquet schema
+          // clipping is case-insensitive by default, so a re-ADD
+          // differing only in case would otherwise read the retired
+          // column's bytes from old files
           val used = scala.collection.mutable.Set[String]()
-          used ++= p.usedPhys
+          used ++= p.usedPhys.map(_.toLowerCase(java.util.Locale.ROOT))
           val extra = added.flatMap { c =>
-            if (!used.contains(c)) { used += c; None }
+            val lc = c.toLowerCase(java.util.Locale.ROOT)
+            if (!used.contains(lc)) { used += lc; None }
             else {
               var cand = c + "__p" + p.id
-              while (used.contains(cand)) cand += "_"
-              used += cand
+              while (used.contains(
+                  cand.toLowerCase(java.util.Locale.ROOT))) cand += "_"
+              used += cand.toLowerCase(java.util.Locale.ROOT)
               Some(c -> cand)
             }
           }
@@ -2682,7 +2700,8 @@ object CowTable {
             if (fresh.nonEmpty)
               enforceChecks(
                 dfFor(spark, root,
-                  CowManifest(id, partCols, effSchema.toDDL, fresh),
+                  CowManifest(id, partCols, effSchema.toDDL, fresh,
+                    commitMapping._1, commitMapping._2),
                   fresh),
                 checkConstraints(spark, root), s"commit $id at $root")
           } catch { case t: Throwable =>
@@ -2718,7 +2737,8 @@ object CowTable {
           val before = prev.map(p => resolved(spark, root,
             p.copy(schemaDdl = newDdl),
             p.files.filter(f => allTouched.contains(p.partKeyOf(f)))))
-          val stub = CowManifest(id, partCols, newDdl, fresh)
+          val stub = CowManifest(id, partCols, newDdl, fresh,
+            commitMapping._1, commitMapping._2)
           val after = dfFor(spark, root, stub, stub.files)
           Some(stageChangeLog(spark, root, id,
             before.getOrElse(after.limit(0)), after, changeLogKeys))
@@ -2810,7 +2830,8 @@ object CowTable {
       val keyCol = changeLogKeys.head
       val keyDt = effSchema.fields.find(_.name == keyCol)
         .map(_.dataType).getOrElse(StringType)
-      val stub = CowManifest(id, partCols, effSchema.toDDL, fresh)
+      val stub = CowManifest(id, partCols, effSchema.toDDL, fresh,
+        p.colMap, p.retiredPhys)
       val mins = fresh.map(_.mins.get(keyCol))
       val candidates =
         // an all-absent min on a STAT column means every batch
@@ -3717,8 +3738,10 @@ object CowTable {
           val staging = new Path(
             s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
           val dStub = CowManifest(id, m.partCols, m.schemaDdl,
-            freshTombs.map(_.copy(kind = KindData)))
-          val iStub = CowManifest(id, m.partCols, m.schemaDdl, freshData)
+            freshTombs.map(_.copy(kind = KindData)),
+            m.colMap, m.retiredPhys)
+          val iStub = CowManifest(id, m.partCols, m.schemaDdl,
+            freshData, m.colMap, m.retiredPhys)
           dfFor(spark, root, dStub, dStub.files)
             .withColumn(ChangeOper, lit("D"))
             .unionByName(dfFor(spark, root, iStub, iStub.files)
@@ -3862,7 +3885,8 @@ object CowTable {
         else {
           val staging = new Path(
             s"$root/$ChangesDir/.tmp-$id-${java.util.UUID.randomUUID()}")
-          val iStub = CowManifest(id, m.partCols, m.schemaDdl, freshData)
+          val iStub = CowManifest(id, m.partCols, m.schemaDdl,
+            freshData, m.colMap, m.retiredPhys)
           changed
             .withColumn(ChangeOper, lit("D"))
             .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)
@@ -4383,7 +4407,8 @@ object CowTable {
           // candidate scan: one pass over O(matched rows), and the
           // sidecar is bit-identical to what readers will subtract
           val stub = CowManifest(id, m.partCols, m.schemaDdl,
-            fresh.map(_.copy(kind = KindData)))
+            fresh.map(_.copy(kind = KindData)),
+            m.colMap, m.retiredPhys)
           dfFor(spark, root, stub, stub.files)
             .withColumn(ChangeOper, lit("D"))
             .select((m.schema.fieldNames.toSeq :+ ChangeOper).map(col): _*)

@@ -184,6 +184,46 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("on a RENAMED table, written-derived overwrites still enforce " +
+      "CHECKs and changelog sidecars carry real values (stub " +
+      "manifests thread the column map)") {
+    val ns = freshNs("stub")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, amount BIGINT, " +
+      "p BIGINT, CONSTRAINT nonneg CHECK (amount >= 0)) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id, id % 2 " +
+      "FROM range(10)")
+    spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN amount TO cents")
+    val root = rootOf(ns, "t")
+    // the written-derived overwrite validates CHECKs against the
+    // WRITTEN files — which store the physical name; without the
+    // mapped stub manifest the check read all-NULL and waved the
+    // violation through
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val e = try intercept[Exception] {
+      spark.range(1).select(lit(999L).as("id"),
+          lit(-5L).as("cents"), lit(0L).as("p"))
+        .writeTo(s"cow.$ns.t").overwritePartitions()
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    assert(e.getMessage != null && e.getMessage.contains("nonneg"),
+      s"the renamed-column CHECK must still enforce on overwrites: $e")
+    // changelog sidecars on a renamed table carry REAL values for the
+    // renamed column (the sidecar's read-back stub maps physical)
+    val head = CowTable.currentManifest(spark, root).get.id
+    CowTable.commitAppend(
+      spark.range(100, 103).select($"id", ($"id" * 2).as("cents"),
+        lit(0L).as("p")),
+      root, head + 1, Seq("p"), changeLogKeys = Seq("id"))
+    val feed = spark.read.option("startSnapshot", (head + 1).toString)
+      .table(s"cow.`$root`.changes")
+    assert(feed.where($"cents".isNull).isEmpty &&
+      feed.agg(sum("cents")).as[Long].head() == (100 to 102)
+        .map(_ * 2L).sum,
+      "sidecars must carry the renamed column's values, not NULL")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("the named table STREAM serves carried physical files under " +
       "the logical schema after a rename") {
     val ns = freshNs("str")
