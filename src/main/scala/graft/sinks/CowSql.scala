@@ -418,20 +418,45 @@ object CowSql {
   private lazy val parser =
     new org.apache.spark.sql.execution.SparkSqlParser()
 
+  /** A condition Column for the textual path: plain predicates
+    * round-trip through `Expression.sql` (the proven text form);
+    * conditions carrying SUBQUERIES cannot (`.sql` renders
+    * `listquery()`/`exists()` pseudo-functions that do not re-parse),
+    * so the PARSED expression injects directly — the analyzer
+    * resolves the inner plan against the session's views with the
+    * target scan as the outer scope, the same binding `spark.sql`
+    * would perform.
+    */
+  private def condColumn(e: Expression): org.apache.spark.sql.Column =
+    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+        .expressions.SubqueryExpression]))
+      org.apache.spark.sql.graftbridge.Bridge.column(e)
+    else expr(e.sql)
+
+  private def noValueSubqueries(
+      as: Seq[Assignment], what: String): Unit =
+    as.foreach(a => require(!a.value.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression]),
+      s"$what with a subquery is not supported here — subqueries are " +
+        "supported in UPDATE/DELETE conditions; for this position, " +
+        "materialize the subquery into a view and reference it"))
+
   private def execDml(spark: SparkSession, id: Long, sql: String,
       keep: Int, mode: DmlMode, thresholdBytes: Long): Boolean =
     parser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
         val root = rootOf(spark, table)
         if (useMor(spark, root, mode, thresholdBytes))
-          CowTable.deleteWhereDv(spark, root, id, expr(cond.sql),
+          CowTable.deleteWhereDv(spark, root, id, condColumn(cond),
             keep = keep)
         else
-          CowTable.deleteWhere(spark, root, id, expr(cond.sql),
+          CowTable.deleteWhere(spark, root, id, condColumn(cond),
             keep = keep)
       case UpdateTable(table, assignments, cond) =>
         val root = rootOf(spark, table)
-        val c = cond.map(x => expr(x.sql)).getOrElse(expr("true"))
+        noValueSubqueries(assignments, "UPDATE SET value")
+        val c = cond.map(condColumn).getOrElse(expr("true"))
         val sets = assignments.map(setOf).toMap
         if (useMor(spark, root, mode, thresholdBytes))
           CowTable.updateWhereDv(spark, root, id, c, sets, keep = keep)
@@ -566,7 +591,23 @@ object CowSql {
       case other => throw new IllegalArgumentException(
         s"SET target must be a column, got $other")
     }
-    def cond(e: Option[Expression]): Option[String] = e.map(_.sql)
+    def cond(e: Option[Expression]): Option[String] = {
+      // clause conditions round-trip as text; subqueries do not
+      // (`.sql` renders unparseable pseudo-functions) — refuse loudly
+      // with the remedy instead of failing later on garbled text
+      e.foreach(x => require(!x.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression]),
+        "MERGE clause with a subquery is not supported here — " +
+          "materialize the subquery into a view and reference it"))
+      e.map(_.sql)
+    }
+    (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions).foreach {
+      case UpdateAction(_, as, _) => noValueSubqueries(as, "MERGE SET")
+      case InsertAction(_, as) => noValueSubqueries(as, "MERGE INSERT")
+      case _ => ()
+    }
     val matched: Seq[MergeClause] = m.matchedActions.map {
       case DeleteAction(c) => MatchedDelete(cond(c))
       case UpdateAction(c, assigns, _) => MatchedUpdate(

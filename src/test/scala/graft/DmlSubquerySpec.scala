@@ -137,6 +137,31 @@ class DmlSubquerySpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("the PATH form (cow.`/root`) takes subquery conditions too — " +
+      "parsed expressions inject directly instead of the text " +
+      "round-trip that cannot render them") {
+    val root =
+      s"${java.nio.file.Files.createTempDirectory("psq").toString}/t"
+    CowTable.commitFull(
+      spark.range(10).select($"id", ($"id" % 2).as("p")),
+      root, 1L, Seq("p"))
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("psq_keys")
+    spark.sql(
+      s"DELETE FROM cow.`$root` WHERE id IN (SELECT k FROM psq_keys)")
+    assert(CowTable.read(spark, root).get.count() == 8L)
+    // correlated EXISTS through the path form
+    spark.sql(s"UPDATE cow.`$root` SET id = id + 100 WHERE EXISTS " +
+      "(SELECT 1 FROM psq_keys s WHERE s.k = id - 2)")
+    assert(CowTable.read(spark, root).get.select("id").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 5L, 6L, 7L, 8L, 9L, 103L, 104L))
+    // SET-value subqueries refuse with the remedy on this form too
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE cow.`$root` SET id = (SELECT max(k) FROM psq_keys) " +
+        "WHERE id = 0"))
+    assert(e.getMessage != null &&
+      e.getMessage.contains("materialize the subquery"), s"got $e")
+  }
+
   test("MERGE with a subquery in a clause condition still refuses " +
       "with the materialize-a-view remedy") {
     val ns = freshNs("mrg")
