@@ -81,12 +81,7 @@ private[plans] object CowAnalyzedDml {
     * remedy — the same scope Delta draws.
     */
   private def noSubqueries(es: Seq[Expression], what: String): Unit =
-    es.foreach(e => require(!e.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
-        .SubqueryExpression]),
-      s"$what with a subquery is not supported here — subqueries are " +
-        "supported in UPDATE/DELETE conditions; for this position, " +
-        "materialize the subquery into a view and reference it"))
+    graft.sinks.CowSql.refuseSubqueries(es, what)
 
   private def nameOf(key: Expression): String = key match {
     case a: Attribute => a.name

@@ -31,7 +31,7 @@ import graft.sinks.{CowSql, CowTable}
   * included) and sees the PRE-statement snapshot — the SQL-standard
   * evaluation order for self-referential DML.
   */
-private[plans] object CowBoundDml {
+private[graft] object CowBoundDml {
 
   /** Does the expression (or any nested plan) carry a subquery? */
   def hasSubquery(es: Seq[Expression]): Boolean =

@@ -418,50 +418,74 @@ object CowSql {
   private lazy val parser =
     new org.apache.spark.sql.execution.SparkSqlParser()
 
-  /** A condition Column for the textual path: plain predicates
-    * round-trip through `Expression.sql` (the proven text form);
-    * conditions carrying SUBQUERIES cannot (`.sql` renders
-    * `listquery()`/`exists()` pseudo-functions that do not re-parse),
-    * so the PARSED expression injects directly — the analyzer
-    * resolves the inner plan against the session's views with the
-    * target scan as the outer scope, the same binding `spark.sql`
-    * would perform.
-    */
-  private def condColumn(e: Expression): org.apache.spark.sql.Column =
-    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
-        .expressions.SubqueryExpression]))
-      org.apache.spark.sql.graftbridge.Bridge.column(e)
-    else expr(e.sql)
+  /** Does the expression carry a subquery anywhere? */
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
+      .expressions.SubqueryExpression])
 
-  private def noValueSubqueries(
-      as: Seq[Assignment], what: String): Unit =
-    as.foreach(a => require(!a.value.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
-        .SubqueryExpression]),
+  /** The ONE refusal for subqueries in positions the engine does not
+    * take them — shared by the textual path and the analyzer
+    * conversion so the two surfaces can never drift.
+    */
+  private[graft] def refuseSubqueries(
+      es: Seq[Expression], what: String): Unit =
+    es.foreach(e => require(!hasSubquery(e),
       s"$what with a subquery is not supported here — subqueries are " +
         "supported in UPDATE/DELETE conditions; for this position, " +
         "materialize the subquery into a view and reference it"))
+
+  /** A per-frame condition for the textual path. Plain predicates
+    * round-trip through `Expression.sql` (the proven text form) as a
+    * late-binding Column; conditions carrying SUBQUERIES cannot
+    * (`.sql` renders `listquery()`/`exists()` pseudo-functions that do
+    * not re-parse) — those ANALYZE ONCE against the target's current
+    * snapshot and bind per scan frame exactly like the named form
+    * ([[graft.plans.CowBoundDml.bind]]). Analyzing once matters
+    * beyond convenience: the DML primitives evaluate the condition on
+    * TWO frames (hit scan, rewrite), and an unresolved subquery would
+    * re-resolve its inner relations per frame — a concurrent commit to
+    * a referenced table between the two phases would make the
+    * statement act on a row mix consistent with NEITHER snapshot.
+    */
+  private def condOf(spark: SparkSession, root: String,
+      e: Expression): org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.Column =
+    if (!hasSubquery(e)) _ => expr(e.sql)
+    else {
+      val probe = CowV2.read(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot at $root"))
+      val analyzed = probe
+        .where(org.apache.spark.sql.graftbridge.Bridge.column(e))
+        .queryExecution.analyzed
+      val (cond, out) = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          (f.condition, f.child.output)
+      }.getOrElse(throw new IllegalStateException(
+        s"DML condition did not analyze to a filter: ${e.sql}"))
+      graft.plans.CowBoundDml.bind(cond, out)
+    }
 
   private def execDml(spark: SparkSession, id: Long, sql: String,
       keep: Int, mode: DmlMode, thresholdBytes: Long): Boolean =
     parser.parsePlan(sql) match {
       case DeleteFromTable(table, cond) =>
         val root = rootOf(spark, table)
+        val c = condOf(spark, root, cond)
         if (useMor(spark, root, mode, thresholdBytes))
-          CowTable.deleteWhereDv(spark, root, id, condColumn(cond),
-            keep = keep)
+          CowTable.deleteWhereDvBy(spark, root, id, c, keep = keep)
         else
-          CowTable.deleteWhere(spark, root, id, condColumn(cond),
-            keep = keep)
+          CowTable.deleteWhereBy(spark, root, id, c, keep = keep)
       case UpdateTable(table, assignments, cond) =>
         val root = rootOf(spark, table)
-        noValueSubqueries(assignments, "UPDATE SET value")
-        val c = cond.map(condColumn).getOrElse(expr("true"))
+        refuseSubqueries(assignments.map(_.value), "UPDATE SET value")
+        val c = cond.map(condOf(spark, root, _))
+          .getOrElse((_: org.apache.spark.sql.DataFrame) => expr("true"))
         val sets = assignments.map(setOf).toMap
         if (useMor(spark, root, mode, thresholdBytes))
-          CowTable.updateWhereDv(spark, root, id, c, sets, keep = keep)
+          CowTable.updateWhereDvBy(spark, root, id, c, sets, keep = keep)
         else
-          CowTable.updateWhere(spark, root, id, c, sets, keep = keep)
+          CowTable.updateWhereBy(spark, root, id, c, sets, keep = keep)
       case m: MergeIntoTable =>
         execMerge(spark, id, m, keep)
       // constraint DDL: commits NO manifest (the CHECK set is table
@@ -595,17 +619,15 @@ object CowSql {
       // clause conditions round-trip as text; subqueries do not
       // (`.sql` renders unparseable pseudo-functions) — refuse loudly
       // with the remedy instead of failing later on garbled text
-      e.foreach(x => require(!x.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
-          .SubqueryExpression]),
-        "MERGE clause with a subquery is not supported here — " +
-          "materialize the subquery into a view and reference it"))
+      refuseSubqueries(e.toSeq, "MERGE clause")
       e.map(_.sql)
     }
     (m.matchedActions ++ m.notMatchedActions ++
         m.notMatchedBySourceActions).foreach {
-      case UpdateAction(_, as, _) => noValueSubqueries(as, "MERGE SET")
-      case InsertAction(_, as) => noValueSubqueries(as, "MERGE INSERT")
+      case UpdateAction(_, as, _) =>
+        refuseSubqueries(as.map(_.value), "MERGE SET")
+      case InsertAction(_, as) =>
+        refuseSubqueries(as.map(_.value), "MERGE INSERT")
       case _ => ()
     }
     val matched: Seq[MergeClause] = m.matchedActions.map {
