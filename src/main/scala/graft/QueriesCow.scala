@@ -2417,8 +2417,15 @@ object QueriesCow {
     require(CowTable.currentManifest(spark, root).get
         .colMap.get("c_name").exists(_ != "c_name"),
       "a re-added dropped column must map to a fresh physical name")
+    // metadata-only REORDER (reads resolve by name, so order is a
+    // manifest property): the driver's gate sorts columns by name, so
+    // the oracle is order-blind — the leg exercises the path in the
+    // battery and the DML after it proves the reordered schema serves
+    spark.sql(s"ALTER TABLE $ns.cust ALTER COLUMN cents AFTER c_custkey")
     spark.sql(s"UPDATE $ns.cust SET c_name = concat('K-', c_custkey) " +
       "WHERE cents < 0")
+    require(spark.table(s"$ns.cust").columns.take(2).toSeq ==
+      Seq("c_custkey", "cents"), "reorder must reflect in the schema")
     spark.table(s"$ns.cust").orderBy("c_custkey")
   }
 

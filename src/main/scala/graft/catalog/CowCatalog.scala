@@ -256,12 +256,28 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     val mapChanges = changes.collect {
       case rn: TableChange.RenameColumn => rn: TableChange
       case dc: TableChange.DeleteColumn => dc: TableChange
+      case up: TableChange.UpdateColumnPosition => up: TableChange
     }
     if (mapChanges.nonEmpty) {
       require(mapChanges.size == changes.size,
-        "RENAME/DROP COLUMN cannot combine with other ALTER changes " +
-          "in one statement — issue them separately")
+        "RENAME/DROP/REPOSITION COLUMN cannot combine with other " +
+          "ALTER changes in one statement — issue them separately")
       changes.foreach {
+        case up: TableChange.UpdateColumnPosition =>
+          require(up.fieldNames.length == 1,
+            "cow tables reposition top-level columns only, got " +
+              up.fieldNames.mkString("."))
+          val target = up.position match {
+            case _: TableChange.First => None
+            case a: TableChange.After => Some(a.column)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported column position $other")
+          }
+          val cur = CowTable.currentManifest(spark, root).get
+          require(CowTable.reorderColumn(spark, root, cur.id + 1,
+              up.fieldNames.head, target, keep = Int.MaxValue),
+            s"ALTER COLUMN position on ${displayName(ident)} raced a " +
+              "concurrent commit — retry the statement")
         case rn: TableChange.RenameColumn =>
           require(rn.fieldNames.length == 1,
             "cow tables rename top-level columns only, got " +
@@ -310,9 +326,9 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
           s"added column ${add.fieldNames.head} must be nullable: " +
             "existing rows read it as NULL")
         require(add.position == null,
-          "cow columns append at the end: the manifest anchors column " +
-            "order so carried files never reorder (FIRST/AFTER " +
-            "unsupported)")
+          "cow ADD COLUMNS appends at the end — add the column, then " +
+            "place it with ALTER TABLE … ALTER COLUMN <c> FIRST|AFTER " +
+            "<other> (both metadata-only)")
         require(add.defaultValue == null,
           s"added column ${add.fieldNames.head} may not carry a " +
             "DEFAULT: carried files would silently read NULL where " +

@@ -879,6 +879,53 @@ object CowTable {
     true
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c FIRST | AFTER other` (and the
+    * positioned half of ADD COLUMNS) as a METADATA-ONLY commit:
+    * column ORDER is a property of the LOGICAL schema alone — every
+    * read resolves file columns BY NAME (parquet projection,
+    * [[readLogical]], the mapped format), so the manifest's field
+    * order can change freely while carried files keep theirs. Order
+    * is not cosmetic: star expansion and POSITIONAL `INSERT INTO t
+    * VALUES (…)` bind by it, which is why the statement exists.
+    * Partition columns may move like any other (partitioning is a
+    * column SET, not an order).
+    */
+  def reorderColumn(
+      spark: SparkSession, root: String, id: Long,
+      name: String, afterOrFirst: Option[String],
+      keep: Int = 2): Boolean = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    if (committedIds(spark, root).exists(_ >= id)) return false
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    require(m.schema.fieldNames.contains(name),
+      s"ALTER COLUMN position: no column $name at $root")
+    afterOrFirst.foreach(a =>
+      require(m.schema.fieldNames.contains(a) && a != name,
+        s"ALTER COLUMN $name AFTER $a: no such (distinct) column"))
+    val moved = m.schema.fields.find(_.name == name).get
+    val rest = m.schema.fields.filterNot(_.name == name)
+    val newFields = afterOrFirst match {
+      case None => moved +: rest
+      case Some(a) =>
+        val i = rest.indexWhere(_.name == a)
+        (rest.take(i + 1) :+ moved) ++ rest.drop(i + 1)
+    }
+    val newSchema = StructType(newFields)
+    if (newSchema.toDDL == m.schemaDdl) return true // no-op
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return false
+      commitManifest(spark, root, id, Some(m.id), None) {
+        writeManifest(spark, root, id, m.partCols, newSchema.toDDL,
+          m.allFiles, mappingOf(Some(m)))
+      }
+    } finally releaseCommitLock(spark, root, id)
+    vacuum(spark, root, keep, Map(
+      id -> m.allFiles.map(_.path), m.id -> m.allFiles.map(_.path)))
+    true
+  }
+
   /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: carried
     * files keep the bytes (readers simply stop requesting the
     * column); the physical name RETIRES so a later ADD of the same

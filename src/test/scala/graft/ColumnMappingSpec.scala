@@ -224,6 +224,45 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("ALTER COLUMN FIRST/AFTER reorders metadata-only: star order " +
+      "and positional INSERT follow, zero files rewrite, time travel " +
+      "serves the old order") {
+    val ns = freshNs("ord")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING, w BIGINT)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, 'a', id * 2 " +
+      "FROM range(5)")
+    val root = rootOf(ns, "t")
+    val preIds = CowTable.committedIds(spark, root)
+    val prePaths = CowTable.currentManifest(spark, root).get
+      .files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE cow.$ns.t ALTER COLUMN w AFTER id")
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.schema.fieldNames.toSeq == Seq("id", "w", "v"))
+    assert(m.files.map(_.path).toSet == prePaths,
+      "a reorder must rewrite zero data files")
+    // star expansion follows the new order; carried values intact
+    val t = spark.table(s"cow.$ns.t")
+    assert(t.columns.toSeq == Seq("id", "w", "v"))
+    assert(t.where($"id" === 3).select("w").as[Long].head() == 6L)
+    // time travel serves the pre-reorder order (checked before the
+    // next INSERT's default retention prunes the old manifest)
+    assert(spark.sql(
+      s"SELECT * FROM cow.$ns.t VERSION AS OF ${preIds.last}")
+      .columns.toSeq == Seq("id", "v", "w"))
+    // positional INSERT binds by the NEW order
+    spark.sql(s"INSERT INTO cow.$ns.t VALUES (100L, 200L, 'pos')")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 100)
+      .select("w", "v").as[(Long, String)].head() == ((200L, "pos")))
+    // FIRST, and reorder composes with rename on a mapped table
+    spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN v TO label")
+    spark.sql(s"ALTER TABLE cow.$ns.t ALTER COLUMN label FIRST")
+    val t2 = spark.table(s"cow.$ns.t")
+    assert(t2.columns.toSeq == Seq("label", "id", "w"))
+    assert(t2.where($"label" === "pos").select("id").as[Long]
+      .head() == 100L)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("the named table STREAM serves carried physical files under " +
       "the logical schema after a rename") {
     val ns = freshNs("str")
