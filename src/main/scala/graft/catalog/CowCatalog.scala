@@ -404,7 +404,17 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     val existed = tableExists(ident)
-    if (existed) fs.delete(new Path(root), true)
+    if (existed) {
+      // a dropped SHALLOW CLONE releases its source vacuum fence —
+      // provenance read BEFORE the root goes, fence released AFTER
+      // (a crash between the two leaves an over-retaining orphan
+      // fence, which CowTable.fsck at the source reports; the reverse
+      // order could let a source vacuum delete files a still-living
+      // clone references)
+      val prov = CowTable.cloneProvenance(spark, root)
+      fs.delete(new Path(root), true)
+      CowTable.releaseCloneFence(spark, root, prov)
+    }
     existed
   }
 

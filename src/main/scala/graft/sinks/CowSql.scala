@@ -220,11 +220,15 @@ object CowSql {
       CowTable.compactPartitionsStatus(spark, root, id, keep = keep,
         where = parsedWhere(spark, w)) != MaintSuperseded
     case VacuumRe(c, p, ns, t, n) if routableRef(spark, c, p) =>
-      CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt)
+      // an EXPLICIT VACUUM statement is the operator's reclamation
+      // intent: collapse any delta chain crossing the floor so RETAIN
+      // n retains exactly n (post-commit auto-vacuums amortize instead)
+      CowTable.vacuum(spark, refRoot(spark, c, p, ns, t), keep = n.toInt,
+        collapse = true)
       true
     case VacuumHoursRe(c, p, ns, t, h) if routableRef(spark, c, p) =>
       CowTable.vacuumOlderThan(spark, refRoot(spark, c, p, ns, t),
-        h.toLong * 3600000L)
+        h.toLong * 3600000L, collapse = true)
       true
     case RestoreRe(c, p, ns, t, toId) if routableRef(spark, c, p) =>
       CowTable.restore(spark, refRoot(spark, c, p, ns, t), toId.toLong,

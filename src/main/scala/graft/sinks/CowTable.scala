@@ -60,11 +60,15 @@ case object MaintSuperseded extends MaintStatus
 
 /** [[CowTable.fsck]]'s findings: referenced-but-absent paths (real
   * corruption), unreferenced on-disk data files (crash leftovers /
-  * pre-vacuum waste), and unpublished staged commit ids.
+  * pre-vacuum waste), unpublished staged commit ids, and clone fences
+  * whose referent clone no longer exists (over-retention leaks —
+  * [[CowTable.orphanCloneFences]]).
   */
 final case class CowFsckReport(
-    missing: Seq[String], orphans: Seq[String], staged: Seq[Long]) {
-  def clean: Boolean = missing.isEmpty && orphans.isEmpty && staged.isEmpty
+    missing: Seq[String], orphans: Seq[String], staged: Seq[Long],
+    orphanFences: Seq[String] = Nil) {
+  def clean: Boolean = missing.isEmpty && orphans.isEmpty &&
+    staged.isEmpty && orphanFences.isEmpty
 }
 
 /** One data file of a [[CowTable]] snapshot. `path` is table-root-
@@ -106,7 +110,8 @@ final case class CowManifest(
     schemaDdl: String,
     allFiles: Seq[CowFile],
     colMap: Map[String, String] = Map.empty,
-    retiredPhys: Seq[String] = Nil) {
+    retiredPhys: Seq[String] = Nil,
+    chainDepth: Int = 0) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
   def partKeyOf(f: CowFile): String = CowTable.partKey(partCols, f.part)
   /** Physical (in-file) name of logical column `c`. */
@@ -132,6 +137,17 @@ final case class CowManifest(
 /** Internal persisted shape of one manifest row (one per data file,
   * plus a path-NULL sentinel for an empty table so schema/partitioning
   * survive a fully-deleted state).
+  *
+  * DELTA MANIFESTS (`base_id` non-null): the rows list only the
+  * commit's ADDED entries (or the sentinel when it added none), and
+  * the snapshot resolves as `base.allFiles` minus every entry whose
+  * partition key is in `removed_parts`, plus the adds — so a commit
+  * touching k partitions of an N-partition table writes O(k) manifest
+  * rows instead of O(N) (Delta's log model; a full manifest is the
+  * checkpoint). Schema / partitioning / column mapping are ALWAYS the
+  * delta's own — a delta can evolve them as long as the carried
+  * entries stay byte-identical (writers fall back to a full manifest
+  * whenever carried stats change).
   */
 private[sinks] final case class CowManifestRow(
     path: String,
@@ -146,7 +162,9 @@ private[sinks] final case class CowManifestRow(
     blooms: Map[String, Seq[Long]],
     nulls: Map[String, Long],
     col_map: Map[String, String],
-    retired_phys: Seq[String])
+    retired_phys: Seq[String],
+    base_id: Option[Long],
+    removed_parts: Seq[String])
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -209,6 +227,20 @@ object CowTable {
 
   private val BatchPrefix = "batch-"
   private val ManifestPrefix = "manifest-"
+  /** Root-level `_mbase-<id>=<baseId>` marker advertising that
+    * manifest `id` is a DELTA against `baseId` — what [[vacuum]] walks
+    * to retain every retained manifest's base chain without opening
+    * manifest parquet inside retention decisions.
+    */
+  private val MbasePrefix = "_mbase-"
+  /** `_ckpt-<id>/` — a CHECKPOINT of delta manifest `id`: the full
+    * resolved entry list as its own committed parquet dir (atomic via
+    * its `_SUCCESS`, never overwriting the manifest a concurrent
+    * reader may be parsing). Once committed, readers of snapshot `id`
+    * take it instead of walking the chain, and [[vacuum]] can prune
+    * the chain's below-retention bases.
+    */
+  private val CkptPrefix = "_ckpt-"
   /** Write-time changelog sidecars live under `root/_changes/<id>/`.
     * Package-visible for [[graft.streaming.CowStream]], which serves
     * them as a Structured Streaming source.
@@ -463,13 +495,112 @@ object CowTable {
         .sorted
   }
 
-  /** Load the manifest of snapshot `id` (must be committed). */
-  def manifest(spark: SparkSession, root: String, id: Long): CowManifest =
-    manifestAt(spark, s"$root/$ManifestPrefix$id", id)
+  /** Committed manifests are IMMUTABLE (the replay guard refuses
+    * re-committing any id ≤ the newest), so one parse per (root, id)
+    * per JVM is sound — this bounded LRU holds the parsed result and
+    * serves every later read for the cost of ONE directory listing
+    * (the fingerprint check below) instead of a Spark parquet job.
+    * The fingerprint guards the one aliasing case immutability does
+    * not cover: a table root deleted and re-created from scratch
+    * reuses (root, id) keys with different content. Entries of a
+    * delta CHAIN share their carried [[CowFile]] instances with their
+    * base's cached seq, so a chain costs O(adds) extra memory per
+    * link, not O(files).
+    */
+  private val ManifestMemoMax = 64
+  private val manifestMemo =
+    new java.util.LinkedHashMap[(String, Long), (String, CowManifest)](
+      ManifestMemoMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (String, CowManifest)])
+          : Boolean = size > ManifestMemoMax
+    }
 
-  /** Parse a manifest from an explicit directory (committed or staged). */
+  /** Spec hook: manifest PARSES (Spark parquet jobs) per qualified
+    * root — `DeltaManifestSpec` pins one parse per (root, id) per JVM.
+    */
+  private[graft] val manifestParses =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Spec hook: drop every memoized manifest, forcing the next reads
+    * to parse from disk (simulates a fresh JVM / evicted cache — the
+    * cold chain-walk path).
+    */
+  private[graft] def clearManifestMemoForTest(): Unit =
+    manifestMemo.synchronized(manifestMemo.clear())
+
+  /** The memo-validity fingerprint: one listStatus of the manifest
+    * dir (names + lengths + mtimes). Any rewrite of the dir — only
+    * possible via out-of-band deletion + re-creation — changes it.
+    */
+  private def manifestFingerprint(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): String =
+    try fs.listStatus(dir).toSeq
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(";")
+    catch { case _: java.io.FileNotFoundException => "" }
+
+  /** Load the manifest of snapshot `id` (must be committed) — memoized
+    * per (qualified root, id); see [[manifestMemo]].
+    */
+  def manifest(spark: SparkSession, root: String, id: Long): CowManifest = {
+    val fs = hfs(spark, root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val dir = new Path(s"$root/$ManifestPrefix$id")
+    val fp = manifestFingerprint(fs, dir)
+    val key = (qroot, id)
+    val hit = manifestMemo.synchronized {
+      Option(manifestMemo.get(key)).filter(_._1 == fp)
+    }
+    hit match {
+      case Some((_, m)) => m
+      case None =>
+        manifestParses.merge(qroot, 1L, (a, b) => a + b)
+        // a committed checkpoint short-circuits the delta chain: the
+        // full resolved list in one parse, no base needed (what lets
+        // vacuum prune the chain)
+        val ckpt = new Path(s"$root/$CkptPrefix$id")
+        val m =
+          if (fs.exists(new Path(ckpt, "_SUCCESS")))
+            manifestAt(spark, ckpt.toString, id)
+          else manifestAt(spark, dir.toString, id, baseRoot = Some(root))
+        manifestMemo.synchronized { manifestMemo.put(key, (fp, m)) }
+        m
+    }
+  }
+
+  /** CHECKPOINT delta manifest `id`: write its fully-resolved entry
+    * list as the committed `_ckpt-<id>/` dir, after which readers stop
+    * walking its chain and [[vacuum]] may prune the chain's bases. A
+    * no-op for full manifests and already-checkpointed ids; idempotent
+    * and crash-safe (a half-written checkpoint has no `_SUCCESS` and
+    * is ignored, then overwritten by the next attempt). Vacuum invokes
+    * this automatically when a retained chain crosses the retention
+    * floor by more than [[manifestCheckpointInterval]] links; explicit
+    * calls collapse eagerly (immediate space reclamation).
+    */
+  def checkpoint(spark: SparkSession, root: String, id: Long): Unit = {
+    val fs = hfs(spark, root)
+    val ckptSuccess = new Path(s"$root/$CkptPrefix$id/_SUCCESS")
+    if (fs.exists(ckptSuccess)) return
+    val isDelta = fs.listStatus(new Path(root)).toSeq.exists(s =>
+      !s.isDirectory &&
+        s.getPath.getName.startsWith(s"$MbasePrefix$id="))
+    if (!isDelta) return
+    val m = manifest(spark, root, id)
+    writeManifestAt(spark, s"$root/$CkptPrefix$id", m.partCols,
+      m.schemaDdl, m.allFiles, (m.colMap, m.retiredPhys))
+  }
+
+  /** Parse a manifest from an explicit directory (committed or
+    * staged). `baseRoot` enables DELTA resolution (recursing to the
+    * base snapshot through the memo); staged manifests are always
+    * written full, so their readers pass None and a delta-shaped
+    * manifest there fails loudly.
+    */
   private def manifestAt(
-      spark: SparkSession, dir: String, id: Long): CowManifest = {
+      spark: SparkSession, dir: String, id: Long,
+      baseRoot: Option[String] = None): CowManifest = {
     val rows = spark.read.parquet(dir).collect()
     require(rows.nonEmpty, s"manifest $id at $dir is empty — corrupt commit")
     val head = rows.head
@@ -503,7 +634,37 @@ object CowTable {
       if (!head.schema.fieldNames.contains("retired_phys")) Nil
       else Option(head.getAs[scala.collection.Seq[String]]("retired_phys"))
         .map(_.toSeq).getOrElse(Nil)
-    CowManifest(id, partCols, ddl, files, colMap, retired)
+    // manifests written before delta manifests read as full
+    val baseId =
+      if (!head.schema.fieldNames.contains("base_id")) None
+      else Option(head.getAs[java.lang.Long]("base_id")).map(_.toLong)
+    baseId match {
+      case None => CowManifest(id, partCols, ddl, files, colMap, retired)
+      case Some(b) =>
+        val root = baseRoot.getOrElse(throw new IllegalStateException(
+          s"manifest $id at $dir is a DELTA (base $b) but was read " +
+            "from a context without a table root (staged manifests " +
+            "are always written full) — corrupt state"))
+        val base =
+          try manifest(spark, root, b)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"delta manifest $id at $root references base snapshot $b " +
+              s"which could not be loaded — retention must retain a " +
+              s"delta's whole base chain (${e.getMessage})", e) }
+        require(base.partCols == partCols,
+          s"delta manifest $id at $root changes partitioning " +
+            s"(${base.partCols} -> $partCols) — deltas carry entries " +
+            "by reference and cannot re-key them; corrupt commit")
+        val removed = Option(rows.head
+            .getAs[scala.collection.Seq[String]]("removed_parts"))
+          .map(_.toSet).getOrElse(Set.empty[String])
+        val carried =
+          if (removed.isEmpty) base.allFiles
+          else base.allFiles.filterNot(f =>
+            removed.contains(partKey(partCols, f.part)))
+        CowManifest(id, partCols, ddl, carried ++ files, colMap, retired,
+          chainDepth = base.chainDepth + 1)
+    }
   }
 
   /** The current snapshot's manifest, if any commit exists. */
@@ -634,14 +795,29 @@ object CowTable {
     * and files however aggressive their `keep` — the Delta hazard
     * ("VACUUM on the source breaks clones") is closed structurally.
     * The crash order is fence-first: an orphan fence only
-    * over-retains. Dropping a clone does NOT auto-release the fence
-    * (the source cannot know); operators list fences via
-    * [[streamFrontiers]] and release with [[unregisterStreamFrontier]].
+    * over-retains. Every deterministic refusal runs BEFORE the fence;
+    * a post-fence failure (lost vacuum race, target commit error)
+    * releases it — no failed clone leaks retention.
+    *
+    * LIFECYCLE: the clone records its provenance (source root + fence
+    * name, `_cloneprov.tsv` at the target) and the source records the
+    * reverse pointer (`_cloneref-<fence>` naming the target), so
+    * dropping a clone CAN release its fence — [[releaseCloneFence]]
+    * does, and the named catalog's `DROP TABLE` calls it (root
+    * deletion FIRST, then the fence: a crash between the two leaves
+    * an orphan fence, which only over-retains and which [[fsck]] at
+    * the source reports via the reverse pointer).
     *
     * SCOPE: the source snapshot must be debt-free (no outstanding
     * tombstones / deletion vectors) — their sidecars resolve file
     * identity against THEIR table root, which a foreign-root reader
-    * cannot reuse; `OPTIMIZE` folds the debt first. The clone starts
+    * cannot reuse; `OPTIMIZE` folds the debt first. A source that is
+    * ITSELF a clone still referencing its own source's files by
+    * absolute path is refused: the second-level clone would carry the
+    * ORIGINAL root's files while fencing only its immediate source,
+    * so dropping the intermediate clone (releasing its fence — the
+    * documented flow) would let the original root's vacuum delete
+    * files the second-level clone still references. The clone starts
     * with the source's CHECK constraints (already valid for the
     * carried data) and bucket layout (a property of the carried
     * files). Returns the cloned source snapshot id.
@@ -668,29 +844,23 @@ object CowTable {
         "outstanding merge-on-read debt (tombstones / deletion " +
         "vectors) whose sidecars are root-anchored — run OPTIMIZE " +
         "on the source to fold the debt, then clone")
-    // fence FIRST: from here the source's vacuum retains snapshot `at`
-    val fenceName =
-      "clone-" + java.util.UUID.randomUUID().toString.replace("-", "")
-    registerStreamFrontier(spark, sourceRoot, fenceName, at)
-    // TOCTOU re-check: a source vacuum running BETWEEN the manifest
-    // read above and the fence landing may have pruned snapshot `at`
-    // (its frontier listing predated the fence). Once the fence is
-    // visible no vacuum can remove `at`, so committed-now means
-    // committed-for-the-clone's-lifetime; absent-now means the clone
-    // would reference deleted files — abort and release the fence.
-    if (!committedIds(spark, sourceRoot).contains(at)) {
-      unregisterStreamFrontier(spark, sourceRoot, fenceName)
-      throw new IllegalStateException(
-        s"shallow clone lost a race with a source vacuum: snapshot " +
-          s"$at at $sourceRoot was pruned before the clone fence " +
-          "landed — retry against a retained snapshot")
-    }
+    // clone-of-a-clone with still-foreign entries: the carried files
+    // live at a root this clone would NOT fence — refuse (see scaladoc)
+    val foreign = m.allFiles.filter(_.path.startsWith("/"))
+    require(foreign.isEmpty,
+      s"shallow clone of $sourceRoot@$at: the snapshot references " +
+        s"${foreign.size} file(s) at another table's root (the source " +
+        "is itself a shallow clone that has not yet localized them) — " +
+        "a second-level clone would outlive the intermediate clone's " +
+        "fence; OPTIMIZE the source to rewrite the carried files " +
+        "under its own root, then clone")
     val srcUri = hfs(spark, sourceRoot)
       .makeQualified(new Path(sourceRoot)).toUri
     // the absolute-reference convention stores DECODED SCHEME-LESS
     // paths that readers resolve against the session's DEFAULT
     // filesystem — a source on any other filesystem would silently
-    // resolve to the wrong store, so refuse it loudly
+    // resolve to the wrong store, so refuse it loudly (BEFORE the
+    // fence: a deterministic refusal must not leak retention)
     val defUri = org.apache.hadoop.fs.FileSystem
       .get(spark.sessionState.newHadoopConf()).getUri
     require(srcUri.getScheme == defUri.getScheme &&
@@ -699,25 +869,151 @@ object CowTable {
       s"shallow clone source $srcUri is not on the session's default " +
         s"filesystem ($defUri): carried absolute references would " +
         "resolve against the wrong store — clone within one filesystem")
-    val srcAbs = graft.functions.DvDeletedExpr.normalize(srcUri.toString)
-    val entries = m.allFiles.map(f =>
-      f.copy(path = entryPath(srcAbs, f.path)))
-    // bucket layout rides with the carried files; must register
-    // before the clone's first commit (setBucketSpec's own rule)
-    bucketSpecOf(spark, sourceRoot)
-      .foreach(bs => setBucketSpec(spark, targetRoot, bs))
-    acquireCommitLock(spark, targetRoot, 1L)
+    // fence FIRST: from here the source's vacuum retains snapshot `at`
+    val fenceName =
+      "clone-" + java.util.UUID.randomUUID().toString.replace("-", "")
+    registerStreamFrontier(spark, sourceRoot, fenceName, at)
     try {
-      commitManifest(spark, targetRoot, 1L, None, None) {
-        writeManifest(spark, targetRoot, 1L, m.partCols, m.schemaDdl,
-          entries, mappingOf(Some(m)))
-      }
-    } finally releaseCommitLock(spark, targetRoot, 1L)
+      // the reverse pointer rides with the fence (same crash window:
+      // pointer-no-fence is impossible, fence-no-pointer only until
+      // the write below lands) so fsck can verify the fence's target
+      writeCloneRef(spark, sourceRoot, fenceName, targetRoot)
+      // TOCTOU re-check: a source vacuum running BETWEEN the manifest
+      // read above and the fence landing may have pruned snapshot `at`
+      // (its frontier listing predated the fence). Once the fence is
+      // visible no vacuum can remove `at`, so committed-now means
+      // committed-for-the-clone's-lifetime; absent-now means the clone
+      // would reference deleted files — abort and release the fence.
+      if (!committedIds(spark, sourceRoot).contains(at))
+        throw new IllegalStateException(
+          s"shallow clone lost a race with a source vacuum: snapshot " +
+            s"$at at $sourceRoot was pruned before the clone fence " +
+            "landed — retry against a retained snapshot")
+      val srcAbs = graft.functions.DvDeletedExpr.normalize(srcUri.toString)
+      val entries = m.allFiles.map(f =>
+        f.copy(path = entryPath(srcAbs, f.path)))
+      // bucket layout rides with the carried files; must register
+      // before the clone's first commit (setBucketSpec's own rule)
+      bucketSpecOf(spark, sourceRoot)
+        .foreach(bs => setBucketSpec(spark, targetRoot, bs))
+      acquireCommitLock(spark, targetRoot, 1L)
+      try {
+        commitManifest(spark, targetRoot, 1L, None, None) {
+          writeManifest(spark, targetRoot, 1L, m.partCols, m.schemaDdl,
+            entries, mappingOf(Some(m)))
+        }
+      } finally releaseCommitLock(spark, targetRoot, 1L)
+      // provenance at the target: what releaseCloneFence / DROP reads.
+      // Written AFTER the commit — a crash in between leaves a clone
+      // whose drop cannot auto-release (the documented legacy state,
+      // surfaced by fsck at the source), never a dangling pointer.
+      writeCloneProv(spark, targetRoot, sourceRoot, fenceName)
+    } catch { case t: Throwable =>
+      // release on ANY post-fence failure; the clone did not happen
+      deleteCloneRef(spark, sourceRoot, fenceName)
+      unregisterStreamFrontier(spark, sourceRoot, fenceName)
+      throw t
+    }
     val checks = checkConstraints(spark, sourceRoot)
     if (checks.nonEmpty)
       // already valid: every carried row passed them at the source
       setCheckConstraints(spark, targetRoot, checks, validate = false)
     at
+  }
+
+  // ---- clone provenance: target -> (source, fence); source -> target
+
+  private def cloneProvPath(root: String) = new Path(s"$root/_cloneprov.tsv")
+  private def cloneRefPath(root: String, fence: String) =
+    new Path(s"$root/_cloneref-$fence")
+
+  private def writeCloneProv(spark: SparkSession, targetRoot: String,
+      sourceRoot: String, fence: String): Unit = {
+    val fs = hfs(spark, targetRoot)
+    val out = fs.create(cloneProvPath(targetRoot), true)
+    try out.write((tsvEsc(sourceRoot) + "\t" + tsvEsc(fence))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def writeCloneRef(spark: SparkSession, sourceRoot: String,
+      fence: String, targetRoot: String): Unit = {
+    val fs = hfs(spark, sourceRoot)
+    val out = fs.create(cloneRefPath(sourceRoot, fence), true)
+    try out.write(tsvEsc(targetRoot).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def deleteCloneRef(spark: SparkSession, sourceRoot: String,
+      fence: String): Unit =
+    hfs(spark, sourceRoot).delete(cloneRefPath(sourceRoot, fence), false)
+
+  /** The clone provenance a [[shallowClone]] recorded at `root`, if
+    * any: `(sourceRoot, fenceName)`.
+    */
+  def cloneProvenance(
+      spark: SparkSession, root: String): Option[(String, String)] = {
+    val fs = hfs(spark, root)
+    val p = cloneProvPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cut = line.indexOf('\t')
+      if (cut < 0) None
+      else Some(tsvUnesc(line.substring(0, cut)) ->
+        tsvUnesc(line.substring(cut + 1)))
+    }
+  }
+
+  /** Release the clone fence `root`'s provenance names at its source —
+    * the DROP-side half of the clone lifecycle. Call AFTER the clone's
+    * root is gone (or is about to be abandoned): releasing while the
+    * clone still serves reads would let the source vacuum the files it
+    * references. Idempotent; a no-op for non-clones. The named
+    * catalog's `DROP TABLE` runs this automatically (root deletion
+    * first, then the release — a crash between the two leaves an
+    * over-retaining orphan fence, which [[fsck]] at the source
+    * reports).
+    */
+  def releaseCloneFence(spark: SparkSession, root: String,
+      prov: Option[(String, String)] = None): Unit =
+    prov.orElse(cloneProvenance(spark, root)).foreach {
+      case (sourceRoot, fence) =>
+        deleteCloneRef(spark, sourceRoot, fence)
+        unregisterStreamFrontier(spark, sourceRoot, fence)
+    }
+
+  /** Clone fences at `root` whose target no longer exists (no committed
+    * snapshot at the recorded target root, or the target's provenance
+    * no longer points here) — over-retention leaks from crashed or
+    * out-of-band clone drops, surfaced for operators to release. A
+    * fence with no reverse pointer at all is listed too: either a
+    * pre-lifecycle clone (release manually once its target is
+    * confirmed gone) or a clone INTERRUPTED mid-creation whose abort
+    * path could not run. Report-only — a clone in the middle of being
+    * created looks identical for an instant, so nothing is deleted
+    * here.
+    */
+  def orphanCloneFences(spark: SparkSession, root: String): Seq[String] = {
+    streamFrontiers(spark, root).keys.toSeq.sorted
+      .filter(_.startsWith("clone-"))
+      .filter { fence =>
+        val fs = hfs(spark, root)
+        val ref = cloneRefPath(root, fence)
+        if (!fs.exists(ref)) true
+        else {
+          val in = fs.open(ref)
+          val target =
+            try tsvUnesc(
+              scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+            finally in.close()
+          committedIds(spark, target).isEmpty ||
+            !cloneProvenance(spark, target).exists(_._2 == fence)
+        }
+      }
   }
 
   /** METADATA-ONLY schema evolution — `ALTER TABLE … ADD COLUMNS` /
@@ -777,7 +1073,12 @@ object CowTable {
     try {
       if (committedIds(spark, root).exists(_ >= id)) return false
       commitManifest(spark, root, id, Some(m.id), None) {
-        writeManifest(spark, root, id, m.partCols, eff.toDDL, files,
+        // a pure ADD/widen that drops no carried stats changes no
+        // entry — the schema rides the delta's own header
+        if (deltaEligible(Some(m), m.partCols, unsafe.isEmpty))
+          writeManifestDelta(spark, root, id, m, eff.toDDL,
+            Nil, Set.empty, mappingForAdds(Some(m), eff))
+        else writeManifest(spark, root, id, m.partCols, eff.toDDL, files,
           mappingForAdds(Some(m), eff))
       }
     } finally releaseCommitLock(spark, root, id)
@@ -917,7 +1218,11 @@ object CowTable {
     try {
       if (committedIds(spark, root).exists(_ >= id)) return false
       commitManifest(spark, root, id, Some(m.id), None) {
-        writeManifest(spark, root, id, m.partCols, newSchema.toDDL,
+        // a reorder changes no entry at all — pure schema delta
+        if (deltaEligible(Some(m), m.partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, newSchema.toDDL,
+            Nil, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, m.partCols, newSchema.toDDL,
           m.allFiles, mappingOf(Some(m)))
       }
     } finally releaseCommitLock(spark, root, id)
@@ -1705,7 +2010,8 @@ object CowTable {
       .filterNot(referenced)
       .filterNot(stagedReferenced)
       .toSeq.sorted
-    CowFsckReport(missing, orphans, staged)
+    CowFsckReport(missing, orphans, staged,
+      orphanCloneFences(spark, root))
   }
 
   /** The `files` METADATA TABLE (Iceberg's `table$files`): one row per
@@ -2271,8 +2577,12 @@ object CowTable {
     * REQUIRED (no default) so no commit path can silently drop a
     * table's mapping: losing it would make every reader request
     * logical names from physically-named files (all-NULL columns).
-    * Commit paths pass their base manifest's pair through;
-    * full-rewrite paths (commitFull) reset it deliberately.
+    * EVERY path carries the base manifest's pair forward — including
+    * full rewrites (commitFull flows through commitPartitionsFrom →
+    * mappingForAdds, which preserves colMap/retiredPhys), because even
+    * a TRUNCATE's snapshot may carry history readable via time travel
+    * whose files store physical names. Only a table's very first
+    * commit starts with an empty map.
     */
   private def writeManifest(
       spark: SparkSession, root: String, id: Long,
@@ -2284,17 +2594,74 @@ object CowTable {
   private def writeManifestAt(
       spark: SparkSession, dir: String,
       partCols: Seq[String], ddl: String, files: Seq[CowFile],
-      mapping: (Map[String, String], Seq[String])): Unit = {
+      mapping: (Map[String, String], Seq[String]),
+      baseId: Option[Long] = None,
+      removedParts: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val (colMap, retired) = mapping
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
-          partCols, ddl, KindData, Map.empty, Map.empty, colMap, retired))
+          partCols, ddl, KindData, Map.empty, Map.empty, colMap, retired,
+          baseId, removedParts))
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
-        f.kind, f.blooms, f.nulls, colMap, retired))
+        f.kind, f.blooms, f.nulls, colMap, retired, baseId, removedParts))
     rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** How many delta links may chain before a commit writes a full
+    * (checkpoint) manifest. Each link costs one extra memo lookup at
+    * read time and ties the snapshot's liveness to its base's, so the
+    * interval bounds both. Spec-tunable via system property.
+    */
+  private[graft] def manifestCheckpointInterval: Int =
+    sys.props.get("graft.cow.manifest.checkpoint")
+      .flatMap(_.toIntOption).getOrElse(8)
+
+  /** May a commit against `base` write a DELTA manifest? Requires an
+    * unchanged partitioning (deltas carry entries by reference under
+    * the base's partition keys), `statsPreserved` (carried entries
+    * byte-identical — a widening that drops carried blooms/min-max
+    * must rewrite every entry, i.e. checkpoint), and chain headroom.
+    */
+  private def deltaEligible(base: Option[CowManifest],
+      partCols: Seq[String], statsPreserved: Boolean): Boolean =
+    statsPreserved && base.exists(b =>
+      b.partCols == partCols &&
+        b.chainDepth < manifestCheckpointInterval)
+
+  private def mbaseMarker(root: String, id: Long, baseId: Long) =
+    new Path(root, s"$MbasePrefix$id=$baseId")
+
+  /** Write snapshot `id` as a DELTA against `base`: O(adds +
+    * removedParts) manifest rows — the commit-IO shape that holds at
+    * millions of files. The root-level `_mbase-<id>=<base>` marker
+    * lands FIRST (create-before-manifest: a committed delta ALWAYS has
+    * its marker, so [[vacuum]]'s chain-retention rule can never
+    * misread a delta as a full manifest and prune its base; a crashed
+    * attempt's orphan marker is swept like a dead lease). The caller
+    * guarantees [[deltaEligible]] and that the final entry list equals
+    * `base.allFiles -- removedParts ++ adds` with carried entries
+    * byte-identical.
+    */
+  private def writeManifestDelta(
+      spark: SparkSession, root: String, id: Long, base: CowManifest,
+      ddl: String, adds: Seq[CowFile], removedParts: Set[String],
+      mapping: (Map[String, String], Seq[String])): Unit = {
+    require(id > base.id,
+      s"delta manifest $id must build on an earlier base, got ${base.id}")
+    val fs = hfs(spark, root)
+    // create-only; the full name encodes (id, base), so a collision can
+    // only be a replay of THIS exact marker — any other IO failure must
+    // abort (a committed delta without its marker would let vacuum
+    // prune its base)
+    try fs.create(mbaseMarker(root, id, base.id), false).close()
+    catch { case e: java.io.IOException =>
+      if (!fs.exists(mbaseMarker(root, id, base.id))) throw e }
+    writeManifestAt(spark, s"$root/$ManifestPrefix$id", base.partCols,
+      ddl, adds, mapping, baseId = Some(base.id),
+      removedParts = removedParts.toSeq.sorted)
   }
 
   /** The mapping pair a commit carries forward from its base. */
@@ -2791,8 +3158,18 @@ object CowTable {
             before.getOrElse(after.limit(0)), after, changeLogKeys))
         }
       commitManifest(spark, root, id, prev.map(_.id), stagedLog) {
-        writeManifest(spark, root, id, partCols, effSchema.toDDL,
-          fresh ++ carried, commitMapping)
+        // DELTA when the carried entries are byte-identical to the
+        // base's (no stat-dropping widening, no relayout): O(touched)
+        // manifest rows instead of O(table files) — the commit-IO
+        // shape that holds at millions of files; a full manifest
+        // checkpoints the chain every manifestCheckpointInterval links
+        if (!relayout &&
+            deltaEligible(prev, partCols, bloomUnsafe.isEmpty))
+          writeManifestDelta(spark, root, id, prev.get, effSchema.toDDL,
+            fresh, allTouched, commitMapping)
+        else
+          writeManifest(spark, root, id, partCols, effSchema.toDDL,
+            fresh ++ carried, commitMapping)
       }
       vacuumKnown = Map(id -> (fresh ++ carried).map(_.path)) ++
         prev.map(p => p.id -> p.allFiles.map(_.path))
@@ -3002,8 +3379,14 @@ object CowTable {
             effSchema, partCols, id, changeLogKeys, changeLogRequired,
             s"append batch $id")
           commitManifest(spark, root, id, Some(p.id), stagedLog) {
-            writeManifest(spark, root, id, partCols, effSchema.toDDL,
-              fresh ++ carried, commitMapping)
+            // an append is the ideal delta: adds-only, O(batch) rows —
+            // per-micro-batch ingest commits stay O(Δ) at any table size
+            if (deltaEligible(Some(p), partCols, bloomUnsafe.isEmpty))
+              writeManifestDelta(spark, root, id, p, effSchema.toDDL,
+                fresh, Set.empty, commitMapping)
+            else
+              writeManifest(spark, root, id, partCols, effSchema.toDDL,
+                fresh ++ carried, commitMapping)
           }
           vacuumKnown = Map(
             id -> (fresh ++ carried).map(_.path),
@@ -3798,7 +4181,10 @@ object CowTable {
           Some(staging)
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
-        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+        if (deltaEligible(Some(m), m.partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            freshTombs ++ freshData, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, m.partCols, m.schemaDdl,
           m.allFiles ++ freshTombs ++ freshData, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -3945,7 +4331,10 @@ object CowTable {
           Some(staging)
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
-        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+        if (deltaEligible(Some(m), m.partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            freshDv ++ freshData, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, m.partCols, m.schemaDdl,
           m.allFiles ++ freshDv ++ freshData, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -4293,8 +4682,11 @@ object CowTable {
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         // deletes only ADD: every previous entry (data and tombstones)
-        // carries over verbatim
-        writeManifest(spark, root, id, partCols, m.schemaDdl,
+        // carries over verbatim — the adds-only delta shape
+        if (deltaEligible(Some(m), partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            fresh, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, partCols, m.schemaDdl,
           m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -4378,7 +4770,10 @@ object CowTable {
           Some(staging)
         }
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
-        writeManifest(spark, root, id, partCols, m.schemaDdl,
+        if (deltaEligible(Some(m), partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            fresh, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, partCols, m.schemaDdl,
           m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -4465,7 +4860,10 @@ object CowTable {
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         // a MOR delete only ADDS tombstones: every previous entry
         // (data and tombstones) carries over verbatim
-        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+        if (deltaEligible(Some(m), m.partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            fresh, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, m.partCols, m.schemaDdl,
           m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -4535,13 +4933,24 @@ object CowTable {
       .select(relativize(col(DvFpCol)).as("path") +: col("positions") +:
         m.partCols.map(col): _*)
     val dvDir = s"$root/$BatchPrefix$id/$DvDirName"
-    writeBatch(dvDf, dvDir, m.partCols, Nil, colMap = m.colMap)
+    // the sidecar's frame holds the reserved `path`/`positions` columns
+    // PLUS the partition columns — only the latter are table columns,
+    // so only THEIR mapping entries apply. Passing the full table map
+    // would rename a sidecar column whenever some table column maps
+    // non-identically to `path`/`positions` (renamed-to, or dropped and
+    // re-added under a fresh physical name): the sidecar would then
+    // store that column's physical name where the executor loader
+    // hard-requires `path` (DvMask's getFieldRepetitionCount), failing
+    // EVERY read of the table after the DV commit — including the
+    // OPTIMIZE needed to fold the debt.
+    val dvMap = m.colMap.filter { case (l, _) => m.partCols.contains(l) }
+    writeBatch(dvDf, dvDir, m.partCols, Nil, colMap = dvMap)
     val dvSchema = StructType(
       StructField("path", StringType) +:
         StructField("positions", ArrayType(LongType)) +:
         m.partCols.map(c => m.schema(c)))
     collectEntries(spark, dvDir, id, dvSchema, m.partCols,
-      colMap = m.colMap)
+      colMap = dvMap)
       .map(_.copy(kind = KindDv))
   }
 
@@ -4641,7 +5050,10 @@ object CowTable {
       commitManifest(spark, root, id, Some(m.id), stagedLog) {
         // a DV delete only ADDS sidecars: every previous entry (data,
         // tombstones, older DVs) carries over verbatim
-        writeManifest(spark, root, id, m.partCols, m.schemaDdl,
+        if (deltaEligible(Some(m), m.partCols, statsPreserved = true))
+          writeManifestDelta(spark, root, id, m, m.schemaDdl,
+            fresh, Set.empty, mappingOf(Some(m)))
+        else writeManifest(spark, root, id, m.partCols, m.schemaDdl,
           m.allFiles ++ fresh, mappingOf(Some(m)))
       }
       vacuumKnown = Map(
@@ -4792,12 +5204,13 @@ object CowTable {
     */
   def vacuumOlderThan(
       spark: SparkSession, root: String, olderThanMs: Long,
-      minKeep: Int = 2): Unit = {
+      minKeep: Int = 2, collapse: Boolean = false): Unit = {
     require(olderThanMs >= 0 && minKeep >= 1, "invalid retention")
     val cutoff = System.currentTimeMillis() - olderThanMs
     val inHorizon = committedIds(spark, root)
       .diff(committedIdsAt(spark, root, cutoff - 1))
-    vacuum(spark, root, keep = minKeep, floorId = inHorizon.headOption)
+    vacuum(spark, root, keep = minKeep, floorId = inHorizon.headOption,
+      collapse = collapse)
   }
 
   /** `floorId`, when given, additionally retains EVERY committed id at
@@ -4809,19 +5222,78 @@ object CowTable {
     */
   def vacuum(spark: SparkSession, root: String, keep: Int,
       knownFiles: Map[Long, Seq[String]] = Map.empty,
-      floorId: Option[Long] = None): Unit = {
+      floorId: Option[Long] = None,
+      collapse: Boolean = false): Unit = {
     val ids = committedIds(spark, root)
     val newest = ids.lastOption.getOrElse(return)
     val byCount = ids.takeRight(keep)
     val floors = floorId.toSeq ++
       streamFrontiers(spark, root).values.minOption.toSeq
-    val retained = floors.minOption match {
+    val retained0 = floors.minOption match {
       case Some(f) => ids.filter(i => i >= f || byCount.contains(i))
       case None => byCount
     }
-    val cutoff = retained.head
-    val committed = ids.toSet
     val fs = hfs(spark, root)
+    // DELTA CHAINS: a retained delta manifest resolves through its
+    // base, so retention closes over the `_mbase-` markers (created
+    // BEFORE each delta's manifest, so no committed delta lacks one).
+    // A MULTI-map: a crashed attempt of an id may leave a stale marker
+    // naming a different base than the attempt that later committed
+    // the id (the create-only write cannot replace it) — retaining the
+    // UNION of advertised bases only ever over-retains, and all of an
+    // id's markers age out together when its manifest is vacuumed.
+    // Committed-only bases: an orphan marker must not resurrect
+    // retention of ids nothing references.
+    val baseOf: Map[Long, Seq[Long]] = fs.listStatus(new Path(root))
+      .toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(MbasePrefix))
+      .flatMap { s =>
+        val rest = s.getPath.getName.stripPrefix(MbasePrefix)
+        val cut = rest.indexOf('=')
+        if (cut <= 0) None
+        else for {
+          i <- rest.substring(0, cut).toLongOption
+          b <- rest.substring(cut + 1).toLongOption
+        } yield i -> b
+      }.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2) }
+    val committed = ids.toSet
+    // a checkpointed delta resolves without its chain — no base edge
+    def ckptCommitted(i: Long): Boolean =
+      fs.exists(new Path(s"$root/$CkptPrefix$i/_SUCCESS"))
+    def expand(seed: Set[Long]): Set[Long] = {
+      var closure = seed
+      var frontier = closure
+      while (frontier.nonEmpty) {
+        frontier = frontier.filterNot(ckptCommitted)
+          .flatMap(i => baseOf.getOrElse(i, Nil))
+          .filter(committed).diff(closure)
+        closure ++= frontier
+      }
+      closure
+    }
+    val retainedSet0 = retained0.toSet
+    var closure = expand(retainedSet0)
+    // CHECKPOINT COMPACTION: when retention-floor crossings pile past
+    // the interval, collapse each floor manifest whose chain dips
+    // below (writing its `_ckpt` — a NEW committed dir, so concurrent
+    // readers of the delta manifest are untouched), then re-expand:
+    // everything below the floor prunes this very vacuum. Between
+    // collapses, chain bases stay retained (manifests AND their
+    // exclusive batch dirs) — bounded reclamation lag, the price of
+    // O(Δ) commit manifests, Delta's own log model. An EXPLICIT
+    // `collapse = true` (the textual VACUUM statements — an operator's
+    // stated reclamation intent) collapses on ANY crossing, so
+    // `VACUUM … RETAIN n` retains exactly n.
+    if (closure.diff(retainedSet0).size >= manifestCheckpointInterval ||
+        (collapse && closure.size != retainedSet0.size)) {
+      retained0.foreach { i =>
+        if (expand(Set(i)).exists(_ < retained0.head)) checkpoint(spark, root, i)
+      }
+      closure = expand(retainedSet0)
+    }
+    val retained = ids.filter(closure)
+    val cutoff = retained.head
     // manifests: same pruning rule as SnapshotTarget. Record the
     // highest COMMITTED id whose manifest this vacuum removes as a
     // create-only `_vacuum-hwm-<id>` marker BEFORE deleting: consumers
@@ -4833,7 +5305,7 @@ object CowTable {
     val deletable = fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(ManifestPrefix))
       .filter(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption
-        .exists(i => if (committed(i)) i < cutoff else i < newest))
+        .exists(i => if (committed(i)) !closure.contains(i) else i < newest))
     val vacuumedCommitted = deletable
       .flatMap(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption)
       .filter(committed)
@@ -4850,6 +5322,27 @@ object CowTable {
       }
     }
     deletable.foreach(s => fs.delete(s.getPath, true))
+    // delta-base markers age out with their manifests; orphan markers
+    // of crashed attempts (id never committed, behind the frontier)
+    // are dead like their leases. A marker whose id is retained stays.
+    val deletedIds = deletable
+      .flatMap(_.getPath.getName.stripPrefix(ManifestPrefix).toLongOption)
+      .toSet
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(MbasePrefix))
+      .filter(_.getPath.getName.stripPrefix(MbasePrefix)
+        .takeWhile(_ != '=').toLongOption
+        .exists(i => deletedIds.contains(i) ||
+          (!committed(i) && i < newest)))
+      .foreach(s => fs.delete(s.getPath, false))
+    // checkpoints age out with their manifests
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(CkptPrefix))
+      .filter(_.getPath.getName.stripPrefix(CkptPrefix).toLongOption
+        .exists(deletedIds.contains))
+      .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
     // tombstones). `knownFiles` lets a just-committed writer hand over

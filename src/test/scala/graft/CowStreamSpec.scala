@@ -169,6 +169,10 @@ class CowStreamSpec extends SparkSpec {
     (2L to 4L).foreach(i => CowTable.upsert(spark, root, i,
       bucketed(i * 1000, i * 1000 + 10, i.toInt), Seq("id"), Seq("pb"),
       keep = 2, changeLog = true))
+    // collapse the delta chain so keep=2 actually prunes (vacuum
+    // auto-collapses only past the checkpoint interval)
+    CowTable.checkpoint(spark, root, 3L)
+    CowTable.vacuum(spark, root, keep = 2)
     assert(CowTable.committedIds(spark, root) == Seq(3L, 4L))
     assert(CowTable.vacuumHwm(spark, root) == Some(2L),
       "vacuum must record the highest committed id it removed")

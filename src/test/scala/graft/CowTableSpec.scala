@@ -480,12 +480,24 @@ class CowTableSpec extends SparkSpec {
       Seq((2L, "p1", "y", 1.0)).toDF("id", "part", "name", "score"),
       Seq("id"), Seq("part"), keep = 1)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // DELTA-manifest retention: the retained head resolves through its
+    // base chain, so the bases' manifests AND their exclusive batch
+    // dirs survive keep=1 — and the table is fully servable — until a
+    // checkpoint collapses the chain (vacuum triggers one itself once
+    // the chain crosses the floor by manifestCheckpointInterval links;
+    // here we collapse eagerly)
+    assert(fs.exists(new Path(s"$root/batch-2")),
+      "chain-retained until checkpoint")
+    assert(fs.exists(new Path(s"$root/manifest-2")))
+    assert(CowTable.read(spark, root).get.count() == 5)
+    CowTable.checkpoint(spark, root, 3L)
+    CowTable.vacuum(spark, root, keep = 1)
     assert(fs.exists(new Path(s"$root/batch-1")), "still referenced")
     assert(!fs.exists(new Path(s"$root/batch-2")), "fully COW'd away")
     assert(fs.exists(new Path(s"$root/batch-3")))
     assert(!fs.exists(new Path(s"$root/manifest-1")))
     assert(!fs.exists(new Path(s"$root/manifest-2")))
-    // table still fully readable after vacuum
+    // table still fully readable after vacuum (served by the checkpoint)
     assert(CowTable.read(spark, root).get.count() == 5)
   }
 

@@ -131,8 +131,11 @@ class VacuumFenceSpec extends SparkSpec {
       got.select("k", "av", "bv")
         .exceptAll(expect.select("k", "av", "bv")).isEmpty)
     // fences advanced with the applied frontier; vacuum now releases
+    // (checkpoint first: the head is a delta whose chain would
+    // otherwise retain its bases until the auto-collapse threshold)
     assert(CowTable.streamFrontiers(spark, rb) ==
       Map(CowStream.fenceNameFor(mv) -> 3L))
+    CowTable.checkpoint(spark, rb, 3L)
     CowTable.vacuum(spark, rb, keep = 1)
     assert(CowTable.committedIds(spark, rb) == Seq(3L))
   }
