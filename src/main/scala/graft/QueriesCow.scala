@@ -2185,6 +2185,28 @@ object QueriesCow {
     spark.sql(s"""DELETE FROM $ns.ord WHERE o_orderkey NOT IN
       (SELECT CASE WHEN c_custkey > 1 THEN NULL ELSE c_custkey END
        FROM subq_cust_src)""")
+    // round-15: SET-value subqueries — a CORRELATED scalar lookup in
+    // the assignment itself (carried analyzed, bound per scan frame)
+    spark.sql(s"""UPDATE $ns.ord SET cents = cents +
+      (SELECT CAST(count(*) AS BIGINT) FROM subq_cust_src c
+       WHERE c.c_custkey = o_custkey AND c.c_acctbal > 9000)
+      WHERE o_orderkey <= 2000""")
+    // round-15: MERGE WHEN-clause guard carrying an IN-subquery — the
+    // guard gates which matched pairs update (bound boolean column
+    // over the merge's own join, plans/CowBoundMergeCommand)
+    // the source carries the key's TRUE partition value (the engine's
+    // key-stable partitioning contract: touched partitions derive from
+    // the source's partition column)
+    spark.sql("""SELECT o_orderkey, CAST(11 AS BIGINT) AS new_cents,
+        o_orderpriority
+      FROM subq_orders_src WHERE o_orderkey <= 3000""")
+      .createOrReplaceTempView("subq_merge_src")
+    spark.sql(s"""MERGE INTO $ns.ord AS t USING subq_merge_src AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND t.o_custkey IN
+        (SELECT c_custkey FROM subq_cust_src
+         WHERE c_mktsegment = 'MACHINERY')
+        THEN UPDATE SET cents = s.new_cents""")
     spark.table(s"$ns.ord")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
@@ -2208,10 +2230,27 @@ object QueriesCow {
       |                        AND c.c_acctbal < 0)
       |         THEN 0 ELSE cents END AS cents,
       |    o_orderpriority
-      |  FROM t2)
+      |  FROM t2),
+      |t4 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey <= 2000
+      |         THEN cents + (SELECT count(*) FROM customer c
+      |                       WHERE c.c_custkey = t3.o_custkey
+      |                         AND c.c_acctbal > 9000)
+      |         ELSE cents END AS cents,
+      |    o_orderpriority
+      |  FROM t3),
+      |t5 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey <= 3000
+      |           AND o_custkey IN (SELECT c_custkey FROM customer
+      |                             WHERE c_mktsegment = 'MACHINERY')
+      |         THEN 11 ELSE cents END AS cents,
+      |    o_orderpriority
+      |  FROM t4)
       |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(cents) AS BIGINT) AS total_cents
-      |FROM t3 GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM t5 GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // MERGE WITH SCHEMA EVOLUTION (round-13 verdict #5): one statement

@@ -68,14 +68,30 @@ final case class NotMatchedBySourceDelete(
   */
 object MergeInto {
 
+  /** `boundConds`, when non-empty, aligns POSITIONALLY with `clauses`:
+    * a `Some(f)` at index i REPLACES clause i's text condition with
+    * `f(joined)` — a Column pre-bound against the flat joined frame
+    * (target columns as `__t_<c>`, source as `__s_<c>`). This is the
+    * carrier for subquery-bearing clause conditions, which cannot
+    * round-trip as text (`Expression.sql` renders unparseable
+    * pseudo-functions): the bound conditions are evaluated as boolean
+    * columns in a PROJECT over the flat join (legal for scalar AND
+    * predicate subqueries in Spark 4 — the optimizer rewrites them to
+    * existence joins), then the ordinary CASE chain consumes the
+    * booleans. With no bound conditions the construction is the
+    * original struct join, byte-for-byte.
+    */
   def apply(
       target: DataFrame,
       source: DataFrame,
       keyCols: Seq[String],
       clauses: Seq[MergeClause],
-      enforceUniqueSource: Boolean = true): DataFrame = {
+      enforceUniqueSource: Boolean = true,
+      boundConds: Seq[Option[DataFrame => Column]] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "MERGE needs at least one merge key")
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    require(boundConds.isEmpty || boundConds.length == clauses.length,
+      "boundConds must align with clauses")
     val outCols = target.columns.toSeq
     val srcCols = source.columns.toSeq
     keyCols.foreach(k => require(srcCols.contains(k),
@@ -103,12 +119,45 @@ object MergeInto {
           "would have been legal inserts)")
     }
 
-    val t = target.select(struct(outCols.map(col): _*).as("t"))
-    val s = source.select(struct(srcCols.map(col): _*).as("s"))
-    val joinCond = keyCols
-      .map(k => col("t").getField(k) === col("s").getField(k))
-      .reduce(_ && _)
-    val joined = t.join(s, joinCond, "full_outer")
+    val bound = if (boundConds.isEmpty)
+      Seq.fill[Option[DataFrame => Column]](clauses.length)(None)
+    else boundConds
+    val joined =
+      if (bound.forall(_.isEmpty)) {
+        val t = target.select(struct(outCols.map(col): _*).as("t"))
+        val s = source.select(struct(srcCols.map(col): _*).as("s"))
+        val joinCond = keyCols
+          .map(k => col("t").getField(k) === col("s").getField(k))
+          .reduce(_ && _)
+        t.join(s, joinCond, "full_outer")
+      } else {
+        // FLAT construction: prefixed columns give the bound
+        // conditions real AttributeReferences to rebind onto (a
+        // struct field is not an Attribute, and OuterReference — the
+        // correlation carrier inside subquery plans — only wraps
+        // named expressions); explicit presence flags stand in for
+        // the struct-null test (a target row that is all-NULL in
+        // every column is still a matched row)
+        val t = target.select(outCols.map(c => col(c).as(s"__t_$c")) :+
+          lit(true).as("__t_present"): _*)
+        val s = source.select(srcCols.map(c => col(c).as(s"__s_$c")) :+
+          lit(true).as("__s_present"): _*)
+        val joinCond = keyCols
+          .map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
+        val flat = t.join(s, joinCond, "full_outer")
+        val withBc = bound.zipWithIndex.foldLeft(flat) {
+          case (df, (Some(f), i)) => df.withColumn(s"__bc_$i", f(df))
+          case (df, (None, _)) => df
+        }
+        withBc.select(
+          when(col("__t_present"),
+            struct(outCols.map(c => col(s"__t_$c").as(c)): _*)).as("t") +:
+          when(col("__s_present"),
+            struct(srcCols.map(c => col(s"__s_$c").as(c)): _*)).as("s") +:
+          bound.zipWithIndex.collect {
+            case (Some(_), i) => col(s"__bc_$i")
+          }: _*)
+      }
 
     def typed(c: String, e: String): Column =
       expr(e).cast(outType(c).dataType).as(c)
@@ -132,22 +181,29 @@ object MergeInto {
             col(s"s.$c").cast(outType(c).dataType).as(c)
           else lit(null).cast(outType(c).dataType).as(c)): _*)
     }
+    // a clause's effective condition: its bound boolean column when
+    // one rides at its index, else its text condition
+    def condOf(cl: MergeClause, i: Int): Option[Column] =
+      bound(i).map(_ => col(s"__bc_$i")).orElse(cl.condition.map(expr))
     def chain(
-        cs: Seq[MergeClause], result: MergeClause => Column,
+        cs: Seq[(MergeClause, Int)], result: MergeClause => Column,
         fallthrough: Column): Column =
-      cs.foldRight(fallthrough) { (cl, rest) =>
-        cl.condition.map(c => when(expr(c), result(cl)).otherwise(rest))
+      cs.foldRight(fallthrough) { case ((cl, i), rest) =>
+        condOf(cl, i).map(c => when(c, result(cl)).otherwise(rest))
           .getOrElse(result(cl))
       }
 
-    val matchedCs = clauses.collect {
-      case c: MatchedUpdate => c: MergeClause
-      case c: MatchedDelete => c: MergeClause
+    val indexed = clauses.zipWithIndex
+    val matchedCs = indexed.collect {
+      case (c: MatchedUpdate, i) => (c: MergeClause, i)
+      case (c: MatchedDelete, i) => (c: MergeClause, i)
     }
-    val notMatchedCs = clauses.collect { case c: NotMatchedInsert => c }
-    val bySourceCs = clauses.collect {
-      case c: NotMatchedBySourceUpdate => c: MergeClause
-      case c: NotMatchedBySourceDelete => c: MergeClause
+    val notMatchedCs = indexed.collect {
+      case (c: NotMatchedInsert, i) => (c: MergeClause, i)
+    }
+    val bySourceCs = indexed.collect {
+      case (c: NotMatchedBySourceUpdate, i) => (c: MergeClause, i)
+      case (c: NotMatchedBySourceDelete, i) => (c: MergeClause, i)
     }
     def resultOf(c: MergeClause): Column = c match {
       case MatchedUpdate(set, _) => updated(set)
@@ -161,8 +217,7 @@ object MergeInto {
     val sourceOnly = col("t").isNull
     val rowResult =
       when(matched, chain(matchedCs, resultOf, keepT))
-        .when(sourceOnly,
-          chain(notMatchedCs.map(c => c: MergeClause), resultOf, dropRow))
+        .when(sourceOnly, chain(notMatchedCs, resultOf, dropRow))
         .otherwise(chain(bySourceCs, resultOf, keepT))
 
     joined.select(rowResult.as("__r"))

@@ -147,21 +147,25 @@ private[plans] object CowAnalyzedDml {
   }
 
   def convertUpdate(u: UpdateTable, t: CowNamedTable): LogicalPlan = {
-    noSubqueries(u.assignments.map(_.value), "UPDATE SET value")
     val tgt = targetAttrs(u.table)
-    if (u.condition.exists(c => CowBoundDml.hasSubquery(Seq(c)))) {
-      // subquery CONDITION: SET values render to the engine's text
-      // form (subquery-free, checked above); the condition travels
-      // analyzed and binds per scan frame at execution
-      val sets = real(u.assignments, t).map(a =>
-        nameOf(a.key) -> textOf(a.value, tgt))
-      require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
-      return CowBoundUpdateCommand(t.root, sets,
-        new BoundDmlCond(u.condition.get, u.table.output))
+    val kept = real(u.assignments, t)
+    require(kept.nonEmpty, "UPDATE needs at least one SET assignment")
+    if (CowBoundDml.hasSubquery(
+        u.condition.toSeq ++ u.assignments.map(_.value))) {
+      // subqueries anywhere: condition AND set values travel ANALYZED
+      // — plans included — and bind per scan frame at execution
+      // (CowBoundDml.bind handles plain expressions identically, so
+      // one carried form serves both). A scalar-subquery SET value
+      // returning more than one row fails with Spark's own runtime
+      // error; the engine's checkedAssignments type gate applies to
+      // bound values exactly as to textual ones.
+      val boundSets = kept.map(a =>
+        nameOf(a.key) -> new BoundDmlCond(a.value, u.table.output))
+      return CowBoundUpdateCommand(t.root, boundSets,
+        u.condition.map(new BoundDmlCond(_, u.table.output)))
     }
-    val sets = real(u.assignments, t).map(a =>
+    val sets = kept.map(a =>
       s"${quoted(a.key)} = ${textOf(a.value, tgt)}").mkString(", ")
-    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
     val cond = u.condition.map(textOf(_, tgt)).getOrElse("true")
     CowStatementCommand(
       s"UPDATE cow.`${t.root}` SET $sets WHERE $cond")
@@ -185,12 +189,30 @@ private[plans] object CowAnalyzedDml {
     require(!m.needSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION: the schema changes were not " +
         "applied during analysis — ALTER TABLE first, then MERGE")
-    noSubqueries(m.mergeCondition +: (m.matchedActions ++
-      m.notMatchedActions ++ m.notMatchedBySourceActions)
-      .flatMap(_.children), "MERGE")
+    // ON with a subquery would change MATCHEDNESS per pair — a failed
+    // residual must fan one joined row into a not-matched insert AND
+    // a by-source action, and a source key matching several target
+    // rows must insert at most once — semantics this engine's
+    // one-row-per-pair merge does not express; refuse with the remedy.
+    // SET/VALUES positions refuse too. CLAUSE CONDITIONS (the WHEN …
+    // AND <cond> guards) take subqueries: they gate the action of an
+    // already-decided pair, so they carry ANALYZED and evaluate as
+    // bound boolean columns over the merge's own join
+    // ([[CowBoundMergeCommand]]).
+    noSubqueries(Seq(m.mergeCondition), "MERGE ON condition")
+    noSubqueries((m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).flatMap {
+        case UpdateAction(_, as, _) => as.map(_.value)
+        case InsertAction(_, as) => as.map(_.value)
+        case _ => Nil
+      }, "MERGE SET/VALUES")
     val tgt = targetAttrs(m.targetTable)
     val src = targetAttrs(m.sourceTable)
     def txt(e: Expression): String = textOf(e, tgt, src)
+    val clauseConds = (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).flatMap(_.condition)
+    if (CowBoundDml.hasSubquery(clauseConds))
+      return convertBoundMerge(m, t)
     def cond(c: Option[Expression]): String =
       c.map(x => s" AND ${txt(x)}").getOrElse("")
     def assigns(as: Seq[org.apache.spark.sql.catalyst.plans.logical
@@ -236,6 +258,89 @@ private[plans] object CowAnalyzedDml {
         s"ON ${txt(m.mergeCondition)} " +
         (matched ++ notMatched ++ bySource).mkString(" "),
       srcView, m.sourceTable)
+  }
+
+  /** The bound-merge conversion (round-15): WHEN-clause conditions
+    * carrying subqueries travel ANALYZED on [[CowBoundMergeCommand]];
+    * everything else (keys, values, star expansion) resolves here at
+    * conversion exactly as the textual engine would.
+    */
+  private def convertBoundMerge(
+      m: MergeIntoTable, t: CowNamedTable): LogicalPlan = {
+    import graft.operators._
+    val tgtOut = m.targetTable.output
+    val srcOut = m.sourceTable.output
+    val tgtSet = AttributeSet(tgtOut)
+    val srcSet = AttributeSet(srcOut)
+    def txt(e: Expression): String = textOf(e, tgtSet, srcSet)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keys = conjuncts(m.mergeCondition).map {
+      case org.apache.spark.sql.catalyst.expressions
+          .EqualTo(a: Attribute, b: Attribute)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((tgtSet.contains(a) && srcSet.contains(b)) ||
+              (tgtSet.contains(b) && srcSet.contains(a))) =>
+        if (tgtSet.contains(a)) a.name else b.name
+      case other => throw new IllegalArgumentException(
+        s"ON clause must be a conjunction of t.k = s.k equalities; " +
+          s"got ${other.sql}")
+    }
+    def condPair(c: Option[Expression])
+        : (Option[String], Option[BoundMergeCond]) = c match {
+      case Some(x) if CowBoundDml.hasSubquery(Seq(x)) =>
+        (None, Some(new BoundMergeCond(x, tgtOut, srcOut)))
+      case other => (other.map(txt), None)
+    }
+    // star expansion replicated from the textual engine: every
+    // non-partition target column assigned from the source by name
+    lazy val starSet: Map[String, String] = {
+      val starCols = t.manifest.schema.fieldNames.toSeq
+        .filterNot(t.manifest.partCols.contains)
+      val srcNames = srcOut.map(_.name)
+      val missing = starCols.filterNot(srcNames.contains)
+      require(missing.isEmpty,
+        s"UPDATE SET *: source is missing target column(s) " +
+          missing.mkString(", "))
+      starCols.map(c => c -> s"s.`$c`").toMap
+    }
+    def sets(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .Assignment]): Map[String, String] =
+      real(as, t).map(a => nameOf(a.key) -> txt(a.value)).toMap
+    val pairs: Seq[(MergeClause, Option[BoundMergeCond])] =
+      m.matchedActions.map {
+        case DeleteAction(c) =>
+          val (tc, bc) = condPair(c); (MatchedDelete(tc), bc)
+        case UpdateAction(c, as, _) =>
+          val (tc, bc) = condPair(c); (MatchedUpdate(sets(as), tc), bc)
+        case UpdateStarAction(c) =>
+          val (tc, bc) = condPair(c); (MatchedUpdate(starSet, tc), bc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported MATCHED action $other")
+      } ++ m.notMatchedActions.map {
+        case InsertAction(c, as) =>
+          val (tc, bc) = condPair(c)
+          (NotMatchedInsert(
+            as.map(a => nameOf(a.key) -> txt(a.value)).toMap, tc), bc)
+        case InsertStarAction(c) =>
+          val (tc, bc) = condPair(c)
+          (NotMatchedInsert(Map.empty, tc), bc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported NOT MATCHED action $other")
+      } ++ m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          val (tc, bc) = condPair(c); (NotMatchedBySourceDelete(tc), bc)
+        case UpdateAction(c, as, _) =>
+          val (tc, bc) = condPair(c)
+          (NotMatchedBySourceUpdate(sets(as), tc), bc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported NOT MATCHED BY SOURCE action $other")
+      }
+    CowBoundMergeCommand(t.root, keys, pairs.map(_._1),
+      pairs.map(_._2), m.sourceTable)
   }
 }
 

@@ -45,15 +45,37 @@ private[graft] object CowBoundDml {
     * it. Recurses through nested subquery plans.
     */
   def bind(cond: Expression, oldOutput: Seq[Attribute])(
-      df: DataFrame): Column = {
+      df: DataFrame): Column =
+    bindTo(cond, df, oldOutput.map(o => o -> o.name))
+
+  /** [[bind]] for MERGE positions: the expression was analyzed against
+    * BOTH relations' outputs, and the execution frame is the flat
+    * prefixed join ([[graft.operators.MergeInto]]'s bound
+    * construction) — target attributes rebind to `__t_<name>`, source
+    * attributes to `__s_<name>`.
+    */
+  def bindMerge(cond: Expression, tgtOut: Seq[Attribute],
+      srcOut: Seq[Attribute])(df: DataFrame): Column =
+    bindTo(cond, df,
+      tgtOut.map(o => o -> s"__t_${o.name}") ++
+        srcOut.map(o => o -> s"__s_${o.name}"))
+
+  /** Substitute each old attribute — bare in the expression or wrapped
+    * in an `OuterReference` inside a subquery plan — with `df`'s
+    * same-named (per the pairs' target names) attribute, recursing
+    * through nested subquery plans.
+    */
+  private def bindTo(cond: Expression, df: DataFrame,
+      pairs: Seq[(Attribute, String)]): Column = {
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val newOut = df.queryExecution.analyzed.output
-    val mapping: Map[Long, AttributeReference] = oldOutput.map { o =>
-      val n = newOut.find(a => resolver(a.name, o.name)).getOrElse(
-        throw new IllegalStateException(
-          s"DML condition column ${o.name} is missing from the scan " +
-            s"frame (${newOut.map(_.name).mkString(", ")})"))
-      o.exprId.id -> n.asInstanceOf[AttributeReference]
+    val mapping: Map[Long, AttributeReference] = pairs.map {
+      case (o, name) =>
+        val n = newOut.find(a => resolver(a.name, name)).getOrElse(
+          throw new IllegalStateException(
+            s"DML condition column $name is missing from the scan " +
+              s"frame (${newOut.map(_.name).mkString(", ")})"))
+        o.exprId.id -> n.asInstanceOf[AttributeReference]
     }.toMap
     def rebaseExpr(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if mapping.contains(a.exprId.id) =>
@@ -121,6 +143,56 @@ final class BoundDmlCond(
     cond.collect { case s: SubqueryExpression => s.plan }
 }
 
+/** Opaque carrier for an analyzed MERGE clause condition and the two
+  * relation outputs it resolved against (same CheckAnalysis-dodging
+  * reasoning as [[BoundDmlCond]]).
+  */
+final class BoundMergeCond(
+    val cond: Expression, val tgtOut: Seq[Attribute],
+    val srcOut: Seq[Attribute]) {
+  override def toString: String = cond.sql
+  def subplans: Seq[LogicalPlan] =
+    cond.collect { case s: SubqueryExpression => s.plan }
+}
+
+/** `MERGE INTO <named cow table>` whose WHEN-clause conditions carry
+  * subqueries: the clauses travel as the engine's own [[graft
+  * .operators.MergeClause]] objects (values as rendered text — the
+  * proven round-trip) with the subquery-bearing conditions ANALYZED,
+  * bound at execution against the merge's flat join frame
+  * ([[CowBoundDml.bindMerge]]) and evaluated as boolean columns
+  * (Spark rewrites them into existence joins). ON stays a key-equality
+  * conjunction — a subquery there would change MATCHEDNESS, which this
+  * engine's one-row-per-pair merge does not express (refused at
+  * conversion with the materialize-a-view remedy).
+  */
+final case class CowBoundMergeCommand(
+    root: String, keys: Seq[String],
+    clauses: Seq[graft.operators.MergeClause],
+    boundConds: Seq[Option[BoundMergeCond]],
+    sourcePlan: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] =
+    sourcePlan +: boundConds.flatMap(_.toSeq.flatMap(_.subplans))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, keep, _) = CowBoundDml.dmlConf(session)
+    val source =
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(session, sourcePlan)
+    val partCols = CowTable.currentManifest(session, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot at $root")).partCols
+    val bound = boundConds.map(_.map(b =>
+      CowBoundDml.bindMerge(b.cond, b.tgtOut, b.srcOut) _))
+    CowBoundDml.runOwned(session, root, "MERGE") { id =>
+      CowTable.mergeInto(session, root, id, source, keys, partCols,
+        clauses, keep = keep, boundConds = bound)
+    }
+    Nil
+  }
+}
+
 /** `DELETE FROM <named cow table> WHERE <condition with subqueries>`,
   * carried ANALYZED: `innerChildren` exposes the subquery plans to
   * EXPLAIN. Routing (COW rewrite vs positional DVs) follows the same
@@ -144,28 +216,34 @@ final case class CowBoundDeleteCommand(root: String, bound: BoundDmlCond)
   }
 }
 
-/** `UPDATE <named cow table> SET … WHERE <condition with subqueries>`.
-  * SET values are subquery-free (enforced at conversion) and travel as
-  * rendered text — the same de-resolved form the textual engine
-  * executes — while the condition travels analyzed and binds per scan
-  * frame.
+/** `UPDATE <named cow table> SET … WHERE …` with subqueries anywhere
+  * — condition AND SET values (scalar subqueries, correlated included)
+  * travel ANALYZED and bind per scan frame at execution. `bound` is
+  * None for an unconditioned UPDATE whose SET values carry subqueries.
   */
 final case class CowBoundUpdateCommand(
-    root: String, sets: Seq[(String, String)], bound: BoundDmlCond)
+    root: String, boundSets: Seq[(String, BoundDmlCond)],
+    bound: Option[BoundDmlCond])
   extends LeafRunnableCommand {
 
-  override def innerChildren: Seq[LogicalPlan] = bound.subplans
+  override def innerChildren: Seq[LogicalPlan] =
+    bound.toSeq.flatMap(_.subplans) ++ boundSets.flatMap(_._2.subplans)
 
   override def run(session: SparkSession): Seq[Row] = {
     val (mode, keep, thr) = CowBoundDml.dmlConf(session)
-    val condOf = CowBoundDml.bind(bound.cond, bound.tableOutput) _
-    val set = sets.map { case (c, v) => c -> expr(v) }.toMap
+    val condOf: DataFrame => Column = bound match {
+      case Some(b) => CowBoundDml.bind(b.cond, b.tableOutput)
+      case None => _ => expr("true")
+    }
+    val setOf: DataFrame => Map[String, Column] = df =>
+      boundSets.map { case (c, b) =>
+        c -> CowBoundDml.bind(b.cond, b.tableOutput)(df) }.toMap
     CowBoundDml.runOwned(session, root, "UPDATE") { id =>
       if (CowSql.useMor(session, root, mode, thr))
-        CowTable.updateWhereDvBy(session, root, id, condOf, set,
+        CowTable.updateWhereDvBy(session, root, id, condOf, setOf,
           keep = keep)
       else
-        CowTable.updateWhereBy(session, root, id, condOf, set,
+        CowTable.updateWhereBy(session, root, id, condOf, setOf,
           keep = keep)
     }
     Nil

@@ -435,8 +435,9 @@ object CowSql {
       es: Seq[Expression], what: String): Unit =
     es.foreach(e => require(!hasSubquery(e),
       s"$what with a subquery is not supported here — subqueries are " +
-        "supported in UPDATE/DELETE conditions; for this position, " +
-        "materialize the subquery into a view and reference it"))
+        "supported in UPDATE/DELETE conditions, UPDATE SET values, " +
+        "and MERGE ON/WHEN conditions; for this position, materialize " +
+        "the subquery into a view and reference it"))
 
   /** A per-frame condition for the textual path. Plain predicates
     * round-trip through `Expression.sql` (the proven text form) as a
@@ -470,6 +471,40 @@ object CowSql {
       graft.plans.CowBoundDml.bind(cond, out)
     }
 
+  /** A per-frame SET VALUE for the textual path — the projection twin
+    * of [[condOf]]: plain expressions round-trip as text; values
+    * carrying subqueries (`SET x = (SELECT …)`, correlated included)
+    * analyze ONCE against the target's current snapshot (a Project —
+    * legal for scalar AND predicate subqueries in Spark 4) and bind
+    * per scan frame. Analyzing once pins the inner relations to one
+    * snapshot across the primitives' multiple evaluation frames, the
+    * same reasoning as [[condOf]]. Spark's own scalar-subquery
+    * machinery enforces the at-most-one-row rule at runtime.
+    */
+  private def valueOf(spark: SparkSession, root: String,
+      e: Expression): org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.Column =
+    if (!hasSubquery(e)) _ => expr(e.sql)
+    else {
+      val probe = CowV2.read(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot at $root"))
+      val analyzed = probe
+        .select(org.apache.spark.sql.graftbridge.Bridge.column(e)
+          .as("__set_v"))
+        .queryExecution.analyzed
+      val (value, out) = analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          (p.projectList.last match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child
+            case x => x
+          }, p.child.output)
+      }.getOrElse(throw new IllegalStateException(
+        s"SET value did not analyze to a projection: ${e.sql}"))
+      graft.plans.CowBoundDml.bind(value, out)
+    }
+
   private def execDml(spark: SparkSession, id: Long, sql: String,
       keep: Int, mode: DmlMode, thresholdBytes: Long): Boolean =
     parser.parsePlan(sql) match {
@@ -482,10 +517,13 @@ object CowSql {
           CowTable.deleteWhereBy(spark, root, id, c, keep = keep)
       case UpdateTable(table, assignments, cond) =>
         val root = rootOf(spark, table)
-        refuseSubqueries(assignments.map(_.value), "UPDATE SET value")
         val c = cond.map(condOf(spark, root, _))
           .getOrElse((_: org.apache.spark.sql.DataFrame) => expr("true"))
-        val sets = assignments.map(setOf).toMap
+        val setPairs = assignments.map(a =>
+          setNameOf(a.key) -> valueOf(spark, root, a.value))
+        val sets: org.apache.spark.sql.DataFrame
+            => Map[String, org.apache.spark.sql.Column] =
+          df => setPairs.map { case (n, f) => n -> f(df) }.toMap
         if (useMor(spark, root, mode, thresholdBytes))
           CowTable.updateWhereDvBy(spark, root, id, c, sets, keep = keep)
         else
@@ -523,14 +561,13 @@ object CowSql {
           s"ADD|DROP CONSTRAINT; got ${other.getClass.getSimpleName}")
     }
 
-  private def setOf(a: Assignment): (String, org.apache.spark.sql.Column) =
-    a.key match {
-      case attr: UnresolvedAttribute =>
-        // single-part target column; a qualified t.col normalizes too
-        attr.nameParts.last -> expr(a.value.sql)
-      case other => throw new IllegalArgumentException(
-        s"SET target must be a column, got $other")
-    }
+  private def setNameOf(key: Expression): String = key match {
+    case attr: UnresolvedAttribute =>
+      // single-part target column; a qualified t.col normalizes too
+      attr.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"SET target must be a column, got $other")
+  }
 
   /** The CowTable root of a table reference (possibly under the
     * statement's alias): `` cow.`/path` `` addresses the root
@@ -619,12 +656,30 @@ object CowSql {
       case other => throw new IllegalArgumentException(
         s"SET target must be a column, got $other")
     }
-    def cond(e: Option[Expression]): Option[String] = {
-      // clause conditions round-trip as text; subqueries do not
-      // (`.sql` renders unparseable pseudo-functions) — refuse loudly
-      // with the remedy instead of failing later on garbled text
-      refuseSubqueries(e.toSeq, "MERGE clause")
-      e.map(_.sql)
+    // clause conditions: plain ones round-trip as text; ones carrying
+    // SUBQUERIES analyze ONCE against the target's current snapshot
+    // (aliased t×s probe — the same one-snapshot discipline as condOf)
+    // and bind against the merge's flat join frame at execution
+    lazy val targetDf = CowV2.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    def boundOf(e: Expression)
+        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = {
+      val probed = targetDf.alias("t").crossJoin(source.alias("s"))
+        .where(org.apache.spark.sql.graftbridge.Bridge.column(e))
+        .queryExecution.analyzed
+      val (condE, out) = probed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          (f.condition, f.child.output)
+      }.getOrElse(throw new IllegalStateException(
+        s"MERGE clause condition did not analyze to a filter: ${e.sql}"))
+      val (tOut, sOut) = out.splitAt(targetDf.columns.length)
+      graft.plans.CowBoundDml.bindMerge(condE, tOut, sOut)
+    }
+    def condPair(e: Option[Expression]): (Option[String],
+        Option[org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.Column]) = e match {
+      case Some(x) if hasSubquery(x) => (None, Some(boundOf(x)))
+      case other => (other.map(_.sql), None)
     }
     (m.matchedActions ++ m.notMatchedActions ++
         m.notMatchedBySourceActions).foreach {
@@ -634,29 +689,46 @@ object CowSql {
         refuseSubqueries(as.map(_.value), "MERGE INSERT")
       case _ => ()
     }
-    val matched: Seq[MergeClause] = m.matchedActions.map {
-      case DeleteAction(c) => MatchedDelete(cond(c))
-      case UpdateAction(c, assigns, _) => MatchedUpdate(
-        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
-      case UpdateStarAction(c) => MatchedUpdate(starSet, cond(c))
+    type BC = Option[org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.Column]
+    val matched: Seq[(MergeClause, BC)] = m.matchedActions.map {
+      case DeleteAction(c) =>
+        val (tc, bc) = condPair(c); (MatchedDelete(tc), bc)
+      case UpdateAction(c, assigns, _) =>
+        val (tc, bc) = condPair(c)
+        (MatchedUpdate(
+          assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc), bc)
+      case UpdateStarAction(c) =>
+        val (tc, bc) = condPair(c); (MatchedUpdate(starSet, tc), bc)
       case other => throw new IllegalArgumentException(
         s"unsupported MATCHED action $other")
     }
-    val notMatched: Seq[MergeClause] = m.notMatchedActions.map {
-      case InsertAction(c, assigns) => NotMatchedInsert(
-        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
-      case InsertStarAction(c) => NotMatchedInsert(Map.empty, cond(c))
+    val notMatched: Seq[(MergeClause, BC)] = m.notMatchedActions.map {
+      case InsertAction(c, assigns) =>
+        val (tc, bc) = condPair(c)
+        (NotMatchedInsert(
+          assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc), bc)
+      case InsertStarAction(c) =>
+        val (tc, bc) = condPair(c); (NotMatchedInsert(Map.empty, tc), bc)
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED action $other")
     }
-    val bySource: Seq[MergeClause] = m.notMatchedBySourceActions.map {
-      case DeleteAction(c) => NotMatchedBySourceDelete(cond(c))
-      case UpdateAction(c, assigns, _) => NotMatchedBySourceUpdate(
-        assigns.map(a => targetColOf(a) -> a.value.sql).toMap, cond(c))
-      case other => throw new IllegalArgumentException(
-        s"unsupported NOT MATCHED BY SOURCE action $other")
-    }
+    val bySource: Seq[(MergeClause, BC)] =
+      m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          val (tc, bc) = condPair(c); (NotMatchedBySourceDelete(tc), bc)
+        case UpdateAction(c, assigns, _) =>
+          val (tc, bc) = condPair(c)
+          (NotMatchedBySourceUpdate(
+            assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc),
+            bc)
+        case other => throw new IllegalArgumentException(
+          s"unsupported NOT MATCHED BY SOURCE action $other")
+      }
+    val pairs = matched ++ notMatched ++ bySource
     CowTable.mergeInto(spark, root, id, source, keys,
-      tgtCols.partCols, matched ++ notMatched ++ bySource, keep = keep)
+      tgtCols.partCols, pairs.map(_._1), keep = keep,
+      boundConds =
+        if (pairs.exists(_._2.nonEmpty)) pairs.map(_._2) else Nil)
   }
 }

@@ -3917,14 +3917,17 @@ object CowTable {
     * Returns the guarded cast per SET column; evaluation cost is the
     * cast itself plus one null test — still codegen'd scan-stage work.
     */
+  /** `frame` is the scan the assignments will evaluate against — type
+    * probing analyzes `frame.select(v)` (no execution), so SET values
+    * carrying BOUND analyzed expressions (scalar/predicate subqueries,
+    * frame-resolved attributes) type-check exactly like plain ones.
+    */
   private def checkedAssignments(
-      spark: SparkSession, m: CowManifest,
+      frame: DataFrame, m: CowManifest,
       set: Map[String, Column]): Map[String, Column] = {
-    val probe = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], m.schema)
     set.map { case (name, v) =>
       val f = m.schema(name)
-      val from = probe.select(v).schema.head.dataType
+      val from = frame.select(v).schema.head.dataType
       require(
         org.apache.spark.sql.catalyst.expressions.Cast
           .canANSIStoreAssign(from, f.dataType),
@@ -3974,31 +3977,41 @@ object CowTable {
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil): Boolean =
-    updateWhereBy(spark, root, id, _ => cond, set, prune, keep, sortCols,
-      changeLogKeys)
+    {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    updateWhereBy(spark, root, id, _ => cond, _ => set, prune, keep,
+      sortCols, changeLogKeys)
+    }
 
-  /** [[updateWhere]] with a per-frame condition — see
-    * [[deleteWhereBy]]. The matched-row test rides inside the rewrite
-    * PROJECTION (`when(applies, …)`), which Spark plans fine even for
-    * predicate subqueries (existence-join rewrite).
+  /** [[updateWhere]] with PER-FRAME condition and SET values — see
+    * [[deleteWhereBy]]. `setOf` binds each assignment to the frame it
+    * evaluates on, which is what lets SET values carry analyzed
+    * subqueries (scalar, correlated) exactly like conditions do. The
+    * matched-row test rides inside the rewrite PROJECTION
+    * (`when(applies, …)`), which Spark plans fine even for predicate
+    * subqueries (existence-join rewrite).
     */
   private[graft] def updateWhereBy(
       spark: SparkSession,
       root: String,
       id: Long,
       condOf: DataFrame => Column,
-      set: Map[String, Column],
+      setOf: DataFrame => Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
-    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    set.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+    // key validation binds against an empty probe (bound SET values
+    // resolve by name against any frame carrying the table schema)
+    val setKeys = setOf(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], m.schema)).keySet
+    require(setKeys.nonEmpty, "UPDATE needs at least one SET assignment")
+    setKeys.foreach(c => require(m.schema.fieldNames.contains(c),
       s"SET column '$c' is not a table column"))
-    m.partCols.foreach(p => require(!set.contains(p),
+    m.partCols.foreach(p => require(!setKeys.contains(p),
       s"UPDATE SET must not assign partition column '$p'"))
     val candidates =
       if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
@@ -4017,9 +4030,9 @@ object CowTable {
     // the offending value), never as silent NULLs — see
     // [[checkedAssignments]]. The guard sits INSIDE when(applies, …),
     // so it only ever evaluates on matched rows.
-    val setChecked = checkedAssignments(spark, m, set)
     val baseScan = resolved(spark, root, m,
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
+    val setChecked = checkedAssignments(baseScan, m, setOf(baseScan))
     val applies = coalesce(condOf(baseScan), lit(false))
     val rewrite = baseScan
       .select(m.schema.fields.toSeq.map { f =>
@@ -4085,10 +4098,11 @@ object CowTable {
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
       if (candidates.isEmpty) return true
       val fields = m.schema.fields.toSeq
+      val candScan = resolved(spark, root, m, candidates, prune)
       // same loud-failure guard as the COW twin (see checkedAssignments)
       // — evaluated only on matched rows (`matches` below is already
       // cond-filtered before any new image is computed)
-      val setChecked = checkedAssignments(spark, m, set)
+      val setChecked = checkedAssignments(candScan, m, set)
       def newImage(df: DataFrame): DataFrame =
         df.select(fields.map { f =>
           setChecked.get(f.name) match {
@@ -4096,8 +4110,7 @@ object CowTable {
             case None => col(f.name)
           }
         }: _*)
-      val matches = resolved(spark, root, m, candidates, prune)
-        .where(coalesce(cond, lit(false)))
+      val matches = candScan.where(coalesce(cond, lit(false)))
       val oldStruct = struct(fields.map(f => col(f.name)): _*)
       // pinned once: the candidates scan + anti-join feeds the
       // collision probes AND both writes below — recomputing a
@@ -4236,28 +4249,33 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       changeLogKeys: Seq[String] = Nil): Boolean =
-    updateWhereDvBy(spark, root, id, _ => cond, set, prune, keep,
+    {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    updateWhereDvBy(spark, root, id, _ => cond, _ => set, prune, keep,
       changeLogKeys)
+    }
 
-  /** [[updateWhereDv]] with a per-frame condition — see
-    * [[deleteWhereBy]].
+  /** [[updateWhereDv]] with per-frame condition and SET values — see
+    * [[updateWhereBy]].
     */
   private[graft] def updateWhereDvBy(
       spark: SparkSession,
       root: String,
       id: Long,
       condOf: DataFrame => Column,
-      set: Map[String, Column],
+      setOf: DataFrame => Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       changeLogKeys: Seq[String] = Nil): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
-    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    set.keys.foreach(c => require(m.schema.fieldNames.contains(c),
+    val setKeys = setOf(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], m.schema)).keySet
+    require(setKeys.nonEmpty, "UPDATE needs at least one SET assignment")
+    setKeys.foreach(c => require(m.schema.fieldNames.contains(c),
       s"SET column '$c' is not a table column"))
-    m.partCols.foreach(p => require(!set.contains(p),
+    m.partCols.foreach(p => require(!setKeys.contains(p),
       s"UPDATE SET must not assign partition column '$p'"))
     Seq("path", "positions").foreach(c => require(!m.partCols.contains(c),
       s"DV update: partition column '$c' collides with the deletion-" +
@@ -4272,8 +4290,8 @@ object CowTable {
         if (prune.isEmpty) m.files else keptFiles(spark, m, prune)
       if (candidates.isEmpty) return true
       val fields = m.schema.fields.toSeq
-      val setChecked = checkedAssignments(spark, m, set)
       val visible = visibleWithPos(spark, root, m, candidates, prune)
+      val setChecked = checkedAssignments(visible, m, setOf(visible))
       val matches = visible.where(coalesce(condOf(visible), lit(false)))
       val oldStruct = struct(fields.map(f => col(f.name)): _*)
       // pinned once: feeds the legacy-tombstone probe, the new-image
@@ -4296,7 +4314,7 @@ object CowTable {
       if (tombCollides) {
         releaseCommitLock(spark, root, id)
         lockHeld = false // a concurrent same-id writer may re-acquire
-        return updateWhereBy(spark, root, id, condOf, set, prune, keep,
+        return updateWhereBy(spark, root, id, condOf, setOf, prune, keep,
           changeLogKeys = changeLogKeys)
       }
       // same enforcement as the COW twin and updateWhereMor
@@ -4371,7 +4389,8 @@ object CowTable {
       clauses: Seq[graft.operators.MergeClause],
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Boolean = {
+      changeLogKeys: Seq[String] = Nil,
+      boundConds: Seq[Option[DataFrame => Column]] = Nil): Boolean = {
     import graft.operators.{NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
     if (committedIds(spark, root).exists(_ >= id)) return false
     val sets = clauses.collect {
@@ -4406,7 +4425,8 @@ object CowTable {
         val t = touchedKeys(source, partCols)
         (baseFor(spark, root, m, t), t)
     }
-    val merged = graft.operators.MergeInto(target, source, keyCols, clauses)
+    val merged = graft.operators.MergeInto(target, source, keyCols,
+      clauses, boundConds = boundConds)
     commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
       sortCols, changeLogKeys = changeLogKeys)
   }

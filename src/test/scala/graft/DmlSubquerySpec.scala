@@ -79,7 +79,7 @@ class DmlSubquerySpec extends SparkSpec {
   }
 
   test("UPDATE with a correlated EXISTS condition updates exactly the " +
-      "matching rows; subqueries in SET values refuse with a remedy") {
+      "matching rows; a SET-value subquery executes (round-15)") {
     val ns = freshNs("upd")
     spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING, p BIGINT) " +
       "PARTITIONED BY (p)")
@@ -92,11 +92,11 @@ class DmlSubquerySpec extends SparkSpec {
     assert(t.where($"v" === "hit").select("id").as[Long]
       .collect().toSet == Set(2L, 3L))
     assert(t.where($"v" === "a").count() == 8L)
-    val e = intercept[Exception](spark.sql(
+    spark.sql(
       s"UPDATE cow.$ns.t SET v = (SELECT CAST(max(k) AS STRING) " +
-        "FROM subq_upd) WHERE id = 0"))
-    assert(e.getMessage != null && e.getMessage.contains("SET value"),
-      s"wrong refusal: $e")
+        "FROM subq_upd) WHERE id = 0")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 0)
+      .select("v").as[String].head == "3")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
@@ -154,28 +154,132 @@ class DmlSubquerySpec extends SparkSpec {
       "(SELECT 1 FROM psq_keys s WHERE s.k = id - 2)")
     assert(CowTable.read(spark, root).get.select("id").as[Long]
       .collect().sorted.toSeq == Seq(0L, 5L, 6L, 7L, 8L, 9L, 103L, 104L))
-    // SET-value subqueries refuse with the remedy on this form too
-    val e = intercept[Exception](spark.sql(
+    // SET-value subqueries execute on this form too (round-15): the
+    // value analyzes once against the current snapshot and binds per
+    // scan frame
+    spark.sql(
       s"UPDATE cow.`$root` SET id = (SELECT max(k) FROM psq_keys) " +
-        "WHERE id = 0"))
-    assert(e.getMessage != null &&
-      e.getMessage.contains("materialize the subquery"), s"got $e")
+        "WHERE id = 0")
+    assert(CowTable.read(spark, root).get.select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 5L, 6L, 7L, 8L, 9L, 103L, 104L))
   }
 
-  test("MERGE with a subquery in a clause condition still refuses " +
-      "with the materialize-a-view remedy") {
+  test("UPDATE SET values take subqueries (round-15): scalar, " +
+      "correlated, mixed with plain assignments; >1-row scalar fails " +
+      "with Spark's own error; the type gate still applies") {
+    val ns = freshNs("setq")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id * 10, id % 2 " +
+      "FROM range(10)")
+    Seq((0L, 7L), (1L, 9L)).toDF("k", "bonus")
+      .createOrReplaceTempView("setq_lkp")
+    // uncorrelated scalar subquery value, condition plain
+    spark.sql(s"UPDATE cow.$ns.t SET v = " +
+      "(SELECT max(bonus) FROM setq_lkp) WHERE id = 0")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 0)
+      .select("v").as[Long].head == 9L)
+    // CORRELATED scalar subquery value + plain assignment in one SET
+    spark.sql(s"UPDATE cow.$ns.t SET v = " +
+      "(SELECT l.bonus FROM setq_lkp l WHERE l.k = p) + v, id = id + 100 " +
+      "WHERE id IN (SELECT k + 2 FROM setq_lkp)")
+    val got = spark.table(s"cow.$ns.t")
+      .where($"id" >= 100).orderBy("id")
+      .select("id", "v").as[(Long, Long)].collect().toSeq
+    // id 2 (p=0, bonus 7): v 20+7=27; id 3 (p=1, bonus 9): v 30+9=39
+    assert(got == Seq((102L, 27L), (103L, 39L)), s"got $got")
+    // a scalar subquery returning MORE THAN ONE ROW fails loudly with
+    // Spark's own error, and the failed statement commits nothing
+    val head = CowTable.currentManifest(spark, rootOf(ns, "t")).get.id
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE cow.$ns.t SET v = (SELECT k FROM setq_lkp) WHERE id = 0"))
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("MULTI_VALUE") || m.toLowerCase.contains("more than one row")),
+      s"wrong >1-row failure: $e")
+    assert(CowTable.currentManifest(spark, rootOf(ns, "t")).get.id == head,
+      "a failed SET-subquery UPDATE must commit nothing")
+    // ANSI store-assignment gate applies to bound values too
+    val e2 = intercept[Exception](spark.sql(s"UPDATE cow.$ns.t SET v = " +
+      "(SELECT concat('x', k) FROM setq_lkp WHERE k = 0) WHERE id = 0"))
+    assert(Option(e2.getMessage).exists(_.contains("ANSI")),
+      s"wrong type-gate failure: $e2")
+    // MOR routing: the same bound SET goes through the DV update path
+    spark.conf.set("spark.graft.cow.dml.mode", "mor")
+    try spark.sql(s"UPDATE cow.$ns.t SET v = " +
+      "(SELECT min(bonus) FROM setq_lkp) WHERE id = 1")
+    finally spark.conf.unset("spark.graft.cow.dml.mode")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 1)
+      .select("v").as[Long].head == 7L)
+    assert(CowTable.currentManifest(spark, rootOf(ns, "t")).get
+      .dvs.nonEmpty, "mor mode must mask positionally")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("MERGE WHEN-clause conditions take subqueries (round-15): " +
+      "IN and correlated EXISTS guards gate matched/not-matched/" +
+      "by-source actions; ON subqueries and SET-value subqueries " +
+      "still refuse with the remedy") {
     val ns = freshNs("mrg")
     spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING)")
     spark.sql(s"INSERT INTO cow.$ns.t SELECT id, 'a' FROM range(5)")
-    Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("subq_msrc")
-    Seq(1L).toDF("k").createOrReplaceTempView("subq_mkeys")
-    val e = intercept[Exception](spark.sql(s"""
+    Seq((1L, "b"), (2L, "c"), (10L, "n"), (11L, "m"))
+      .toDF("id", "v").createOrReplaceTempView("subq_msrc")
+    Seq(1L, 10L).toDF("k").createOrReplaceTempView("subq_mkeys")
+    // matched guard: ids 1,2 are source-matched but only 1 passes the
+    // IN — 2's guard fails so it stays untouched (ANSI: no clause
+    // applying leaves the row; matched rows never take by-source
+    // clauses). not-matched guard: only id 10 inserts. by-source
+    // guard (correlated NOT EXISTS): rows 3,4 flagged; 0 kept.
+    Seq(0L).toDF("keep").createOrReplaceTempView("subq_mkeep")
+    spark.sql(s"""
       MERGE INTO cow.$ns.t AS t USING subq_msrc AS s ON t.id = s.id
       WHEN MATCHED AND t.id IN (SELECT k FROM subq_mkeys)
-        THEN UPDATE SET v = s.v"""))
-    assert(e.getMessage != null &&
-      e.getMessage.contains("materialize the subquery"),
-      s"wrong refusal: $e")
+        THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.id IN (SELECT k FROM subq_mkeys)
+        THEN INSERT (id, v) VALUES (s.id, s.v)
+      WHEN NOT MATCHED BY SOURCE
+          AND NOT EXISTS (SELECT 1 FROM subq_mkeep w WHERE w.keep = t.id)
+        THEN UPDATE SET v = 'flagged'""")
+    val got = spark.table(s"cow.$ns.t").orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "a"), (1L, "b"), (2L, "a"),
+      (3L, "flagged"), (4L, "flagged"), (10L, "n")), s"got $got")
+    // ON subqueries refuse (they would change matchedness)
+    val e = intercept[Exception](spark.sql(s"""
+      MERGE INTO cow.$ns.t AS t USING subq_msrc AS s
+      ON t.id = s.id AND t.id IN (SELECT k FROM subq_mkeys)
+      WHEN MATCHED THEN DELETE"""))
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("materialize the subquery") ||
+        m.contains("conjunction of t.k = s.k")), s"wrong refusal: $e")
+    // SET values inside MERGE still refuse with the remedy
+    val e2 = intercept[Exception](spark.sql(s"""
+      MERGE INTO cow.$ns.t AS t USING subq_msrc AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v =
+        (SELECT CAST(max(k) AS STRING) FROM subq_mkeys)"""))
+    assert(Option(e2.getMessage)
+      .exists(_.contains("materialize the subquery")), s"got $e2")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("the PATH form takes MERGE clause-condition subqueries too " +
+      "(analyze-once against the pre-statement snapshot)") {
+    val root =
+      s"${java.nio.file.Files.createTempDirectory("pmq").toString}/t"
+    CowTable.commitFull(
+      spark.range(6).select($"id", lit("a").as("v"), ($"id" % 2).as("p")),
+      root, 1L, Seq("p"))
+    spark.range(8).select($"id", lit("s").as("v"), ($"id" % 2).as("p"))
+      .createOrReplaceTempView("pmq_src")
+    Seq(2L, 6L).toDF("k").createOrReplaceTempView("pmq_keys")
+    graft.sinks.CowSql.exec(spark, 2L, s"""
+      MERGE INTO cow.`$root` AS t USING pmq_src AS s ON t.id = s.id
+      WHEN MATCHED AND t.id IN (SELECT k FROM pmq_keys)
+        THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.id IN (SELECT k FROM pmq_keys)
+        THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""")
+    val got = CowTable.read(spark, root).get
+      .where($"v" === "s").select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 6L), s"got $got")
   }
 }

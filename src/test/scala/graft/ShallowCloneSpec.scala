@@ -119,4 +119,64 @@ class ShallowCloneSpec extends SparkSpec {
       CowTable.shallowClone(spark, src, dst))
     assert(e2.getMessage.contains("already has commits"))
   }
+
+  test("clone lifecycle: DROP TABLE releases the source fence (vacuum " +
+      "then reclaims); an out-of-band clone deletion leaves an orphan " +
+      "fence that fsck reports") {
+    val ns = "clonelc"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS cow.$ns")
+    val wh = spark.conf.get("spark.sql.catalog.cow.warehouse")
+    val src = s"${tmp("lc")}/t"
+    CowTable.commitFull(spark.range(20).toDF("id"), src, 1L, Nil,
+      keep = 10)
+    CowTable.commitFull(spark.range(30).toDF("id"), src, 2L, Nil,
+      keep = 10)
+    spark.sql(s"CREATE TABLE cow.$ns.c1 SHALLOW CLONE cow.`$src` " +
+      "VERSION AS OF 1")
+    val cloneRoot = s"$wh/$ns/c1"
+    val fence = CowTable.streamFrontiers(spark, src).keys
+      .filter(_.startsWith("clone-")).toSeq
+    assert(fence.size == 1, s"expected one clone fence, got $fence")
+    // provenance recorded both ways; a LIVE clone is not an orphan
+    assert(CowTable.cloneProvenance(spark, cloneRoot)
+      .contains((src, fence.head)))
+    assert(CowTable.fsck(spark, src).orphanFences.isEmpty)
+    // DROP releases the fence; the source's vacuum reclaims snapshot 1
+    spark.sql(s"DROP TABLE cow.$ns.c1")
+    assert(CowTable.streamFrontiers(spark, src).isEmpty,
+      "DROP TABLE on a clone must release its source fence")
+    CowTable.commitFull(spark.range(40).toDF("id"), src, 3L, Nil)
+    CowTable.vacuum(spark, src, keep = 1, collapse = true)
+    assert(!CowTable.committedIds(spark, src).contains(1L),
+      "a released fence must stop pinning source retention")
+    // out-of-band deletion (crash between root delete and release):
+    // the fence leaks, and fsck at the source surfaces it by name
+    spark.sql(s"CREATE TABLE cow.$ns.c2 SHALLOW CLONE cow.`$src`")
+    val fs = new Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$wh/$ns/c2"), true)
+    val rep = CowTable.fsck(spark, src)
+    assert(rep.orphanFences.size == 1 && !rep.clean,
+      s"fsck must report the leaked fence, got $rep")
+    CowTable.unregisterStreamFrontier(spark, src, rep.orphanFences.head)
+    assert(CowTable.fsck(spark, src).orphanFences.isEmpty)
+  }
+
+  test("clone of a clone refuses while the intermediate still carries " +
+      "foreign-root entries (its fence could not protect them); a " +
+      "localizing rewrite makes it cloneable") {
+    val src = s"${tmp("cc")}/t"
+    val c1 = s"${tmp("cc1")}/t"
+    val c2 = s"${tmp("cc2")}/t"
+    CowTable.commitFull(spark.range(25).toDF("id"), src, 1L, Nil)
+    CowTable.shallowClone(spark, src, c1)
+    val e = intercept[IllegalArgumentException](
+      CowTable.shallowClone(spark, c1, c2))
+    assert(e.getMessage.contains("another table's root"),
+      s"wrong refusal: $e")
+    // a full rewrite localizes the carried files under c1's own root
+    CowTable.commitFull(CowTable.read(spark, c1).get, c1, 2L, Nil)
+    CowTable.shallowClone(spark, c1, c2)
+    assert(CowTable.read(spark, c2).get.count() == 25L)
+  }
 }
