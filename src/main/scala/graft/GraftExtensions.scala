@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.CowSqlParser (Delta's DeltaSqlParser seam)
     ext.injectParser((session, delegate) =>
       new graft.plans.CowSqlParser(session, delegate))
+    // filtered cow scans narrow their LOGICAL size estimate to the
+    // manifest-kept files, so broadcast decisions and join reorder see
+    // the slice's real bytes — see graft.plans.CowScanPruneRule
+    ext.injectOptimizerRule(session =>
+      graft.plans.CowScanPruneRule(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Expression,
+  SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+import graft.sinks.CowFileIndex
+
+/** STATIC scan-estimate pruning for cow relations (round-15, the
+  * round-14 verdict's #7): Spark's own `PruneFileSourcePartitions`
+  * narrows logical size estimates only for `CatalogFileIndex`-backed
+  * relations, so a partition- or stats-filtered cow scan would carry
+  * the WHOLE table's `sizeInBytes` into join strategy selection — a
+  * one-partition slice of a 100 TB table would never plan as the
+  * broadcast side without AQE rescuing it at runtime (and nothing
+  * rescues join REORDER or non-adaptive contexts). This rule swaps the
+  * [[CowFileIndex]] under a Filter for one narrowed to exactly the
+  * files the manifest keeps for the filter's conjuncts — partition
+  * values AND min/max/Bloom/null-count skipping, the same pruning the
+  * scan itself will do — so the estimate the planner consumes is the
+  * surviving bytes. Data is unchanged: pruning keeps a superset of
+  * matching rows and the Filter stays in place; the `pruned` tag makes
+  * the rule a fixpoint.
+  */
+final case class CowScanPruneRule(spark: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        lr @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _))
+        if hfs.location.isInstanceOf[CowFileIndex] &&
+          !hfs.location.asInstanceOf[CowFileIndex].pruned =>
+      val idx = hfs.location.asInstanceOf[CowFileIndex]
+      val partNames = hfs.partitionSchema.fieldNames
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val usable = conjuncts(cond).filter(c =>
+        c.deterministic && !SubqueryExpression.hasSubquery(c))
+      val (partF, dataF) = usable.partition(c =>
+        c.references.nonEmpty && c.references.forall(a =>
+          partNames.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+      val newIdx = idx.prunedTo(partF, dataF)
+      Filter(cond, lr.copy(relation = hfs.copy(location = newIdx)(spark)))
+  }
+}

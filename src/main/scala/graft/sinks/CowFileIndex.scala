@@ -53,7 +53,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class CowFileIndex(
     spark: SparkSession,
     root: String,
-    m: CowManifest) extends FileIndex {
+    m: CowManifest,
+    /** Marks an index already narrowed by [[graft.plans
+      * .CowScanPruneRule]] — the rule's fixpoint guard.
+      */
+    private[graft] val pruned: Boolean = false) extends FileIndex {
 
   private val schema: StructType = m.schema
 
@@ -177,9 +181,14 @@ final class CowFileIndex(
       case _ => None
     }
 
-  override def listFiles(
+  /** The manifest-pruned (partition values + stats skipping) file
+    * groups — shared by [[listFiles]] (scan planning) and
+    * [[prunedTo]] (the static-estimate narrowing rule).
+    */
+  private def keptGroups(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      dataFilters: Seq[Expression])
+      : Seq[(Map[String, String], Seq[CowFile])] = {
     // 1. static partition pruning: bind the filters to the partition
     //    schema by name and evaluate per distinct partition value
     val groups: Seq[(Map[String, String], Seq[CowFile])] =
@@ -210,8 +219,15 @@ final class CowFileIndex(
         if (kept.nonEmpty)
           kept = CowTable.keptFilesInAmong(spark, m, kept, n, vs)
       }
-      if (kept.isEmpty) None
-      else Some(PartitionDirectory(rowFor(part), kept.map { f =>
+      if (kept.isEmpty) None else Some(part -> kept)
+    }
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    keptGroups(partitionFilters, dataFilters).map { case (part, kept) =>
+      PartitionDirectory(rowFor(part), kept.map { f =>
         // manifest paths are the on-disk LITERAL form (collectEntries
         // decodes `_metadata.file_path`'s URI escaping once); Hadoop
         // Path's multi-arg URI constructor re-escapes spaces and '%'
@@ -219,8 +235,28 @@ final class CowFileIndex(
         FileStatusWithMetadata(new FileStatus(
           f.bytes, false, 1, 128L * 1024 * 1024, 0L,
           qualify(new Path(CowTable.entryPath(root, f.path)))))
-      }))
+      })
     }
+
+  /** This index narrowed to the files the given filters keep — what
+    * [[graft.plans.CowScanPruneRule]] swaps in so the LOGICAL size
+    * estimate (broadcast decisions, join reorder) reflects manifest
+    * pruning, not the whole table. The data is unchanged (pruning
+    * keeps a superset of matching rows; the plan's own Filter still
+    * applies), only the estimate and the planned file list narrow.
+    */
+  private[graft] def prunedTo(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): CowFileIndex = {
+    val kept = keptGroups(partitionFilters, dataFilters)
+      .flatMap(_._2)
+    if (kept.length == m.files.length)
+      new CowFileIndex(spark, root, m, pruned = true)
+    else
+      new CowFileIndex(spark, root,
+        m.copy(allFiles =
+          kept ++ m.allFiles.filter(_.kind != CowTable.KindData)),
+        pruned = true)
   }
 }
 

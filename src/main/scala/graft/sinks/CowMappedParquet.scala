@@ -27,7 +27,21 @@ import org.apache.spark.sql.types.{StructField, StructType}
 final class CowMappedParquetFileFormat(colMap: Map[String, String])
   extends ParquetFileFormat {
 
-  private def phys(c: String): String = colMap.getOrElse(c, c)
+  /** Logical→physical for a pushed-filter column reference. NESTED
+    * references arrive as dotted paths (`info.a`): only the TOP-LEVEL
+    * segment maps (nested field names never change — the mapping is
+    * top-level by design), so the prefix translates when an exact
+    * entry is absent. Exact match first: a literal dotted column name
+    * that happens to be mapped wins over prefix interpretation.
+    */
+  private def phys(c: String): String = colMap.get(c) match {
+    case Some(p) => p
+    case None =>
+      val i = c.indexOf('.')
+      if (i < 0) c
+      else colMap.get(c.substring(0, i))
+        .map(_ + c.substring(i)).getOrElse(c)
+  }
 
   private def physStruct(s: StructType): StructType =
     StructType(s.fields.map(f => f.copy(name = phys(f.name))))

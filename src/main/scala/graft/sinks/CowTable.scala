@@ -1149,10 +1149,17 @@ object CowTable {
       blooms = rekey(f.blooms), nulls = rekey(f.nulls)))
     val newPartCols =
       m.partCols.map(c => if (c == oldName) newName else c)
-    // constraints re-point by parse → transform → re-render; applied
-    // AFTER the manifest commits (a crash between the two leaves
-    // constraints naming the old column, which fails the NEXT commit's
-    // enforceChecks ANALYSIS loudly — detectable, never silent)
+    // constraints re-point by parse → transform → re-render, made
+    // ATOMIC with the manifest commit via the PENDING protocol (round
+    // 15, closing the round-14 crash window): the repointed set lands
+    // as `_checks.tsv.pending-<id>` BEFORE the manifest (under the
+    // per-id lease, so no other writer can take the id meanwhile) and
+    // is adopted — one atomic rename — right after; a crash between
+    // the two is HEALED lazily by [[checkConstraints]], which adopts a
+    // pending whose rename demonstrably committed (the id's manifest
+    // carries the new name and not the old) and discards one whose id
+    // went to some other statement. No observer can see a committed
+    // rename with un-repointed constraints.
     val checks = checkConstraints(spark, root)
     val repointed = checks.map { case (n, sql) =>
       if (!constraintRefs(spark, sql).exists(_.equalsIgnoreCase(oldName)))
@@ -1168,16 +1175,106 @@ object CowTable {
     acquireCommitLock(spark, root, id)
     try {
       if (committedIds(spark, root).exists(_ >= id)) return false
-      commitManifest(spark, root, id, Some(m.id), None) {
+      if (repointed != checks)
+        writePendingChecks(spark, root, id, oldName, newName, repointed)
+      try commitManifest(spark, root, id, Some(m.id), None) {
         writeManifest(spark, root, id, newPartCols, newSchema.toDDL,
           files, (newMap, m.retiredPhys))
+      } catch { case t: Throwable =>
+        fs.delete(pendingChecksPath(root, id), false)
+        throw t
       }
+      if (repointed != checks) adoptPendingChecks(spark, root, id)
     } finally releaseCommitLock(spark, root, id)
-    if (repointed != checks)
-      setCheckConstraints(spark, root, repointed, validate = false)
     vacuum(spark, root, keep, Map(
       id -> files.map(_.path), m.id -> m.allFiles.map(_.path)))
     true
+  }
+
+  // ---- pending-constraint protocol (atomic RENAME re-point) ----
+
+  private def pendingChecksPath(root: String, id: Long) =
+    new Path(s"$root/_checks.tsv.pending-$id")
+
+  /** Stage the repointed set for commit `id`: the first line records
+    * the rename (`#rename <old> <new>`, tab-separated) so the healer
+    * can verify against the id's committed schema; the rest is the
+    * ordinary tsv.
+    */
+  private def writePendingChecks(
+      spark: SparkSession, root: String, id: Long,
+      oldName: String, newName: String,
+      checks: Map[String, String]): Unit = {
+    val fs = hfs(spark, root)
+    val out = fs.create(pendingChecksPath(root, id), true)
+    try out.write((
+      (s"#rename\t${tsvEsc(oldName)}\t${tsvEsc(newName)}" +:
+        checks.toSeq.sortBy(_._1)
+          .map { case (n, e) => tsvEsc(n) + "\t" + tsvEsc(e) })
+        .mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Publish the staged set: one atomic rename over `_checks.tsv`
+    * (the same publish idiom as [[setCheckConstraints]]). Strips the
+    * header by rewriting — file is tiny.
+    */
+  private def adoptPendingChecks(
+      spark: SparkSession, root: String, id: Long): Unit = {
+    val fs = hfs(spark, root)
+    val p = pendingChecksPath(root, id)
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val body = lines.filterNot(_.startsWith("#rename\t"))
+    val tmp = new Path(s"$root/_checks.tsv.adopt-$id")
+    val out = fs.create(tmp, true)
+    try out.write(body.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(checksPath(root), false)
+    require(fs.rename(tmp, checksPath(root)),
+      s"could not publish repointed constraint set at $root")
+    fs.delete(p, false)
+  }
+
+  /** Heal crashed rename re-points: adopt the pending whose rename
+    * demonstrably COMMITTED (the id's manifest has the new name, not
+    * the old), discard pendings whose id went to some other statement
+    * or can never commit, and leave a possibly-in-flight one alone.
+    */
+  private def healPendingChecks(spark: SparkSession, root: String): Unit = {
+    val fs = hfs(spark, root)
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    val pendings = fs.listStatus(rootPath).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("_checks.tsv.pending-"))
+      .flatMap(s => s.getPath.getName
+        .stripPrefix("_checks.tsv.pending-").toLongOption)
+      .sorted.reverse
+    if (pendings.isEmpty) return
+    val ids = committedIds(spark, root)
+    pendings.foreach { id =>
+      val p = pendingChecksPath(root, id)
+      if (ids.contains(id)) {
+        val in = fs.open(p)
+        val header =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .toList.headOption.getOrElse("")
+          finally in.close()
+        val parts = header.split("\t", -1)
+        val renamed = parts.length == 3 && parts(0) == "#rename" && {
+          val (o, n) = (tsvUnesc(parts(1)), tsvUnesc(parts(2)))
+          val sch = manifest(spark, root, id).schema.fieldNames
+          sch.contains(n) && !sch.contains(o)
+        }
+        if (renamed) adoptPendingChecks(spark, root, id)
+        else fs.delete(p, false) // the id went to some other statement
+      } else if (ids.lastOption.exists(_ >= id)) {
+        fs.delete(p, false) // superseded: this id can never commit
+      } // else: possibly in flight under its lease — leave it
+    }
   }
 
   /** `ALTER TABLE … ALTER COLUMN c FIRST | AFTER other` (and the
@@ -1343,6 +1440,9 @@ object CowTable {
   def setCheckConstraints(
       spark: SparkSession, root: String, checks: Map[String, String],
       validate: Boolean = true): Unit = {
+    // heal first: a crashed rename's pending must resolve BEFORE this
+    // replacement lands, or a later heal would clobber the new set
+    healPendingChecks(spark, root)
     // validate=false is ONLY for callers that can prove the new set is
     // implied by the old one (a pure DROP CONSTRAINT: shrinking the set
     // cannot invalidate data every commit already passed) — it skips
@@ -1375,8 +1475,13 @@ object CowTable {
     d.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** The registered CHECK constraints (empty when none). */
+  /** The registered CHECK constraints (empty when none). Heals any
+    * crashed RENAME re-point first (see [[healPendingChecks]]), so no
+    * caller can observe a committed rename with un-repointed
+    * constraints.
+    */
   def checkConstraints(spark: SparkSession, root: String): Map[String, String] = {
+    healPendingChecks(spark, root)
     val fs = hfs(spark, root)
     val p = checksPath(root)
     if (!fs.exists(p)) Map.empty
@@ -2874,6 +2979,31 @@ object CowTable {
     * order anchored to the previous schema (new columns append), so a
     * batch whose plan reordered columns cannot flap the manifest DDL.
     */
+  /** OR `cur`'s nullability into `prop` RECURSIVELY when the shapes
+    * match: a batch whose nested fields are REQUIRED where the table's
+    * are nullable is a stricter writer, not a schema evolution — a
+    * `named_struct` literal always produces required struct fields,
+    * and without the deep union every such INSERT would refuse as
+    * "nullable -> required". Shapes that differ pass through for
+    * [[SchemaCompat]] to judge.
+    */
+  private def unionNullability(cur: DataType, prop: DataType): DataType =
+    (cur, prop) match {
+      case (cs: StructType, ps: StructType)
+          if cs.fieldNames.sameElements(ps.fieldNames) =>
+        StructType(cs.fields.zip(ps.fields).map { case (c, f) =>
+          f.copy(dataType = unionNullability(c.dataType, f.dataType),
+            nullable = c.nullable || f.nullable) })
+      case (ca: ArrayType, pa: ArrayType) =>
+        ArrayType(unionNullability(ca.elementType, pa.elementType),
+          ca.containsNull || pa.containsNull)
+      case (cm: MapType, pm: MapType) =>
+        MapType(unionNullability(cm.keyType, pm.keyType),
+          unionNullability(cm.valueType, pm.valueType),
+          cm.valueContainsNull || pm.valueContainsNull)
+      case _ => prop
+    }
+
   private def effSchemaOf(
       prev: Option[CowManifest], proposed: StructType): StructType =
     prev match {
@@ -2881,7 +3011,9 @@ object CowTable {
       case Some(p) =>
         val byName = proposed.fields.map(f => f.name -> f).toMap
         val kept = p.schema.fields.flatMap(pf => byName.get(pf.name)
-          .map(f => f.copy(nullable = pf.nullable || f.nullable)))
+          .map(f => f.copy(
+            dataType = unionNullability(pf.dataType, f.dataType),
+            nullable = pf.nullable || f.nullable)))
         val added = proposed.fields
           .filterNot(f => p.schema.fieldNames.contains(f.name))
         StructType(kept ++ added)

@@ -162,6 +162,60 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("RENAME constraint re-point is crash-ATOMIC (round-15 pending " +
+      "protocol): a crash between manifest commit and adoption heals " +
+      "on the next read; a pending whose id went to another statement " +
+      "is discarded; an in-flight pending is left alone") {
+    val ns = freshNs("pend")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, qty BIGINT, " +
+      "CONSTRAINT pos CHECK (qty >= 0))")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id FROM range(5)")
+    val root = rootOf(ns, "t")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def writeFile(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // real rename (adopts immediately); then MANUFACTURE the crash
+    // state: old tsv restored, the repointed set parked as pending-3
+    // (the rename's manifest id)
+    spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN qty TO amount")
+    val renameId = CowTable.currentManifest(spark, root).get.id
+    val repointed = CowTable.checkConstraints(spark, root)("pos")
+    assert(repointed.contains("amount"))
+    writeFile("_checks.tsv", "pos\tqty >= 0") // the pre-rename set
+    writeFile(s"_checks.tsv.pending-$renameId",
+      s"#rename\tqty\tamount\npos\t$repointed")
+    // heal-on-read: the committed rename's pending is adopted — no
+    // observer sees the committed rename with un-repointed constraints
+    val healed = CowTable.checkConstraints(spark, root)
+    assert(healed("pos") == repointed, s"heal failed: $healed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"_checks.tsv.pending-$renameId")), "pending must be consumed")
+    // a pending whose id was taken by ANOTHER statement (an append —
+    // its schema still has no such rename) is discarded, current kept
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id FROM range(5, 7)")
+    val appendId = CowTable.currentManifest(spark, root).get.id
+    writeFile(s"_checks.tsv.pending-$appendId",
+      "#rename\tamount\tghost\npos\tghost >= 0")
+    val kept = CowTable.checkConstraints(spark, root)
+    assert(kept("pos") == repointed,
+      s"a foreign-id pending must not be adopted: $kept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"_checks.tsv.pending-$appendId")), "stale pending must delete")
+    // an in-flight pending (id above the head) is left untouched
+    writeFile(s"_checks.tsv.pending-${appendId + 7}",
+      "#rename\tamount\tfuture\npos\tfuture >= 0")
+    assert(CowTable.checkConstraints(spark, root)("pos") == repointed)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"_checks.tsv.pending-${appendId + 7}")),
+      "an in-flight pending must be left for its owner")
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      s"_checks.tsv.pending-${appendId + 7}"), false)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("MOR on a mapped table: positional-DV delete and tombstone " +
       "update resolve through the physical names") {
     val ns = freshNs("mor")

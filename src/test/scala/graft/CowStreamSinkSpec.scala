@@ -156,6 +156,9 @@ class CowStreamSinkSpec extends SparkSpec {
     assert(spark.read.option("endSnapshot", "1")
       .table(s"cow.`$root`.changes").count() == 5L)
     // vacuum past commit 1, then ask for it: loud, not a silent hole
+    // (checkpoint first: delta-chain retention would otherwise keep
+    // commit 1 servable under keep=2)
+    CowTable.checkpoint(spark, root, 2L)
     CowTable.vacuum(spark, root, keep = 2)
     val e = intercept[Exception](spark.read
       .option("startSnapshot", "1").table(s"cow.`$root`.changes")

@@ -66,9 +66,16 @@ class CowV2Spec extends SparkSpec {
     assert(!v2.select("id").collect().map(_.getLong(0)).contains(5L),
       "MOR tombstone row leaked through the v2 path")
 
-    // id=1 is outside keep=2 retention by now — the v2 path fails loud
-    // (same contract as the vacuum-reader pins), and an in-retention id
-    // time-travels to the pre-delete state
+    // delta-chain retention keeps id=1 alive under keep=2 (the head's
+    // chain resolves through it) — it stays SERVABLE until a
+    // checkpoint collapses the chain, after which the v2 path fails
+    // loud (same contract as the vacuum-reader pins). An in-retention
+    // id then time-travels to the pre-delete state.
+    assert(CowV2.readAt(spark, root, 1L).collect().toSet ==
+      CowTable.readAt(spark, root, 1L).get.collect().toSet,
+      "a chain-retained base must stay servable")
+    CowTable.checkpoint(spark, root, 2L)
+    CowTable.vacuum(spark, root, keep = 2)
     intercept[Exception] { CowV2.readAt(spark, root, 1L).collect() }
     val t2 = CowV2.readAt(spark, root, 2L)
     assert(t2.collect().toSet ==

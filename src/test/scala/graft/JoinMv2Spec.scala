@@ -130,6 +130,10 @@ class JoinMv2Spec extends SparkSpec {
         concat(lit(s"b$i-"), $"id").as("bv"))))
     CowTable.unregisterStreamFrontier(spark, rb,
       CowStream.fenceNameFor(mv))
+    // checkpoint first: delta-chain retention would otherwise keep
+    // snapshot 1 servable as the retained head's base chain
+    CowTable.checkpoint(spark, rb,
+      CowTable.committedIds(spark, rb).takeRight(2).head)
     CowTable.vacuum(spark, rb, keep = 2)
     assert(!CowTable.committedIds(spark, rb).contains(1L),
       "setup: frontier manifest should be vacuumed")

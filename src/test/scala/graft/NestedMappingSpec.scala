@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{CowRange, CowTable, CowV2}
+
+/** COLUMN MAPPING on tables WITH NESTED COLUMNS (round-15 pin, the
+  * round-14 verdict's "missing #4"): renaming a TOP-LEVEL column —
+  * including a struct or array column itself — is metadata-only and
+  * fully served (the mapping is a top-level name split; nested field
+  * names live inside the file and never change), while renaming a
+  * NESTED FIELD refuses loudly with the top-level-only remedy. Stats
+  * skipping on the atomic top-level columns of a nested table is
+  * unaffected by the nested siblings.
+  */
+class NestedMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("nestedmap").toString
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap {
+        case d if d.isDirectory => walk(d.getPath)
+        case f if f.getPath.getName.endsWith(".parquet") =>
+          Seq(f.getPath.toString -> f.getModificationTime)
+        case _ => Nil
+      }
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .flatMap(s => walk(s.getPath)).toMap
+  }
+
+  test("top-level renames on a nested table are metadata-only and " +
+      "serve nested reads under the new names; skipping on atomic " +
+      "columns is unaffected") {
+    val root = s"${tmp()}/t"
+    val df = spark.range(20).select(
+      $"id",
+      struct(($"id" * 2).as("a"), concat(lit("s"), $"id").as("b"))
+        .as("meta"),
+      array(concat(lit("t"), $"id")).as("tags"),
+      ($"id" % 4).as("p"))
+    CowTable.commitFull(df, root, 1L, Seq("p"), keep = 10)
+    val before = dataFiles(root)
+
+    // rename the STRUCT column itself, then an atomic sibling
+    assert(CowTable.renameColumn(spark, root, 2L, "meta", "info",
+      keep = 10))
+    assert(CowTable.renameColumn(spark, root, 3L, "id", "rid",
+      keep = 10))
+    assert(dataFiles(root) == before,
+      "a top-level rename on a nested table must rewrite zero files")
+
+    // planner-integrated read under the NEW names, nested access +
+    // nested filter (pushdown translates the top-level prefix; the
+    // residual filter keeps correctness either way)
+    val t = CowV2.read(spark, root).get
+    assert(t.agg(sum($"info.a")).as[Long].head == (0 until 20).map(_ * 2).sum)
+    val hit = t.where($"info.a" === 6)
+      .select($"rid", $"info.b", element_at($"tags", 1))
+      .as[(Long, String, String)].collect().toSeq
+    assert(hit == Seq((3L, "s3", "t3")), s"got $hit")
+
+    // stats skipping on the renamed atomic column still prunes: rid=0
+    // lives only in partition p=0's file (per-file min/max survive the
+    // rename re-key, nested siblings simply carry no stats)
+    val m = CowTable.currentManifest(spark, root).get
+    val kept = CowTable.filesFor(spark, root,
+      Seq(CowRange("rid", Some("0"), Some("0"))))
+    assert(kept.size < m.files.size && kept.nonEmpty,
+      s"skipping lost on a nested mapped table: ${kept.size} of " +
+        s"${m.files.size}")
+    // time travel serves the OLD names
+    assert(CowTable.readAt(spark, root, 1L).get.columns.toSeq
+      .take(2) == Seq("id", "meta"))
+  }
+
+  test("renaming a NESTED FIELD refuses loudly with the top-level-only " +
+      "remedy; DML on a renamed nested table stays correct") {
+    val ns = s"nest${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    spark.sql(s"CREATE TABLE cow.$ns.t " +
+      "(id BIGINT, meta STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql(s"INSERT INTO cow.$ns.t " +
+      "SELECT id, named_struct('a', id * 2, 'b', concat('s', id)) " +
+      "FROM range(8)")
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE cow.$ns.t RENAME COLUMN meta.a TO z"))
+    assert(Option(e.getMessage).exists(_.contains("top-level")),
+      s"nested-field rename must refuse with the remedy: $e")
+    // top-level struct rename through the catalog, then DML reads and
+    // writes the nested data under the new name
+    spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN meta TO payload")
+    spark.sql(s"DELETE FROM cow.$ns.t WHERE payload.a >= 12")
+    assert(spark.table(s"cow.$ns.t").count() == 6L)
+    assert(spark.sql(s"SELECT payload.b FROM cow.$ns.t WHERE id = 2")
+      .as[String].head() == "s2")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+}
