@@ -138,10 +138,13 @@ object MergeInto {
         // named expressions); explicit presence flags stand in for
         // the struct-null test (a target row that is all-NULL in
         // every column is still a matched row)
+        // flag names live OUTSIDE the __t_/__s_ prefix namespace: a
+        // real column named "present" prefixes to __t_present, which
+        // must not collide with the flag itself
         val t = target.select(outCols.map(c => col(c).as(s"__t_$c")) :+
-          lit(true).as("__t_present"): _*)
+          lit(true).as("__graft_tp__"): _*)
         val s = source.select(srcCols.map(c => col(c).as(s"__s_$c")) :+
-          lit(true).as("__s_present"): _*)
+          lit(true).as("__graft_sp__"): _*)
         val joinCond = keyCols
           .map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
         val flat = t.join(s, joinCond, "full_outer")
@@ -150,9 +153,9 @@ object MergeInto {
           case (df, (None, _)) => df
         }
         withBc.select(
-          when(col("__t_present"),
+          when(col("__graft_tp__"),
             struct(outCols.map(c => col(s"__t_$c").as(c)): _*)).as("t") +:
-          when(col("__s_present"),
+          when(col("__graft_sp__"),
             struct(srcCols.map(c => col(s"__s_$c").as(c)): _*)).as("s") +:
           bound.zipWithIndex.collect {
             case (Some(_), i) => col(s"__bc_$i")

@@ -279,12 +279,16 @@ private[plans] object CowAnalyzedDml {
       case x => Seq(x)
     }
     val keys = conjuncts(m.mergeCondition).map {
+      // EXACT name equality, matching the textual path's rule — a
+      // case-mismatched pair would pass here and then fail inside the
+      // merge's case-sensitive source-column check with a misleading
+      // error, diverging from the non-subquery path's clear refusal
       case org.apache.spark.sql.catalyst.expressions
           .EqualTo(a: Attribute, b: Attribute)
-          if a.name.equalsIgnoreCase(b.name) &&
+          if a.name == b.name &&
             ((tgtSet.contains(a) && srcSet.contains(b)) ||
               (tgtSet.contains(b) && srcSet.contains(a))) =>
-        if (tgtSet.contains(a)) a.name else b.name
+        a.name
       case other => throw new IllegalArgumentException(
         s"ON clause must be a conjunction of t.k = s.k equalities; " +
           s"got ${other.sql}")

@@ -238,13 +238,16 @@ final case class CowBoundUpdateCommand(
     val setOf: DataFrame => Map[String, Column] = df =>
       boundSets.map { case (c, b) =>
         c -> CowBoundDml.bind(b.cond, b.tableOutput)(df) }.toMap
+    // subquery-bearing SETs force the matched-only evaluation split
+    // (ANSI: SET evaluates on matched rows only — see updateWhereBy)
+    val subqSets = boundSets.exists(_._2.subplans.nonEmpty)
     CowBoundDml.runOwned(session, root, "UPDATE") { id =>
       if (CowSql.useMor(session, root, mode, thr))
         CowTable.updateWhereDvBy(session, root, id, condOf, setOf,
-          keep = keep)
+          keep = keep, setsSubquery = subqSets)
       else
         CowTable.updateWhereBy(session, root, id, condOf, setOf,
-          keep = keep)
+          keep = keep, setsSubquery = subqSets)
     }
     Nil
   }

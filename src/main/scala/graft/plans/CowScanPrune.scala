@@ -40,13 +40,18 @@ final case class CowScanPruneRule(spark: SparkSession)
         if hfs.location.isInstanceOf[CowFileIndex] &&
           !hfs.location.asInstanceOf[CowFileIndex].pruned =>
       val idx = hfs.location.asInstanceOf[CowFileIndex]
-      val partNames = hfs.partitionSchema.fieldNames
-        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      // the SESSION resolver decides partition membership — under
+      // spark.sql.caseSensitive=true a data column differing only in
+      // case from a partition column must not be misrouted (the
+      // index's partition binding uses the same resolver and would
+      // throw inside the optimizer)
+      val resolver = spark.sessionState.analyzer.resolver
+      val partNames = hfs.partitionSchema.fieldNames.toSeq
       val usable = conjuncts(cond).filter(c =>
         c.deterministic && !SubqueryExpression.hasSubquery(c))
       val (partF, dataF) = usable.partition(c =>
         c.references.nonEmpty && c.references.forall(a =>
-          partNames.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
+          partNames.exists(f => resolver(f, a.name))))
       val newIdx = idx.prunedTo(partF, dataF)
       Filter(cond, lr.copy(relation = hfs.copy(location = newIdx)(spark)))
   }

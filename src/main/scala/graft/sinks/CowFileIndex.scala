@@ -187,7 +187,8 @@ final class CowFileIndex(
     */
   private def keptGroups(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression])
+      dataFilters: Seq[Expression],
+      withBlooms: Boolean = true)
       : Seq[(Map[String, String], Seq[CowFile])] = {
     // 1. static partition pruning: bind the filters to the partition
     //    schema by name and evaluate per distinct partition value
@@ -215,7 +216,10 @@ final class CowFileIndex(
       var kept = files.filter(f => nullPrunes.forall(_(f)))
       if (ranges.nonEmpty)
         kept = CowTable.keptFilesAmong(spark, m, kept, ranges)
-      ins.foreach { case (n, vs) =>
+      // IN-list pruning hashes probe values through a Spark job
+      // (bloomHashesOfAll) — fine at scan planning, not inside the
+      // optimizer's estimate pass (withBlooms = false there)
+      if (withBlooms) ins.foreach { case (n, vs) =>
         if (kept.nonEmpty)
           kept = CowTable.keptFilesInAmong(spark, m, kept, n, vs)
       }
@@ -248,7 +252,12 @@ final class CowFileIndex(
   private[graft] def prunedTo(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): CowFileIndex = {
-    val kept = keptGroups(partitionFilters, dataFilters)
+    // estimate-only pass: partition values + min/max envelopes + null
+    // counts — all driver-local. Bloom probes would launch a Spark job
+    // inside logical optimization; the scan's own listFiles still runs
+    // them over the (already narrowed) survivors.
+    val kept = keptGroups(partitionFilters, dataFilters,
+        withBlooms = false)
       .flatMap(_._2)
     if (kept.length == m.files.length)
       new CowFileIndex(spark, root, m, pruned = true)

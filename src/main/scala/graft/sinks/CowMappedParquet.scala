@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * Equality includes the map: two relations over different mappings
   * must never be deduplicated into one scan by plan canonicalization.
   */
-final class CowMappedParquetFileFormat(colMap: Map[String, String])
+final class CowMappedParquetFileFormat(colMap: Map[String, String],
+    topLevel: Set[String])
   extends ParquetFileFormat {
 
   /** Logical→physical for a pushed-filter column reference. NESTED
@@ -38,7 +39,12 @@ final class CowMappedParquetFileFormat(colMap: Map[String, String])
     case Some(p) => p
     case None =>
       val i = c.indexOf('.')
-      if (i < 0) c
+      // prefix interpretation ONLY when `c` is not itself a top-level
+      // logical column: a literal dotted column name (legal with
+      // backticks) whose first segment collides with a mapped column
+      // must stay identity, or the pushed filter would evaluate a
+      // nonexistent physical path and silently drop rows
+      if (i < 0 || topLevel.contains(c)) c
       else colMap.get(c.substring(0, i))
         .map(_ + c.substring(i)).getOrElse(c)
   }
@@ -156,5 +162,5 @@ object CowMappedParquetFileFormat {
     * files under the wrong names.
     */
   def forManifest(m: CowManifest): ParquetFileFormat =
-    new CowMappedParquetFileFormat(m.colMap)
+    new CowMappedParquetFileFormat(m.colMap, m.schema.fieldNames.toSet)
 }

@@ -524,10 +524,14 @@ object CowSql {
         val sets: org.apache.spark.sql.DataFrame
             => Map[String, org.apache.spark.sql.Column] =
           df => setPairs.map { case (n, f) => n -> f(df) }.toMap
+        // subquery-bearing SETs force the matched-only split (ANSI)
+        val subqSets = assignments.exists(a => hasSubquery(a.value))
         if (useMor(spark, root, mode, thresholdBytes))
-          CowTable.updateWhereDvBy(spark, root, id, c, sets, keep = keep)
+          CowTable.updateWhereDvBy(spark, root, id, c, sets, keep = keep,
+            setsSubquery = subqSets)
         else
-          CowTable.updateWhereBy(spark, root, id, c, sets, keep = keep)
+          CowTable.updateWhereBy(spark, root, id, c, sets, keep = keep,
+            setsSubquery = subqSets)
       case m: MergeIntoTable =>
         execMerge(spark, id, m, keep)
       // constraint DDL: commits NO manifest (the CHECK set is table

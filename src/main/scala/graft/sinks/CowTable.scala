@@ -986,14 +986,17 @@ object CowTable {
         unregisterStreamFrontier(spark, sourceRoot, fence)
     }
 
-  /** Clone fences at `root` whose target no longer exists (no committed
-    * snapshot at the recorded target root, or the target's provenance
-    * no longer points here) — over-retention leaks from crashed or
-    * out-of-band clone drops, surfaced for operators to release. A
-    * fence with no reverse pointer at all is listed too: either a
-    * pre-lifecycle clone (release manually once its target is
-    * confirmed gone) or a clone INTERRUPTED mid-creation whose abort
-    * path could not run. Report-only — a clone in the middle of being
+  /** Clone fences at `root` whose target no longer exists (no
+    * committed snapshot at the recorded target root) — over-retention
+    * leaks from crashed or out-of-band clone drops, surfaced for
+    * operators to release. A target that HAS commits is never reported
+    * — even without its provenance file (a clone that crashed between
+    * its manifest commit and the provenance write is LIVE and serving;
+    * flagging it would invite a release that lets the source vacuum
+    * delete files it reads). A fence with no reverse pointer at all is
+    * listed: either a pre-lifecycle clone (release manually once its
+    * target is confirmed gone) or a clone INTERRUPTED before its
+    * target committed. Report-only — a clone in the middle of being
     * created looks identical for an instant, so nothing is deleted
     * here.
     */
@@ -1010,8 +1013,7 @@ object CowTable {
             try tsvUnesc(
               scala.io.Source.fromInputStream(in, "UTF-8").mkString)
             finally in.close()
-          committedIds(spark, target).isEmpty ||
-            !cloneProvenance(spark, target).exists(_._2 == fence)
+          committedIds(spark, target).isEmpty
         }
       }
   }
@@ -1233,8 +1235,14 @@ object CowTable {
     try out.write(body.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     fs.delete(checksPath(root), false)
-    require(fs.rename(tmp, checksPath(root)),
-      s"could not publish repointed constraint set at $root")
+    if (!fs.rename(tmp, checksPath(root))) {
+      // a CONCURRENT healer of the same crashed rename won the
+      // publish (both write identical content, so losing is benign);
+      // any other cause is a real failure
+      fs.delete(tmp, false)
+      require(fs.exists(checksPath(root)),
+        s"could not publish repointed constraint set at $root")
+    }
     fs.delete(p, false)
   }
 
@@ -4132,7 +4140,8 @@ object CowTable {
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
-      changeLogKeys: Seq[String] = Nil): Boolean = {
+      changeLogKeys: Seq[String] = Nil,
+      setsSubquery: Boolean = false): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -4166,14 +4175,33 @@ object CowTable {
       m.files.filter(f => hit.contains(m.partKeyOf(f))))
     val setChecked = checkedAssignments(baseScan, m, setOf(baseScan))
     val applies = coalesce(condOf(baseScan), lit(false))
-    val rewrite = baseScan
-      .select(m.schema.fields.toSeq.map { f =>
-        setChecked.get(f.name) match {
-          case Some(v) =>
-            when(applies, v).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
+    val rewrite =
+      if (!setsSubquery)
+        baseScan.select(m.schema.fields.toSeq.map { f =>
+          setChecked.get(f.name) match {
+            case Some(v) =>
+              when(applies, v).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      else {
+        // ANSI: SET evaluates on MATCHED rows only. A subquery-bearing
+        // value plans as a JOIN that — inside when(applies, …) — would
+        // still run for every row of the hit partitions, so a
+        // correlated scalar subquery that is multi-row only for an
+        // UNMATCHED row would spuriously abort the statement (and the
+        // DV twin, which computes new images from the cond-filtered
+        // matches, would diverge). Split matched/untouched instead:
+        // two passes over exactly the touched partitions, only when
+        // subqueries ride in the SET.
+        val updated = baseScan.where(applies)
+          .select(m.schema.fields.toSeq.map(f =>
+            setChecked.get(f.name).map(_.as(f.name))
+              .getOrElse(col(f.name))): _*)
+        baseScan.where(!applies)
+          .select(m.schema.fieldNames.toSeq.map(col): _*)
+          .unionByName(updated)
+      }
     commitPartitionsFrom(Some(m), rewrite, hit, root, id, m.partCols,
       keep, sortCols, changeLogKeys = changeLogKeys)
   }
@@ -4398,7 +4426,8 @@ object CowTable {
       setOf: DataFrame => Map[String, Column],
       prune: Seq[CowRange] = Nil,
       keep: Int = 2,
-      changeLogKeys: Seq[String] = Nil): Boolean = {
+      changeLogKeys: Seq[String] = Nil,
+      setsSubquery: Boolean = false): Boolean = {
     if (committedIds(spark, root).exists(_ >= id)) return false
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
@@ -4447,7 +4476,7 @@ object CowTable {
         releaseCommitLock(spark, root, id)
         lockHeld = false // a concurrent same-id writer may re-acquire
         return updateWhereBy(spark, root, id, condOf, setOf, prune, keep,
-          changeLogKeys = changeLogKeys)
+          changeLogKeys = changeLogKeys, setsSubquery = setsSubquery)
       }
       // same enforcement as the COW twin and updateWhereMor
       enforceChecks(ni, checkConstraints(spark, root),
@@ -5488,12 +5517,16 @@ object CowTable {
         .exists(i => deletedIds.contains(i) ||
           (!committed(i) && i < newest)))
       .foreach(s => fs.delete(s.getPath, false))
-    // checkpoints age out with their manifests
+    // checkpoints age out with their manifests; the `!committed`
+    // fallback sweeps one ORPHANED by a crash between a prior vacuum's
+    // manifest deletion and its own checkpoint sweep (mirrors the
+    // _mbase rule — a checkpoint only ever exists for committed ids,
+    // so absent-from-committed means its manifest is gone)
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(CkptPrefix))
       .filter(_.getPath.getName.stripPrefix(CkptPrefix).toLongOption
-        .exists(deletedIds.contains))
+        .exists(i => deletedIds.contains(i) || !committed(i)))
       .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only

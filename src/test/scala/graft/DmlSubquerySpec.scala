@@ -262,6 +262,38 @@ class DmlSubquerySpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("review pins: a column named 'present' survives the bound-merge " +
+      "flat construction; a SET subquery that is multi-row only for " +
+      "UNMATCHED rows does not abort (ANSI matched-only evaluation)") {
+    val ns = freshNs("rvw")
+    // 'present' collides with a naive presence-flag name in the flat
+    // prefixed join — must plan and run
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, present BIGINT)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id FROM range(4)")
+    spark.range(2).select($"id", ($"id" + 100).as("present"))
+      .createOrReplaceTempView("rvw_src")
+    Seq(1L).toDF("k").createOrReplaceTempView("rvw_keys")
+    spark.sql(s"""
+      MERGE INTO cow.$ns.t AS t USING rvw_src AS s ON t.id = s.id
+      WHEN MATCHED AND t.id IN (SELECT k FROM rvw_keys)
+        THEN UPDATE SET present = s.present""")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 1)
+      .select("present").as[Long].head == 101L)
+    // correlated scalar SET: lookup has TWO rows for id=3 (unmatched
+    // by the WHERE) and one for id=0 (matched) — the statement must
+    // succeed, evaluating the subquery on matched rows only; COW path
+    Seq((0L, 7L), (3L, 8L), (3L, 9L)).toDF("k", "v")
+      .createOrReplaceTempView("rvw_lkp")
+    spark.conf.set("spark.graft.cow.dml.mode", "cow")
+    try spark.sql(s"UPDATE cow.$ns.t SET present = " +
+      "(SELECT l.v FROM rvw_lkp l WHERE l.k = id) WHERE id = 0")
+    finally spark.conf.unset("spark.graft.cow.dml.mode")
+    val got = spark.table(s"cow.$ns.t").orderBy("id")
+      .select("present").as[Long].collect().toSeq
+    assert(got == Seq(7L, 101L, 2L, 3L), s"got $got")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("the PATH form takes MERGE clause-condition subqueries too " +
       "(analyze-once against the pre-statement snapshot)") {
     val root =
