@@ -2478,7 +2478,73 @@ object QueriesCow {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // DELTA-MANIFEST LIFECYCLE end-to-end (round 15): an append chain
+  // whose commits each write O(Δ) manifest rows against a base
+  // reference, a partition-rewrite UPDATE (a delta with removed
+  // partition keys), then an explicit VACUUM whose checkpoint
+  // compaction collapses the chain — and the post-collapse state must
+  // still equal the relational replay. The require()s pin the SHAPE:
+  // every post-create commit advertises its base (delta), the vacuum
+  // leaves exactly the retained count, the collapse wrote its
+  // checkpoint, and the head stays time-travel consistent.
+  // -------------------------------------------------------------------
+  def cowDeltaLog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val (ns, nsDir) = scratchCatalog(spark, "dlog")
+    Tables.load(spark, dir, "customer")
+      .createOrReplaceTempView("dlog_cust_src")
+    spark.sql(s"""CREATE TABLE $ns.c
+      (c_custkey BIGINT, cents BIGINT, seg STRING)
+      PARTITIONED BY (seg)""")
+    def ins(lo: Long, hi: Long): Unit = spark.sql(
+      s"""INSERT INTO $ns.c
+        SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT),
+               c_mktsegment
+        FROM dlog_cust_src
+        WHERE c_custkey BETWEEN $lo AND $hi""")
+    ins(1, 500); ins(501, 1000); ins(1001, 1500)
+    spark.sql(s"UPDATE $ns.c SET cents = 0 WHERE cents < 0")
+    val root = s"$nsDir/c"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every post-create commit is a DELTA against its predecessor
+    (2L to 5L).foreach(i => require(
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"_mbase-$i=${i - 1}")),
+      s"commit $i must be a delta manifest advertising base ${i - 1}"))
+    spark.sql(s"VACUUM $ns.c RETAIN 2 SNAPSHOTS")
+    require(CowTable.committedIds(spark, root) == Seq(4L, 5L),
+      "explicit VACUUM must collapse the delta chain and retain exactly 2")
+    require(fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"_ckpt-4/_SUCCESS")),
+      "the retention-floor delta must have been checkpointed")
+    // the collapsed head serves reads AND the retained previous
+    // snapshot stays time-travelable
+    require(CowTable.readAt(spark, root, 4L).get.count() ==
+      spark.table(s"$ns.c").count(),
+      "pre-update snapshot must count the same rows (update rewrote)")
+    spark.table(s"$ns.c")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .orderBy("seg")
+  }
+
+  val cowDeltaLogSql: String =
+    """WITH t1 AS (
+      |  SELECT c_custkey,
+      |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+      |    c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey BETWEEN 1 AND 1500),
+      |t2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN cents < 0 THEN 0 ELSE cents END AS cents, seg
+      |  FROM t1)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM t2 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cow_delta_log" -> (cowDeltaLog _),
     "cow_rename_drop" -> (cowRenameDrop _),
     "cow_stream_event_agg" -> (cowStreamEventAgg _),
     "cow_shallow_clone" -> (cowShallowClone _),
@@ -2538,6 +2604,7 @@ object QueriesCow {
     "cow_shallow_clone" -> cowShallowCloneSql,
     "cow_merge_evolve" -> cowMergeEvolveSql,
     "cow_dml_subquery" -> cowDmlSubquerySql,
+    "cow_delta_log" -> cowDeltaLogSql,
     "cow_merge_multi" -> cowMergeMultiSql,
     "cow_join_mv" -> cowJoinMvSql,
     "cow_stream_join_mv" -> cowStreamJoinMvSql,
