@@ -214,8 +214,20 @@ final class CowFileIndex(
     val nullPrunes = dataFilters.flatMap(nullPruneOf)
     afterPart.flatMap { case (part, files) =>
       var kept = files.filter(f => nullPrunes.forall(_(f)))
-      if (ranges.nonEmpty)
-        kept = CowTable.keptFilesAmong(spark, m, kept, ranges)
+      if (ranges.nonEmpty) {
+        if (withBlooms)
+          kept = CowTable.keptFilesAmong(spark, m, kept, ranges)
+        else {
+          // estimate pass: POINT ranges would also probe blooms (a
+          // Spark job) — strip the bloom words for the skipping
+          // decision, then map the survivors back to their original
+          // entries so a pruned index keeps full stats for the scan
+          val byPath = kept.map(f => f.path -> f).toMap
+          kept = CowTable.keptFilesAmong(spark, m,
+              kept.map(_.copy(blooms = Map.empty)), ranges)
+            .map(f => byPath(f.path))
+        }
+      }
       // IN-list pruning hashes probe values through a Spark job
       // (bloomHashesOfAll) — fine at scan planning, not inside the
       // optimizer's estimate pass (withBlooms = false there)

@@ -1236,12 +1236,19 @@ object CowTable {
     finally out.close()
     fs.delete(checksPath(root), false)
     if (!fs.rename(tmp, checksPath(root))) {
-      // a CONCURRENT healer of the same crashed rename won the
-      // publish (both write identical content, so losing is benign);
-      // any other cause is a real failure
       fs.delete(tmp, false)
-      require(fs.exists(checksPath(root)),
-        s"could not publish repointed constraint set at $root")
+      // a CONCURRENT healer of the same crashed rename won the
+      // publish — identical content, losing is benign and the
+      // pending may be consumed. Any OTHER writer landing in the
+      // window (e.g. an ADD CONSTRAINT publish) must NOT consume the
+      // pending: its set was computed from the un-repointed text, and
+      // deleting the pending would destroy the only heal source —
+      // leave it for a later heal pass instead.
+      val in2 = fs.open(checksPath(root))
+      val published =
+        try scala.io.Source.fromInputStream(in2, "UTF-8").mkString
+        finally in2.close()
+      if (published != body.mkString("\n")) return
     }
     fs.delete(p, false)
   }
@@ -5519,14 +5526,19 @@ object CowTable {
       .foreach(s => fs.delete(s.getPath, false))
     // checkpoints age out with their manifests; the `!committed`
     // fallback sweeps one ORPHANED by a crash between a prior vacuum's
-    // manifest deletion and its own checkpoint sweep (mirrors the
-    // _mbase rule — a checkpoint only ever exists for committed ids,
-    // so absent-from-committed means its manifest is gone)
+    // manifest deletion and its own checkpoint sweep. MIRRORS the
+    // _mbase rule exactly, `i < newest` included: this vacuum's
+    // committed-ids snapshot is stale by the time the sweep runs, so
+    // a checkpoint for an id COMMITTED AFTER our listing (a concurrent
+    // writer's collapse) must not be mistaken for an orphan — deleting
+    // it after that writer pruned its chain would leave the head
+    // unresolvable.
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith(CkptPrefix))
       .filter(_.getPath.getName.stripPrefix(CkptPrefix).toLongOption
-        .exists(i => deletedIds.contains(i) || !committed(i)))
+        .exists(i => deletedIds.contains(i) ||
+          (!committed(i) && i < newest)))
       .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
