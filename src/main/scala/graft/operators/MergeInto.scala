@@ -148,10 +148,33 @@ object MergeInto {
         val joinCond = keyCols
           .map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _)
         val flat = t.join(s, joinCond, "full_outer")
-        val withBc = bound.zipWithIndex.foldLeft(flat) {
-          case (df, (Some(f), i)) => df.withColumn(s"__bc_$i", f(df))
-          case (df, (None, _)) => df
+        // ANSI evaluates a WHEN clause's guard only on its own row
+        // class (matched / not-matched / by-source) — a guard's
+        // correlated scalar subquery must never run on rows that
+        // cannot take the clause (a lookup that is multi-row only for
+        // such a row would abort the statement; the same hazard the
+        // matched-only UPDATE SET split closes). Split the join by
+        // row class, compute each bound guard only on its class, and
+        // union — three passes over the delta-sized join, only when
+        // subqueries ride in guards.
+        val tp = coalesce(col("__graft_tp__"), lit(false))
+        val sp = coalesce(col("__graft_sp__"), lit(false))
+        def classOf(cl: MergeClause): Int = cl match {
+          case _: MatchedUpdate | _: MatchedDelete => 0
+          case _: NotMatchedInsert => 1
+          case _ => 2
         }
+        def branch(rows: DataFrame, cls: Int): DataFrame =
+          bound.zipWithIndex.foldLeft(rows) {
+            case (df, (Some(f), i)) if classOf(clauses(i)) == cls =>
+              df.withColumn(s"__bc_$i", f(df))
+            case (df, (Some(_), i)) =>
+              df.withColumn(s"__bc_$i", lit(false)) // out of class: unused
+            case (df, (None, _)) => df
+          }
+        val withBc = branch(flat.where(tp && sp), 0)
+          .unionByName(branch(flat.where(!tp), 1))
+          .unionByName(branch(flat.where(!sp), 2))
         withBc.select(
           when(col("__graft_tp__"),
             struct(outCols.map(c => col(s"__t_$c").as(c)): _*)).as("t") +:

@@ -273,12 +273,7 @@ private[plans] object CowAnalyzedDml {
     val tgtSet = AttributeSet(tgtOut)
     val srcSet = AttributeSet(srcOut)
     def txt(e: Expression): String = textOf(e, tgtSet, srcSet)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    val keys = conjuncts(m.mergeCondition).map {
+    val keys = CowBoundDml.conjuncts(m.mergeCondition).map {
       // EXACT name equality, matching the textual path's rule — a
       // case-mismatched pair would pass here and then fail inside the
       // merge's case-sensitive source-column check with a misleading

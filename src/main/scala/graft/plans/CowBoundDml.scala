@@ -37,6 +37,15 @@ private[graft] object CowBoundDml {
   def hasSubquery(es: Seq[Expression]): Boolean =
     es.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
 
+  /** Top-level AND-conjuncts of an expression — the one shared
+    * flattener (merge-key extraction, scan-prune classification).
+    */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
   /** Bind `cond` (analyzed against `oldOutput`) to `df`'s own
     * attributes: every target attribute — bare in the condition or
     * wrapped in an `OuterReference` inside a subquery plan — is

@@ -1,8 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Expression,
-  SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -29,11 +28,6 @@ import graft.sinks.CowFileIndex
 final case class CowScanPruneRule(spark: SparkSession)
   extends Rule[LogicalPlan] {
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case x => Seq(x)
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         lr @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _))
@@ -47,7 +41,7 @@ final case class CowScanPruneRule(spark: SparkSession)
       // throw inside the optimizer)
       val resolver = spark.sessionState.analyzer.resolver
       val partNames = hfs.partitionSchema.fieldNames.toSeq
-      val usable = conjuncts(cond).filter(c =>
+      val usable = CowBoundDml.conjuncts(cond).filter(c =>
         c.deterministic && !SubqueryExpression.hasSubquery(c))
       val (partF, dataF) = usable.partition(c =>
         c.references.nonEmpty && c.references.forall(a =>

@@ -555,6 +555,9 @@ object CowTable {
     hit match {
       case Some((_, m)) => m
       case None =>
+        // diagnostics only — bounded unlike the LRU'd memo (a long
+        // driver over many ephemeral roots must not grow it forever)
+        if (manifestParses.size > 1024) manifestParses.clear()
         manifestParses.merge(qroot, 1L, (a, b) => a + b)
         // a committed checkpoint short-circuits the delta chain: the
         // full resolved list in one parse, no base needed (what lets
@@ -581,15 +584,28 @@ object CowTable {
     */
   def checkpoint(spark: SparkSession, root: String, id: Long): Unit = {
     val fs = hfs(spark, root)
-    val ckptSuccess = new Path(s"$root/$CkptPrefix$id/_SUCCESS")
-    if (fs.exists(ckptSuccess)) return
+    val ckptDir = new Path(s"$root/$CkptPrefix$id")
+    if (fs.exists(new Path(ckptDir, "_SUCCESS"))) return
     val isDelta = fs.listStatus(new Path(root)).toSeq.exists(s =>
       !s.isDirectory &&
         s.getPath.getName.startsWith(s"$MbasePrefix$id="))
     if (!isDelta) return
     val m = manifest(spark, root, id)
-    writeManifestAt(spark, s"$root/$CkptPrefix$id", m.partCols,
+    // write-to-temp + rename: two vacuums (different drivers' post-
+    // commit vacuums hold no lock) may both decide to collapse —
+    // overwriting the final dir directly could interleave two jobs'
+    // part files under one _SUCCESS. The rename is atomic; the loser
+    // cleans its temp and the winner's dir is complete by
+    // construction. Same-content writers, so losing is benign.
+    val tmpDir = new Path(s"$root/$CkptPrefix$id.tmp-" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    writeManifestAt(spark, tmpDir.toString, m.partCols,
       m.schemaDdl, m.allFiles, (m.colMap, m.retiredPhys))
+    if (!fs.rename(tmpDir, ckptDir)) {
+      fs.delete(tmpDir, true)
+      require(fs.exists(new Path(ckptDir, "_SUCCESS")),
+        s"could not publish checkpoint $ckptDir")
+    }
   }
 
   /** Parse a manifest from an explicit directory (committed or
@@ -873,6 +889,11 @@ object CowTable {
     val fenceName =
       "clone-" + java.util.UUID.randomUUID().toString.replace("-", "")
     registerStreamFrontier(spark, sourceRoot, fenceName, at)
+    // once the clone's manifest COMMITS, the clone is live and
+    // servable — a later failure (e.g. the provenance write) must NOT
+    // release the fence, or the source's next vacuum deletes files a
+    // readable clone references
+    var cloneCommitted = false
     try {
       // the reverse pointer rides with the fence (same crash window:
       // pointer-no-fence is impossible, fence-no-pointer only until
@@ -903,15 +924,21 @@ object CowTable {
             entries, mappingOf(Some(m)))
         }
       } finally releaseCommitLock(spark, targetRoot, 1L)
+      cloneCommitted = true
       // provenance at the target: what releaseCloneFence / DROP reads.
       // Written AFTER the commit — a crash in between leaves a clone
       // whose drop cannot auto-release (the documented legacy state,
       // surfaced by fsck at the source), never a dangling pointer.
       writeCloneProv(spark, targetRoot, sourceRoot, fenceName)
     } catch { case t: Throwable =>
-      // release on ANY post-fence failure; the clone did not happen
-      deleteCloneRef(spark, sourceRoot, fenceName)
-      unregisterStreamFrontier(spark, sourceRoot, fenceName)
+      // release on a pre-commit failure only — the clone did not
+      // happen. Post-commit failures (provenance write) keep the
+      // fence: the clone is LIVE; over-retention beats data loss, and
+      // fsck at the source surfaces the state
+      if (!cloneCommitted) {
+        deleteCloneRef(spark, sourceRoot, fenceName)
+        unregisterStreamFrontier(spark, sourceRoot, fenceName)
+      }
       throw t
     }
     val checks = checkConstraints(spark, sourceRoot)
@@ -1013,7 +1040,12 @@ object CowTable {
             try tsvUnesc(
               scala.io.Source.fromInputStream(in, "UTF-8").mkString)
             finally in.close()
-          committedIds(spark, target).isEmpty
+          // a zero-byte / unreadable ref (crash inside writeCloneRef)
+          // counts as no reverse pointer: report, never throw — this
+          // is the diagnostic for exactly that crash leftover
+          target.isEmpty ||
+            scala.util.Try(committedIds(spark, target).isEmpty)
+              .getOrElse(true)
         }
       }
   }
@@ -1272,22 +1304,55 @@ object CowTable {
     val ids = committedIds(spark, root)
     pendings.foreach { id =>
       val p = pendingChecksPath(root, id)
-      if (ids.contains(id)) {
+      def renamePair: Option[(String, String)] = {
         val in = fs.open(p)
         val header =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
             .toList.headOption.getOrElse("")
           finally in.close()
         val parts = header.split("\t", -1)
-        val renamed = parts.length == 3 && parts(0) == "#rename" && {
-          val (o, n) = (tsvUnesc(parts(1)), tsvUnesc(parts(2)))
+        if (parts.length == 3 && parts(0) == "#rename")
+          Some((tsvUnesc(parts(1)), tsvUnesc(parts(2))))
+        else None
+      }
+      if (ids.contains(id)) {
+        val renamed = renamePair.exists { case (o, n) =>
           val sch = manifest(spark, root, id).schema.fieldNames
           sch.contains(n) && !sch.contains(o)
         }
         if (renamed) adoptPendingChecks(spark, root, id)
         else fs.delete(p, false) // the id went to some other statement
       } else if (ids.lastOption.exists(_ >= id)) {
-        fs.delete(p, false) // superseded: this id can never commit
+        // the id itself is gone. If retention never removed a
+        // committed manifest at or above it, the id NEVER committed —
+        // the rename lost its race and the pending is dead. If the
+        // vacuum high-water mark covers it, committed-then-vacuumed is
+        // possible (MOR/DV commits never read constraints, so several
+        // keep=2 vacuums can outrun the first heal): decide from the
+        // LIVE schema — renames carry forward, so new-present and
+        // old-absent at the head means the rename (or an equivalent)
+        // committed and the repointed set is the right one to adopt;
+        // old-present means it did not. Both or neither present (later
+        // drops/adds muddied the trail) is undecidable — fail LOUD
+        // rather than guess with the only heal source.
+        if (!vacuumHwm(spark, root).exists(_ >= id)) {
+          fs.delete(p, false) // never committed: the rename lost
+        } else renamePair match {
+          case Some((o, n)) =>
+            val sch = currentManifest(spark, root)
+              .map(_.schema.fieldNames.toSeq).getOrElse(Nil)
+            if (sch.contains(n) && !sch.contains(o))
+              adoptPendingChecks(spark, root, id)
+            else if (sch.contains(o) && !sch.contains(n))
+              fs.delete(p, false)
+            else throw new IllegalStateException(
+              s"pending constraint re-point $p is undecidable: its " +
+                s"snapshot $id was vacuumed and the current schema " +
+                s"carries neither a clear '$o' nor a clear '$n' — " +
+                "inspect and either rename the pending onto " +
+                "_checks.tsv or delete it")
+          case None => fs.delete(p, false) // malformed — unusable
+        }
       } // else: possibly in flight under its lease — leave it
     }
   }
@@ -5539,6 +5604,16 @@ object CowTable {
       .filter(_.getPath.getName.stripPrefix(CkptPrefix).toLongOption
         .exists(i => deletedIds.contains(i) ||
           (!committed(i) && i < newest)))
+      .foreach(s => fs.delete(s.getPath, true))
+    // crashed checkpoint TEMP dirs (`_ckpt-<id>.tmp-<uuid>`) are junk,
+    // but an hour-long grace period keeps a concurrent vacuum's
+    // in-progress checkpoint write safe from this sweep
+    val staleMs = System.currentTimeMillis() - 3600000L
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(CkptPrefix) &&
+        s.getPath.getName.contains(".tmp-") &&
+        s.getModificationTime < staleMs)
       .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only

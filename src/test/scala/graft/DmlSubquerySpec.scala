@@ -291,6 +291,25 @@ class DmlSubquerySpec extends SparkSpec {
     val got = spark.table(s"cow.$ns.t").orderBy("id")
       .select("present").as[Long].collect().toSeq
     assert(got == Seq(7L, 101L, 2L, 3L), s"got $got")
+    // a MERGE guard's correlated scalar subquery evaluates only on
+    // its clause's row class: the lookup is multi-row ONLY for a
+    // source key that matches no target (a not-matched row, which the
+    // MATCHED guard never sees) — the statement must succeed
+    spark.range(7, 9).select($"id", lit(0L).as("present"))
+      .unionByName(spark.range(0, 2)
+        .select($"id", ($"id" + 50).as("present")))
+      .createOrReplaceTempView("rvw_src2")
+    Seq((0L, 1L), (8L, 1L), (8L, 2L)).toDF("k", "g")
+      .createOrReplaceTempView("rvw_guard")
+    spark.sql(s"""
+      MERGE INTO cow.$ns.t AS t USING rvw_src2 AS s ON t.id = s.id
+      WHEN MATCHED AND t.present >
+          (SELECT g.g FROM rvw_guard g WHERE g.k = s.id) - 2
+        THEN UPDATE SET present = s.present""")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 0)
+      .select("present").as[Long].head == 50L,
+      "matched-guard merge must succeed despite a multi-row lookup " +
+        "for an unmatched source key")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
