@@ -2207,6 +2207,16 @@ object QueriesCow {
         (SELECT c_custkey FROM subq_cust_src
          WHERE c_mktsegment = 'MACHINERY')
         THEN UPDATE SET cents = s.new_cents""")
+    // round-16: MERGE SET-VALUE scalar subquery — the assignment
+    // itself computes through a correlated lookup (carried analyzed,
+    // bound against the merge's flat join frame, evaluated on the
+    // MATCHED row class only — plans/CowBoundDml.scala)
+    spark.sql(s"""MERGE INTO $ns.ord AS t USING subq_merge_src AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND t.o_orderkey <= 1500
+        THEN UPDATE SET cents = t.cents +
+          (SELECT CAST(count(*) AS BIGINT) FROM subq_cust_src c
+           WHERE c.c_custkey = t.o_custkey AND c.c_acctbal > 5000)""")
     spark.table(s"$ns.ord")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
@@ -2247,10 +2257,19 @@ object QueriesCow {
       |                             WHERE c_mktsegment = 'MACHINERY')
       |         THEN 11 ELSE cents END AS cents,
       |    o_orderpriority
-      |  FROM t4)
+      |  FROM t4),
+      |t6 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey <= 1500
+      |         THEN cents + (SELECT count(*) FROM customer c
+      |                       WHERE c.c_custkey = t5.o_custkey
+      |                         AND c.c_acctbal > 5000)
+      |         ELSE cents END AS cents,
+      |    o_orderpriority
+      |  FROM t5)
       |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(cents) AS BIGINT) AS total_cents
-      |FROM t5 GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM t6 GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
   // MERGE WITH SCHEMA EVOLUTION (round-13 verdict #5): one statement

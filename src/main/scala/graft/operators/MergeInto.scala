@@ -80,6 +80,18 @@ object MergeInto {
     * existence joins), then the ordinary CASE chain consumes the
     * booleans. With no bound conditions the construction is the
     * original struct join, byte-for-byte.
+    *
+    * `boundSets` (round-16) is the same carrier for SET/VALUES
+    * assignment values: clause i's map assigns column c from
+    * `f(joined)` INSTEAD of a text expression — scalar subqueries
+    * (correlated included) in `UPDATE SET c = (SELECT …)` and
+    * `INSERT … VALUES ((SELECT …))`. Each bound value evaluates only
+    * on the clause's ROW CLASS (matched / not-matched / by-source —
+    * the same split the bound guards use, and for the same reason: a
+    * correlated scalar lookup that is multi-row only for a row outside
+    * the clause's class must not abort the statement). Spark's own
+    * scalar-subquery machinery enforces the at-most-one-row rule at
+    * runtime for rows the value DOES evaluate on.
     */
   def apply(
       target: DataFrame,
@@ -87,11 +99,14 @@ object MergeInto {
       keyCols: Seq[String],
       clauses: Seq[MergeClause],
       enforceUniqueSource: Boolean = true,
-      boundConds: Seq[Option[DataFrame => Column]] = Nil): DataFrame = {
+      boundConds: Seq[Option[DataFrame => Column]] = Nil,
+      boundSets: Seq[Map[String, DataFrame => Column]] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "MERGE needs at least one merge key")
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     require(boundConds.isEmpty || boundConds.length == clauses.length,
       "boundConds must align with clauses")
+    require(boundSets.isEmpty || boundSets.length == clauses.length,
+      "boundSets must align with clauses")
     val outCols = target.columns.toSeq
     val srcCols = source.columns.toSeq
     keyCols.foreach(k => require(srcCols.contains(k),
@@ -122,8 +137,13 @@ object MergeInto {
     val bound = if (boundConds.isEmpty)
       Seq.fill[Option[DataFrame => Column]](clauses.length)(None)
     else boundConds
+    val bSets = if (boundSets.isEmpty)
+      Seq.fill[Map[String, DataFrame => Column]](clauses.length)(Map.empty)
+    else boundSets
+    bSets.foreach(_.keys.foreach(c => require(outCols.contains(c),
+      s"bound SET/VALUES references non-target column '$c'")))
     val joined =
-      if (bound.forall(_.isEmpty)) {
+      if (bound.forall(_.isEmpty) && bSets.forall(_.isEmpty)) {
         val t = target.select(struct(outCols.map(col): _*).as("t"))
         val s = source.select(struct(srcCols.map(col): _*).as("s"))
         val joinCond = keyCols
@@ -164,14 +184,26 @@ object MergeInto {
           case _: NotMatchedInsert => 1
           case _ => 2
         }
-        def branch(rows: DataFrame, cls: Int): DataFrame =
-          bound.zipWithIndex.foldLeft(rows) {
+        def branch(rows: DataFrame, cls: Int): DataFrame = {
+          val withGuards = bound.zipWithIndex.foldLeft(rows) {
             case (df, (Some(f), i)) if classOf(clauses(i)) == cls =>
               df.withColumn(s"__bc_$i", f(df))
             case (df, (Some(_), i)) =>
               df.withColumn(s"__bc_$i", lit(false)) // out of class: unused
             case (df, (None, _)) => df
           }
+          // bound SET/VALUES values: computed (and target-typed, so the
+          // three class branches union cleanly) only on the clause's
+          // own class; typed NULL elsewhere — unused by construction
+          bSets.zipWithIndex.foldLeft(withGuards) { case (acc, (m, i)) =>
+            m.foldLeft(acc) { case (df, (c, f)) =>
+              val dt = target.schema(c).dataType
+              if (classOf(clauses(i)) == cls)
+                df.withColumn(s"__bv_${i}_$c", f(df).cast(dt))
+              else df.withColumn(s"__bv_${i}_$c", lit(null).cast(dt))
+            }
+          }
+        }
         val withBc = branch(flat.where(tp && sp), 0)
           .unionByName(branch(flat.where(!tp), 1))
           .unionByName(branch(flat.where(!sp), 2))
@@ -180,26 +212,34 @@ object MergeInto {
             struct(outCols.map(c => col(s"__t_$c").as(c)): _*)).as("t") +:
           when(col("__graft_sp__"),
             struct(srcCols.map(c => col(s"__s_$c").as(c)): _*)).as("s") +:
-          bound.zipWithIndex.collect {
+          (bound.zipWithIndex.collect {
             case (Some(_), i) => col(s"__bc_$i")
-          }: _*)
+          } ++ bSets.zipWithIndex.flatMap { case (m, i) =>
+            m.keys.toSeq.sorted.map(c => col(s"__bv_${i}_$c"))
+          }): _*)
       }
 
     def typed(c: String, e: String): Column =
       expr(e).cast(outType(c).dataType).as(c)
     val keepT = struct(outCols.map(c => col(s"t.$c").as(c)): _*)
     val dropRow = lit(null).cast(outType)
-    def updated(set: Map[String, String]): Column = {
+    // clause i's value for column c, when bound: the pre-computed
+    // (already target-typed) `__bv_` column from the flat construction
+    def boundVal(i: Int, c: String): Option[Column] =
+      if (bSets(i).contains(c)) Some(col(s"__bv_${i}_$c").as(c)) else None
+    def updated(set: Map[String, String], i: Int): Column = {
       set.keys.foreach(c => require(outCols.contains(c),
         s"SET references non-target column '$c'"))
-      struct(outCols.map(c =>
-        set.get(c).map(typed(c, _)).getOrElse(col(s"t.$c").as(c))): _*)
+      struct(outCols.map(c => boundVal(i, c)
+        .orElse(set.get(c).map(typed(c, _)))
+        .getOrElse(col(s"t.$c").as(c))): _*)
     }
-    def inserted(values: Map[String, String]): Column = {
+    def inserted(values: Map[String, String], i: Int): Column = {
       values.keys.foreach(c => require(outCols.contains(c),
         s"INSERT references non-target column '$c'"))
-      if (values.nonEmpty)
-        struct(outCols.map(c => values.get(c).map(typed(c, _))
+      if (values.nonEmpty || bSets(i).nonEmpty)
+        struct(outCols.map(c => boundVal(i, c)
+          .orElse(values.get(c).map(typed(c, _)))
           .getOrElse(lit(null).cast(outType(c).dataType).as(c))): _*)
       else // INSERT * by name
         struct(outCols.map(c =>
@@ -212,11 +252,11 @@ object MergeInto {
     def condOf(cl: MergeClause, i: Int): Option[Column] =
       bound(i).map(_ => col(s"__bc_$i")).orElse(cl.condition.map(expr))
     def chain(
-        cs: Seq[(MergeClause, Int)], result: MergeClause => Column,
+        cs: Seq[(MergeClause, Int)], result: (MergeClause, Int) => Column,
         fallthrough: Column): Column =
       cs.foldRight(fallthrough) { case ((cl, i), rest) =>
-        condOf(cl, i).map(c => when(c, result(cl)).otherwise(rest))
-          .getOrElse(result(cl))
+        condOf(cl, i).map(c => when(c, result(cl, i)).otherwise(rest))
+          .getOrElse(result(cl, i))
       }
 
     val indexed = clauses.zipWithIndex
@@ -231,11 +271,11 @@ object MergeInto {
       case (c: NotMatchedBySourceUpdate, i) => (c: MergeClause, i)
       case (c: NotMatchedBySourceDelete, i) => (c: MergeClause, i)
     }
-    def resultOf(c: MergeClause): Column = c match {
-      case MatchedUpdate(set, _) => updated(set)
+    def resultOf(c: MergeClause, i: Int): Column = c match {
+      case MatchedUpdate(set, _) => updated(set, i)
       case MatchedDelete(_) => dropRow
-      case NotMatchedInsert(values, _) => inserted(values)
-      case NotMatchedBySourceUpdate(set, _) => updated(set)
+      case NotMatchedInsert(values, _) => inserted(values, i)
+      case NotMatchedBySourceUpdate(set, _) => updated(set, i)
       case NotMatchedBySourceDelete(_) => dropRow
     }
 

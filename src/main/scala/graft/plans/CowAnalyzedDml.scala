@@ -74,11 +74,14 @@ private[plans] object CowAnalyzedDml {
         else UnresolvedAttribute(Seq("t", a.name))
     }.sql
 
-  /** Resolved subqueries do not round-trip through `Expression.sql`.
-    * DELETE/UPDATE CONDITIONS carry them analyzed instead
-    * ([[CowBoundDeleteCommand]]/[[CowBoundUpdateCommand]]); the
-    * remaining positions (SET values, MERGE clauses) refuse with the
-    * remedy — the same scope Delta draws.
+  /** Resolved subqueries do not round-trip through `Expression.sql`,
+    * so every position that takes them carries them ANALYZED instead:
+    * DELETE/UPDATE conditions and UPDATE SET values on
+    * [[CowBoundDeleteCommand]]/[[CowBoundUpdateCommand]], MERGE
+    * WHEN-clause conditions and SET/VALUES assignment values on
+    * [[CowBoundMergeCommand]]. The ONE refusing position is MERGE ON
+    * — by design, not as a gap (a subquery there would change
+    * matchedness per pair; see [[graft.sinks.CowSql.refuseSubqueries]]).
     */
   private def noSubqueries(es: Seq[Expression], what: String): Unit =
     graft.sinks.CowSql.refuseSubqueries(es, what)
@@ -194,24 +197,24 @@ private[plans] object CowAnalyzedDml {
     // a by-source action, and a source key matching several target
     // rows must insert at most once — semantics this engine's
     // one-row-per-pair merge does not express; refuse with the remedy.
-    // SET/VALUES positions refuse too. CLAUSE CONDITIONS (the WHEN …
-    // AND <cond> guards) take subqueries: they gate the action of an
-    // already-decided pair, so they carry ANALYZED and evaluate as
-    // bound boolean columns over the merge's own join
-    // ([[CowBoundMergeCommand]]).
+    // CLAUSE CONDITIONS (the WHEN … AND <cond> guards) and SET/VALUES
+    // assignment values take subqueries: a guard gates the action of
+    // an already-decided pair (bound boolean column over the merge's
+    // own join), a value computes within one ([[CowBoundMergeCommand]])
+    // — both carry ANALYZED.
     noSubqueries(Seq(m.mergeCondition), "MERGE ON condition")
-    noSubqueries((m.matchedActions ++ m.notMatchedActions ++
-      m.notMatchedBySourceActions).flatMap {
-        case UpdateAction(_, as, _) => as.map(_.value)
-        case InsertAction(_, as) => as.map(_.value)
-        case _ => Nil
-      }, "MERGE SET/VALUES")
     val tgt = targetAttrs(m.targetTable)
     val src = targetAttrs(m.sourceTable)
     def txt(e: Expression): String = textOf(e, tgt, src)
     val clauseConds = (m.matchedActions ++ m.notMatchedActions ++
       m.notMatchedBySourceActions).flatMap(_.condition)
-    if (CowBoundDml.hasSubquery(clauseConds))
+    val actionValues = (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).flatMap {
+        case UpdateAction(_, as, _) => as.map(_.value)
+        case InsertAction(_, as) => as.map(_.value)
+        case _ => Nil
+      }
+    if (CowBoundDml.hasSubquery(clauseConds ++ actionValues))
       return convertBoundMerge(m, t)
     def cond(c: Option[Expression]): String =
       c.map(x => s" AND ${txt(x)}").getOrElse("")
@@ -306,40 +309,64 @@ private[plans] object CowAnalyzedDml {
           missing.mkString(", "))
       starCols.map(c => c -> s"s.`$c`").toMap
     }
+    // assignment values carrying subqueries travel ANALYZED (the same
+    // BoundMergeCond carrier as clause guards — an expression resolved
+    // against both relations' outputs, bound to the flat join frame at
+    // execution); plain values render as text exactly as before
+    type BV = Map[String, BoundMergeCond]
     def sets(as: Seq[org.apache.spark.sql.catalyst.plans.logical
-        .Assignment]): Map[String, String] =
-      real(as, t).map(a => nameOf(a.key) -> txt(a.value)).toMap
-    val pairs: Seq[(MergeClause, Option[BoundMergeCond])] =
+        .Assignment]): (Map[String, String], BV) = {
+      val (subq, plain) = real(as, t)
+        .partition(a => CowBoundDml.hasSubquery(Seq(a.value)))
+      (plain.map(a => nameOf(a.key) -> txt(a.value)).toMap,
+        subq.map(a => nameOf(a.key) ->
+          new BoundMergeCond(a.value, tgtOut, srcOut)).toMap)
+    }
+    def insertVals(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .Assignment]): (Map[String, String], BV) = {
+      val (subq, plain) = as
+        .partition(a => CowBoundDml.hasSubquery(Seq(a.value)))
+      (plain.map(a => nameOf(a.key) -> txt(a.value)).toMap,
+        subq.map(a => nameOf(a.key) ->
+          new BoundMergeCond(a.value, tgtOut, srcOut)).toMap)
+    }
+    val pairs: Seq[(MergeClause, Option[BoundMergeCond], BV)] =
       m.matchedActions.map {
         case DeleteAction(c) =>
-          val (tc, bc) = condPair(c); (MatchedDelete(tc), bc)
+          val (tc, bc) = condPair(c)
+          (MatchedDelete(tc), bc, Map.empty: BV)
         case UpdateAction(c, as, _) =>
-          val (tc, bc) = condPair(c); (MatchedUpdate(sets(as), tc), bc)
+          val (tc, bc) = condPair(c)
+          val (txtSets, bv) = sets(as)
+          (MatchedUpdate(txtSets, tc), bc, bv)
         case UpdateStarAction(c) =>
-          val (tc, bc) = condPair(c); (MatchedUpdate(starSet, tc), bc)
+          val (tc, bc) = condPair(c)
+          (MatchedUpdate(starSet, tc), bc, Map.empty: BV)
         case other => throw new IllegalArgumentException(
           s"unsupported MATCHED action $other")
       } ++ m.notMatchedActions.map {
         case InsertAction(c, as) =>
           val (tc, bc) = condPair(c)
-          (NotMatchedInsert(
-            as.map(a => nameOf(a.key) -> txt(a.value)).toMap, tc), bc)
+          val (txtVals, bv) = insertVals(as)
+          (NotMatchedInsert(txtVals, tc), bc, bv)
         case InsertStarAction(c) =>
           val (tc, bc) = condPair(c)
-          (NotMatchedInsert(Map.empty, tc), bc)
+          (NotMatchedInsert(Map.empty, tc), bc, Map.empty: BV)
         case other => throw new IllegalArgumentException(
           s"unsupported NOT MATCHED action $other")
       } ++ m.notMatchedBySourceActions.map {
         case DeleteAction(c) =>
-          val (tc, bc) = condPair(c); (NotMatchedBySourceDelete(tc), bc)
+          val (tc, bc) = condPair(c)
+          (NotMatchedBySourceDelete(tc), bc, Map.empty: BV)
         case UpdateAction(c, as, _) =>
           val (tc, bc) = condPair(c)
-          (NotMatchedBySourceUpdate(sets(as), tc), bc)
+          val (txtSets, bv) = sets(as)
+          (NotMatchedBySourceUpdate(txtSets, tc), bc, bv)
         case other => throw new IllegalArgumentException(
           s"unsupported NOT MATCHED BY SOURCE action $other")
       }
     CowBoundMergeCommand(t.root, keys, pairs.map(_._1),
-      pairs.map(_._2), m.sourceTable)
+      pairs.map(_._2), m.sourceTable, pairs.map(_._3))
   }
 }
 

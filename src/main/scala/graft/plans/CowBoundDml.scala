@@ -164,26 +164,31 @@ final class BoundMergeCond(
     cond.collect { case s: SubqueryExpression => s.plan }
 }
 
-/** `MERGE INTO <named cow table>` whose WHEN-clause conditions carry
-  * subqueries: the clauses travel as the engine's own [[graft
-  * .operators.MergeClause]] objects (values as rendered text — the
-  * proven round-trip) with the subquery-bearing conditions ANALYZED,
-  * bound at execution against the merge's flat join frame
-  * ([[CowBoundDml.bindMerge]]) and evaluated as boolean columns
-  * (Spark rewrites them into existence joins). ON stays a key-equality
-  * conjunction — a subquery there would change MATCHEDNESS, which this
-  * engine's one-row-per-pair merge does not express (refused at
-  * conversion with the materialize-a-view remedy).
+/** `MERGE INTO <named cow table>` whose WHEN-clause conditions or
+  * SET/VALUES assignment values carry subqueries: the clauses travel
+  * as the engine's own [[graft.operators.MergeClause]] objects
+  * (subquery-free values as rendered text — the proven round-trip)
+  * with the subquery-bearing conditions AND values ANALYZED, bound at
+  * execution against the merge's flat join frame
+  * ([[CowBoundDml.bindMerge]]) — conditions evaluate as boolean
+  * columns, values as target-typed value columns (Spark rewrites both
+  * into existence/outer joins, scalar at-most-one-row enforced by its
+  * own machinery). ON stays a key-equality conjunction — a subquery
+  * there would change MATCHEDNESS, which this engine's
+  * one-row-per-pair merge does not express (refused at conversion
+  * with the materialize-a-view remedy).
   */
 final case class CowBoundMergeCommand(
     root: String, keys: Seq[String],
     clauses: Seq[graft.operators.MergeClause],
     boundConds: Seq[Option[BoundMergeCond]],
-    sourcePlan: LogicalPlan)
+    sourcePlan: LogicalPlan,
+    boundSetVals: Seq[Map[String, BoundMergeCond]] = Nil)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] =
-    sourcePlan +: boundConds.flatMap(_.toSeq.flatMap(_.subplans))
+    sourcePlan +: (boundConds.flatMap(_.toSeq.flatMap(_.subplans)) ++
+      boundSetVals.flatMap(_.values.flatMap(_.subplans)))
 
   override def run(session: SparkSession): Seq[Row] = {
     val (_, keep, _) = CowBoundDml.dmlConf(session)
@@ -194,9 +199,13 @@ final case class CowBoundMergeCommand(
         s"no committed snapshot at $root")).partCols
     val bound = boundConds.map(_.map(b =>
       CowBoundDml.bindMerge(b.cond, b.tgtOut, b.srcOut) _))
+    val boundVals = boundSetVals.map(_.map { case (c, b) =>
+      c -> CowBoundDml.bindMerge(b.cond, b.tgtOut, b.srcOut) _ })
     CowBoundDml.runOwned(session, root, "MERGE") { id =>
       CowTable.mergeInto(session, root, id, source, keys, partCols,
-        clauses, keep = keep, boundConds = bound)
+        clauses, keep = keep, boundConds = bound,
+        boundSets =
+          if (boundVals.exists(_.nonEmpty)) boundVals else Nil)
     }
     Nil
   }

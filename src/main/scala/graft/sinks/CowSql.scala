@@ -427,17 +427,25 @@ object CowSql {
     e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst
       .expressions.SubqueryExpression])
 
-  /** The ONE refusal for subqueries in positions the engine does not
-    * take them — shared by the textual path and the analyzer
-    * conversion so the two surfaces can never drift.
+  /** The ONE refusal for subqueries in the position the engine does
+    * not take them — MERGE ON (shared by the textual path and the
+    * analyzer conversion so the two surfaces can never drift). ON is
+    * refused BY DESIGN, not as a gap: a subquery there would change
+    * MATCHEDNESS per pair, which this engine's one-row-per-pair merge
+    * does not express (Delta draws the same line). Every other DML
+    * position takes subqueries: UPDATE/DELETE conditions, UPDATE SET
+    * values, MERGE WHEN-clause conditions, and MERGE SET/VALUES.
     */
   private[graft] def refuseSubqueries(
       es: Seq[Expression], what: String): Unit =
     es.foreach(e => require(!hasSubquery(e),
-      s"$what with a subquery is not supported here — subqueries are " +
-        "supported in UPDATE/DELETE conditions, UPDATE SET values, " +
-        "and MERGE ON/WHEN conditions; for this position, materialize " +
-        "the subquery into a view and reference it"))
+      s"$what with a subquery is not supported BY DESIGN — a subquery " +
+        "in MERGE ON would change matchedness per joined pair, which " +
+        "this engine's one-row-per-pair merge does not express; " +
+        "materialize the subquery into the source view (or a pre-" +
+        "filtered source query) instead. Subqueries ARE supported in " +
+        "UPDATE/DELETE conditions, UPDATE SET values, MERGE WHEN-" +
+        "clause conditions, and MERGE SET/VALUES"))
 
   /** A per-frame condition for the textual path. Plain predicates
     * round-trip through `Expression.sql` (the proven text form) as a
@@ -685,47 +693,70 @@ object CowSql {
       case Some(x) if hasSubquery(x) => (None, Some(boundOf(x)))
       case other => (other.map(_.sql), None)
     }
-    (m.matchedActions ++ m.notMatchedActions ++
-        m.notMatchedBySourceActions).foreach {
-      case UpdateAction(_, as, _) =>
-        refuseSubqueries(as.map(_.value), "MERGE SET")
-      case InsertAction(_, as) =>
-        refuseSubqueries(as.map(_.value), "MERGE INSERT")
-      case _ => ()
+    // SET/VALUES values carrying subqueries (round-16): analyze ONCE
+    // as a projection over the same aliased t×s probe (one-snapshot
+    // discipline) and bind against the merge's flat join frame — the
+    // projection twin of boundOf, exactly as valueOf is of condOf
+    def boundValOf(e: Expression)
+        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = {
+      val probed = targetDf.alias("t").crossJoin(source.alias("s"))
+        .select(org.apache.spark.sql.graftbridge.Bridge.column(e)
+          .as("__mv"))
+        .queryExecution.analyzed
+      val (valE, out) = probed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          (p.projectList.last match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child
+            case x => x
+          }, p.child.output)
+      }.getOrElse(throw new IllegalStateException(
+        s"MERGE SET/VALUES value did not analyze to a projection: ${e.sql}"))
+      val (tOut, sOut) = out.splitAt(targetDf.columns.length)
+      graft.plans.CowBoundDml.bindMerge(valE, tOut, sOut)
+    }
+    type BV = Map[String, org.apache.spark.sql.DataFrame
+      => org.apache.spark.sql.Column]
+    def splitAssigns(as: Seq[Assignment]): (Map[String, String], BV) = {
+      val (subq, plain) = as.partition(a => hasSubquery(a.value))
+      (plain.map(a => targetColOf(a) -> a.value.sql).toMap,
+        subq.map(a => targetColOf(a) -> boundValOf(a.value)).toMap)
     }
     type BC = Option[org.apache.spark.sql.DataFrame
       => org.apache.spark.sql.Column]
-    val matched: Seq[(MergeClause, BC)] = m.matchedActions.map {
+    val matched: Seq[(MergeClause, BC, BV)] = m.matchedActions.map {
       case DeleteAction(c) =>
-        val (tc, bc) = condPair(c); (MatchedDelete(tc), bc)
+        val (tc, bc) = condPair(c); (MatchedDelete(tc), bc, Map.empty: BV)
       case UpdateAction(c, assigns, _) =>
         val (tc, bc) = condPair(c)
-        (MatchedUpdate(
-          assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc), bc)
+        val (txt, bv) = splitAssigns(assigns)
+        (MatchedUpdate(txt, tc), bc, bv)
       case UpdateStarAction(c) =>
-        val (tc, bc) = condPair(c); (MatchedUpdate(starSet, tc), bc)
+        val (tc, bc) = condPair(c)
+        (MatchedUpdate(starSet, tc), bc, Map.empty: BV)
       case other => throw new IllegalArgumentException(
         s"unsupported MATCHED action $other")
     }
-    val notMatched: Seq[(MergeClause, BC)] = m.notMatchedActions.map {
+    val notMatched: Seq[(MergeClause, BC, BV)] = m.notMatchedActions.map {
       case InsertAction(c, assigns) =>
         val (tc, bc) = condPair(c)
-        (NotMatchedInsert(
-          assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc), bc)
+        val (txt, bv) = splitAssigns(assigns)
+        (NotMatchedInsert(txt, tc), bc, bv)
       case InsertStarAction(c) =>
-        val (tc, bc) = condPair(c); (NotMatchedInsert(Map.empty, tc), bc)
+        val (tc, bc) = condPair(c)
+        (NotMatchedInsert(Map.empty, tc), bc, Map.empty: BV)
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED action $other")
     }
-    val bySource: Seq[(MergeClause, BC)] =
+    val bySource: Seq[(MergeClause, BC, BV)] =
       m.notMatchedBySourceActions.map {
         case DeleteAction(c) =>
-          val (tc, bc) = condPair(c); (NotMatchedBySourceDelete(tc), bc)
+          val (tc, bc) = condPair(c)
+          (NotMatchedBySourceDelete(tc), bc, Map.empty: BV)
         case UpdateAction(c, assigns, _) =>
           val (tc, bc) = condPair(c)
-          (NotMatchedBySourceUpdate(
-            assigns.map(a => targetColOf(a) -> a.value.sql).toMap, tc),
-            bc)
+          val (txt, bv) = splitAssigns(assigns)
+          (NotMatchedBySourceUpdate(txt, tc), bc, bv)
         case other => throw new IllegalArgumentException(
           s"unsupported NOT MATCHED BY SOURCE action $other")
       }
@@ -733,6 +764,8 @@ object CowSql {
     CowTable.mergeInto(spark, root, id, source, keys,
       tgtCols.partCols, pairs.map(_._1), keep = keep,
       boundConds =
-        if (pairs.exists(_._2.nonEmpty)) pairs.map(_._2) else Nil)
+        if (pairs.exists(_._2.nonEmpty)) pairs.map(_._2) else Nil,
+      boundSets =
+        if (pairs.exists(_._3.nonEmpty)) pairs.map(_._3) else Nil)
   }
 }

@@ -4623,7 +4623,8 @@ object CowTable {
       keep: Int = 2,
       sortCols: Seq[String] = Nil,
       changeLogKeys: Seq[String] = Nil,
-      boundConds: Seq[Option[DataFrame => Column]] = Nil): Boolean = {
+      boundConds: Seq[Option[DataFrame => Column]] = Nil,
+      boundSets: Seq[Map[String, DataFrame => Column]] = Nil): Boolean = {
     import graft.operators.{NotMatchedBySourceDelete, NotMatchedBySourceUpdate}
     if (committedIds(spark, root).exists(_ >= id)) return false
     val sets = clauses.collect {
@@ -4632,13 +4633,22 @@ object CowTable {
     }.flatten.toSet
     partCols.foreach(p => require(!sets.contains(p),
       s"MERGE SET must not assign partition column '$p'"))
+    // bound (subquery) SET/VALUES may not assign partition columns
+    // anywhere: SET because partition values are immutable per row
+    // (the rule above), INSERT because the touched-partition set
+    // derives from the SOURCE's columns — a subquery-computed
+    // partition value would land rows outside it
+    boundSets.foreach(_.keys.foreach(c => require(!partCols.contains(c),
+      s"MERGE SET/VALUES must not assign partition column '$c' from " +
+        "a subquery — partition values must derive from the source")))
     // explicit-values inserts fill unlisted columns with NULL — a
     // partition column left out would land rows in the NULL partition,
     // outside the touched set; require it assigned (the caller owns
     // assigning it to the SOURCE's value, same key-stable contract as
     // SET above)
-    clauses.collect { case i: graft.operators.NotMatchedInsert
-        if i.values.nonEmpty => i }
+    clauses.zipWithIndex.collect {
+      case (i: graft.operators.NotMatchedInsert, idx) if i.values.nonEmpty ||
+          boundSets.lift(idx).exists(_.nonEmpty) => i }
       .foreach(i => partCols.foreach(p =>
         require(i.values.contains(p),
           s"explicit-values INSERT must assign partition column '$p' " +
@@ -4659,7 +4669,7 @@ object CowTable {
         (baseFor(spark, root, m, t), t)
     }
     val merged = graft.operators.MergeInto(target, source, keyCols,
-      clauses, boundConds = boundConds)
+      clauses, boundConds = boundConds, boundSets = boundSets)
     commitPartitionsFrom(base, merged, touched, root, id, partCols, keep,
       sortCols, changeLogKeys = changeLogKeys)
   }

@@ -217,8 +217,8 @@ class DmlSubquerySpec extends SparkSpec {
 
   test("MERGE WHEN-clause conditions take subqueries (round-15): " +
       "IN and correlated EXISTS guards gate matched/not-matched/" +
-      "by-source actions; ON subqueries and SET-value subqueries " +
-      "still refuse with the remedy") {
+      "by-source actions; ON subqueries refuse by design; SET-value " +
+      "subqueries execute (round-16, MergeSetSubquerySpec)") {
     val ns = freshNs("mrg")
     spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, v STRING)")
     spark.sql(s"INSERT INTO cow.$ns.t SELECT id, 'a' FROM range(5)")
@@ -252,13 +252,16 @@ class DmlSubquerySpec extends SparkSpec {
     assert(Option(e.getMessage).exists(m =>
       m.contains("materialize the subquery") ||
         m.contains("conjunction of t.k = s.k")), s"wrong refusal: $e")
-    // SET values inside MERGE still refuse with the remedy
-    val e2 = intercept[Exception](spark.sql(s"""
+    // SET values inside MERGE EXECUTE since round-16 (carried
+    // analyzed, bound to the flat join — MergeSetSubquerySpec pins
+    // the semantics; here just pin that the former refusal is gone)
+    spark.sql(s"""
       MERGE INTO cow.$ns.t AS t USING subq_msrc AS s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET v =
-        (SELECT CAST(max(k) AS STRING) FROM subq_mkeys)"""))
-    assert(Option(e2.getMessage)
-      .exists(_.contains("materialize the subquery")), s"got $e2")
+        (SELECT CAST(max(k) AS STRING) FROM subq_mkeys)""")
+    assert(spark.table(s"cow.$ns.t").where($"id" === 1L)
+      .select("v").as[String].head == "10",
+      "MERGE SET subquery must assign the computed value")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
