@@ -1639,14 +1639,16 @@ object QueriesCow {
     spark.sql(refresh)
     val out = spark.table(s"$ns.thin")
     // the named read is the planner-integrated relation: its scan's
-    // listing source must be the manifest-driven CowFileIndex
+    // listing source must be manifest-driven — the eager CowFileIndex
+    // when a filter narrowed it, the lazy round-16 index on an
+    // unfiltered read (same trait, same listing authority)
     val scans = out.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location
     }
     require(scans.nonEmpty &&
-      scans.forall(_.isInstanceOf[graft.sinks.CowFileIndex]),
-      s"named cow read did not plan through CowFileIndex: $scans")
+      scans.forall(_.isInstanceOf[graft.sinks.CowPrunableIndex]),
+      s"named cow read did not plan through a cow file index: $scans")
     out
   }
 

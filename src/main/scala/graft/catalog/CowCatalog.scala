@@ -21,7 +21,7 @@ import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe,
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sinks.{CowManifest, CowTable}
+import graft.sinks.{CowManifest, CowManifestMeta, CowTable}
 
 /** The cow table format as a NAMED SQL citizen — a DataSourceV2
   * `TableCatalog` (`spark.sql.catalog.cow=graft.catalog.CowCatalog`,
@@ -118,17 +118,22 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     // distinct table identity because its schema is the table's plus
     // `_oper`/`_commit_id`, and a streaming scan's rows must match the
     // DECLARED schema of the table they were resolved from.
+    // resolution is HEAD-ONLY (CowManifestMeta): naming a table must
+    // never pull its entry list to the driver — reads defer that to
+    // scan planning (CowLazyFileIndex), writes/DML to execution
     feedIdentOf(ident).foreach { base =>
       val root = rootOf(base)
-      val m = CowTable.currentManifest(spark, root).getOrElse(
+      val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
         throw new NoSuchTableException(ident))
       return graft.streaming.CowFeedTable(
-        s"${displayName(base)}.changes", root, m.schema)
+        s"${displayName(base)}.changes", root,
+        CowTable.manifestMeta(spark, root, head).schema)
     }
     val root = rootOf(ident)
-    val m = CowTable.currentManifest(spark, root).getOrElse(
+    val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
       throw new NoSuchTableException(ident))
-    CowNamedTable(displayName(ident), root, m, pinned = false)
+    CowNamedTable(displayName(ident), root,
+      CowTable.manifestMeta(spark, root, head), pinned = false)
   }
 
   /** `cow.ns.t.changes` → `Some(cow.ns.t)`; also the path form
@@ -153,7 +158,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     val at = CowTable.committedIds(spark, root).filter(_ <= id).lastOption
       .getOrElse(throw new NoSuchTableException(ident))
     CowNamedTable(displayName(ident),
-      root, CowTable.manifest(spark, root, at), pinned = true)
+      root, CowTable.manifestMeta(spark, root, at), pinned = true)
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
@@ -162,7 +167,7 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     val at = CowTable.committedIdsAt(spark, root, timestamp / 1000L)
       .lastOption.getOrElse(throw new NoSuchTableException(ident))
     CowNamedTable(displayName(ident),
-      root, CowTable.manifest(spark, root, at), pinned = true)
+      root, CowTable.manifestMeta(spark, root, at), pinned = true)
   }
 
   override def createTable(
@@ -279,9 +284,25 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER COLUMN position on ${displayName(ident)} raced a " +
               "concurrent commit — retry the statement")
         case rn: TableChange.RenameColumn =>
+          // PERMANENT design boundary, not a gap scheduled to close:
+          // the column mapping is a top-level name split (physical
+          // names are immutable per top-level column; nested field
+          // names live INSIDE the files), so a metadata-only nested
+          // rename would require per-scope physical naming through
+          // structs/arrays/maps on both the read AND write paths —
+          // cost out of proportion to the operation's rarity. The
+          // remedy rewrites the data under the new shape:
+          //   UPDATE t SET s = named_struct('z', s.a, 'b', s.b)
+          // after an ALTER that declares the new struct type, or a
+          // CTAS/INSERT OVERWRITE with the reshaped projection —
+          // NestedMappingSpec pins the remedy end-to-end.
           require(rn.fieldNames.length == 1,
-            "cow tables rename top-level columns only, got " +
-              rn.fieldNames.mkString("."))
+            "cow tables rename top-level columns only (a nested " +
+              s"field rename — got ${rn.fieldNames.mkString(".")} — " +
+              "is refused BY DESIGN: nested names live inside the " +
+              "data files); rewrite under the new shape instead: " +
+              "INSERT OVERWRITE/CTAS with the reshaped struct, or " +
+              "rename the top-level column and reshape its type")
           val cur = CowTable.currentManifest(spark, root).get
           require(CowTable.renameColumn(spark, root, cur.id + 1,
               rn.fieldNames.head, rn.newName, keep = Int.MaxValue),
@@ -486,24 +507,37 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** One resolved cow table: the identifier's root plus the manifest
+/** One resolved cow table: the identifier's root plus the snapshot
   * PINNED at load time (snapshot isolation — every reader of this
   * relation sees one commit, like every other CowTable surface).
   * Reads are converted to the V1 [[graft.sinks.CowV2]] relation by
   * [[graft.plans.CowCatalogRule]]; writes go through the V1 write
   * fallback below. `pinned` marks a time-traveled load — read-only.
+  *
+  * Resolution carries only the snapshot's HEAD metadata
+  * ([[CowManifestMeta]] — schema, partitioning, column mapping): at
+  * extreme file counts, naming a table in a query must not pull its
+  * whole entry list to the driver. Surfaces that genuinely need the
+  * listing (writes, DML rewrites, debt-carrying reads) materialize
+  * through [[manifest]] — the ordinary memoized parse.
   */
 final case class CowNamedTable(
-    tableName: String, root: String, manifest: CowManifest,
+    tableName: String, root: String, meta: CowManifestMeta,
     pinned: Boolean) extends Table with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRead {
 
+  /** The pinned snapshot's FULL manifest, materialized on first use
+    * (per-JVM memoized; a warm table costs a fingerprint check).
+    */
+  lazy val manifest: CowManifest =
+    CowTable.manifest(SparkSession.active, root, meta.id)
+
   override def name(): String = tableName
 
-  override def schema(): StructType = manifest.schema
+  override def schema(): StructType = meta.schema
 
   override def partitioning(): Array[Transform] =
-    manifest.partCols.map(Expressions.identity).toArray
+    meta.partCols.map(Expressions.identity).toArray
 
   /** The registered CHECK set, surfaced through the v2 metadata API
     * (DESCRIBE and the analyzer see them). Always enforced + VALID:
@@ -547,8 +581,8 @@ final case class CowNamedTable(
     require(!pinned,
       s"$tableName was loaded AS OF a version — stream from the live " +
         "table (optionally with startingSnapshot) instead")
-    new graft.streaming.CowTableScanBuilder(root, manifest.schema,
-      manifest.colMap, options)
+    new graft.streaming.CowTableScanBuilder(root, meta.schema,
+      meta.colMap, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -557,6 +591,16 @@ final case class CowNamedTable(
         "relations are read-only")
     new CowWriteBuilder(root, manifest)
   }
+}
+
+object CowNamedTable {
+  /** Construction from an already-materialized manifest (specs,
+    * programmatic pinning) — metadata derives from it; [[CowNamedTable
+    * .manifest]] re-serves it from the memo.
+    */
+  def apply(tableName: String, root: String, m: CowManifest,
+      pinned: Boolean): CowNamedTable =
+    CowNamedTable(tableName, root, CowManifestMeta.of(m), pinned)
 }
 
 /** The write half of the named surface, via the `V1Write` fallback

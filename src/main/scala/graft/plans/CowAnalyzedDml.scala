@@ -140,7 +140,7 @@ private[plans] object CowAnalyzedDml {
       // render an unparseable empty SET in MERGE). Keep one identity
       // on a NON-partition column so the no-partition-SET rule stays
       // untripped and the rendered text round-trips.
-      val pc = t.manifest.partCols.toSet
+      val pc = t.meta.partCols.toSet
       as.find(a => !pc.contains(nameOf(a.key))).map(Seq(_)).getOrElse(
         throw new IllegalArgumentException(
           "UPDATE SET on partition columns only is not supported on " +
@@ -300,8 +300,8 @@ private[plans] object CowAnalyzedDml {
     // star expansion replicated from the textual engine: every
     // non-partition target column assigned from the source by name
     lazy val starSet: Map[String, String] = {
-      val starCols = t.manifest.schema.fieldNames.toSeq
-        .filterNot(t.manifest.partCols.contains)
+      val starCols = t.meta.schema.fieldNames.toSeq
+        .filterNot(t.meta.partCols.contains)
       val srcNames = srcOut.map(_.name)
       val missing = starCols.filterNot(srcNames.contains)
       require(missing.isEmpty,

@@ -101,15 +101,64 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** Planner STATISTICS for a named cow read (round-16): the manifest
+    * knows the snapshot's exact live-row count and byte size — surface
+    * them as `CatalogStatistics` on the `LogicalRelation`, the one
+    * seam `computeStats` consults before falling back to
+    * `sizeInBytes`. With `spark.sql.cbo.planStats.enabled` (or full
+    * CBO) on, join-cardinality and broadcast decisions then see REAL
+    * row counts instead of byte-size proxies — a small-rowcount table
+    * whose strings make it byte-heavy still broadcasts
+    * (`RowCountStatsSpec` pins the flip). Default confs read only
+    * `sizeInBytes`, which equals the relation's own estimate — no
+    * behavior change unless opted in. Served only when the manifest is
+    * already memo-resident: statistics must never force a cold
+    * entry-list materialization that the lazy read path just avoided.
+    * [[CowScanPruneRule]] re-narrows these stats whenever it narrows
+    * the index, so a filtered scan's estimate reflects the slice.
+    */
+  private def statsTableFor(t: CowNamedTable)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    graft.sinks.CowTable.memoPeek(spark, t.root, t.meta.id)
+      .filter(m => m.tombstones.isEmpty && m.dvs.isEmpty)
+      .map { m =>
+        import org.apache.spark.sql.catalyst.catalog.{
+          CatalogStatistics, CatalogStorageFormat, CatalogTable,
+          CatalogTableType}
+        CatalogTable(
+          identifier = org.apache.spark.sql.catalyst
+            .TableIdentifier(t.name()),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(new java.net.URI(
+              new org.apache.hadoop.fs.Path(t.root).toUri.toString))),
+          schema = t.meta.schema,
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(m.files.map(_.bytes).sum),
+            rowCount = Some(BigInt(m.files.map(_.rows).sum)))))
+      }
+
   private def toV1(r: DataSourceV2Relation, t: CowNamedTable): LogicalPlan = {
-    val m = t.manifest
-    if (m.tombstones.isEmpty && m.dvs.isEmpty)
-      // debt-free fast path: the relation's schema is the table's
-      // schema in the same order (CowFileIndex declares the partition
-      // columns inside dataSchema), so the v2 output binds directly
-      LogicalRelation(CowV2.snapshotRelation(spark, t.root, m),
-        r.output, None, isStreaming = false, None)
-    else {
+    // debt-free fast path, LAZY (round-16): the relation's schema is
+    // the table's schema in the same order (the index declares the
+    // partition columns inside dataSchema), so the v2 output binds
+    // directly — and the ENTRY LIST is not materialized here at all.
+    // A filtered scan of a cold table pushes its partition predicate
+    // into the manifest read (CowLazyFileIndex); a warm table serves
+    // from the memo at the old path's exact cost. Bucket-spec'd tables
+    // keep the eager relation (declaring the layout needs every file
+    // name at build time).
+    if (graft.sinks.CowTable.nonDataEmpty(spark, t.root, t.meta.id)) {
+      if (graft.sinks.CowTable.bucketSpecOf(spark, t.root).isEmpty)
+        LogicalRelation(CowV2.lazyRelation(spark, t.root, t.meta),
+          r.output, statsTableFor(t), isStreaming = false, None)
+      else
+        LogicalRelation(
+          CowV2.snapshotRelation(spark, t.root, t.manifest),
+          r.output, statsTableFor(t), isStreaming = false, None)
+    } else {
+      val m = t.manifest
       // outstanding MOR debt: the resolved read (DV scan mask +
       // tombstone anti-join) is a subtree with fresh attribute ids —
       // re-expose it under the v2 relation's ids so parents resolve

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 
-import graft.sinks.CowFileIndex
+import graft.sinks.CowPrunableIndex
 
 /** STATIC scan-estimate pruning for cow relations (round-15, the
   * round-14 verdict's #7): Spark's own `PruneFileSourcePartitions`
@@ -31,9 +31,9 @@ final case class CowScanPruneRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         lr @ LogicalRelation(hfs: HadoopFsRelation, _, _, _, _))
-        if hfs.location.isInstanceOf[CowFileIndex] &&
-          !hfs.location.asInstanceOf[CowFileIndex].pruned =>
-      val idx = hfs.location.asInstanceOf[CowFileIndex]
+        if hfs.location.isInstanceOf[CowPrunableIndex] &&
+          !hfs.location.asInstanceOf[CowPrunableIndex].pruned =>
+      val idx = hfs.location.asInstanceOf[CowPrunableIndex]
       // the SESSION resolver decides partition membership — under
       // spark.sql.caseSensitive=true a data column differing only in
       // case from a partition column must not be misrouted (the
@@ -47,6 +47,16 @@ final case class CowScanPruneRule(spark: SparkSession)
         c.references.nonEmpty && c.references.forall(a =>
           partNames.exists(f => resolver(f, a.name))))
       val newIdx = idx.prunedTo(partF, dataF)
-      Filter(cond, lr.copy(relation = hfs.copy(location = newIdx)(spark)))
+      // keep any attached CatalogStatistics in step with the narrowed
+      // index — stale full-table stats would OVERRIDE the narrowed
+      // sizeInBytes in computeStats and undo exactly what this rule
+      // establishes
+      val newCt = lr.catalogTable.map(ct => ct.copy(stats = Some(
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes = BigInt(newIdx.sizeInBytes),
+          rowCount = Some(BigInt(newIdx.fileRowCount))))))
+      Filter(cond, lr.copy(
+        relation = hfs.copy(location = newIdx)(spark),
+        catalogTable = newCt))
   }
 }

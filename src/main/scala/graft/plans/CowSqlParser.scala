@@ -62,6 +62,8 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
         .map(r => CowDescribeDetailCommand(r._1, r._2, r._3, r._4)))
       .orElse(CowSql.showPartitionsRef(session, sqlText)
         .map(r => CowShowPartitionsCommand(r._1, r._2, r._3, r._4)))
+      .orElse(CowSql.fsckRef(session, sqlText)
+        .map(r => CowFsckCommand(r._1, r._2, r._3, r._4)))
 
   private def routed(sqlText: String, parsed: => LogicalPlan,
       hasParams: Boolean = false): LogicalPlan =
@@ -222,6 +224,41 @@ final case class CowShowPartitionsCommand(
           case v => v
         }}").mkString("/"))
       .distinct.sorted.map(Row(_))
+  }
+}
+
+/** `FSCK cow.<ref>` — the table-invariant check
+  * ([[graft.sinks.CowTable.fsck]]) as ONE report row: referenced
+  * files missing from disk, unreferenced on-disk orphans (candidates
+  * for a crashed write's sweep), staged WAP snapshots, and orphaned
+  * clone fences. `clean = true` means every invariant holds; the
+  * list columns carry the offending paths/ids for triage. Read-only —
+  * FSCK never repairs (vacuum owns reclamation; missing files need a
+  * human).
+  */
+final case class CowFsckCommand(
+    cat: String, path: String, ns: String,
+    table: String) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType,
+    StringType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("clean", BooleanType, nullable = false)(),
+      AttributeReference("missing_files", ArrayType(StringType),
+        nullable = false)(),
+      AttributeReference("orphan_files", ArrayType(StringType),
+        nullable = false)(),
+      AttributeReference("staged_snapshots", ArrayType(LongType),
+        nullable = false)(),
+      AttributeReference("orphan_clone_fences", ArrayType(StringType),
+        nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = CowSql.refRoot(session, cat, path, ns, table)
+    val r = graft.sinks.CowTable.fsck(session, root)
+    Seq(Row(r.clean, r.missing, r.orphans, r.staged, r.orphanFences))
   }
 }
 

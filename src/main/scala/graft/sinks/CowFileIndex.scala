@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe,
@@ -57,9 +57,15 @@ final class CowFileIndex(
     /** Marks an index already narrowed by [[graft.plans
       * .CowScanPruneRule]] — the rule's fixpoint guard.
       */
-    private[graft] val pruned: Boolean = false) extends FileIndex {
+    override private[graft] val pruned: Boolean = false)
+  extends FileIndex with CowPrunableIndex {
 
   private val schema: StructType = m.schema
+
+  /** Exact live-row count from the manifest (the planner-statistics
+    * companion of [[sizeInBytes]]).
+    */
+  private[graft] def fileRowCount: Long = m.files.map(_.rows).sum
 
   /** Session-TZ TIMESTAMP partition columns are NOT declared here —
     * same hazard [[pruningOf]] guards for data filters: the manifest
@@ -281,6 +287,114 @@ final class CowFileIndex(
   }
 }
 
+/** What [[graft.plans.CowScanPruneRule]] narrows: both the eager
+  * manifest-holding index and the lazy (cold-table) one answer
+  * `prunedTo` with an EAGER index over exactly the surviving entries.
+  */
+private[graft] trait CowPrunableIndex { self: FileIndex =>
+  private[graft] def pruned: Boolean
+  private[graft] def prunedTo(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): CowFileIndex
+}
+
+/** The LAZY twin of [[CowFileIndex]] (round-16): holds only the
+  * snapshot's HEAD metadata — schema, partitioning, column mapping —
+  * and defers the entry list until the scan's filters are known. A
+  * filtered scan of a COLD table (no memo-resident manifest) pushes
+  * its partition-filter conjuncts into the manifest/checkpoint parquet
+  * read itself ([[CowTable.prunedManifest]]) and materializes O(kept)
+  * entries driver-side instead of O(table files) — the planning-memory
+  * analog of round-15's O(Δ) commits. Every materializing surface
+  * first consults the full-manifest memo, so a WARM table behaves
+  * byte-identically (and at identical cost) to the eager index.
+  *
+  * Unfiltered scans, `inputFiles` and `sizeInBytes` genuinely need the
+  * whole listing — they materialize the full manifest through the
+  * ordinary memoized path (the scan must open every file anyway, so
+  * O(files) driver memory is the floor there, exactly as in Delta).
+  */
+final class CowLazyFileIndex(
+    spark: SparkSession,
+    root: String,
+    meta: CowManifestMeta) extends FileIndex with CowPrunableIndex {
+
+  private[graft] def pruned: Boolean = false
+
+  private def full: CowManifest = CowTable.manifest(spark, root, meta.id)
+
+  override val partitionSchema: StructType =
+    StructType(meta.partCols.map(c => meta.schema(c))
+      .filterNot(_.dataType == TimestampType))
+
+  def dataSchema: StructType = meta.schema
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override lazy val sizeInBytes: Long = full.files.map(_.bytes).sum
+
+  override def inputFiles: Array[String] =
+    full.files.map(f => CowTable.entryPath(root, f.path)).toArray
+
+  override def refresh(): Unit = ()
+
+  /** The eager index serving this scan: memo-resident manifest when
+    * warm; a pushed-predicate pruned load when the partition filters
+    * translate; the full (memoizing) parse otherwise.
+    */
+  private def eagerFor(partitionFilters: Seq[Expression]): CowFileIndex =
+    CowTable.memoPeek(spark, root, meta.id) match {
+      case Some(m) => new CowFileIndex(spark, root, m)
+      case None => pushedOf(partitionFilters) match {
+        case Some(pred) => new CowFileIndex(spark, root,
+          CowTable.prunedManifest(spark, root, meta.id, pred))
+        case None => new CowFileIndex(spark, root, full)
+      }
+    }
+
+  /** Translate the scan's partition-filter conjuncts into ONE Column
+    * over [[CowTable.prunedManifest]]'s typed `__pp_<c>` projection of
+    * the entry frame: partition attributes rewrite to the projected
+    * columns and the predicate evaluates INSIDE the manifest read —
+    * exact for any deterministic, subquery-free shape (not just the
+    * envelope forms), because it is the same expression. Untranslatable
+    * conjuncts are simply not pushed (the in-memory pass still applies
+    * every filter, so pushing is only ever a narrowing).
+    */
+  private def pushedOf(filters: Seq[Expression]): Option[Column] = {
+    val resolver = spark.sessionState.analyzer.resolver
+    val usable = filters.filter(f =>
+      f.deterministic &&
+        !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          .hasSubquery(f) &&
+        f.references.nonEmpty &&
+        f.references.forall(a =>
+          partitionSchema.fieldNames.exists(n => resolver(n, a.name))))
+    if (usable.isEmpty) None
+    else {
+      val rewritten = usable.reduce(And).transform {
+        case a: AttributeReference =>
+          val c = meta.partCols.find(resolver(_, a.name)).getOrElse(
+            throw new IllegalStateException(
+              s"partition filter on non-partition column ${a.name}"))
+          org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq(s"__pp_$c"))
+      }
+      Some(org.apache.spark.sql.graftbridge.Bridge.column(rewritten))
+    }
+  }
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    eagerFor(partitionFilters).listFiles(partitionFilters, dataFilters)
+
+  private[graft] def prunedTo(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): CowFileIndex =
+    eagerFor(partitionFilters).prunedTo(partitionFilters, dataFilters)
+}
+
 /** Planner-integrated CowTable reads: ONE DataFrame whose scan prunes
   * files per-query via [[CowFileIndex]] — `CowV2.read(spark, root)`
   * then `.where(...)` anything; partition pruning (static AND dynamic),
@@ -313,6 +427,27 @@ object CowV2 {
   private[graft] def snapshotRelation(
       spark: SparkSession, root: String, m: CowManifest): HadoopFsRelation =
     relationFor(spark, root, m)
+
+  /** The LAZY relation for a snapshot known only by its head metadata
+    * — entry materialization deferred to scan planning
+    * ([[CowLazyFileIndex]]). Callers own the debt-free check
+    * ([[CowTable.nonDataEmpty]]) and must route bucket-spec'd tables
+    * through the eager path (declaring a bucket layout requires
+    * every file NAME at relation build time).
+    */
+  private[graft] def lazyRelation(
+      spark: SparkSession, root: String,
+      meta: CowManifestMeta): HadoopFsRelation = {
+    val index = new CowLazyFileIndex(spark, root, meta)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = index.dataSchema,
+      bucketSpec = None,
+      fileFormat = new CowMappedParquetFileFormat(meta.colMap,
+        meta.schema.fieldNames.toSet),
+      options = Map.empty)(spark)
+  }
 
   /** The planner-native relation for one snapshot — what
     * [[graft.sinks.CowSource]] hands `spark.read.format("cow")`.

@@ -96,6 +96,8 @@ object CowSql {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*""".r
+  private val FsckRe =
+    s"""(?is)\\s*FSCK\\s+$Ref\\s*""".r
 
   /** Is `name` a REGISTERED cow catalog in this session? Routing is
     * gated on this (round-13 ADVICE): a session database or temp view
@@ -142,6 +144,16 @@ object CowSql {
   private[graft] def showPartitionsRef(spark: SparkSession,
       sql: String): Option[(String, String, String, String)] = sql match {
     case ShowPartitionsRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      Some((c, p, ns, t))
+    case _ => None
+  }
+
+  /** Same for `FSCK cow.<ref>` — the invariant check as a statement
+    * (round-16 verdict #6), so operators run it without Scala.
+    */
+  private[graft] def fsckRef(spark: SparkSession,
+      sql: String): Option[(String, String, String, String)] = sql match {
+    case FsckRe(c, p, ns, t) if routableRef(spark, c, p) =>
       Some((c, p, ns, t))
     case _ => None
   }

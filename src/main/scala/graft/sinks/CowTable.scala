@@ -134,6 +134,41 @@ final case class CowManifest(
   def dvs: Seq[CowFile] = allFiles.filter(_.kind == CowTable.KindDv)
 }
 
+/** HEAD-ONLY snapshot metadata (round-16): everything a reader needs
+  * BEFORE it decides which entries to materialize — identity, schema,
+  * partitioning, column mapping — parsed from ONE manifest row
+  * (every row duplicates these columns, so any row serves). This is
+  * what keeps catalog resolution and scan PLANNING driver-bounded at
+  * extreme file counts: `loadTable` and the analyzer's schema checks
+  * never touch the entry list; [[CowLazyFileIndex]] materializes only
+  * the entries a pushed partition predicate keeps. `baseId` /
+  * `removedParts` are the delta-chain link fields
+  * ([[CowManifestRow]]); they are authoritative only when the meta
+  * was read from disk ([[CowTable.manifestMeta]] documents the
+  * memo-derived case).
+  */
+final case class CowManifestMeta(
+    id: Long,
+    partCols: Seq[String],
+    schemaDdl: String,
+    colMap: Map[String, String] = Map.empty,
+    retiredPhys: Seq[String] = Nil,
+    baseId: Option[Long] = None,
+    removedParts: Seq[String] = Nil) {
+  def schema: StructType = StructType.fromDDL(schemaDdl)
+  /** Physical (in-file) name of logical column `c`. */
+  def phys(c: String): String = colMap.getOrElse(c, c)
+}
+
+object CowManifestMeta {
+  /** Meta of an already-materialized manifest (chain fields inert —
+    * entry resolution always re-reads them per link from disk).
+    */
+  def of(m: CowManifest): CowManifestMeta =
+    CowManifestMeta(m.id, m.partCols, m.schemaDdl, m.colMap,
+      m.retiredPhys)
+}
+
 /** Internal persisted shape of one manifest row (one per data file,
   * plus a path-NULL sentinel for an empty table so schema/partitioning
   * survive a fully-deleted state).
@@ -572,6 +607,279 @@ object CowTable {
     }
   }
 
+  /** Peek the full-manifest memo WITHOUT loading anything: Some only
+    * when snapshot (root, id) is already parsed, fingerprint-valid and
+    * resident — the zero-cost fast path every lazy surface consults
+    * before considering a disk read.
+    */
+  private[graft] def memoPeek(
+      spark: SparkSession, root: String, id: Long): Option[CowManifest] = {
+    val fs = hfs(spark, root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val dir = new Path(s"$root/$ManifestPrefix$id")
+    val fp = manifestFingerprint(fs, dir)
+    manifestMemo.synchronized {
+      Option(manifestMemo.get((qroot, id))).filter(_._1 == fp).map(_._2)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Partition-pruned manifest loading (round-16): planning stays
+  // driver-bounded at extreme file counts. Commit IO went O(Δ) in
+  // round 15; these surfaces retire the read side's last O(table-
+  // files) driver structure — a filtered scan of a COLD table pushes
+  // its partition predicate into the manifest/checkpoint parquet read
+  // itself and collects ONLY the surviving entries.
+  // -------------------------------------------------------------------
+
+  private val MetaMemoMax = 256
+  private val metaMemo =
+    new java.util.LinkedHashMap[(String, Long), (String, CowManifestMeta)](
+      MetaMemoMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (String, CowManifestMeta)])
+          : Boolean = size > MetaMemoMax
+    }
+
+  /** Spec hook: entries MATERIALIZED to the driver through pruned
+    * loads, per qualified root — the round-16 spec pins that a
+    * 1-partition read of an N-partition cold table lands O(1/N) here.
+    */
+  private[graft] val entriesMaterialized =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Spec hook companion: pruned (pushed-predicate) manifest loads per
+    * qualified root.
+    */
+  private[graft] val prunedLoads =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private[graft] def clearMetaMemoForTest(): Unit = {
+    metaMemo.synchronized(metaMemo.clear())
+    nonDataMemo.synchronized(nonDataMemo.clear())
+  }
+
+  /** Head-only metadata of snapshot `id` — served from the full
+    * manifest when one is already memo-resident (zero IO; chain fields
+    * blank — they are only consulted by [[entriesFrame]], which
+    * re-reads them per link), else parsed from ONE row of the manifest
+    * parquet (memoized with the same fingerprint guard as the full
+    * memo). Never materializes the entry list.
+    */
+  def manifestMeta(
+      spark: SparkSession, root: String, id: Long): CowManifestMeta =
+    memoPeek(spark, root, id).map(CowManifestMeta.of).getOrElse(
+      metaFromDisk(spark, root, id))
+
+  private def metaFromDisk(
+      spark: SparkSession, root: String, id: Long): CowManifestMeta = {
+    val fs = hfs(spark, root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val dir = new Path(s"$root/$ManifestPrefix$id")
+    val fp = manifestFingerprint(fs, dir)
+    val key = (qroot, id)
+    metaMemo.synchronized {
+      Option(metaMemo.get(key)).filter(_._1 == fp)
+    } match {
+      case Some((_, m)) => m
+      case None =>
+        val df = spark.read.parquet(dir.toString)
+        val names = df.schema.fieldNames.toSet
+        val metaCols = Seq("part_cols", "schema_ddl") ++
+          Seq("col_map", "retired_phys", "base_id", "removed_parts")
+            .filter(names.contains)
+        val head = df.select(metaCols.map(col): _*).limit(1).collect()
+          .headOption.getOrElse(throw new IllegalStateException(
+            s"manifest $id at $root is empty — corrupt commit"))
+        def opt[T](c: String, f: Row => T, dflt: T): T =
+          if (!names.contains(c)) dflt
+          else Option(f(head)).getOrElse(dflt)
+        val m = CowManifestMeta(
+          id,
+          head.getAs[scala.collection.Seq[String]]("part_cols").toSeq,
+          head.getAs[String]("schema_ddl"),
+          opt("col_map",
+            _.getAs[Map[String, String]]("col_map"), Map.empty),
+          opt[scala.collection.Seq[String]]("retired_phys",
+            _.getAs[scala.collection.Seq[String]]("retired_phys"),
+            Nil).toSeq,
+          if (!names.contains("base_id")) None
+          else Option(head.getAs[java.lang.Long]("base_id")).map(_.toLong),
+          opt[scala.collection.Seq[String]]("removed_parts",
+            _.getAs[scala.collection.Seq[String]]("removed_parts"),
+            Nil).toSeq)
+        metaMemo.synchronized { metaMemo.put(key, (fp, m)) }
+        m
+    }
+  }
+
+  /** The canonical 9-column entry frame of one manifest directory —
+    * meta columns dropped, sentinel rows out, pre-nulls manifests
+    * normalized — so chain links written by different code versions
+    * union cleanly.
+    */
+  private def normalizedEntries(
+      spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(dir)
+    val names = raw.schema.fieldNames.toSet
+    val withNulls =
+      if (names.contains("nulls")) raw
+      else raw.withColumn("nulls", lit(null).cast("map<string,bigint>"))
+    withNulls
+      .select(col("path"), col("part"), col("rows"), col("bytes"),
+        col("mins"), col("maxs"), col("kind"), col("blooms"),
+        col("nulls"))
+      .where(col("path").isNotNull)
+  }
+
+  /** Engine-side twin of [[partKey]] over the entry frame's `part`
+    * map — byte-identical rendering, so `removed_parts` membership
+    * filters in a Spark job exactly as it does on the driver.
+    */
+  private def partKeyCol(partCols: Seq[String]): Column =
+    concat_ws("\u0001", partCols.map(c =>
+      coalesce(element_at(col("part"), lit(c)), lit("\u0000NULL"))): _*)
+
+  /** Snapshot `id`'s fully-resolved entry list AS A DATAFRAME — the
+    * delta chain unrolled into unions with per-link `removed_parts`
+    * anti-filters, NOTHING collected. A committed checkpoint
+    * short-circuits exactly like the eager path; a memo-resident link
+    * stops the walk with a local frame over its in-memory entries.
+    * This is what pruned loading filters before materializing.
+    */
+  private[sinks] def entriesFrame(
+      spark: SparkSession, root: String, id: Long,
+      partCols: Seq[String]): DataFrame = {
+    memoPeek(spark, root, id) match {
+      case Some(m) =>
+        import spark.implicits._
+        // local frame from the resident entries (driver-held already;
+        // no disk IO, no chain walk)
+        m.allFiles.toDS().toDF()
+          .select(col("path"), col("part"), col("rows"), col("bytes"),
+            col("mins"), col("maxs"), col("kind"), col("blooms"),
+            col("nulls"))
+      case None =>
+        val fs = hfs(spark, root)
+        val ckpt = new Path(s"$root/$CkptPrefix$id")
+        if (fs.exists(new Path(ckpt, "_SUCCESS")))
+          normalizedEntries(spark, ckpt.toString)
+        else {
+          val meta = metaFromDisk(spark, root, id)
+          val own =
+            normalizedEntries(spark, s"$root/$ManifestPrefix$id")
+          meta.baseId match {
+            case None => own
+            case Some(b) =>
+              require(meta.partCols == partCols,
+                s"delta manifest $id at $root changes partitioning " +
+                  s"($partCols -> ${meta.partCols}) — corrupt commit")
+              val base = entriesFrame(spark, root, b, partCols)
+              val kept =
+                if (meta.removedParts.isEmpty) base
+                else base.where(!partKeyCol(partCols)
+                  .isin(meta.removedParts: _*))
+              kept.unionByName(own)
+          }
+        }
+    }
+  }
+
+  /** Decode collected entry rows (either the raw manifest shape or the
+    * [[normalizedEntries]] frame) into [[CowFile]]s — the one decoder
+    * [[manifestAt]] and the pruned loader share.
+    */
+  private def filesOfRows(rows: Seq[Row]): Seq[CowFile] =
+    rows.filter(_.getAs[String]("path") != null).map { r =>
+      CowFile(
+        path = r.getAs[String]("path"),
+        part = Option(r.getAs[Map[String, String]]("part"))
+          .getOrElse(Map.empty),
+        rows = r.getAs[Long]("rows"),
+        bytes = r.getAs[Long]("bytes"),
+        mins = Option(r.getAs[Map[String, String]]("mins"))
+          .getOrElse(Map.empty),
+        maxs = Option(r.getAs[Map[String, String]]("maxs"))
+          .getOrElse(Map.empty),
+        kind = r.getAs[String]("kind"),
+        blooms = Option(
+          r.getAs[Map[String, scala.collection.Seq[Long]]]("blooms"))
+          .map(_.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
+        nulls =
+          if (!r.schema.fieldNames.contains("nulls")) Map.empty
+          else Option(r.getAs[Map[String, Long]]("nulls"))
+            .getOrElse(Map.empty))
+    }
+
+  /** Materialize snapshot `id` NARROWED to the entries `pushed` keeps
+    * (plus every non-data entry — tombstones/DV sidecars must always
+    * ride along for correctness). `pushed` references the typed
+    * `__pp_<partCol>` columns this method adds over the entry frame;
+    * [[CowLazyFileIndex.pushedOf]] builds it from the scan's partition
+    * filters. Driver memory: O(surviving entries), never O(table) —
+    * the predicate evaluates INSIDE the manifest parquet read. Falls
+    * through to the memoized full manifest when one is resident (no
+    * job at all).
+    */
+  private[graft] def prunedManifest(
+      spark: SparkSession, root: String, id: Long,
+      pushed: Column): CowManifest =
+    memoPeek(spark, root, id).getOrElse {
+      val meta = metaFromDisk(spark, root, id)
+      val qroot = hfs(spark, root)
+        .makeQualified(new Path(root)).toString
+      val frame0 = entriesFrame(spark, root, id, meta.partCols)
+      val typed = meta.partCols.foldLeft(frame0)((d, c) =>
+        d.withColumn(s"__pp_$c",
+          element_at(col("part"), lit(c)).cast(meta.schema(c).dataType)))
+      // kind != data keeps non-data entries unconditionally; a pushed
+      // predicate evaluating NULL (e.g. a NULL partition value) drops
+      // the row — same outcome as the in-memory Predicate.eval path
+      val rows = typed
+        .where(col("kind") =!= KindData || pushed)
+        .drop(meta.partCols.map(c => s"__pp_$c"): _*)
+        .collect().toSeq
+      if (prunedLoads.size > 1024) prunedLoads.clear()
+      if (entriesMaterialized.size > 1024) entriesMaterialized.clear()
+      prunedLoads.merge(qroot, 1L, (a, b) => a + b)
+      entriesMaterialized.merge(qroot, rows.length.toLong, (a, b) => a + b)
+      CowManifest(id, meta.partCols, meta.schemaDdl, filesOfRows(rows),
+        meta.colMap, meta.retiredPhys)
+    }
+
+  private val nonDataMemo =
+    new java.util.LinkedHashMap[(String, Long), Boolean](
+      MetaMemoMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Boolean]): Boolean =
+        size > MetaMemoMax
+    }
+
+  /** Is snapshot `id` free of merge-on-read debt (no tombstones, no
+    * DV sidecars)? The gate the lazy read path must pass — a lazy
+    * relation cannot carry the subtraction. Memo-resident manifests
+    * answer in memory; cold ones with ONE tiny filtered job over the
+    * entry frame (memoized per snapshot — the answer is immutable).
+    */
+  private[graft] def nonDataEmpty(
+      spark: SparkSession, root: String, id: Long): Boolean =
+    memoPeek(spark, root, id) match {
+      case Some(m) => m.tombstones.isEmpty && m.dvs.isEmpty
+      case None =>
+        val fs = hfs(spark, root)
+        val qroot = fs.makeQualified(new Path(root)).toString
+        val key = (qroot, id)
+        nonDataMemo.synchronized(Option(nonDataMemo.get(key))) match {
+          case Some(v) => v
+          case None =>
+            val meta = metaFromDisk(spark, root, id)
+            val v = entriesFrame(spark, root, id, meta.partCols)
+              .where(col("kind") =!= KindData).limit(1).isEmpty
+            nonDataMemo.synchronized(nonDataMemo.put(key, v))
+            v
+        }
+    }
+
   /** CHECKPOINT delta manifest `id`: write its fully-resolved entry
     * list as the committed `_ckpt-<id>/` dir, after which readers stop
     * walking its chain and [[vacuum]] may prune the chain's bases. A
@@ -601,6 +909,20 @@ object CowTable {
       java.util.UUID.randomUUID().toString.replace("-", ""))
     writeManifestAt(spark, tmpDir.toString, m.partCols,
       m.schemaDdl, m.allFiles, (m.colMap, m.retiredPhys))
+    // sweep a CRASHED collapse's marker-less dir BEFORE renaming —
+    // not on rename failure: Hadoop's rename onto an existing
+    // directory may MOVE THE SOURCE INSIDE IT and report success,
+    // which would leave the checkpoint forever uncommitted (the tmp
+    // content nested one level down, no top-level marker). Readers
+    // ignore marker-less checkpoints, so the sweep removes nothing
+    // servable; a COMMITTED winner is never swept (its marker rode
+    // the rename). If a concurrent winner publishes between the sweep
+    // and our rename, the rename either fails (marker now present —
+    // we lose cleanly) or nests our tmp inside the winner's dir as
+    // `_`-prefixed garbage every reader ignores — same-content
+    // writers, both outcomes committed and correct.
+    if (fs.exists(ckptDir) && !fs.exists(new Path(ckptDir, "_SUCCESS")))
+      fs.delete(ckptDir, true)
     if (!fs.rename(tmpDir, ckptDir)) {
       fs.delete(tmpDir, true)
       require(fs.exists(new Path(ckptDir, "_SUCCESS")),
@@ -622,25 +944,9 @@ object CowTable {
     val head = rows.head
     val partCols = head.getAs[scala.collection.Seq[String]]("part_cols").toSeq
     val ddl = head.getAs[String]("schema_ddl")
-    val files = rows.toSeq.filter(_.getAs[String]("path") != null).map { r =>
-      CowFile(
-        path = r.getAs[String]("path"),
-        part = Option(r.getAs[Map[String, String]]("part")).getOrElse(Map.empty),
-        rows = r.getAs[Long]("rows"),
-        bytes = r.getAs[Long]("bytes"),
-        mins = Option(r.getAs[Map[String, String]]("mins")).getOrElse(Map.empty),
-        maxs = Option(r.getAs[Map[String, String]]("maxs")).getOrElse(Map.empty),
-        kind = r.getAs[String]("kind"),
-        blooms = Option(
-          r.getAs[Map[String, scala.collection.Seq[Long]]]("blooms"))
-          .map(_.map { case (k, v) => k -> v.toSeq }).getOrElse(Map.empty),
-        // manifests written before the null-count column read as
-        // count-unknown (no pruning) rather than failing the parse
-        nulls =
-          if (!r.schema.fieldNames.contains("nulls")) Map.empty
-          else Option(r.getAs[Map[String, Long]]("nulls"))
-            .getOrElse(Map.empty))
-    }
+    // pre-nulls manifests decode as count-unknown (no pruning) rather
+    // than failing the parse — filesOfRows checks per-row schema
+    val files = filesOfRows(rows.toSeq)
     // manifests written before column mapping read as identity-mapped
     val colMap =
       if (!head.schema.fieldNames.contains("col_map")) Map.empty[String, String]
@@ -2772,9 +3078,30 @@ object CowTable {
   private def writeManifest(
       spark: SparkSession, root: String, id: Long,
       partCols: Seq[String], ddl: String, files: Seq[CowFile],
-      mapping: (Map[String, String], Seq[String])): Unit =
+      mapping: (Map[String, String], Seq[String])): Unit = {
     writeManifestAt(spark, s"$root/$ManifestPrefix$id", partCols, ddl,
       files, mapping)
+    memoizeWritten(spark, root, id,
+      CowManifest(id, partCols, ddl, files, mapping._1, mapping._2))
+  }
+
+  /** Memoize a manifest THE WRITER JUST MATERIALIZED (round-16): the
+    * commit holds the full resolved entry list in memory, so the first
+    * post-write read should not re-parse it from parquet — it serves
+    * from the memo like any warm snapshot. Crash/abort safe by the
+    * same fingerprint guard as every memo entry: a rolled-back or
+    * deleted manifest dir no longer matches its fingerprint, and the
+    * replay guard forbids re-committing an id, so (root, id) content
+    * can never silently change under a matching fingerprint.
+    */
+  private def memoizeWritten(
+      spark: SparkSession, root: String, id: Long, m: CowManifest): Unit = {
+    val fs = hfs(spark, root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val fp = manifestFingerprint(fs, new Path(s"$root/$ManifestPrefix$id"))
+    if (fp.nonEmpty)
+      manifestMemo.synchronized { manifestMemo.put((qroot, id), (fp, m)) }
+  }
 
   private def writeManifestAt(
       spark: SparkSession, dir: String,
@@ -2847,6 +3174,17 @@ object CowTable {
     writeManifestAt(spark, s"$root/$ManifestPrefix$id", base.partCols,
       ddl, adds, mapping, baseId = Some(base.id),
       removedParts = removedParts.toSeq.sorted)
+    // the writer knows the resolved list (carried-by-reference minus
+    // removed partitions, plus the adds — the exact resolution
+    // manifestAt would compute); hand it to the memo so the first
+    // post-commit read skips the parse AND the chain walk
+    val carried =
+      if (removedParts.isEmpty) base.allFiles
+      else base.allFiles.filterNot(f =>
+        removedParts.contains(partKey(base.partCols, f.part)))
+    memoizeWritten(spark, root, id,
+      CowManifest(id, base.partCols, ddl, carried ++ adds,
+        mapping._1, mapping._2, chainDepth = base.chainDepth + 1))
   }
 
   /** The mapping pair a commit carries forward from its base. */

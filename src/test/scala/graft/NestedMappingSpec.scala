@@ -94,6 +94,22 @@ class NestedMappingSpec extends SparkSpec {
       s"ALTER TABLE cow.$ns.t RENAME COLUMN meta.a TO z"))
     assert(Option(e.getMessage).exists(_.contains("top-level")),
       s"nested-field rename must refuse with the remedy: $e")
+    // the refusal is PERMANENT by design (round-16); the message's
+    // remedy must work end-to-end: rewrite under the new shape. Pin
+    // the documented INSERT OVERWRITE reshape achieving `meta.a → z`
+    // with data intact, then restore the original shape for the rest
+    // of the test.
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("BY DESIGN") && m.contains("OVERWRITE")),
+      s"refusal must state permanence and the rewrite remedy: $e")
+    spark.sql(s"CREATE TABLE cow.$ns.t2 " +
+      "(id BIGINT, meta STRUCT<z: BIGINT, b: STRING>)")
+    spark.sql(s"INSERT INTO cow.$ns.t2 SELECT id, " +
+      s"named_struct('z', meta.a, 'b', meta.b) FROM cow.$ns.t")
+    assert(spark.sql(s"SELECT sum(meta.z) FROM cow.$ns.t2")
+      .as[Long].head() == (0 until 8).map(_ * 2).sum,
+      "the rewrite remedy must carry the nested data under the new name")
+    spark.sql(s"DROP TABLE cow.$ns.t2")
     // top-level struct rename through the catalog, then DML reads and
     // writes the nested data under the new name
     spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN meta TO payload")

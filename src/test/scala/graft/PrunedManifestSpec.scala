@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sinks.CowTable
+
+/** Partition-pruned manifest loading (round-16 verdict #1): catalog
+  * resolution is head-only ([[graft.sinks.CowManifestMeta]]) and a
+  * FILTERED scan of a COLD table pushes its partition predicate into
+  * the manifest/checkpoint parquet read itself
+  * (`CowTable.prunedManifest` via `CowLazyFileIndex`), materializing
+  * O(kept) entries driver-side instead of O(table files). A WARM
+  * table (memo-resident manifest) never takes the pruned path — same
+  * cost as the eager index. Also pins round-16 verdict #7: a crashed
+  * checkpoint collapse (`_ckpt-<id>` without `_SUCCESS`) is invisible
+  * — both the eager parse and the pruned loader fall back to the
+  * delta chain, under concurrency too.
+  */
+class PrunedManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshNs(tag: String): String = {
+    val ns = s"$tag${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    ns
+  }
+
+  private def qroot(root: String): String =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(new Path(root)).toString
+
+  private def counters(root: String): (Long, Long) = (
+    Option(CowTable.prunedLoads.get(qroot(root))).getOrElse(0L),
+    Option(CowTable.entriesMaterialized.get(qroot(root))).getOrElse(0L))
+
+  private def goCold(): Unit = {
+    CowTable.clearManifestMemoForTest()
+    CowTable.clearMetaMemoForTest()
+  }
+
+  test("a 1-partition read of a cold N-partition table materializes " +
+      "O(1/N) entries driver-side, through the delta chain, and " +
+      "matches the full read") {
+    val ns = freshNs("pml")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    // two appends → delta-manifest chain (adds carried per link)
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 20 FROM range(2000)")
+    spark.sql(s"INSERT INTO cow.$ns.t " +
+      "SELECT id, id % 20 FROM range(2000, 4000)")
+    val totalEntries = CowTable.currentManifest(spark, root).get
+      .allFiles.length
+    assert(totalEntries >= 20, s"need a multi-file table, got $totalEntries")
+
+    goCold()
+    val (loads0, mat0) = counters(root)
+    val got = spark.table(s"cow.$ns.t").where($"p" === 3L)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .as[(Long, Long)].head()
+    val (loads1, mat1) = counters(root)
+    assert(loads1 > loads0, "a cold filtered read must take the " +
+      "pruned-manifest path, not a full parse")
+    val materialized = mat1 - mat0
+    assert(materialized > 0 && materialized <= totalEntries / 5,
+      s"pruned load must land O(1/N) entries driver-side: " +
+        s"materialized $materialized of $totalEntries")
+    // correctness against the in-memory full read
+    val want = (0L until 4000L).filter(_ % 20 == 3)
+    assert(got == ((want.size.toLong, want.sum)), s"got $got")
+
+    // WARM table: with the manifest memo populated, the same filtered
+    // read serves in memory — zero additional pruned loads
+    CowTable.manifest(spark, root,
+      CowTable.committedIds(spark, root).last)
+    val (loads2, _) = counters(root)
+    assert(spark.table(s"cow.$ns.t").where($"p" === 3L).count() ==
+      want.size.toLong)
+    val (loads3, _) = counters(root)
+    assert(loads3 == loads2,
+      "a memo-warm read must not re-load the manifest")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("cold unfiltered reads and data-column-only filters fall back " +
+      "to the full (memoizing) parse — pruning never drops rows") {
+    val ns = freshNs("pmf")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 5 FROM range(500)")
+    goCold()
+    assert(spark.table(s"cow.$ns.t").count() == 500L)
+    goCold()
+    // data-column predicate: not pushable into the manifest read (no
+    // partition conjunct) — full load, result exact via min/max skip +
+    // residual filter
+    assert(spark.table(s"cow.$ns.t").where($"id" < 100L).count() == 100L)
+    // NULL partition value: pruned path must keep NULL-part files out
+    // for an equality (NULL never equals) and correctness holds
+    spark.sql(s"INSERT INTO cow.$ns.t VALUES (9999L, NULL)")
+    goCold()
+    assert(spark.table(s"cow.$ns.t").where($"p" === 2L).count() == 100L)
+    goCold()
+    assert(spark.table(s"cow.$ns.t").where($"p".isNull)
+      .select("id").as[Long].collect().toSeq == Seq(9999L))
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("a crashed checkpoint collapse (_ckpt without _SUCCESS) is " +
+      "invisible: eager parse AND cold pruned reads fall back to the " +
+      "chain, under concurrent checkpointing too") {
+    val ns = freshNs("ckr")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 FROM range(400)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 " +
+      "FROM range(400, 800)")
+    val head = CowTable.committedIds(spark, root).last
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // fake a crashed collapse: a _ckpt dir holding a WRONG entry list
+    // (a stale copy of snapshot 1's manifest) and no _SUCCESS marker
+    val ckpt = new Path(s"$root/_ckpt-$head")
+    fs.mkdirs(ckpt)
+    val m1 = fs.listStatus(new Path(s"$root/manifest-1")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, m1, fs,
+      new Path(ckpt, "part-stale.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    goCold()
+    assert(spark.table(s"cow.$ns.t").where($"p" === 1L).count() == 200L,
+      "cold pruned read must ignore the uncommitted checkpoint")
+    goCold()
+    assert(CowTable.manifest(spark, root, head).files
+      .map(_.rows).sum == 800L,
+      "eager parse must ignore the uncommitted checkpoint")
+    // concurrent explicit collapses + readers: rename loser is benign,
+    // every reader sees the full 800 rows throughout
+    goCold()
+    val threads = (0 until 6).map { i =>
+      new Thread(() => {
+        if (i % 2 == 0) CowTable.checkpoint(spark, root, head)
+        else assert(CowTable.manifest(spark, root, head).files
+          .map(_.rows).sum == 800L)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(fs.exists(new Path(ckpt, "_SUCCESS")),
+      "an explicit checkpoint must have collapsed the chain")
+    goCold()
+    assert(spark.table(s"cow.$ns.t").where($"p" === 1L).count() == 200L,
+      "post-collapse cold pruned read serves from the checkpoint")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+}
