@@ -130,8 +130,8 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .TableIdentifier(t.name()),
           tableType = CatalogTableType.EXTERNAL,
           storage = CatalogStorageFormat.empty.copy(
-            locationUri = Some(new java.net.URI(
-              new org.apache.hadoop.fs.Path(t.root).toUri.toString))),
+            locationUri = Some(
+              new org.apache.hadoop.fs.Path(t.root).toUri)),
           schema = t.meta.schema,
           provider = Some("parquet"),
           stats = Some(CatalogStatistics(

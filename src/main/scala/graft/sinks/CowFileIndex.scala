@@ -340,17 +340,102 @@ final class CowLazyFileIndex(
 
   /** The eager index serving this scan: memo-resident manifest when
     * warm; a pushed-predicate pruned load when the partition filters
-    * translate; the full (memoizing) parse otherwise.
+    * or data-filter min/max envelopes translate; the full (memoizing)
+    * parse otherwise.
     */
-  private def eagerFor(partitionFilters: Seq[Expression]): CowFileIndex =
+  private def eagerFor(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): CowFileIndex =
     CowTable.memoPeek(spark, root, meta.id) match {
       case Some(m) => new CowFileIndex(spark, root, m)
-      case None => pushedOf(partitionFilters) match {
-        case Some(pred) => new CowFileIndex(spark, root,
-          CowTable.prunedManifest(spark, root, meta.id, pred))
-        case None => new CowFileIndex(spark, root, full)
-      }
+      case None =>
+        (pushedOf(partitionFilters).toSeq ++ statsPredOf(dataFilters))
+          .reduceOption(_ && _) match {
+          case Some(pred) => new CowFileIndex(spark, root,
+            CowTable.prunedManifest(spark, root, meta.id, pred))
+          case None => new CowFileIndex(spark, root, full)
+        }
     }
+
+  /** Stat types whose string-rendered extremes CAST back losslessly
+    * and totally in-engine: floats are excluded (NaN comparisons
+    * would DROP files the driver-side partial comparator keeps),
+    * timestamps are excluded (the writer-TZ hazard [[CowFileIndex
+    * .pruningOf]] documents), decimals/binary excluded (cast scale /
+    * no stats). Same conservatism as the in-memory path — pushing is
+    * only ever a narrowing; the slice still runs the full skipping
+    * triad in memory.
+    */
+  private def statSafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+
+  /** The min/max-envelope HALF of data skipping, pushed into the
+    * manifest read (round-16): for range/point conjuncts on stat-safe
+    * columns, keep an entry unless its envelope PROVABLY excludes the
+    * bound — `coalesce(…, true)` turns every NULL outcome (stat
+    * absent, truncated-away max, malformed) into KEEP, exactly
+    * [[CowTable.mayMatch]]'s missing/incomparable semantics. Blooms,
+    * IN-lists and null counts stay in-memory over the materialized
+    * slice (they need driver-side probe hashing).
+    */
+  private def statsPredOf(dataFilters: Seq[Expression]): Option[Column] = {
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit}
+    val resolver = spark.sessionState.analyzer.resolver
+    def statStr(l: Literal): Option[String] =
+      Option(Cast(l, StringType,
+        Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+        .map(_.toString)
+    def named(x: Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType)] = x match {
+      case a: AttributeReference if statSafe(a.dataType) =>
+        meta.schema.fields.find(f => resolver(f.name, a.name))
+          .map(f => (f.name, f.dataType))
+      case _ => None
+    }
+    def keepLo(n: String, dt: org.apache.spark.sql.types.DataType,
+        v: String): Column =
+      coalesce(element_at(col("maxs"), lit(n)).isNull ||
+        element_at(col("maxs"), lit(n)).cast(dt) >= lit(v).cast(dt),
+        lit(true))
+    def keepHi(n: String, dt: org.apache.spark.sql.types.DataType,
+        v: String): Column =
+      coalesce(element_at(col("mins"), lit(n)).isNull ||
+        element_at(col("mins"), lit(n)).cast(dt) <= lit(v).cast(dt),
+        lit(true))
+    def predOf(e: Expression): Option[Column] = e match {
+      case EqualTo(a, l: Literal) => for {
+        (n, dt) <- named(a); v <- statStr(l)
+      } yield keepLo(n, dt, v) && keepHi(n, dt, v)
+      case EqualTo(l: Literal, a) => predOf(EqualTo(a, l))
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        predOf(EqualTo(a, l))
+      case GreaterThan(a, l: Literal) => for {
+        (n, dt) <- named(a); v <- statStr(l) } yield keepLo(n, dt, v)
+      case GreaterThanOrEqual(a, l: Literal) => predOf(GreaterThan(a, l))
+      case LessThan(a, l: Literal) => for {
+        (n, dt) <- named(a); v <- statStr(l) } yield keepHi(n, dt, v)
+      case LessThanOrEqual(a, l: Literal) => predOf(LessThan(a, l))
+      case GreaterThan(l: Literal, a) => predOf(LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a) => predOf(LessThan(a, l))
+      case LessThan(l: Literal, a) => predOf(GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a) => predOf(GreaterThan(a, l))
+      case _ => None
+    }
+    dataFilters
+      .filter(f => f.deterministic &&
+        !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          .hasSubquery(f))
+      .flatMap(predOf).reduceOption(_ && _)
+  }
 
   /** Translate the scan's partition-filter conjuncts into ONE Column
     * over [[CowTable.prunedManifest]]'s typed `__pp_<c>` projection of
@@ -387,12 +472,14 @@ final class CowLazyFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    eagerFor(partitionFilters).listFiles(partitionFilters, dataFilters)
+    eagerFor(partitionFilters, dataFilters)
+      .listFiles(partitionFilters, dataFilters)
 
   private[graft] def prunedTo(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): CowFileIndex =
-    eagerFor(partitionFilters).prunedTo(partitionFilters, dataFilters)
+    eagerFor(partitionFilters, dataFilters)
+      .prunedTo(partitionFilters, dataFilters)
 }
 
 /** Planner-integrated CowTable reads: ONE DataFrame whose scan prunes

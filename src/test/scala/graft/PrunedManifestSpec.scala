@@ -83,20 +83,39 @@ class PrunedManifestSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
-  test("cold unfiltered reads and data-column-only filters fall back " +
-      "to the full (memoizing) parse — pruning never drops rows") {
+  test("cold unfiltered reads take the full (memoizing) parse; " +
+      "data-column RANGE filters push their min/max envelope into " +
+      "the manifest read — pruning never drops rows") {
     val ns = freshNs("pmf")
     val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
     spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
       "PARTITIONED BY (p)")
-    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 5 FROM range(500)")
+    // two id-range batches → per-file id envelopes are disjoint
+    // across batches (the layout envelope skipping needs)
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 5 FROM range(250)")
+    spark.sql(s"INSERT INTO cow.$ns.t " +
+      "SELECT id, id % 5 FROM range(250, 500)")
+    val totalEntries = CowTable.currentManifest(spark, root).get
+      .allFiles.length
     goCold()
+    val (loadsU0, _) = counters(root)
     assert(spark.table(s"cow.$ns.t").count() == 500L)
+    val (loadsU1, _) = counters(root)
+    assert(loadsU1 == loadsU0,
+      "an unfiltered cold read must take the full parse, not a " +
+        "pruned load (the scan opens every file anyway)")
     goCold()
-    // data-column predicate: not pushable into the manifest read (no
-    // partition conjunct) — full load, result exact via min/max skip +
-    // residual filter
+    // data-column RANGE predicate: the envelope half of skipping
+    // pushes into the manifest read (round-16) — cold driver
+    // materializes only the entries whose [min,max] may intersect
+    val (loadsD0, matD0) = counters(root)
     assert(spark.table(s"cow.$ns.t").where($"id" < 100L).count() == 100L)
+    val (loadsD1, matD1) = counters(root)
+    assert(loadsD1 > loadsD0,
+      "a cold range-filtered read must take the pruned path")
+    assert(matD1 - matD0 > 0 && matD1 - matD0 < totalEntries,
+      s"envelope pushdown must narrow the materialized entries: got " +
+        s"${matD1 - matD0} of $totalEntries")
     // NULL partition value: pruned path must keep NULL-part files out
     // for an equality (NULL never equals) and correctness holds
     spark.sql(s"INSERT INTO cow.$ns.t VALUES (9999L, NULL)")
