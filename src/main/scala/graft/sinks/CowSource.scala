@@ -67,28 +67,38 @@ final class CowSource extends RelationProvider
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "cow source needs a path: spark.read.format(\"cow\").load(root)"))
-    val m = parameters.get("snapshot").map(_.toLong) match {
+    val at = parameters.get("snapshot").map(_.toLong) match {
       case Some(id) =>
         // resolve against COMMITTED ids only (highest committed ≤ id —
         // the same time-travel rule as CowTable.readAt): loading the
         // manifest dir directly would serve a crashed writer's orphan
         // (parquet written, _SUCCESS missing) as table state
         CowTable.committedIds(spark, root).filter(_ <= id).lastOption
-          .map(CowTable.manifest(spark, root, _)).getOrElse(
-            throw new IllegalStateException(
-              s"no committed snapshot at or before id $id at $root"))
+          .getOrElse(throw new IllegalStateException(
+            s"no committed snapshot at or before id $id at $root"))
       case None => parameters.get("timestampMs").map(_.toLong) match {
         case Some(ts) =>
-          val ids = CowTable.committedIdsAt(spark, root, ts)
-          ids.lastOption.map(CowTable.manifest(spark, root, _)).getOrElse(
+          CowTable.committedIdsAt(spark, root, ts).lastOption.getOrElse(
             throw new IllegalStateException(
               s"no committed snapshot at or before $ts at $root"))
-        case None => CowTable.currentManifest(spark, root).getOrElse(
-          throw new IllegalStateException(
-            s"no committed snapshot at $root"))
+        case None =>
+          CowTable.committedIds(spark, root).lastOption.getOrElse(
+            throw new IllegalStateException(
+              s"no committed snapshot at $root"))
       }
     }
-    CowV2.relationFor(spark, root, m)
+    // debt-free unbucketed snapshots resolve LAZILY (round-16): the
+    // relation carries head metadata only, and a filtered scan of a
+    // cold table materializes just the surviving entries — the same
+    // driver-bounded planning as the named catalog path. MOR debt
+    // keeps the eager path for its loud fold-first refusal; bucket
+    // specs need every file name at relation build.
+    if (CowTable.nonDataEmpty(spark, root, at) &&
+        CowTable.bucketSpecOf(spark, root).isEmpty)
+      CowV2.lazyRelation(spark, root,
+        CowTable.manifestMeta(spark, root, at))
+    else
+      CowV2.relationFor(spark, root, CowTable.manifest(spark, root, at))
   }
 
   override def createRelation(

@@ -70,6 +70,16 @@ class PrunedManifestSpec extends SparkSpec {
     val want = (0L until 4000L).filter(_ % 20 == 3)
     assert(got == ((want.size.toLong, want.sum)), s"got $got")
 
+    // the PATH-form data source takes the same lazy route
+    goCold()
+    val (loadsP0, matP0) = counters(root)
+    assert(spark.read.format("cow").load(root).where($"p" === 3L)
+      .count() == want.size.toLong)
+    val (loadsP1, matP1) = counters(root)
+    assert(loadsP1 > loadsP0 && matP1 - matP0 <= totalEntries / 5,
+      s"format(cow) cold filtered read must prune-load: " +
+        s"${matP1 - matP0} of $totalEntries")
+
     // WARM table: with the manifest memo populated, the same filtered
     // read serves in memory — zero additional pruned loads
     CowTable.manifest(spark, root,
