@@ -93,6 +93,24 @@ class PrunedManifestSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("a cold pruned read works across a PARTITION-COLUMN rename: " +
+      "the snapshot's manifest carries re-keyed partition values " +
+      "under the new logical name") {
+    val ns = freshNs("pmr")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 8 FROM range(800)")
+    spark.sql(s"ALTER TABLE cow.$ns.t RENAME COLUMN p TO q")
+    goCold()
+    val (loads0, _) = counters(root)
+    assert(spark.table(s"cow.$ns.t").where($"q" === 5L).count() == 100L)
+    val (loads1, _) = counters(root)
+    assert(loads1 > loads0, "cold filtered read after a partition-" +
+      "column rename must still take the pruned path")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("cold unfiltered reads take the full (memoizing) parse; " +
       "data-column RANGE filters push their min/max envelope into " +
       "the manifest read — pruning never drops rows") {
