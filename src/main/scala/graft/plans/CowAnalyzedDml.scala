@@ -312,17 +312,11 @@ private[plans] object CowAnalyzedDml {
     // assignment values carrying subqueries travel ANALYZED (the same
     // BoundMergeCond carrier as clause guards — an expression resolved
     // against both relations' outputs, bound to the flat join frame at
-    // execution); plain values render as text exactly as before
+    // execution); plain values render as text exactly as before. ONE
+    // splitter serves both positions — SET callers pre-filter identity
+    // assignments through real(), INSERT callers pass the list whole.
     type BV = Map[String, BoundMergeCond]
-    def sets(as: Seq[org.apache.spark.sql.catalyst.plans.logical
-        .Assignment]): (Map[String, String], BV) = {
-      val (subq, plain) = real(as, t)
-        .partition(a => CowBoundDml.hasSubquery(Seq(a.value)))
-      (plain.map(a => nameOf(a.key) -> txt(a.value)).toMap,
-        subq.map(a => nameOf(a.key) ->
-          new BoundMergeCond(a.value, tgtOut, srcOut)).toMap)
-    }
-    def insertVals(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+    def splitVals(as: Seq[org.apache.spark.sql.catalyst.plans.logical
         .Assignment]): (Map[String, String], BV) = {
       val (subq, plain) = as
         .partition(a => CowBoundDml.hasSubquery(Seq(a.value)))
@@ -330,6 +324,8 @@ private[plans] object CowAnalyzedDml {
         subq.map(a => nameOf(a.key) ->
           new BoundMergeCond(a.value, tgtOut, srcOut)).toMap)
     }
+    def sets(as: Seq[org.apache.spark.sql.catalyst.plans.logical
+        .Assignment]): (Map[String, String], BV) = splitVals(real(as, t))
     val pairs: Seq[(MergeClause, Option[BoundMergeCond], BV)] =
       m.matchedActions.map {
         case DeleteAction(c) =>
@@ -347,7 +343,7 @@ private[plans] object CowAnalyzedDml {
       } ++ m.notMatchedActions.map {
         case InsertAction(c, as) =>
           val (tc, bc) = condPair(c)
-          val (txtVals, bv) = insertVals(as)
+          val (txtVals, bv) = splitVals(as)
           (NotMatchedInsert(txtVals, tc), bc, bv)
         case InsertStarAction(c) =>
           val (tc, bc) = condPair(c)

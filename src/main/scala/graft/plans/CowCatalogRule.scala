@@ -134,8 +134,13 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
               new org.apache.hadoop.fs.Path(t.root).toUri)),
           schema = t.meta.schema,
           provider = Some("parquet"),
+          // sizeInBytes scales by fileCompressionFactor exactly as the
+          // stats-less path would (HadoopFsRelation.sizeInBytes does
+          // the same multiply) — attaching stats must not change the
+          // default-conf estimate for ANY conf value
           stats = Some(CatalogStatistics(
-            sizeInBytes = BigInt(m.files.map(_.bytes).sum),
+            sizeInBytes = BigInt((m.files.map(_.bytes).sum *
+              spark.sessionState.conf.fileCompressionFactor).toLong),
             rowCount = Some(BigInt(m.files.map(_.rows).sum)))))
       }
 

@@ -50,10 +50,12 @@ final case class CowScanPruneRule(spark: SparkSession)
       // keep any attached CatalogStatistics in step with the narrowed
       // index — stale full-table stats would OVERRIDE the narrowed
       // sizeInBytes in computeStats and undo exactly what this rule
-      // establishes
+      // establishes; the fileCompressionFactor multiply mirrors the
+      // stats-less HadoopFsRelation path (conf parity)
       val newCt = lr.catalogTable.map(ct => ct.copy(stats = Some(
         org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
-          sizeInBytes = BigInt(newIdx.sizeInBytes),
+          sizeInBytes = BigInt((newIdx.sizeInBytes *
+            spark.sessionState.conf.fileCompressionFactor).toLong),
           rowCount = Some(BigInt(newIdx.fileRowCount))))))
       Filter(cond, lr.copy(
         relation = hfs.copy(location = newIdx)(spark),

@@ -341,21 +341,46 @@ final class CowLazyFileIndex(
   /** The eager index serving this scan: memo-resident manifest when
     * warm; a pushed-predicate pruned load when the partition filters
     * or data-filter min/max envelopes translate; the full (memoizing)
-    * parse otherwise.
+    * parse otherwise. Cached per instance: a scan calls listFiles
+    * more than once (`FileSourceScanExec` lists statically, then
+    * again with dynamic-partition-pruning runtime filters appended),
+    * and re-running the pruned load per call would double cold
+    * planning IO. Reuse is sound exactly when the cached slice's
+    * filters are a SUBSET of the call's (the slice is then a superset
+    * of what the stronger filters keep, and the in-memory pass still
+    * applies every filter); full/memo-resident indexes cache with
+    * empty filter sets and serve everything.
     */
+  @volatile private var cachedEager
+      : Option[(Set[String], Set[String], CowFileIndex)] = None
+
+  private def canon(es: Seq[Expression]): Set[String] =
+    es.map(_.canonicalized.toString).toSet
+
   private def eagerFor(
       partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): CowFileIndex =
-    CowTable.memoPeek(spark, root, meta.id) match {
-      case Some(m) => new CowFileIndex(spark, root, m)
-      case None =>
-        (pushedOf(partitionFilters).toSeq ++ statsPredOf(dataFilters))
-          .reduceOption(_ && _) match {
-          case Some(pred) => new CowFileIndex(spark, root,
-            CowTable.prunedManifest(spark, root, meta.id, pred))
-          case None => new CowFileIndex(spark, root, full)
+      dataFilters: Seq[Expression]): CowFileIndex = {
+    val (pc, dc) = (canon(partitionFilters), canon(dataFilters))
+    cachedEager match {
+      case Some((cp, cd, idx)) if cp.subsetOf(pc) && cd.subsetOf(dc) =>
+        idx
+      case _ =>
+        val built = CowTable.memoPeek(spark, root, meta.id) match {
+          case Some(m) => (Set.empty[String], Set.empty[String],
+            new CowFileIndex(spark, root, m))
+          case None =>
+            (pushedOf(partitionFilters).toSeq ++ statsPredOf(dataFilters))
+              .reduceOption(_ && _) match {
+              case Some(pred) => (pc, dc, new CowFileIndex(spark, root,
+                CowTable.prunedManifest(spark, root, meta.id, pred)))
+              case None => (Set.empty[String], Set.empty[String],
+                new CowFileIndex(spark, root, full))
+            }
         }
+        cachedEager = Some(built)
+        built._3
     }
+  }
 
   /** Stat types whose string-rendered extremes CAST back losslessly
     * and totally in-engine: floats are excluded (NaN comparisons

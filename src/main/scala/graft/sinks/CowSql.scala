@@ -686,19 +686,32 @@ object CowSql {
     // and bind against the merge's flat join frame at execution
     lazy val targetDf = CowV2.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    def boundOf(e: Expression)
+    // ONE t×s analysis probe serves clause conditions (a Filter shape)
+    // and SET/VALUES values (a Project shape): the one-snapshot
+    // discipline and the output-splitting contract live here once
+    def bindViaProbe(
+        shape: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame,
+        extract: PartialFunction[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          (Expression, Seq[org.apache.spark.sql.catalyst.expressions
+            .Attribute])],
+        what: String, e: Expression)
         : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = {
-      val probed = targetDf.alias("t").crossJoin(source.alias("s"))
-        .where(org.apache.spark.sql.graftbridge.Bridge.column(e))
+      val probed = shape(targetDf.alias("t").crossJoin(source.alias("s")))
         .queryExecution.analyzed
-      val (condE, out) = probed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          (f.condition, f.child.output)
-      }.getOrElse(throw new IllegalStateException(
-        s"MERGE clause condition did not analyze to a filter: ${e.sql}"))
+      val (bound, out) = probed.collectFirst(extract).getOrElse(
+        throw new IllegalStateException(s"$what: ${e.sql}"))
       val (tOut, sOut) = out.splitAt(targetDf.columns.length)
-      graft.plans.CowBoundDml.bindMerge(condE, tOut, sOut)
+      graft.plans.CowBoundDml.bindMerge(bound, tOut, sOut)
     }
+    def boundOf(e: Expression)
+        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      bindViaProbe(
+        _.where(org.apache.spark.sql.graftbridge.Bridge.column(e)),
+        { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            (f.condition, f.child.output) },
+        "MERGE clause condition did not analyze to a filter", e)
     def condPair(e: Option[Expression]): (Option[String],
         Option[org.apache.spark.sql.DataFrame
           => org.apache.spark.sql.Column]) = e match {
@@ -710,23 +723,17 @@ object CowSql {
     // discipline) and bind against the merge's flat join frame — the
     // projection twin of boundOf, exactly as valueOf is of condOf
     def boundValOf(e: Expression)
-        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = {
-      val probed = targetDf.alias("t").crossJoin(source.alias("s"))
-        .select(org.apache.spark.sql.graftbridge.Bridge.column(e)
-          .as("__mv"))
-        .queryExecution.analyzed
-      val (valE, out) = probed.collectFirst {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          (p.projectList.last match {
-            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-              a.child
-            case x => x
-          }, p.child.output)
-      }.getOrElse(throw new IllegalStateException(
-        s"MERGE SET/VALUES value did not analyze to a projection: ${e.sql}"))
-      val (tOut, sOut) = out.splitAt(targetDf.columns.length)
-      graft.plans.CowBoundDml.bindMerge(valE, tOut, sOut)
-    }
+        : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      bindViaProbe(
+        _.select(org.apache.spark.sql.graftbridge.Bridge.column(e)
+          .as("__mv")),
+        { case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            (p.projectList.last match {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.child
+              case x => x
+            }, p.child.output) },
+        "MERGE SET/VALUES value did not analyze to a projection", e)
     type BV = Map[String, org.apache.spark.sql.DataFrame
       => org.apache.spark.sql.Column]
     def splitAssigns(as: Seq[Assignment]): (Map[String, String], BV) = {

@@ -848,18 +848,22 @@ object CowTable {
     }
 
   private val nonDataMemo =
-    new java.util.LinkedHashMap[(String, Long), Boolean](
+    new java.util.LinkedHashMap[(String, Long), (String, Boolean)](
       MetaMemoMax, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Boolean]): Boolean =
-        size > MetaMemoMax
+          e: java.util.Map.Entry[(String, Long), (String, Boolean)])
+          : Boolean = size > MetaMemoMax
     }
 
   /** Is snapshot `id` free of merge-on-read debt (no tombstones, no
     * DV sidecars)? The gate the lazy read path must pass — a lazy
-    * relation cannot carry the subtraction. Memo-resident manifests
+    * relation cannot carry the subtraction, so a STALE true here would
+    * silently skip it (wrong rows, no error). Memo-resident manifests
     * answer in memory; cold ones with ONE tiny filtered job over the
-    * entry frame (memoized per snapshot — the answer is immutable).
+    * entry frame, memoized per snapshot UNDER THE SAME FINGERPRINT
+    * GUARD as every manifest memo — a deleted-and-recreated root
+    * reusing (root, id) with different content must re-answer, exactly
+    * the aliasing case [[manifestMemo]] documents.
     */
   private[graft] def nonDataEmpty(
       spark: SparkSession, root: String, id: Long): Boolean =
@@ -868,14 +872,17 @@ object CowTable {
       case None =>
         val fs = hfs(spark, root)
         val qroot = fs.makeQualified(new Path(root)).toString
+        val fp = manifestFingerprint(fs,
+          new Path(s"$root/$ManifestPrefix$id"))
         val key = (qroot, id)
-        nonDataMemo.synchronized(Option(nonDataMemo.get(key))) match {
-          case Some(v) => v
+        nonDataMemo.synchronized(
+          Option(nonDataMemo.get(key)).filter(_._1 == fp)) match {
+          case Some((_, v)) => v
           case None =>
             val meta = metaFromDisk(spark, root, id)
             val v = entriesFrame(spark, root, id, meta.partCols)
               .where(col("kind") =!= KindData).limit(1).isEmpty
-            nonDataMemo.synchronized(nonDataMemo.put(key, v))
+            nonDataMemo.synchronized(nonDataMemo.put(key, (fp, v)))
             v
         }
     }
@@ -913,16 +920,28 @@ object CowTable {
     // not on rename failure: Hadoop's rename onto an existing
     // directory may MOVE THE SOURCE INSIDE IT and report success,
     // which would leave the checkpoint forever uncommitted (the tmp
-    // content nested one level down, no top-level marker). Readers
-    // ignore marker-less checkpoints, so the sweep removes nothing
-    // servable; a COMMITTED winner is never swept (its marker rode
-    // the rename). If a concurrent winner publishes between the sweep
-    // and our rename, the rename either fails (marker now present —
-    // we lose cleanly) or nests our tmp inside the winner's dir as
-    // `_`-prefixed garbage every reader ignores — same-content
-    // writers, both outcomes committed and correct.
-    if (fs.exists(ckptDir) && !fs.exists(new Path(ckptDir, "_SUCCESS")))
-      fs.delete(ckptDir, true)
+    // content nested one level down, no top-level marker). The sweep
+    // itself is RENAME-ASIDE, not check-then-delete: a concurrent
+    // collapser may publish between our _SUCCESS probe and the sweep,
+    // and deleting what we did not inspect could DESTROY a committed
+    // checkpoint a concurrent vacuum has already pruned chain bases
+    // for. Renaming aside is atomic; we then inspect what we actually
+    // took — crashed garbage (no marker) is deleted, a just-committed
+    // winner is restored intact (and our own publish below then loses
+    // cleanly to it, same-content writers).
+    if (fs.exists(ckptDir) && !fs.exists(new Path(ckptDir, "_SUCCESS"))) {
+      val aside = new Path(s"$root/$CkptPrefix$id.stale-" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      if (fs.rename(ckptDir, aside)) {
+        if (fs.exists(new Path(aside, "_SUCCESS"))) {
+          // we took a committed winner — put it back; if another
+          // publish landed meanwhile the restore fails and the aside
+          // copy is a same-content duplicate, safe to drop
+          if (!fs.rename(aside, ckptDir)) fs.delete(aside, true)
+        } else fs.delete(aside, true)
+      } // rename-aside failure: someone else swept or published — the
+        // publish attempt below sorts out which
+    }
     if (!fs.rename(tmpDir, ckptDir)) {
       fs.delete(tmpDir, true)
       require(fs.exists(new Path(ckptDir, "_SUCCESS")),

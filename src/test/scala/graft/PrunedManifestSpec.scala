@@ -155,6 +155,42 @@ class PrunedManifestSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("a deleted-and-recreated root does not serve a stale debt-free " +
+      "verdict: the lazy-read gate re-answers under the fingerprint " +
+      "guard and MOR debt is applied") {
+    val root = s"/tmp/graft_pmn_${System.nanoTime()}"
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def mk(): Unit = CowTable.commitFull(
+      spark.range(10).select($"id", ($"id" % 2).as("p")),
+      root, 1L, Seq("p"), keep = 10)
+    mk()
+    CowTable.commitAppend(
+      spark.range(10, 12).select($"id", ($"id" % 2).as("p")),
+      root, 2L, Seq("p"), keep = 10)
+    goCold()
+    // cold filtered read caches the debt-free verdict for (root, 2)
+    assert(spark.read.format("cow").load(root).where($"p" === 0L)
+      .count() == 6L)
+    // recreate the root from scratch: same ids, DIFFERENT content —
+    // the new snapshot 2 carries positional-DV debt
+    fs.delete(new Path(root), true)
+    mk()
+    CowTable.deleteWhereDvBy(spark, root, 2L,
+      df => df("id") < 5, keep = 10)
+    goCold()
+    // the re-answered gate routes to the EAGER relation, whose
+    // documented contract for unfolded MOR debt is the LOUD refusal —
+    // a stale TRUE would instead have silently served the deleted rows
+    val e = intercept[Exception](
+      spark.read.format("cow").load(root).collect())
+    assert(e.getMessage.contains("merge-on-read"),
+      s"recreated debt-carrying root must refuse loudly, got: $e")
+    // the programmatic reader applies the subtraction — correct rows
+    assert(CowTable.read(spark, root).get
+      .select("id").as[Long].collect().toSet == (5L until 10L).toSet)
+  }
+
   test("a crashed checkpoint collapse (_ckpt without _SUCCESS) is " +
       "invisible: eager parse AND cold pruned reads fall back to the " +
       "chain, under concurrent checkpointing too") {
