@@ -98,6 +98,8 @@ object CowSql {
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$Ref\\s*""".r
   private val FsckRe =
     s"""(?is)\\s*FSCK\\s+$Ref\\s*""".r
+  private val DescribeFilesRe =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+FILES\\s+$Ref\\s*""".r
 
   /** Is `name` a REGISTERED cow catalog in this session? Routing is
     * gated on this (round-13 ADVICE): a session database or temp view
@@ -154,6 +156,16 @@ object CowSql {
   private[graft] def fsckRef(spark: SparkSession,
       sql: String): Option[(String, String, String, String)] = sql match {
     case FsckRe(c, p, ns, t) if routableRef(spark, c, p) =>
+      Some((c, p, ns, t))
+    case _ => None
+  }
+
+  /** Same for `DESCRIBE FILES cow.<ref>` — the file-level metadata
+    * table (Iceberg's `table$files`) as a statement.
+    */
+  private[graft] def describeFilesRef(spark: SparkSession,
+      sql: String): Option[(String, String, String, String)] = sql match {
+    case DescribeFilesRe(c, p, ns, t) if routableRef(spark, c, p) =>
       Some((c, p, ns, t))
     case _ => None
   }

@@ -48,6 +48,25 @@ class FsckSqlSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("DESCRIBE FILES serves the file-level metadata table from the " +
+      "manifest alone — stats triad included, zero data-file opens") {
+    val ns = s"dfl${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 3 FROM range(300)")
+    val rows = spark.sql(s"DESCRIBE FILES cow.$ns.t").collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(2) == "data"))
+    assert(rows.map(_.getLong(3)).sum == 300L,
+      "per-file row counts must total the table")
+    val mins = rows.map(_.getMap[String, String](5))
+    assert(mins.forall(_.contains("id")),
+      "min/max envelopes must surface per file")
+    // partition rendering matches the manifest's partKey identity
+    assert(rows.map(_.getString(1)).distinct.length == 3)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("FSCK surfaces a missing referenced file loudly") {
     val ns = s"fsm${System.nanoTime() % 1000000}"
     spark.sql(s"CREATE NAMESPACE cow.$ns")
