@@ -601,11 +601,38 @@ object CowTable {
         val m =
           if (fs.exists(new Path(ckpt, "_SUCCESS")))
             manifestAt(spark, ckpt.toString, id)
-          else manifestAt(spark, dir.toString, id, baseRoot = Some(root))
+          else
+            try manifestAt(spark, dir.toString, id, baseRoot = Some(root))
+            catch { case e: IllegalStateException =>
+              // RECOVERY-ONLY path (zero cost when healthy): an
+              // unresolvable delta chain (bases pruned after a
+              // checkpoint committed) may have its only committed
+              // checkpoint copy stranded under a `.stale-` name by a
+              // crashed sweep ([[checkpoint]]'s rename-aside) — adopt
+              // it rather than failing the snapshot
+              staleTwinOf(fs, root, id) match {
+                case Some(tw) => manifestAt(spark, tw.toString, id)
+                case None => throw e
+              }
+            }
         manifestMemo.synchronized { manifestMemo.put(key, (fp, m)) }
         m
     }
   }
+
+  /** A committed `_ckpt-<id>.stale-<uuid>` twin, when a crashed sweep
+    * stranded one (see [[checkpoint]]). Probed only on chain-walk
+    * failure — never on the healthy path.
+    */
+  private def staleTwinOf(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      id: Long): Option[Path] =
+    try fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$CkptPrefix$id.stale-"))
+      .find(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath)
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** Peek the full-manifest memo WITHOUT loading anything: Some only
     * when snapshot (root, id) is already parsed, fingerprint-valid and
@@ -824,6 +851,18 @@ object CowTable {
   private[graft] def prunedManifest(
       spark: SparkSession, root: String, id: Long,
       pushed: Column): CowManifest =
+    try prunedManifestImpl(spark, root, id, pushed)
+    catch { case scala.util.control.NonFatal(_) =>
+      // pruning is only ever an optimization: any pruned-load failure
+      // (e.g. a chain whose recovery needs the eager path's
+      // stale-twin adoption) falls back to the full memoized parse,
+      // which either serves the snapshot or raises the REAL error
+      manifest(spark, root, id)
+    }
+
+  private def prunedManifestImpl(
+      spark: SparkSession, root: String, id: Long,
+      pushed: Column): CowManifest =
     memoPeek(spark, root, id).getOrElse {
       val meta = metaFromDisk(spark, root, id)
       val qroot = hfs(spark, root)
@@ -879,9 +918,18 @@ object CowTable {
           Option(nonDataMemo.get(key)).filter(_._1 == fp)) match {
           case Some((_, v)) => v
           case None =>
-            val meta = metaFromDisk(spark, root, id)
-            val v = entriesFrame(spark, root, id, meta.partCols)
-              .where(col("kind") =!= KindData).limit(1).isEmpty
+            val v =
+              try {
+                val meta = metaFromDisk(spark, root, id)
+                entriesFrame(spark, root, id, meta.partCols)
+                  .where(col("kind") =!= KindData).limit(1).isEmpty
+              } catch { case scala.util.control.NonFatal(_) =>
+                // recovery fallback, same reasoning as prunedManifest:
+                // the eager path owns chain recovery (stale-twin
+                // adoption) — answer from it or surface ITS error
+                val m = manifest(spark, root, id)
+                m.tombstones.isEmpty && m.dvs.isEmpty
+              }
             nonDataMemo.synchronized(nonDataMemo.put(key, (fp, v)))
             v
         }
@@ -933,12 +981,19 @@ object CowTable {
       val aside = new Path(s"$root/$CkptPrefix$id.stale-" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       if (fs.rename(ckptDir, aside)) {
-        if (fs.exists(new Path(aside, "_SUCCESS"))) {
-          // we took a committed winner — put it back; if another
-          // publish landed meanwhile the restore fails and the aside
-          // copy is a same-content duplicate, safe to drop
-          if (!fs.rename(aside, ckptDir)) fs.delete(aside, true)
-        } else fs.delete(aside, true)
+        if (!fs.exists(new Path(aside, "_SUCCESS")))
+          fs.delete(aside, true) // crashed-collapse garbage
+        else if (!fs.rename(aside, ckptDir)) {
+          // we took a committed winner and could not put it back.
+          // Delete the aside copy ONLY when a committed primary
+          // verifiably exists (another publish landed — same-content
+          // duplicate); otherwise LEAVE it: a committed `.stale-`
+          // twin must never be the copy we destroy — readers adopt it
+          // ([[staleTwinOf]]) and vacuum sweeps it once a committed
+          // primary exists.
+          if (fs.exists(new Path(ckptDir, "_SUCCESS")))
+            fs.delete(aside, true)
+        }
       } // rename-aside failure: someone else swept or published — the
         // publish attempt below sorts out which
     }
@@ -2535,8 +2590,17 @@ object CowTable {
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     import spark.implicits._
+    // hive-style `c=v/…` partition rendering (SHOW PARTITIONS'
+    // shape), NOT the internal partKey identity encoding — this is an
+    // operator-facing surface and control characters have no place in
+    // a SQL result; empty string for unpartitioned tables
+    def hivePart(part: Map[String, String]): String =
+      m.partCols.map(c => s"$c=${part.getOrElse(c, null) match {
+        case null => "__HIVE_DEFAULT_PARTITION__"
+        case v => v
+      }}").mkString("/")
     m.allFiles.map(f => (
-        f.path, partKey(m.partCols, f.part), f.kind, f.rows, f.bytes,
+        f.path, hivePart(f.part), f.kind, f.rows, f.bytes,
         f.mins, f.maxs, f.nulls, f.blooms.keys.toSeq.sorted))
       .toDF("path", "partition", "kind", "n_rows", "n_bytes",
         "mins", "maxs", "null_counts", "bloom_cols")
@@ -5974,13 +6038,24 @@ object CowTable {
       .foreach(s => fs.delete(s.getPath, true))
     // crashed checkpoint TEMP dirs (`_ckpt-<id>.tmp-<uuid>`) are junk,
     // but an hour-long grace period keeps a concurrent vacuum's
-    // in-progress checkpoint write safe from this sweep
+    // in-progress checkpoint write safe from this sweep. `.stale-`
+    // twins (the sweep's rename-aside leftovers) age out too — but a
+    // COMMITTED twin is deletable only once a committed primary
+    // exists (until then it may be the snapshot's only copy, adopted
+    // by [[staleTwinOf]]); marker-less twins are garbage like tmps.
     val staleMs = System.currentTimeMillis() - 3600000L
     fs.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(CkptPrefix) &&
-        s.getPath.getName.contains(".tmp-") &&
-        s.getModificationTime < staleMs)
+      .filter { s =>
+        val name = s.getPath.getName
+        s.isDirectory && name.startsWith(CkptPrefix) &&
+          s.getModificationTime < staleMs && (
+            name.contains(".tmp-") ||
+            (name.contains(".stale-") && (
+              !fs.exists(new Path(s.getPath, "_SUCCESS")) ||
+              name.stripPrefix(CkptPrefix).takeWhile(_ != '.')
+                .toLongOption.exists(i => fs.exists(
+                  new Path(s"$root/$CkptPrefix$i/_SUCCESS"))))))
+      }
       .foreach(s => fs.delete(s.getPath, true))
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only

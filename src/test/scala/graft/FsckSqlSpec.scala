@@ -62,8 +62,10 @@ class FsckSqlSpec extends SparkSpec {
     val mins = rows.map(_.getMap[String, String](5))
     assert(mins.forall(_.contains("id")),
       "min/max envelopes must surface per file")
-    // partition rendering matches the manifest's partKey identity
-    assert(rows.map(_.getString(1)).distinct.length == 3)
+    // partition rendering is hive-style `c=v`, never the internal
+    // control-character partKey encoding
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq ==
+      Seq("p=0", "p=1", "p=2"))
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 

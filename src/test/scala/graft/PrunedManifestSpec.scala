@@ -235,6 +235,21 @@ class PrunedManifestSpec extends SparkSpec {
     goCold()
     assert(spark.table(s"cow.$ns.t").where($"p" === 1L).count() == 200L,
       "post-collapse cold pruned read serves from the checkpoint")
+
+    // STRANDED-TWIN adoption: a crashed sweep renamed the COMMITTED
+    // checkpoint aside and died before restoring, and the chain's
+    // base was pruned meanwhile — the snapshot's only copy lives
+    // under the .stale- name, and readers must adopt it
+    val stale = new Path(s"$root/_ckpt-$head.stale-testcrash")
+    require(fs.rename(ckpt, stale), "test setup: rename aside")
+    fs.delete(new Path(s"$root/manifest-2"), true) // prune the base
+    goCold()
+    assert(CowTable.manifest(spark, root, head).files
+      .map(_.rows).sum == 800L,
+      "a committed .stale- twin must be adopted when the chain is gone")
+    goCold()
+    assert(spark.table(s"cow.$ns.t").where($"p" === 1L).count() == 200L,
+      "cold pruned reads recover through the same adoption")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 }
