@@ -129,6 +129,19 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
         s"${displayName(base)}.changes", root,
         CowTable.manifestMeta(spark, root, head).schema)
     }
+    // Iceberg-style `<table>.files` / `<table>.partitions` metadata
+    // tables (round-17): the file-level and partition-level manifest
+    // listings as QUERYABLE, JOINABLE relations — resolved lazily
+    // (head-only here; the listing stays distributed inside the scan,
+    // so LIMIT/filters push and the driver never holds it).
+    metaIdentOf(ident).foreach { case (base, kind) =>
+      val root = rootOf(base)
+      val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
+        throw new NoSuchTableException(ident))
+      return CowMetaTable(s"${displayName(base)}.$kind", root, kind,
+        CowMetaTable.schemaFor(kind,
+          CowTable.manifestMeta(spark, root, head)))
+    }
     val root = rootOf(ident)
     val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
       throw new NoSuchTableException(ident))
@@ -145,6 +158,20 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       case Seq(p) if p.startsWith("/") =>
         Some(Identifier.of(Array.empty, p))
       case Seq(ns, t) => Some(Identifier.of(Array(ns), t))
+      case _ => None
+    }
+
+  /** `cow.ns.t.files` / `cow.ns.t.partitions` → the base identifier
+    * plus the metadata-table kind; also the path forms. None for
+    * ordinary identifiers (a TABLE literally named `files` has a
+    * one-level namespace and never matches — same rule as `.changes`).
+    */
+  private def metaIdentOf(ident: Identifier): Option[(Identifier, String)] =
+    if (ident.name != "files" && ident.name != "partitions") None
+    else ident.namespace.toSeq match {
+      case Seq(p) if p.startsWith("/") =>
+        Some((Identifier.of(Array.empty, p), ident.name))
+      case Seq(ns, t) => Some((Identifier.of(Array(ns), t), ident.name))
       case _ => None
     }
 
@@ -526,11 +553,24 @@ final case class CowNamedTable(
     pinned: Boolean) extends Table with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRead {
 
+  /** The session that RESOLVED this table, captured at construction
+    * (= loadTable time, on the resolving session's thread): lazy
+    * materializations below must read the root under THAT session's
+    * Hadoop conf/credentials, not whichever session happens to be
+    * active when first touched — in a multi-session driver with
+    * per-session filesystem configuration those differ (ADVICE r16).
+    * Transient with an active-session fallback after deserialization.
+    */
+  @transient private val resolvedWith: SparkSession = SparkSession.active
+
+  private def session: SparkSession =
+    Option(resolvedWith).getOrElse(SparkSession.active)
+
   /** The pinned snapshot's FULL manifest, materialized on first use
     * (per-JVM memoized; a warm table costs a fingerprint check).
     */
   lazy val manifest: CowManifest =
-    CowTable.manifest(SparkSession.active, root, meta.id)
+    CowTable.manifest(session, root, meta.id)
 
   override def name(): String = tableName
 
@@ -545,7 +585,7 @@ final case class CowNamedTable(
     * since re-validated its writes.
     */
   override def constraints(): Array[Constraint] =
-    CowTable.checkConstraints(SparkSession.active, root)
+    CowTable.checkConstraints(session, root)
       .toSeq.sortBy(_._1).map { case (n, sql) =>
         Constraint.check(n).predicateSql(sql)
           .enforced(true)
@@ -601,6 +641,84 @@ object CowNamedTable {
   def apply(tableName: String, root: String, m: CowManifest,
       pinned: Boolean): CowNamedTable =
     CowNamedTable(tableName, root, CowManifestMeta.of(m), pinned)
+}
+
+/** A named METADATA table (`cow.ns.t.files` / `cow.ns.t.partitions`,
+  * Iceberg's `t$files`/`t$partitions` shape): the manifest listing as
+  * a first-class queryable relation. Reads convert in
+  * [[graft.plans.CowCatalogRule]] to the LAZY distributed frames
+  * ([[CowTable.fileStats]] / [[CowTable.partitionStats]]) — the
+  * listing never materializes on the driver; filters and LIMIT push
+  * like any relation. Read-only by construction (no SupportsWrite).
+  */
+final case class CowMetaTable(tableName: String, root: String,
+    kind: String, metaSchema: StructType) extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = metaSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** Unreachable when the graft extensions are registered (the
+    * analyzer rule converts the relation first) — fail with the
+    * actionable cause rather than a planner internal error.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$tableName resolves through the graft extensions " +
+        "(CowCatalogRule) — register graft.GraftExtensions on the " +
+        "session")
+}
+
+object CowMetaTable {
+  /** The declared schema of one metadata-table kind — must mirror the
+    * lazy frames' shapes exactly (the conversion rule re-binds by
+    * column name).
+    */
+  def schemaFor(kind: String, meta: CowManifestMeta): StructType =
+    kind match {
+      case "files" => StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_bytes",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mins",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("maxs",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("null_counts",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("bloom_cols",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      case "partitions" => StructType(
+        meta.partCols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_bytes",
+            org.apache.spark.sql.types.LongType)))
+      case other => throw new IllegalArgumentException(
+        s"unknown cow metadata table kind $other")
+    }
 }
 
 /** The write half of the named surface, via the `V1Write` fallback

@@ -93,6 +93,7 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case r: DataSourceV2Relation => r.table match {
       case t: CowNamedTable => toV1(r, t)
+      case t: graft.catalog.CowMetaTable => metaToV1(r, t)
       case _ => r
     }
     case other =>
@@ -111,38 +112,51 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * whose strings make it byte-heavy still broadcasts
     * (`RowCountStatsSpec` pins the flip). Default confs read only
     * `sizeInBytes`, which equals the relation's own estimate — no
-    * behavior change unless opted in. Served only when the manifest is
-    * already memo-resident: statistics must never force a cold
-    * entry-list materialization that the lazy read path just avoided.
-    * [[CowScanPruneRule]] re-narrows these stats whenever it narrows
-    * the index, so a filtered scan's estimate reflects the slice.
+    * behavior change unless opted in. Served from the memo-resident
+    * manifest when warm, and from the HEAD-CARRIED commit totals when
+    * cold (round-17) — statistics never force an entry-list
+    * materialization the lazy read path just avoided. Debt-carrying
+    * snapshots attach no stats (the totals would overstate the
+    * subtracted read). [[CowScanPruneRule]] re-narrows these stats
+    * whenever it narrows the index, so a filtered scan's estimate
+    * reflects the slice.
     */
   private def statsTableFor(t: CowNamedTable)
-      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
-    graft.sinks.CowTable.memoPeek(spark, t.root, t.meta.id)
-      .filter(m => m.tombstones.isEmpty && m.dvs.isEmpty)
-      .map { m =>
-        import org.apache.spark.sql.catalyst.catalog.{
-          CatalogStatistics, CatalogStorageFormat, CatalogTable,
-          CatalogTableType}
-        CatalogTable(
-          identifier = org.apache.spark.sql.catalyst
-            .TableIdentifier(t.name()),
-          tableType = CatalogTableType.EXTERNAL,
-          storage = CatalogStorageFormat.empty.copy(
-            locationUri = Some(
-              new org.apache.hadoop.fs.Path(t.root).toUri)),
-          schema = t.meta.schema,
-          provider = Some("parquet"),
-          // sizeInBytes scales by fileCompressionFactor exactly as the
-          // stats-less path would (HadoopFsRelation.sizeInBytes does
-          // the same multiply) — attaching stats must not change the
-          // default-conf estimate for ANY conf value
-          stats = Some(CatalogStatistics(
-            sizeInBytes = BigInt((m.files.map(_.bytes).sum *
-              spark.sessionState.conf.fileCompressionFactor).toLong),
-            rowCount = Some(BigInt(m.files.map(_.rows).sum)))))
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    val exact: Option[(Long, Long)] =
+      graft.sinks.CowTable.memoPeek(spark, t.root, t.meta.id) match {
+        case Some(m) =>
+          if (m.tombstones.isEmpty && m.dvs.isEmpty)
+            Some((m.files.map(_.bytes).sum, m.files.map(_.rows).sum))
+          else None
+        case None if t.meta.nondataFiles.contains(0L) =>
+          for { b <- t.meta.totalBytes; r <- t.meta.totalRows }
+            yield (b, r)
+        case None => None
       }
+    exact.map { case (bytes, rows) =>
+      import org.apache.spark.sql.catalyst.catalog.{
+        CatalogStatistics, CatalogStorageFormat, CatalogTable,
+        CatalogTableType}
+      CatalogTable(
+        identifier = org.apache.spark.sql.catalyst
+          .TableIdentifier(t.name()),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty.copy(
+          locationUri = Some(
+            new org.apache.hadoop.fs.Path(t.root).toUri)),
+        schema = t.meta.schema,
+        provider = Some("parquet"),
+        // sizeInBytes scales by fileCompressionFactor exactly as the
+        // stats-less path would (HadoopFsRelation.sizeInBytes does
+        // the same multiply) — attaching stats must not change the
+        // default-conf estimate for ANY conf value
+        stats = Some(CatalogStatistics(
+          sizeInBytes = BigInt((bytes *
+            spark.sessionState.conf.fileCompressionFactor).toLong),
+          rowCount = Some(BigInt(rows)))))
+    }
+  }
 
   private def toV1(r: DataSourceV2Relation, t: CowNamedTable): LogicalPlan = {
     // debt-free fast path, LAZY (round-16): the relation's schema is
@@ -155,7 +169,7 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // keep the eager relation (declaring the layout needs every file
     // name at build time).
     if (graft.sinks.CowTable.nonDataEmpty(spark, t.root, t.meta.id)) {
-      if (graft.sinks.CowTable.bucketSpecOf(spark, t.root).isEmpty)
+      if (CowV2.lazyServable(spark, t.root, t.meta))
         LogicalRelation(CowV2.lazyRelation(spark, t.root, t.meta),
           r.output, statsTableFor(t), isStreaming = false, None)
       else
@@ -163,22 +177,57 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
           CowV2.snapshotRelation(spark, t.root, t.manifest),
           r.output, statsTableFor(t), isStreaming = false, None)
     } else {
-      val m = t.manifest
       // outstanding MOR debt: the resolved read (DV scan mask +
       // tombstone anti-join) is a subtree with fresh attribute ids —
-      // re-expose it under the v2 relation's ids so parents resolve
-      val child = CowV2.readSnapshot(spark, t.root, m)
+      // re-expose it under the v2 relation's ids so parents resolve.
+      // Data-side planning is LAZY (round-17): only the O(sidecars)
+      // non-data slice materializes at conversion — a cold filtered
+      // read of a debt-carrying table plans O(kept) entries like the
+      // debt-free path. Bucket layouts keep the eager relation.
+      val child = (if (CowV2.lazyServable(spark, t.root, t.meta))
+          CowV2.lazyReadSnapshot(spark, t.root, t.meta,
+            graft.sinks.CowTable.snapshotSidecars(spark, t.root,
+              t.meta.id))
+        else CowV2.readSnapshot(spark, t.root, t.manifest))
         .queryExecution.analyzed
-      require(child.output.size == r.output.size,
-        s"cow conversion arity mismatch for ${t.name()}: " +
-          s"${child.output.map(_.name)} vs ${r.output.map(_.name)}")
-      val resolver = spark.sessionState.analyzer.resolver
-      Project(r.output.zip(child.output).map { case (tgt, src) =>
-        require(resolver(tgt.name, src.name),
-          s"cow conversion column mismatch: ${src.name} vs ${tgt.name}")
-        Alias(src, tgt.name)(exprId = tgt.exprId,
-          qualifier = tgt.qualifier)
-      }, child)
+      aliasTo(t.name(), r, child)
     }
+  }
+
+  /** Re-expose a freshly-analyzed subtree under the v2 relation's
+    * attribute ids (an id-preserving alias Project), so parent
+    * operators' references keep resolving.
+    */
+  private def aliasTo(name: String, r: DataSourceV2Relation,
+      child: LogicalPlan): LogicalPlan = {
+    require(child.output.size == r.output.size,
+      s"cow conversion arity mismatch for $name: " +
+        s"${child.output.map(_.name)} vs ${r.output.map(_.name)}")
+    val resolver = spark.sessionState.analyzer.resolver
+    Project(r.output.zip(child.output).map { case (tgt, src) =>
+      require(resolver(tgt.name, src.name),
+        s"cow conversion column mismatch: ${src.name} vs ${tgt.name}")
+      Alias(src, tgt.name)(exprId = tgt.exprId,
+        qualifier = tgt.qualifier)
+    }, child)
+  }
+
+  /** `cow.ns.t.files` / `cow.ns.t.partitions`: swap the metadata-table
+    * relation for the LAZY distributed manifest frame — the listing
+    * never lands on the driver, and composed filters/LIMITs push into
+    * the plan like any relation (Iceberg's `t$files` shape).
+    */
+  private def metaToV1(r: DataSourceV2Relation,
+      t: graft.catalog.CowMetaTable): LogicalPlan = {
+    val df = t.kind match {
+      case "files" => graft.sinks.CowTable.fileStats(spark, t.root)
+      case "partitions" =>
+        graft.sinks.CowTable.partitionStats(spark, t.root).getOrElse(
+          throw new IllegalStateException(
+            s"${t.name()}: outstanding merge-on-read tombstones/DVs " +
+              "make per-partition row totals overstatements — fold " +
+              "them (CowTable.foldTombstones) and retry"))
+    }
+    aliasTo(t.name(), r, df.queryExecution.analyzed)
   }
 }

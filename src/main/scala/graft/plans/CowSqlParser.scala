@@ -64,8 +64,16 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
         .map(r => CowShowPartitionsCommand(r._1, r._2, r._3, r._4)))
       .orElse(CowSql.fsckRef(session, sqlText)
         .map(r => CowFsckCommand(r._1, r._2, r._3, r._4)))
+      // DESCRIBE FILES routes to the LAZY metadata frame's plan, not a
+      // collecting command (round-17): the listing stays distributed —
+      // the driver holds only what the caller's action pulls, and
+      // composed LIMIT/filters push into the plan like any relation.
+      // At 10⁷–10⁸ files the old collect-into-command held GBs on the
+      // driver for a diagnostics query.
       .orElse(CowSql.describeFilesRef(session, sqlText)
-        .map(r => CowDescribeFilesCommand(r._1, r._2, r._3, r._4)))
+        .map(r => graft.sinks.CowTable.fileStats(session,
+          CowSql.refRoot(session, r._1, r._2, r._3, r._4))
+          .queryExecution.logical))
 
   private def routed(sqlText: String, parsed: => LogicalPlan,
       hasParams: Boolean = false): LogicalPlan =
@@ -220,49 +228,10 @@ final case class CowShowPartitionsCommand(
       throw new IllegalStateException(s"no committed snapshot at $root"))
     require(m.partCols.nonEmpty,
       s"SHOW PARTITIONS: table at $root is not partitioned")
-    m.files.map(f => m.partCols.map(c =>
-        s"$c=${f.part.getOrElse(c, null) match {
-          case null => "__HIVE_DEFAULT_PARTITION__"
-          case v => v
-        }}").mkString("/"))
+    // hive-ESCAPED rendering (ADVICE r16): values containing '/', '='
+    // or '%' stay unambiguous, exactly as real hive-style paths do
+    m.files.map(f => CowTable.hivePartString(m.partCols, f.part))
       .distinct.sorted.map(Row(_))
-  }
-}
-
-/** `DESCRIBE FILES cow.<ref>` — the file-level metadata table
-  * (Iceberg's `table$files`) as a statement: one row per live entry
-  * of the current snapshot with its partition key, kind
-  * (data/tombstone/dv), row/byte counts and the stats triad (min/max
-  * envelopes, null counts, bloom-filtered columns) — served from the
-  * manifest alone, zero data files opened, whatever the table size.
-  * The operator's view into exactly what skipping will see.
-  */
-final case class CowDescribeFilesCommand(
-    cat: String, path: String, ns: String,
-    table: String) extends LeafRunnableCommand {
-
-  import org.apache.spark.sql.catalyst.expressions.AttributeReference
-  import org.apache.spark.sql.types.{ArrayType, LongType, MapType,
-    StringType}
-
-  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-    Seq(AttributeReference("path", StringType, nullable = false)(),
-      AttributeReference("partition", StringType, nullable = false)(),
-      AttributeReference("kind", StringType, nullable = false)(),
-      AttributeReference("n_rows", LongType, nullable = false)(),
-      AttributeReference("n_bytes", LongType, nullable = false)(),
-      AttributeReference("mins", MapType(StringType, StringType),
-        nullable = false)(),
-      AttributeReference("maxs", MapType(StringType, StringType),
-        nullable = false)(),
-      AttributeReference("null_counts", MapType(StringType, LongType),
-        nullable = false)(),
-      AttributeReference("bloom_cols", ArrayType(StringType),
-        nullable = false)())
-
-  override def run(session: SparkSession): Seq[Row] = {
-    val root = CowSql.refRoot(session, cat, path, ns, table)
-    graft.sinks.CowTable.fileStats(session, root).collect().toSeq
   }
 }
 

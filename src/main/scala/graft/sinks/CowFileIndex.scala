@@ -331,7 +331,14 @@ final class CowLazyFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 
-  override lazy val sizeInBytes: Long = full.files.map(_.bytes).sum
+  /** Head-carried totals (round-17) serve a COLD stats consult without
+    * any entry materialization — a cold unfiltered JOIN's size probe
+    * no longer defeats the lazy path. Byte-identical to the eager
+    * sum (the writer computed it from the same entries); pre-r17
+    * manifests fall back to the full parse.
+    */
+  override lazy val sizeInBytes: Long =
+    meta.totalBytes.getOrElse(full.files.map(_.bytes).sum)
 
   override def inputFiles: Array[String] =
     full.files.map(f => CowTable.entryPath(root, f.path)).toArray
@@ -519,11 +526,44 @@ object CowV2 {
 
   /** The current snapshot as a planner-pruned DataFrame. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    CowTable.currentManifest(spark, root).map(readManifest(spark, root, _))
+    CowTable.committedIds(spark, root).lastOption
+      .map(readAt(spark, root, _))
 
-  /** Time travel: snapshot `id` as a planner-pruned DataFrame. */
-  def readAt(spark: SparkSession, root: String, id: Long): DataFrame =
-    readManifest(spark, root, CowTable.manifest(spark, root, id))
+  /** Time travel: snapshot `id` as a planner-pruned DataFrame.
+    * Resolution is LAZY for unbucketed tables (round-17): head-only
+    * metadata plus the O(sidecars) non-data slice — a cold filtered
+    * read of a 10⁸-file table, debt or no debt, lands O(kept) entries
+    * on the driver. Bucket layouts need every file name at relation
+    * build, so they keep the eager manifest.
+    */
+  def readAt(spark: SparkSession, root: String, id: Long): DataFrame = {
+    val meta = CowTable.manifestMeta(spark, root, id)
+    if (lazyServable(spark, root, meta))
+      lazyReadSnapshot(spark, root, meta,
+        CowTable.snapshotSidecars(spark, root, id))
+    else
+      readManifest(spark, root, CowTable.manifest(spark, root, id))
+  }
+
+  /** A snapshot read with LAZY data-entry planning — the data side is
+    * the lazy relation (cold filtered scans materialize O(kept)
+    * entries, exactly the debt-free path), and any merge-on-read debt
+    * is carried by the DataFrame wrapper from the O(sidecars) non-data
+    * slice alone. Retires the round-16 debt gate's one O(table-files)
+    * read floor: a 100 TB table mid-stream of MOR deletes (the normal
+    * steady state under continuous ingest) now plans O(query-touched)
+    * too. Callers route bucket-spec'd tables through the eager path.
+    */
+  private[graft] def lazyReadSnapshot(
+      spark: SparkSession, root: String,
+      meta: CowManifestMeta, sidecars: Seq[CowFile]): DataFrame = {
+    val df = spark.baseRelationToDataFrame(lazyRelation(spark, root, meta))
+    val masked = CowTable.applyDvs(spark, root, df,
+      col("_metadata.file_path"), col("_metadata.row_index"),
+      sidecars.filter(_.kind == CowTable.KindDv))
+    CowTable.subtractTombstones(spark, root, masked,
+      sidecars.filter(_.kind == CowTable.KindTombstone), meta.colMap)
+  }
 
   /** An ALREADY-LOADED manifest as a planner-pruned DataFrame (MOR
     * debt applied) — for callers holding a pinned snapshot, e.g. the
@@ -542,24 +582,44 @@ object CowV2 {
 
   /** The LAZY relation for a snapshot known only by its head metadata
     * — entry materialization deferred to scan planning
-    * ([[CowLazyFileIndex]]). Callers own the debt-free check
-    * ([[CowTable.nonDataEmpty]]) and must route bucket-spec'd tables
-    * through the eager path (declaring a bucket layout requires
-    * every file NAME at relation build time).
+    * ([[CowLazyFileIndex]]). Callers own the debt handling (bare
+    * relations cannot carry the MOR subtraction — [[lazyReadSnapshot]]
+    * wraps it; [[relationFor]] refuses) and the [[lazyServable]] gate.
+    * A registered bucket layout declares from HEAD metadata when the
+    * COMMIT certified every live file tagged (`meta.bucketOk`,
+    * round-17) — the planner's bucketed read parses membership from
+    * file names at scan time, so the declaration needs only the
+    * certificate, not the list.
     */
   private[graft] def lazyRelation(
       spark: SparkSession, root: String,
       meta: CowManifestMeta): HadoopFsRelation = {
     val index = new CowLazyFileIndex(spark, root, meta)
+    val bucketSpec =
+      if (!meta.bucketOk.contains(true)) None
+      else CowTable.bucketSpecOf(spark, root).map(bs =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          bs.n, bs.keyCols, Nil))
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = index.dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new CowMappedParquetFileFormat(meta.colMap,
         meta.schema.fieldNames.toSet),
       options = Map.empty)(spark)
   }
+
+  /** May this snapshot serve through the LAZY relation? Yes unless a
+    * registered bucket layout exists that the snapshot's head did NOT
+    * certify all-tagged (pre-r17 manifest, spec registered after the
+    * commit, or mixed untagged history) — declaring an uncertified
+    * layout needs every file name, the eager floor.
+    */
+  private[graft] def lazyServable(
+      spark: SparkSession, root: String, meta: CowManifestMeta): Boolean =
+    meta.bucketOk.contains(true) ||
+      CowTable.bucketSpecOf(spark, root).isEmpty
 
   /** The planner-native relation for one snapshot — what
     * [[graft.sinks.CowSource]] hands `spark.read.format("cow")`.

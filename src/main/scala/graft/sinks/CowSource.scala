@@ -87,16 +87,18 @@ final class CowSource extends RelationProvider
               s"no committed snapshot at $root"))
       }
     }
-    // debt-free unbucketed snapshots resolve LAZILY (round-16): the
-    // relation carries head metadata only, and a filtered scan of a
-    // cold table materializes just the surviving entries — the same
+    // debt-free snapshots resolve LAZILY (round-16): the relation
+    // carries head metadata only, and a filtered scan of a cold table
+    // materializes just the surviving entries — the same
     // driver-bounded planning as the named catalog path. MOR debt
-    // keeps the eager path for its loud fold-first refusal; bucket
-    // specs need every file name at relation build.
+    // keeps the eager path for its loud fold-first refusal (a bare
+    // relation cannot carry the subtraction); a registered bucket
+    // layout the head did not certify all-tagged (round-17
+    // `bucket_ok`) needs the eager relation's file-name check.
+    val meta = CowTable.manifestMeta(spark, root, at)
     if (CowTable.nonDataEmpty(spark, root, at) &&
-        CowTable.bucketSpecOf(spark, root).isEmpty)
-      CowV2.lazyRelation(spark, root,
-        CowTable.manifestMeta(spark, root, at))
+        CowV2.lazyServable(spark, root, meta))
+      CowV2.lazyRelation(spark, root, meta)
     else
       CowV2.relationFor(spark, root, CowTable.manifest(spark, root, at))
   }

@@ -154,7 +154,22 @@ final case class CowManifestMeta(
     colMap: Map[String, String] = Map.empty,
     retiredPhys: Seq[String] = Nil,
     baseId: Option[Long] = None,
-    removedParts: Seq[String] = Nil) {
+    removedParts: Seq[String] = Nil,
+    /** Head-carried RESOLVED-snapshot totals (round-17): live-data
+      * rows/bytes/file count and the non-data entry count, written at
+      * commit time — O(1) cold statistics and an O(1) MOR-debt gate.
+      * None on pre-r17 manifests (consumers fall back to the parse).
+      */
+    totalRows: Option[Long] = None,
+    totalBytes: Option[Long] = None,
+    totalFiles: Option[Long] = None,
+    nondataFiles: Option[Long] = None,
+    /** Whether every live data file carries a planner-declarable
+      * bucket tag — lets the LAZY relation declare a registered bucket
+      * layout from head metadata alone. None = unknown (pre-r17
+      * manifest, or no bucket spec at commit time) → eager fallback.
+      */
+    bucketOk: Option[Boolean] = None) {
   def schema: StructType = StructType.fromDDL(schemaDdl)
   /** Physical (in-file) name of logical column `c`. */
   def phys(c: String): String = colMap.getOrElse(c, c)
@@ -162,11 +177,16 @@ final case class CowManifestMeta(
 
 object CowManifestMeta {
   /** Meta of an already-materialized manifest (chain fields inert —
-    * entry resolution always re-reads them per link from disk).
+    * entry resolution always re-reads them per link from disk; totals
+    * are exact from the resident entries).
     */
   def of(m: CowManifest): CowManifestMeta =
     CowManifestMeta(m.id, m.partCols, m.schemaDdl, m.colMap,
-      m.retiredPhys)
+      m.retiredPhys,
+      totalRows = Some(m.files.map(_.rows).sum),
+      totalBytes = Some(m.files.map(_.bytes).sum),
+      totalFiles = Some(m.files.size.toLong),
+      nondataFiles = Some((m.allFiles.size - m.files.size).toLong))
 }
 
 /** Internal persisted shape of one manifest row (one per data file,
@@ -199,7 +219,21 @@ private[sinks] final case class CowManifestRow(
     col_map: Map[String, String],
     retired_phys: Seq[String],
     base_id: Option[Long],
-    removed_parts: Seq[String])
+    removed_parts: Seq[String],
+    // round-17 HEAD-CARRIED SNAPSHOT TOTALS (duplicated per row like
+    // every meta column, and — unlike the entry columns — describing
+    // the RESOLVED snapshot even on a delta manifest, whose writer
+    // holds the resolved list in memory): live-data row/byte/file
+    // totals, the non-data (tombstone+DV) entry count, and whether
+    // every live data file carries a planner-declarable bucket tag.
+    // They make cold statistics, the MOR-debt gate, and the bucketed
+    // lazy-read gate O(1) head reads instead of O(table-files) parses.
+    // Absent (None) on pre-r17 manifests — readers fall back.
+    total_rows: Option[Long],
+    total_bytes: Option[Long],
+    total_files: Option[Long],
+    nondata_files: Option[Long],
+    bucket_ok: Option[Boolean])
 
 /** Partition-granular COPY-ON-WRITE snapshot table — the incremental
   * completion of [[SnapshotTarget]], whose one honest scale ceiling is
@@ -683,7 +717,7 @@ object CowTable {
 
   private[graft] def clearMetaMemoForTest(): Unit = {
     metaMemo.synchronized(metaMemo.clear())
-    nonDataMemo.synchronized(nonDataMemo.clear())
+    sidecarMemo.synchronized(sidecarMemo.clear())
   }
 
   /** Head-only metadata of snapshot `id` — served from the full
@@ -713,7 +747,9 @@ object CowTable {
         val df = spark.read.parquet(dir.toString)
         val names = df.schema.fieldNames.toSet
         val metaCols = Seq("part_cols", "schema_ddl") ++
-          Seq("col_map", "retired_phys", "base_id", "removed_parts")
+          Seq("col_map", "retired_phys", "base_id", "removed_parts",
+            "total_rows", "total_bytes", "total_files", "nondata_files",
+            "bucket_ok")
             .filter(names.contains)
         val head = df.select(metaCols.map(col): _*).limit(1).collect()
           .headOption.getOrElse(throw new IllegalStateException(
@@ -721,6 +757,9 @@ object CowTable {
         def opt[T](c: String, f: Row => T, dflt: T): T =
           if (!names.contains(c)) dflt
           else Option(f(head)).getOrElse(dflt)
+        def optLong(c: String): Option[Long] =
+          if (!names.contains(c)) None
+          else Option(head.getAs[java.lang.Long](c)).map(_.toLong)
         val m = CowManifestMeta(
           id,
           head.getAs[scala.collection.Seq[String]]("part_cols").toSeq,
@@ -730,11 +769,18 @@ object CowTable {
           opt[scala.collection.Seq[String]]("retired_phys",
             _.getAs[scala.collection.Seq[String]]("retired_phys"),
             Nil).toSeq,
-          if (!names.contains("base_id")) None
-          else Option(head.getAs[java.lang.Long]("base_id")).map(_.toLong),
+          optLong("base_id"),
           opt[scala.collection.Seq[String]]("removed_parts",
             _.getAs[scala.collection.Seq[String]]("removed_parts"),
-            Nil).toSeq)
+            Nil).toSeq,
+          totalRows = optLong("total_rows"),
+          totalBytes = optLong("total_bytes"),
+          totalFiles = optLong("total_files"),
+          nondataFiles = optLong("nondata_files"),
+          bucketOk =
+            if (!names.contains("bucket_ok")) None
+            else Option(head.getAs[java.lang.Boolean]("bucket_ok"))
+              .map(_.booleanValue()))
         metaMemo.synchronized { metaMemo.put(key, (fp, m)) }
         m
     }
@@ -886,54 +932,82 @@ object CowTable {
         meta.colMap, meta.retiredPhys)
     }
 
-  private val nonDataMemo =
-    new java.util.LinkedHashMap[(String, Long), (String, Boolean)](
+  private val sidecarMemo =
+    new java.util.LinkedHashMap[(String, Long), (String, Seq[CowFile])](
       MetaMemoMax, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), (String, Boolean)])
+          e: java.util.Map.Entry[(String, Long), (String, Seq[CowFile])])
           : Boolean = size > MetaMemoMax
     }
 
-  /** Is snapshot `id` free of merge-on-read debt (no tombstones, no
-    * DV sidecars)? The gate the lazy read path must pass — a lazy
-    * relation cannot carry the subtraction, so a STALE true here would
-    * silently skip it (wrong rows, no error). Memo-resident manifests
-    * answer in memory; cold ones with ONE tiny filtered job over the
-    * entry frame, memoized per snapshot UNDER THE SAME FINGERPRINT
-    * GUARD as every manifest memo — a deleted-and-recreated root
-    * reusing (root, id) with different content must re-answer, exactly
-    * the aliasing case [[manifestMemo]] documents.
+  /** Spec hook companion of [[prunedLoads]]: cold kind≠data sidecar
+    * loads per qualified root (the round-17 debt-read pin).
     */
-  private[graft] def nonDataEmpty(
-      spark: SparkSession, root: String, id: Long): Boolean =
+  private[graft] val sidecarLoads =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Snapshot `id`'s NON-DATA entries (merge-on-read tombstones + DV
+    * sidecars) WITHOUT materializing the data entry list: memo-resident
+    * manifests answer in memory; cold ones with ONE tiny kind≠data
+    * filtered job over the chain-unrolled entry frame — O(sidecars)
+    * driver memory, which is the floor for serving the subtraction at
+    * all. This is what lets a DEBT-carrying snapshot read lazily
+    * ([[CowV2.lazyReadSnapshot]]): the subtraction wrapper needs only
+    * these entries, never the data list. Memoized per snapshot UNDER
+    * THE SAME FINGERPRINT GUARD as every manifest memo — a
+    * deleted-and-recreated root reusing (root, id) with different
+    * content must re-answer, exactly the aliasing case
+    * [[manifestMemo]] documents (a stale empty answer here would
+    * silently skip the subtraction: wrong rows, no error).
+    */
+  private[graft] def snapshotSidecars(
+      spark: SparkSession, root: String, id: Long): Seq[CowFile] =
     memoPeek(spark, root, id) match {
-      case Some(m) => m.tombstones.isEmpty && m.dvs.isEmpty
+      case Some(m) => m.allFiles.filter(_.kind != KindData)
       case None =>
         val fs = hfs(spark, root)
         val qroot = fs.makeQualified(new Path(root)).toString
         val fp = manifestFingerprint(fs,
           new Path(s"$root/$ManifestPrefix$id"))
         val key = (qroot, id)
-        nonDataMemo.synchronized(
-          Option(nonDataMemo.get(key)).filter(_._1 == fp)) match {
+        sidecarMemo.synchronized(
+          Option(sidecarMemo.get(key)).filter(_._1 == fp)) match {
           case Some((_, v)) => v
           case None =>
             val v =
               try {
                 val meta = metaFromDisk(spark, root, id)
-                entriesFrame(spark, root, id, meta.partCols)
-                  .where(col("kind") =!= KindData).limit(1).isEmpty
+                // head-carried fast path (round-17): a debt-free
+                // verdict written at commit time costs no job at all
+                if (meta.nondataFiles.contains(0L)) Nil
+                else {
+                  val rows = entriesFrame(spark, root, id, meta.partCols)
+                    .where(col("kind") =!= KindData).collect().toSeq
+                  if (sidecarLoads.size > 1024) sidecarLoads.clear()
+                  sidecarLoads.merge(qroot, 1L, (a, b) => a + b)
+                  filesOfRows(rows)
+                }
               } catch { case scala.util.control.NonFatal(_) =>
                 // recovery fallback, same reasoning as prunedManifest:
                 // the eager path owns chain recovery (stale-twin
                 // adoption) — answer from it or surface ITS error
-                val m = manifest(spark, root, id)
-                m.tombstones.isEmpty && m.dvs.isEmpty
+                manifest(spark, root, id).allFiles
+                  .filter(_.kind != KindData)
               }
-            nonDataMemo.synchronized(nonDataMemo.put(key, (fp, v)))
+            sidecarMemo.synchronized(sidecarMemo.put(key, (fp, v)))
             v
         }
     }
+
+  /** Is snapshot `id` free of merge-on-read debt (no tombstones, no
+    * DV sidecars)? The gate the BARE-relation surfaces must pass — a
+    * relation cannot carry the subtraction ([[CowV2.relationFor]]'s
+    * loud refusal); the DataFrame surfaces serve debt lazily via
+    * [[snapshotSidecars]] + [[CowV2.lazyReadSnapshot]] instead.
+    */
+  private[graft] def nonDataEmpty(
+      spark: SparkSession, root: String, id: Long): Boolean =
+    snapshotSidecars(spark, root, id).isEmpty
 
   /** CHECKPOINT delta manifest `id`: write its fully-resolved entry
     * list as the committed `_ckpt-<id>/` dir, after which readers stop
@@ -963,7 +1037,8 @@ object CowTable {
     val tmpDir = new Path(s"$root/$CkptPrefix$id.tmp-" +
       java.util.UUID.randomUUID().toString.replace("-", ""))
     writeManifestAt(spark, tmpDir.toString, m.partCols,
-      m.schemaDdl, m.allFiles, (m.colMap, m.retiredPhys))
+      m.schemaDdl, m.allFiles, (m.colMap, m.retiredPhys),
+      bucketOk = bucketOkOf(spark, root, m.allFiles))
     // sweep a CRASHED collapse's marker-less dir BEFORE renaming —
     // not on rename failure: Hadoop's rename onto an existing
     // directory may MOVE THE SOURCE INSIDE IT and report success,
@@ -2579,31 +2654,68 @@ object CowTable {
       orphanCloneFences(spark, root))
   }
 
+  /** Hive's partition-path escaping
+    * (`ExternalCatalogUtils.escapePathName` — the convention real
+    * hive-style paths use): partition values containing '/', '=', '%'
+    * or control characters render unambiguously in the operator-facing
+    * `c=v/…` strings (ADVICE r16). NULL stays NULL for the column
+    * form; driver-side callers handle the default-partition sentinel.
+    */
+  private[graft] def hiveEscape(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(s)
+
+  private lazy val hiveEscapeUdf =
+    udf((s: String) => if (s == null) null else hiveEscape(s))
+
+  /** Hive-style `c=v/…` rendering of one partition-value map, escaped
+    * — the shape SHOW PARTITIONS and the files metadata table share.
+    */
+  private[graft] def hivePartString(
+      partCols: Seq[String], part: Map[String, String]): String =
+    partCols.map(c => s"${hiveEscape(c)}=${part.getOrElse(c, null) match {
+      case null => "__HIVE_DEFAULT_PARTITION__"
+      case v => hiveEscape(v)
+    }}").mkString("/")
+
   /** The `files` METADATA TABLE (Iceberg's `table$files`): one row per
-    * live file of the current snapshot with its partition values, kind
-    * (data/tombstone), row/byte counts, and the stats triad as map
-    * columns (min/max envelopes in Spark string form, null counts,
-    * bloom column names). Served from the manifest alone — no data
-    * file opened; the operator's view into what skipping will see.
+    * live entry of the current snapshot with its partition rendering
+    * (hive-style `c=v/…`, escaped), kind (data/tombstone/dv), row/byte
+    * counts, and the stats triad as map columns (min/max envelopes in
+    * Spark string form, null counts, bloom column names). Served from
+    * the manifest alone — no data file opened; the operator's view
+    * into what skipping will see.
+    *
+    * LAZY AND DISTRIBUTED (round-17): the frame reads the
+    * chain-unrolled entry listing ([[entriesFrame]]) inside the
+    * engine, so the driver never holds the listing — at 10⁷–10⁸ files
+    * a `LIMIT`/filter composes as an ordinary plan operator instead of
+    * truncating a driver-materialized copy. (The previous
+    * implementation collected the eager manifest's entries into a
+    * command — O(table files) on the driver, twice.)
     */
   def fileStats(spark: SparkSession, root: String): DataFrame = {
-    val m = currentManifest(spark, root).getOrElse(
+    val head = committedIds(spark, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    import spark.implicits._
-    // hive-style `c=v/…` partition rendering (SHOW PARTITIONS'
-    // shape), NOT the internal partKey identity encoding — this is an
-    // operator-facing surface and control characters have no place in
-    // a SQL result; empty string for unpartitioned tables
-    def hivePart(part: Map[String, String]): String =
-      m.partCols.map(c => s"$c=${part.getOrElse(c, null) match {
-        case null => "__HIVE_DEFAULT_PARTITION__"
-        case v => v
-      }}").mkString("/")
-    m.allFiles.map(f => (
-        f.path, hivePart(f.part), f.kind, f.rows, f.bytes,
-        f.mins, f.maxs, f.nulls, f.blooms.keys.toSeq.sorted))
-      .toDF("path", "partition", "kind", "n_rows", "n_bytes",
-        "mins", "maxs", "null_counts", "bloom_cols")
+    val meta = manifestMeta(spark, root, head)
+    val partCol =
+      if (meta.partCols.isEmpty) lit("")
+      else concat_ws("/", meta.partCols.map(c =>
+        concat(lit(hiveEscape(c) + "="),
+          coalesce(hiveEscapeUdf(element_at(col("part"), lit(c))),
+            lit("__HIVE_DEFAULT_PARTITION__")))): _*)
+    entriesFrame(spark, root, head, meta.partCols).select(
+      col("path"),
+      partCol.as("partition"),
+      col("kind"),
+      col("rows").as("n_rows"),
+      col("bytes").as("n_bytes"),
+      col("mins"),
+      col("maxs"),
+      coalesce(col("nulls"),
+        map().cast("map<string,bigint>")).as("null_counts"),
+      coalesce(sort_array(map_keys(col("blooms"))),
+        array().cast("array<string>")).as("bloom_cols"))
   }
 
   /** The `partitions` METADATA TABLE (Iceberg's `table$partitions`):
@@ -2618,19 +2730,26 @@ object CowTable {
     */
   def partitionStats(
       spark: SparkSession, root: String): Option[DataFrame] = {
-    val m = currentManifest(spark, root).getOrElse(
+    val head = committedIds(spark, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    if (m.tombstones.nonEmpty || m.dvs.nonEmpty) return None
-    import spark.implicits._
-    val rows = m.files.groupBy(f => m.partCols.map(c => f.part.getOrElse(c, null)))
-      .toSeq.map { case (vals, fs) =>
-        (vals, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum)
-      }
-    val df = rows.toDF("__part", "n_files", "n_rows", "n_bytes")
-    Some(df.select(
-      m.partCols.zipWithIndex.map { case (c, i) =>
-        col("__part").getItem(i).as(c) } ++
-        Seq(col("n_files"), col("n_rows"), col("n_bytes")): _*))
+    if (!nonDataEmpty(spark, root, head)) return None
+    val meta = manifestMeta(spark, root, head)
+    // LAZY AND DISTRIBUTED (round-17): grouped over the chain-unrolled
+    // entry listing inside the engine — the driver holds only the
+    // per-partition result. Partition values stay in their Spark
+    // string form (the manifest's own representation); NULLs stay
+    // NULL. The `__one` grouping key makes the unpartitioned shape
+    // match the old driver-side groupBy: an empty table yields zero
+    // rows, not one all-NULL aggregate row.
+    val frame = entriesFrame(spark, root, head, meta.partCols)
+      .where(col("kind") === KindData)
+    val keys =
+      if (meta.partCols.isEmpty) Seq(lit(1).as("__one"))
+      else meta.partCols.map(c => element_at(col("part"), lit(c)).as(c))
+    Some(frame.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"),
+        sum("bytes").as("n_bytes"))
+      .drop("__one"))
   }
 
   /** O(manifest) MIN/MAX of a NON-STRING orderable column, in Spark
@@ -3163,7 +3282,7 @@ object CowTable {
       partCols: Seq[String], ddl: String, files: Seq[CowFile],
       mapping: (Map[String, String], Seq[String])): Unit = {
     writeManifestAt(spark, s"$root/$ManifestPrefix$id", partCols, ddl,
-      files, mapping)
+      files, mapping, bucketOk = bucketOkOf(spark, root, files))
     memoizeWritten(spark, root, id,
       CowManifest(id, partCols, ddl, files, mapping._1, mapping._2))
   }
@@ -3191,19 +3310,52 @@ object CowTable {
       partCols: Seq[String], ddl: String, files: Seq[CowFile],
       mapping: (Map[String, String], Seq[String]),
       baseId: Option[Long] = None,
-      removedParts: Seq[String] = Nil): Unit = {
+      removedParts: Seq[String] = Nil,
+      /** The RESOLVED snapshot entry list when it differs from `files`
+        * (delta manifests list only their adds); defaults to `files` —
+        * correct for every full-manifest path. Head totals derive from
+        * this, so they always describe the whole snapshot.
+        */
+      resolved: Option[Seq[CowFile]] = None,
+      bucketOk: Option[Boolean] = None): Unit = {
     import spark.implicits._
     val (colMap, retired) = mapping
+    val all = resolved.getOrElse(files)
+    val data = all.filter(_.kind == KindData)
+    val totRows = Some(data.map(_.rows).sum)
+    val totBytes = Some(data.map(_.bytes).sum)
+    val totFiles = Some(data.size.toLong)
+    val nondata = Some((all.size - data.size).toLong)
     val rows =
       if (files.isEmpty)
         Seq(CowManifestRow(null, Map.empty, 0L, 0L, Map.empty, Map.empty,
           partCols, ddl, KindData, Map.empty, Map.empty, colMap, retired,
-          baseId, removedParts))
+          baseId, removedParts, totRows, totBytes, totFiles, nondata,
+          bucketOk))
       else files.map(f => CowManifestRow(
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
-        f.kind, f.blooms, f.nulls, colMap, retired, baseId, removedParts))
+        f.kind, f.blooms, f.nulls, colMap, retired, baseId, removedParts,
+        totRows, totBytes, totFiles, nondata, bucketOk))
     rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
   }
+
+  /** Does every live data file of `files` carry a bucket tag matching
+    * its manifest partition value — the planner-declarable condition
+    * [[CowV2]]'s eager relation re-checks per read? None when the
+    * table has no registered bucket spec. Computed once at COMMIT time
+    * (the writer holds the resolved list anyway) so the lazy read path
+    * can declare the layout from head metadata alone.
+    */
+  private def bucketOkOf(spark: SparkSession, root: String,
+      files: Seq[CowFile]): Option[Boolean] =
+    bucketSpecOf(spark, root).map { bs =>
+      val data = files.filter(_.kind == KindData)
+      data.nonEmpty && data.forall { f =>
+        val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+        bucketIdOfName(name)
+          .exists(k => f.part.get(bs.partCol).contains(k.toString))
+      }
+    }
 
   /** How many delta links may chain before a commit writes a full
     * (checkpoint) manifest. Each link costs one extra memo lookup at
@@ -3254,19 +3406,23 @@ object CowTable {
     try fs.create(mbaseMarker(root, id, base.id), false).close()
     catch { case e: java.io.IOException =>
       if (!fs.exists(mbaseMarker(root, id, base.id))) throw e }
-    writeManifestAt(spark, s"$root/$ManifestPrefix$id", base.partCols,
-      ddl, adds, mapping, baseId = Some(base.id),
-      removedParts = removedParts.toSeq.sorted)
     // the writer knows the resolved list (carried-by-reference minus
     // removed partitions, plus the adds — the exact resolution
-    // manifestAt would compute); hand it to the memo so the first
-    // post-commit read skips the parse AND the chain walk
+    // manifestAt would compute); head totals derive from it, and the
+    // memo is seeded with it so the first post-commit read skips the
+    // parse AND the chain walk
     val carried =
       if (removedParts.isEmpty) base.allFiles
       else base.allFiles.filterNot(f =>
         removedParts.contains(partKey(base.partCols, f.part)))
+    val resolvedAll = carried ++ adds
+    writeManifestAt(spark, s"$root/$ManifestPrefix$id", base.partCols,
+      ddl, adds, mapping, baseId = Some(base.id),
+      removedParts = removedParts.toSeq.sorted,
+      resolved = Some(resolvedAll),
+      bucketOk = bucketOkOf(spark, root, resolvedAll))
     memoizeWritten(spark, root, id,
-      CowManifest(id, base.partCols, ddl, carried ++ adds,
+      CowManifest(id, base.partCols, ddl, resolvedAll,
         mapping._1, mapping._2, chainDepth = base.chainDepth + 1))
   }
 
@@ -4110,7 +4266,8 @@ object CowTable {
             mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
         .getOrElse(Nil)
       writeManifestAt(spark, stagedManifestDir(root, id), partCols,
-        effSchema.toDDL, fresh ++ carried, commitMapping)
+        effSchema.toDDL, fresh ++ carried, commitMapping,
+        bucketOk = bucketOkOf(spark, root, fresh ++ carried))
       // changelog sidecar, STAGED like everything else: the stage is
       // append-only, so the same pure-I guard as commitAppend applies
       // (the publish's based-on verification pins the base unchanged,
