@@ -1883,6 +1883,47 @@ object QueriesCow {
       |ORDER BY c_mktsegment""".stripMargin
 
   // -------------------------------------------------------------------
+  // NAMED metadata tables (round-17; Iceberg's `t$files`/`t$partitions`
+  // shape as nested idents): `<cat>.g.t.partitions` and
+  // `<cat>.g.t.files` are first-class RELATIONS — this row queries
+  // both through plain SQL, joins them, and emits per-partition row
+  // totals from EACH surface so the two grains must agree with the
+  // data (the oracle replays both with one GROUP BY). The DESCRIBE
+  // FILES statement (now a lazy relation, not a collecting command)
+  // is required en route to serve the same listing as the named table.
+  // -------------------------------------------------------------------
+  def cowMetaTables(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, _) = scratchCatalog(spark, "cmt")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .createOrReplaceTempView("cmt_src")
+    spark.sql(s"CREATE TABLE $ns.t (c_custkey BIGINT, c_name STRING, " +
+      "c_mktsegment STRING) PARTITIONED BY (c_mktsegment)")
+    spark.sql(s"INSERT INTO $ns.t SELECT * FROM cmt_src")
+    val viaStmt = spark.sql(s"DESCRIBE FILES $ns.t")
+      .agg(sum("n_rows")).head().getLong(0)
+    val viaTable = spark.sql(
+      s"SELECT sum(n_rows) FROM $ns.t.files").head().getLong(0)
+    require(viaStmt == viaTable,
+      s"DESCRIBE FILES ($viaStmt) and $ns.t.files ($viaTable) disagree")
+    spark.sql(
+      s"""SELECT p.c_mktsegment, p.n_rows, f.files_rows
+        |FROM $ns.t.partitions p
+        |JOIN (SELECT substr(partition, 14) AS mk,
+        |             CAST(sum(n_rows) AS BIGINT) AS files_rows
+        |      FROM $ns.t.files WHERE kind = 'data'
+        |      GROUP BY substr(partition, 14)) f
+        |ON p.c_mktsegment = f.mk
+        |ORDER BY p.c_mktsegment""".stripMargin)
+  }
+
+  val cowMetaTablesSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+      | CAST(count(*) AS BIGINT) AS files_rows
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
   // Multi-clause MERGE through the partition-granular commit: the same
   // clause set as merge_multi's matched/not-matched half, but executed
   // as CowTable.mergeInto — only the source's bucket partitions are
@@ -2591,6 +2632,7 @@ object QueriesCow {
     "cow_optimize_zorder" -> (cowOptimizeZorder _),
     "cow_snapshot_diff" -> (cowSnapshotDiff _),
     "cow_partition_stats" -> (cowPartitionStats _),
+    "cow_meta_tables" -> (cowMetaTables _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
     "cow_constraints" -> (cowConstraints _),
@@ -2646,6 +2688,7 @@ object QueriesCow {
     "cow_optimize_zorder" -> cowOptimizeZorderSql,
     "cow_snapshot_diff" -> cowSnapshotDiffSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
+    "cow_meta_tables" -> cowMetaTablesSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
     "cow_constraints" -> cowConstraintsSql,

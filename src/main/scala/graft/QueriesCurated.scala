@@ -102,6 +102,58 @@ object QueriesCurated {
       |ORDER BY o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // The full increment LOOP through a persisted bookmark store
+  // (round-17; SURVEY §4's reserved watermark fields driven end-to-end
+  // over parquet): batch 1 pulls the already-landed history and
+  // ADVANCES the bookmark (IncrementalIngest.pull), the bookmark
+  // round-trips through a parquet control-plane store exactly like the
+  // reference's `latest_watermark_val_1` column, and batch 2 filters
+  // strictly past the STORED value. The oracle recomputes the bookmark
+  // as max(watermark ≤ cut) — pure data, no stored state — so a
+  // store/read corruption shows as a row diff, not just a spec fail.
+  // -------------------------------------------------------------------
+  def incrementalPullChain(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    // batch 1: arrivals up to the cut (the "previous run"); first run
+    // has no bookmark → full load of what existed then
+    val cut = lit("1996-06-15").cast("timestamp_ntz")
+    val r1 = IncrementalIngest.pull(
+      o.where(col("o_orderdate") <= cut), "o_orderdate", None)
+    val advanced = r1.nextWatermark.getOrElse(
+      throw new IllegalStateException("first pull produced no bookmark"))
+    r1.fresh.unpersist()
+    // the bookmark persists through a control-plane PARQUET store
+    // (table_id → latest_watermark, the reference's metadata shape)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_inc_store").toString
+    import spark.implicits._
+    Seq((1L, advanced)).toDF("table_id", "latest_watermark")
+      .write.mode("overwrite").parquet(store)
+    val stored = spark.read.parquet(store)
+      .where(col("table_id") === 1L)
+      .select("latest_watermark").as[String].head()
+    require(stored == advanced,
+      s"bookmark store round-trip lost the value: $stored vs $advanced")
+    // batch 2: strictly past the stored bookmark — a plain pushable
+    // filter (PushedFilters at the parquet scan; partition-pruning on
+    // a watermark-partitioned source)
+    IncrementalIngest.selectNew(o, "o_orderdate", Some(stored))
+      .select(
+        col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val incrementalPullChainSql: String =
+    """WITH bm AS (SELECT max(o_orderdate) AS b FROM orders
+      |            WHERE o_orderdate <= TIMESTAMP '1996-06-15')
+      |SELECT o_orderkey, epoch_us(o_orderdate) AS od_us,
+      | CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders, bm WHERE o_orderdate > bm.b
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // Scalable key-map numbering (KeyMapUpsert scalable=true — the bulk-
   // backfill path: per-partition counts + offsets instead of a global
   // one-partition sort). The key VALUES depend on partition layout, so
@@ -850,6 +902,7 @@ object QueriesCurated {
     "r2_mask_hash" -> (r2MaskHash _),
     "r_curated_projection" -> (rCuratedProjection _),
     "incremental_bookmark" -> (incrementalBookmark _),
+    "incremental_pull_chain" -> (incrementalPullChain _),
     "keymap_scalable" -> (keymapScalable _))
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +921,6 @@ object QueriesCurated {
     "r2_mask_hash" -> r2MaskHashSql,
     "r_curated_projection" -> rCuratedProjectionSql,
     "incremental_bookmark" -> incrementalBookmarkSql,
+    "incremental_pull_chain" -> incrementalPullChainSql,
     "keymap_scalable" -> keymapScalableSql)
 }

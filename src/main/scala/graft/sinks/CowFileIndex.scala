@@ -131,10 +131,16 @@ final class CowFileIndex(
     // live file (rows silently missing — the one failure mode skipping
     // must never have). Such columns are simply not auto-pruned here
     // (TimestampNTZ, dates, numerics and strings are TZ-free and safe).
+    // Nested STRUCT leaves (round-17) translate to their dotted stat
+    // path — `s.a` — matching collectEntries' nested stat keys; an
+    // unstatted path just never prunes (missing key ⇒ keep).
     def named(x: Expression): Option[String] = x match {
       case a: AttributeReference
           if a.dataType != org.apache.spark.sql.types.TimestampType =>
         Some(a.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField
+          if g.dataType != org.apache.spark.sql.types.TimestampType =>
+        CowFileIndex.dottedPathOf(g)
       case _ => None
     }
     e match {
@@ -176,16 +182,25 @@ final class CowFileIndex(
 
   /** NULL-count pruning for one conjunct (the stats triad's third leg:
     * envelopes, Blooms, null counts). A file without a recorded count
-    * is always kept.
+    * is always kept. Dotted struct leaves prune too: collectEntries
+    * counts a NULL struct's leaves as NULL, exactly
+    * `IsNull(GetStructField)` semantics.
     */
-  private def nullPruneOf(e: Expression): Option[CowFile => Boolean] =
-    e match {
-      case IsNull(a: AttributeReference) =>
-        Some(f => f.nulls.get(a.name).forall(_ > 0L))
-      case IsNotNull(a: AttributeReference) =>
-        Some(f => f.nulls.get(a.name).forall(_ < f.rows))
+  private def nullPruneOf(e: Expression): Option[CowFile => Boolean] = {
+    def named(x: Expression): Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        CowFileIndex.dottedPathOf(g)
       case _ => None
     }
+    e match {
+      case IsNull(c) =>
+        named(c).map(n => f => f.nulls.get(n).forall(_ > 0L))
+      case IsNotNull(c) =>
+        named(c).map(n => f => f.nulls.get(n).forall(_ < f.rows))
+      case _ => None
+    }
+  }
 
   /** The manifest-pruned (partition values + stats skipping) file
     * groups — shared by [[listFiles]] (scan planning) and
@@ -284,6 +299,31 @@ final class CowFileIndex(
         m.copy(allFiles =
           kept ++ m.allFiles.filter(_.kind != CowTable.KindData)),
         pruned = true)
+  }
+}
+
+object CowFileIndex {
+  /** Dotted stat path of a struct-leaf extraction — a GetStructField
+    * chain bottoming out at an AttributeReference: `s.a`. None for any
+    * other shape (array/map steps carry no stats). Field names resolve
+    * BY ORDINAL from the child's actual struct schema (a
+    * case-mismatched query name would otherwise miss the stat key
+    * collectEntries wrote).
+    */
+  private[graft] def dottedPathOf(
+      g: org.apache.spark.sql.catalyst.expressions.GetStructField)
+      : Option[String] = {
+    def walk(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case gg: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        val fieldName = gg.child.dataType match {
+          case st: StructType => st(gg.ordinal).name
+          case _ => gg.extractFieldName
+        }
+        walk(gg.child).map(p => s"$p.$fieldName")
+      case _ => None
+    }
+    walk(g)
   }
 }
 
@@ -431,6 +471,12 @@ final class CowLazyFileIndex(
       case a: AttributeReference if statSafe(a.dataType) =>
         meta.schema.fields.find(f => resolver(f.name, a.name))
           .map(f => (f.name, f.dataType))
+      // nested struct leaves push their envelope too (round-17): the
+      // dotted path is the stat key collectEntries wrote
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField
+          if statSafe(g.dataType) =>
+        CowFileIndex.dottedPathOf(g).flatMap(p =>
+          CowTable.leafType(meta.schema, p).map(dt => (p, dt)))
       case _ => None
     }
     def keepLo(n: String, dt: org.apache.spark.sql.types.DataType,

@@ -50,6 +50,19 @@ import graft.operators.{MatchedDelete, MatchedUpdate, MergeClause,
   */
 object CowSql {
 
+  /** MERGE clause row classes — which join side a clause may
+    * reference. Spark's `MergeIntoTable` analysis enforces these
+    * scope rules; the textual probe path analyzes against a t×s frame
+    * that sees BOTH sides, so [[bindViaProbe]] re-imposes them
+    * (ADVICE r16): matched clauses see both; NOT MATCHED (insert)
+    * clauses may not reference the target; NOT MATCHED BY SOURCE
+    * clauses may not reference the source.
+    */
+  private sealed trait ClauseClass
+  private case object MatchedClause extends ClauseClass
+  private case object InsertClause extends ClauseClass
+  private case object BySourceClause extends ClauseClass
+
   // maintenance statements Spark's parser has no grammar for —
   // matched BEFORE parsePlan, Delta's surface syntax. A table
   // reference is <cat>.`<root path>` (groups 1+2) or the NAMED form
@@ -708,33 +721,66 @@ object CowSql {
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
           (Expression, Seq[org.apache.spark.sql.catalyst.expressions
             .Attribute])],
-        what: String, e: Expression)
+        what: String, e: Expression, cls: ClauseClass)
         : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column = {
       val probed = shape(targetDf.alias("t").crossJoin(source.alias("s")))
         .queryExecution.analyzed
       val (bound, out) = probed.collectFirst(extract).getOrElse(
         throw new IllegalStateException(s"$what: ${e.sql}"))
       val (tOut, sOut) = out.splitAt(targetDf.columns.length)
+      // SCOPE CHECK (ADVICE r16): the t×s probe sees BOTH sides, so
+      // Spark's per-clause scope rules (MergeIntoTable analysis) must
+      // be re-imposed here — a by-source clause has no source row and
+      // a not-matched clause no target row; binding such a reference
+      // would silently evaluate it against the out-of-class side's
+      // NULL columns instead of refusing. References include a
+      // correlated subquery's outer attributes.
+      def offenders(side: Seq[org.apache.spark.sql.catalyst.expressions
+          .Attribute]): Seq[String] = {
+        val set = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(side)
+        bound.references.iterator.filter(set.contains)
+          .map(_.name).toSeq.distinct.sorted
+      }
+      cls match {
+        case BySourceClause =>
+          val bad = offenders(sOut)
+          require(bad.isEmpty,
+            s"WHEN NOT MATCHED BY SOURCE cannot reference source " +
+              s"column(s) ${bad.mkString(", ")} in ${e.sql}: by-source " +
+              "rows have no source side (Spark refuses this at " +
+              "analysis; evaluating against NULLs would corrupt)")
+        case InsertClause =>
+          val bad = offenders(tOut)
+          require(bad.isEmpty,
+            s"WHEN NOT MATCHED (INSERT) cannot reference target " +
+              s"column(s) ${bad.mkString(", ")} in ${e.sql}: " +
+              "not-matched rows have no target side (Spark refuses " +
+              "this at analysis; evaluating against NULLs would " +
+              "corrupt)")
+        case MatchedClause => ()
+      }
       graft.plans.CowBoundDml.bindMerge(bound, tOut, sOut)
     }
-    def boundOf(e: Expression)
+    def boundOf(e: Expression, cls: ClauseClass)
         : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
       bindViaProbe(
         _.where(org.apache.spark.sql.graftbridge.Bridge.column(e)),
         { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
             (f.condition, f.child.output) },
-        "MERGE clause condition did not analyze to a filter", e)
-    def condPair(e: Option[Expression]): (Option[String],
-        Option[org.apache.spark.sql.DataFrame
-          => org.apache.spark.sql.Column]) = e match {
-      case Some(x) if hasSubquery(x) => (None, Some(boundOf(x)))
+        "MERGE clause condition did not analyze to a filter", e, cls)
+    def condPair(e: Option[Expression], cls: ClauseClass)
+        : (Option[String],
+          Option[org.apache.spark.sql.DataFrame
+            => org.apache.spark.sql.Column]) = e match {
+      case Some(x) if hasSubquery(x) => (None, Some(boundOf(x, cls)))
       case other => (other.map(_.sql), None)
     }
     // SET/VALUES values carrying subqueries (round-16): analyze ONCE
     // as a projection over the same aliased t×s probe (one-snapshot
     // discipline) and bind against the merge's flat join frame — the
     // projection twin of boundOf, exactly as valueOf is of condOf
-    def boundValOf(e: Expression)
+    def boundValOf(e: Expression, cls: ClauseClass)
         : org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
       bindViaProbe(
         _.select(org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -745,36 +791,38 @@ object CowSql {
                 a.child
               case x => x
             }, p.child.output) },
-        "MERGE SET/VALUES value did not analyze to a projection", e)
+        "MERGE SET/VALUES value did not analyze to a projection", e, cls)
     type BV = Map[String, org.apache.spark.sql.DataFrame
       => org.apache.spark.sql.Column]
-    def splitAssigns(as: Seq[Assignment]): (Map[String, String], BV) = {
+    def splitAssigns(as: Seq[Assignment], cls: ClauseClass)
+        : (Map[String, String], BV) = {
       val (subq, plain) = as.partition(a => hasSubquery(a.value))
       (plain.map(a => targetColOf(a) -> a.value.sql).toMap,
-        subq.map(a => targetColOf(a) -> boundValOf(a.value)).toMap)
+        subq.map(a => targetColOf(a) -> boundValOf(a.value, cls)).toMap)
     }
     type BC = Option[org.apache.spark.sql.DataFrame
       => org.apache.spark.sql.Column]
     val matched: Seq[(MergeClause, BC, BV)] = m.matchedActions.map {
       case DeleteAction(c) =>
-        val (tc, bc) = condPair(c); (MatchedDelete(tc), bc, Map.empty: BV)
+        val (tc, bc) = condPair(c, MatchedClause)
+        (MatchedDelete(tc), bc, Map.empty: BV)
       case UpdateAction(c, assigns, _) =>
-        val (tc, bc) = condPair(c)
-        val (txt, bv) = splitAssigns(assigns)
+        val (tc, bc) = condPair(c, MatchedClause)
+        val (txt, bv) = splitAssigns(assigns, MatchedClause)
         (MatchedUpdate(txt, tc), bc, bv)
       case UpdateStarAction(c) =>
-        val (tc, bc) = condPair(c)
+        val (tc, bc) = condPair(c, MatchedClause)
         (MatchedUpdate(starSet, tc), bc, Map.empty: BV)
       case other => throw new IllegalArgumentException(
         s"unsupported MATCHED action $other")
     }
     val notMatched: Seq[(MergeClause, BC, BV)] = m.notMatchedActions.map {
       case InsertAction(c, assigns) =>
-        val (tc, bc) = condPair(c)
-        val (txt, bv) = splitAssigns(assigns)
+        val (tc, bc) = condPair(c, InsertClause)
+        val (txt, bv) = splitAssigns(assigns, InsertClause)
         (NotMatchedInsert(txt, tc), bc, bv)
       case InsertStarAction(c) =>
-        val (tc, bc) = condPair(c)
+        val (tc, bc) = condPair(c, InsertClause)
         (NotMatchedInsert(Map.empty, tc), bc, Map.empty: BV)
       case other => throw new IllegalArgumentException(
         s"unsupported NOT MATCHED action $other")
@@ -782,11 +830,11 @@ object CowSql {
     val bySource: Seq[(MergeClause, BC, BV)] =
       m.notMatchedBySourceActions.map {
         case DeleteAction(c) =>
-          val (tc, bc) = condPair(c)
+          val (tc, bc) = condPair(c, BySourceClause)
           (NotMatchedBySourceDelete(tc), bc, Map.empty: BV)
         case UpdateAction(c, assigns, _) =>
-          val (tc, bc) = condPair(c)
-          val (txt, bv) = splitAssigns(assigns)
+          val (tc, bc) = condPair(c, BySourceClause)
+          val (txt, bv) = splitAssigns(assigns, BySourceClause)
           (NotMatchedBySourceUpdate(txt, tc), bc, bv)
         case other => throw new IllegalArgumentException(
           s"unsupported NOT MATCHED BY SOURCE action $other")

@@ -645,7 +645,22 @@ object CowTable {
               // crashed sweep ([[checkpoint]]'s rename-aside) — adopt
               // it rather than failing the snapshot
               staleTwinOf(fs, root, id) match {
-                case Some(tw) => manifestAt(spark, tw.toString, id)
+                case Some(tw) =>
+                  try manifestAt(spark, tw.toString, id)
+                  catch { case scala.util.control.NonFatal(_) =>
+                    // the twin may be MID-RESTORE by a concurrent
+                    // sweep (renamed back to the primary between our
+                    // probe and the parse — ADVICE r16): re-probe the
+                    // primary, then the twin, once; a second miss is
+                    // real and the original chain error stands
+                    if (fs.exists(new Path(ckpt, "_SUCCESS")))
+                      manifestAt(spark, ckpt.toString, id)
+                    else staleTwinOf(fs, root, id) match {
+                      case Some(tw2) =>
+                        manifestAt(spark, tw2.toString, id)
+                      case None => throw e
+                    }
+                  }
                 case None => throw e
               }
             }
@@ -1072,8 +1087,29 @@ object CowTable {
       } // rename-aside failure: someone else swept or published — the
         // publish attempt below sorts out which
     }
+    publishCheckpoint(fs, tmpDir, ckptDir)
+  }
+
+  /** Publish a complete checkpoint temp dir by atomic rename, losing
+    * CLEANLY to any concurrent publish. Rename-onto-existing-dir
+    * filesystems MOVE the source INSIDE the existing destination and
+    * report success (ADVICE r16): if a concurrent publish — or the
+    * sweep's own restored winner — landed ckptDir first, the tmp copy
+    * is now NESTED junk under the committed dir that the top-level
+    * vacuum sweep would never reclaim. Probe and delete it
+    * (same-content writers: dropping the loser is benign), then
+    * verify the top-level marker either way.
+    */
+  private[graft] def publishCheckpoint(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmpDir: Path, ckptDir: Path): Unit = {
     if (!fs.rename(tmpDir, ckptDir)) {
       fs.delete(tmpDir, true)
+      require(fs.exists(new Path(ckptDir, "_SUCCESS")),
+        s"could not publish checkpoint $ckptDir")
+    } else {
+      val nested = new Path(ckptDir, tmpDir.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
       require(fs.exists(new Path(ckptDir, "_SUCCESS")),
         s"could not publish checkpoint $ckptDir")
     }
@@ -1555,9 +1591,7 @@ object CowTable {
     validateEvolution(m, eff, m.partCols)
     if (eff.toDDL == m.schemaDdl) return true // no-op ALTER — id unconsumed
     val unsafe = bloomUnsafeCols(m, eff)
-    val files = m.allFiles.map(f => f.copy(
-      blooms = f.blooms -- unsafe,
-      mins = f.mins -- unsafe, maxs = f.maxs -- unsafe))
+    val files = m.allFiles.map(stripUnsafeStats(_, unsafe))
     acquireCommitLock(spark, root, id)
     try {
       if (committedIds(spark, root).exists(_ >= id)) return false
@@ -2783,7 +2817,7 @@ object CowTable {
   private[graft] def mayMatch(
       schema: StructType, f: CowFile, colName: String,
       lo: Option[String], hi: Option[String]): Boolean = {
-    val dt = schema.fields.find(_.name == colName).map(_.dataType)
+    val dt = leafType(schema, colName)
       .getOrElse(return true)
     val belowLo = for {
       l <- lo; mx <- f.maxs.get(colName); c <- statCompare(dt, mx, l)
@@ -2872,8 +2906,8 @@ object CowTable {
       val point = r.lo.zip(r.hi).collectFirst { case (l, h) if l == h => l }
       point match {
         case Some(v) if files.exists(_.blooms.contains(r.colName)) =>
-          val dt = m.schema.fields.find(_.name == r.colName)
-            .map(_.dataType).getOrElse(StringType)
+          val dt = leafType(m.schema, r.colName)
+            .getOrElse(StringType)
           val hashes = bloomHashesOf(spark, v, dt)
           if (hashes.isEmpty) files
           else files.filter(f => f.blooms.get(r.colName)
@@ -2907,8 +2941,8 @@ object CowTable {
     // if ANY pair is incomparable: statCompare is partial (NaN,
     // malformed numerics), and a sort under a partial comparator could
     // emit an inverted envelope that wrongly drops a live tombstone
-    val dt = m.schema.fields.find(_.name == colName)
-      .map(_.dataType).getOrElse(StringType)
+    val dt = leafType(m.schema, colName)
+      .getOrElse(StringType)
     def fold(keepLeft: Int => Boolean): Option[String] =
       values.foldLeft(Option(values.head)) {
         case (Some(a), b) =>
@@ -2934,8 +2968,8 @@ object CowTable {
   private[sinks] def keptFilesInAmong(
       spark: SparkSession, m: CowManifest, from: Seq[CowFile],
       colName: String, values: Seq[String]): Seq[CowFile] = {
-    val dt = m.schema.fields.find(_.name == colName)
-      .map(_.dataType).getOrElse(StringType)
+    val dt = leafType(m.schema, colName)
+      .getOrElse(StringType)
     val byStats = from.filter(f =>
       values.exists(v => mayMatch(m.schema, f, colName, Some(v), Some(v))))
     if (!byStats.exists(_.blooms.contains(colName))) byStats
@@ -3009,6 +3043,38 @@ object CowTable {
         f.dataType == DateType || f.dataType == TimestampType ||
         f.dataType == TimestampNTZType => f.name
     }
+
+  /** Dotted paths of atomic orderable leaves ONE level inside
+    * top-level STRUCT columns (round-17): `s.a` for struct `s`'s leaf
+    * `a`. These collect min/max/null stats alongside the top-level
+    * columns in the same grouped pass, so range/point filters on
+    * nested fields skip files too ([[mayMatch]] resolves dotted paths;
+    * the file-index translators emit them). One level only — deeper
+    * nesting multiplies stat-map weight for rapidly diminishing
+    * returns, the same budget trade Delta's stats collector makes.
+    */
+  private def nestedStatCols(schema: StructType): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => statCols(st).map(n => s"${f.name}.$n")
+        case _ => Nil
+      }
+    }
+
+  /** Data type of a (possibly dotted) stat path — top-level column or
+    * a nested struct leaf. None when the path does not resolve
+    * (callers treat that as "no pruning": skipping is only ever an
+    * optimization).
+    */
+  private[sinks] def leafType(
+      schema: StructType, path: String): Option[DataType] = {
+    val i = path.indexOf('.')
+    if (i < 0) schema.fields.find(_.name == path).map(_.dataType)
+    else schema.fields.find(_.name == path.take(i)).map(_.dataType) match {
+      case Some(st: StructType) => leafType(st, path.drop(i + 1))
+      case _ => None
+    }
+  }
 
   private val MaxStatLen = 64
 
@@ -3129,18 +3195,23 @@ object CowTable {
       Compaction.tableBytes(spark, batchDir) > 0
     if (!anyData) return Nil
     val cols = schema.fieldNames.toSeq
-    val sc = statCols(schema)
-    partCols.foreach(c => require(sc.contains(c),
+    val topSc = statCols(schema)
+    partCols.foreach(c => require(topSc.contains(c),
       s"partition column $c must be an orderable atomic type"))
     bloomCols.foreach(c => require(cols.contains(c),
       s"bloom column $c is not a table column"))
+    // dotted struct leaves ride the SAME grouped pass (round-17):
+    // col("s.a") extracts inside the aggregation, one extra agg pair
+    // per leaf, no extra scan
+    val sc = topSc ++ nestedStatCols(schema)
     val aggs = count(lit(1)).as("__rows") +:
       max(col("_metadata.file_size")).as("__bytes") +:
       (sc.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))) ++
       // per-file NULL counts (Delta-parity stat): same grouped pass,
-      // serves IS NULL / IS NOT NULL file pruning
+      // serves IS NULL / IS NOT NULL file pruning (a NULL struct
+      // counts its leaves NULL — matching IsNull(s.a) semantics)
       sc.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
     val rows = readLogical(spark, Seq(batchDir), schema, colMap,
@@ -3153,7 +3224,7 @@ object CowTable {
       colMap)
     val marker = s"/$BatchPrefix$id/"
     val isStr = sc.filter(c =>
-      schema.fields.find(_.name == c).exists(_.dataType == StringType)).toSet
+      leafType(schema, c).contains(StringType)).toSet
     rows.toSeq.map { r =>
       val full = r.getAs[String]("__fp")
       val cut = full.indexOf(marker)
@@ -3721,6 +3792,20 @@ object CowTable {
         f.name
     }.toSet
 
+  /** Drop the carried stats an unsafe widening invalidates — the
+    * named top-level columns AND their nested dotted leaves (a struct
+    * whose type changed carries `s.a`-keyed stats too, round-17).
+    */
+  private def stripUnsafeStats(f: CowFile, unsafe: Set[String]): CowFile =
+    if (unsafe.isEmpty) f
+    else {
+      def keep[V](m: Map[String, V]): Map[String, V] =
+        m.filterNot { case (k, _) =>
+          unsafe.exists(u => k == u || k.startsWith(u + ".")) }
+      f.copy(blooms = keep(f.blooms), mins = keep(f.mins),
+        maxs = keep(f.maxs))
+    }
+
   /** Commit `rewrite` as the FULL new content of the partitions whose
     * canonical keys are in `touched`; every other partition carries
     * over from the previous snapshot by reference. A touched partition
@@ -3926,8 +4011,7 @@ object CowTable {
         .getOrElse(Set.empty[String])
       val carried = prev.map(p =>
         p.allFiles.filterNot(f => allTouched.contains(p.partKeyOf(f)))
-          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
-            mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
+          .map(stripUnsafeStats(_, bloomUnsafe))
       ).getOrElse(Nil)
       // the changelog JOIN runs here, outside the manifest lock; only
       // the rename publishes it
@@ -4162,8 +4246,7 @@ object CowTable {
           // new schema; a stale stat would false-skip the envelope test)
           val bloomUnsafe = bloomUnsafeCols(p, effSchema)
           val carried = p.allFiles
-            .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
-              mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe))
+            .map(stripUnsafeStats(_, bloomUnsafe))
           val stagedLog = stagePureInsertLog(spark, root, p, fresh,
             effSchema, partCols, id, changeLogKeys, changeLogRequired,
             s"append batch $id")
@@ -4262,8 +4345,7 @@ object CowTable {
       val bloomUnsafe = prev.map(bloomUnsafeCols(_, effSchema))
         .getOrElse(Set.empty[String])
       val carried = prev.map(_.allFiles
-          .map(f => f.copy(blooms = f.blooms -- bloomUnsafe,
-            mins = f.mins -- bloomUnsafe, maxs = f.maxs -- bloomUnsafe)))
+          .map(stripUnsafeStats(_, bloomUnsafe)))
         .getOrElse(Nil)
       writeManifestAt(spark, stagedManifestDir(root, id), partCols,
         effSchema.toDDL, fresh ++ carried, commitMapping,

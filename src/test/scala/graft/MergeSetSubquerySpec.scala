@@ -122,6 +122,55 @@ class MergeSetSubquerySpec extends SparkSpec {
     (3L until 5L).foreach(i => assert(got(i) == 0L))
   }
 
+  test("the textual probe re-imposes Spark's clause scope rules " +
+      "(ADVICE r16): a by-source SET value or an INSERT VALUES " +
+      "subquery referencing the out-of-class side refuses instead of " +
+      "silently evaluating against the NULL columns") {
+    val root = s"/tmp/graft_mso_${System.nanoTime()}"
+    CowTable.commitFull(
+      spark.range(6).select($"id", ($"id" * 10).as("v"),
+        ($"id" % 2).as("p")),
+      root, 1L, Seq("p"), keep = 10)
+    spark.range(3).select($"id", lit(1L).as("w"), ($"id" % 2).as("p"))
+      .createOrReplaceTempView("mso_src")
+    Seq(5L).toDF("x").createOrReplaceTempView("mso_lkp")
+    // by-source SET value reaching the source through a correlated
+    // subquery's outer reference
+    val e1 = intercept[Exception](graft.sinks.CowSql.exec(spark, 2L,
+      s"""MERGE INTO cow.`$root` AS t USING mso_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v =
+          (SELECT max(x) FROM mso_lkp WHERE x = s.w)"""))
+    assert(e1.getMessage.contains("NOT MATCHED BY SOURCE") &&
+      e1.getMessage.contains("source"),
+      s"by-source scope violation must refuse loudly: ${e1.getMessage}")
+    // INSERT VALUES subquery reaching the target
+    val e2 = intercept[Exception](graft.sinks.CowSql.exec(spark, 2L,
+      s"""MERGE INTO cow.`$root` AS t USING mso_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id,
+          (SELECT max(x) FROM mso_lkp WHERE x = t.v), s.p)"""))
+    assert(e2.getMessage.contains("INSERT") &&
+      e2.getMessage.contains("target"),
+      s"insert scope violation must refuse loudly: ${e2.getMessage}")
+    // both refusals left the table untouched
+    assert(CowTable.read(spark, root).get.agg(sum("v"))
+      .as[Long].head() == (0 until 6).map(_ * 10).sum)
+    // the legitimate shapes still work: by-source value over target
+    // columns, insert value over source columns
+    graft.sinks.CowSql.exec(spark, 2L,
+      s"""MERGE INTO cow.`$root` AS t USING mso_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v =
+          (SELECT max(x) FROM mso_lkp) + t.id""")
+    val got = CowTable.read(spark, root).get
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    (3L until 6L).foreach(i => assert(got(i) == 5L + i,
+      s"by-source row $i must take the in-scope subquery value"))
+    (0L until 3L).foreach(i => assert(got(i) == i * 10,
+      s"matched row $i must keep its value"))
+  }
+
   test("a subquery value may not assign a partition column; MERGE ON " +
       "subqueries refuse BY DESIGN with the exact-position message") {
     val ns = freshNs("msr")

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sinks.CowTable
+
+/** Round-17 metadata-table surfaces:
+  *
+  *  - `DESCRIBE FILES` is a LAZY relation, not a collecting command —
+  *    the listing stays distributed, LIMIT/filters compose as plan
+  *    operators, and the driver never materializes the entry list.
+  *  - `cow.ns.t.files` / `cow.ns.t.partitions` are first-class named
+  *    metadata tables (Iceberg's `t$files`/`t$partitions` shape):
+  *    queryable, joinable, aggregable through plain SQL.
+  *  - Partition strings render HIVE-ESCAPED (`escapePathName`), so
+  *    values containing '/', '=' or '%' stay unambiguous (ADVICE r16).
+  */
+class MetaTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshNs(tag: String): String = {
+    val ns = s"$tag${System.nanoTime() % 1000000}"
+    spark.sql(s"CREATE NAMESPACE cow.$ns")
+    ns
+  }
+
+  private def qroot(root: String): String =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(new Path(root)).toString
+
+  private def goCold(): Unit = {
+    CowTable.clearManifestMemoForTest()
+    CowTable.clearMetaMemoForTest()
+  }
+
+  test("DESCRIBE FILES is a lazy relation: no collecting command in " +
+      "the plan, a LIMIT composes, and a cold run materializes no " +
+      "entry list driver-side") {
+    val ns = freshNs("mtd")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 10 FROM range(1000)")
+    goCold()
+    val e0 = Option(CowTable.entriesMaterialized.get(qroot(root)))
+      .getOrElse(0L)
+    val mp0 = Option(CowTable.manifestParses.get(qroot(root)))
+      .getOrElse(0L)
+    val df = spark.sql(s"DESCRIBE FILES cow.$ns.t")
+    // not a command: the analyzed plan must carry no runnable command
+    // (the old shape collected O(table-files) rows into a LeafCommand)
+    val analyzed = df.queryExecution.analyzed
+    assert(!analyzed.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.command.LeafRunnableCommand]),
+      s"DESCRIBE FILES must be a relation, got:\n$analyzed")
+    val one = df.limit(1).collect()
+    assert(one.length == 1, "LIMIT must compose on the statement result")
+    assert(Option(CowTable.entriesMaterialized.get(qroot(root)))
+        .getOrElse(0L) == e0 &&
+      Option(CowTable.manifestParses.get(qroot(root))).getOrElse(0L) == mp0,
+      "a cold DESCRIBE FILES must not materialize the entry list or " +
+        "run a full parse — the listing flows through the engine")
+    // full statement still serves every row with exact totals
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("cow.ns.t.files and cow.ns.t.partitions are queryable named " +
+      "metadata tables; partitions refuses under MOR debt with the " +
+      "fold remedy") {
+    val ns = freshNs("mtn")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 FROM range(400)")
+    // $files: aggregable through plain SQL
+    val n = spark.sql(
+      s"SELECT CAST(sum(n_rows) AS BIGINT) FROM cow.$ns.t.files " +
+        "WHERE kind = 'data'").as[Long].head()
+    assert(n == 400L, s"files metadata table must total the rows, got $n")
+    // $partitions: per-partition totals agree with a grouped count
+    val got = spark.sql(
+      s"SELECT p, n_rows FROM cow.$ns.t.partitions ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("0", "1", "2", "3").map((_, 100L)),
+      s"partitions metadata table totals wrong: $got")
+    // joinable with the base table (a relation, not a command)
+    val joined = spark.sql(
+      s"SELECT count(*) FROM cow.$ns.t b JOIN cow.$ns.t.partitions m " +
+        "ON CAST(b.p AS STRING) = m.p WHERE m.n_rows = 100")
+      .as[Long].head()
+    assert(joined == 400L, "metadata tables must join like relations")
+    // MOR debt → partitions refuses loudly with the remedy
+    require(CowTable.deleteWhereDv(spark, root, 3L, col("id") < 10L,
+      keep = 10))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM cow.$ns.t.partitions").collect())
+    assert(e.getMessage.contains("foldTombstones"),
+      s"debt refusal must name the remedy, got: ${e.getMessage}")
+    // $files still serves (a file listing is exact regardless of debt)
+    assert(spark.sql(s"SELECT count(*) FROM cow.$ns.t.files " +
+      "WHERE kind = 'dv'").as[Long].head() >= 1L)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("partition strings render hive-escaped: '/', '=' and '%' in a " +
+      "value stay unambiguous in DESCRIBE FILES, SHOW PARTITIONS and " +
+      "the files metadata table") {
+    val ns = freshNs("mte")
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, k STRING) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO cow.$ns.t VALUES (1, 'a/b=c%d'), (2, 'plain')")
+    val want = "k=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName("a/b=c%d")
+    val df = spark.sql(s"DESCRIBE FILES cow.$ns.t")
+      .select("partition").as[String].collect().toSet
+    assert(df.contains(want) && df.contains("k=plain"),
+      s"DESCRIBE FILES must hive-escape partition values: $df")
+    assert(!df.exists(s => s.contains("a/b")),
+      s"raw '/' in a value would make the path string ambiguous: $df")
+    val sp = spark.sql(s"SHOW PARTITIONS cow.$ns.t")
+      .as[String].collect().toSet
+    assert(sp == Set(want, "k=plain"),
+      s"SHOW PARTITIONS must agree with the files rendering: $sp")
+    val mt = spark.sql(s"SELECT partition FROM cow.$ns.t.files")
+      .as[String].collect().toSet
+    assert(mt == df, "named files table and DESCRIBE FILES must agree")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+}

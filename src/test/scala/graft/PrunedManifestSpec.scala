@@ -252,4 +252,29 @@ class PrunedManifestSpec extends SparkSpec {
       "cold pruned reads recover through the same adoption")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
+
+  test("publishCheckpoint reclaims a tmp copy NESTED by rename-onto-" +
+      "existing-dir (ADVICE r16): the committed winner survives, the " +
+      "losing copy leaves no hidden junk") {
+    val root = s"/tmp/graft_pcn_${System.nanoTime()}"
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ckpt = new Path(s"$root/_ckpt-7")
+    fs.mkdirs(ckpt)
+    fs.create(new Path(ckpt, "part-winner.parquet"), true).close()
+    fs.create(new Path(ckpt, "_SUCCESS"), true).close()
+    val tmp = new Path(s"$root/_ckpt-7.tmp-loser")
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "part-loser.parquet"), true).close()
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+    // local-fs rename onto an existing dir MOVES the source inside it
+    // and reports success — exactly the hazard the publisher handles
+    CowTable.publishCheckpoint(fs, tmp, ckpt)
+    assert(fs.exists(new Path(ckpt, "_SUCCESS")))
+    assert(fs.exists(new Path(ckpt, "part-winner.parquet")),
+      "the committed winner's content must survive a losing publish")
+    assert(!fs.exists(new Path(ckpt, "_ckpt-7.tmp-loser")),
+      "the nested losing tmp copy must be reclaimed")
+    assert(!fs.exists(tmp), "no top-level tmp leftovers either")
+  }
 }
