@@ -138,7 +138,10 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       val root = rootOf(base)
       val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
         throw new NoSuchTableException(ident))
+      // the snapshot pins HERE: every reference the analyzer resolves
+      // lists the same commit even if writers land mid-query
       return CowMetaTable(s"${displayName(base)}.$kind", root, kind,
+        head,
         CowMetaTable.schemaFor(kind,
           CowTable.manifestMeta(spark, root, head)))
     }
@@ -161,13 +164,15 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       case _ => None
     }
 
-  /** `cow.ns.t.files` / `cow.ns.t.partitions` → the base identifier
-    * plus the metadata-table kind; also the path forms. None for
-    * ordinary identifiers (a TABLE literally named `files` has a
-    * one-level namespace and never matches — same rule as `.changes`).
+  /** `cow.ns.t.files` / `cow.ns.t.partitions` / `cow.ns.t.history` →
+    * the base identifier plus the metadata-table kind; also the path
+    * forms. None for ordinary identifiers (a TABLE literally named
+    * `files` has a one-level namespace and never matches — same rule
+    * as `.changes`).
     */
   private def metaIdentOf(ident: Identifier): Option[(Identifier, String)] =
-    if (ident.name != "files" && ident.name != "partitions") None
+    if (ident.name != "files" && ident.name != "partitions" &&
+        ident.name != "history") None
     else ident.namespace.toSeq match {
       case Seq(p) if p.startsWith("/") =>
         Some((Identifier.of(Array.empty, p), ident.name))
@@ -652,7 +657,7 @@ object CowNamedTable {
   * like any relation. Read-only by construction (no SupportsWrite).
   */
 final case class CowMetaTable(tableName: String, root: String,
-    kind: String, metaSchema: StructType) extends Table
+    kind: String, atId: Long, metaSchema: StructType) extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   override def name(): String = tableName
@@ -716,6 +721,12 @@ object CowMetaTable {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_bytes",
             org.apache.spark.sql.types.LongType)))
+      case "history" => StructType(
+        Seq("snapshot_id", "data_files", "tombstone_files", "dv_files",
+          "n_rows", "bytes", "files_added", "files_removed")
+          .map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.LongType,
+            nullable = false)))
       case other => throw new IllegalArgumentException(
         s"unknown cow metadata table kind $other")
     }

@@ -219,14 +219,20 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def metaToV1(r: DataSourceV2Relation,
       t: graft.catalog.CowMetaTable): LogicalPlan = {
+    // all three serve the snapshot PINNED at loadTable (t.atId):
+    // re-resolving the head here would let two references in one
+    // query list different snapshots across a concurrent commit
     val df = t.kind match {
-      case "files" => graft.sinks.CowTable.fileStats(spark, t.root)
+      case "files" =>
+        graft.sinks.CowTable.fileStatsAt(spark, t.root, t.atId)
       case "partitions" =>
-        graft.sinks.CowTable.partitionStats(spark, t.root).getOrElse(
-          throw new IllegalStateException(
+        graft.sinks.CowTable.partitionStatsAt(spark, t.root, t.atId)
+          .getOrElse(throw new IllegalStateException(
             s"${t.name()}: outstanding merge-on-read tombstones/DVs " +
               "make per-partition row totals overstatements — fold " +
               "them (CowTable.foldTombstones) and retry"))
+      case "history" =>
+        graft.sinks.CowTable.history(spark, t.root, upTo = Some(t.atId))
     }
     aliasTo(t.name(), r, df.queryExecution.analyzed)
   }

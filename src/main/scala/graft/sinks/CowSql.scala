@@ -769,12 +769,41 @@ object CowSql {
         { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
             (f.condition, f.child.output) },
         "MERGE clause condition did not analyze to a filter", e, cls)
+    // the TEXTUAL twin of bindViaProbe's scope check: plain (no
+    // subquery) conditions and values round-trip as text and evaluate
+    // over the merge's joined frame, whose out-of-class struct is
+    // NULL — an `s.` reference in a by-source clause (or `t.` in an
+    // insert clause) would silently compute against NULLs. The
+    // aliases are fixed (`t`/`s` — the statement contract), so the
+    // parsed qualifiers decide; an unqualified out-of-class name
+    // fails resolution loudly on its own.
+    def refuseTextualOutOfClass(e: Expression, cls: ClauseClass): Unit = {
+      val forbidden = cls match {
+        case BySourceClause => Some(("s",
+          "WHEN NOT MATCHED BY SOURCE cannot reference source"))
+        case InsertClause => Some(("t",
+          "WHEN NOT MATCHED (INSERT) cannot reference target"))
+        case MatchedClause => None
+      }
+      forbidden.foreach { case (alias, what) =>
+        val bad = e.collect {
+          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+              a.nameParts.head.equalsIgnoreCase(alias) => a.sql
+        }.distinct.sorted
+        require(bad.isEmpty,
+          s"$what column(s) ${bad.mkString(", ")} in ${e.sql}: the " +
+            "clause's row class has no such side (Spark refuses this " +
+            "at analysis; evaluating against NULLs would corrupt)")
+      }
+    }
     def condPair(e: Option[Expression], cls: ClauseClass)
         : (Option[String],
           Option[org.apache.spark.sql.DataFrame
             => org.apache.spark.sql.Column]) = e match {
       case Some(x) if hasSubquery(x) => (None, Some(boundOf(x, cls)))
-      case other => (other.map(_.sql), None)
+      case other =>
+        other.foreach(refuseTextualOutOfClass(_, cls))
+        (other.map(_.sql), None)
     }
     // SET/VALUES values carrying subqueries (round-16): analyze ONCE
     // as a projection over the same aliased t×s probe (one-snapshot
@@ -797,6 +826,7 @@ object CowSql {
     def splitAssigns(as: Seq[Assignment], cls: ClauseClass)
         : (Map[String, String], BV) = {
       val (subq, plain) = as.partition(a => hasSubquery(a.value))
+      plain.foreach(a => refuseTextualOutOfClass(a.value, cls))
       (plain.map(a => targetColOf(a) -> a.value.sql).toMap,
         subq.map(a => targetColOf(a) -> boundValOf(a.value, cls)).toMap)
     }

@@ -177,16 +177,17 @@ final case class CowManifestMeta(
 
 object CowManifestMeta {
   /** Meta of an already-materialized manifest (chain fields inert —
-    * entry resolution always re-reads them per link from disk; totals
-    * are exact from the resident entries).
+    * entry resolution always re-reads them per link from disk).
+    * Totals stay BLANK deliberately: this runs on every warm
+    * resolution (loadTable, createRelation, readAt), and summing a
+    * 10⁷-entry resident list per query would be an O(files) driver
+    * pass for numbers every memo-warm consumer recomputes from the
+    * memo anyway — O(1) here, head-carried totals serve the cold
+    * paths.
     */
   def of(m: CowManifest): CowManifestMeta =
     CowManifestMeta(m.id, m.partCols, m.schemaDdl, m.colMap,
-      m.retiredPhys,
-      totalRows = Some(m.files.map(_.rows).sum),
-      totalBytes = Some(m.files.map(_.bytes).sum),
-      totalFiles = Some(m.files.size.toLong),
-      nondataFiles = Some((m.allFiles.size - m.files.size).toLong))
+      m.retiredPhys)
 }
 
 /** Internal persisted shape of one manifest row (one per data file,
@@ -2728,9 +2729,20 @@ object CowTable {
     * implementation collected the eager manifest's entries into a
     * command — O(table files) on the driver, twice.)
     */
-  def fileStats(spark: SparkSession, root: String): DataFrame = {
-    val head = committedIds(spark, root).lastOption.getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+  def fileStats(spark: SparkSession, root: String): DataFrame =
+    fileStatsAt(spark, root,
+      committedIds(spark, root).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot at $root")))
+
+  /** [[fileStats]] PINNED to snapshot `id` — what the named metadata
+    * table serves, so every reference a query resolves at analysis
+    * lists the same snapshot (snapshot isolation, like every other
+    * reader).
+    */
+  def fileStatsAt(
+      spark: SparkSession, root: String, id: Long): DataFrame = {
+    val head = id
     val meta = manifestMeta(spark, root, head)
     val partCol =
       if (meta.partCols.isEmpty) lit("")
@@ -2763,9 +2775,18 @@ object CowTable {
     * manifest's own representation); NULL partitions stay NULL.
     */
   def partitionStats(
-      spark: SparkSession, root: String): Option[DataFrame] = {
-    val head = committedIds(spark, root).lastOption.getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
+      spark: SparkSession, root: String): Option[DataFrame] =
+    partitionStatsAt(spark, root,
+      committedIds(spark, root).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no committed snapshot at $root")))
+
+  /** [[partitionStats]] PINNED to snapshot `id` (the named metadata
+    * table's snapshot-isolation contract).
+    */
+  def partitionStatsAt(
+      spark: SparkSession, root: String, id: Long): Option[DataFrame] = {
+    val head = id
     if (!nonDataEmpty(spark, root, head)) return None
     val meta = manifestMeta(spark, root, head)
     // LAZY AND DISTRIBUTED (round-17): grouped over the chain-unrolled
@@ -5473,9 +5494,13 @@ object CowTable {
     * bound otherwise, same caveat as [[countRows]]. Reads only
     * manifests: O(retained snapshots × files), zero data bytes.
     */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  def history(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    // `upTo` pins the log for the named metadata table (snapshot
+    // isolation: two references in one query list the same commits)
     val ids = committedIds(spark, root)
+      .filter(i => upTo.forall(i <= _))
     val ms = ids.map(manifest(spark, root, _))
     val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prevOpt) =>
       val prevPaths = prevOpt.map(_.allFiles.map(_.path).toSet)

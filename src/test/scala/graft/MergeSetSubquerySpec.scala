@@ -153,7 +153,26 @@ class MergeSetSubquerySpec extends SparkSpec {
     assert(e2.getMessage.contains("INSERT") &&
       e2.getMessage.contains("target"),
       s"insert scope violation must refuse loudly: ${e2.getMessage}")
-    // both refusals left the table untouched
+    // TEXTUAL (no-subquery) values and conditions hit the same wall —
+    // they round-trip as text and would otherwise evaluate over the
+    // joined frame's NULL out-of-class struct (review r17)
+    val e3 = intercept[Exception](graft.sinks.CowSql.exec(spark, 2L,
+      s"""MERGE INTO cow.`$root` AS t USING mso_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.w + 1"""))
+    assert(e3.getMessage.contains("NOT MATCHED BY SOURCE") &&
+      e3.getMessage.contains("s.w"),
+      s"textual by-source scope violation must refuse: ${e3.getMessage}")
+    val e4 = intercept[Exception](graft.sinks.CowSql.exec(spark, 2L,
+      s"""MERGE INTO cow.`$root` AS t USING mso_src AS s
+        ON t.id = s.id
+        WHEN NOT MATCHED AND t.v > 0 THEN INSERT (id, v, p)
+          VALUES (s.id, s.w, s.p)"""))
+    assert(e4.getMessage.contains("INSERT") &&
+      e4.getMessage.contains("t.v"),
+      s"textual insert-condition scope violation must refuse: " +
+        s"${e4.getMessage}")
+    // all four refusals left the table untouched
     assert(CowTable.read(spark, root).get.agg(sum("v"))
       .as[Long].head() == (0 until 6).map(_ * 10).sum)
     // the legitimate shapes still work: by-source value over target

@@ -92,8 +92,26 @@ class MetaTablesSpec extends SparkSpec {
         "ON CAST(b.p AS STRING) = m.p WHERE m.n_rows = 100")
       .as[Long].head()
     assert(joined == 400L, "metadata tables must join like relations")
+    // snapshot ISOLATION: a resolved metadata frame pins the snapshot
+    // it was loaded at — a commit landing after resolution is
+    // invisible to it (review r17)
+    val pinned = spark.sql(
+      s"SELECT CAST(sum(n_rows) AS BIGINT) FROM cow.$ns.t.files " +
+        "WHERE kind = 'data'")
+    spark.sql(s"INSERT INTO cow.$ns.t VALUES (9999, 0)")
+    assert(pinned.as[Long].head() == 400L,
+      "a resolved files frame must not see a later commit")
+    assert(spark.sql(s"SELECT CAST(sum(n_rows) AS BIGINT) " +
+      s"FROM cow.$ns.t.files WHERE kind = 'data'").as[Long].head()
+      == 401L, "a fresh reference resolves the new head")
+    // $history: commit log queryable as a relation (Iceberg's shape)
+    val hist = spark.sql(s"SELECT snapshot_id, n_rows " +
+      s"FROM cow.$ns.t.history ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((1L, 0L), (2L, 400L), (3L, 401L)),
+      s"history metadata table must replay the commit log: $hist")
     // MOR debt → partitions refuses loudly with the remedy
-    require(CowTable.deleteWhereDv(spark, root, 3L, col("id") < 10L,
+    require(CowTable.deleteWhereDv(spark, root, 4L, col("id") < 10L,
       keep = 10))
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM cow.$ns.t.partitions").collect())
