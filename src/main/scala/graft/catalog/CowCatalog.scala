@@ -134,16 +134,13 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     // listings as QUERYABLE, JOINABLE relations — resolved lazily
     // (head-only here; the listing stays distributed inside the scan,
     // so LIMIT/filters push and the driver never holds it).
-    metaIdentOf(ident).foreach { case (base, kind) =>
+    // the snapshot pins HERE: every reference the analyzer resolves
+    // lists the same commit even if writers land mid-query
+    metaIdentOf(ident).foreach { case (base, _) =>
       val root = rootOf(base)
-      val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
-        throw new NoSuchTableException(ident))
-      // the snapshot pins HERE: every reference the analyzer resolves
-      // lists the same commit even if writers land mid-query
-      return CowMetaTable(s"${displayName(base)}.$kind", root, kind,
-        head,
-        CowMetaTable.schemaFor(kind,
-          CowTable.manifestMeta(spark, root, head)))
+      return metaTableAt(ident,
+        CowTable.committedIds(spark, root).lastOption.getOrElse(
+          throw new NoSuchTableException(ident))).get
     }
     val root = rootOf(ident)
     val head = CowTable.committedIds(spark, root).lastOption.getOrElse(
@@ -180,26 +177,48 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
       case _ => None
     }
 
+  /** A time-traveled METADATA table: `cow.ns.t.files VERSION AS OF n`
+    * inspects the OLD snapshot's listing (what skipping saw then) —
+    * the metadata frames are already id-pinned, so time travel is
+    * just a different pin.
+    */
+  private def metaTableAt(
+      ident: Identifier, at: Long): Option[Table] =
+    metaIdentOf(ident).map { case (base, kind) =>
+      val root = rootOf(base)
+      CowMetaTable(s"${displayName(base)}.$kind", root, kind, at,
+        CowMetaTable.schemaFor(kind,
+          CowTable.manifestMeta(spark, root, at)))
+    }
+
   /** `VERSION AS OF <id>` — highest committed snapshot ≤ id, the same
     * time-travel rule as `CowTable.readAt`; the result is read-only.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = rootOf(ident)
     val id = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"cow versions are commit ids, got '$version'"))
-    val at = CowTable.committedIds(spark, root).filter(_ <= id).lastOption
-      .getOrElse(throw new NoSuchTableException(ident))
+    def at(root: String): Long =
+      CowTable.committedIds(spark, root).filter(_ <= id).lastOption
+        .getOrElse(throw new NoSuchTableException(ident))
+    metaIdentOf(ident).foreach { case (base, _) =>
+      return metaTableAt(ident, at(rootOf(base))).get
+    }
+    val root = rootOf(ident)
     CowNamedTable(displayName(ident),
-      root, CowTable.manifestMeta(spark, root, at), pinned = true)
+      root, CowTable.manifestMeta(spark, root, at(root)), pinned = true)
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    def at(root: String): Long =
+      CowTable.committedIdsAt(spark, root, timestamp / 1000L)
+        .lastOption.getOrElse(throw new NoSuchTableException(ident))
+    metaIdentOf(ident).foreach { case (base, _) =>
+      return metaTableAt(ident, at(rootOf(base))).get
+    }
     val root = rootOf(ident)
-    val at = CowTable.committedIdsAt(spark, root, timestamp / 1000L)
-      .lastOption.getOrElse(throw new NoSuchTableException(ident))
     CowNamedTable(displayName(ident),
-      root, CowTable.manifestMeta(spark, root, at), pinned = true)
+      root, CowTable.manifestMeta(spark, root, at(root)), pinned = true)
   }
 
   override def createTable(

@@ -228,9 +228,12 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case "partitions" =>
         graft.sinks.CowTable.partitionStatsAt(spark, t.root, t.atId)
           .getOrElse(throw new IllegalStateException(
-            s"${t.name()}: outstanding merge-on-read tombstones/DVs " +
-              "make per-partition row totals overstatements — fold " +
-              "them (CowTable.foldTombstones) and retry"))
+            s"${t.name()}: snapshot ${t.atId} carries merge-on-read " +
+              "tombstones/DVs, whose per-partition row totals are " +
+              "unknowable from metadata — fold them " +
+              "(CowTable.foldTombstones) and query the new head, or " +
+              "pin a debt-free snapshot (a time-traveled debt " +
+              "snapshot stays unservable by design)"))
       case "history" =>
         graft.sinks.CowTable.history(spark, t.root, upTo = Some(t.atId))
     }

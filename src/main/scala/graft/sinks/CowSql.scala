@@ -786,9 +786,14 @@ object CowSql {
         case MatchedClause => None
       }
       forbidden.foreach { case (alias, what) =>
+        // ANY reference whose head is the forbidden alias — dotted
+        // (s.w), subscripted (s['w'] parses as extraction over the
+        // one-part attribute), or the bare struct (isnotnull(s)) —
+        // is out-of-class by construction: the joined frame's only
+        // top-level columns are the two class structs
         val bad = e.collect {
-          case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-              a.nameParts.head.equalsIgnoreCase(alias) => a.sql
+          case a: UnresolvedAttribute
+              if a.nameParts.head.equalsIgnoreCase(alias) => a.sql
         }.distinct.sorted
         require(bad.isEmpty,
           s"$what column(s) ${bad.mkString(", ")} in ${e.sql}: the " +

@@ -2742,15 +2742,14 @@ object CowTable {
     */
   def fileStatsAt(
       spark: SparkSession, root: String, id: Long): DataFrame = {
-    val head = id
-    val meta = manifestMeta(spark, root, head)
+    val meta = manifestMeta(spark, root, id)
     val partCol =
       if (meta.partCols.isEmpty) lit("")
       else concat_ws("/", meta.partCols.map(c =>
         concat(lit(hiveEscape(c) + "="),
           coalesce(hiveEscapeUdf(element_at(col("part"), lit(c))),
             lit("__HIVE_DEFAULT_PARTITION__")))): _*)
-    entriesFrame(spark, root, head, meta.partCols).select(
+    entriesFrame(spark, root, id, meta.partCols).select(
       col("path"),
       partCol.as("partition"),
       col("kind"),
@@ -2786,9 +2785,8 @@ object CowTable {
     */
   def partitionStatsAt(
       spark: SparkSession, root: String, id: Long): Option[DataFrame] = {
-    val head = id
-    if (!nonDataEmpty(spark, root, head)) return None
-    val meta = manifestMeta(spark, root, head)
+    if (!nonDataEmpty(spark, root, id)) return None
+    val meta = manifestMeta(spark, root, id)
     // LAZY AND DISTRIBUTED (round-17): grouped over the chain-unrolled
     // entry listing inside the engine — the driver holds only the
     // per-partition result. Partition values stay in their Spark
@@ -2796,7 +2794,7 @@ object CowTable {
     // NULL. The `__one` grouping key makes the unpartitioned shape
     // match the old driver-side groupBy: an empty table yields zero
     // rows, not one all-NULL aggregate row.
-    val frame = entriesFrame(spark, root, head, meta.partCols)
+    val frame = entriesFrame(spark, root, id, meta.partCols)
       .where(col("kind") === KindData)
     val keys =
       if (meta.partCols.isEmpty) Seq(lit(1).as("__one"))
@@ -5501,18 +5499,69 @@ object CowTable {
     // isolation: two references in one query list the same commits)
     val ids = committedIds(spark, root)
       .filter(i => upTo.forall(i <= _))
-    val ms = ids.map(manifest(spark, root, _))
-    val rows = ms.zip(None +: ms.map(Some(_))).map { case (m, prevOpt) =>
-      val prevPaths = prevOpt.map(_.allFiles.map(_.path).toSet)
-        .getOrElse(Set.empty[String])
-      val paths = m.allFiles.map(_.path).toSet
-      (m.id, m.files.size.toLong, m.tombstones.size.toLong,
-        m.dvs.size.toLong,
-        m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
-        (paths -- prevPaths).size.toLong, (prevPaths -- paths).size.toLong)
-    }
-    rows.toDF("snapshot_id", "data_files", "tombstone_files", "dv_files",
-      "n_rows", "bytes", "files_added", "files_removed")
+    val outCols = Seq("snapshot_id", "data_files", "tombstone_files",
+      "dv_files", "n_rows", "bytes", "files_added", "files_removed")
+    if (ids.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .toDF(outCols: _*)
+    // DISTRIBUTED (round-17 review): the old implementation
+    // materialized EVERY retained snapshot's manifest on the driver —
+    // O(snapshots × files) memory for a diagnostics query, exactly
+    // what the files/partitions frames avoid. This one unions the
+    // chain-unrolled entry frames and computes per-snapshot totals
+    // plus the consecutive-snapshot path diffs (adds/removes as two
+    // anti-joins against tiny broadcast link tables) inside the
+    // engine; the driver holds only the O(snapshots) result.
+    // Memo-warm snapshots contribute local in-memory frames.
+    val all = ids.map { i =>
+      entriesFrame(spark, root, i,
+          manifestMeta(spark, root, i).partCols)
+        .select(lit(i).as("snapshot_id"), col("path"), col("kind"),
+          col("rows"), col("bytes"))
+    }.reduce(_ unionByName _)
+    val spine = ids.toDF("snapshot_id")
+    val totals = spine.join(
+      all.groupBy("snapshot_id").agg(
+        sum(when(col("kind") === KindData, 1L).otherwise(0L))
+          .as("data_files"),
+        sum(when(col("kind") === KindTombstone, 1L).otherwise(0L))
+          .as("tombstone_files"),
+        sum(when(col("kind") === KindDv, 1L).otherwise(0L))
+          .as("dv_files"),
+        sum(when(col("kind") === KindData, col("rows")).otherwise(0L))
+          .as("n_rows"),
+        sum(when(col("kind") === KindData, col("bytes")).otherwise(0L))
+          .as("bytes")),
+      Seq("snapshot_id"), "left")
+    val paths = all.select(col("snapshot_id"), col("path"))
+    // renamed projection of the probe side: a raw self-join would hit
+    // Spark's ambiguous-attribute resolution
+    val probe = paths.select(col("snapshot_id").as("__p_sid"),
+      col("path").as("__p_path"))
+    // added at i: i's paths absent at prev(i); the first snapshot
+    // links to the matchless sentinel -1, so all its paths count
+    val prevLinks = broadcast(ids.zipWithIndex.map { case (i, k) =>
+      (i, if (k == 0) -1L else ids(k - 1)) }
+      .toDF("snapshot_id", "__prev"))
+    val added = paths.join(prevLinks, Seq("snapshot_id"))
+      .join(probe, col("path") === col("__p_path") &&
+        col("__p_sid") === col("__prev"), "left_anti")
+      .groupBy("snapshot_id")
+      .agg(count(lit(1)).as("files_added"))
+    // removed at i: prev(i)'s paths absent at i — counted under i
+    val nextLinks = broadcast(ids.zip(ids.drop(1))
+      .toDF("__c_sid", "__next"))
+    val removed = paths
+      .join(nextLinks, col("snapshot_id") === col("__c_sid"))
+      .join(probe, col("path") === col("__p_path") &&
+        col("__p_sid") === col("__next"), "left_anti")
+      .groupBy(col("__next").as("snapshot_id"))
+      .agg(count(lit(1)).as("files_removed"))
+    totals
+      .join(added, Seq("snapshot_id"), "left")
+      .join(removed, Seq("snapshot_id"), "left")
+      .select(col("snapshot_id") +: outCols.drop(1).map(c =>
+        coalesce(col(c), lit(0L)).as(c)): _*)
   }
 
   /** Metadata-only row count: the manifest already knows every data

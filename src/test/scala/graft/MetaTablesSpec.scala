@@ -104,6 +104,12 @@ class MetaTablesSpec extends SparkSpec {
     assert(spark.sql(s"SELECT CAST(sum(n_rows) AS BIGINT) " +
       s"FROM cow.$ns.t.files WHERE kind = 'data'").as[Long].head()
       == 401L, "a fresh reference resolves the new head")
+    // TIME-TRAVELED metadata: the old snapshot's listing (the frames
+    // are id-pinned, so VERSION AS OF is just a different pin)
+    assert(spark.sql(s"SELECT CAST(sum(n_rows) AS BIGINT) " +
+      s"FROM cow.$ns.t.files VERSION AS OF 2 WHERE kind = 'data'")
+      .as[Long].head() == 400L,
+      "a time-traveled files table must list the old snapshot")
     // $history: commit log queryable as a relation (Iceberg's shape)
     val hist = spark.sql(s"SELECT snapshot_id, n_rows " +
       s"FROM cow.$ns.t.history ORDER BY snapshot_id")
