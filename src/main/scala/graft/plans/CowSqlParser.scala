@@ -55,13 +55,32 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   private def route(sqlText: String): Option[LogicalPlan] =
     if (CowSql.isMaintenance(session, sqlText))
       Some(CowStatementCommand(sqlText))
+    // DESCRIBE HISTORY and SHOW PARTITIONS route to LAZY metadata
+    // frames, like DESCRIBE FILES below (round-17): the listings stay
+    // distributed — per-snapshot totals and path diffs (history) and
+    // the distinct hive-escaped partition strings compute inside the
+    // engine, the driver holds only what the caller's action pulls,
+    // and composed LIMIT/filters push like any relation.
     else CowSql.describeHistoryRef(session, sqlText)
-      .map(r =>
-        CowDescribeHistoryCommand(r._1, r._2, r._3, r._4): LogicalPlan)
+      .map(r => graft.sinks.CowTable.history(session,
+          CowSql.refRoot(session, r._1, r._2, r._3, r._4))
+        .orderBy("snapshot_id").queryExecution.logical: LogicalPlan)
       .orElse(CowSql.describeDetailRef(session, sqlText)
         .map(r => CowDescribeDetailCommand(r._1, r._2, r._3, r._4)))
-      .orElse(CowSql.showPartitionsRef(session, sqlText)
-        .map(r => CowShowPartitionsCommand(r._1, r._2, r._3, r._4)))
+      .orElse(CowSql.showPartitionsRef(session, sqlText).map { r =>
+        val root = CowSql.refRoot(session, r._1, r._2, r._3, r._4)
+        val head = graft.sinks.CowTable.committedIds(session, root)
+          .lastOption.getOrElse(throw new IllegalStateException(
+            s"no committed snapshot at $root"))
+        require(graft.sinks.CowTable.manifestMeta(session, root, head)
+            .partCols.nonEmpty,
+          s"SHOW PARTITIONS: table at $root is not partitioned")
+        graft.sinks.CowTable.fileStatsAt(session, root, head)
+          .where(org.apache.spark.sql.functions.col("kind") ===
+            graft.sinks.CowTable.KindData)
+          .select("partition").distinct().orderBy("partition")
+          .queryExecution.logical
+      })
       .orElse(CowSql.fsckRef(session, sqlText)
         .map(r => CowFsckCommand(r._1, r._2, r._3, r._4)))
       // DESCRIBE FILES routes to the LAZY metadata frame's plan, not a
@@ -142,27 +161,6 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   * routing and retention come from [[graft.sinks.CowSql.execAuto]] +
   * the session confs documented on [[CowSqlParser]].
   */
-/** `DESCRIBE HISTORY cow.<ref>` — the table's commit log from the
-  * manifests alone (no data file opens): per-snapshot file/row/byte
-  * totals and the file-level delta against the previous snapshot.
-  */
-final case class CowDescribeHistoryCommand(
-    cat: String, path: String, ns: String,
-    table: String) extends LeafRunnableCommand {
-
-  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-    Seq("snapshot_id", "data_files", "tombstone_files", "dv_files",
-      "n_rows", "bytes", "files_added", "files_removed").map(n =>
-      org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        n, org.apache.spark.sql.types.LongType, nullable = false)())
-
-  override def run(session: SparkSession): Seq[Row] = {
-    val root = CowSql.refRoot(session, cat, path, ns, table)
-    graft.sinks.CowTable.history(session, root)
-      .orderBy("snapshot_id").collect().toSeq
-  }
-}
-
 /** `DESCRIBE DETAIL cow.<ref>` — Delta's one-row table-detail
   * statement, answered from the CURRENT manifest and the catalog
   * sidecars alone (no data file opens): format, location, head
@@ -204,34 +202,6 @@ final case class CowDescribeDetailCommand(
       m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
       CowTable.committedIds(session, root).size.toLong,
       CowTable.checkConstraints(session, root).size.toLong))
-  }
-}
-
-/** `SHOW PARTITIONS cow.<ref>` — answered from the manifest (it IS
-  * the partition listing; Spark's own statement would demand a
-  * partition-management API). Hive-style `col=value/...` rows, the
-  * stock output shape.
-  */
-final case class CowShowPartitionsCommand(
-    cat: String, path: String, ns: String,
-    table: String) extends LeafRunnableCommand {
-
-  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
-    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-      "partition", org.apache.spark.sql.types.StringType,
-      nullable = false)())
-
-  override def run(session: SparkSession): Seq[Row] = {
-    import graft.sinks.CowTable
-    val root = CowSql.refRoot(session, cat, path, ns, table)
-    val m = CowTable.currentManifest(session, root).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $root"))
-    require(m.partCols.nonEmpty,
-      s"SHOW PARTITIONS: table at $root is not partitioned")
-    // hive-ESCAPED rendering (ADVICE r16): values containing '/', '='
-    // or '%' stay unambiguous, exactly as real hive-style paths do
-    m.files.map(f => CowTable.hivePartString(m.partCols, f.part))
-      .distinct.sorted.map(Row(_))
   }
 }
 

@@ -2703,16 +2703,6 @@ object CowTable {
   private lazy val hiveEscapeUdf =
     udf((s: String) => if (s == null) null else hiveEscape(s))
 
-  /** Hive-style `c=v/…` rendering of one partition-value map, escaped
-    * — the shape SHOW PARTITIONS and the files metadata table share.
-    */
-  private[graft] def hivePartString(
-      partCols: Seq[String], part: Map[String, String]): String =
-    partCols.map(c => s"${hiveEscape(c)}=${part.getOrElse(c, null) match {
-      case null => "__HIVE_DEFAULT_PARTITION__"
-      case v => hiveEscape(v)
-    }}").mkString("/")
-
   /** The `files` METADATA TABLE (Iceberg's `table$files`): one row per
     * live entry of the current snapshot with its partition rendering
     * (hive-style `c=v/…`, escaped), kind (data/tombstone/dv), row/byte
@@ -5504,15 +5494,35 @@ object CowTable {
     if (ids.isEmpty)
       return Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Long)]
         .toDF(outCols: _*)
+    // MEMO-WARM fast path: when every snapshot in range is already
+    // resident, answer from the memo directly — nothing is forced, no
+    // job runs, and the transient path-sets are bounded by entries
+    // the driver already holds (the write-side batteries' shape:
+    // tables built and inspected in one JVM).
+    val resident = ids.flatMap(i => memoPeek(spark, root, i))
+    if (resident.size == ids.size) {
+      val rows = resident.zip(None +: resident.map(Some(_))).map {
+        case (m, prevOpt) =>
+          val prevPaths = prevOpt.map(_.allFiles.map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          val paths = m.allFiles.map(_.path).toSet
+          (m.id, m.files.size.toLong, m.tombstones.size.toLong,
+            m.dvs.size.toLong,
+            m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+            (paths -- prevPaths).size.toLong,
+            (prevPaths -- paths).size.toLong)
+      }
+      return rows.toDF(outCols: _*)
+    }
     // DISTRIBUTED (round-17 review): the old implementation
     // materialized EVERY retained snapshot's manifest on the driver —
     // O(snapshots × files) memory for a diagnostics query, exactly
-    // what the files/partitions frames avoid. This one unions the
+    // what the files/partitions frames avoid. This path unions the
     // chain-unrolled entry frames and computes per-snapshot totals
     // plus the consecutive-snapshot path diffs (adds/removes as two
     // anti-joins against tiny broadcast link tables) inside the
-    // engine; the driver holds only the O(snapshots) result.
-    // Memo-warm snapshots contribute local in-memory frames.
+    // engine; the driver holds only the O(snapshots) result and a
+    // cold 10⁸-file table can never OOM it from a metadata query.
     val all = ids.map { i =>
       entriesFrame(spark, root, i,
           manifestMeta(spark, root, i).partCols)
