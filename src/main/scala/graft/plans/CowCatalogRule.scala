@@ -96,6 +96,7 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case t: graft.catalog.CowMetaTable => metaToV1(r, t)
       case _ => r
     }
+    case m: CowMetaStatement => metaStatement(m)
     case other =>
       other.mapChildren(convert).transformExpressions {
         case se: SubqueryExpression => se.withNewPlan(convert(se.plan))
@@ -238,5 +239,34 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graft.sinks.CowTable.history(spark, t.root, upTo = Some(t.atId))
     }
     aliasTo(t.name(), r, df.queryExecution.analyzed)
+  }
+
+  /** Resolve a parser-named metadata STATEMENT into its lazy frame —
+    * at ANALYSIS time (the parser does no table I/O; each spark.sql
+    * call re-resolves under the session's current catalog conf and
+    * pins the then-current head, like any table reference).
+    */
+  private def metaStatement(m: CowMetaStatement): LogicalPlan = {
+    import graft.sinks.{CowSql, CowTable}
+    val root = CowSql.refRoot(spark, m.cat, m.path, m.ns, m.table)
+    val df = m.kind match {
+      case "files" => CowTable.fileStats(spark, root)
+      case "history" =>
+        CowTable.history(spark, root).orderBy("snapshot_id")
+      case "show_partitions" =>
+        val head = CowTable.committedIds(spark, root).lastOption
+          .getOrElse(throw new IllegalStateException(
+            s"no committed snapshot at $root"))
+        require(CowTable.manifestMeta(spark, root, head)
+            .partCols.nonEmpty,
+          s"SHOW PARTITIONS: table at $root is not partitioned")
+        CowTable.fileStatsAt(spark, root, head)
+          .where(org.apache.spark.sql.functions.col("kind") ===
+            CowTable.KindData)
+          .select("partition").distinct().orderBy("partition")
+      case other => throw new IllegalStateException(
+        s"unknown cow metadata statement kind $other")
+    }
+    df.queryExecution.analyzed
   }
 }

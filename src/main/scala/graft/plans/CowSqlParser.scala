@@ -55,44 +55,29 @@ class CowSqlParser(session: SparkSession, delegate: ParserInterface)
   private def route(sqlText: String): Option[LogicalPlan] =
     if (CowSql.isMaintenance(session, sqlText))
       Some(CowStatementCommand(sqlText))
-    // DESCRIBE HISTORY and SHOW PARTITIONS route to LAZY metadata
-    // frames, like DESCRIBE FILES below (round-17): the listings stay
-    // distributed — per-snapshot totals and path diffs (history) and
-    // the distinct hive-escaped partition strings compute inside the
-    // engine, the driver holds only what the caller's action pulls,
-    // and composed LIMIT/filters push like any relation.
+    // DESCRIBE HISTORY / SHOW PARTITIONS / DESCRIBE FILES route to
+    // LAZY metadata frames (round-17): the listings stay distributed —
+    // per-snapshot totals and path diffs (history), the distinct
+    // hive-escaped partition strings, and the file listing compute
+    // inside the engine; the driver holds only what the caller's
+    // action pulls, and composed LIMIT/filters push like any relation
+    // (the old collect-into-commands held O(table-files) driver rows).
+    // The parser only NAMES the reference ([[CowMetaStatement]]) —
+    // warehouse lookup, head pin and frame construction happen in the
+    // analyzer, the same timing as any table reference, so a dry-run
+    // parse does no table I/O and throws no table-state errors.
     else CowSql.describeHistoryRef(session, sqlText)
-      .map(r => graft.sinks.CowTable.history(session,
-          CowSql.refRoot(session, r._1, r._2, r._3, r._4))
-        .orderBy("snapshot_id").queryExecution.logical: LogicalPlan)
+      .map(r =>
+        CowMetaStatement("history", r._1, r._2, r._3, r._4): LogicalPlan)
       .orElse(CowSql.describeDetailRef(session, sqlText)
         .map(r => CowDescribeDetailCommand(r._1, r._2, r._3, r._4)))
-      .orElse(CowSql.showPartitionsRef(session, sqlText).map { r =>
-        val root = CowSql.refRoot(session, r._1, r._2, r._3, r._4)
-        val head = graft.sinks.CowTable.committedIds(session, root)
-          .lastOption.getOrElse(throw new IllegalStateException(
-            s"no committed snapshot at $root"))
-        require(graft.sinks.CowTable.manifestMeta(session, root, head)
-            .partCols.nonEmpty,
-          s"SHOW PARTITIONS: table at $root is not partitioned")
-        graft.sinks.CowTable.fileStatsAt(session, root, head)
-          .where(org.apache.spark.sql.functions.col("kind") ===
-            graft.sinks.CowTable.KindData)
-          .select("partition").distinct().orderBy("partition")
-          .queryExecution.logical
-      })
+      .orElse(CowSql.showPartitionsRef(session, sqlText)
+        .map(r => CowMetaStatement("show_partitions",
+          r._1, r._2, r._3, r._4)))
       .orElse(CowSql.fsckRef(session, sqlText)
         .map(r => CowFsckCommand(r._1, r._2, r._3, r._4)))
-      // DESCRIBE FILES routes to the LAZY metadata frame's plan, not a
-      // collecting command (round-17): the listing stays distributed —
-      // the driver holds only what the caller's action pulls, and
-      // composed LIMIT/filters push into the plan like any relation.
-      // At 10⁷–10⁸ files the old collect-into-command held GBs on the
-      // driver for a diagnostics query.
       .orElse(CowSql.describeFilesRef(session, sqlText)
-        .map(r => graft.sinks.CowTable.fileStats(session,
-          CowSql.refRoot(session, r._1, r._2, r._3, r._4))
-          .queryExecution.logical))
+        .map(r => CowMetaStatement("files", r._1, r._2, r._3, r._4)))
 
   private def routed(sqlText: String, parsed: => LogicalPlan,
       hasParams: Boolean = false): LogicalPlan =
@@ -195,12 +180,28 @@ final case class CowDescribeDetailCommand(
   override def run(session: SparkSession): Seq[Row] = {
     import graft.sinks.CowTable
     val root = CowSql.refRoot(session, cat, path, ns, table)
-    val m = CowTable.currentManifest(session, root).getOrElse(
+    val ids = CowTable.committedIds(session, root)
+    val head = ids.lastOption.getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $root"))
-    Seq(Row("cow", root, m.id, m.partCols.mkString(","),
-      m.files.size.toLong, m.tombstones.size.toLong, m.dvs.size.toLong,
-      m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
-      CowTable.committedIds(session, root).size.toLong,
+    val meta = CowTable.manifestMeta(session, root, head)
+    // HEAD-ONLY when the commit carried totals (round-17): the one-row
+    // health probe then never materializes the entry list — the
+    // tombstone/DV split comes from the O(sidecars) non-data slice.
+    // Pre-r17 manifests fall back to the memoized full parse.
+    val (dataFiles, nRows, nBytes, tombs, dvs) =
+      (meta.totalFiles, meta.totalRows, meta.totalBytes) match {
+        case (Some(f), Some(r), Some(b)) =>
+          val sc = CowTable.snapshotSidecars(session, root, head)
+          (f, r, b, sc.count(_.kind == CowTable.KindTombstone).toLong,
+            sc.count(_.kind == CowTable.KindDv).toLong)
+        case _ =>
+          val m = CowTable.manifest(session, root, head)
+          (m.files.size.toLong, m.files.map(_.rows).sum,
+            m.files.map(_.bytes).sum, m.tombstones.size.toLong,
+            m.dvs.size.toLong)
+      }
+    Seq(Row("cow", root, head, meta.partCols.mkString(","),
+      dataFiles, tombs, dvs, nRows, nBytes, ids.size.toLong,
       CowTable.checkConstraints(session, root).size.toLong))
   }
 }
@@ -238,6 +239,20 @@ final case class CowFsckCommand(
     val r = graft.sinks.CowTable.fsck(session, root)
     Seq(Row(r.clean, r.missing, r.orphans, r.staged, r.orphanFences))
   }
+}
+
+/** An UNRESOLVED metadata statement (`DESCRIBE HISTORY` / `DESCRIBE
+  * FILES` / `SHOW PARTITIONS`): the parser only names the reference;
+  * resolution — warehouse lookup under the session's CURRENT catalog
+  * conf, head pin, lazy frame construction — happens in the ANALYZER
+  * ([[CowCatalogRule]]), the same timing as any table reference.
+  */
+final case class CowMetaStatement(kind: String, cat: String,
+    path: String, ns: String, table: String)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
 }
 
 final case class CowStatementCommand(sqlText: String)

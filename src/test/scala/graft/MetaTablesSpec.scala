@@ -129,6 +129,31 @@ class MetaTablesSpec extends SparkSpec {
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 
+  test("DESCRIBE DETAIL cold equals warm and is HEAD-ONLY: no full " +
+      "manifest parse, the tombstone/DV split from the sidecar slice") {
+    val ns = freshNs("mdd")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 5 FROM range(500)")
+    require(CowTable.deleteWhereDv(spark, root, 3L, col("id") < 7L,
+      keep = 10))
+    val warm = spark.sql(s"DESCRIBE DETAIL cow.$ns.t").collect().head
+    goCold()
+    val mp0 = Option(CowTable.manifestParses.get(qroot(root)))
+      .getOrElse(0L)
+    val cold = spark.sql(s"DESCRIBE DETAIL cow.$ns.t").collect().head
+    assert(cold == warm,
+      s"cold head-total DETAIL must equal the warm parse: $cold vs $warm")
+    assert(cold.getAs[Long]("num_dv_files") >= 1L,
+      "the sidecar split must surface the DV debt")
+    assert(Option(CowTable.manifestParses.get(qroot(root)))
+        .getOrElse(0L) == mp0,
+      "a cold DESCRIBE DETAIL must be head+sidecars only — no full " +
+        "manifest parse")
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
   test("partition strings render hive-escaped: '/', '=' and '%' in a " +
       "value stay unambiguous in DESCRIBE FILES, SHOW PARTITIONS and " +
       "the files metadata table") {
