@@ -1867,7 +1867,7 @@ object QueriesCow {
     val c = Tables.load(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     CowTable.commitFull(c, root, 1L, Seq("c_mktsegment"))
-    val stats = CowTable.partitionStats(spark, root).get
+    val stats = CowTable.partitionStats(spark, root)
     val rows = stats.collect()
     require(rows.forall(_.getAs[Long]("n_files") >= 1))
     require(rows.map(_.getAs[Long]("n_rows")).sum ==
@@ -1922,6 +1922,52 @@ object QueriesCow {
       | CAST(count(*) AS BIGINT) AS files_rows
       |FROM customer GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------
+  // The `history` metadata table STRICT-pinned (round-18; it was
+  // spec-only at the driver gate): a known commit sequence — CREATE,
+  // then three modulus slices of customer appended one commit each —
+  // then `cow…t.history` must replay it exactly: per-snapshot
+  // CUMULATIVE row totals AND data-file counts. The file counts tie to
+  // data the oracle can see because the partitioned batch writer emits
+  // ONE file per touched partition per commit, so files accumulate as
+  // count(DISTINCT segment) per slice — an oracle-computable quantity,
+  // not a storage accident. Drives both history paths (memo-warm in
+  // this single-JVM battery; the distributed path is MetaTablesSpec's
+  // cold leg).
+  // -------------------------------------------------------------------
+  def cowHistoryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val (ns, _) = scratchCatalog(spark, "chm")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("chm_src")
+    spark.sql(s"CREATE TABLE $ns.t (c_custkey BIGINT, " +
+      "c_mktsegment STRING) PARTITIONED BY (c_mktsegment)")
+    (0 to 2).foreach(m => spark.sql(
+      s"INSERT INTO $ns.t SELECT * FROM chm_src WHERE c_custkey % 3 = $m"))
+    spark.sql(
+      s"""SELECT snapshot_id, n_rows, data_files
+        |FROM $ns.t.history ORDER BY snapshot_id""".stripMargin)
+  }
+
+  val cowHistoryMetaSql: String =
+    """WITH s AS (
+      |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
+      |         CAST(0 AS BIGINT) AS rows_added,
+      |         CAST(0 AS BIGINT) AS files_added
+      |  UNION ALL
+      |  SELECT CAST(2 + m AS BIGINT),
+      |         CAST(count(*) AS BIGINT),
+      |         CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+      |  FROM customer, (SELECT 0 AS m UNION ALL SELECT 1
+      |                  UNION ALL SELECT 2) mods
+      |  WHERE c_custkey % 3 = m GROUP BY m)
+      |SELECT snapshot_id,
+      |       CAST(SUM(rows_added) OVER (ORDER BY snapshot_id)
+      |            AS BIGINT) AS n_rows,
+      |       CAST(SUM(files_added) OVER (ORDER BY snapshot_id)
+      |            AS BIGINT) AS data_files
+      |FROM s ORDER BY snapshot_id""".stripMargin
 
   // -------------------------------------------------------------------
   // Multi-clause MERGE through the partition-granular commit: the same
@@ -2633,6 +2679,7 @@ object QueriesCow {
     "cow_snapshot_diff" -> (cowSnapshotDiff _),
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_meta_tables" -> (cowMetaTables _),
+    "cow_history_meta" -> (cowHistoryMeta _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
     "cow_constraints" -> (cowConstraints _),
@@ -2689,6 +2736,7 @@ object QueriesCow {
     "cow_snapshot_diff" -> cowSnapshotDiffSql,
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_meta_tables" -> cowMetaTablesSql,
+    "cow_history_meta" -> cowHistoryMetaSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
     "cow_constraints" -> cowConstraintsSql,

@@ -166,6 +166,15 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     * forms. None for ordinary identifiers (a TABLE literally named
     * `files` has a one-level namespace and never matches — same rule
     * as `.changes`).
+    *
+    * The `Seq(ns, t)` claim is safe ONLY under [[rootOf]]'s one-level-
+    * namespace rule (ADVICE r17): a real table named `files` can never
+    * live under a TWO-level namespace, because rootOf refuses to
+    * resolve one — so claiming every two-level suffix match shadows
+    * nothing. The guard below ties the two invariants together: if a
+    * future change teaches rootOf deeper namespaces, this match must
+    * learn to disambiguate instead of silently shadowing, and the
+    * require makes that forgetting loud at the first metadata lookup.
     */
   private def metaIdentOf(ident: Identifier): Option[(Identifier, String)] =
     if (ident.name != "files" && ident.name != "partitions" &&
@@ -173,9 +182,28 @@ class CowCatalog extends TableCatalog with SupportsNamespaces {
     else ident.namespace.toSeq match {
       case Seq(p) if p.startsWith("/") =>
         Some((Identifier.of(Array.empty, p), ident.name))
-      case Seq(ns, t) => Some((Identifier.of(Array(ns), t), ident.name))
+      case Seq(ns, t) =>
+        // rootOf(Identifier.of(Array(ns, t), "files")) must be
+        // unresolvable for the claim to shadow nothing — pin the
+        // invariant rather than assume it
+        require(!resolvesDeepNamespace(ident),
+          s"metadata-table suffix '${ident.name}' is ambiguous: the " +
+            s"catalog resolved a real table under namespace " +
+            s"${ident.namespace.mkString(".")} — disambiguate " +
+            "metaIdentOf before widening namespace depth")
+        Some((Identifier.of(Array(ns), t), ident.name))
       case _ => None
     }
+
+  /** Would `ident` ALSO resolve as an ordinary table (its namespace
+    * taken at face value)? One-level namespaces make this statically
+    * false — [[rootOf]] refuses depth-2 — so this costs nothing today;
+    * it exists to fail loud the day the namespace rule widens.
+    */
+  private def resolvesDeepNamespace(ident: Identifier): Boolean =
+    ident.namespace.length >= 2 &&
+      (try { rootOf(ident); true }
+      catch { case _: IllegalArgumentException => false })
 
   /** A time-traveled METADATA table: `cow.ns.t.files VERSION AS OF n`
     * inspects the OLD snapshot's listing (what skipping saw then) —
@@ -843,9 +871,18 @@ private[graft] object CowWrites {
         "commit — retry the statement")
   }
 
-  def append(data: DataFrame, root: String, base: CowManifest): Unit =
-    withCommit(data, root, base)((_, pc, id) =>
-      CowTable.commitAppend(data, root, id, pc))
+  def append(data: DataFrame, root: String, base: CowManifest): Unit = {
+    // blind-append conflict rule (Delta's, round-18): an INSERT INTO
+    // has no read dependency — the next snapshot is base+adds whoever
+    // wins — so a lost id race re-commits the staged batch against the
+    // new head (bounded attempts) instead of failing the statement.
+    // Read-dependent paths (truncate/overwrite below, MERGE/DELETE/
+    // UPDATE) still surface every conflict.
+    val cur = CowTable.currentManifest(data.sparkSession, root)
+    val partCols = cur.map(_.partCols).getOrElse(base.partCols)
+    CowTable.appendWithRetry(data, root, partCols)
+    ()
+  }
 
   def truncate(data: DataFrame, root: String, base: CowManifest): Unit =
     withCommit(data, root, base)((_, pc, id) =>

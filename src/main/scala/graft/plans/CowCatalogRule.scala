@@ -227,14 +227,10 @@ class CowCatalogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case "files" =>
         graft.sinks.CowTable.fileStatsAt(spark, t.root, t.atId)
       case "partitions" =>
+        // debt-tolerant (round-18): under MOR debt the frame recomputes
+        // the touched partitions' row counts from the debt-subtracted
+        // read — exact, distributed, scoped to the debt
         graft.sinks.CowTable.partitionStatsAt(spark, t.root, t.atId)
-          .getOrElse(throw new IllegalStateException(
-            s"${t.name()}: snapshot ${t.atId} carries merge-on-read " +
-              "tombstones/DVs, whose per-partition row totals are " +
-              "unknowable from metadata — fold them " +
-              "(CowTable.foldTombstones) and query the new head, or " +
-              "pin a debt-free snapshot (a time-traveled debt " +
-              "snapshot stays unservable by design)"))
       case "history" =>
         graft.sinks.CowTable.history(spark, t.root, upTo = Some(t.atId))
     }

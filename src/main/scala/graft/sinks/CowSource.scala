@@ -138,35 +138,50 @@ final class CowSource extends RelationProvider
       case (_, e) =>
         if (given.nonEmpty) given else e.map(_.partCols).getOrElse(Nil)
     }
-    mode match {
+    val landed: Long = mode match {
       case SaveMode.Overwrite =>
         CowTable.commitFull(data, root, id, partCols,
           sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
           changeLogKeys = cols("changeLogBy"))
+        id
       case SaveMode.Append =>
-        CowTable.commitAppend(data, root, id, partCols,
-          sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
-          changeLogKeys = cols("changeLogBy"))
+        // blind-append conflict rule (round-18): an auto-id append has
+        // no read dependency, so a lost race auto-retries against the
+        // new head (CowTable.appendWithRetry) instead of failing the
+        // write. An EXPLICIT id stays pinned — it encodes the caller's
+        // own replay/exactly-once protocol (the streaming sink's
+        // shape), where committing under a different id would be wrong.
+        if (parameters.contains("id")) {
+          CowTable.commitAppend(data, root, id, partCols,
+            sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+            changeLogKeys = cols("changeLogBy"))
+          id
+        } else
+          CowTable.appendWithRetry(data, root, partCols,
+            sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
+            changeLogKeys = cols("changeLogBy"))
       case SaveMode.ErrorIfExists =>
         require(existing.isEmpty,
           s"table at $root already exists (mode ErrorIfExists)")
         CowTable.commitFull(data, root, id, partCols,
           sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
           changeLogKeys = cols("changeLogBy"))
+        id
       case SaveMode.Ignore =>
         if (existing.isEmpty)
           CowTable.commitFull(data, root, id, partCols,
             sortCols = cols("sortBy"), bloomCols = cols("bloomBy"),
             changeLogKeys = cols("changeLogBy"))
+        id
     }
     // the commit paths RETURN silently when a commit with id >= ours
     // already exists (the crash-replay guard) — for a data-source
     // write that silence would be lost rows; verify the commit landed
     // and fail LOUD so the racer re-reads the head and retries
     if (mode != SaveMode.Ignore || existing.isEmpty)
-      require(CowTable.committedIds(spark, root).contains(id),
-        s"write of commit $id at $root was superseded by a concurrent " +
-          "commit — re-read the head and retry with a fresh id")
+      require(CowTable.committedIds(spark, root).contains(landed),
+        s"write of commit $landed at $root was superseded by a " +
+          "concurrent commit — re-read the head and retry with a fresh id")
     // schema-only result: CreatableRelationProvider's return value is
     // vestigial, and building a READ relation here would wrongly throw
     // on tables with outstanding MOR tombstones

@@ -297,6 +297,19 @@ object CowTable {
 
   private val BatchPrefix = "batch-"
   private val ManifestPrefix = "manifest-"
+  /** Root-level `_retrykeep-<id>` marker: batch dir `batch-<id>` holds
+    * a batch STAGED by an in-flight [[appendWithRetry]] that lost its
+    * manifest race — the moment the winner commits, the dir's id falls
+    * behind the frontier and [[vacuum]]'s unreferenced-batch rule would
+    * reap it in the window before the retry adopts it by rename. A
+    * FRESH marker (younger than the stale grace period) shields the
+    * dir; expired or landed markers are swept by vacuum like crashed
+    * checkpoint temps.
+    */
+  private val RetryKeepPrefix = "_retrykeep-"
+
+  private def retryKeepPath(root: String, id: Long) =
+    new Path(s"$root/$RetryKeepPrefix$id")
   /** Root-level `_mbase-<id>=<baseId>` marker advertising that
     * manifest `id` is a DELTA against `baseId` — what [[vacuum]] walks
     * to retain every retained manifest's base chain without opening
@@ -1020,10 +1033,53 @@ object CowTable {
     * relation cannot carry the subtraction ([[CowV2.relationFor]]'s
     * loud refusal); the DataFrame surfaces serve debt lazily via
     * [[snapshotSidecars]] + [[CowV2.lazyReadSnapshot]] instead.
+    *
+    * BOOLEAN-ONLY shape (ADVICE r17): on a PRE-r17 manifest — no
+    * head-carried nondata total — this probes emptiness with one
+    * `limit(1)` job instead of [[snapshotSidecars]]'s full O(sidecars)
+    * collect; the list materializes only on the lazy-read path that
+    * actually consumes it. An EMPTY answer memoizes Nil under the same
+    * fingerprint guard (exactly what the full collect would have
+    * stored), so repeated gate checks stay free; a NON-empty answer
+    * memoizes nothing (the entries weren't read).
     */
   private[graft] def nonDataEmpty(
       spark: SparkSession, root: String, id: Long): Boolean =
-    snapshotSidecars(spark, root, id).isEmpty
+    memoPeek(spark, root, id) match {
+      case Some(m) => m.allFiles.forall(_.kind == KindData)
+      case None =>
+        val fs = hfs(spark, root)
+        val qroot = fs.makeQualified(new Path(root)).toString
+        val fp = manifestFingerprint(fs,
+          new Path(s"$root/$ManifestPrefix$id"))
+        val key = (qroot, id)
+        sidecarMemo.synchronized(
+          Option(sidecarMemo.get(key)).filter(_._1 == fp)) match {
+          case Some((_, v)) => v.isEmpty
+          case None =>
+            try {
+              val meta = metaFromDisk(spark, root, id)
+              meta.nondataFiles match {
+                case Some(n) =>
+                  if (n == 0L)
+                    sidecarMemo.synchronized(
+                      sidecarMemo.put(key, (fp, Nil)))
+                  n == 0L
+                case None =>
+                  val empty = entriesFrame(spark, root, id, meta.partCols)
+                    .where(col("kind") =!= KindData).isEmpty
+                  if (empty)
+                    sidecarMemo.synchronized(
+                      sidecarMemo.put(key, (fp, Nil)))
+                  empty
+              }
+            } catch { case scala.util.control.NonFatal(_) =>
+              // recovery fallback, same reasoning as snapshotSidecars
+              manifest(spark, root, id).allFiles
+                .forall(_.kind == KindData)
+            }
+        }
+    }
 
   /** CHECKPOINT delta manifest `id`: write its fully-resolved entry
     * list as the committed `_ckpt-<id>/` dir, after which readers stop
@@ -2754,17 +2810,27 @@ object CowTable {
   }
 
   /** The `partitions` METADATA TABLE (Iceberg's `table$partitions`):
-    * one row per live partition with its file/row/byte totals, served
-    * ENTIRELY from the manifest — zero data files opened, whatever the
-    * table size. Exactness-gated like [[countFast]]: outstanding MOR
-    * tombstones make per-partition row counts overstatements, so the
-    * call returns None until a [[foldTombstones]] (the caller can
-    * always fall back to a grouped count over [[read]]).
+    * one row per live partition with its file/row/byte totals.
+    * Debt-free snapshots serve ENTIRELY from the manifest — zero data
+    * files opened, whatever the table size. Outstanding MOR
+    * tombstones/DVs make the manifest's per-partition row counts
+    * overstatements; since debt is the STEADY STATE under continuous
+    * ingest, the table no longer refuses (round-18): file and byte
+    * totals still come from the manifest (they describe the physical
+    * layout, which is exact debt or no debt), and row counts for the
+    * DEBT-TOUCHED partitions are recomputed exactly by a grouped count
+    * over the debt-subtracted snapshot read — scoped to just those
+    * partitions (sidecars land through the partitioned batch writer,
+    * so their manifest part values name the partitions they can touch;
+    * tombstone anti-joins carry the partition columns and DV masks
+    * target files inside their own partition). Untouched partitions
+    * keep their manifest counts — a 100 TB table with debt in three
+    * partitions lists ALL partitions at the cost of scanning three.
     * Partition values come back in their Spark string form (the
     * manifest's own representation); NULL partitions stay NULL.
     */
   def partitionStats(
-      spark: SparkSession, root: String): Option[DataFrame] =
+      spark: SparkSession, root: String): DataFrame =
     partitionStatsAt(spark, root,
       committedIds(spark, root).lastOption.getOrElse(
         throw new IllegalStateException(
@@ -2774,25 +2840,82 @@ object CowTable {
     * table's snapshot-isolation contract).
     */
   def partitionStatsAt(
-      spark: SparkSession, root: String, id: Long): Option[DataFrame] = {
-    if (!nonDataEmpty(spark, root, id)) return None
+      spark: SparkSession, root: String, id: Long): DataFrame = {
     val meta = manifestMeta(spark, root, id)
+    val partCols = meta.partCols
     // LAZY AND DISTRIBUTED (round-17): grouped over the chain-unrolled
     // entry listing inside the engine — the driver holds only the
-    // per-partition result. Partition values stay in their Spark
-    // string form (the manifest's own representation); NULLs stay
-    // NULL. The `__one` grouping key makes the unpartitioned shape
-    // match the old driver-side groupBy: an empty table yields zero
-    // rows, not one all-NULL aggregate row.
-    val frame = entriesFrame(spark, root, id, meta.partCols)
+    // per-partition result. The `__one` grouping key makes the
+    // unpartitioned shape match a driver-side groupBy: an empty table
+    // yields zero rows, not one all-NULL aggregate row.
+    val frame = entriesFrame(spark, root, id, partCols)
       .where(col("kind") === KindData)
     val keys =
-      if (meta.partCols.isEmpty) Seq(lit(1).as("__one"))
-      else meta.partCols.map(c => element_at(col("part"), lit(c)).as(c))
-    Some(frame.groupBy(keys: _*)
-      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"),
+      if (partCols.isEmpty) Seq(lit(1).as("__one"))
+      else partCols.map(c => element_at(col("part"), lit(c)).as(c))
+    val manifestSide = frame.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("__m_rows"),
         sum("bytes").as("n_bytes"))
-      .drop("__one"))
+    val sidecars = snapshotSidecars(spark, root, id)
+    if (sidecars.isEmpty)
+      return manifestSide
+        .select((if (partCols.isEmpty) Seq.empty[Column]
+          else partCols.map(col)) ++ Seq(col("n_files"),
+          col("__m_rows").as("n_rows"), col("n_bytes")): _*)
+    // DEBT: exact rows via the debt-subtracted read, scoped to the
+    // partitions the sidecars name. An entry missing any partition
+    // value (all-NULL stat at collect) conservatively widens the
+    // rescan to the whole table — never narrower than the truth. So
+    // does a string partition value at the stat-length cap: the
+    // manifest stores string mins TRUNCATED at MaxStatLen, so a
+    // cap-length value may not be the partition's true value and an
+    // equality filter built from it would select nothing.
+    val isStrPart = partCols
+      .filter(c => meta.schema(c).dataType == StringType).toSet
+    val scoped = partCols.nonEmpty &&
+      sidecars.forall(f => partCols.forall(c => f.part.contains(c) &&
+        (!isStrPart(c) || f.part(c).length < MaxStatLen)))
+    val debtKeys: Seq[Seq[String]] =
+      if (!scoped) Nil
+      else sidecars.map(f => partCols.map(f.part(_))).distinct
+    val read = CowV2.readAt(spark, root, id)
+    val debtRead =
+      if (!scoped) read
+      else read.where(debtKeys.map(vs => partCols.zip(vs).map {
+        // typed literal, not a cast on the column: EqualTo(attr, lit)
+        // pushes into the lazy index and prunes to the debt partitions
+        case (c, v) => col(c) === lit(v).cast(meta.schema(c).dataType)
+      }.reduce(_ && _)).reduce(_ || _))
+    // exact-side keys in the MANIFEST's own representation: string
+    // partition values truncate to MaxStatLen exactly as the stat
+    // collector does, so the join below can never mismatch a long
+    // value against its truncated manifest form (prefix-sharing long
+    // partitions merge into one row on BOTH sides, consistently)
+    val exactKeys =
+      if (partCols.isEmpty) Seq(lit(1).as("__x_one"))
+      else partCols.map(c =>
+        (if (isStrPart(c))
+          substring(col(c).cast("string"), 1, MaxStatLen)
+        else col(c).cast("string")).as(s"__x_$c"))
+    val exact = debtRead.groupBy(exactKeys: _*)
+      .agg(count(lit(1)).as("__x_rows"))
+    val joinCond =
+      if (partCols.isEmpty) col("__one") === col("__x_one")
+      else partCols.map(c => col(c) <=> col(s"__x_$c")).reduce(_ && _)
+    val inDebt: Column =
+      if (!scoped) lit(true)
+      else debtKeys.map(vs => partCols.zip(vs).map {
+        case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
+        .reduce(_ || _)
+    manifestSide.join(exact, joinCond, "left")
+      .select((if (partCols.isEmpty) Seq.empty[Column]
+        else partCols.map(col)) ++ Seq(
+        col("n_files"),
+        // a debt partition whose every row is masked counts 0, not its
+        // manifest overstatement — hence coalesce AFTER the left join
+        when(inDebt, coalesce(col("__x_rows"), lit(0L)))
+          .otherwise(col("__m_rows")).as("n_rows"),
+        col("n_bytes")): _*)
   }
 
   /** O(manifest) MIN/MAX of a NON-STRING orderable column, in Spark
@@ -3039,36 +3162,97 @@ object CowTable {
   // Commit
   // -------------------------------------------------------------------
 
+  /** Is `dt` a stats-eligible atomic: orderable, min/max fit a small
+    * manifest cell. Arrays/maps/structs/binary carry no usable
+    * envelope.
+    */
+  private def statType(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BooleanType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
   /** Stats-eligible columns: orderable atomics whose min/max fit a
-    * small manifest cell. Arrays/maps/structs/binary carry no usable
-    * envelope; long strings are handled at collection time (min
-    * truncated — still a valid lower bound; max dropped — a truncated
-    * upper bound would be unsound).
+    * small manifest cell. Long strings are handled at collection time
+    * (min truncated — still a valid lower bound; max dropped — a
+    * truncated upper bound would be unsound).
     */
   private def statCols(schema: StructType): Seq[String] =
     schema.fields.toSeq.collect {
-      case f if f.dataType.isInstanceOf[NumericType] => f.name
-      case f if f.dataType == StringType || f.dataType == BooleanType ||
-        f.dataType == DateType || f.dataType == TimestampType ||
-        f.dataType == TimestampNTZType => f.name
+      case f if statType(f.dataType) => f.name
     }
 
-  /** Dotted paths of atomic orderable leaves ONE level inside
-    * top-level STRUCT columns (round-17): `s.a` for struct `s`'s leaf
-    * `a`. These collect min/max/null stats alongside the top-level
-    * columns in the same grouped pass, so range/point filters on
-    * nested fields skip files too ([[mayMatch]] resolves dotted paths;
-    * the file-index translators emit them). One level only — deeper
-    * nesting multiplies stat-map weight for rapidly diminishing
-    * returns, the same budget trade Delta's stats collector makes.
+  /** Dotted paths of atomic orderable leaves inside top-level STRUCT
+    * columns: `s.a` for struct `s`'s leaf `a`, recursing to `depth`
+    * struct levels (round-18; round-17 collected one). These collect
+    * min/max/null stats alongside the top-level columns in the same
+    * grouped pass, so range/point filters on nested fields skip files
+    * too ([[mayMatch]] resolves dotted paths; the file-index
+    * translators emit them). The default depth 1 is the budget trade
+    * Delta's stats collector makes — deeper nesting multiplies
+    * stat-map weight; tables whose filters live deeper opt in via
+    * [[setNestedStatsDepth]].
+    *
+    * Field names containing a literal '.' are SKIPPED at every level
+    * (ADVICE r17): the dotted stat path is later parsed by `col()` and
+    * [[leafType]] as '.'-separated parts, so a leaf named `"a.b"`
+    * would misresolve — and throw at commit time for schemas that
+    * committed fine before nested stats existed.
     */
-  private def nestedStatCols(schema: StructType): Seq[String] =
+  private def nestedStatCols(schema: StructType, depth: Int): Seq[String] = {
+    def walk(st: StructType, prefix: String, d: Int): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        if (f.name.contains(".")) Nil
+        else f.dataType match {
+          case s: StructType if d > 1 => walk(s, s"$prefix${f.name}.", d - 1)
+          case dt if statType(dt) => Seq(s"$prefix${f.name}")
+          case _ => Nil
+        }
+      }
     schema.fields.toSeq.flatMap { f =>
       f.dataType match {
-        case st: StructType => statCols(st).map(n => s"${f.name}.$n")
+        case st: StructType if !f.name.contains(".") =>
+          walk(st, s"${f.name}.", depth)
         case _ => Nil
       }
     }
+  }
+
+  private def statsDepthPath(root: String) =
+    new Path(s"$root/_statsdepth.tsv")
+
+  /** Register the table's NESTED-STATS DEPTH: dotted struct-leaf stats
+    * collect to this many struct levels at every SUBSEQUENT commit
+    * (default 1 — see [[nestedStatCols]]), so filters like `s.a.b`
+    * skip files too. A budget knob, not a correctness one: carried
+    * files keep whatever stats they collected, and a missing stat only
+    * means "read the file". Same registration idiom as
+    * [[setBucketSpec]], but changeable at any time — the read side is
+    * path-generic at any depth.
+    */
+  def setNestedStatsDepth(
+      spark: SparkSession, root: String, depth: Int): Unit = {
+    require(depth >= 1 && depth <= 8,
+      s"nested stats depth must be in [1, 8], got $depth")
+    val fs = hfs(spark, root)
+    fs.mkdirs(new Path(root))
+    val out = fs.create(statsDepthPath(root), true)
+    try out.write(depth.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The registered nested-stats depth (default 1). */
+  def nestedStatsDepthOf(spark: SparkSession, root: String): Int = {
+    val fs = hfs(spark, root)
+    val p = statsDepthPath(root)
+    if (!fs.exists(p)) 1
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.trim.toIntOption.filter(_ >= 1).getOrElse(1)
+    }
+  }
 
   /** Data type of a (possibly dotted) stat path — top-level column or
     * a nested struct leaf. None when the path does not resolve
@@ -3211,8 +3395,15 @@ object CowTable {
       s"bloom column $c is not a table column"))
     // dotted struct leaves ride the SAME grouped pass (round-17):
     // col("s.a") extracts inside the aggregation, one extra agg pair
-    // per leaf, no extra scan
-    val sc = topSc ++ nestedStatCols(schema)
+    // per leaf, no extra scan. Depth comes from the table property
+    // (default 1); the root derives from the batch dir the same way
+    // writeBatch's naming does
+    val depthRoot = {
+      val i = batchDir.lastIndexOf(s"/$BatchPrefix")
+      if (i < 0) batchDir else batchDir.take(i)
+    }
+    val sc = topSc ++
+      nestedStatCols(schema, nestedStatsDepthOf(spark, depthRoot))
     val aggs = count(lit(1)).as("__rows") +:
       max(col("_metadata.file_size")).as("__bytes") +:
       (sc.flatMap(c => Seq(
@@ -4231,51 +4422,276 @@ object CowTable {
         commitPartitionsFrom(None, batch, Set.empty, root, id, partCols,
           keep, sortCols, bloomCols, changeLogKeys)
       case Some(p) =>
-        enforceChecks(batch, checkConstraints(spark, root),
-          s"append $id at $root")
-        val effSchema = effSchemaOf(prev, batch.schema)
-        validateEvolution(p, effSchema, partCols)
-        val commitMapping = mappingForAdds(prev, effSchema)
-        var vacuumKnown: Map[Long, Seq[String]] = Map.empty
-        acquireCommitLock(spark, root, id)
-        try {
-          if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
-          val batchDir = s"$root/$BatchPrefix$id"
-          writeBatch(batch, batchDir, partCols, sortCols,
-            colMap = commitMapping._1)
-          val effBloomCols =
-            if (bloomCols.nonEmpty) bloomCols
-            else p.files.flatMap(_.blooms.keys).distinct
-              .filter(effSchema.fieldNames.contains)
-          val fresh = collectEntries(spark, batchDir, id, effSchema,
-            partCols, effBloomCols, colMap = commitMapping._1)
-          // carried files lose blooms AND min/max stats on string-form-
-          // changing widenings exactly as in commitPartitions (a stale
-          // bloom would false-negative against probes hashed under the
-          // new schema; a stale stat would false-skip the envelope test)
-          val bloomUnsafe = bloomUnsafeCols(p, effSchema)
-          val carried = p.allFiles
-            .map(stripUnsafeStats(_, bloomUnsafe))
-          val stagedLog = stagePureInsertLog(spark, root, p, fresh,
-            effSchema, partCols, id, changeLogKeys, changeLogRequired,
-            s"append batch $id")
-          commitManifest(spark, root, id, Some(p.id), stagedLog) {
-            // an append is the ideal delta: adds-only, O(batch) rows —
-            // per-micro-batch ingest commits stay O(Δ) at any table size
-            if (deltaEligible(Some(p), partCols, bloomUnsafe.isEmpty))
-              writeManifestDelta(spark, root, id, p, effSchema.toDDL,
-                fresh, Set.empty, commitMapping)
-            else
-              writeManifest(spark, root, id, partCols, effSchema.toDDL,
-                fresh ++ carried, commitMapping)
-          }
-          vacuumKnown = Map(
-            id -> (fresh ++ carried).map(_.path),
-            p.id -> p.allFiles.map(_.path))
-        } finally releaseCommitLock(spark, root, id)
-        vacuum(spark, root, keep, vacuumKnown)
-        true
+        commitAppendOnto(batch, root, id, p, partCols, keep, sortCols,
+          bloomCols, changeLogKeys, changeLogRequired,
+          reuse = None, recordStaged = _ => ())
     }
+  }
+
+  /** A batch STAGED by a failed [[appendWithRetry]] attempt, carried to
+    * the next one: the data files under `batch-<batchId>/` plus their
+    * collected entries, and the context they were written under —
+    * schema DDL, the physical column map [[writeBatch]] applied, and
+    * the CHECK-constraint set validated. A retry attempt ADOPTS the
+    * stage (zero data-file rewrites — the files move by one directory
+    * RENAME) only when the new base still presents the same schema and
+    * mapping; anything else re-stages, which is exactly what a
+    * recompute-from-scratch caller would have done anyway.
+    */
+  private final case class StagedAppendBatch(
+      batchId: Long,
+      fresh: Seq[CowFile],
+      effSchemaDdl: String,
+      writeColMap: Map[String, String],
+      checks: Map[String, String])
+
+  /** One append attempt of `batch` onto base `p` as commit `id` — the
+    * shared body of [[commitAppend]] (reuse = None: byte-identical to
+    * the pre-retry path) and [[appendWithRetry]] (reuse carries a prior
+    * attempt's staged files across a lost race). Returns false when the
+    * replay guard fired (a commit with this id or later landed first);
+    * throws [[CowConcurrentCommitException]] on a lost lease or failed
+    * based-on verification. `recordStaged` fires once the batch's data
+    * files and entries are durable — BEFORE the manifest race — so the
+    * caller still holds the handle when the race is lost.
+    */
+  private def commitAppendOnto(
+      batch: DataFrame, root: String, id: Long, p: CowManifest,
+      partCols: Seq[String], keep: Int, sortCols: Seq[String],
+      bloomCols: Seq[String], changeLogKeys: Seq[String],
+      changeLogRequired: Boolean,
+      reuse: Option[StagedAppendBatch],
+      recordStaged: StagedAppendBatch => Unit,
+      protectStage: Boolean = false,
+      onStagedForTest: () => Unit = () => ()): Boolean = {
+    val spark = batch.sparkSession
+    val checks = checkConstraints(spark, root)
+    if (reuse.isEmpty)
+      enforceChecks(batch, checks, s"append $id at $root")
+    val effSchema = effSchemaOf(Some(p), batch.schema)
+    validateEvolution(p, effSchema, partCols)
+    val commitMapping = mappingForAdds(Some(p), effSchema)
+    var vacuumKnown: Map[Long, Seq[String]] = Map.empty
+    var committed = false
+    acquireCommitLock(spark, root, id)
+    try {
+      if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
+      val batchDir = s"$root/$BatchPrefix$id"
+      val fs = hfs(spark, root)
+      // shield the stage BEFORE any file lands: the moment a competing
+      // commit advances the frontier past our id, an unmarked batch dir
+      // is vacuum bait — and the winner's post-commit vacuum runs
+      // immediately. (A vacuum that listed markers before this create
+      // can still reap a dir it listed after — that worst case loses
+      // this attempt's staging work, never correctness: the competing
+      // commit that armed the vacuum fails our based-on check anyway.)
+      if (protectStage)
+        try fs.create(retryKeepPath(root, id), false).close()
+        catch { case _: java.io.IOException => () } // ours from a prior run
+      // ADOPT a prior attempt's staged batch when the new base still
+      // presents the schema and physical mapping the files were written
+      // under — a concurrent winner that evolved either invalidates the
+      // stage (the files' layout or the entries' stat keys would lie).
+      // The move is ONE directory rename; a concurrent vacuum racing
+      // the old name (its id fell behind the new frontier the moment
+      // the winner committed) can tear the source mid-move, so adoption
+      // confirms every staged file arrived before trusting the rename —
+      // the renamed dir itself is safe from any LATER sweep (its id is
+      // ahead of every frontier this commit can lose to and still win).
+      val adopted: Option[Seq[CowFile]] = reuse
+        .filter(s => s.effSchemaDdl == effSchema.toDDL &&
+          s.writeColMap == commitMapping._1)
+        .flatMap { s =>
+          val moved: Option[Seq[CowFile]] =
+            if (s.batchId == id) Some(s.fresh)
+            else {
+              val src = new Path(s"$root/$BatchPrefix${s.batchId}")
+              val dst = new Path(batchDir)
+              // a crashed leftover under OUR leased id would make the
+              // rename nest src INSIDE it (Hadoop local-fs semantics);
+              // nothing live writes batch-<id> while we hold the lease
+              if (fs.exists(dst)) fs.delete(dst, true)
+              val ok = try fs.rename(src, dst)
+                catch { case scala.util.control.NonFatal(_) => false }
+              if (!ok) None
+              else Some(s.fresh.map(f => f.copy(path =
+                s"$BatchPrefix$id/" +
+                  f.path.stripPrefix(s"$BatchPrefix${s.batchId}/"))))
+            }
+          moved.filter(_.forall(f =>
+            fs.exists(new Path(s"$root/${f.path}"))))
+        }
+      // the OLD staged dir's marker is done either way: adopted means
+      // the files now live under batch-<id> (its own marker above);
+      // refused means the stage is abandoned and vacuum should reclaim
+      reuse.filter(_.batchId != id).foreach(s =>
+        fs.delete(retryKeepPath(root, s.batchId), false))
+      adopted.foreach { _ =>
+        // the constraint set may have changed while retrying: re-check
+        // the rows exactly as staged (the batch DF may be
+        // nondeterministic upstream; the files are what commits)
+        if (reuse.exists(_.checks != checks))
+          enforceChecks(readLogical(spark, Seq(batchDir), effSchema,
+            commitMapping._1), checks, s"append retry $id at $root")
+      }
+      val fresh = adopted.getOrElse {
+        if (reuse.exists(_.checks != checks))
+          enforceChecks(batch, checks, s"append $id at $root")
+        writeBatch(batch, batchDir, partCols, sortCols,
+          colMap = commitMapping._1)
+        val effBloomCols =
+          if (bloomCols.nonEmpty) bloomCols
+          else p.files.flatMap(_.blooms.keys).distinct
+            .filter(effSchema.fieldNames.contains)
+        collectEntries(spark, batchDir, id, effSchema,
+          partCols, effBloomCols, colMap = commitMapping._1)
+      }
+      recordStaged(StagedAppendBatch(id, fresh, effSchema.toDDL,
+        commitMapping._1, checks))
+      onStagedForTest()
+      // carried files lose blooms AND min/max stats on string-form-
+      // changing widenings exactly as in commitPartitions (a stale
+      // bloom would false-negative against probes hashed under the
+      // new schema; a stale stat would false-skip the envelope test)
+      val bloomUnsafe = bloomUnsafeCols(p, effSchema)
+      val carried = p.allFiles
+        .map(stripUnsafeStats(_, bloomUnsafe))
+      val stagedLog = stagePureInsertLog(spark, root, p, fresh,
+        effSchema, partCols, id, changeLogKeys, changeLogRequired,
+        s"append batch $id")
+      commitManifest(spark, root, id, Some(p.id), stagedLog) {
+        // an append is the ideal delta: adds-only, O(batch) rows —
+        // per-micro-batch ingest commits stay O(Δ) at any table size
+        if (deltaEligible(Some(p), partCols, bloomUnsafe.isEmpty))
+          writeManifestDelta(spark, root, id, p, effSchema.toDDL,
+            fresh, Set.empty, commitMapping)
+        else
+          writeManifest(spark, root, id, partCols, effSchema.toDDL,
+            fresh ++ carried, commitMapping)
+      }
+      committed = true
+      // landed: the manifest references the files now, which is the
+      // durable protection — the marker has done its job
+      if (protectStage) fs.delete(retryKeepPath(root, id), false)
+      vacuumKnown = Map(
+        id -> (fresh ++ carried).map(_.path),
+        p.id -> p.allFiles.map(_.path))
+    } finally releaseCommitLock(spark, root, id)
+    if (committed) vacuum(spark, root, keep, vacuumKnown)
+    committed
+  }
+
+  /** APPEND with BOUNDED AUTOMATIC RETRY on lost commit races —
+    * Delta's documented conflict rule for blind appends, which have no
+    * read dependency to recompute: whoever wins, the correct next
+    * snapshot is still base+adds, so losing the id lease (or the
+    * based-on verification) re-points the base at the new head and
+    * re-commits under the next id instead of failing the whole job.
+    * The staged data files are NEVER rewritten across retries when the
+    * base's schema and column mapping are unchanged — a lost manifest
+    * race moves them by one directory rename ([[StagedAppendBatch]]);
+    * in the common two-appender race the loser fails at lease
+    * acquisition BEFORE staging anything, so each writer's files are
+    * written exactly once either way.
+    *
+    * Only appends get this: MERGE / DELETE / UPDATE / overwrite read
+    * the snapshot they rewrite, so a concurrent commit invalidates
+    * their computation and the conflict MUST surface to the caller
+    * (same split Delta draws). Returns the committed snapshot id;
+    * throws [[CowConcurrentCommitException]] after `maxAttempts`
+    * losses (e.g. a crashed writer's leaked lease — repair via
+    * [[breakCommitLock]]) and [[CowConstraintException]] if a CHECK
+    * constraint rejects the batch (retrying cannot fix data).
+    *
+    * After a lease loss with an UNMOVED head the winner is still
+    * publishing, so the loop polls the frontier (every 50 ms, up to
+    * `graft.cow.appendRetryWaitMs`, default 2000) before burning the
+    * next attempt against the same busy lease.
+    */
+  def appendWithRetry(
+      batch: DataFrame,
+      root: String,
+      partCols: Seq[String],
+      keep: Int = 2,
+      sortCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      changeLogKeys: Seq[String] = Nil,
+      changeLogRequired: Boolean = false,
+      maxAttempts: Int = 8): Long =
+    appendWithRetryImpl(batch, root, partCols, keep, sortCols, bloomCols,
+      changeLogKeys, changeLogRequired, maxAttempts, () => ())
+
+  /** [[appendWithRetry]] with a test seam: `onStagedForTest` fires
+    * after an attempt's batch is staged and BEFORE its manifest race —
+    * the deterministic window a spec uses to land a competing commit
+    * and pin the staged-reuse path.
+    */
+  private[graft] def appendWithRetryImpl(
+      batch: DataFrame, root: String, partCols: Seq[String],
+      keep: Int, sortCols: Seq[String], bloomCols: Seq[String],
+      changeLogKeys: Seq[String], changeLogRequired: Boolean,
+      maxAttempts: Int, onStagedForTest: () => Unit): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    val spark = batch.sparkSession
+    val waitMs = sys.props.get("graft.cow.appendRetryWaitMs")
+      .flatMap(_.toLongOption).getOrElse(2000L)
+    var staged: Option[StagedAppendBatch] = None
+    var lastConflict: Option[CowConcurrentCommitException] = None
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = currentManifest(spark, root)
+      val id = prev.map(_.id).getOrElse(0L) + 1L
+      try {
+        val ok = prev match {
+          case None =>
+            // first commit: an append to nothing is the initial
+            // snapshot (same rule as commitAppend); a lost race here
+            // staged under commitPartitionsFrom's own machinery and
+            // simply retries against the winner's table
+            commitPartitionsFrom(None, batch, Set.empty, root, id,
+              partCols, keep, sortCols, bloomCols, changeLogKeys)
+          case Some(p) =>
+            commitAppendOnto(batch, root, id, p, partCols, keep,
+              sortCols, bloomCols, changeLogKeys, changeLogRequired,
+              reuse = staged, recordStaged = s => staged = Some(s),
+              protectStage = true, onStagedForTest = onStagedForTest)
+        }
+        if (ok) return id
+        // superseded replay guard: the head advanced past our id —
+        // nothing of ours was staged this attempt; retry immediately
+      } catch {
+        case e: CowConcurrentCommitException =>
+          lastConflict = Some(e)
+          // poll the frontier before re-attempting: a busy lease with
+          // an unmoved head means the winner is mid-publish — a retry
+          // now just loses the same race again
+          val deadline = System.nanoTime() + waitMs * 1000000L
+          while (currentManifest(spark, root).map(_.id) ==
+              prev.map(_.id) && System.nanoTime() < deadline)
+            Thread.sleep(50)
+      }
+    }
+    // exhausted: reclaim our staged files if any (safe — our ids are
+    // behind the frontier that beat us, so no live writer stages into
+    // those dirs, and the batch was never referenced by a manifest)
+    staged.foreach { s =>
+      if (!committedIds(spark, root).contains(s.batchId))
+        try {
+          val fs = hfs(spark, root)
+          fs.delete(new Path(s"$root/$BatchPrefix${s.batchId}"), true)
+          fs.delete(retryKeepPath(root, s.batchId), false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val cause = lastConflict
+    val e = new CowConcurrentCommitException(
+      s"append at $root: lost the commit race $maxAttempts times — " +
+        "either the table is under extreme write contention (raise " +
+        "maxAttempts) or a crashed writer leaked a commit lease " +
+        "(repair via breakCommitLock after confirming no writer is " +
+        "live)")
+    cause.foreach(e.initCause)
+    throw e
   }
 
   // -------------------------------------------------------------------
@@ -6380,6 +6796,27 @@ object CowTable {
                   new Path(s"$root/$CkptPrefix$i/_SUCCESS"))))))
       }
       .foreach(s => fs.delete(s.getPath, true))
+    // IN-FLIGHT RETRY STAGES: a fresh `_retrykeep-<id>` marker shields
+    // batch-<id> — a lost [[appendWithRetry]] race leaves its staged
+    // files unreferenced and behind the winner's frontier exactly
+    // until the retry adopts them by rename; without the marker, the
+    // winner's own post-commit vacuum (this code) would reap them in
+    // that window. Markers expire on the same grace clock as crashed
+    // checkpoint temps (a crashed retry's leftover), and a marker
+    // whose id COMMITTED is done (the manifest's references are the
+    // durable protection) — both are swept here.
+    val retryKeepFresh: Set[Long] = fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith(RetryKeepPrefix))
+      .flatMap { s =>
+        val idOpt = s.getPath.getName
+          .stripPrefix(RetryKeepPrefix).toLongOption
+        if (s.getModificationTime < staleMs ||
+            idOpt.forall(committed)) {
+          fs.delete(s.getPath, false)
+          None
+        } else idOpt
+      }.toSet
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
     // tombstones). `knownFiles` lets a just-committed writer hand over
@@ -6395,7 +6832,8 @@ object CowTable {
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BatchPrefix))
       .filter(_.getPath.getName.stripPrefix(BatchPrefix).toLongOption
-        .exists(i => i < newest && !liveBatches.contains(i)))
+        .exists(i => i < newest && !liveBatches.contains(i) &&
+          !retryKeepFresh.contains(i)))
       .foreach(s => fs.delete(s.getPath, true))
     // dead commit leases: an id at or behind the frontier can never
     // commit again (replay guard), so its lock is a crash leftover

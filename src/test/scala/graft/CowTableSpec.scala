@@ -1532,22 +1532,30 @@ class CowTableSpec extends SparkSpec {
   }
 
   test("partitionStats serves the partitions metadata table from the " +
-      "manifest (no data read), refuses under outstanding tombstones, " +
-      "and recovers after a fold") {
+      "manifest (no data read), stays EXACT under outstanding MOR debt " +
+      "by rescanning only the debt partitions, and is manifest-only " +
+      "again after a fold") {
     val root = tmp()
     CowTable.commitFull(base3, root, 1L, Seq("part"))
-    val st = CowTable.partitionStats(spark, root).get
+    val st = CowTable.partitionStats(spark, root)
       .orderBy("part").collect()
     assert(st.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
       Seq(("p1", 2L), ("p2", 2L), ("p3", 1L)))
     assert(st.forall(r => r.getAs[Long]("n_files") == 1L))
     assert(st.forall(r => r.getAs[Long]("n_bytes") > 0L))
-    // a MOR delete makes per-partition counts overstatements -> None
+    // a MOR delete makes the MANIFEST's per-partition counts
+    // overstatements — the table now (round-18) recomputes the debt
+    // partitions' rows from the subtracted read instead of refusing
     CowTable.deleteKeysMor(spark, root, 2L,
       Seq((1L, "p1")).toDF("id", "part"), Seq("id"), Seq("part"))
-    assert(CowTable.partitionStats(spark, root).isEmpty)
+    val debt = CowTable.partitionStats(spark, root)
+      .orderBy("part").collect()
+    assert(debt.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
+      Seq(("p1", 1L), ("p2", 2L), ("p3", 1L)),
+      "debt partitions must serve exact (subtracted) counts")
+    assert(debt.forall(r => r.getAs[Long]("n_bytes") > 0L))
     assert(CowTable.foldTombstones(spark, root, 3L))
-    val folded = CowTable.partitionStats(spark, root).get
+    val folded = CowTable.partitionStats(spark, root)
       .orderBy("part").collect()
     assert(folded.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
       Seq(("p1", 1L), ("p2", 2L), ("p3", 1L)))

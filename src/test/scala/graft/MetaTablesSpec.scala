@@ -68,8 +68,8 @@ class MetaTablesSpec extends SparkSpec {
   }
 
   test("cow.ns.t.files and cow.ns.t.partitions are queryable named " +
-      "metadata tables; partitions refuses under MOR debt with the " +
-      "fold remedy") {
+      "metadata tables; partitions stays EXACT under MOR debt " +
+      "(round-18: totals equal a grouped count over the read)") {
     val ns = freshNs("mtn")
     val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
     spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
@@ -116,16 +116,57 @@ class MetaTablesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(hist == Seq((1L, 0L), (2L, 400L), (3L, 401L)),
       s"history metadata table must replay the commit log: $hist")
-    // MOR debt → partitions refuses loudly with the remedy
+    // MOR debt → partitions STAYS exact (round-18): debt is the steady
+    // state under continuous ingest, so the surface recomputes the
+    // debt partitions' rows from the subtracted read instead of
+    // refusing; totals must equal a grouped count over the table
     require(CowTable.deleteWhereDv(spark, root, 4L, col("id") < 10L,
       keep = 10))
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM cow.$ns.t.partitions").collect())
-    assert(e.getMessage.contains("foldTombstones"),
-      s"debt refusal must name the remedy, got: ${e.getMessage}")
+    val underDebt = spark.sql(
+      s"SELECT p, n_rows FROM cow.$ns.t.partitions ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val direct = spark.sql(
+      s"SELECT CAST(p AS STRING) AS p, CAST(count(*) AS BIGINT) AS n " +
+        s"FROM cow.$ns.t GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(underDebt == direct,
+      s"partitions under debt must equal a grouped count: " +
+        s"$underDebt vs $direct")
+    assert(underDebt == Seq(("0", 98L), ("1", 97L), ("2", 98L),
+      ("3", 98L)), s"wrong debt-subtracted totals: $underDebt")
     // $files still serves (a file listing is exact regardless of debt)
     assert(spark.sql(s"SELECT count(*) FROM cow.$ns.t.files " +
       "WHERE kind = 'dv'").as[Long].head() >= 1L)
+    spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
+  }
+
+  test("partitions under debt rescans ONLY the debt partitions: exact " +
+      "totals with O(debt) cold entry materialization") {
+    val ns = freshNs("mtp")
+    val root = s"${spark.conf.get("spark.sql.catalog.cow.warehouse")}/$ns/t"
+    spark.sql(s"CREATE TABLE cow.$ns.t (id BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO cow.$ns.t SELECT id, id % 4 FROM range(400)")
+    // debt confined to partition p=1 (one masked row)
+    require(CowTable.deleteWhereDv(spark, root, 3L, col("id") === 5L,
+      keep = 10))
+    goCold()
+    val e0 = Option(CowTable.entriesMaterialized.get(qroot(root)))
+      .getOrElse(0L)
+    val got = spark.sql(
+      s"SELECT p, n_rows FROM cow.$ns.t.partitions ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("0", 100L), ("1", 99L), ("2", 100L),
+      ("3", 100L)), s"wrong scoped debt totals: $got")
+    val delta = Option(CowTable.entriesMaterialized.get(qroot(root)))
+      .getOrElse(0L) - e0
+    // the exact-count rescan pushes the debt partitions' filter into
+    // the lazy index: only p=1's data file plus the sidecars may
+    // materialize driver-side (the manifest-side totals stay in the
+    // distributed frame and never count here)
+    assert(delta <= 4L,
+      s"debt rescan must be partition-scoped: materialized $delta " +
+        "entries for a one-partition debt")
     spark.sql(s"DROP NAMESPACE cow.$ns CASCADE")
   }
 

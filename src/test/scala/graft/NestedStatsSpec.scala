@@ -112,6 +112,54 @@ class NestedStatsSpec extends SparkSpec {
     assert(isn.count() == 10L)
   }
 
+  test("depth-2 nested stats are property-gated (round-18): the " +
+      "default collects one level (stat-map weight unchanged); " +
+      "setNestedStatsDepth(2) collects s.t.c and a depth-2 range " +
+      "filter skips files") {
+    val root = Files.createTempDirectory("nsd").toString
+    val df = spark.range(1000).select(
+      ($"id" / 100).cast("long").as("p"),
+      struct($"id".as("a"),
+        struct($"id".as("c")).as("t")).as("s"))
+    CowTable.commitFull(df, root, 1L, Seq("p"), keep = 10)
+    val m1 = CowTable.currentManifest(spark, root).get
+    assert(m1.files.forall(f => f.mins.contains("s.a")))
+    assert(m1.files.forall(f => !f.mins.contains("s.t.c") &&
+        !f.maxs.contains("s.t.c") && !f.nulls.contains("s.t.c")),
+      "default depth must stop at one level — stat-map weight unchanged")
+    CowTable.setNestedStatsDepth(spark, root, 2)
+    CowTable.commitFull(df, root, 2L, Seq("p"), keep = 10)
+    val m2 = CowTable.currentManifest(spark, root).get
+    assert(m2.files.forall(f => f.mins.contains("s.t.c") &&
+        f.maxs.contains("s.t.c") && f.nulls.contains("s.t.c")),
+      "depth 2 must collect second-level struct leaves")
+    val hit = CowV2.read(spark, root).get.where($"s.t.c" === 250L)
+    assert(filesRead(hit) == 1L,
+      "a depth-2 point filter must skip to the one file")
+    assert(hit.count() == 1L)
+    val range = CowV2.read(spark, root).get.where($"s.t.c" <= 99L)
+    assert(filesRead(range) == 1L,
+      "a depth-2 inclusive bound must skip non-intersecting envelopes")
+    assert(range.count() == 100L)
+  }
+
+  test("a struct leaf named with a literal dot commits fine and " +
+      "simply collects no dotted stat (ADVICE r17: col()/leafType " +
+      "would misparse the path)") {
+    val root = Files.createTempDirectory("nsl").toString
+    val df = spark.range(100).select(
+      ($"id" % 4).as("p"),
+      struct($"id".as("a.b"), $"id".as("ok")).as("s"))
+    CowTable.commitFull(df, root, 1L, Seq("p"), keep = 10)
+    val m = CowTable.currentManifest(spark, root).get
+    assert(m.files.forall(f => f.mins.contains("s.ok")),
+      "clean sibling leaves still collect")
+    assert(m.files.forall(f => !f.mins.keys.exists(_.contains("a.b")) &&
+        !f.nulls.keys.exists(_.contains("a.b"))),
+      "a literal-dot leaf must be skipped, not misparsed into parts")
+    assert(CowV2.read(spark, root).get.count() == 100L)
+  }
+
   test("soundness floors: missing dotted stats never prune (pre-r17 " +
       "shape), and an unsafe struct widening strips its nested stats") {
     val root = Files.createTempDirectory("nsf").toString
