@@ -295,6 +295,12 @@ object Bench {
       // load without re-running the whole battery under a judge
       (name, secs, loadavg(), err)
     }
+    // wall/cpu snapshot BEFORE the load-gate block: the gate's settle
+    // sleep (~0 CPU, up to 120 s) and its reruns would otherwise
+    // depress cpu_wall_ratio — the exact signature this telemetry
+    // documents as "contaminated run", misread onto a healthy gated one
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpuNow = processCpuSec()
     // PER-QUERY LOAD GATE (round-18): any query whose loadavg reading
     // exceeded the gate re-runs ONCE at battery end, after a bounded
     // settle wait, and reports min(first, rerun) — a transient external
@@ -338,8 +344,6 @@ object Bench {
     val patched = results.map { case (k, v, l, e) =>
       (k, regated.get(k).map(t => math.min(v, t._2)).getOrElse(v), l, e)
     }
-    val wallSec = (System.nanoTime() - wall0) / 1e9
-    val cpuNow = processCpuSec()
     // -1 sentinel must survive: without it, an unavailable MXBean would
     // report cpu 0.0 / ratio 0.0 — indistinguishable from "maximally
     // contaminated" under the documented reading of this telemetry

@@ -989,42 +989,56 @@ object CowTable {
     * [[manifestMemo]] documents (a stale empty answer here would
     * silently skip the subtraction: wrong rows, no error).
     */
+  /** The fingerprint-guarded sidecar-memo slot for (root, id): a
+    * still-valid peek plus a put that stores under the CURRENT
+    * fingerprint. The one place the key and its validity guard are
+    * built, so [[snapshotSidecars]] and [[nonDataEmpty]] can never
+    * diverge on the guard — a stale empty answer would silently skip
+    * the MOR subtraction (the round-16 cache-aliasing bug class).
+    */
+  private def sidecarSlot(
+      spark: SparkSession, root: String, id: Long)
+      : (String, Option[Seq[CowFile]], Seq[CowFile] => Unit) = {
+    val fs = hfs(spark, root)
+    val qroot = fs.makeQualified(new Path(root)).toString
+    val fp = manifestFingerprint(fs,
+      new Path(s"$root/$ManifestPrefix$id"))
+    val key = (qroot, id)
+    val peek = sidecarMemo.synchronized(
+      Option(sidecarMemo.get(key)).filter(_._1 == fp)).map(_._2)
+    (qroot, peek,
+      v => sidecarMemo.synchronized { sidecarMemo.put(key, (fp, v)); () })
+  }
+
   private[graft] def snapshotSidecars(
       spark: SparkSession, root: String, id: Long): Seq[CowFile] =
     memoPeek(spark, root, id) match {
       case Some(m) => m.allFiles.filter(_.kind != KindData)
       case None =>
-        val fs = hfs(spark, root)
-        val qroot = fs.makeQualified(new Path(root)).toString
-        val fp = manifestFingerprint(fs,
-          new Path(s"$root/$ManifestPrefix$id"))
-        val key = (qroot, id)
-        sidecarMemo.synchronized(
-          Option(sidecarMemo.get(key)).filter(_._1 == fp)) match {
-          case Some((_, v)) => v
-          case None =>
-            val v =
-              try {
-                val meta = metaFromDisk(spark, root, id)
-                // head-carried fast path (round-17): a debt-free
-                // verdict written at commit time costs no job at all
-                if (meta.nondataFiles.contains(0L)) Nil
-                else {
-                  val rows = entriesFrame(spark, root, id, meta.partCols)
-                    .where(col("kind") =!= KindData).collect().toSeq
-                  if (sidecarLoads.size > 1024) sidecarLoads.clear()
-                  sidecarLoads.merge(qroot, 1L, (a, b) => a + b)
-                  filesOfRows(rows)
-                }
-              } catch { case scala.util.control.NonFatal(_) =>
-                // recovery fallback, same reasoning as prunedManifest:
-                // the eager path owns chain recovery (stale-twin
-                // adoption) — answer from it or surface ITS error
-                manifest(spark, root, id).allFiles
-                  .filter(_.kind != KindData)
+        val (qroot, peek, put) = sidecarSlot(spark, root, id)
+        peek.getOrElse {
+          val v =
+            try {
+              val meta = metaFromDisk(spark, root, id)
+              // head-carried fast path (round-17): a debt-free
+              // verdict written at commit time costs no job at all
+              if (meta.nondataFiles.contains(0L)) Nil
+              else {
+                val rows = entriesFrame(spark, root, id, meta.partCols)
+                  .where(col("kind") =!= KindData).collect().toSeq
+                if (sidecarLoads.size > 1024) sidecarLoads.clear()
+                sidecarLoads.merge(qroot, 1L, (a, b) => a + b)
+                filesOfRows(rows)
               }
-            sidecarMemo.synchronized(sidecarMemo.put(key, (fp, v)))
-            v
+            } catch { case scala.util.control.NonFatal(_) =>
+              // recovery fallback, same reasoning as prunedManifest:
+              // the eager path owns chain recovery (stale-twin
+              // adoption) — answer from it or surface ITS error
+              manifest(spark, root, id).allFiles
+                .filter(_.kind != KindData)
+            }
+          put(v)
+          v
         }
     }
 
@@ -1048,31 +1062,19 @@ object CowTable {
     memoPeek(spark, root, id) match {
       case Some(m) => m.allFiles.forall(_.kind == KindData)
       case None =>
-        val fs = hfs(spark, root)
-        val qroot = fs.makeQualified(new Path(root)).toString
-        val fp = manifestFingerprint(fs,
-          new Path(s"$root/$ManifestPrefix$id"))
-        val key = (qroot, id)
-        sidecarMemo.synchronized(
-          Option(sidecarMemo.get(key)).filter(_._1 == fp)) match {
-          case Some((_, v)) => v.isEmpty
+        val (_, peek, put) = sidecarSlot(spark, root, id)
+        peek match {
+          case Some(v) => v.isEmpty
           case None =>
             try {
               val meta = metaFromDisk(spark, root, id)
-              meta.nondataFiles match {
-                case Some(n) =>
-                  if (n == 0L)
-                    sidecarMemo.synchronized(
-                      sidecarMemo.put(key, (fp, Nil)))
-                  n == 0L
-                case None =>
-                  val empty = entriesFrame(spark, root, id, meta.partCols)
-                    .where(col("kind") =!= KindData).isEmpty
-                  if (empty)
-                    sidecarMemo.synchronized(
-                      sidecarMemo.put(key, (fp, Nil)))
-                  empty
-              }
+              val empty = meta.nondataFiles.map(_ == 0L).getOrElse(
+                entriesFrame(spark, root, id, meta.partCols)
+                  .where(col("kind") =!= KindData).isEmpty)
+              // an empty answer is exactly what the full collect would
+              // memoize; a non-empty one stores nothing (no list read)
+              if (empty) put(Nil)
+              empty
             } catch { case scala.util.control.NonFatal(_) =>
               // recovery fallback, same reasoning as snapshotSidecars
               manifest(spark, root, id).allFiles
@@ -2863,18 +2865,16 @@ object CowTable {
           else partCols.map(col)) ++ Seq(col("n_files"),
           col("__m_rows").as("n_rows"), col("n_bytes")): _*)
     // DEBT: exact rows via the debt-subtracted read, scoped to the
-    // partitions the sidecars name. An entry missing any partition
-    // value (all-NULL stat at collect) conservatively widens the
-    // rescan to the whole table — never narrower than the truth. So
-    // does a string partition value at the stat-length cap: the
-    // manifest stores string mins TRUNCATED at MaxStatLen, so a
-    // cap-length value may not be the partition's true value and an
-    // equality filter built from it would select nothing.
-    val isStrPart = partCols
-      .filter(c => meta.schema(c).dataType == StringType).toSet
+    // partitions the sidecars name. Sidecar part maps store the RAW
+    // partition value (collectEntries truncates only the mins/maxs
+    // stat cells, never the part map) and always carry every partition
+    // KEY — a NULL partition arrives as a null VALUE, not a missing
+    // key, and its filter/join legs below go IS NULL, not equality. A
+    // genuinely missing key (defensive; no current writer produces
+    // one) widens the rescan to the whole table — never narrower than
+    // the truth.
     val scoped = partCols.nonEmpty &&
-      sidecars.forall(f => partCols.forall(c => f.part.contains(c) &&
-        (!isStrPart(c) || f.part(c).length < MaxStatLen)))
+      sidecars.forall(f => partCols.forall(f.part.contains))
     val debtKeys: Seq[Seq[String]] =
       if (!scoped) Nil
       else sidecars.map(f => partCols.map(f.part(_))).distinct
@@ -2884,19 +2884,20 @@ object CowTable {
       else read.where(debtKeys.map(vs => partCols.zip(vs).map {
         // typed literal, not a cast on the column: EqualTo(attr, lit)
         // pushes into the lazy index and prunes to the debt partitions
+        case (c, null) => col(c).isNull
         case (c, v) => col(c) === lit(v).cast(meta.schema(c).dataType)
       }.reduce(_ && _)).reduce(_ || _))
-    // exact-side keys in the MANIFEST's own representation: string
-    // partition values truncate to MaxStatLen exactly as the stat
-    // collector does, so the join below can never mismatch a long
-    // value against its truncated manifest form (prefix-sharing long
-    // partitions merge into one row on BOTH sides, consistently)
+    // exact-side keys in the manifest's own representation (plain
+    // Spark cast-to-string — the exact form the part map holds).
+    // TIMESTAMP partition columns inherit the engine-wide contract
+    // that partition identity is the SESSION's cast-to-string form:
+    // a reader whose spark.sql.session.timeZone differs from the
+    // writer's already breaks partition-granular rewrites and
+    // touched-set routing everywhere, so this join assumes the same
+    // session-TZ consistency rather than defending alone against it
     val exactKeys =
       if (partCols.isEmpty) Seq(lit(1).as("__x_one"))
-      else partCols.map(c =>
-        (if (isStrPart(c))
-          substring(col(c).cast("string"), 1, MaxStatLen)
-        else col(c).cast("string")).as(s"__x_$c"))
+      else partCols.map(c => col(c).cast("string").as(s"__x_$c"))
     val exact = debtRead.groupBy(exactKeys: _*)
       .agg(count(lit(1)).as("__x_rows"))
     val joinCond =
@@ -2905,6 +2906,7 @@ object CowTable {
     val inDebt: Column =
       if (!scoped) lit(true)
       else debtKeys.map(vs => partCols.zip(vs).map {
+        case (c, null) => col(c).isNull
         case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
         .reduce(_ || _)
     manifestSide.join(exact, joinCond, "left")

@@ -1559,5 +1559,43 @@ class CowTableSpec extends SparkSpec {
       .orderBy("part").collect()
     assert(folded.map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toSeq ==
       Seq(("p1", 1L), ("p2", 2L), ("p3", 1L)))
+    // NULL partition under debt (review r18): sidecar part maps carry
+    // the NULL partition as a null VALUE — the debt filter and join
+    // must go IS NULL, not equality (which would select nothing and
+    // report 0 for a partition that still has live rows)
+    assert(CowTable.commitAppend(Seq(
+        (8L, null.asInstanceOf[String], "h", 80.0),
+        (9L, null.asInstanceOf[String], "i", 90.0))
+      .toDF("id", "part", "name", "score"), root, 4L, Seq("part")))
+    CowTable.deleteKeysMor(spark, root, 5L,
+      Seq((8L, null.asInstanceOf[String])).toDF("id", "part"),
+      Seq("id"), Seq("part"))
+    val withNull = CowTable.partitionStats(spark, root).collect()
+      .map(r => Option(r.getString(0)) -> r.getAs[Long]("n_rows")).toMap
+    assert(withNull == Map(None -> 1L, Some("p1") -> 1L,
+      Some("p2") -> 2L, Some("p3") -> 1L),
+      s"NULL-partition debt totals wrong: $withNull")
+  }
+
+  test("partitionStats under debt stays exact for string partition " +
+      "values LONGER than the stat-length cap: the part map stores the " +
+      "raw value (only min/max stat cells truncate), so the debt join " +
+      "keys on full strings") {
+    val root = tmp()
+    // two values sharing an 80-char prefix, differing past the cap —
+    // a truncated-key join would merge them (review r18)
+    val long1 = "x" * 80 + "A"
+    val long2 = "x" * 80 + "B"
+    CowTable.commitFull(
+      Seq((1L, long1), (2L, long1), (3L, long2), (4L, long2))
+        .toDF("id", "part"),
+      root, 1L, Seq("part"))
+    CowTable.deleteKeysMor(spark, root, 2L,
+      Seq((1L, long1)).toDF("id", "part"), Seq("id"), Seq("part"))
+    val st = CowTable.partitionStats(spark, root).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(st == Map(long1 -> 1L, long2 -> 2L),
+      s"long-partition debt totals wrong: ${st.map { case (k, v) =>
+        s"${k.takeRight(4)}(len ${k.length})->$v" }}")
   }
 }
