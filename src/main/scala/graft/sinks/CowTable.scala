@@ -4509,16 +4509,49 @@ object CowTable {
             else {
               val src = new Path(s"$root/$BatchPrefix${s.batchId}")
               val dst = new Path(batchDir)
-              // a crashed leftover under OUR leased id would make the
-              // rename nest src INSIDE it (Hadoop local-fs semantics);
-              // nothing live writes batch-<id> while we hold the lease
-              if (fs.exists(dst)) fs.delete(dst, true)
-              val ok = try fs.rename(src, dst)
-                catch { case scala.util.control.NonFatal(_) => false }
-              if (!ok) None
-              else Some(s.fresh.map(f => f.copy(path =
-                s"$BatchPrefix$id/" +
-                  f.path.stripPrefix(s"$BatchPrefix${s.batchId}/"))))
+              // move under the SOURCE id's lease: a gap-id stage's dir
+              // (id still ahead of the frontier) is legitimately
+              // claimable by a writer of that very id, whose overwrite
+              // interleaving with a bare check-then-rename could move
+              // ITS files into our commit (review r18). The lease
+              // closes the window — ids ahead of the frontier are
+              // exactly the ones vacuum never sweeps leases for, and a
+              // claimant holding it makes us refuse (None) instead of
+              // racing. Behind-the-frontier ids (the appendWithRetry
+              // shape) have no live claimants (the pre-stage replay
+              // guard), so the lease there is uncontended by
+              // construction.
+              val leased =
+                try { acquireCommitLock(spark, root, s.batchId); true }
+                catch { case _: CowConcurrentCommitException => false }
+              if (!leased) None
+              else try {
+                // the source dir must still hold OUR staged files: a
+                // racer that already committed s.batchId overwrote the
+                // dir with its own batch — renaming that would corrupt
+                // the racer's snapshot. File names are UUID-unique, so
+                // per-file existence is ownership.
+                val ours = s.fresh.forall(f =>
+                  fs.exists(new Path(s"$root/${f.path}")))
+                // a PENDING STAGE parked at OUR leased id would be
+                // destroyed by the delete below — refuse and let the
+                // caller pick a different id (its dir is that stage's
+                // only data; review r18)
+                if (!ours || fs.exists(stagedMetaPath(root, id))) None
+                else {
+                  // a crashed leftover under OUR leased id would make
+                  // the rename nest src INSIDE it (Hadoop local-fs
+                  // semantics); nothing live writes batch-<id> while
+                  // we hold the id lease
+                  if (fs.exists(dst)) fs.delete(dst, true)
+                  val ok = try fs.rename(src, dst)
+                    catch { case scala.util.control.NonFatal(_) => false }
+                  if (!ok) None
+                  else Some(s.fresh.map(f => f.copy(path =
+                    s"$BatchPrefix$id/" +
+                      f.path.stripPrefix(s"$BatchPrefix${s.batchId}/"))))
+                }
+              } finally releaseCommitLock(spark, root, s.batchId)
             }
           moved.filter(_.forall(f =>
             fs.exists(new Path(s"$root/${f.path}"))))
@@ -4628,6 +4661,20 @@ object CowTable {
     * the deterministic window a spec uses to land a competing commit
     * and pin the staged-reuse path.
     */
+  /** Poll the frontier until it moves past `seen` or `waitMs` elapses —
+    * the shared backoff of the retry loops: a busy lease with an
+    * unmoved head means the winner is mid-publish, and re-attempting
+    * immediately just loses the same race again.
+    */
+  private def awaitFrontierMove(
+      spark: SparkSession, root: String, seen: Option[Long],
+      waitMs: Long): Unit = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (currentManifest(spark, root).map(_.id) == seen &&
+        System.nanoTime() < deadline)
+      Thread.sleep(50)
+  }
+
   private[graft] def appendWithRetryImpl(
       batch: DataFrame, root: String, partCols: Seq[String],
       keep: Int, sortCols: Seq[String], bloomCols: Seq[String],
@@ -4643,7 +4690,12 @@ object CowTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = currentManifest(spark, root)
-      val id = prev.map(_.id).getOrElse(0L) + 1L
+      // head+1, skipping any PENDING WAP stage parked on an id just
+      // above the head — committing (or staging into) its id would
+      // overwrite that stage's only data (review r18)
+      val parked = stagedIds(spark, root).toSet
+      var id = prev.map(_.id).getOrElse(0L) + 1L
+      while (parked.contains(id)) id += 1
       try {
         val ok = prev match {
           case None =>
@@ -4665,13 +4717,7 @@ object CowTable {
       } catch {
         case e: CowConcurrentCommitException =>
           lastConflict = Some(e)
-          // poll the frontier before re-attempting: a busy lease with
-          // an unmoved head means the winner is mid-publish — a retry
-          // now just loses the same race again
-          val deadline = System.nanoTime() + waitMs * 1000000L
-          while (currentManifest(spark, root).map(_.id) ==
-              prev.map(_.id) && System.nanoTime() < deadline)
-            Thread.sleep(50)
+          awaitFrontierMove(spark, root, prev.map(_.id), waitMs)
       }
     }
     // exhausted: reclaim our staged files if any (safe — our ids are
@@ -4725,11 +4771,14 @@ object CowTable {
     *
     * Concurrency: the staged manifest records the base snapshot id it
     * carried files from; a commit landing between stage and publish
-    * fails the publish's based-on verification (the carried list is
-    * stale) — discard and re-stage. Vacuum safety falls out of the id
-    * ordering: a publishable staged batch has `id > newest committed`,
-    * which [[vacuum]]'s `i < newest` batch rule never deletes; once a
-    * later commit supersedes it the staged batch is doomed anyway and
+    * fails the plain publish's based-on verification (the carried list
+    * is stale) — [[publishStagedWithRetry]] then RE-POINTS the carried
+    * list at the new head and commits the staged files under the next
+    * id (round-18), or the caller discards and re-stages. Vacuum
+    * safety: a pending stage's batch dir is PINNED by its
+    * `_staged-<id>.meta` marker until published or discarded
+    * (round-18 — an overtaken stage is re-publishable, so it is no
+    * longer doomed); a crashed half-stage never wrote the marker and
     * ages out like any dead batch.
     */
   def stageAppend(
@@ -4837,22 +4886,29 @@ object CowTable {
     * stage; the stage is then unpublishable — [[discardStaged]] it and
     * re-stage against the new base.
     */
+  /** The staged-meta file's trimmed lines: base id, sidecar staging
+    * name (or `-`), CHECK-set fingerprint. Shared by [[publishStaged]]
+    * and [[publishStagedWithRetry]].
+    */
+  private def stagedMetaLines(
+      fs: org.apache.hadoop.fs.FileSystem, metaP: Path): Seq[String] = {
+    val in = fs.open(metaP)
+    val s = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    s.split("\n", -1).toSeq.map(_.trim)
+  }
+
   def publishStaged(
       spark: SparkSession, root: String, id: Long, keep: Int = 2): Unit = {
     val fs = hfs(spark, root)
     val metaP = stagedMetaPath(root, id)
     require(fs.exists(metaP), s"no staged commit $id at $root")
-    val metaLines = {
-      val in = fs.open(metaP)
-      val s = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var n = in.read(chunk)
-        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString(java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      s.split("\n", -1).toSeq.map(_.trim)
-    }
+    val metaLines = stagedMetaLines(fs, metaP)
     val basedOn = metaLines.headOption.flatMap(_.toLongOption)
     val stagedLog0 = metaLines.lift(1).filter(n => n.nonEmpty && n != "-")
       .map(n => new Path(s"$root/$ChangesDir/$n"))
@@ -4895,6 +4951,157 @@ object CowTable {
     fs.delete(new Path(stagedManifestDir(root, id)), true)
     fs.delete(metaP, false)
     vacuum(spark, root, keep, Map(id -> m.allFiles.map(_.path)))
+  }
+
+  /** [[publishStaged]] with BOUNDED AUTO-RETRY on a lost race — the
+    * WAP twin of [[appendWithRetry]]. A staged append has no read
+    * dependency either: whoever committed between stage and publish,
+    * the correct next snapshot is still newHead+adds, so instead of
+    * "discard and re-stage" the publish RE-POINTS the carried list at
+    * the new head and commits the already-staged files under the next
+    * id. Zero data rewrites when the interleaving winner left schema
+    * and column mapping unchanged (the staged dir moves by rename,
+    * [[StagedAppendBatch]] adoption); a schema/mapping-changing winner
+    * re-stages FROM THE STAGED FILES (one rewrite of the batch — never
+    * a recompute of the source query). Returns the id that actually
+    * committed: the staged id when no race, a later one after
+    * re-pointing.
+    *
+    * Refusals (the conflict rethrows, stage left intact for the caller
+    * to discard + re-stage):
+    *  - the stage carries a CHANGELOG sidecar — its pure-insert
+    *    certification was probed against the stage-time base and
+    *    cannot be re-certified here (the probe keys are not recorded);
+    *  - the staged batch dir no longer holds the staged files (a racer
+    *    committed the staged id itself and overwrote the dir — gap-id
+    *    stages hold no lease between stage and publish).
+    */
+  def publishStagedWithRetry(
+      spark: SparkSession, root: String, id: Long, keep: Int = 2,
+      maxAttempts: Int = 8): Long =
+    publishStagedWithRetryImpl(spark, root, id, keep, maxAttempts,
+      () => ())
+
+  /** [[publishStagedWithRetry]] with the same test seam as
+    * [[appendWithRetryImpl]]: `onStagedForTest` fires between an
+    * attempt's staging/adoption and its manifest race.
+    */
+  private[graft] def publishStagedWithRetryImpl(
+      spark: SparkSession, root: String, id: Long, keep: Int,
+      maxAttempts: Int, onStagedForTest: () => Unit): Long = {
+    val first =
+      try { publishStaged(spark, root, id, keep); return id }
+      catch { case e: CowConcurrentCommitException => e }
+    val fs = hfs(spark, root)
+    val metaP = stagedMetaPath(root, id)
+    if (!fs.exists(metaP) ||
+        !fs.exists(new Path(stagedManifestDir(root, id), "_SUCCESS")))
+      throw first
+    val metaLines = stagedMetaLines(fs, metaP)
+    if (metaLines.lift(1).exists(n => n.nonEmpty && n != "-"))
+      throw first // sidecar-carrying stage: pure-I unprovable — refuse
+    val m = manifestAt(spark, stagedManifestDir(root, id), id)
+    val freshAtStage =
+      m.files.filter(_.path.startsWith(s"$BatchPrefix$id/"))
+    if (!freshAtStage.forall(f => fs.exists(new Path(s"$root/${f.path}"))))
+      throw first // stage destroyed by a same-id racer — refuse loudly
+    // airtight CHECK seeding (review r18): re-validate the staged rows
+    // whenever the CURRENT set differs from the one the STAGE
+    // validated (the failed publish validated some set, but another
+    // registration may have landed since ITS read) — then the reuse
+    // handle below re-enforces only if the set moves yet again
+    val checksNow = checkConstraints(spark, root)
+    if (checksNow.nonEmpty && !metaLines.lift(2).filter(_.nonEmpty)
+        .contains(checksFingerprint(checksNow)))
+      enforceChecks(dfFor(spark, root, m, freshAtStage), checksNow,
+        s"re-pointed publish of staged commit $id at $root " +
+          "(constraints changed since stage)")
+    var staged: Option[StagedAppendBatch] = Some(StagedAppendBatch(
+      id, freshAtStage, m.schemaDdl, m.colMap, checksNow))
+    // the restage source is the STAGED ROWS THEMSELVES — deterministic,
+    // already audited; the original query never re-evaluates. Rebuilt
+    // per attempt over the CURRENT staged paths (an adopted-then-lost
+    // attempt moved them; a frame planned over the old paths would
+    // read nothing — review r18). File reads surface as NULLABLE
+    // whatever schema the files were written under (HadoopFsRelation's
+    // asNullable), and the adoption guard compares exact DDLs — so the
+    // stage's own schema is re-imposed on the frame. Bloom columns
+    // re-derive from the staged entries so a restage keeps the
+    // stage-time blooms; the stage's sort layout is not recorded and a
+    // restage loses it (performance, never correctness).
+    def batchNow(): DataFrame = {
+      val raw = dfFor(spark, root, m, staged.fold(freshAtStage)(_.fresh))
+      if (raw.schema == m.schema) raw
+      else spark.createDataFrame(raw.rdd, m.schema)
+    }
+    val stageBloomCols = freshAtStage.flatMap(_.blooms.keys).distinct
+    var lastConflict = first
+    val waitMs = sys.props.get("graft.cow.appendRetryWaitMs")
+      .flatMap(_.toLongOption).getOrElse(2000L)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      currentManifest(spark, root) match {
+        case None =>
+          // empty table: nothing to re-point onto — the original
+          // publish applies verbatim once the contended lease frees
+          // (a first committer racing an empty-table stage)
+          try { publishStaged(spark, root, id, keep); return id }
+          catch {
+            case e: CowConcurrentCommitException =>
+              lastConflict = e
+              Thread.sleep(50)
+          }
+        case Some(prev) =>
+          // strictly past the head, the staged id AND any pending
+          // stage's id: a retry id equal to the current staged dir
+          // would make the restage fallback overwrite the very
+          // directory its source reads from, and one equal to ANOTHER
+          // stage's id would destroy that stage's only data
+          val parked = stagedIds(spark, root).toSet
+          var newId = math.max(prev.id,
+            staged.map(_.batchId).getOrElse(id).max(id)) + 1
+          while (parked.contains(newId)) newId += 1
+          try {
+            val ok = commitAppendOnto(batchNow(), root, newId, prev,
+              m.partCols, keep, Nil, stageBloomCols, Nil,
+              changeLogRequired = false,
+              reuse = staged, recordStaged = s => staged = Some(s),
+              protectStage = true, onStagedForTest = onStagedForTest)
+            if (ok) {
+              // the stage is consumed: its manifest + meta sweep; the
+              // batch dir lives on under the committed name
+              fs.delete(new Path(stagedManifestDir(root, id)), true)
+              fs.delete(metaP, false)
+              return newId
+            }
+            // superseded replay guard: head advanced — retry now
+          } catch {
+            case e: CowConcurrentCommitException =>
+              lastConflict = e
+              awaitFrontierMove(spark, root, Some(prev.id), waitMs)
+          }
+      }
+    }
+    // exhausted: RESTORE the stage to a publishable state — an
+    // adopted-then-lost attempt left the files under a retry id; move
+    // them back so the staged manifest's paths resolve again and the
+    // caller can audit/discard/re-publish (review r18). Best-effort:
+    // a failure here leaves the loud exception below either way.
+    staged.filter(_.batchId != id).foreach { s =>
+      try {
+        val back = new Path(s"$root/$BatchPrefix$id")
+        if (!fs.exists(back))
+          fs.rename(new Path(s"$root/$BatchPrefix${s.batchId}"), back)
+        fs.delete(retryKeepPath(root, s.batchId), false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val e = new CowConcurrentCommitException(
+      s"publish of staged commit $id at $root: lost the commit race " +
+        s"$maxAttempts times — raise maxAttempts, or discard and " +
+        "re-stage (a leaked lease repairs via breakCommitLock)")
+    e.initCause(lastConflict)
+    throw e
   }
 
   /** DISCARD staged commit `id`: remove the staged manifest, its meta
@@ -6819,6 +7026,19 @@ object CowTable {
           None
         } else idOpt
       }.toSet
+    // PENDING WAP STAGES pin their batch dirs (round-18): an overtaken
+    // stage is no longer doomed — publishStagedWithRetry RE-POINTS it
+    // at the new head — so its only data must survive until the stage
+    // is published or discarded (both remove `_staged-<id>.meta`,
+    // unpinning the dir). A crashed half-stage never wrote its meta
+    // and stays reapable garbage as before.
+    val pendingStages: Set[Long] = fs.listStatus(new Path(root)).toSeq
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("_staged-") &&
+        s.getPath.getName.endsWith(".meta"))
+      .flatMap(_.getPath.getName.stripPrefix("_staged-")
+        .stripSuffix(".meta").toLongOption)
+      .toSet
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
     // tombstones). `knownFiles` lets a just-committed writer hand over
@@ -6835,7 +7055,7 @@ object CowTable {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BatchPrefix))
       .filter(_.getPath.getName.stripPrefix(BatchPrefix).toLongOption
         .exists(i => i < newest && !liveBatches.contains(i) &&
-          !retryKeepFresh.contains(i)))
+          !retryKeepFresh.contains(i) && !pendingStages.contains(i)))
       .foreach(s => fs.delete(s.getPath, true))
     // dead commit leases: an id at or behind the frontier can never
     // commit again (replay guard), so its lock is a crash leftover
