@@ -4480,16 +4480,48 @@ object CowTable {
       if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
       val batchDir = s"$root/$BatchPrefix$id"
       val fs = hfs(spark, root)
-      // shield the stage BEFORE any file lands: the moment a competing
-      // commit advances the frontier past our id, an unmarked batch dir
-      // is vacuum bait — and the winner's post-commit vacuum runs
-      // immediately. (A vacuum that listed markers before this create
-      // can still reap a dir it listed after — that worst case loses
-      // this attempt's staging work, never correctness: the competing
-      // commit that armed the vacuum fails our based-on check anyway.)
-      if (protectStage)
-        try fs.create(retryKeepPath(root, id), false).close()
-        catch { case _: java.io.IOException => () } // ours from a prior run
+      if (protectStage) {
+        // a PENDING WAP STAGE parked on this very id: batch-<id> is
+        // that stage's only data and the restage below would overwrite
+        // it — lose loudly so the retry loop re-picks (its id choice
+        // skips parked stages; this closes the list-then-stage race)
+        if (fs.exists(stagedMetaPath(root, id)))
+          throw new CowConcurrentCommitException(
+            s"commit $id at $root: a pending WAP stage is parked on " +
+              "this id — retry against the next id")
+        // CLAIM the dir before any file lands, and shield it from
+        // vacuum: the moment a competing commit advances the frontier
+        // past our id, an unmarked batch dir is vacuum bait — and the
+        // winner's post-commit vacuum runs immediately. The claim is
+        // create-if-absent: an EXISTING fresh marker is another
+        // in-flight retry's moved data parked at this id (review r18)
+        // — overwriting it would destroy that retry's only copy, so
+        // lose loudly instead; a stale marker is a crashed retry's
+        // leftover and is swept then re-claimed. (A vacuum that listed
+        // markers before this create can still reap a dir it listed
+        // after — that worst case loses this attempt's staging work,
+        // never correctness: the competing commit that armed the
+        // vacuum fails our based-on check anyway.)
+        def claim(): Boolean =
+          try { fs.create(retryKeepPath(root, id), false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (!claim()) {
+          val freshMark =
+            try fs.getFileStatus(retryKeepPath(root, id))
+              .getModificationTime >=
+              System.currentTimeMillis() - 3600000L
+            catch { case _: java.io.FileNotFoundException => false }
+          if (freshMark)
+            throw new CowConcurrentCommitException(
+              s"commit $id at $root: another in-flight retry holds " +
+                "this id's batch dir — retry against the next id")
+          fs.delete(retryKeepPath(root, id), false)
+          if (!claim())
+            throw new CowConcurrentCommitException(
+              s"commit $id at $root: lost the batch-dir claim race — " +
+                "retry against the next id")
+        }
+      }
       // ADOPT a prior attempt's staged batch when the new base still
       // presents the schema and physical mapping the files were written
       // under — a concurrent winner that evolved either invalidates the
@@ -4530,14 +4562,11 @@ object CowTable {
                 // racer that already committed s.batchId overwrote the
                 // dir with its own batch — renaming that would corrupt
                 // the racer's snapshot. File names are UUID-unique, so
-                // per-file existence is ownership.
+                // per-file existence is ownership. (A pending stage
+                // parked at the TARGET id already threw up-front.)
                 val ours = s.fresh.forall(f =>
                   fs.exists(new Path(s"$root/${f.path}")))
-                // a PENDING STAGE parked at OUR leased id would be
-                // destroyed by the delete below — refuse and let the
-                // caller pick a different id (its dir is that stage's
-                // only data; review r18)
-                if (!ours || fs.exists(stagedMetaPath(root, id))) None
+                if (!ours) None
                 else {
                   // a crashed leftover under OUR leased id would make
                   // the rename nest src INSIDE it (Hadoop local-fs
@@ -4809,6 +4838,19 @@ object CowTable {
         throw new CowConcurrentCommitException(
           s"stage $id at $root: a commit with id >= $id landed while " +
             "acquiring the lease — re-stage with a fresh id")
+      // a FRESH `_retrykeep-<id>` marker is an in-flight retry's claim
+      // on batch-<id> (its moved staged data may be parked there
+      // between attempts) — overwriting it would destroy that retry's
+      // only copy (review r18); stale markers are crashed leftovers
+      // vacuum sweeps
+      val keepFresh =
+        try hfs(spark, root).getFileStatus(retryKeepPath(root, id))
+          .getModificationTime >= System.currentTimeMillis() - 3600000L
+        catch { case _: java.io.FileNotFoundException => false }
+      if (keepFresh)
+        throw new CowConcurrentCommitException(
+          s"stage $id at $root: an in-flight retry holds this id's " +
+            "batch dir — re-stage with a different id")
       val batchDir = s"$root/$BatchPrefix$id"
       writeBatch(batch, batchDir, partCols, sortCols,
         colMap = commitMapping._1)
@@ -5016,8 +5058,8 @@ object CowTable {
       enforceChecks(dfFor(spark, root, m, freshAtStage), checksNow,
         s"re-pointed publish of staged commit $id at $root " +
           "(constraints changed since stage)")
-    var staged: Option[StagedAppendBatch] = Some(StagedAppendBatch(
-      id, freshAtStage, m.schemaDdl, m.colMap, checksNow))
+    var staged: StagedAppendBatch = StagedAppendBatch(
+      id, freshAtStage, m.schemaDdl, m.colMap, checksNow)
     // the restage source is the STAGED ROWS THEMSELVES — deterministic,
     // already audited; the original query never re-evaluates. Rebuilt
     // per attempt over the CURRENT staged paths (an adopted-then-lost
@@ -5025,14 +5067,26 @@ object CowTable {
     // read nothing — review r18). File reads surface as NULLABLE
     // whatever schema the files were written under (HadoopFsRelation's
     // asNullable), and the adoption guard compares exact DDLs — so the
-    // stage's own schema is re-imposed on the frame. Bloom columns
-    // re-derive from the staged entries so a restage keeps the
-    // stage-time blooms; the stage's sort layout is not recorded and a
-    // restage loses it (performance, never correctness).
-    def batchNow(): DataFrame = {
-      val raw = dfFor(spark, root, m, staged.fold(freshAtStage)(_.fresh))
-      if (raw.schema == m.schema) raw
-      else spark.createDataFrame(raw.rdd, m.schema)
+    // stage's own schema is re-imposed on the frame, UPCAST to the
+    // current head's type wherever the interleaving winner WIDENED a
+    // column (proposing the stage's narrower type would read as a
+    // refused narrowing — review r18; the staged rows are trivially
+    // widenable). Bloom columns re-derive from the staged entries so a
+    // restage keeps the stage-time blooms; the stage's sort layout is
+    // not recorded and a restage loses it (performance, never
+    // correctness).
+    def batchNow(headSchema: StructType): DataFrame = {
+      val target = StructType(m.schema.fields.map { f =>
+        headSchema.fields.find(_.name == f.name)
+          .map(hf => f.copy(dataType = hf.dataType,
+            nullable = f.nullable || hf.nullable))
+          .getOrElse(f)
+      })
+      val raw = dfFor(spark, root, m, staged.fresh)
+      if (raw.schema == target) raw
+      else spark.createDataFrame(
+        raw.select(target.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*).rdd, target)
     }
     val stageBloomCols = freshAtStage.flatMap(_.blooms.keys).distinct
     var lastConflict = first
@@ -5050,7 +5104,7 @@ object CowTable {
           catch {
             case e: CowConcurrentCommitException =>
               lastConflict = e
-              Thread.sleep(50)
+              awaitFrontierMove(spark, root, None, waitMs)
           }
         case Some(prev) =>
           // strictly past the head, the staged id AND any pending
@@ -5059,14 +5113,13 @@ object CowTable {
           // directory its source reads from, and one equal to ANOTHER
           // stage's id would destroy that stage's only data
           val parked = stagedIds(spark, root).toSet
-          var newId = math.max(prev.id,
-            staged.map(_.batchId).getOrElse(id).max(id)) + 1
+          var newId = math.max(prev.id, staged.batchId.max(id)) + 1
           while (parked.contains(newId)) newId += 1
           try {
-            val ok = commitAppendOnto(batchNow(), root, newId, prev,
-              m.partCols, keep, Nil, stageBloomCols, Nil,
+            val ok = commitAppendOnto(batchNow(prev.schema), root,
+              newId, prev, m.partCols, keep, Nil, stageBloomCols, Nil,
               changeLogRequired = false,
-              reuse = staged, recordStaged = s => staged = Some(s),
+              reuse = Some(staged), recordStaged = s => staged = s,
               protectStage = true, onStagedForTest = onStagedForTest)
             if (ok) {
               // the stage is consumed: its manifest + meta sweep; the
@@ -5086,16 +5139,23 @@ object CowTable {
     // exhausted: RESTORE the stage to a publishable state — an
     // adopted-then-lost attempt left the files under a retry id; move
     // them back so the staged manifest's paths resolve again and the
-    // caller can audit/discard/re-publish (review r18). Best-effort:
-    // a failure here leaves the loud exception below either way.
-    staged.filter(_.batchId != id).foreach { s =>
+    // caller can audit/discard/re-publish (review r18). Best-effort —
+    // BUT the keep marker only drops when the move verifiably
+    // succeeded: unpinning a dir the rename did NOT move back would
+    // hand the stage's only data to the next vacuum (review r18, 2nd
+    // pass).
+    if (staged.batchId != id)
       try {
         val back = new Path(s"$root/$BatchPrefix$id")
         if (!fs.exists(back))
-          fs.rename(new Path(s"$root/$BatchPrefix${s.batchId}"), back)
-        fs.delete(retryKeepPath(root, s.batchId), false)
+          fs.rename(new Path(s"$root/$BatchPrefix${staged.batchId}"),
+            back)
+        // restored = the STAGE's own paths resolve again; only then is
+        // the parked copy's marker safe to drop
+        if (freshAtStage.forall(f =>
+            fs.exists(new Path(s"$root/${f.path}"))))
+          fs.delete(retryKeepPath(root, staged.batchId), false)
       } catch { case scala.util.control.NonFatal(_) => () }
-    }
     val e = new CowConcurrentCommitException(
       s"publish of staged commit $id at $root: lost the commit race " +
         s"$maxAttempts times — raise maxAttempts, or discard and " +
@@ -7014,7 +7074,8 @@ object CowTable {
     // checkpoint temps (a crashed retry's leftover), and a marker
     // whose id COMMITTED is done (the manifest's references are the
     // durable protection) — both are swept here.
-    val retryKeepFresh: Set[Long] = fs.listStatus(new Path(root)).toSeq
+    val markerListing = fs.listStatus(new Path(root)).toSeq
+    val retryKeepFresh: Set[Long] = markerListing
       .filter(s => !s.isDirectory &&
         s.getPath.getName.startsWith(RetryKeepPrefix))
       .flatMap { s =>
@@ -7030,15 +7091,26 @@ object CowTable {
     // stage is no longer doomed — publishStagedWithRetry RE-POINTS it
     // at the new head — so its only data must survive until the stage
     // is published or discarded (both remove `_staged-<id>.meta`,
-    // unpinning the dir). A crashed half-stage never wrote its meta
-    // and stays reapable garbage as before.
-    val pendingStages: Set[Long] = fs.listStatus(new Path(root)).toSeq
+    // unpinning the dir). The pin requires the staged manifest's
+    // _SUCCESS: stageAppend writes the manifest BEFORE the meta, so a
+    // meta without a committed staged manifest is a crash leftover of
+    // discard/publish — swept here so it can never pin garbage
+    // forever. A crashed half-stage never wrote its meta and stays
+    // reapable as before. (Same root listing as the marker sweep.)
+    val pendingStages: Set[Long] = markerListing
       .filter(s => !s.isDirectory &&
         s.getPath.getName.startsWith("_staged-") &&
         s.getPath.getName.endsWith(".meta"))
-      .flatMap(_.getPath.getName.stripPrefix("_staged-")
-        .stripSuffix(".meta").toLongOption)
-      .toSet
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("_staged-")
+          .stripSuffix(".meta").toLongOption match {
+          case Some(i) if fs.exists(new Path(
+              s"$root/${ManifestPrefix}staged-$i/_SUCCESS")) => Some(i)
+          case _ =>
+            fs.delete(s.getPath, false)
+            None
+        }
+      }.toSet
     // batch dirs: referenced-by-any-retained-manifest is the liveness
     // rule — tombstone references count (a batch dir may hold only
     // tombstones). `knownFiles` lets a just-committed writer hand over
