@@ -1950,6 +1950,31 @@ object QueriesCow {
         |FROM $ns.t.history ORDER BY snapshot_id""".stripMargin)
   }
 
+  // -------------------------------------------------------------------
+  // The `partitions` metadata table UNDER MOR DEBT (round-18): a DV
+  // delete leaves the manifest's per-partition row counts overstated;
+  // the table now recomputes the debt partitions' rows exactly from
+  // the subtracted read instead of refusing (debt is the steady state
+  // under continuous ingest). The oracle replays the delete with a
+  // plain filtered GROUP BY — exact equality, not bounds.
+  // -------------------------------------------------------------------
+  def cowPartitionsDebt(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratch("cow_pdebt")
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    CowTable.commitFull(c, root, 1L, Seq("c_mktsegment"))
+    require(CowTable.deleteWhereDv(spark, root, 2L,
+      col("c_custkey") % 7 === 0, keep = 5))
+    CowTable.partitionStats(spark, root)
+      .select(col("c_mktsegment"), col("n_rows"))
+      .orderBy("c_mktsegment")
+  }
+
+  val cowPartitionsDebtSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val cowHistoryMetaSql: String =
     """WITH s AS (
       |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
@@ -2680,6 +2705,7 @@ object QueriesCow {
     "cow_partition_stats" -> (cowPartitionStats _),
     "cow_meta_tables" -> (cowMetaTables _),
     "cow_history_meta" -> (cowHistoryMeta _),
+    "cow_partitions_debt" -> (cowPartitionsDebt _),
     "cow_wap" -> (cowWap _),
     "cow_v2_read" -> (cowV2Read _),
     "cow_constraints" -> (cowConstraints _),
@@ -2737,6 +2763,7 @@ object QueriesCow {
     "cow_partition_stats" -> cowPartitionStatsSql,
     "cow_meta_tables" -> cowMetaTablesSql,
     "cow_history_meta" -> cowHistoryMetaSql,
+    "cow_partitions_debt" -> cowPartitionsDebtSql,
     "cow_wap" -> cowWapSql,
     "cow_v2_read" -> cowV2ReadSql,
     "cow_constraints" -> cowConstraintsSql,
