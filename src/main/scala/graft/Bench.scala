@@ -315,7 +315,7 @@ object Bench {
     // tunes; 0 disables.
     val gate = sys.env.get("SPARK_GRAFT_LOADGATE")
       .flatMap(_.toDoubleOption).getOrElse(10.0)
-    val regated: Map[String, (Double, Double)] =
+    val regated: Map[String, (Double, Double, Double)] =
       if (gate <= 0) Map.empty
       else {
         val hot = results.filter(r => r._4.isEmpty && r._3 > gate)
@@ -336,8 +336,11 @@ object Bench {
               reErr = Some(e.getClass.getSimpleName) }
             val re = (System.nanoTime() - t0) / 1e9
             // a throwing rerun keeps the first timing (it succeeded);
-            // min() otherwise — the quieter read is the honest one
-            name -> (first, if (reErr.isEmpty) re else first)
+            // min() otherwise — the quieter read is the honest one.
+            // The rerun's OWN loadavg rides along so the chosen timing
+            // is auditable (ADVICE r18: a min() pick from a rerun that
+            // itself ran loaded would otherwise be indistinguishable)
+            name -> (first, if (reErr.isEmpty) re else first, loadavg())
           }.toMap
         }
       }
@@ -363,8 +366,9 @@ object Bench {
     // both timings of every load-gated re-run, so the artifact is
     // explicit about which entries the gate touched and by how much
     val regatedJson = regated.toSeq.sortBy(_._1).map {
-      case (k, (first, re)) =>
-        s"\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + re + "}"
+      case (k, (first, re, reLoad)) =>
+        s"\"" + k + "\":{\"first\":" + first + ",\"rerun\":" + re +
+          ",\"rerun_loadavg\":" + reLoad + "}"
     }.mkString("{", ",", "}")
     val nFailed = patched.count(_._4.isDefined)
     // failed queries are EXCLUDED from total (they contribute no honest

@@ -252,7 +252,10 @@ object QueriesCow {
     val mor = CowTable.read(spark, root).get.drop("pb")
     require(CowTable.foldTombstones(spark, root, 3L))
     val folded = CowTable.read(spark, root).get.drop("pb")
-    require(mor.exceptAll(folded).isEmpty && folded.exceptAll(mor).isEmpty,
+    // equal multiset sizes plus ONE empty exceptAll direction imply
+    // multiset equality — the symmetric second subtract re-evaluated
+    // both full subtrees for nothing (the cow_join_mv proof, r18)
+    require(mor.count() == folded.count() && mor.exceptAll(folded).isEmpty,
       "merge-on-read state diverged from the folded copy-on-write state")
     folded.orderBy("c_custkey")
   }
@@ -424,7 +427,9 @@ object QueriesCow {
       throw new IllegalStateException("sidecar feed unavailable"))
     val diff = CowTable.changeFeedByDiff(spark, root, 1L, 3L,
       Seq("c_custkey"))
-    require(log.exceptAll(diff).isEmpty && diff.exceptAll(log).isEmpty,
+    // count-equality + one exceptAll direction ⟹ multiset equality
+    // (the cow_join_mv cheaper-proof pattern, r18)
+    require(log.count() == diff.count() && log.exceptAll(diff).isEmpty,
       "sidecar-served feed diverged from the snapshot diff")
     log.drop("pb").orderBy("c_custkey")
   }
@@ -483,7 +488,10 @@ object QueriesCow {
     val mc = CowTable.currentManifest(spark, root).get
     require(mc.files.size < m.files.size,
       s"compaction did not shrink: ${m.files.size} -> ${mc.files.size}")
-    require(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+    // count-equality + one exceptAll direction ⟹ multiset equality
+    // (the cow_join_mv cheaper-proof pattern, r18)
+    require(before.count() == after.count() &&
+      before.exceptAll(after).isEmpty,
       "compaction changed table content")
     after.drop("pb").orderBy("o_orderkey")
   }
@@ -617,7 +625,9 @@ object QueriesCow {
       .agg(count(lit(1)).as("n"),
         sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
           .as("sum_key"))
-    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+    // count-equality + one exceptAll direction ⟹ multiset equality
+    // (the cow_join_mv cheaper-proof pattern, r18)
+    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
       "feed-maintained MV diverged from the direct aggregate")
     mv.orderBy("c_mktsegment")
   }
@@ -679,7 +689,9 @@ object QueriesCow {
       .agg(count(lit(1)).as("n"),
         sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
           .as("sum_key"))
-    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+    // count-equality + one exceptAll direction ⟹ multiset equality
+    // (the cow_join_mv cheaper-proof pattern, r18)
+    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
       "stream-maintained MV diverged from the direct aggregate")
     mv.orderBy("c_mktsegment")
   }
@@ -1104,7 +1116,7 @@ object QueriesCow {
       o.where(col("o_orderkey") % 3 === 0).select(col("*"), bucket.as("pb")),
       rootB, 1L, Seq("pb"), changeLogKeys = Seq("o_orderkey"))
     val keys = Seq("custkey")
-    var mv = JoinMv.init(
+    val mv0 = JoinMv.init(
       CowTable.read(spark, rootA).get.drop("pb"),
       CowTable.read(spark, rootB).get.drop("pb"), keys)
 
@@ -1122,18 +1134,25 @@ object QueriesCow {
     CowTable.applyCdc(spark, rootA, 2L, dU.unionByName(dI).unionByName(dD),
       keys, Seq("pb"), changeLog = true)
     val sidecarA = CowTable.changeLogFor(spark, rootA, 2L).get.drop("pb")
-    mv = JoinMv.applyDelta(mv, sidecarA,
+    // each step's contribution joins against the other side AS OF its
+    // step (the delta rule); the MERGES are an associative grouped
+    // weight-sum, so both steps fold into the view with ONE aggregation
+    // (JoinMv.applyDeltas, r19) instead of nesting one exchange per
+    // step. verifySigned=false: write-time sidecars are signed by
+    // construction (the r18 rule the streaming path already uses).
+    val contribA = JoinMv.deltaContribution(sidecarA,
       CowTable.readAt(spark, rootB, 1L).get.drop("pb"),
-      keys, deltaIsLeft = true)
+      keys, deltaIsLeft = true, verifySigned = false)
 
     // orders commit 2: pure-I append of the %3==1 slice
     CowTable.commitAppend(
       o.where(col("o_orderkey") % 3 === 1).select(col("*"), bucket.as("pb")),
       rootB, 2L, Seq("pb"), changeLogKeys = Seq("o_orderkey"))
     val sidecarB = CowTable.changeLogFor(spark, rootB, 2L).get.drop("pb")
-    mv = JoinMv.applyDelta(mv, sidecarB,
+    val contribB = JoinMv.deltaContribution(sidecarB,
       CowTable.read(spark, rootA).get.drop("pb"),
-      keys, deltaIsLeft = false)
+      keys, deltaIsLeft = false, verifySigned = false)
+    val mv = JoinMv.applyDeltas(mv0, Seq(contribA, contribB), keys)
 
     // cow_stream_join2's cheaper exactness proof: equal multiset sizes
     // plus ONE empty exceptAll direction imply multiset equality — the
@@ -1838,7 +1857,9 @@ object QueriesCow {
       .drop("pb")
     val direct = CowTable.read(spark, root).get.drop("pb")
       .join(dim, Seq("custkey"))
-    require(mv.exceptAll(direct).isEmpty && direct.exceptAll(mv).isEmpty,
+    // count-equality + one exceptAll direction ⟹ multiset equality
+    // (the cow_join_mv cheaper-proof pattern, r18)
+    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
       "stream-maintained join view diverged from the direct join")
     mv.orderBy("custkey", "o_orderkey")
   }

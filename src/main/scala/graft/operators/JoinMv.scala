@@ -64,6 +64,28 @@ object JoinMv {
       joinKeys: Seq[String],
       deltaIsLeft: Boolean,
       operCol: String = "oper",
+      verifySigned: Boolean = true): DataFrame =
+    applyDeltas(mv,
+      Seq(deltaContribution(delta, other, joinKeys, deltaIsLeft,
+        operCol, verifySigned)),
+      joinKeys)
+
+  /** One delta step's SIGNED JOIN CONTRIBUTION — [[applyDelta]] without
+    * the merge: the delta joined against its step's other-side snapshot,
+    * weights ±1, columns in view order with the weight column last.
+    * Because the merge is an associative grouped weight-sum, a k-step
+    * maintenance batch can collect k contributions (each against ITS
+    * OWN other-side state) and fold them into the view with ONE
+    * aggregation via [[applyDeltas]] — one exchange instead of k, same
+    * result by associativity (intermediate zero-weight groups only
+    * disappear later; they were never observable mid-batch).
+    */
+  def deltaContribution(
+      delta: DataFrame,
+      other: DataFrame,
+      joinKeys: Seq[String],
+      deltaIsLeft: Boolean,
+      operCol: String = "oper",
       verifySigned: Boolean = true): DataFrame = {
     // SIGNED deltas only (D = retract old image, I = insert new image —
     // changelogSigned / the write-time sidecars). The NETTED I/U/D diff
@@ -91,9 +113,21 @@ object JoinMv {
     val cols =
       if (deltaIsLeft) outCols(delta.drop(operCol), other, joinKeys)
       else outCols(other, delta.drop(operCol), joinKeys)
-    val joined = signed.join(other, joinKeys)
+    signed.join(other, joinKeys)
       .select(cols.map(col) :+ col(W): _*)
-    merge(mv, joined, cols)
+  }
+
+  /** Merge any number of [[deltaContribution]]s into the view with ONE
+    * grouped weight-sum. All contributions must share the view's column
+    * set (same two table schemas — the multi-step case this serves).
+    */
+  def applyDeltas(
+      mv: DataFrame,
+      contributions: Seq[DataFrame],
+      joinKeys: Seq[String]): DataFrame = {
+    if (contributions.isEmpty) return mv
+    val cols = contributions.head.columns.toSeq.filterNot(_ == W)
+    merge(mv, contributions.reduce(_.unionByName(_)), cols)
   }
 
   private def merge(

@@ -3252,7 +3252,10 @@ object CowTable {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      s.trim.toIntOption.filter(_ >= 1).getOrElse(1)
+      // same [1,8] clamp as setNestedStatsDepth: a hand-written or
+      // corrupted file value must not bypass the documented
+      // stat-map-weight bound (ADVICE r18)
+      s.trim.toIntOption.filter(d => d >= 1 && d <= 8).getOrElse(1)
     }
   }
 
@@ -3609,8 +3612,40 @@ object CowTable {
         f.path, f.part, f.rows, f.bytes, f.mins, f.maxs, partCols, ddl,
         f.kind, f.blooms, f.nulls, colMap, retired, baseId, removedParts,
         totRows, totBytes, totFiles, nondata, bucketOk))
-    rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
+    // DRIVER-SIDE manifest write for O(commit)-row manifests (r19): the
+    // old `toDS().repartition(1).write` launched a full Spark job —
+    // scheduling + a 1-partition exchange — to write a handful of rows,
+    // a fixed ~0.1-0.3 s tax on EVERY commit (delta manifests are
+    // O(adds) rows by design, so at any table size the common commit
+    // stays under the threshold — Delta writes its log driver-side for
+    // the same reason). Same ParquetWriteSupport bytes, same
+    // `_SUCCESS`-last commit point; a giant full/checkpoint manifest
+    // (above the threshold) keeps the distributed write.
+    if (rows.size <= driverManifestMaxRows) {
+      val fs = hfs(spark, dir)
+      val p = new Path(dir)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      val enc = manifestRowEncoder.createSerializer()
+      org.apache.spark.sql.graftbridge.Bridge.writeParquetDriverSide(
+        spark, dir, manifestRowEncoder.schema,
+        rows.iterator.map(enc.apply))
+      fs.create(new Path(p, "_SUCCESS"), true).close()
+    } else
+      rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
   }
+
+  /** Manifest row-count ceiling for the driver-side single-file write;
+    * above it the write stays a distributed Spark job (a full manifest
+    * of millions of files should not serialize through one driver
+    * thread). Spec/ops-tunable via system property.
+    */
+  private def driverManifestMaxRows: Int =
+    sys.props.get("graft.cow.manifest.driverWriteMaxRows")
+      .flatMap(_.toIntOption).getOrElse(100000)
+
+  private lazy val manifestRowEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CowManifestRow]()
 
   /** Does every live data file of `files` carry a bucket tag matching
     * its manifest partition value — the planner-declarable condition
@@ -4480,6 +4515,23 @@ object CowTable {
       if (committedIds(spark, root).exists(_ >= id)) return false // ID-only recheck: FS listing, no Spark job
       val batchDir = s"$root/$BatchPrefix$id"
       val fs = hfs(spark, root)
+      if (!protectStage) {
+        // explicit-id writers (the streaming sink's pinned-id protocol
+        // can legitimately target any future id) must honor a FRESH
+        // `_retrykeep-<id>` marker exactly as stageAppend does: in the
+        // crash window of publishStagedWithRetry the marked dir holds
+        // an adopted stage's ONLY data, and writeBatch below would
+        // overwrite it (ADVICE r18). Stale markers are crashed
+        // leftovers vacuum sweeps.
+        val keepFresh =
+          try fs.getFileStatus(retryKeepPath(root, id))
+            .getModificationTime >= System.currentTimeMillis() - 3600000L
+          catch { case _: java.io.FileNotFoundException => false }
+        if (keepFresh)
+          throw new CowConcurrentCommitException(
+            s"commit $id at $root: an in-flight retry holds this id's " +
+              "batch dir — commit under a different id")
+      }
       if (protectStage) {
         // a PENDING WAP STAGE parked on this very id: batch-<id> is
         // that stage's only data and the restage below would overwrite
@@ -4699,7 +4751,10 @@ object CowTable {
       spark: SparkSession, root: String, seen: Option[Long],
       waitMs: Long): Unit = {
     val deadline = System.nanoTime() + waitMs * 1000000L
-    while (currentManifest(spark, root).map(_.id) == seen &&
+    // poll the committed-id LISTING, not currentManifest: the poll only
+    // needs the head's id, and on a cold memo each currentManifest call
+    // pays a full manifest parse per 50 ms tick (ADVICE r18)
+    while (committedIds(spark, root).lastOption == seen &&
         System.nanoTime() < deadline)
       Thread.sleep(50)
   }
@@ -4721,10 +4776,28 @@ object CowTable {
       val prev = currentManifest(spark, root)
       // head+1, skipping any PENDING WAP stage parked on an id just
       // above the head — committing (or staging into) its id would
-      // overwrite that stage's only data (review r18)
+      // overwrite that stage's only data (review r18) — and any id
+      // claimed by a FOREIGN fresh `_retrykeep` marker (another
+      // in-flight retry's moved data, or a crashed retry's marker
+      // inside its grace period): the claim() below would refuse that
+      // id every attempt, burning all of them against the same marker
+      // (ADVICE r18). Our OWN staged batch's marker is not foreign —
+      // adoption re-points it by rename.
       val parked = stagedIds(spark, root).toSet
+      val fsPick = hfs(spark, root)
+      val ownStaged = staged.map(_.batchId).toSet
+      val keepCutoff = System.currentTimeMillis() - 3600000L
+      val foreignClaims: Set[Long] =
+        if (!fsPick.exists(new Path(root))) Set.empty
+        else fsPick.listStatus(new Path(root)).toSeq
+          .filter(s => !s.isDirectory &&
+            s.getPath.getName.startsWith(RetryKeepPrefix) &&
+            s.getModificationTime >= keepCutoff)
+          .flatMap(_.getPath.getName.stripPrefix(RetryKeepPrefix)
+            .toLongOption)
+          .toSet -- ownStaged
       var id = prev.map(_.id).getOrElse(0L) + 1L
-      while (parked.contains(id)) id += 1
+      while (parked.contains(id) || foreignClaims.contains(id)) id += 1
       try {
         val ok = prev match {
           case None =>

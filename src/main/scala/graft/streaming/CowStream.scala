@@ -451,7 +451,20 @@ object CowStream {
     }
     val ordered = (liveA.map(i => ("a", i)) ++ liveB.map(i => ("b", i)))
       .sortBy { case (side, i) => (i, side) }
-    ordered.foreach { case (side, id) =>
+    // opt-in batch-composition diagnostic (stderr): the r18 verdict's
+    // cow_stream_join2 swing-band breakout needs per-run micro-batch /
+    // commit counts to rule out batch-splitting as the variance source
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DIAG"))
+      Console.err.println(s"joinMv2Batch batch=$batchId " +
+        s"liveA=${liveA.mkString(",")} liveB=${liveB.mkString(",")} " +
+        s"frontier=($fa0,$fb0)")
+    // each step's contribution joins against the other side AS OF that
+    // step's frontier (the serialization above), but the MERGE into the
+    // view is an associative grouped weight-sum — so the whole batch
+    // folds in with ONE aggregation (JoinMv.applyDeltas) instead of one
+    // exchange per commit (r19: a k-commit micro-batch's plan carried k
+    // nested aggregates for no semantic reason)
+    val contribs = ordered.map { case (side, id) =>
       val root = if (side == "a") rootA else rootB
       val delta = CowTable.changeLogFor(spark, root, id).getOrElse(
         throw new IllegalStateException(
@@ -460,13 +473,15 @@ object CowStream {
       val other =
         if (side == "a") stateAt(spark, rootB, fb)
         else stateAt(spark, rootA, fa)
-      cur = JoinMv.applyDelta(cur, delta, other, joinKeys,
+      val c = JoinMv.deltaContribution(delta, other, joinKeys,
         deltaIsLeft = side == "a",
         // sidecars are signed by construction (changelogSigned is the
         // only writer) — skip the per-commit verification job
         verifySigned = false)
       if (side == "a") fa = id else fb = id
+      c
     }
+    cur = JoinMv.applyDeltas(cur, contribs, joinKeys)
     SnapshotTarget.commit(cur, mvPath, batchId, keep)
     SnapshotTarget.commit(Seq((fa, fb)).toDF("fa", "fb"), fPath,
       batchId, keep = 4)

@@ -41,6 +41,42 @@ object Bridge {
         cds.queryExecution.toRdd, cds, isStreaming = false))
   }
 
+  /** Spark's OWN parquet writer, DRIVER-SIDE: write `rows` as ONE
+    * parquet file named like a Spark task output under `dir`, with no
+    * Spark job. Built from `ParquetFileFormat.prepareWrite` — the exact
+    * machinery `FileFormatWriter` hands its tasks — so the bytes are
+    * byte-compatible with a `df.write.parquet` of the same schema
+    * (same `ParquetWriteSupport`, same session codec/config). Used for
+    * control-plane datasets of O(commit) rows (cow manifests): a
+    * 10-row manifest write must not pay a distributed job's scheduling
+    * + shuffle overhead per commit — the same reason Delta writes its
+    * commit log driver-side. The caller owns directory semantics
+    * (pre-clean, `_SUCCESS` marker AFTER this returns — the marker
+    * stays the commit point exactly as with the job-based write).
+    */
+  def writeParquetDriverSide(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val conf = cs.sessionState.newHadoopConf()
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat()
+      .prepareWrite(cs, job, Map.empty, schema)
+    val attempt = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(job.getConfiguration,
+        new org.apache.hadoop.mapreduce.TaskAttemptID(
+          new org.apache.hadoop.mapreduce.TaskID(
+            new org.apache.hadoop.mapreduce.JobID("graft-driver", 0),
+            org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0))
+    val file = s"$dir/part-00000-${java.util.UUID.randomUUID()}-c000" +
+      factory.getFileExtension(attempt)
+    val writer = factory.newInstance(file, schema, attempt)
+    try rows.foreach(writer.write) finally writer.close()
+  }
+
   /** Spark's OWN parquet row reader as a serializable function over
     * `(file path, file length, partition values)` — built from
     * `ParquetFileFormat.buildReaderWithPartitionValues` (private[sql];
