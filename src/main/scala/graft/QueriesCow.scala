@@ -87,6 +87,28 @@ object QueriesCow {
     */
   private val NBuckets = 8
 
+  /** ONE-PASS multiset-equality probe for the verification harnesses
+    * (r19): union `a` (+1) with `b` (−1), grouped weight-sum, any
+    * nonzero group ⟺ the multisets differ — full two-direction
+    * equality in a single aggregation that evaluates EACH side ONCE.
+    * The earlier forms evaluated each side twice: two symmetric
+    * `exceptAll`s (r13-17), then count-equality + one `exceptAll`
+    * (count(a) + count(b) + subtract — still two evaluations per
+    * side). Same groupwise NULL/NaN equality semantics as exceptAll
+    * (both group on Spark's normalized binary equality).
+    */
+  private def sameMultiset(a: DataFrame, b: DataFrame): Boolean = {
+    val w = "__w"
+    val cols = a.columns.toSeq
+    require(!cols.contains(w), s"column $w collides with the weight")
+    a.withColumn(w, lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn(w, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(w)).as(w))
+      .where(col(w) =!= 0)
+      .isEmpty
+  }
+
   // -------------------------------------------------------------------
   // COW MERGE: same four-region merge as `merge_upsert` (untouched /
   // v1-updated / v2-newest-wins / inserted) but applied through the
@@ -252,10 +274,9 @@ object QueriesCow {
     val mor = CowTable.read(spark, root).get.drop("pb")
     require(CowTable.foldTombstones(spark, root, 3L))
     val folded = CowTable.read(spark, root).get.drop("pb")
-    // equal multiset sizes plus ONE empty exceptAll direction imply
-    // multiset equality — the symmetric second subtract re-evaluated
-    // both full subtrees for nothing (the cow_join_mv proof, r18)
-    require(mor.count() == folded.count() && mor.exceptAll(folded).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19): each side
+    // evaluated once instead of twice
+    require(sameMultiset(mor, folded),
       "merge-on-read state diverged from the folded copy-on-write state")
     folded.orderBy("c_custkey")
   }
@@ -427,9 +448,8 @@ object QueriesCow {
       throw new IllegalStateException("sidecar feed unavailable"))
     val diff = CowTable.changeFeedByDiff(spark, root, 1L, 3L,
       Seq("c_custkey"))
-    // count-equality + one exceptAll direction ⟹ multiset equality
-    // (the cow_join_mv cheaper-proof pattern, r18)
-    require(log.count() == diff.count() && log.exceptAll(diff).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(log, diff),
       "sidecar-served feed diverged from the snapshot diff")
     log.drop("pb").orderBy("c_custkey")
   }
@@ -488,10 +508,8 @@ object QueriesCow {
     val mc = CowTable.currentManifest(spark, root).get
     require(mc.files.size < m.files.size,
       s"compaction did not shrink: ${m.files.size} -> ${mc.files.size}")
-    // count-equality + one exceptAll direction ⟹ multiset equality
-    // (the cow_join_mv cheaper-proof pattern, r18)
-    require(before.count() == after.count() &&
-      before.exceptAll(after).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(before, after),
       "compaction changed table content")
     after.drop("pb").orderBy("o_orderkey")
   }
@@ -625,9 +643,8 @@ object QueriesCow {
       .agg(count(lit(1)).as("n"),
         sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
           .as("sum_key"))
-    // count-equality + one exceptAll direction ⟹ multiset equality
-    // (the cow_join_mv cheaper-proof pattern, r18)
-    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(mv, direct),
       "feed-maintained MV diverged from the direct aggregate")
     mv.orderBy("c_mktsegment")
   }
@@ -689,9 +706,8 @@ object QueriesCow {
       .agg(count(lit(1)).as("n"),
         sum(col("c_custkey").cast("decimal(38,0)")).cast("long")
           .as("sum_key"))
-    // count-equality + one exceptAll direction ⟹ multiset equality
-    // (the cow_join_mv cheaper-proof pattern, r18)
-    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(mv, direct),
       "stream-maintained MV diverged from the direct aggregate")
     mv.orderBy("c_mktsegment")
   }
@@ -1154,13 +1170,12 @@ object QueriesCow {
       keys, deltaIsLeft = false, verifySigned = false)
     val mv = JoinMv.applyDeltas(mv0, Seq(contribA, contribB), keys)
 
-    // cow_stream_join2's cheaper exactness proof: equal multiset sizes
-    // plus ONE empty exceptAll direction imply multiset equality — the
-    // second (symmetric) subtract bought nothing but runtime
+    // one-pass signed-count proof (sameMultiset, r19): full
+    // two-direction multiset equality, each side evaluated once
     val expect = JoinMv.init(
       CowTable.read(spark, rootA).get.drop("pb"),
       CowTable.read(spark, rootB).get.drop("pb"), keys)
-    require(mv.count() == expect.count() && mv.exceptAll(expect).isEmpty,
+    require(sameMultiset(mv, expect),
       "maintained join view diverged from the recomputed join")
     JoinMv.finish(mv).orderBy("custkey", "o_orderkey")
   }
@@ -1349,10 +1364,8 @@ object QueriesCow {
     val want = CowTable.read(spark, ra).get.drop("pa")
       .join(CowTable.read(spark, rb).get.drop("pbk"), Seq("custkey"))
       .select("custkey", "o_orderkey", "cents", "c_name", "seg")
-    // multiset equality with ONE exceptAll shuffle instead of two:
-    // equal counts (cheap aggregates) plus an empty one-direction
-    // multiset subtract imply the other direction
-    require(got.count() == want.count() && got.exceptAll(want).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(got, want),
       "two-stream join view diverged from the direct join")
     got.orderBy("o_orderkey")
   }
@@ -1857,9 +1870,8 @@ object QueriesCow {
       .drop("pb")
     val direct = CowTable.read(spark, root).get.drop("pb")
       .join(dim, Seq("custkey"))
-    // count-equality + one exceptAll direction ⟹ multiset equality
-    // (the cow_join_mv cheaper-proof pattern, r18)
-    require(mv.count() == direct.count() && mv.exceptAll(direct).isEmpty,
+    // one-pass signed-count proof (sameMultiset, r19)
+    require(sameMultiset(mv, direct),
       "stream-maintained join view diverged from the direct join")
     mv.orderBy("custkey", "o_orderkey")
   }
