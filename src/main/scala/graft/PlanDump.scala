@@ -24,22 +24,12 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val planOnly = sys.env.get("SPARK_GRAFT_PLAN_ONLY")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.catalog.cow",
-        classOf[graft.catalog.CowCatalog].getName)
-      .config("spark.sql.catalog.cow.warehouse",
-        sys.env.getOrElse("SPARK_GRAFT_COW_WAREHOUSE",
-          "/tmp/graft-cow-warehouse"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        (64L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // the engine's central builder — same conf set as graft.Bench's
+    // session (Bench inlines the subset whose non-default values
+    // matter; GraftSession adds only default-valued AQE flags and the
+    // warehouse dir), so PlanDump's plans/job counts describe the same
+    // session the bench times (r19 review)
+    val spark = GraftSession.builder("graft-plandump", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
@@ -58,11 +48,18 @@ object PlanDump {
       def parses(): Long =
         graft.sinks.CowTable.manifestParses.values().asScala
           .foldLeft(0L)(_ + _)
+      // drain queued listener events before every counter read: an
+      // async bus attributes straggler JobStart events to the wrong
+      // phase otherwise (r19 review)
+      def drain(): Unit =
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+      drain()
       val buildFrom = jobCount.get()
       val parsesFrom = parses()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val buildSec = (System.nanoTime() - t0) / 1e9
+      drain()
       val buildJobs = jobCount.get() - buildFrom
       val buildParses = parses() - parsesFrom
       val w = new java.io.PrintWriter(
@@ -78,6 +75,7 @@ object PlanDump {
         val t1 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val evalSec = (System.nanoTime() - t1) / 1e9
+        drain()
         val evalJobs = jobCount.get() - evalFrom
         println(f"PLANDUMP $name build=$buildSec%.3fs jobs=$buildJobs " +
           f"parses=$buildParses eval=$evalSec%.3fs evalJobs=$evalJobs")

@@ -101,6 +101,12 @@ object QueriesCow {
     val w = "__w"
     val cols = a.columns.toSeq
     require(!cols.contains(w), s"column $w collides with the weight")
+    // exceptAll rejected mismatched schemas loudly; keep that
+    // strictness — a silent projection of b's extra columns would
+    // weaken the proof (r19 review)
+    require(b.columns.toSet == cols.toSet,
+      s"multiset proof sides differ in columns: ${cols.sorted} vs " +
+        s"${b.columns.sorted.toSeq}")
     a.withColumn(w, lit(1L))
       .unionByName(b.select(cols.map(col): _*).withColumn(w, lit(-1L)))
       .groupBy(cols.map(col): _*)

@@ -310,6 +310,26 @@ object CowTable {
 
   private def retryKeepPath(root: String, id: Long) =
     new Path(s"$root/$RetryKeepPrefix$id")
+
+  /** The stale grace window shared by every `_retrykeep` freshness
+    * test AND vacuum's marker/checkpoint-temp sweep — one clock, so a
+    * marker writers still honor can never be swept and vice versa
+    * (r19 review: the constant was previously duplicated per site).
+    */
+  private val StaleGraceMs = 3600000L
+
+  /** Is a `_retrykeep-<id>` marker present and FRESH (inside
+    * [[StaleGraceMs]])? The shared writer-side guard: a fresh marker
+    * means an in-flight retry (or a re-pointed WAP stage) parked its
+    * ONLY data under `batch-<id>` — any writer about to (over)write
+    * that dir must refuse loudly instead.
+    */
+  private def freshRetryKeep(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      id: Long): Boolean =
+    try fs.getFileStatus(retryKeepPath(root, id))
+      .getModificationTime >= System.currentTimeMillis() - StaleGraceMs
+    catch { case _: java.io.FileNotFoundException => false }
   /** Root-level `_mbase-<id>=<baseId>` marker advertising that
     * manifest `id` is a DELTA against `baseId` — what [[vacuum]] walks
     * to retain every retained manifest's base chain without opening
@@ -4194,6 +4214,15 @@ object CowTable {
       // of every commit
       if (committedIds(spark, root).exists(_ >= id)) return false
       val batchDir = s"$root/$BatchPrefix$id"
+      // a FRESH `_retrykeep-<id>` marker shields a parked retry / WAP
+      // re-point stage's ONLY data under batch-<id>; the overwrite
+      // below would destroy it (r19 review: the commitAppendOnto /
+      // stageAppend guard applied to the DML/full-rewrite path too —
+      // upsert, applyCdc, deleteKeysMor, commitFull all land here)
+      if (freshRetryKeep(hfs(spark, root), root, id))
+        throw new CowConcurrentCommitException(
+          s"commit $id at $root: an in-flight retry holds this id's " +
+            "batch dir — commit under a different id")
       writeBatch(rewrite, batchDir, partCols, sortCols, split,
         colMap = commitMapping._1)
       // bloom columns INHERIT from the previous snapshot when the caller
@@ -4523,11 +4552,7 @@ object CowTable {
         // an adopted stage's ONLY data, and writeBatch below would
         // overwrite it (ADVICE r18). Stale markers are crashed
         // leftovers vacuum sweeps.
-        val keepFresh =
-          try fs.getFileStatus(retryKeepPath(root, id))
-            .getModificationTime >= System.currentTimeMillis() - 3600000L
-          catch { case _: java.io.FileNotFoundException => false }
-        if (keepFresh)
+        if (freshRetryKeep(fs, root, id))
           throw new CowConcurrentCommitException(
             s"commit $id at $root: an in-flight retry holds this id's " +
               "batch dir — commit under a different id")
@@ -4558,12 +4583,7 @@ object CowTable {
           try { fs.create(retryKeepPath(root, id), false).close(); true }
           catch { case _: java.io.IOException => false }
         if (!claim()) {
-          val freshMark =
-            try fs.getFileStatus(retryKeepPath(root, id))
-              .getModificationTime >=
-              System.currentTimeMillis() - 3600000L
-            catch { case _: java.io.FileNotFoundException => false }
-          if (freshMark)
+          if (freshRetryKeep(fs, root, id))
             throw new CowConcurrentCommitException(
               s"commit $id at $root: another in-flight retry holds " +
                 "this id's batch dir — retry against the next id")
@@ -4786,7 +4806,7 @@ object CowTable {
       val parked = stagedIds(spark, root).toSet
       val fsPick = hfs(spark, root)
       val ownStaged = staged.map(_.batchId).toSet
-      val keepCutoff = System.currentTimeMillis() - 3600000L
+      val keepCutoff = System.currentTimeMillis() - StaleGraceMs
       val foreignClaims: Set[Long] =
         if (!fsPick.exists(new Path(root))) Set.empty
         else fsPick.listStatus(new Path(root)).toSeq
@@ -4916,11 +4936,7 @@ object CowTable {
       // between attempts) — overwriting it would destroy that retry's
       // only copy (review r18); stale markers are crashed leftovers
       // vacuum sweeps
-      val keepFresh =
-        try hfs(spark, root).getFileStatus(retryKeepPath(root, id))
-          .getModificationTime >= System.currentTimeMillis() - 3600000L
-        catch { case _: java.io.FileNotFoundException => false }
-      if (keepFresh)
+      if (freshRetryKeep(hfs(spark, root), root, id))
         throw new CowConcurrentCommitException(
           s"stage $id at $root: an in-flight retry holds this id's " +
             "batch dir — re-stage with a different id")
@@ -7124,7 +7140,7 @@ object CowTable {
     // COMMITTED twin is deletable only once a committed primary
     // exists (until then it may be the snapshot's only copy, adopted
     // by [[staleTwinOf]]); marker-less twins are garbage like tmps.
-    val staleMs = System.currentTimeMillis() - 3600000L
+    val staleMs = System.currentTimeMillis() - StaleGraceMs
     fs.listStatus(new Path(root)).toSeq
       .filter { s =>
         val name = s.getPath.getName

@@ -41,6 +41,16 @@ object Bridge {
         cds.queryExecution.toRdd, cds, isStreaming = false))
   }
 
+  /** Drain the async listener bus so listener-derived counters (job
+    * counts in the PlanDump measurement harness) are exact at the
+    * moment of reading — without this, JobStart events still queued
+    * when an action returns get attributed to the wrong phase.
+    * `listenerBus` is `private[spark]`; this package grants access.
+    */
+  def waitListenerBusEmpty(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Spark's OWN parquet writer, DRIVER-SIDE: write `rows` as ONE
     * parquet file named like a Spark task output under `dir`, with no
     * Spark job. Built from `ParquetFileFormat.prepareWrite` — the exact
